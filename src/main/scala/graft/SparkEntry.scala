@@ -1,13 +1,145 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.query.LogQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Every entry in [[queries]] is one operator/capability from SURVEY.md §2;
+ * [[oracleSql]] holds the DuckDB-dialect equivalent the driver hash-checks
+ * at sf0.01. Column names and (where feasible) row order are aligned on
+ * both sides.
+ */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    LogQueries.discoverPage(
+      Pipeline.envelope(spark, "/root/testdata/sf0.001"),
+      lit("2024-01-01").cast("timestamp"),
+      lit("2030-01-01").cast("timestamp"),
+      100)
+
+  /** DuckDB CTE reconstructing [[Pipeline.envelopeFlat]] from raw `events`
+   * (the oracle's view of the ingest pipeline E2 — SURVEY.md §3). */
+  private val envSql: String =
+    """WITH env AS (
+      |  SELECT
+      |    concat('events', '+', CAST(CAST(user_id % 4 AS INTEGER) AS VARCHAR),
+      |           '+', CAST(event_id AS VARCHAR))           AS uid,
+      |    CAST(user_id AS VARCHAR)                         AS "key",
+      |    'events'                                         AS topic,
+      |    CAST(user_id % 4 AS INTEGER)                     AS "partition",
+      |    event_id                                         AS "offset",
+      |    ts                                               AS "timestamp",
+      |    CASE WHEN event_id % 50 = 0 THEN NULL ELSE event_type END AS event_type,
+      |    CASE WHEN event_id % 50 = 0 THEN NULL ELSE "value" END    AS "value",
+      |    CASE WHEN event_id % 50 = 0 THEN NULL ELSE props END      AS props,
+      |    CASE WHEN event_id % 50 = 0 THEN 'TOMBSTONE'
+      |         ELSE CAST(to_json(struct_pack(event_type := event_type,
+      |                                       "value" := "value", props := props))
+      |                   AS VARCHAR)
+      |    END AS value_json
+      |  FROM events
+      |)
+      |""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Q1a: Discover log page (time range + top-k) --------------------
+    "kq1_discover_page" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("timestamp").between(
+          lit("2024-01-01").cast("timestamp"), lit("2030-01-01").cast("timestamp")))
+        .orderBy(col("timestamp").desc, col("offset").desc)
+        .limit(100)),
+
+    // ---- Q1b: Discover date histogram -----------------------------------
+    "kq1_discover_hist" -> ((s, dir) =>
+      LogQueries.discoverHistogram(Pipeline.envelope(s, dir), "hour")
+        .orderBy(col("bucket"))),
+
+    // ---- Q2: search key across topics ------------------------------------
+    "kq2_search_key" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("key") === "13")
+        .orderBy(col("offset"))),
+
+    // ---- Q3: search key AND topic ----------------------------------------
+    "kq3_search_key_topic" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("key") === "7" && col("topic") === "events")
+        .orderBy(col("offset"))),
+
+    // ---- Q4: search on a structured message field ------------------------
+    "kq4_search_field" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type") === "click")
+        .orderBy(col("offset"))),
+
+    // ---- Q4 (heterogeneous): search via the JSON-string payload ----------
+    "kq4b_search_json" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(get_json_object(col("value_json"), "$.event_type") === "error")
+        .orderBy(col("offset"))),
+
+    // ---- Q5: tombstone visibility ----------------------------------------
+    "kq5_tombstones" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("value_json") === graft.model.Envelope.Tombstone)
+        .orderBy(col("offset"))),
+
+    // ---- latest-state-per-key compaction view (README.md:13) -------------
+    "kq6_latest_state" -> ((s, dir) =>
+      LogQueries.latestStatePerKey(Pipeline.envelope(s, dir))
+        .select(col("uid"), col("key"), col("topic"), col("partition"),
+          col("offset"), col("timestamp"))
+        .orderBy(col("key"))),
+
+    // ---- full changelog materialization (the sink's view, K1) ------------
+    "kq7_changelog" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir).orderBy(col("offset")))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+   * the same parquet tables. Omit for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = Map(
+    "kq1_discover_page" ->
+      (envSql + """SELECT * FROM env
+        |WHERE "timestamp" BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2030-01-01'
+        |ORDER BY "timestamp" DESC, "offset" DESC LIMIT 100""".stripMargin),
+
+    "kq1_discover_hist" ->
+      (envSql + """SELECT date_trunc('hour', "timestamp") AS bucket, count(*) AS n
+        |FROM env GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    "kq2_search_key" ->
+      (envSql + """SELECT * FROM env WHERE "key" = '13' ORDER BY "offset""""),
+
+    "kq3_search_key_topic" ->
+      (envSql + """SELECT * FROM env WHERE "key" = '7' AND topic = 'events' ORDER BY "offset""""),
+
+    "kq4_search_field" ->
+      (envSql + """SELECT * FROM env WHERE event_type = 'click' ORDER BY "offset""""),
+
+    "kq4b_search_json" ->
+      (envSql + """SELECT * FROM env
+        |WHERE value_json LIKE '{%'
+        |  AND json_extract_string(value_json, '$.event_type') = 'error'
+        |ORDER BY "offset"""".stripMargin),
+
+    "kq5_tombstones" ->
+      (envSql + """SELECT * FROM env WHERE value_json = 'TOMBSTONE' ORDER BY "offset""""),
+
+    "kq6_latest_state" ->
+      (envSql + """SELECT uid, "key", topic, "partition", "offset", "timestamp"
+        |FROM (SELECT *, row_number() OVER (PARTITION BY topic, "key"
+        |        ORDER BY "timestamp" DESC, "offset" DESC) AS rn FROM env)
+        |WHERE rn = 1 ORDER BY "key"""".stripMargin),
+
+    "kq7_changelog" ->
+      (envSql + """SELECT * FROM env ORDER BY "offset"""")
+  )
 }

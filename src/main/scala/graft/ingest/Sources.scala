@@ -1,0 +1,72 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Record sources. A "record frame" is the engine's ingest-side contract:
+ * {{{
+ *   key       STRING (or any castable type)
+ *   value     STRUCT<payload...>  (null = tombstone)
+ *   topic     STRING
+ *   partition INT
+ *   offset    LONG
+ *   timestamp TIMESTAMP
+ * }}}
+ * This is exactly the column set Spark's Kafka source emits (key, value,
+ * topic, partition, offset, timestamp) — the reference's ConnectRecord
+ * metadata model (reference: transform/.../InsertKey.java:151-159) — so a
+ * real Kafka topic, a parquet fixture, or a memory stream all plug into the
+ * same enrichment chain.
+ */
+object Sources {
+
+  /**
+   * Batch Kafka source (requires the spark-sql-kafka connector on the
+   * cluster classpath; not exercised in this container). Values arrive as
+   * binary and are decoded per-topic by [[graft.ingest.ConfluentAvro]].
+   */
+  def kafka(spark: SparkSession, bootstrap: String, topics: String): DataFrame =
+    spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("key"), col("value"), col("topic"), col("partition"),
+        col("offset"), col("timestamp"))
+
+  /** Streaming flavor of [[kafka]]. */
+  def kafkaStream(spark: SparkSession, bootstrap: String, topics: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .load()
+      .select(col("key"), col("value"), col("topic"), col("partition"),
+        col("offset"), col("timestamp"))
+
+  /** Every Nth record is a tombstone in the simulated topic (FIXTURES.md §B). */
+  val TombstoneEvery = 50
+
+  /**
+   * The `events` fixture table viewed as a Kafka topic (FIXTURES.md §B
+   * mapping): key = user_id, payload = (event_type, value, props),
+   * timestamp = ts, topic = "events", partition = pmod(user_id, 4),
+   * offset = event_id; every [[TombstoneEvery]]th offset is a tombstone
+   * (null value) to exercise the reference's tombstone path (reference:
+   * kafana.http:19-30, convert/.../TombstoneAwareAvroConverter.java:26-31).
+   */
+  def eventsAsRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.select(
+      col("user_id").cast("string").as("key"),
+      when(col("event_id") % TombstoneEvery === 0, lit(null))
+        .otherwise(struct(col("event_type"), col("value"), col("props")))
+        .as("value"),
+      lit("events").as("topic"),
+      pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"))
+  }
+}

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/local_verify.py <outDir> [sfDir]
+
+Expects <outDir> to contain per-query parquet dirs + oracle_sql.json, as
+written by `sbt "runMain graft.Verify <sfDir> <outDir>"`. Registers every
+/root/testdata table as a DuckDB view, runs each oracle SQL, and compares
+against the Spark parquet output: column names (sorted), row count, and
+values (columns sorted by name; rows compared as sorted multisets).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        # duckdb returns decimal.Decimal objects; normalize to str
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: str(v) if v is not None and not isinstance(v, (str, bytes, bool)) else v)
+    return df
+
+
+def main():
+    out_dir = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pq = f"{out_dir}/{name}"
+        if not os.path.isdir(pq):
+            print(f"FAIL {name}: no spark output at {pq}")
+            n_fail += 1
+            continue
+        try:
+            files = glob.glob(f"{pq}/*.parquet")
+            spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
+                if files else pd.DataFrame()
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        s, d = normalize(spark_df), normalize(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+            n_fail += 1
+            continue
+        # order-insensitive compare: sort by all columns
+        cols = list(s.columns)
+        s2 = s.sort_values(cols, kind="mergesort", na_position="last").reset_index(drop=True)
+        d2 = d.sort_values(cols, kind="mergesort", na_position="last").reset_index(drop=True)
+        try:
+            pd.testing.assert_frame_equal(s2, d2, check_dtype=False, check_exact=True)
+            print(f"PASS {name} ({len(s)} rows)")
+            n_pass += 1
+        except AssertionError as e:
+            msg = str(e).split("\n")
+            print(f"FAIL {name}: value mismatch: " + " | ".join(msg[:6]))
+            # show first differing row for debugging
+            neq = (s2 != d2) & ~(s2.isna() & d2.isna())
+            bad = neq.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                print(f"  first diff row {i}:\n  spark: {s2.loc[i].to_dict()}\n  duck : {d2.loc[i].to_dict()}")
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
