@@ -47,7 +47,10 @@ object SparkEntry {
       |""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    logQueries ++ graft.sql.RelQueries.queries
+
+  private def logQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Q1a: Discover log page (time range + top-k) --------------------
     "kq1_discover_page" -> ((s, dir) =>
       Pipeline.envelopeFlat(s, dir)
@@ -105,7 +108,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    logOracleSql ++ graft.sql.RelQueries.oracleSql
+
+  private def logOracleSql: Map[String, String] = Map(
     "kq1_discover_page" ->
       (envSql + """SELECT * FROM env
         |WHERE "timestamp" BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2030-01-01'

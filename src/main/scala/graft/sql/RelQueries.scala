@@ -1,0 +1,380 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ingest.Tables
+
+/**
+ * The relational query surface over the sunk data — SURVEY.md §2.3's
+ * "free via the SQL surface" operators, exercised one category at a time
+ * (aggregation, joins broadcast+shuffle, window functions, sorts/top-k,
+ * set ops, string/date/math functions, grouping sets, semi/anti joins,
+ * arrays). The reference exposes only Kibana's query surface; our engine
+ * strictly dominates it with full Spark SQL (SURVEY.md §2.3), and each
+ * query here is hash-checked against DuckDB.
+ *
+ * Cross-engine determinism rules used throughout (and to be reused by any
+ * new query):
+ *  - money sums go through DECIMAL(18,2)/(18,4) casts: decimal addition is
+ *    exact and associative, so Spark's partial-aggregation order and
+ *    DuckDB's scan order cannot produce last-ulp drift; the final value is
+ *    cast back to DOUBLE for a stable comparison dtype.
+ *  - irrational functions (sqrt/ln/pow) and double averages are rounded
+ *    (4-6 digits) — libm implementations may differ in the last ulp.
+ *  - every query ends in a deterministic ORDER BY with a unique tiebreak.
+ *
+ * Scale posture: dimension joins use explicit `broadcast()`; the fact-fact
+ * join shuffles on the join key only after filter pushdown; aggregations
+ * rely on Catalyst's partial+final hash aggregation. No collects, no UDFs —
+ * everything stays inside whole-stage codegen.
+ */
+object RelQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Exact, order-independent money sum surfaced as DOUBLE. */
+  private def moneySum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  // ---------------------------------------------------------------- queries
+
+  /** Aggregation: TPC-H-Q1-style pricing summary (hash agg, partial+final). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Sort / top-k: `orderBy+limit` plans as TakeOrderedAndProject — each
+    * partition retains k rows; no global sort even at 100 TB. */
+  def q2TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Star joins: fact → dims, every dim explicitly broadcast (region 5,
+    * nation 25, customer O(SF) rows — all tiny next to orders). At scale
+    * this is the canonical broadcast-hash-join chain: zero shuffle of the
+    * fact table. */
+  def q3JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Fact-fact join: lineitem ⋈ orders on the join key, shuffled once;
+    * the year filter is pushed below the join so only 1997 orders shuffle.
+    * AQE picks shuffle-hash vs sort-merge at runtime. */
+  def q4JoinLarge(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val orders = Tables.load(spark, dir, "orders")
+      .where(year(col("o_orderdate")) === 1997)
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Window functions: rank / row_number / running sum per customer.
+    * One shuffle on the window partition key. */
+  def q5Window(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("cum_spend",
+        sum(dec2(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"), col("rnk"), col("cum_spend"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Set operations: symmetric difference of the 1997 vs 1998 buyer sets
+    * (EXCEPT ∪ EXCEPT, with DISTINCT semantics). */
+  def q6SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    def buyers(y: Int) =
+      orders.where(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+    val only97 = buyers(1997).except(buyers(1998))
+      .withColumn("bucket", lit("1997_only"))
+    val only98 = buyers(1998).except(buyers(1997))
+      .withColumn("bucket", lit("1998_only"))
+    only97.unionByName(only98).orderBy(col("bucket"), col("o_custkey"))
+  }
+
+  /** String functions: case, substring, length, replace, concat, LIKE. */
+  def q7String(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .where(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        col("p_name").contains("er").as("has_er"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time functions: extract, trunc, diff, last_day, quarter. */
+  def q8DateTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .where(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        // DATE-typed columns surface as python `date` from Spark parquet but
+        // datetime64 from DuckDB — string form is comparator-proof.
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math functions: sqrt/ln/pow/abs/ceil/floor/mod (rounded — libm ulp). */
+  def q9Math(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(pow(lit(1.0) + col("l_discount"), 2), 6).as("pow_disc"),
+        round(abs(col("l_tax") - 0.05), 6).as("abs_tax"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        (col("l_partkey") % 7).as("mod_part"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Distinct aggregation + HAVING. */
+  def q10DistinctHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .where(col("n_customers") > 5)
+      .orderBy(col("c_mktsegment"))
+
+  /** Grouping sets: ROLLUP over (returnflag, linestatus) with subtotal and
+    * grand-total rows. */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Semi join: customers having ≥1 high-value order (EXISTS). */
+  def q12Semi(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val big = Tables.load(spark, dir, "orders")
+      .where(col("o_totalprice") > 200000)
+    customer.join(big, customer("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Anti join: customers with no orders at all (NOT EXISTS). */
+  def q13Anti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Array functions over the embeddings table: size, element access,
+    * L2 norm via an in-order fold (same summation order as DuckDB's
+    * list_sum, so doubles match exactly; rounded anyway for sqrt). */
+  def q14Array(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") < 100)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
+        col("label"))
+      .orderBy(col("vec_id"))
+
+  // ------------------------------------------------------------- registration
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_topk" -> (q2TopK _),
+    "q3_join_broadcast" -> (q3JoinBroadcast _),
+    "q4_join_large" -> (q4JoinLarge _),
+    "q5_window" -> (q5Window _),
+    "q6_setops" -> (q6SetOps _),
+    "q7_string" -> (q7String _),
+    "q8_datetime" -> (q8DateTime _),
+    "q9_math" -> (q9Math _),
+    "q10_distinct_having" -> (q10DistinctHaving _),
+    "q11_rollup" -> (q11Rollup _),
+    "q12_semi" -> (q12Semi _),
+    "q13_anti" -> (q13Anti _),
+    "q14_array" -> (q14Array _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q3_join_broadcast" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q4_join_large" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q5_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, cum_spend FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn,
+        |    rank() OVER w AS rnk,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) AS cum_spend
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q6_setops" ->
+      """WITH b97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        |     b98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |SELECT o_custkey, '1997_only' AS bucket FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b98)
+        |UNION ALL
+        |SELECT o_custkey, '1998_only' AS bucket FROM (SELECT * FROM b98 EXCEPT SELECT * FROM b97)
+        |ORDER BY bucket, o_custkey""".stripMargin,
+
+    "q7_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  lower(p_brand) AS lbrand,
+        |  substring(p_type, 1, 5) AS type5,
+        |  length(p_name) AS name_len,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  contains(p_name, 'er') AS has_er
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+
+    "q8_datetime" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+
+    "q9_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  round(pow(1.0 + l_discount, 2), 6) AS pow_disc,
+        |  round(abs(l_tax - 0.05), 6) AS abs_tax,
+        |  ceil(l_extendedprice) AS ceil_price,
+        |  floor(l_extendedprice) AS floor_price,
+        |  l_partkey % 7 AS mod_part
+        |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q10_distinct_having" ->
+      """SELECT c_mktsegment,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_customers,
+        |  ROUND(AVG(c_acctbal), 4) AS avg_bal
+        |FROM customer GROUP BY 1 HAVING COUNT(*) > 5 ORDER BY 1""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q12_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_array" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+        |  label
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+  )
+}
