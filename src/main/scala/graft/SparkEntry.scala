@@ -48,7 +48,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    logQueries ++ graft.sql.RelQueries.queries
+    logQueries ++ graft.sql.RelQueries.queries ++ graft.ext.ExtQueries.queries
 
   private def logQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Q1a: Discover log page (time range + top-k) --------------------
@@ -109,7 +109,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
    * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    logOracleSql ++ graft.sql.RelQueries.oracleSql
+    logOracleSql ++ graft.sql.RelQueries.oracleSql ++ graft.ext.ExtQueries.oracleSql
 
   private def logOracleSql: Map[String, String] = Map(
     "kq1_discover_page" ->

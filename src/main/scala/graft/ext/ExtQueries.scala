@@ -1,0 +1,197 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Registration of the training-data-pipeline extension operators
+ * (SURVEY.md §2.4) in the driver contract. Every SQL-expressible operator
+ * carries a DuckDB oracle implementing the identical math (md5-based
+ * hashes, in-order double folds); the stub-decoder pipeline is Spark-only
+ * (rows-only check) because its mapPartitions stage has no SQL equivalent.
+ */
+object ExtQueries {
+
+  /** DuckDB cosine between two FLOAT[] expressions — bit-identical to
+    * [[Similarity.cosine]]'s double fold (verified empirically). The
+    * DOUBLE[] casts are load-bearing: on FLOAT[] inputs DuckDB computes the
+    * whole similarity in float32 and drifts from Spark's double math. */
+  private def cosSql(a: String, b: String): String =
+    s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_dedup_exact" -> (Dedup.exactDedup _),
+    "x2_dedup_ngram" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramJaccardPairs(s, d)),
+    "x3_dedup_minhash" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashLshPairs(s, d)),
+    "x4_dedup_simhash" -> (Dedup.simhash _),
+    "x5_knn_brute" -> ((s: SparkSession, d: String) =>
+      Similarity.knnBrute(s, d)),
+    "x6_ann_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvf(s, d)),
+    "x7_langid" -> (TextAnalysis.langId _),
+    "x8_quality" -> (TextAnalysis.qualityScore _),
+    "x9_tokens" -> (TextAnalysis.tokenCounts _),
+    "x10_fingerprint" -> (TextAnalysis.fingerprint _),
+    "x11_media_meta" -> (Multimodal.mediaMetadata _),
+    // stub-decoder pipeline: mapPartitions stage, no SQL equivalent →
+    // intentionally absent from oracleSql (driver records rows-only check)
+    "x12_media_decode" -> (Multimodal.decodeFeatures _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |g AS (SELECT content_hash, min(doc_id) AS canonical_id,
+        |             count(*) AS group_size FROM h GROUP BY 1)
+        |SELECT doc_id, content_hash, canonical_id, group_size,
+        |       doc_id = canonical_id AS is_canonical
+        |FROM h JOIN g USING (content_hash) ORDER BY doc_id""".stripMargin,
+
+    "x2_dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(len(toks) - 1),
+        |         i -> toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |           FROM sh a JOIN sh b
+        |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |j AS (SELECT d1, d2,
+        |        round(shared / (s1.n + s2.n - shared), 6) AS jaccard
+        |      FROM shared
+        |      JOIN sizes s1 ON d1 = s1.doc_id
+        |      JOIN sizes s2 ON d2 = s2.doc_id)
+        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+
+    "x3_dedup_minhash" -> {
+      val mh = (0 until 12).map(k =>
+        s"min(substr(md5('$k:' || tok), 1, 8)) AS mh$k").mkString(",\n  ")
+      val bands = (0 until 4).map { b =>
+        val key = (b * 3 until b * 3 + 3).map(k => s"mh$k").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+      }.mkString("\nUNION ALL ")
+      val agree = (0 until 12)
+        .map(k => s"CAST(s1.mh$k = s2.mh$k AS INT)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+         |sig AS (SELECT doc_id,
+         |  $mh
+         |  FROM toks GROUP BY 1),
+         |bands AS ($bands),
+         |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |         FROM bands l JOIN bands r
+         |           ON l.band = r.band AND l.band_key = r.band_key
+         |              AND l.doc_id < r.doc_id),
+         |est AS (SELECT d1, d2, round(($agree) / 12.0, 6) AS est_jaccard
+         |        FROM cand
+         |        JOIN sig s1 ON d1 = s1.doc_id
+         |        JOIN sig s2 ON d2 = s2.doc_id)
+         |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5
+         |ORDER BY d1, d2""".stripMargin
+    },
+
+    "x4_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |th AS (SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b.bit, ((h >> bit) & 1) * 2 - 1 AS sgn
+        |         FROM th, (SELECT unnest(range(32)) AS bit) b),
+        |w AS (SELECT doc_id, bit, sum(sgn) AS w FROM bits GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        |  FROM w GROUP BY 1),
+        |cl AS (SELECT simhash, count(*) AS cluster_size FROM sig GROUP BY 1)
+        |SELECT doc_id, simhash, cluster_size FROM sig JOIN cl USING (simhash)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x5_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT query_id, e.vec_id AS cand_id,
+         |    round(${cosSql("qv", "e.embedding")}, 6) AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+         |      FROM scored)
+         |SELECT query_id, cand_id, sim, rn FROM r WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin,
+
+    "x6_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |              FROM embeddings WHERE vec_id < 8),
+         |asg0 AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    round(${cosSql("e.embedding", "c.cv")}, 6) AS csim
+         |  FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, embedding, centroid_id AS bucket FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS arn
+         |    FROM asg0) WHERE arn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+         |      FROM asg WHERE vec_id < 10),
+         |scored AS (SELECT query_id, a.bucket, a.vec_id AS cand_id,
+         |    round(${cosSql("qv", "a.embedding")}, 6) AS sim
+         |  FROM asg a JOIN q USING (bucket) WHERE a.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+         |      FROM scored)
+         |SELECT query_id, bucket, cand_id, sim, rn FROM r WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin,
+
+    "x7_langid" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |s AS (SELECT doc_id, count(*) AS n_tokens,
+        |  sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+        |      THEN 1 ELSE 0 END) AS en_hits,
+        |  sum(CASE WHEN tok IN ('spark','table','query','join','batch',
+        |                        'stream','vector','column')
+        |      THEN 1 ELSE 0 END) AS data_hits
+        |  FROM toks GROUP BY 1)
+        |SELECT doc_id,
+        |  CASE WHEN en_hits >= data_hits THEN 'en' ELSE 'data' END AS pred_lang,
+        |  en_hits, data_hits,
+        |  round(greatest(en_hits, data_hits) / n_tokens, 6) AS confidence
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x8_quality" ->
+      """SELECT doc_id, n_chars, n_tokens, n_types,
+        |  round(n_types / n_tokens, 6) AS ttr,
+        |  round((n_chars - n_tokens + 1) / n_tokens, 6) AS avg_tok_len,
+        |  round(least(1.0, n_tokens / 100) * (n_types / n_tokens), 6) AS score
+        |FROM (SELECT doc_id, length(text) AS n_chars,
+        |        len(string_split(text, ' ')) AS n_tokens,
+        |        len(list_distinct(string_split(text, ' '))) AS n_types
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x9_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text,
+        |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_ish_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_llm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x10_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (h, c) -> (h * 257 + c) % 1000000007) AS rolling_hash,
+        |  list_min(list_transform(list_distinct(string_split(text, ' ')),
+        |    t -> substr(md5(t), 1, 16))) AS min_token_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x11_media_meta" ->
+      """SELECT doc_id AS media_id, source AS origin,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+
+/**
+ * Text-analysis operators over `documents`: language-ID heuristic, quality
+ * scoring, token counting, and content fingerprinting. All pure column
+ * expressions — per-row work inside whole-stage codegen, no shuffle at all
+ * except the final ORDER BY (dropped in production; present here for
+ * deterministic oracle compare). These are the per-document scoring passes
+ * of a training-data pipeline: at 100 TB they are embarrassingly parallel
+ * map-only scans.
+ */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val dataWords = Seq("spark", "table", "query", "join", "batch",
+    "stream", "vector", "column")
+
+  /**
+   * Language-ID by token-profile voting: score the token stream against
+   * per-language profiles (here: an English function-word profile vs a
+   * data/tech jargon profile), predict the higher-scoring one. A real
+   * deployment swaps in per-language character-n-gram profiles; the scoring
+   * plan (explode → conditional agg → argmax) is identical.
+   */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    toks.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0)).as("en_hits"),
+        sum(when(col("tok").isin(dataWords: _*), 1).otherwise(0)).as("data_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("data_hits"), lit("en"))
+          .otherwise(lit("data")))
+      .withColumn("confidence",
+        round(greatest(col("en_hits"), col("data_hits"))
+          .cast("double") / col("n_tokens"), 6))
+      .select(col("doc_id"), col("pred_lang"), col("en_hits"),
+        col("data_hits"), col("confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Quality scoring: length, token count, type-token ratio, average token
+   * length, stopword ratio, and a composite score — the standard cheap
+   * filters applied before expensive model-based scoring.
+   */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    docs.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_types"))
+      .withColumn("ttr", round(col("n_types").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_tok_len",
+        round((col("n_chars") - col("n_tokens") + 1).cast("double")
+          / col("n_tokens"), 6))
+      .withColumn("score",
+        round(least(lit(1.0), col("n_tokens").cast("double") / 100)
+          * col("ttr"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Token counting: whitespace tokens, a BPE-ish regex segmentation
+   * (letter runs / digit runs / other), and the chars/4 heuristic LLM
+   * token estimate.
+   */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
+        ceil(length(col("text")).cast("double") / 4).cast("long")
+          .as("est_llm_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Document fingerprinting: (a) a polynomial rolling hash over the full
+   * character stream (base 257 mod 1e9+7 — Karp-Rabin style), and (b) a
+   * min-shingle-hash (the 1-hash MinHash special case). Equal fingerprints
+   * ⇒ near-certain duplicates; both are O(doc length) map-only work.
+   */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val chars = split(col("text"), "")
+    val rolling = aggregate(
+      chars, lit(0L),
+      (h, c) => pmod(h * 257 + ascii(c), lit(1000000007L)))
+    val minShingle = array_min(transform(
+      array_distinct(split(col("text"), " ")),
+      t => substring(md5(t.cast("binary")), 1, 16)))
+    docs.select(col("doc_id"),
+        rolling.as("rolling_hash"),
+        minShingle.as("min_token_hash"))
+      .orderBy(col("doc_id"))
+  }
+}
