@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.transform.Transforms
+
+/**
+ * Structured Streaming surface — the reference's always-on Connect
+ * pipeline (SURVEY.md §2.3 streaming rows) as streaming Catalyst plans.
+ *
+ *  - Ingest is STATELESS: the same [[Transforms.enrich]] chain runs
+ *    unchanged on a streaming record frame (per-record SMTs have no state
+ *    in the reference either — only a schema cache, which Spark resolves
+ *    at plan time). At-least-once + `uid` idempotence matches the
+ *    reference's replay story (README.md:11).
+ *  - The discover histogram becomes a watermarked windowed aggregation —
+ *    state is bounded by the watermark horizon, which is what lets it run
+ *    forever on an unbounded topic.
+ *  - The latest-state-per-key compaction view becomes mapGroupsWithState:
+ *    one state row per (topic,key) — the streaming materialization of
+ *    "ES should reflect state in kafka" (README.md:13).
+ */
+object StreamPipeline {
+
+  /** Enrich a STREAMING record frame (same chain as batch — stateless). */
+  def ingest(records: DataFrame, valueJsonField: String): DataFrame =
+    Transforms.enrich(valueJsonField)(records)
+
+  /** Q1b streaming: watermarked tumbling-window counts. */
+  def discoverHistogram(env: DataFrame, bucket: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    env.withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), bucket))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+
+  /** Slim record for the stateful compaction view. */
+  case class RecLite(topic: String, key: String, offset: Long,
+      timestamp: java.sql.Timestamp, value_json: String)
+
+  private def keepLatest(
+      key: (String, String), rows: Iterator[RecLite],
+      state: GroupState[RecLite]): RecLite = {
+    val best = (state.getOption.iterator ++ rows)
+      .maxBy(r => (r.timestamp.getTime, r.offset))
+    state.update(best)
+    best
+  }
+
+  /**
+   * Latest-state-per-(topic,key) as managed streaming state. Emits the
+   * current winner for every key touched in a trigger (Update mode).
+   * State size = O(live keys), independent of stream length.
+   */
+  def latestStatePerKey(env: DataFrame, valueJsonField: String): Dataset[RecLite] = {
+    import env.sparkSession.implicits._
+    env.select(col("topic"), col("key"), col("offset"), col("timestamp"),
+        col(s"message.$valueJsonField").as("value_json"))
+      .as[RecLite]
+      .groupByKey(r => (r.topic, r.key))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(keepLatest)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.{AvroIngest, ConfluentAvro}
+import graft.model.Envelope
+
+/**
+ * Reproduces the reference's own end-to-end demo (kafana.http:1-61): Foo
+ * and Bar records plus tombstones produced to two topics, decoded through
+ * the tombstone-aware converter, enriched, unioned into one searchable
+ * changelog — then the four README queries run against it.
+ */
+class AvroPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the reference's sample schemas (Foo.avsc / Bar.avsc, ns com.example)
+  private val fooSchema =
+    """{"type":"record","name":"Foo","namespace":"com.example",
+      |"fields":[{"name":"foo","type":"string"},{"name":"bar","type":"int"}]}"""
+      .stripMargin
+  private val barSchema =
+    """{"type":"record","name":"Bar","namespace":"com.example",
+      |"fields":[{"name":"bar","type":"int"},{"name":"baz","type":"string"}]}"""
+      .stripMargin
+
+  /** Confluent wire format: magic 0x0 + 4-byte schema id + avro binary. */
+  private def frame(schemaJson: String, fields: (String, Any)*): Array[Byte] = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val rec = new GenericData.Record(schema)
+    fields.foreach { case (k, v) => rec.put(k, v) }
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0, 0, 0, 0, 1)) // magic + id=1
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericData.Record](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private val recSchema = StructType(Seq(
+    StructField("key", StringType), StructField("value", BinaryType),
+    StructField("topic", StringType), StructField("partition", IntegerType),
+    StructField("offset", LongType), StructField("timestamp", TimestampType)))
+
+  private def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+
+  private def records(topic: String, rows: Seq[(String, Array[Byte], Long)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (k, v, o) =>
+        Row(k, v, topic, (k.hashCode & 1), o, ts(o))
+      }), recSchema)
+
+  // exactly the producer requests in kafana.http: Foo, Bar, tombstone each
+  private lazy val fooRecords = records("foo", Seq(
+    ("1", frame(fooSchema, "foo" -> "bar", "bar" -> 1), 0L),
+    ("2", frame(fooSchema, "foo" -> "baz", "bar" -> 2), 1L),
+    ("1", null, 2L))) // tombstone for key 1
+  private lazy val barRecords = records("bar", Seq(
+    ("1", frame(barSchema, "bar" -> 1234, "baz" -> "qux"), 0L),
+    ("1", null, 1L)))
+
+  test("S1: framed Avro decodes; tombstone null never reaches the decoder") {
+    val decoded = AvroIngest.decodeTopic(fooRecords, fooSchema)
+    val vals = decoded.orderBy($"offset")
+      .select($"value.foo", $"value.bar").collect()
+    assert(vals(0).getString(0) == "bar" && vals(0).getInt(1) == 1)
+    assert(vals(2).isNullAt(0) && vals(2).isNullAt(1)) // tombstone row
+  }
+
+  test("decode rejects non-Confluent framing") {
+    val bad = records("foo", Seq(("9", Array[Byte](7, 7), 9L)))
+    val ex = intercept[Exception] {
+      AvroIngest.decodeTopic(bad, fooSchema).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("avro->spark type mapping covers the sample and common types") {
+    val st = ConfluentAvro.sparkType(new Schema.Parser().parse(fooSchema))
+      .asInstanceOf[StructType]
+    assert(st.fieldNames.toSeq == Seq("foo", "bar"))
+    assert(st("bar").dataType == IntegerType)
+    val nullable = ConfluentAvro.sparkType(new Schema.Parser().parse(
+      """{"type":"record","name":"N","fields":[
+        |{"name":"x","type":["null","long"]}]}""".stripMargin))
+      .asInstanceOf[StructType]
+    assert(nullable("x").dataType == LongType)
+  }
+
+  test("heterogeneous topics union into one searchable changelog (README demo)") {
+    val changelog = AvroIngest.ingestTopics(Seq(
+      fooRecords -> fooSchema, barRecords -> barSchema))
+    assert(changelog.count() == 5)
+    // Q2: search key across topics — key 1 appears in foo AND bar
+    val k1 = changelog.where($"key" === "1")
+    assert(k1.select($"topic").distinct().count() == 2)
+    // Q3: key AND topic
+    assert(changelog.where($"key" === "1" && $"topic" === "foo").count() == 2)
+    // Q4: structured field search on a schema-specific field (Bar.baz)
+    assert(changelog.where($"baz" === "qux").count() == 1)
+    // Q4 heterogeneous: JSON-string search spans BOTH schemas' `bar` field
+    val barValued = changelog.where(
+      get_json_object($"value", "$.bar").isNotNull)
+    assert(barValued.count() == 3) // foo×2 + bar×1 (tombstones excluded)
+    // Q5: tombstones visible, one per topic
+    val tombs = changelog.where($"value" === Envelope.Tombstone)
+    assert(tombs.count() == 2)
+    assert(tombs.select($"topic").distinct().count() == 2)
+    // uid identity holds across the union
+    assert(changelog.select($"uid").distinct().count() == 5)
+  }
+}

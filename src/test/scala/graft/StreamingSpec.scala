@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamPipeline
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  case class Payload(event_type: String, value: Double, props: String)
+  case class RecIn(key: String, value: Option[Payload], topic: String,
+      partition: Int, offset: Long, timestamp: java.sql.Timestamp)
+
+  private def ts(h: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  private def rec(key: String, off: Long, h: Int,
+      tomb: Boolean = false): RecIn =
+    RecIn(key,
+      if (tomb) None else Some(Payload("click", off * 1.0, s"""{"k":$off}""")),
+      "events", (key.hashCode & 3), off, ts(h))
+
+  test("streaming ingest: enrichment chain runs on an unbounded frame") {
+    val in = MemoryStream[RecIn]
+    val env = StreamPipeline.ingest(in.toDF(), "value_json")
+    val q = env.writeStream.format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rec("a", 0, 0), rec("b", 1, 1), rec("a", 2, 2, tomb = true))
+      q.processAllAvailable()
+      val out = spark.table("ingest_out")
+      assert(out.count() == 3)
+      assert(out.where($"message.value_json" === "TOMBSTONE").count() == 1)
+      assert(out.where($"uid" === s"events+${"a".hashCode & 3}+0").count() == 1)
+    } finally q.stop()
+  }
+
+  test("streaming histogram: watermarked windowed counts") {
+    val in = MemoryStream[RecIn]
+    val env = StreamPipeline.ingest(in.toDF(), "value_json")
+    val hist = StreamPipeline.discoverHistogram(env, "1 hour", "2 hours")
+    val q = hist.writeStream.format("memory").queryName("hist_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(rec("a", 0, 0), rec("b", 1, 0), rec("c", 2, 1))
+      q.processAllAvailable()
+      val out = spark.table("hist_out").orderBy($"bucket").collect()
+      assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("streaming latest-state: state survives across triggers, max wins") {
+    val in = MemoryStream[RecIn]
+    val env = StreamPipeline.ingest(in.toDF(), "value_json")
+    val latest = StreamPipeline.latestStatePerKey(env, "value_json")
+    val q = latest.toDF().writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(rec("a", 0, 0), rec("a", 5, 2))
+      q.processAllAvailable()
+      in.addData(rec("a", 3, 1)) // late, lower (ts, offset) — must NOT win
+      q.processAllAvailable()
+      val rows = spark.table("state_out")
+        .orderBy($"offset".desc).select($"offset").as[Long].collect()
+      // last emitted state for key a is still offset 5
+      assert(rows.head == 5L)
+      in.addData(rec("a", 9, 3))
+      q.processAllAvailable()
+      val after = spark.table("state_out").agg(max($"offset")).as[Long].head()
+      assert(after == 9L)
+    } finally q.stop()
+  }
+}
