@@ -34,6 +34,25 @@ object ChangelogSink {
     spark.read.parquet(path)
 
   /**
+   * Streaming flavor of [[append]]: a `foreachBatch` writer that dedups
+   * each micro-batch on `uid` before appending. Combined with the
+   * append-only model this gives the reference's effectively-once story
+   * (README.md:11: the topic+partition+offset id makes replays
+   * idempotent) without a transactional sink: within-batch replays are
+   * dropped here, historical replays at read time via
+   * `dropDuplicates("uid")`.
+   */
+  def streamAppend(env: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    env.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch.dropDuplicates("uid"), path)
+      }
+      .start()
+
+  /**
    * K3 — retention: drop date partitions strictly older than `cutoff`
    * (yyyy-MM-dd). The reference's "define some rollover conditions"
    * (README.md:14) becomes an O(#partitions) filesystem operation — no

@@ -237,6 +237,33 @@ object RelQueries {
         col("label"))
       .orderBy(col("vec_id"))
 
+  /** Map-typed payload access: the schemaless `Map` path of the reference
+    * (transform/.../InsertKey.java:81-83) — parse the JSON props into a
+    * typed map and operate on keys/values. */
+  def q15Map(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+    ev.select(
+        col("event_id"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+        element_at(col("m"), "k").as("k_val"),
+        size(map_keys(col("m"))).as("n_keys"))
+      .where(col("event_id") < 500)
+      .orderBy(col("event_id"))
+  }
+
+  /** Typed-Aggregator UDAF (geometric mean of quantity per return flag):
+    * the Aggregator[IN,BUF,OUT] surface with map-side partial merge. */
+  def q16TypedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val geoMean = udaf(new graft.functions.GeoMean())
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(geoMean(col("l_quantity")), 4).as("geo_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -253,7 +280,9 @@ object RelQueries {
     "q11_rollup" -> (q11Rollup _),
     "q12_semi" -> (q12Semi _),
     "q13_anti" -> (q13Anti _),
-    "q14_array" -> (q14Array _)
+    "q14_array" -> (q14Array _),
+    "q15_map" -> (q15Map _),
+    "q16_typed_agg" -> (q16TypedAgg _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -375,6 +404,19 @@ object RelQueries {
         |  round(sqrt(list_sum(list_transform(embedding,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
         |  label
-        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+
+    "q15_map" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_val,
+        |  len(json_keys(props)) AS n_keys
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
+    "q16_typed_agg" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_quantity))), 4) AS geo_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

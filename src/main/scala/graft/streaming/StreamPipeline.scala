@@ -36,6 +36,18 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("n"))
 
+  /** Session-window activity aggregation: events for a key group into
+    * sessions separated by `gap` of inactivity (`session_window` keeps
+    * per-key open-session state bounded by the watermark). */
+  def sessionActivity(env: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    env.withWatermark("timestamp", watermark)
+      .groupBy(session_window(col("timestamp"), gap), col("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("key"), col("n_events"))
+
   /** Slim record for the stateful compaction view. */
   case class RecLite(topic: String, key: String, offset: Long,
       timestamp: java.sql.Timestamp, value_json: String)
