@@ -102,7 +102,8 @@ object ExtQueries {
         |         FROM th, (SELECT unnest(range(32)) AS bit) b),
         |w AS (SELECT doc_id, bit, sum(sgn) AS w FROM bits GROUP BY 1, 2),
         |sig AS (SELECT doc_id,
-        |  sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        |  CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+        |       AS BIGINT) AS simhash
         |  FROM w GROUP BY 1),
         |cl AS (SELECT simhash, count(*) AS cluster_size FROM sig GROUP BY 1)
         |SELECT doc_id, simhash, cluster_size FROM sig JOIN cl USING (simhash)
@@ -117,7 +118,7 @@ object ExtQueries {
          |r AS (SELECT *, row_number() OVER (
          |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
          |      FROM scored)
-         |SELECT query_id, cand_id, sim, rn FROM r WHERE rn <= 5
+         |SELECT query_id, cand_id, sim, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5
          |ORDER BY query_id, rn""".stripMargin,
 
     "x6_ann_ivf" ->
@@ -138,18 +139,18 @@ object ExtQueries {
          |r AS (SELECT *, row_number() OVER (
          |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
          |      FROM scored)
-         |SELECT query_id, bucket, cand_id, sim, rn FROM r WHERE rn <= 3
+         |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
          |ORDER BY query_id, rn""".stripMargin,
 
     "x7_langid" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |              FROM documents),
         |s AS (SELECT doc_id, count(*) AS n_tokens,
-        |  sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
-        |      THEN 1 ELSE 0 END) AS en_hits,
-        |  sum(CASE WHEN tok IN ('spark','table','query','join','batch',
+        |  CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+        |  CAST(sum(CASE WHEN tok IN ('spark','table','query','join','batch',
         |                        'stream','vector','column')
-        |      THEN 1 ELSE 0 END) AS data_hits
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS data_hits
         |  FROM toks GROUP BY 1)
         |SELECT doc_id,
         |  CASE WHEN en_hits >= data_hits THEN 'en' ELSE 'data' END AS pred_lang,

@@ -43,7 +43,7 @@ object Multimodal {
     mediaFrame(spark, dir).select(
         col("media_id"),
         col("meta.origin").as("origin"),
-        octet_length(col("payload")).as("n_bytes"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("payload_md5"),
         lower(hex(substring(col("payload"), 1, 4))).as("header_hex"),
         ceil(octet_length(col("payload")).cast("double") / 256)

@@ -57,9 +57,9 @@ object TextAnalysis {
     val toks = split(col("text"), " ")
     docs.select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_types"))
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"))
       .withColumn("ttr", round(col("n_types").cast("double") / col("n_tokens"), 6))
       .withColumn("avg_tok_len",
         round((col("n_chars") - col("n_tokens") + 1).cast("double")
@@ -79,9 +79,9 @@ object TextAnalysis {
     val docs = Tables.load(spark, dir, "documents")
     docs.select(
         col("doc_id"),
-        size(split(col("text"), " ")).as("ws_tokens"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"),
-          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("bpe_ish_tokens"),
         ceil(length(col("text")).cast("double") / 4).cast("long")
           .as("est_llm_tokens"))
       .orderBy(col("doc_id"))

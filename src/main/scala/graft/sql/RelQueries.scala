@@ -143,7 +143,7 @@ object RelQueries {
         upper(col("p_name")).as("uname"),
         lower(col("p_brand")).as("lbrand"),
         substring(col("p_type"), 1, 5).as("type5"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
         concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
         col("p_name").contains("er").as("has_er"))
@@ -155,13 +155,13 @@ object RelQueries {
       .where(col("o_orderkey") < 200)
       .select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("d"),
-        quarter(col("o_orderdate")).as("q"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
         date_trunc("month", col("o_orderdate")).as("month_start"),
         datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
-          .as("days_since"),
+          .cast("long").as("days_since"),
         // DATE-typed columns surface as python `date` from Spark parquet but
         // datetime64 from DuckDB — string form is comparator-proof.
         date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
@@ -230,7 +230,7 @@ object RelQueries {
       .where(col("vec_id") < 100)
       .select(
         col("vec_id"),
-        size(col("embedding")).as("dim"),
+        size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
         round(sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
@@ -248,7 +248,7 @@ object RelQueries {
         col("event_id"),
         array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
         element_at(col("m"), "k").as("k_val"),
-        size(map_keys(col("m"))).as("n_keys"))
+        size(map_keys(col("m"))).cast("long").as("n_keys"))
       .where(col("event_id") < 500)
       .orderBy(col("event_id"))
   }
@@ -322,8 +322,8 @@ object RelQueries {
     "q5_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, cum_spend FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    row_number() OVER w AS rn,
-        |    rank() OVER w AS rnk,
+        |    CAST(row_number() OVER w AS INT) AS rn,
+        |    CAST(rank() OVER w AS INT) AS rnk,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS DOUBLE) AS cum_spend
@@ -367,8 +367,8 @@ object RelQueries {
         |  round(ln(l_extendedprice), 6) AS ln_price,
         |  round(pow(1.0 + l_discount, 2), 6) AS pow_disc,
         |  round(abs(l_tax - 0.05), 6) AS abs_tax,
-        |  ceil(l_extendedprice) AS ceil_price,
-        |  floor(l_extendedprice) AS floor_price,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
         |  l_partkey % 7 AS mod_part
         |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 

@@ -72,7 +72,7 @@ class ExtSpec extends SparkSpec {
   test("multimodal: metadata real, stub decode deterministic with batch shape") {
     val meta = Multimodal.mediaMetadata(spark, sf)
     val row = meta.where(col("media_id") === 0).head()
-    assert(row.getAs[Int]("n_bytes") > 0)
+    assert(row.getAs[Long]("n_bytes") > 0)
     assert(row.getAs[String]("header_hex").length == 8) // 4 bytes → 8 hex
     val feats = Multimodal.decodeFeatures(spark, sf)
     assert(feats.count() == 500)

@@ -63,6 +63,12 @@ def main():
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
             n_fail += 1
             continue
+        dt = [(c, str(spark_df[c].dtype) if c in spark_df else "?",
+               str(duck_df[c].dtype) if c in duck_df else "?")
+              for c in spark_df.columns
+              if c in duck_df.columns and str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+        for c, a, b in dt:
+            print(f"  WARN {name}.{c}: dtype spark={a} duck={b}")
         # order-insensitive compare: sort by all columns
         cols = list(s.columns)
         s2 = s.sort_values(cols, kind="mergesort", na_position="last").reset_index(drop=True)
