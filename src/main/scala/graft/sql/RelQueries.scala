@@ -264,6 +264,52 @@ object RelQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Pivot: per-user event-type counts as columns (wide-table reshape). */
+  def q17Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(p)((df, t) =>
+        df.withColumn(t, coalesce(col(s"`$t`"), lit(0L))))
+      .orderBy(col("user_id"))
+  }
+
+  /** Grouping sets: CUBE over (returnflag, linestatus). */
+  def q18Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Deterministic hash sampling — the reproducible train/eval split of a
+    * data pipeline: md5 of the row key selects a stable 1/8 sample, the
+    * same rows on every engine and every run (unlike TABLESAMPLE). */
+  def q19HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("h", substring(md5(concat(
+        col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).cast("binary")), 1, 1))
+      .where(col("h").isin("0", "1"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Sketches: HLL distinct-count + quantile estimates. Engines implement
+    * different sketch algorithms, so this entry is rows-only checked (no
+    * oracle); exact counterparts bound the estimates in the spec. */
+  def q20Sketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("median_qty_est"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -282,7 +328,12 @@ object RelQueries {
     "q13_anti" -> (q13Anti _),
     "q14_array" -> (q14Array _),
     "q15_map" -> (q15Map _),
-    "q16_typed_agg" -> (q16TypedAgg _)
+    "q16_typed_agg" -> (q16TypedAgg _),
+    "q17_pivot" -> (q17Pivot _),
+    "q18_cube" -> (q18Cube _),
+    "q19_hash_sample" -> (q19HashSample _),
+    // different sketch algorithms per engine → rows-only check, no oracle
+    "q20_sketch" -> (q20Sketch _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -417,6 +468,27 @@ object RelQueries {
       """SELECT l_returnflag,
         |  round(exp(avg(ln(l_quantity))), 4) AS geo_qty,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_pivot" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
+
+    "q18_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q19_hash_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE substr(md5(l_orderkey || ':' || l_linenumber), 1, 1) IN ('0', '1')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

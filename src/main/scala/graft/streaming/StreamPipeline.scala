@@ -36,6 +36,17 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("n"))
 
+  /** Stream-static dimension join: enrich the flowing changelog with a
+    * broadcast dimension table keyed by the record key. The static side is
+    * re-broadcast per micro-batch — no streaming state at all, which is
+    * why this is the standard way to attach user/account metadata to an
+    * event stream at any scale. */
+  def joinDim(env: DataFrame, dim: DataFrame, dimKey: String): DataFrame =
+    env.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      env("key") === dim(dimKey).cast("string"),
+      "left_outer")
+
   /** Session-window activity aggregation: events for a key group into
     * sessions separated by `gap` of inactivity (`session_window` keeps
     * per-key open-session state bounded by the watermark). */

@@ -52,6 +52,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: broadcast dim attaches to flowing records") {
+    val in = MemoryStream[RecIn]
+    val env = StreamPipeline.ingest(in.toDF(), "value_json")
+    val dim = Seq(("a", "gold")).toDF("dim_key", "tier")
+    val joined = StreamPipeline.joinDim(env, dim, "dim_key")
+    val q = joined.writeStream.format("memory").queryName("dimjoin_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rec("a", 1, 0), rec("b", 2, 1))
+      q.processAllAvailable()
+      val out = spark.table("dimjoin_out")
+      assert(out.count() == 2)
+      assert(out.where($"key" === "a" && $"tier" === "gold").count() == 1)
+      assert(out.where($"key" === "b").select($"tier").head().isNullAt(0))
+    } finally q.stop()
+  }
+
   test("streaming latest-state: state survives across triggers, max wins") {
     val in = MemoryStream[RecIn]
     val env = StreamPipeline.ingest(in.toDF(), "value_json")
