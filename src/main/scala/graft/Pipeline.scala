@@ -25,6 +25,26 @@ object Pipeline {
     Transforms.enrich(ValueJsonField)(Sources.eventsAsRecords(spark, sfDir))
 
   /**
+   * Heterogeneous two-topic changelog (events + orders), unioned by name
+   * with missing columns null — the reference's multiple-topics-into-one-
+   * index model (kafana.http:75). Flattened for the oracle; the JSON
+   * field keeps both payload shapes searchable.
+   */
+  def multiTopicFlat(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = envelopeFlat(spark, sfDir)
+    val ord = Transforms.enrich(ValueJsonField)(
+        Sources.ordersAsRecords(spark, sfDir))
+      .select(
+        col("uid"), col("key"), col("topic"), col("partition"),
+        col("offset"), col("timestamp"),
+        col("message.o_orderstatus").as("o_orderstatus"),
+        col("message.o_totalprice").as("o_totalprice"),
+        col("message.o_orderpriority").as("o_orderpriority"),
+        col(s"message.$ValueJsonField").as(ValueJsonField))
+    ev.unionByName(ord, allowMissingColumns = true)
+  }
+
+  /**
    * Oracle-friendly flat projection of the envelope: every payload field
    * and metadata field as a top-level column. Column order/names are the
    * stable contract the DuckDB oracle reproduces.

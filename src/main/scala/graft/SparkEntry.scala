@@ -103,7 +103,13 @@ object SparkEntry {
 
     // ---- full changelog materialization (the sink's view, K1) ------------
     "kq7_changelog" -> ((s, dir) =>
-      Pipeline.envelopeFlat(s, dir).orderBy(col("offset")))
+      Pipeline.envelopeFlat(s, dir).orderBy(col("offset"))),
+
+    // ---- Q2 across a heterogeneous multi-topic changelog (foo,bar model) --
+    "kq8_multi_topic" -> ((s, dir) =>
+      Pipeline.multiTopicFlat(s, dir)
+        .where(col("key") === "13")
+        .orderBy(col("topic"), col("offset")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,6 +152,36 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY "key"""".stripMargin),
 
     "kq7_changelog" ->
-      (envSql + """SELECT * FROM env ORDER BY "offset"""")
+      (envSql + """SELECT * FROM env ORDER BY "offset""""),
+
+    "kq8_multi_topic" ->
+      (envSql.stripSuffix("\n") + """,
+        |oenv AS (
+        |  SELECT
+        |    concat('orders', '+', CAST(CAST(o_custkey % 4 AS INTEGER) AS VARCHAR),
+        |           '+', CAST(o_orderkey AS VARCHAR))     AS uid,
+        |    CAST(o_custkey AS VARCHAR)                   AS "key",
+        |    'orders'                                     AS topic,
+        |    CAST(o_custkey % 4 AS INTEGER)               AS "partition",
+        |    o_orderkey                                   AS "offset",
+        |    o_orderdate                                  AS "timestamp",
+        |    CAST(to_json(struct_pack(o_orderstatus := o_orderstatus,
+        |                             o_totalprice := o_totalprice,
+        |                             o_orderpriority := o_orderpriority))
+        |         AS VARCHAR)                             AS value_json,
+        |    o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM orders),
+        |u AS (
+        |  SELECT uid, "key", topic, "partition", "offset", "timestamp",
+        |         event_type, "value", props, value_json,
+        |         NULL AS o_orderstatus, NULL AS o_totalprice,
+        |         NULL AS o_orderpriority
+        |  FROM env
+        |  UNION ALL
+        |  SELECT uid, "key", topic, "partition", "offset", "timestamp",
+        |         NULL AS event_type, NULL AS "value", NULL AS props,
+        |         value_json, o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM oenv)
+        |SELECT * FROM u WHERE "key" = '13' ORDER BY topic, "offset"""".stripMargin)
   )
 }

@@ -36,7 +36,9 @@ object ExtQueries {
     "x11_media_meta" -> (Multimodal.mediaMetadata _),
     // stub-decoder pipeline: mapPartitions stage, no SQL equivalent →
     // intentionally absent from oracleSql (driver records rows-only check)
-    "x12_media_decode" -> (Multimodal.decodeFeatures _)
+    "x12_media_decode" -> (Multimodal.decodeFeatures _),
+    "x13_dedup_embed" -> ((s: SparkSession, d: String) =>
+      Similarity.embedNearDupPairs(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -186,6 +188,13 @@ object ExtQueries {
         |  list_min(list_transform(list_distinct(string_split(text, ' ')),
         |    t -> substr(md5(t), 1, 16))) AS min_token_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x13_dedup_embed" ->
+      s"""SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.45
+         |ORDER BY d1, d2""".stripMargin,
 
     "x11_media_meta" ->
       """SELECT doc_id AS media_id, source AS origin,

@@ -51,6 +51,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /**
+   * Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ τ.
+   * Exact all-pairs at fixture scale (the correctness baseline); the
+   * 100 TB path reuses [[annIvf]]'s bucket assignment so only same-bucket
+   * pairs are compared — same output when τ exceeds the bucket radius.
+   */
+  def embedNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    a.crossJoin(b).where(col("d1") < col("d2"))
+      .withColumn("sim", round(cosine(col("e1"), col("e2")), 6))
+      .where(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), col("sim"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** IVF-bucketed ANN: assign all vectors to nearest centroid (vec_id <
     * nCentroids), probe only the query's bucket. */
   def annIvf(spark: SparkSession, dir: String,

@@ -57,6 +57,25 @@ object Sources {
    * (null value) to exercise the reference's tombstone path (reference:
    * kafana.http:19-30, convert/.../TombstoneAwareAvroConverter.java:26-31).
    */
+  /**
+   * A second simulated topic (`orders`) so the fixture changelog is
+   * heterogeneous like the reference's `foo,bar` pair (kafana.http:75):
+   * key = o_custkey, payload = (o_orderstatus, o_totalprice,
+   * o_orderpriority), timestamp = o_orderdate, offset = o_orderkey.
+   * No tombstones on this topic (mirrors that topics differ in shape).
+   */
+  def ordersAsRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    o.select(
+      col("o_custkey").cast("string").as("key"),
+      struct(col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+        .as("value"),
+      lit("orders").as("topic"),
+      pmod(col("o_custkey"), lit(4)).cast("int").as("partition"),
+      col("o_orderkey").as("offset"),
+      col("o_orderdate").as("timestamp"))
+  }
+
   def eventsAsRecords(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     ev.select(

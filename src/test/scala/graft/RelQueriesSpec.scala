@@ -41,6 +41,16 @@ class RelQueriesSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(key), EqualTo(key,13)]"), scan)
   }
 
+  test("sketch estimates bounded by exact counterparts (q20)") {
+    val r = RelQueries.q20Sketch(spark, sf).collect()
+    r.foreach { row =>
+      val approx = row.getAs[Long]("approx_parts").toDouble
+      val exact = row.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"HLL estimate $approx vs exact $exact drifted >10%")
+    }
+  }
+
   test("every declared query returns rows with its declared columns") {
     RelQueries.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
