@@ -19,10 +19,11 @@ object Bench {
     * clusters), which benchmarks the data generator, not the engine. */
   private val headline: Seq[String] = Seq(
     "kq1_discover_hist", "kq1_discover_page", "kq2_search_key",
-    "kq6_latest_state", "kq7_changelog",
+    "kq6_latest_state", "kq7_changelog", "kq8_multi_topic",
     "q1_agg", "q3_join_broadcast", "q4_join_large", "q5_window",
     "x1_dedup_exact", "x2_dedup_ngram", "x4_dedup_simhash",
-    "x5_knn_brute", "x6_ann_ivf", "x8_quality", "x10_fingerprint")
+    "x5_knn_brute", "x6_ann_ivf", "x8_quality", "x10_fingerprint",
+    "x13_dedup_embed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -50,8 +50,13 @@ object RelQueries {
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .cast("double").as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        // exact average: decimal sum -> double, / count. A plain double
+        // avg can land on a round-half boundary where engine sum order
+        // flips the last digit (seen at sf0.001).
+        round(sum(dec2(col("l_quantity"))).cast("double")
+          / count(lit(1)), 4).as("avg_qty"),
+        round(sum(dec2(col("l_extendedprice"))).cast("double")
+          / count(lit(1)), 4).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -189,7 +194,8 @@ object RelQueries {
       .agg(
         countDistinct(col("c_nationkey")).as("n_nations"),
         count(lit(1)).as("n_customers"),
-        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        round(sum(dec2(col("c_acctbal"))).cast("double")
+          / count(lit(1)), 4).as("avg_bal"))
       .where(col("n_customers") > 5)
       .orderBy(col("c_mktsegment"))
 
@@ -342,8 +348,8 @@ object RelQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -427,7 +433,7 @@ object RelQueries {
       """SELECT c_mktsegment,
         |  COUNT(DISTINCT c_nationkey) AS n_nations,
         |  COUNT(*) AS n_customers,
-        |  ROUND(AVG(c_acctbal), 4) AS avg_bal
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_bal
         |FROM customer GROUP BY 1 HAVING COUNT(*) > 5 ORDER BY 1""".stripMargin,
 
     "q11_rollup" ->
