@@ -138,8 +138,9 @@ object SparkEntry {
 
     "kq4b_search_json" ->
       (envSql + """SELECT * FROM env
-        |WHERE value_json LIKE '{%'
-        |  AND json_extract_string(value_json, '$.event_type') = 'error'
+        |WHERE CASE WHEN value_json LIKE '{%'
+        |           THEN json_extract_string(value_json, '$.event_type') = 'error'
+        |           ELSE FALSE END
         |ORDER BY "offset"""".stripMargin),
 
     "kq5_tombstones" ->

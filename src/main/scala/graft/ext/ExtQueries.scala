@@ -38,7 +38,9 @@ object ExtQueries {
     // intentionally absent from oracleSql (driver records rows-only check)
     "x12_media_decode" -> (Multimodal.decodeFeatures _),
     "x13_dedup_embed" -> ((s: SparkSession, d: String) =>
-      Similarity.embedNearDupPairs(s, d))
+      Similarity.embedNearDupPairs(s, d)),
+    "x14_media_frames" -> ((s: SparkSession, d: String) =>
+      Multimodal.frameSample(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -195,6 +197,20 @@ object ExtQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.45
          |ORDER BY d1, d2""".stripMargin,
+
+    // ascii corpus ⇒ byte slices == char slices, so the oracle frames the
+    // text directly (DuckDB blob substring semantics differ)
+    "x14_media_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(CAST(ceil(length(text) / 256.0) AS BIGINT))) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  md5(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_md5,
+        |  CAST(length(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256))
+        |       AS BIGINT) AS frame_bytes
+        |FROM f WHERE frame_idx % 2 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "x11_media_meta" ->
       """SELECT doc_id AS media_id, source AS origin,

@@ -50,6 +50,31 @@ object Multimodal {
           .cast("long").as("n_frames"))
       .orderBy(col("media_id"))
 
+  /**
+   * Frame sampling: chunk each payload into fixed 256-byte "frames",
+   * keep every `stride`-th one, emit per-frame metadata — the
+   * bookkeeping half of video frame-sampling (the decode itself is the
+   * [[decodeStub]] stage). The explode is per-row and shuffle-free; at
+   * scale the frame stream stays co-partitioned with its media.
+   */
+  def frameSample(spark: SparkSession, dir: String,
+      frameSize: Int = 256, stride: Int = 2): DataFrame =
+    mediaFrame(spark, dir)
+      .select(col("media_id"), col("payload"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0L),
+          ceil(col("n_bytes").cast("double") / frameSize).cast("long") - 1))
+          .as("frame_idx"))
+      .where(col("frame_idx") % stride === 0)
+      .select(col("media_id"), col("frame_idx"),
+        md5(expr(s"substring(payload, CAST(frame_idx * $frameSize + 1 AS INT), $frameSize)"))
+          .as("frame_md5"),
+        octet_length(expr(
+          s"substring(payload, CAST(frame_idx * $frameSize + 1 AS INT), $frameSize)"))
+          .cast("long").as("frame_bytes"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   case class MediaIn(media_id: Long, payload: Array[Byte])
   case class MediaFeatures(media_id: Long, width: Int, height: Int,
       channels: Int, feature: Array[Float])

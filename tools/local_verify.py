@@ -32,6 +32,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -40,6 +41,9 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name}")
+            continue
         pq = f"{out_dir}/{name}"
         if not os.path.isdir(pq):
             print(f"FAIL {name}: no spark output at {pq}")
