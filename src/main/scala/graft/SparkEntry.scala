@@ -109,7 +109,17 @@ object SparkEntry {
     "kq8_multi_topic" -> ((s, dir) =>
       Pipeline.multiTopicFlat(s, dir)
         .where(col("key") === "13")
-        .orderBy(col("topic"), col("offset")))
+        .orderBy(col("topic"), col("offset"))),
+
+    // ---- the spark.sql text surface over a registered changelog view -----
+    "kq9_sql_surface" -> ((s, dir) => {
+      Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
+      s.sql("""SELECT event_type, count(*) AS n,
+              |       count(DISTINCT key) AS n_keys,
+              |       min(offset) AS first_offset, max(offset) AS last_offset
+              |FROM changelog WHERE event_type IS NOT NULL
+              |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -183,6 +193,13 @@ object SparkEntry {
         |         NULL AS event_type, NULL AS "value", NULL AS props,
         |         value_json, o_orderstatus, o_totalprice, o_orderpriority
         |  FROM oenv)
-        |SELECT * FROM u WHERE "key" = '13' ORDER BY topic, "offset"""".stripMargin)
+        |SELECT * FROM u WHERE "key" = '13' ORDER BY topic, "offset"""".stripMargin),
+
+    "kq9_sql_surface" ->
+      (envSql + """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT "key") AS n_keys,
+        |       min("offset") AS first_offset, max("offset") AS last_offset
+        |FROM env WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

@@ -40,7 +40,9 @@ object ExtQueries {
     "x13_dedup_embed" -> ((s: SparkSession, d: String) =>
       Similarity.embedNearDupPairs(s, d)),
     "x14_media_frames" -> ((s: SparkSession, d: String) =>
-      Multimodal.frameSample(s, d))
+      Multimodal.frameSample(s, d)),
+    "x15_tfidf" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tfidfTopTerms(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -180,6 +182,22 @@ object ExtQueries {
         |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_ish_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_llm_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x15_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM
+        |         (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, tf.term, tf, df,
+        |    round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rk
+        |      FROM scored)
+        |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "x10_fingerprint" ->
       """SELECT doc_id,

@@ -88,6 +88,36 @@ object TextAnalysis {
   }
 
   /**
+   * TF-IDF keyword extraction: top-3 terms per document by
+   * tf · ln(N/df), deterministic tiebreak on the term. The classic
+   * two-aggregation + broadcast-join shape: term frequencies shuffle on
+   * (doc, term), document frequencies on term; the df table is tiny
+   * (vocabulary-sized) and broadcasts, so the plan stays linear in corpus
+   * size at any scale.
+   */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.count() // vocabulary-independent scalar, computed once
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /**
    * Document fingerprinting: (a) a polynomial rolling hash over the full
    * character stream (base 257 mod 1e9+7 — Karp-Rabin style), and (b) a
    * min-shingle-hash (the 1-hash MinHash special case). Equal fingerprints

@@ -69,6 +69,38 @@ class ExtSpec extends SparkSpec {
     assert(f1.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 1000000007L))
   }
 
+  test("native expressions callable from the spark.sql surface") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.ingest.Tables.load(spark, sf, "embeddings")
+      .createOrReplaceTempView("emb")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, round(cosine_similarity(a.embedding, b.embedding), 6) AS s
+        |FROM emb a JOIN emb b ON b.vec_id = 0 WHERE a.vec_id < 5
+        |ORDER BY a.vec_id""".stripMargin).collect()
+    val viaApi = {
+      val e = graft.ingest.Tables.load(spark, sf, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("q"))
+      e.where(col("vec_id") < 5).crossJoin(q)
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("q")), 6).as("s"))
+        .orderBy(col("vec_id")).collect()
+    }
+    assert(viaSql.map(_.getDouble(1)).toSeq == viaApi.map(_.getDouble(1)).toSeq)
+    graft.ingest.Tables.load(spark, sf, "documents")
+      .createOrReplaceTempView("docs_v")
+    val sh = spark.sql(
+      "SELECT simhash32(text) AS h, size(word_shingles(text, 3)) AS ns " +
+        "FROM docs_v WHERE doc_id = 0").head()
+    assert(sh.getLong(0) >= 0 && sh.getInt(1) > 0)
+  }
+
+  test("tfidf: k terms per doc, rank follows score") {
+    val t = TextAnalysis.tfidfTopTerms(spark, sf, k = 3)
+    val perDoc = t.groupBy(col("doc_id")).count()
+    assert(perDoc.where(col("count") > 3).count() == 0)
+    assert(t.where(col("rk") === 1).count() == 500)
+  }
+
   test("multimodal: metadata real, stub decode deterministic with batch shape") {
     val meta = Multimodal.mediaMetadata(spark, sf)
     val row = meta.where(col("media_id") === 0).head()
