@@ -42,7 +42,9 @@ object ExtQueries {
     "x14_media_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(s, d)),
     "x15_tfidf" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.tfidfTopTerms(s, d))
+      TextAnalysis.tfidfTopTerms(s, d)),
+    "x16_anonymize" -> (TextAnalysis.anonymize _),
+    "x17_mixture" -> (TextAnalysis.sourceMixture _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -218,6 +220,24 @@ object ExtQueries {
 
     // ascii corpus ⇒ byte slices == char slices, so the oracle frames the
     // text directly (DuckDB blob substring semantics differ)
+    "x16_anonymize" ->
+      """SELECT event_id,
+        |  sha256(CAST(user_id AS VARCHAR)) AS user_pseudonym,
+        |  event_type,
+        |  regexp_replace(props, '[0-9]', '#', 'g') AS props_redacted
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "x17_mixture" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket FROM b
+        |WHERE source = 'src0'
+        |   OR (source = 'src1' AND bucket < 128)
+        |   OR (source <> 'src0' AND source <> 'src1' AND bucket < 64)
+        |ORDER BY doc_id""".stripMargin,
+
     "x14_media_frames" ->
       """WITH f AS (
         |  SELECT doc_id, text,

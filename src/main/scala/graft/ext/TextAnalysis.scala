@@ -118,6 +118,44 @@ object TextAnalysis {
   }
 
   /**
+   * PII anonymization pass over the event log: stable pseudonymous key
+   * (sha-256 of the raw key — joinable but not reversible), digits in the
+   * free-form payload redacted. The standard pre-release scrub of a
+   * training corpus; pure column work, map-only at scale.
+   */
+  def anonymize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.select(
+        col("event_id"),
+        sha2(col("user_id").cast("string").cast("binary"), 256)
+          .as("user_pseudonym"),
+        col("event_type"),
+        regexp_replace(col("props"), "[0-9]", "#").as("props_redacted"))
+      .where(col("event_id") < 2000)
+      .orderBy(col("event_id"))
+  }
+
+  /**
+   * Weighted corpus mixture: deterministic per-source sampling rates
+   * (full / half / quarter by md5 bucket — the reproducible "data
+   * recipe" step that builds a training mix from heterogeneous sources).
+   * Same selection on every engine and every run.
+   */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 2), 16, 10).cast("int") // 0..255, uniform
+    docs.withColumn("bucket", bucket)
+      .where(
+        (col("source") === "src0") ||
+        (col("source") === "src1" && col("bucket") < 128) ||
+        (col("source") =!= "src0" && col("source") =!= "src1"
+          && col("bucket") < 64))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Document fingerprinting: (a) a polynomial rolling hash over the full
    * character stream (base 257 mod 1e9+7 — Karp-Rabin style), and (b) a
    * min-shingle-hash (the 1-hash MinHash special case). Equal fingerprints
