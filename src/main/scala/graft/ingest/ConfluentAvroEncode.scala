@@ -1,0 +1,85 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * S2 — the serialization side of the reference's converter
+ * (convert/.../TombstoneAwareAvroConverter.java:21-23 delegates to the
+ * Confluent AvroConverter): a typed struct column → Confluent-framed
+ * Avro binary (magic 0x0 + 4-byte schema id + Avro body). Needed only
+ * when writing back to Kafka; implemented for converter symmetry and
+ * round-trip testing with [[ConfluentAvroDecode]].
+ */
+case class ConfluentAvroEncode(child: Expression, schemaJson: String,
+    schemaId: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  @transient private lazy val schema: Schema =
+    new Schema.Parser().parse(schemaJson)
+  @transient private lazy val writer =
+    new GenericDatumWriter[Any](schema)
+
+  private def toAvro(value: Any, avro: Schema, spark: DataType): Any = {
+    if (value == null) return null
+    avro.getType match {
+      case Schema.Type.STRING => value.asInstanceOf[UTF8String].toString
+      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => value
+      case Schema.Type.BYTES =>
+        ByteBuffer.wrap(value.asInstanceOf[Array[Byte]])
+      case Schema.Type.UNION =>
+        val branch = avro.getTypes.asScala
+          .find(_.getType != Schema.Type.NULL).get
+        toAvro(value, branch, spark)
+      case Schema.Type.RECORD =>
+        val row = value.asInstanceOf[InternalRow]
+        val st = spark.asInstanceOf[StructType]
+        val rec = new GenericData.Record(avro)
+        avro.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+          rec.put(f.name(),
+            toAvro(row.get(i, st(i).dataType), f.schema(), st(i).dataType))
+        }
+        rec
+      case other =>
+        throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = new ByteArrayOutputStream()
+    out.write(0) // magic byte
+    out.write(ByteBuffer.allocate(4).putInt(schemaId).array())
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    writer.write(toAvro(input, schema, child.dataType), enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def prettyName: String = "confluent_avro_encode"
+}
+
+object ConfluentAvroEncode {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  def encode(value: Column, schemaJson: String, schemaId: Int = 1): Column =
+    GraftColumnBridge.column(ConfluentAvroEncode(
+      GraftColumnBridge.expression(value), schemaJson, schemaId))
+}

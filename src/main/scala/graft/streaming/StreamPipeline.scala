@@ -47,6 +47,24 @@ object StreamPipeline {
       env("key") === dim(dimKey).cast("string"),
       "left_outer")
 
+  /**
+   * Stream-stream join: correlate two record streams on key within a
+   * time bound (e.g. click ↔ purchase attribution). Both sides carry
+   * watermarks so the join state is bounded: a left row is held only
+   * until the right watermark passes `within` — the standard windowed
+   * stream-stream equi-join.
+   */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      within: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = left.select(col("key").as("l_key"), col("offset").as("l_offset"),
+      col("timestamp").as("l_ts")).withWatermark("l_ts", watermark)
+    val r = right.select(col("key").as("r_key"), col("offset").as("r_offset"),
+      col("timestamp").as("r_ts")).withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"l_key = r_key AND r_ts BETWEEN l_ts AND l_ts + INTERVAL $within"))
+  }
+
   /** Session-window activity aggregation: events for a key group into
     * sessions separated by `gap` of inactivity (`session_window` keeps
     * per-key open-session state bounded by the watermark). */

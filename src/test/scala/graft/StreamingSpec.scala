@@ -69,6 +69,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: time-bounded correlation with bounded state") {
+    val lIn = MemoryStream[RecIn]
+    val rIn = MemoryStream[RecIn]
+    val joined = StreamPipeline.streamStreamJoin(
+      StreamPipeline.ingest(lIn.toDF(), "value_json"),
+      StreamPipeline.ingest(rIn.toDF(), "value_json"),
+      within = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lIn.addData(rec("a", 1, 1), rec("b", 2, 1))
+      rIn.addData(rec("a", 10, 1), // within the hour → matches
+        rec("a", 11, 5), // 4h later → outside bound, no match
+        rec("c", 12, 1)) // no left side
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+      assert(out.count() == 1)
+      val row = out.head()
+      assert(row.getAs[String]("l_key") == "a" &&
+        row.getAs[Long]("r_offset") == 10L)
+    } finally q.stop()
+  }
+
+  test("latest-state runs on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[RecIn]
+    val latest = StreamPipeline.latestStatePerKey(
+      StreamPipeline.ingest(in.toDF(), "value_json"), "value_json")
+    val q = latest.toDF().writeStream.format("memory").queryName("rocks_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(rec("a", 1, 0), rec("a", 7, 2))
+      q.processAllAvailable()
+      assert(spark.table("rocks_out").agg(max($"offset")).as[Long].head() == 7L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming latest-state: state survives across triggers, max wins") {
     val in = MemoryStream[RecIn]
     val env = StreamPipeline.ingest(in.toDF(), "value_json")
