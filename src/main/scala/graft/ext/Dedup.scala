@@ -73,9 +73,14 @@ object Dedup {
 
     // shared-shingle count join: with discriminative shingles the pair
     // fanout is Σ_s df(s)² with small df — the standard distributed
-    // all-pairs layout. Rows through the shuffle are (shingle, doc_id)
-    // pairs only; no arrays are carried.
+    // all-pairs layout. The join key is xxhash64(shingle): 8 bytes through
+    // the shuffle instead of the ~35-byte string. A cross-doc hash
+    // collision would overcount one intersection; at 64 bits that needs
+    // ~5B distinct shingles to become likely (birthday bound) — far past
+    // this corpus (~27k) and checked by the oracle, which joins on the
+    // raw strings; switch to a 128-bit hash beyond that.
     val shingles = docSh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sizes = docSh.select(col("doc_id"), size(col("shingles")).as("n"))
     val shared = shingles.as("a").join(shingles.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -53,18 +53,22 @@ object Transforms {
    */
   def insertValueAsString(field: String): Transform = { df =>
     requireField(field, "insertValueAsString")
-    val isStruct = df.schema("value").dataType.isInstanceOf[StructType]
-    val payloadFields: Seq[String] = df.schema("value").dataType match {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val valueType = df.schema("value").dataType
+    val payloadFields: Seq[String] = valueType match {
       case s: StructType => s.fieldNames.toSeq
-      case _             => Seq.empty // primitive value: wrap into 1-field struct
+      case _             => Seq.empty // non-struct value: wrap into 1-field struct
     }
     require(!payloadFields.contains(field),
       s"insertValueAsString: field '$field' collides with a payload field")
-    // Struct payloads serialize as JSON objects; primitives serialize as their
-    // string form (the reference's schemas-disabled JsonConverter likewise
-    // emits the bare value, InsertValueAsString.java:47-52,116-121).
-    val serialized =
-      if (isStruct) to_json(col("value")) else col("value").cast("string")
+    // Struct/map/array payloads serialize as JSON (the schemaless Map path of
+    // the reference, InsertValueAsString.java:92-97, upgraded from toString to
+    // real JSON); primitives serialize as their bare string form (matching the
+    // schemas-disabled JsonConverter, InsertValueAsString.java:47-52,116-121).
+    val serialized = valueType match {
+      case _: StructType | _: MapType | _: ArrayType => to_json(col("value"))
+      case _ => col("value").cast("string")
+    }
     val json = when(col("value").isNull, lit(Envelope.Tombstone))
       .otherwise(serialized)
     val widened = struct(

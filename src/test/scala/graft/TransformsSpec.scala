@@ -53,6 +53,19 @@ class TransformsSpec extends SparkSpec {
     assert(v.contains("plain"))
   }
 
+  test("schemaless (map-typed) values enrich through the same chain") {
+    // the reference's schemaless path: value is a Map, not a Struct
+    // (InsertKey.java:80-86, InsertValueAsString.java:92-97)
+    val rec = Sources.eventsAsRecords(spark, sf)
+      .withColumn("value", map(lit("k1"), col("offset").cast("string")))
+    val env = Transforms.enrich("value_json")(rec)
+    val row = env.where($"offset" === 3)
+      .select($"message.value_json", $"uid").head()
+    assert(row.getString(0) == """{"k1":"3"}""")
+    assert(row.getString(1) == "events+" +
+      env.where($"offset" === 3).select($"partition").head().getInt(0) + "+3")
+  }
+
   test("full chain produces the envelope shape in SMT order") {
     val env = Transforms.enrich("value_json")(records)
     assert(env.schema.fieldNames.toSeq ==
