@@ -19,11 +19,6 @@ import graft.ingest.Tables
  */
 object Dedup {
 
-  /** Distinct word tokens per doc: the unigram set view. */
-  private def tokenSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
-
   /**
    * Exact dedup: content-hash grouping. Each doc is annotated with its
    * content hash, the canonical (minimum) doc_id of its duplicate group,
@@ -96,22 +91,27 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** k-th minhash of a token column: lexicographic min of the first 8 hex
-    * chars of md5(k:token). Engine-reproducible (md5 is md5 everywhere). */
+  /** k-th minhash of a shingle column: lexicographic min of the first 8 hex
+    * chars of md5(k:shingle). Engine-reproducible (md5 is md5 everywhere). */
   private def minhashOf(k: Int, tok: Column): Column =
     substring(md5(concat(lit(s"$k:"), tok).cast("binary")), 1, 8)
 
   /**
-   * MinHash + LSH banding: 12 minhashes over the unigram token set, banded
-   * 4×3; docs sharing any band hash become candidate pairs; candidates are
-   * then verified with the signature-agreement estimate (≥ 0.5). The band
-   * join is the scale path: at 100 TB only same-band docs ever meet,
-   * instead of the O(n²) all-pairs join.
+   * MinHash + LSH banding, shingle→minhash→band→bucket-join: 12 minhashes
+   * over the word-trigram shingle set, banded 4×3; docs sharing any band
+   * hash become candidate pairs; candidates are then verified with the
+   * signature-agreement estimate (≥ 0.5). Trigram shingles (not unigrams)
+   * keep the signature discriminative — on this corpus unigram token sets
+   * saturate and every doc collides. The band join is the scale path: at
+   * 100 TB only same-band docs ever meet, instead of the O(n²) all-pairs
+   * join.
    */
   def minhashLshPairs(spark: SparkSession, dir: String,
       numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = tokenSets(docs)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles.shingles(col("text"), 3))
+        .as("tok"))
     // one row per (doc, k): the k-th minhash
     val sigCols = (0 until numHashes).map(k =>
       min(minhashOf(k, col("tok"))).as(s"mh$k"))

@@ -83,8 +83,11 @@ object ExtQueries {
       }.mkString("\nUNION ALL ")
       val agree = (0 until 12)
         .map(k => s"CAST(s1.mh$k = s2.mh$k AS INT)").mkString(" + ")
-      s"""WITH toks AS (SELECT doc_id,
-         |  unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(len(toks) - 2),
+         |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS tok
+         |  FROM t),
          |sig AS (SELECT doc_id,
          |  $mh
          |  FROM toks GROUP BY 1),

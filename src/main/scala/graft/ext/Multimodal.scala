@@ -102,6 +102,24 @@ object Multimodal {
     }
   }
 
+  /**
+   * STUB RESIZE — deterministic fake standing in for an image resize:
+   * keeps every `factor`-th byte of the payload and scales the fake
+   * dimensions accordingly. Replace the body with a real scaler; the
+   * Dataset-to-Dataset shape (no shuffle, per-partition batches) is the
+   * production contract.
+   */
+  def resizeStub(frame: Dataset[MediaIn], factor: Int = 4): Dataset[MediaIn] = {
+    import frame.sparkSession.implicits._
+    frame.mapPartitions(_.map { m =>
+      // ??? real resample goes here; deterministic fake below
+      val out = m.payload.zipWithIndex.collect {
+        case (b, i) if i % factor == 0 => b
+      }
+      MediaIn(m.media_id, out)
+    })
+  }
+
   /** The decode pipeline end-to-end: frame → stub decode → features. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -111,5 +111,13 @@ class ExtSpec extends SparkSpec {
     assert(feats.where(col("width") < 16 || col("width") >= 80).count() == 0)
     val again = Multimodal.decodeFeatures(spark, sf).collect()
     assert(feats.collect().sameElements(again))
+    // resize stub: deterministic byte downsample, ~1/4 the payload
+    import spark.implicits._
+    val in = Multimodal.mediaFrame(spark, sf)
+      .select(col("media_id"), col("payload")).as[Multimodal.MediaIn]
+    val resized = Multimodal.resizeStub(in, factor = 4)
+    val (o, r) = (in.head(), Multimodal.resizeStub(in, 4).head())
+    assert(r.payload.length == (o.payload.length + 3) / 4)
+    assert(resized.count() == in.count())
   }
 }
