@@ -44,7 +44,8 @@ object ExtQueries {
     "x15_tfidf" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tfidfTopTerms(s, d)),
     "x16_anonymize" -> (TextAnalysis.anonymize _),
-    "x17_mixture" -> (TextAnalysis.sourceMixture _)
+    "x17_mixture" -> (TextAnalysis.sourceMixture _),
+    "x18_langid_ngram" -> (TextAnalysis.langIdNgram _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -223,6 +224,23 @@ object ExtQueries {
 
     // ascii corpus ⇒ byte slices == char slices, so the oracle frames the
     // text directly (DuckDB blob substring semantics differ)
+    "x18_langid_ngram" -> {
+      def occ(pats: Seq[String]): String = pats.map(p =>
+        s"(length(text) - length(replace(text, '$p', ''))) / 2")
+        .mkString(" + ")
+      s"""SELECT doc_id,
+         |  CAST(${occ(Seq("th", "he", "an", "re", "er"))} AS BIGINT) AS en_ngrams,
+         |  CAST(${occ(Seq("qu", "rk", "ba", "ve", "jo"))} AS BIGINT) AS data_ngrams,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CASE WHEN ${occ(Seq("th", "he", "an", "re", "er"))} >=
+         |            ${occ(Seq("qu", "rk", "ba", "ve", "jo"))}
+         |       THEN 'en' ELSE 'data' END AS pred_lang,
+         |  round((${occ(Seq("th", "he", "an", "re", "er"))} +
+         |         ${occ(Seq("qu", "rk", "ba", "ve", "jo"))}) / length(text), 6)
+         |    AS density
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "x16_anonymize" ->
       """SELECT event_id,
         |  sha256(CAST(user_id AS VARCHAR)) AS user_pseudonym,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Tables
@@ -44,6 +44,38 @@ object TextAnalysis {
           .cast("double") / col("n_tokens"), 6))
       .select(col("doc_id"), col("pred_lang"), col("en_hits"),
         col("data_hits"), col("confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Occurrences of a substring via the length-difference trick —
+    * identical semantics in any SQL engine. */
+  private def occurrences(text: Column, pat: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), ""))) / pat.length
+
+  // character-bigram profiles (the classic Cavnar-Trenkle n-gram cue set,
+  // trimmed): English function-word bigrams vs tech-jargon bigrams
+  private val enBigrams = Seq("th", "he", "an", "re", "er")
+  private val dataBigrams = Seq("qu", "rk", "ba", "ve", "jo")
+
+  /**
+   * Language-ID by character-n-gram profile scoring (x7's token-profile
+   * voting is the word-level variant): count profile-bigram occurrences
+   * over the raw character stream, normalize by text length, predict the
+   * higher-scoring profile. Pure column expressions — map-only at scale.
+   */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val enScore = enBigrams.map(occurrences(col("text"), _)).reduce(_ + _)
+    val dataScore = dataBigrams.map(occurrences(col("text"), _)).reduce(_ + _)
+    docs.select(col("doc_id"),
+        enScore.cast("long").as("en_ngrams"),
+        dataScore.cast("long").as("data_ngrams"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("pred_lang",
+        when(col("en_ngrams") >= col("data_ngrams"), lit("en"))
+          .otherwise(lit("data")))
+      .withColumn("density",
+        round((col("en_ngrams") + col("data_ngrams")) / col("n_chars"), 6))
       .orderBy(col("doc_id"))
   }
 

@@ -316,6 +316,31 @@ object RelQueries {
           .as("median_qty_est"))
       .orderBy(col("l_returnflag"))
 
+  /** Robust statistics with cross-engine exactness: exact interpolated
+    * percentiles (both engines sort — order-independent), and
+    * stddev/correlation derived from DECIMAL-exact moment sums so the
+    * double arithmetic runs on identical inputs in both engines. */
+  def q21Stats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val n = count(lit(1)).cast("double")
+    val s1 = sum(dec2(col("l_quantity"))).cast("double")
+    val s2 = sum(dec4(col("l_quantity") * col("l_quantity"))).cast("double")
+    val sd = sum(dec2(col("l_discount"))).cast("double")
+    val sdd = sum(dec4(col("l_discount") * col("l_discount"))).cast("double")
+    val sqd = sum(dec4(col("l_quantity") * col("l_discount"))).cast("double")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+        round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).as("stddev_qty"),
+        round((sqd - s1 * sd / n) /
+          (sqrt(s2 - s1 * s1 / n) * sqrt(sdd - sd * sd / n)), 6)
+          .as("corr_qty_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -339,7 +364,8 @@ object RelQueries {
     "q18_cube" -> (q18Cube _),
     "q19_hash_sample" -> (q19HashSample _),
     // different sketch algorithms per engine → rows-only check, no oracle
-    "q20_sketch" -> (q20Sketch _)
+    "q20_sketch" -> (q20Sketch _),
+    "q21_stats" -> (q21Stats _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -495,6 +521,27 @@ object RelQueries {
     "q19_hash_sample" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE substr(md5(l_orderkey || ':' || l_linenumber), 1, 1) IN ('0', '1')
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q21_stats" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sdd,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sqd,
+        |    round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |    round(quantile_cont(l_quantity, 0.5), 6) AS median,
+        |    round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, p25, median, p95,
+        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_qty,
+        |  round((sqd - s1 * sd / n) /
+        |        (sqrt(s2 - s1 * s1 / n) * sqrt(sdd - sd * sd / n)), 6)
+        |    AS corr_qty_disc,
+        |  n_rows AS n
+        |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }
