@@ -24,9 +24,13 @@ class ExtSpec extends SparkSpec {
   test("minhash LSH: estimates bounded, identical docs always collide") {
     val p = Dedup.minhashLshPairs(spark, sf)
     assert(p.where(col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0).count() == 0)
-    // any unigram-jaccard-1.0 pair must be an LSH candidate with est 1.0
-    val full = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.0)
-    assert(p.where(col("est_jaccard") === 1.0).count() >= 0) // shape holds
+    // identical-shingle-set docs (true J=1.0 pairs) MUST be LSH candidates
+    // with full signature agreement — minhash of equal sets is equal
+    val exact = Dedup.ngramJaccardPairs(spark, sf, threshold = 1.0)
+      .select(col("d1"), col("d2"))
+    val found = p.where(col("est_jaccard") === 1.0)
+      .select(col("d1"), col("d2"))
+    assert(exact.except(found).count() == 0)
   }
 
   test("simhash: 32-bit signatures, cluster sizes consistent") {
