@@ -1,0 +1,53 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.sink.ChangelogSink
+
+/**
+ * User-facing handle on a sunk changelog table — what a kafana user gets
+ * instead of the Kibana UI. Binds the [[LogQueries]] capability surface
+ * (and `spark.sql` via [[asView]]) to a changelog location, with every
+ * topic/date predicate benefitting from the sink's partition layout.
+ *
+ * {{{
+ *   val log = Changelog(spark, "/data/changelog")
+ *   log.discover(from, to, n = 100)             // Kibana Discover
+ *   log.searchKey("42")                          // key: "42"
+ *   log.searchKeyTopic("42", "orders")           // key + topic
+ *   log.tombstones()                             // deletions audit
+ *   log.latest()                                 // compacted state view
+ *   log.asView("changelog"); spark.sql("...")    // full SQL
+ * }}}
+ */
+case class Changelog(spark: SparkSession, path: String,
+    valueJsonField: String = "value") {
+
+  /** The raw envelope frame (replay-safe: uid-deduplicated). */
+  def frame: DataFrame =
+    ChangelogSink.read(spark, path).dropDuplicates("uid")
+
+  def discover(from: Column, to: Column, n: Int): DataFrame =
+    LogQueries.discoverPage(frame, from, to, n)
+
+  def histogram(bucket: String = "hour"): DataFrame =
+    LogQueries.discoverHistogram(frame, bucket)
+
+  def searchKey(key: String): DataFrame = LogQueries.searchKey(frame, key)
+
+  def searchKeyTopic(key: String, topic: String): DataFrame =
+    LogQueries.searchKeyTopic(frame, key, topic)
+
+  def searchField(fieldPath: String, value: Any): DataFrame =
+    LogQueries.searchField(frame, fieldPath, value)
+
+  def searchJson(jsonPath: String, value: String): DataFrame =
+    LogQueries.searchJson(frame, valueJsonField, jsonPath, value)
+
+  def tombstones(): DataFrame = LogQueries.tombstones(frame, valueJsonField)
+
+  def latest(): DataFrame = LogQueries.latestStatePerKey(frame)
+
+  /** Register for `spark.sql` — the strict superset of Kibana's surface. */
+  def asView(name: String): Unit = frame.createOrReplaceTempView(name)
+}

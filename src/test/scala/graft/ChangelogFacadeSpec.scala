@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.query.Changelog
+import graft.sink.ChangelogSink
+
+/** End-to-end through the user-facing facade: sink a pipeline run, then
+  * answer every reference query from the sunk table (the workflow a
+  * kafana user migrates to). */
+class ChangelogFacadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the kafana workflow end-to-end over a sunk changelog") {
+    val dir = Files.createTempDirectory("facade").toString
+    ChangelogSink.append(Pipeline.envelope(spark, sf), dir)
+    // replayed batch: facade must dedup on uid
+    ChangelogSink.append(Pipeline.envelope(spark, sf), dir)
+
+    val log = Changelog(spark, dir, Pipeline.ValueJsonField)
+    assert(log.frame.count() == 1000) // not 2000: replay deduped
+
+    val page = log.discover(lit("2024-01-01").cast("timestamp"),
+      lit("2030-01-01").cast("timestamp"), 10)
+    assert(page.count() == 10)
+
+    assert(log.searchKey("13").count() > 0)
+    assert(log.searchKeyTopic("13", "events").count() > 0)
+    assert(log.searchKeyTopic("13", "nope").count() == 0)
+    assert(log.searchField("event_type", "error").count() > 0)
+    assert(log.searchJson("$.event_type", "error").count() ==
+      log.searchField("event_type", "error").count())
+    assert(log.tombstones().count() == 20)
+    assert(log.latest().groupBy($"key").count()
+      .where($"count" > 1).count() == 0)
+
+    log.asView("changelog_v")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM changelog_v WHERE key = '13'").as[Long].head()
+    assert(viaSql == log.searchKey("13").count())
+
+    assert(log.histogram("hour").agg(sum($"n")).as[Long].head() == 1000)
+  }
+}
