@@ -62,30 +62,49 @@ object Dedup {
    */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")
     val docSh = docs.select(col("doc_id"),
       graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
+    val exploded = docSh.select(col("doc_id"), explode(col("shingles")).as("s"))
 
-    // shared-shingle count join: with discriminative shingles the pair
-    // fanout is Σ_s df(s)² with small df — the standard distributed
-    // all-pairs layout. The join key is xxhash64(shingle): 8 bytes through
-    // the shuffle instead of the ~35-byte string. A cross-doc hash
-    // collision would overcount one intersection; at 64 bits that needs
-    // ~5B distinct shingles to become likely (birthday bound) — far past
-    // this corpus (~27k) and checked by the oracle, which joins on the
-    // raw strings; switch to a 128-bit hash beyond that.
-    val shingles = docSh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val sizes = docSh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val shared = shingles.as("a").join(shingles.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-      .withColumn("jaccard",
-        round(col("shared") / (col("n1") + col("n2") - col("shared")), 6))
+    // Bayardo prefix filter. Global document frequency of every shingle
+    // (one agg on the shingle key), then each doc's shingles ranked
+    // rarest-first (canonical tiebreak on the shingle string) and only the
+    // first n − ceil(t·n) + 1 indexed: any pair with J ≥ t must share an
+    // indexed prefix shingle (proof: J ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉;
+    // if the smallest common element of A and B under the global order sat
+    // outside either prefix, fewer than ⌈t·n⌉ common elements could follow
+    // it). The candidate join therefore runs on the RAREST shingles only —
+    // per-shingle fanout is bounded by the df of rare shingles instead of
+    // the unbounded Σ df(s)² of the all-shingle self-join (one ubiquitous
+    // boilerplate shingle no longer produces a quadratic pair explosion).
+    // The join key is xxhash64(prefix shingle): 8 bytes through the
+    // shuffle; a collision can only ADD a candidate (verification below is
+    // exact), never lose one.
+    val dfTbl = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wPrefix = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("s"))
+    val prefix = exploded.join(dfTbl, "s")
+      .select(col("doc_id"), col("s"),
+        row_number().over(wPrefix).as("rk"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+      .where(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+    // exact per-candidate verification on the full shingle sets — results
+    // are identical to the naive all-pairs shingle join (the DuckDB oracle
+    // runs the naive form)
+    val sA = docSh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+    val sB = docSh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
+    candidates.join(sA, "d1").join(sB, "d2")
+      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", round(col("shared") /
+        (size(col("sh1")) + size(col("sh2")) - col("shared")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
@@ -112,33 +131,41 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
       explode(graft.functions.WordShingles.shingles(col("text"), 3))
         .as("tok"))
-    // one row per (doc, k): the k-th minhash
+    // the signature is computed ONCE: one aggregation produces the full
+    // 12-hash signature as an array; bands are EXPLODED from it (not
+    // unioned over per-band re-aggregations) and the signatures ride along
+    // the band join, so the shingle→minhash subtree appears exactly once
+    // in the plan instead of ~6× (4 band branches + 2 verify joins).
     val sigCols = (0 until numHashes).map(k =>
       min(minhashOf(k, col("tok"))).as(s"mh$k"))
     val sig = toks.groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
-    // band key = concat of the band's minhashes
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      .select(col("doc_id"),
+        array((0 until numHashes).map(k => col(s"mh$k")): _*).as("sig"))
+    // one row per (doc, band); band key = concat of the band's minhashes
+    val bandStructs = array((0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(k => col(s"mh$k"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("|", cols: _*).as("band_key"))
-    }.reduce(_ unionByName _)
+        .map(k => element_at(col("sig"), k + 1))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("band_key"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), col("sig"),
+        explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val l = bands.as("l"); val r = bands.as("r")
-    val candidates = l.join(r,
+    // candidates deduped by the pair-key aggregation; the carried
+    // signatures are functionally dependent on the doc ids, so first() is
+    // deterministic. Verify: fraction of agreeing minhashes.
+    val agree = (0 until numHashes).map(k =>
+      when(element_at(col("sig1"), k + 1) === element_at(col("sig2"), k + 1),
+        1).otherwise(0))
+      .reduce(_ + _)
+    l.join(r,
         col("l.band") === col("r.band") &&
           col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
-      .distinct()
-    // verify: fraction of agreeing minhashes across the full signature
-    val s1 = sig.as("s1"); val s2 = sig.as("s2")
-    val agree = (0 until numHashes).map(k =>
-      when(col(s"s1.mh$k") === col(s"s2.mh$k"), 1).otherwise(0))
-      .reduce(_ + _)
-    candidates
-      .join(s1, col("d1") === col("s1.doc_id"))
-      .join(s2, col("d2") === col("s2.doc_id"))
+      .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .agg(first(col("l.sig")).as("sig1"), first(col("r.sig")).as("sig2"))
       .withColumn("est_jaccard",
         round(agree.cast("double") / numHashes, 6))
       .where(col("est_jaccard") >= 0.5)
@@ -163,5 +190,49 @@ object Dedup {
     sigs.join(clusters, "simhash")
       .select(col("doc_id"), col("simhash"), col("cluster_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /**
+   * SimHash Hamming-neighbor pairs: all doc pairs whose 32-bit simhash
+   * signatures differ in ≤ `maxHamming` bits — the real simhash dedup
+   * predicate ([[simhash]]'s exact-equality clustering is its Hamming-0
+   * special case).
+   *
+   * Distributed exactly by the pigeonhole banding of Manku/Jain/Sarma
+   * (WWW'07, "Detecting Near-Duplicates for Web Crawling"): the 32 bits
+   * split into `maxHamming + 1` blocks; ≤ maxHamming differing bits can
+   * touch at most maxHamming blocks, so every qualifying pair agrees on at
+   * least one FULL block and is found by an equi-join on (block index,
+   * block value). Candidates are then verified exactly with
+   * `bit_count(xor)`. Same LSH-join shape as [[minhashLshPairs]]: the only
+   * shuffles are on block keys — no all-pairs comparison anywhere.
+   */
+  def simhashHammingPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = 32 / nBlocks
+    val docs = Tables.load(spark, dir, "documents")
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
+    val blockStructs = array((0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("blk_val"))
+    }: _*)
+    val blocks = sigs.select(col("doc_id"), col("simhash"),
+        explode(blockStructs).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.blk").as("blk"), col("bk.blk_val").as("blk_val"))
+    val l = blocks.as("l"); val r = blocks.as("r")
+    l.join(r,
+        col("l.blk") === col("r.blk") &&
+          col("l.blk_val") === col("r.blk_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .agg(first(col("l.simhash")).as("s1"), first(col("r.simhash")).as("s2"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
   }
 }

@@ -45,8 +45,31 @@ object ExtQueries {
       TextAnalysis.tfidfTopTerms(s, d)),
     "x16_anonymize" -> (TextAnalysis.anonymize _),
     "x17_mixture" -> (TextAnalysis.sourceMixture _),
-    "x18_langid_ngram" -> (TextAnalysis.langIdNgram _)
+    "x18_langid_ngram" -> (TextAnalysis.langIdNgram _),
+    "x19_simhash_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashHammingPairs(s, d)),
+    "x20_dedup_embed_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.signLshNearDupPairs(s, d))
   )
+
+  /** In-order dot product of the DOUBLE[]-cast embedding with md5-derived
+    * ±1 hyperplane `i` — the DuckDB rendering of the identical math inside
+    * [[graft.functions.SignProjection]] (same hash rule, same fold order,
+    * so the sign test can never diverge between engines). */
+  private def lshDotSql(i: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(len(emb)), d ->
+       |        CASE WHEN (('0x' || substr(md5('$i:' || CAST(d AS VARCHAR)), 1, 1))::INT % 2) = 1
+       |             THEN emb[d+1] ELSE -emb[d+1] END)),
+       |    (acc, x) -> acc + x)""".stripMargin
+
+  /** Band value b of the sign-LSH signature: 8 sign bits packed little-
+    * endian, mirroring SignProjection's `bands(i / bandBits) |= 1 << (i %
+    * bandBits)`. */
+  private def lshBandSql(b: Int, bandBits: Int): String =
+    (0 until bandBits).map { j =>
+      s"(CASE WHEN ${lshDotSql(b * bandBits + j)} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
     "x1_dedup_exact" ->
@@ -133,26 +156,51 @@ object ExtQueries {
          |SELECT query_id, cand_id, sim, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5
          |ORDER BY query_id, rn""".stripMargin,
 
-    "x6_ann_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
-         |              FROM embeddings WHERE vec_id < 8),
-         |asg0 AS (SELECT e.vec_id, e.embedding, c.centroid_id,
-         |    round(${cosSql("e.embedding", "c.cv")}, 6) AS csim
-         |  FROM embeddings e, cent c),
-         |asg AS (SELECT vec_id, embedding, centroid_id AS bucket FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS arn
-         |    FROM asg0) WHERE arn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+    // x6: the oracle replays the IDENTICAL 2-iteration Lloyd k-means —
+    // seeds vec_id<8, argmax assignment on round(cos,6) with centroid-id
+    // tiebreak, DECIMAL(38,15)-exact element-wise means cast to double —
+    // then the same bucket-probe top-k. Every centroid, assignment and
+    // score is reproduced bit-for-bit (decimal sums are order-independent,
+    // double divides are IEEE on both engines).
+    "x6_ann_ivf" -> {
+      // one Lloyd step: assignment against $cent, then exact-decimal means
+      def asgSql(name: String, cent: String): String =
+        s"""$name AS (SELECT vec_id, emb, centroid_id AS bucket FROM (
+           |    SELECT e.vec_id, e.emb, c.centroid_id, row_number() OVER (
+           |        PARTITION BY e.vec_id
+           |        ORDER BY round(list_cosine_similarity(e.emb, c.cv), 6) DESC,
+           |                 c.centroid_id) AS rn
+           |    FROM e, $cent c) WHERE rn = 1)""".stripMargin
+      def stepSql(i: Int): String =
+        s"""${asgSql(s"asg$i", s"cent$i")},
+           |m$i AS (SELECT bucket, pos,
+           |    CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS m
+           |  FROM (SELECT bucket, unnest(emb) AS val,
+           |          generate_subscripts(emb, 1) AS pos FROM asg$i)
+           |  GROUP BY 1, 2),
+           |cent${i + 1} AS (SELECT c.centroid_id, COALESCE(n.cv, c.cv) AS cv
+           |  FROM cent$i c LEFT JOIN (SELECT bucket, list(m ORDER BY pos) AS cv
+           |                           FROM m$i GROUP BY 1) n
+           |    ON c.centroid_id = n.bucket)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |cent0 AS (SELECT vec_id AS centroid_id, emb AS cv
+         |          FROM e WHERE vec_id < 8),
+         |${stepSql(0)},
+         |${stepSql(1)},
+         |${asgSql("asg", "cent2")},
+         |q AS (SELECT vec_id AS query_id, emb AS qv, bucket
          |      FROM asg WHERE vec_id < 10),
          |scored AS (SELECT query_id, a.bucket, a.vec_id AS cand_id,
-         |    round(${cosSql("qv", "a.embedding")}, 6) AS sim
+         |    round(list_cosine_similarity(qv, a.emb), 6) AS sim
          |  FROM asg a JOIN q USING (bucket) WHERE a.vec_id <> q.query_id),
          |r AS (SELECT *, row_number() OVER (
          |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
          |      FROM scored)
-         |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
-         |ORDER BY query_id, rn""".stripMargin,
+         |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin
+    },
 
     "x7_langid" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -258,6 +306,58 @@ object ExtQueries {
         |   OR (source = 'src1' AND bucket < 128)
         |   OR (source <> 'src0' AND source <> 'src1' AND bucket < 64)
         |ORDER BY doc_id""".stripMargin,
+
+    // x19: same sig CTE as x4, then the Manku 4-block pigeonhole banding —
+    // the oracle runs the identical block join + bit_count verify.
+    "x19_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |th AS (SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b.bit, ((h >> bit) & 1) * 2 - 1 AS sgn
+        |         FROM th, (SELECT unnest(range(32)) AS bit) b),
+        |w AS (SELECT doc_id, bit, sum(sgn) AS w FROM bits GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN w > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+        |       AS BIGINT) AS simhash
+        |  FROM w GROUP BY 1),
+        |blocks AS (SELECT doc_id, simhash, b.blk,
+        |    (simhash >> (blk * 8)) & 255 AS blk_val
+        |  FROM sig, (SELECT unnest(range(4)) AS blk) b),
+        |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+        |    l.simhash AS s1, r.simhash AS s2
+        |  FROM blocks l JOIN blocks r
+        |    ON l.blk = r.blk AND l.blk_val = r.blk_val
+        |       AND l.doc_id < r.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
+
+    // x20: the oracle implements the IDENTICAL sign-LSH — md5 hyperplanes,
+    // in-order double fold, little-endian band packing — so the candidate
+    // semantics (not just the verified cosines) are cross-engine checked.
+    "x20_dedup_embed_lsh" -> {
+      val bandCols = (0 until 8).map(b =>
+        s"  ${lshBandSql(b, 8)} AS b$b").mkString(",\n")
+      val bandUnion = (0 until 8).map(b =>
+        s"SELECT vec_id, $b AS band, b$b AS band_val FROM sig")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |sig AS (SELECT vec_id,
+         |$bandCols
+         |  FROM e),
+         |bands AS ($bandUnion),
+         |cand AS (SELECT DISTINCT l.vec_id AS d1, r.vec_id AS d2
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.band_val = r.band_val
+         |       AND l.vec_id < r.vec_id)
+         |SELECT d1, d2,
+         |  round(${cosSql("a.emb", "b.emb")}, 6) AS sim
+         |FROM cand JOIN e a ON d1 = a.vec_id JOIN e b ON d2 = b.vec_id
+         |WHERE round(${cosSql("a.emb", "b.emb")}, 6) >= 0.45
+         |ORDER BY d1, d2""".stripMargin
+    },
 
     "x14_media_frames" ->
       """WITH f AS (

@@ -52,40 +52,141 @@ object Similarity {
   }
 
   /**
-   * Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ τ.
-   * Exact all-pairs at fixture scale (the correctness baseline); the
-   * 100 TB path reuses [[annIvf]]'s bucket assignment so only same-bucket
-   * pairs are compared — same output when τ exceeds the bucket radius.
+   * Embedding-cosine near-duplicate pairs, EXACT: all pairs with
+   * cosine ≥ τ. The candidate generation is a block-partitioned equi-join,
+   * not a `crossJoin`: each vector gets a block id (`vec_id % B`), the
+   * B×B block-pair list (a 256-row literal — broadcast) fans the left side
+   * out to its B partner blocks, and the pairing itself is a shuffled
+   * equi-join on the partner block id. Same output as the naive cross
+   * join (every unordered pair meets in exactly one (b1,b2) cell), but the
+   * physical plan is Exchange(hash on block) + shuffled join — the N²
+   * comparison work is tiled into B² independent key groups that spread
+   * across executors, with per-task memory bounded by 2·N/B vectors
+   * instead of a nested-loop over the whole corpus. This is the canonical
+   * blocked layout for EXACT all-pairs similarity; τ this low (0.45) on
+   * near-orthogonal random embeddings admits no exact pruning (every
+   * bucketing scheme has qualifying pairs straddling buckets). For the
+   * sublinear approximate path used at 100 TB — where near-dups sit at
+   * cosine ≥ 0.9 and LSH collision gaps are real — see
+   * [[signLshNearDupPairs]].
    */
   def embedNearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = 0.45, blocks: Int = 16): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
-    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))
-    a.crossJoin(b).where(col("d1") < col("d2"))
+    import spark.implicits._
+    val blockPairs = (for { i <- 0 until blocks; j <- 0 until blocks }
+      yield (i, j)).toDF("b1", "b2")
+    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"),
+      pmod(col("vec_id"), lit(blocks)).cast("int").as("b1"))
+    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+      pmod(col("vec_id"), lit(blocks)).cast("int").as("b2"))
+    a.join(broadcast(blockPairs), "b1")
+      .join(b, "b2")
+      .where(col("d1") < col("d2"))
       .withColumn("sim", round(cosine(col("e1"), col("e2")), 6))
       .where(col("sim") >= threshold)
       .select(col("d1"), col("d2"), col("sim"))
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** IVF-bucketed ANN: assign all vectors to nearest centroid (vec_id <
-    * nCentroids), probe only the query's bucket. */
-  def annIvf(spark: SparkSession, dir: String,
-      nCentroids: Int = 8, nQueries: Int = 10, k: Int = 3): DataFrame = {
+  /**
+   * Sign-random-projection LSH near-duplicate pairs — the sublinear
+   * 100 TB path (Charikar STOC'02 simhash for cosine; the standard
+   * random-hyperplane LSH). Every vector gets a `nBands·bandBits`-bit
+   * signature (bit i = sign of the dot product with a deterministic
+   * md5-derived ±1 hyperplane — [[graft.functions.SignProjection]]), the
+   * signature is banded, and ONLY pairs colliding on a full band are ever
+   * compared — an equi-join on (band, band value), the same shape as
+   * [[Dedup.minhashLshPairs]]. Candidates are verified with the exact
+   * cosine.
+   *
+   * The operator's contract is the LSH-candidate semantics itself (the
+   * DuckDB oracle implements the identical hyperplanes, fold order and
+   * banding, so both engines produce the same pairs): with 8 bands × 8
+   * bits, a random near-orthogonal pair collides somewhere with p ≈ 3%
+   * (the pruning) while a true near-dup at cosine 0.95 collides with
+   * p ≈ 99.9% (the recall) — at the fixture's deliberately low τ = 0.45
+   * the candidate set exercises the full verify path. Per-vector cost is
+   * one signature (64 dot products) + one shuffle on band keys:
+   * linear, not quadratic.
+   */
+  def signLshNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.45, nBands: Int = 8, bandBits: Int = 8): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val centroids = emb.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    val bands = emb.select(col("vec_id"), col("embedding"),
+        posexplode(graft.functions.SignProjection.bands(
+          col("embedding"), nBands, bandBits)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.band_val") === col("r.band_val") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .groupBy(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"))
+      .agg(first(col("l.embedding")).as("e1"),
+        first(col("r.embedding")).as("e2"))
+      .withColumn("sim", round(cosine(col("e1"), col("e2")), 6))
+      .where(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), col("sim"))
+      .orderBy(col("d1"), col("d2"))
+  }
 
-    // nearest-centroid assignment: broadcast the tiny centroid set,
-    // argmax cosine with deterministic tiebreak on centroid_id
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("centroid_id"))
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("csim", round(cosine(col("embedding"), col("cent")), 6))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("bucket"))
+  /**
+   * K-means centroids by Lloyd iterations, DataFrame-native and
+   * cross-engine deterministic (the DuckDB oracle reproduces every
+   * centroid bit-for-bit):
+   *  - seeds: the embeddings of `vec_id < k` (deterministic init);
+   *  - assignment: per-row argmax over the centroid matrix via the
+   *    zero-shuffle [[graft.functions.NearestCentroid]] expression;
+   *  - update: element-wise mean computed as an EXACT DECIMAL(38,15) sum
+   *    divided by the count, with the sum cast to double before the
+   *    divide — decimal addition is order-independent, so the centroids
+   *    don't drift with partitioning / merge order the way a double sum
+   *    would (cross-engine hash-match requires this);
+   *  - empty clusters keep their previous centroid.
+   * Only the k×dim means cross the driver between iterations (the same
+   * sync pattern as Spark ML's own KMeans); each iteration is one
+   * map-only assignment pass + one (bucket, dim)-keyed aggregation.
+   */
+  private[ext] def kmeansCentroids(emb: DataFrame, k: Int,
+      iterations: Int): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] = emb.where(col("vec_id") < k)
+      .orderBy(col("vec_id")).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    for (_ <- 0 until iterations) {
+      val bucket = graft.functions.NearestCentroid
+        .nearest(col("embedding"), centroids).getField("bucket")
+      val stats = emb.select(bucket.as("bucket"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(sum(col("v").cast("double").cast("decimal(38,15)")).as("s"),
+          count(lit(1)).as("c"))
+        .select(col("bucket"), col("pos"),
+          (col("s").cast("double") / col("c")).as("m"))
+        .collect()
+      val means = stats.groupBy(_.getInt(0)).map { case (b, rows) =>
+        b -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      centroids = centroids.indices.map(b => means.getOrElse(b, centroids(b)))
+    }
+    centroids
+  }
+
+  /** IVF-bucketed ANN: k-means centroids ([[kmeansCentroids]], 2 Lloyd
+    * iterations seeded from `vec_id < nCentroids`), zero-shuffle
+    * per-row assignment, probe only the query's bucket. */
+  def annIvf(spark: SparkSession, dir: String,
+      nCentroids: Int = 8, nQueries: Int = 10, k: Int = 3,
+      iterations: Int = 2): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = kmeansCentroids(emb, nCentroids, iterations)
+
+    // nearest-centroid assignment: one map-only pass over the broadcast
+    // centroid matrix — no crossJoin, no window sort, no shuffle
+    val nc = graft.functions.NearestCentroid.nearest(col("embedding"), centroids)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      nc.getField("bucket").cast("long").as("bucket"))
 
     val queries = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),

@@ -122,15 +122,18 @@ object TextAnalysis {
   /**
    * TF-IDF keyword extraction: top-3 terms per document by
    * tf · ln(N/df), deterministic tiebreak on the term. The classic
-   * two-aggregation + broadcast-join shape: term frequencies shuffle on
-   * (doc, term), document frequencies on term; the df table is tiny
-   * (vocabulary-sized) and broadcasts, so the plan stays linear in corpus
-   * size at any scale.
+   * two-aggregation shape: term frequencies shuffle on (doc, term),
+   * document frequencies on term. N is folded into the plan as a 1-row
+   * broadcast aggregate (NOT a driver-side `count()` — that would run an
+   * extra full pass over the corpus before the real job). The df join is
+   * left to AQE: at fixture scale it broadcasts, at corpus scale the
+   * vocabulary-sized df table may be too large to broadcast and AQE picks
+   * a shuffle join instead of OOMing the executors.
    */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")
-    val n = docs.count() // vocabulary-independent scalar, computed once
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
@@ -139,9 +142,10 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs)) // 1-row scalar, not a corpus-side cross
       .withColumn("score",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),

@@ -304,16 +304,28 @@ object RelQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** Sketches: HLL distinct-count + quantile estimates. Engines implement
-    * different sketch algorithms, so this entry is rows-only checked (no
-    * oracle); exact counterparts bound the estimates in the spec. */
+    * different sketch algorithms, so the sketch VALUES can't be compared
+    * across engines — instead the query emits the exact values plus
+    * booleans asserting the sketch error bounds (HLL within 15% of exact —
+    * 3× the default 5% relative SD; approx-median within 2.0 of the exact
+    * interpolated median). The booleans hold for ANY partial-aggregate
+    * merge order, so the entry is deterministic AND oracle-checkable: the
+    * DuckDB side recomputes the exact values and asserts TRUE — if
+    * Spark's sketches ever left their error envelope the hash would
+    * mismatch. */
   def q20Sketch(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
-          .as("median_qty_est"))
+        (abs(approx_count_distinct(col("l_partkey")) -
+            countDistinct(col("l_partkey"))).cast("double") <=
+          countDistinct(col("l_partkey")).cast("double") * 0.15)
+          .as("hll_within_15pct"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        (abs(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)) -
+            expr("percentile(l_quantity, 0.5)")) <= 2.0)
+          .as("approx_median_within_2"))
       .orderBy(col("l_returnflag"))
 
   /** Robust statistics with cross-engine exactness: exact interpolated
@@ -363,7 +375,6 @@ object RelQueries {
     "q17_pivot" -> (q17Pivot _),
     "q18_cube" -> (q18Cube _),
     "q19_hash_sample" -> (q19HashSample _),
-    // different sketch algorithms per engine → rows-only check, no oracle
     "q20_sketch" -> (q20Sketch _),
     "q21_stats" -> (q21Stats _)
   )
@@ -522,6 +533,18 @@ object RelQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE substr(md5(l_orderkey || ':' || l_linenumber), 1, 1) IN ('0', '1')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // The oracle asserts the sketch error-bound booleans as TRUE: DuckDB
+    // recomputes the exact distinct count / exact interpolated median, and
+    // Spark's side only hash-matches if its HLL and KLL-ish estimates sit
+    // inside the stated envelopes.
+    "q20_sketch" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS hll_within_15pct,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  TRUE AS approx_median_within_2
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q21_stats" ->
       """WITH m AS (SELECT l_returnflag,
