@@ -111,6 +111,11 @@ object SparkEntry {
         .where(col("key") === "13")
         .orderBy(col("topic"), col("offset"))),
 
+    // ---- S1/S2 + registry evolution: two writer schema versions, one ----
+    // ---- topic, per-record id dispatch, reader-schema defaults ----------
+    "kq10_schema_evolution" -> ((s, dir) =>
+      graft.ingest.AvroIngest.evolutionDemo(s, dir)),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -194,6 +199,13 @@ object SparkEntry {
         |         value_json, o_orderstatus, o_totalprice, o_orderpriority
         |  FROM oenv)
         |SELECT * FROM u WHERE "key" = '13' ORDER BY topic, "offset"""".stripMargin),
+
+    // v1-written records (even event_id) surface the reader default for
+    // the field added in v2 — DuckDB reconstructs that from the raw table
+    "kq10_schema_evolution" ->
+      """SELECT event_id, event_type, "value",
+        |  CASE WHEN event_id % 2 = 0 THEN 'n/a' ELSE props END AS props
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

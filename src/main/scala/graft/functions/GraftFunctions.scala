@@ -24,7 +24,10 @@ object GraftFunctions {
       exprs => WordShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     registry.createOrReplaceTempFunction("confluent_avro_decode",
-      exprs => graft.ingest.ConfluentAvroDecode(exprs.head,
-        exprs(1).eval().toString), "scala_udf")
+      exprs => {
+        val schema = exprs(1).eval().toString
+        graft.ingest.ConfluentAvroDecode(exprs.head,
+          Map(1 -> schema), schema)
+      }, "scala_udf")
   }
 }

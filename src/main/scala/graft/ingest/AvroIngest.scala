@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.transform.Transforms
@@ -41,4 +41,56 @@ object AvroIngest {
       env.select(col("message.*"), col("timestamp"), col("topic"),
         col("partition"), col("offset"), col("key"), col("uid"))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Writer schema v1 of the evolution demo topic. */
+  val EventV1: String =
+    """{"type":"record","name":"Event","namespace":"com.example","fields":[
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"}]}""".stripMargin
+
+  /** Writer schema v2: adds `props` WITH A DEFAULT — the registry's
+    * BACKWARD-compatibility contract (the reference gates exactly this in
+    * its build: pom.xml:101-117 schema-registry:test-compatibility). */
+  val EventV2: String =
+    """{"type":"record","name":"Event","namespace":"com.example","fields":[
+      |{"name":"event_type","type":"string"},
+      |{"name":"value","type":"double"},
+      |{"name":"props","type":"string","default":"n/a"}]}""".stripMargin
+
+  /**
+   * Schema-evolution demo (kq10): ONE topic whose records were written
+   * under two registered schema versions — even offsets under v1, odd
+   * offsets under v2 (ids 1 and 2 in the frame) — decoded in a single
+   * pass with per-record writer dispatch and surfaced AS the evolved
+   * reader schema: v1 records come back with `props = "n/a"` (the
+   * default), v2 records with their written value. This is the normal
+   * registry workflow the reference inherits from Confluent's
+   * `AvroConverter` (TombstoneAwareAvroConverter.java:16-23,
+   * kafana.http:74): the 4-byte schema id in each frame selects the
+   * writer schema; Avro resolution maps it onto the reader.
+   *
+   * The encode half runs in the same plan (fixture events → framed
+   * bytes), so the query exercises S2 encode → S1 id-dispatch decode →
+   * evolution end-to-end, and the DuckDB oracle checks the result against
+   * the raw table with the default spliced in.
+   */
+  def evolutionDemo(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val framed = ev.select(col("event_id"),
+      when(pmod(col("event_id"), lit(2)) === 0,
+        ConfluentAvroEncode.encode(
+          struct(col("event_type"), col("value")), EventV1, 1))
+        .otherwise(ConfluentAvroEncode.encode(
+          struct(col("event_type"), col("value"), col("props")), EventV2, 2))
+        .as("framed"))
+    framed
+      .select(col("event_id"),
+        ConfluentAvro.decodeStruct(col("framed"),
+          Map(1 -> EventV1, 2 -> EventV2), EventV2).as("v"))
+      .select(col("event_id"),
+        col("v.event_type").as("event_type"),
+        col("v.value").as("value"),
+        col("v.props").as("props"))
+      .orderBy(col("event_id"))
+  }
 }

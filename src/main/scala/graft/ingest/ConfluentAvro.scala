@@ -1,13 +1,18 @@
 package graft.ingest
 
+import java.math.BigInteger
+import java.nio.ByteBuffer
+
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.Schema
-import org.apache.avro.generic.GenericDatumReader
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.avro.generic.{GenericDatumReader, GenericFixed, GenericRecord}
 import org.apache.avro.io.DecoderFactory
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,39 +21,76 @@ import org.apache.spark.unsafe.types.UTF8String
  * S1 — the Avro source decode, Spark-natively (reference:
  * convert/.../TombstoneAwareAvroConverter.java:26-31 plus the Confluent
  * wire format used by the registry stack: 1 magic byte 0x0 + 4-byte
- * schema id + Avro binary body).
+ * big-endian schema id + Avro binary body).
  *
- * [[ConfluentAvroDecode]] is a Catalyst `Expression` (not a Scala UDF):
- * the Avro `Schema`/`GenericDatumReader` are built once per executor via
- * transient-lazy fields — the plan ships only the schema JSON string.
- * CodegenFallback is deliberate: the body is a library decode call with
- * nothing for codegen to fuse; surrounding expressions stay inside
- * whole-stage codegen.
+ * SCHEMA-ID DISPATCH + EVOLUTION: the reference resolves the writer
+ * schema per record from the frame's schema id by delegating to
+ * Confluent's `AvroConverter` (TombstoneAwareAvroConverter.java:16-23,
+ * kafana.http:74), which is how a topic whose schema evolved keeps
+ * decoding. Here the same contract is a `writerSchemas: Map[id → schema]`
+ * (the registry stand-in — in production populated from the registry
+ * REST API once per executor) plus a single `reader` schema the caller
+ * wants the data AS: each record's writer schema is looked up from its
+ * own frame, and Avro schema resolution (the spec's evolution rules —
+ * added-field-with-default, field reordering, promotions) maps writer →
+ * reader. Resolved `GenericDatumReader`s are cached per writer id.
+ *
+ * Both decode expressions are Catalyst `Expression`s (not Scala UDFs):
+ * schemas/readers are built once per executor via transient-lazy fields —
+ * the plan ships only the schema JSON strings. CodegenFallback is
+ * deliberate: the body is a library decode call with nothing for codegen
+ * to fuse; surrounding expressions stay inside whole-stage codegen.
  *
  * The tombstone rule composes OUTSIDE the decode, exactly like the
  * reference (null check precedes decode — the converter filters
- * `SchemaAndValue.NULL` before ever touching Avro): see [[decodeOrTombstone]].
+ * `SchemaAndValue.NULL` before ever touching Avro): see
+ * [[ConfluentAvro.decodeOrTombstone]].
  */
-case class ConfluentAvroDecode(child: Expression, schemaJson: String)
-    extends UnaryExpression with CodegenFallback {
+private[ingest] trait WireFormatDecode {
+  def writerSchemas: Map[Int, String]
+  def readerSchemaJson: String
+
+  @transient protected lazy val readerSchema: Schema =
+    new Schema.Parser().parse(readerSchemaJson)
+  @transient private lazy val readers =
+    new java.util.concurrent.ConcurrentHashMap[Int, GenericDatumReader[Any]]
+
+  /** Validate framing, read the schema id, return the resolved reader. */
+  protected def readerFor(bytes: Array[Byte]): GenericDatumReader[Any] = {
+    if (bytes.length < 5 || bytes(0) != 0)
+      throw new IllegalArgumentException(
+        s"not Confluent wire format (len=${bytes.length})")
+    val id = ByteBuffer.wrap(bytes, 1, 4).getInt
+    readers.computeIfAbsent(id, { _ =>
+      val writerJson = writerSchemas.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"schema id $id not registered (known: ${writerSchemas.keys.toSeq.sorted.mkString(",")})"))
+      // writer→reader resolution = the Avro spec's evolution rules
+      new GenericDatumReader[Any](
+        new Schema.Parser().parse(writerJson), readerSchema)
+    })
+  }
+
+  protected def decodeBody(bytes: Array[Byte]): Any = {
+    val dec = DecoderFactory.get()
+      .binaryDecoder(bytes, 5, bytes.length - 5, null)
+    readerFor(bytes).read(null, dec)
+  }
+}
+
+/** JSON-string flavor: the decoded record rendered as Avro's JSON
+  * encoding (`GenericRecord.toString`) — the schemaless "searchable
+  * string" view. */
+case class ConfluentAvroDecode(child: Expression,
+    writerSchemas: Map[Int, String], readerSchemaJson: String)
+    extends UnaryExpression with CodegenFallback with WireFormatDecode {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
-  @transient private lazy val schema: Schema =
-    new Schema.Parser().parse(schemaJson)
-  @transient private lazy val reader: GenericDatumReader[Any] =
-    new GenericDatumReader[Any](schema)
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
-    if (bytes.length < 5 || bytes(0) != 0)
-      throw new IllegalArgumentException(
-        s"not Confluent wire format (len=${bytes.length})")
-    val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
-    // GenericRecord.toString emits the record as JSON (Avro spec encoding)
-    UTF8String.fromString(String.valueOf(reader.read(null, dec)))
-  }
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      String.valueOf(decodeBody(input.asInstanceOf[Array[Byte]])))
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -56,58 +98,197 @@ case class ConfluentAvroDecode(child: Expression, schemaJson: String)
   override def prettyName: String = "confluent_avro_decode"
 }
 
+/**
+ * Typed flavor: decodes straight to a Catalyst struct (no JSON
+ * round-trip) with the FULL Avro type surface — primitives, records,
+ * arrays, maps, enums, fixed, multi-branch unions (struct-of-members),
+ * and the logical types (decimal on bytes/fixed, date,
+ * timestamp-millis/micros, uuid) — the surface the reference inherits
+ * from `AvroConverter` (SURVEY.md §1.3).
+ */
+case class ConfluentAvroDecodeStruct(child: Expression,
+    writerSchemas: Map[Int, String], readerSchemaJson: String)
+    extends UnaryExpression with CodegenFallback with WireFormatDecode {
+
+  override def dataType: DataType = ConfluentAvro.sparkType(readerSchema)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ConfluentAvro.toCatalyst(
+      decodeBody(input.asInstanceOf[Array[Byte]]), readerSchema)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def prettyName: String = "confluent_avro_decode_struct"
+}
+
 object ConfluentAvro {
 
-  /** Column wrapper for [[ConfluentAvroDecode]] (Spark 4's classic-module
-    * bridge from a Catalyst Expression to a public Column). */
+  import org.apache.spark.sql.GraftColumnBridge
+
+  /** Single-schema JSON decode (id-dispatch degenerate case: one
+    * registered writer, reader = writer). */
   def decodeJson(value: Column, schemaJson: String): Column =
-    org.apache.spark.sql.GraftColumnBridge.column(
-      ConfluentAvroDecode(
-        org.apache.spark.sql.GraftColumnBridge.expression(value),
-        schemaJson))
+    GraftColumnBridge.column(ConfluentAvroDecode(
+      GraftColumnBridge.expression(value), Map(1 -> schemaJson), schemaJson))
+
+  /** Registry-style JSON decode: per-record writer dispatch + reader view. */
+  def decodeJson(value: Column, writerSchemas: Map[Int, String],
+      readerSchemaJson: String): Column =
+    GraftColumnBridge.column(ConfluentAvroDecode(
+      GraftColumnBridge.expression(value), writerSchemas, readerSchemaJson))
+
+  /** Typed struct decode, single schema. */
+  def decodeStruct(value: Column, schemaJson: String): Column =
+    GraftColumnBridge.column(ConfluentAvroDecodeStruct(
+      GraftColumnBridge.expression(value), Map(1 -> schemaJson), schemaJson))
+
+  /** Registry-style typed decode: per-record writer dispatch, data
+    * surfaced AS the reader schema (evolution applied per record). */
+  def decodeStruct(value: Column, writerSchemas: Map[Int, String],
+      readerSchemaJson: String): Column =
+    GraftColumnBridge.column(ConfluentAvroDecodeStruct(
+      GraftColumnBridge.expression(value), writerSchemas, readerSchemaJson))
+
+  /** Non-null union branches of a union schema. */
+  private def unionBranches(s: Schema): Seq[Schema] =
+    s.getTypes.asScala.toSeq.filter(_.getType != Schema.Type.NULL)
 
   /**
-   * Avro schema → Spark type, covering the Avro primitives + records +
-   * nullable unions (everything the reference's sample schemas and plain
-   * registry usage produce; Foo.avsc / Bar.avsc use string+int).
+   * Avro schema → Spark type: full surface. Logical types take
+   * precedence over their carrier primitive (decimal → DecimalType,
+   * date → DateType, timestamp-millis/micros → TimestampType, uuid →
+   * StringType); multi-branch unions become a struct of one nullable
+   * `member_<n>` field per branch (exactly one is non-null per value) —
+   * the standard relational rendering of a sum type.
    */
-  def sparkType(s: Schema): DataType = s.getType match {
-    case Schema.Type.STRING  => StringType
-    case Schema.Type.INT     => IntegerType
-    case Schema.Type.LONG    => LongType
-    case Schema.Type.FLOAT   => FloatType
-    case Schema.Type.DOUBLE  => DoubleType
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.BYTES   => BinaryType
-    case Schema.Type.ENUM    => StringType
-    case Schema.Type.ARRAY   => ArrayType(sparkType(s.getElementType))
-    case Schema.Type.MAP     => MapType(StringType, sparkType(s.getValueType))
-    case Schema.Type.RECORD  =>
-      StructType(s.getFields.asScala.toSeq.map(f =>
-        StructField(f.name(), sparkType(f.schema()))))
-    case Schema.Type.UNION   =>
-      val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-      require(branches.size == 1, s"unsupported union: $s")
-      sparkType(branches.head)
-    case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+  def sparkType(s: Schema): DataType = (s.getType, s.getLogicalType) match {
+    case (_, d: LogicalTypes.Decimal) =>
+      DecimalType(d.getPrecision, d.getScale)
+    case (Schema.Type.INT, _: LogicalTypes.Date) => DateType
+    case (Schema.Type.LONG, _: LogicalTypes.TimestampMillis) => TimestampType
+    case (Schema.Type.LONG, _: LogicalTypes.TimestampMicros) => TimestampType
+    case (t, _) => t match {
+      case Schema.Type.STRING  => StringType
+      case Schema.Type.INT     => IntegerType
+      case Schema.Type.LONG    => LongType
+      case Schema.Type.FLOAT   => FloatType
+      case Schema.Type.DOUBLE  => DoubleType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.BYTES   => BinaryType
+      case Schema.Type.FIXED   => BinaryType
+      case Schema.Type.ENUM    => StringType
+      case Schema.Type.ARRAY   => ArrayType(sparkType(s.getElementType))
+      case Schema.Type.MAP     => MapType(StringType, sparkType(s.getValueType))
+      case Schema.Type.RECORD  =>
+        StructType(s.getFields.asScala.toSeq.map(f =>
+          StructField(f.name(), sparkType(f.schema()))))
+      case Schema.Type.UNION   =>
+        unionBranches(s) match {
+          case Seq(only) => sparkType(only)
+          case branches => StructType(branches.zipWithIndex.map {
+            case (b, i) => StructField(s"member_$i", sparkType(b))
+          })
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported avro type $other")
+    }
+  }
+
+  /** Avro in-memory value → Catalyst internal value, mirroring
+    * [[sparkType]] case-for-case. */
+  private[ingest] def toCatalyst(value: Any, s: Schema): Any = {
+    if (value == null) return null
+    (s.getType, s.getLogicalType) match {
+      case (_, d: LogicalTypes.Decimal) =>
+        val unscaled = value match {
+          case f: GenericFixed => f.bytes()
+          case b: ByteBuffer =>
+            val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+        }
+        Decimal(new java.math.BigDecimal(
+          new BigInteger(unscaled), d.getScale), d.getPrecision, d.getScale)
+      case (Schema.Type.INT, _: LogicalTypes.Date) =>
+        value // days since epoch: Avro and Catalyst agree
+      case (Schema.Type.LONG, _: LogicalTypes.TimestampMillis) =>
+        value.asInstanceOf[Long] * 1000L // Catalyst is micros
+      case (Schema.Type.LONG, _: LogicalTypes.TimestampMicros) => value
+      case (t, _) => t match {
+        case Schema.Type.STRING | Schema.Type.ENUM =>
+          UTF8String.fromString(String.valueOf(value))
+        case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+             Schema.Type.DOUBLE | Schema.Type.BOOLEAN => value
+        case Schema.Type.BYTES =>
+          val b = value.asInstanceOf[ByteBuffer]
+          val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+        case Schema.Type.FIXED => value.asInstanceOf[GenericFixed].bytes()
+        case Schema.Type.ARRAY =>
+          val el = s.getElementType
+          new GenericArrayData(value.asInstanceOf[java.util.List[Any]]
+            .asScala.map(toCatalyst(_, el)).toArray)
+        case Schema.Type.MAP =>
+          val vt = s.getValueType
+          val m = value.asInstanceOf[java.util.Map[Any, Any]].asScala
+          ArrayBasedMapData(
+            m.keys.map(k => UTF8String.fromString(String.valueOf(k))).toArray,
+            m.values.map(toCatalyst(_, vt)).toArray)
+        case Schema.Type.RECORD =>
+          val rec = value.asInstanceOf[GenericRecord]
+          val fields = s.getFields.asScala
+          val out = new Array[Any](fields.size)
+          var i = 0
+          while (i < fields.size) {
+            out(i) = toCatalyst(rec.get(i), fields(i).schema())
+            i += 1
+          }
+          new GenericInternalRow(out): InternalRow
+        case Schema.Type.UNION =>
+          unionBranches(s) match {
+            case Seq(only) => toCatalyst(value, only)
+            case branches =>
+              // resolve the active branch by Avro's own union resolution
+              val idx = org.apache.avro.generic.GenericData.get()
+                .resolveUnion(s, value)
+              val branch = s.getTypes.get(idx)
+              val out = new Array[Any](branches.size)
+              val memberIdx = branches.indexWhere(_ eq branch)
+              if (memberIdx >= 0)
+                out(memberIdx) = toCatalyst(value, branch)
+              new GenericInternalRow(out): InternalRow
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unsupported avro type $other")
+      }
+    }
   }
 
   /**
    * Full decode of a framed-Avro `value` column into a typed struct, with
    * the reference's tombstone substitution: null value → the sentinel in
    * the JSON field, never a decode attempt (S1 ordering).
-   * Returns (structCol, jsonCol).
+   * Returns (structCol, jsonCol). The struct is decoded NATIVELY
+   * (one Avro pass per record, no JSON serialize/re-parse round-trip).
    */
-  def decodeOrTombstone(value: Column, schemaJson: String): (Column, Column) = {
-    val schema = new Schema.Parser().parse(schemaJson)
-    val st = sparkType(schema) match {
-      case s: StructType => s
-      case other => StructType(Seq(StructField("value", other)))
+  def decodeOrTombstone(value: Column, schemaJson: String): (Column, Column) =
+    decodeOrTombstone(value, Map(1 -> schemaJson), schemaJson)
+
+  /** Registry-style flavor of [[decodeOrTombstone]]: per-record writer
+    * dispatch with the data surfaced as `readerSchemaJson`. */
+  def decodeOrTombstone(value: Column, writerSchemas: Map[Int, String],
+      readerSchemaJson: String): (Column, Column) = {
+    val schema = new Schema.Parser().parse(readerSchemaJson)
+    val decoded = decodeStruct(value, writerSchemas, readerSchemaJson)
+    val (st, structVal) = sparkType(schema) match {
+      case s: StructType => (s, decoded)
+      case other => // non-record topic: wrap into a 1-field struct
+        (StructType(Seq(StructField("value", other))),
+          struct(decoded.as("value")))
     }
     val json = when(value.isNull, lit(graft.model.Envelope.Tombstone))
-      .otherwise(decodeJson(value, schemaJson))
-    val struct = when(value.isNull, lit(null).cast(st))
-      .otherwise(from_json(decodeJson(value, schemaJson), st))
-    (struct, json)
+      .otherwise(decodeJson(value, writerSchemas, readerSchemaJson))
+    val structCol = when(value.isNull, lit(null).cast(st))
+      .otherwise(structVal)
+    (structCol, json)
   }
 }

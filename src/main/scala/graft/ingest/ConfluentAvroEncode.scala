@@ -36,27 +36,76 @@ case class ConfluentAvroEncode(child: Expression, schemaJson: String,
 
   private def toAvro(value: Any, avro: Schema, spark: DataType): Any = {
     if (value == null) return null
-    avro.getType match {
-      case Schema.Type.STRING => value.asInstanceOf[UTF8String].toString
-      case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
-           Schema.Type.DOUBLE | Schema.Type.BOOLEAN => value
-      case Schema.Type.BYTES =>
-        ByteBuffer.wrap(value.asInstanceOf[Array[Byte]])
-      case Schema.Type.UNION =>
-        val branch = avro.getTypes.asScala
-          .find(_.getType != Schema.Type.NULL).get
-        toAvro(value, branch, spark)
-      case Schema.Type.RECORD =>
-        val row = value.asInstanceOf[InternalRow]
-        val st = spark.asInstanceOf[StructType]
-        val rec = new GenericData.Record(avro)
-        avro.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
-          rec.put(f.name(),
-            toAvro(row.get(i, st(i).dataType), f.schema(), st(i).dataType))
-        }
-        rec
-      case other =>
-        throw new IllegalArgumentException(s"unsupported avro type $other")
+    import org.apache.avro.LogicalTypes
+    (avro.getType, avro.getLogicalType) match {
+      // logical types first — mirror of ConfluentAvro.toCatalyst
+      case (carrier, d: LogicalTypes.Decimal) =>
+        val unscaled = value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.setScale(d.getScale).unscaledValue.toByteArray
+        if (carrier == Schema.Type.FIXED) {
+          val padded = new Array[Byte](avro.getFixedSize)
+          val sign: Byte = if (unscaled.head < 0) -1 else 0
+          java.util.Arrays.fill(padded, sign)
+          System.arraycopy(unscaled, 0, padded,
+            padded.length - unscaled.length, unscaled.length)
+          new GenericData.Fixed(avro, padded)
+        } else ByteBuffer.wrap(unscaled)
+      case (Schema.Type.INT, _: LogicalTypes.Date) => value // days both sides
+      case (Schema.Type.LONG, _: LogicalTypes.TimestampMillis) =>
+        java.lang.Long.valueOf(value.asInstanceOf[Long] / 1000L) // micros→ms
+      case (Schema.Type.LONG, _: LogicalTypes.TimestampMicros) => value
+      case (t, _) => t match {
+        case Schema.Type.STRING => value.asInstanceOf[UTF8String].toString
+        case Schema.Type.ENUM =>
+          new GenericData.EnumSymbol(avro, value.asInstanceOf[UTF8String].toString)
+        case Schema.Type.INT | Schema.Type.LONG | Schema.Type.FLOAT |
+             Schema.Type.DOUBLE | Schema.Type.BOOLEAN => value
+        case Schema.Type.BYTES =>
+          ByteBuffer.wrap(value.asInstanceOf[Array[Byte]])
+        case Schema.Type.FIXED =>
+          new GenericData.Fixed(avro, value.asInstanceOf[Array[Byte]])
+        case Schema.Type.ARRAY =>
+          val ad = value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val et = spark.asInstanceOf[ArrayType].elementType
+          val out = new java.util.ArrayList[Any](ad.numElements())
+          (0 until ad.numElements()).foreach(i =>
+            out.add(toAvro(ad.get(i, et), avro.getElementType, et)))
+          out
+        case Schema.Type.MAP =>
+          val md = value.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val mt = spark.asInstanceOf[MapType]
+          val out = new java.util.HashMap[String, Any](md.numElements())
+          val ks = md.keyArray(); val vs = md.valueArray()
+          (0 until md.numElements()).foreach { i =>
+            out.put(ks.getUTF8String(i).toString,
+              toAvro(vs.get(i, mt.valueType), avro.getValueType, mt.valueType))
+          }
+          out
+        case Schema.Type.UNION =>
+          val branches = avro.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+          if (branches.size == 1) toAvro(value, branches.head, spark)
+          else {
+            // struct-of-members (sparkType's union rendering): encode the
+            // single non-null member with its branch schema
+            val row = value.asInstanceOf[InternalRow]
+            val st = spark.asInstanceOf[StructType]
+            val i = (0 until row.numFields).find(!row.isNullAt(_)).getOrElse(
+              throw new IllegalArgumentException(
+                "multi-branch union struct has no non-null member"))
+            toAvro(row.get(i, st(i).dataType), branches(i), st(i).dataType)
+          }
+        case Schema.Type.RECORD =>
+          val row = value.asInstanceOf[InternalRow]
+          val st = spark.asInstanceOf[StructType]
+          val rec = new GenericData.Record(avro)
+          avro.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+            rec.put(f.name(),
+              toAvro(row.get(i, st(i).dataType), f.schema(), st(i).dataType))
+          }
+          rec
+        case other =>
+          throw new IllegalArgumentException(s"unsupported avro type $other")
+      }
     }
   }
 

@@ -101,13 +101,30 @@ object Transforms {
   }
 
   /**
-   * T7 — InsertKey: surface the record key as a value field, serialized to
-   * string (reference: transform/.../InsertKey.java:72-105; configured at
-   * kafana.http:92-93 with key.field=key).
+   * T7 — InsertKey: surface the record key as a value field, PRESERVING
+   * the key's schema like the reference (transform/.../InsertKey.java:88-119
+   * derives the inserted field's schema from the key schema — Struct keys
+   * stay Structs; configured at kafana.http:92-93 with key.field=key).
+   *
+   * Primitive keys are cast to string (the envelope's search contract —
+   * `key` is matched as text in Q2/Q3). Composite (struct) keys keep BOTH
+   * representations: `<field>` carries the canonical JSON rendering so the
+   * string-search surface still works across topics, and `<field>_typed`
+   * carries the struct unchanged for typed predicates/joins on key parts —
+   * the two-sided contract a relational engine needs where Connect just
+   * forwards the Struct.
    */
   def insertKey(field: String = "key"): Transform = { df =>
     requireField(field, "insertKey")
-    df.withColumn(field, col("key").cast("string"))
+    df.schema("key").dataType match {
+      case _: StructType =>
+        // typed copy FIRST — when field == "key" the second withColumn
+        // replaces the struct with its JSON rendering
+        df.withColumn(s"${field}_typed", col("key"))
+          .withColumn(field, to_json(col("key")))
+      case _ =>
+        df.withColumn(field, col("key").cast("string"))
+    }
   }
 
   /** Append the changelog identity column (reference: README.md:11). */

@@ -53,6 +53,27 @@ class TransformsSpec extends SparkSpec {
     assert(v.contains("plain"))
   }
 
+  test("T7 insertKey preserves composite (struct) key schemas") {
+    // reference InsertKey derives the inserted field's schema from the key
+    // schema (InsertKey.java:88-119) — a Struct key must not be flattened
+    // to toString(); here it keeps a typed copy plus a canonical JSON
+    // rendering for the cross-topic string-search surface
+    val structKeyed = records.withColumn("key",
+      struct(col("key").as("user"), col("partition").as("shard")))
+    val out = Transforms.insertKey("key")(structKeyed)
+    val kt = out.schema("key_typed").dataType.asInstanceOf[StructType]
+    assert(kt.fieldNames.toSeq == Seq("user", "shard"))
+    assert(out.schema("key").dataType == StringType)
+    val row = out.where($"offset" === 1)
+      .select($"key", $"key_typed.user", $"key_typed.shard").head()
+    assert(row.getString(0).contains(s""""user":"${row.getString(1)}""""))
+    assert(row.getString(0).contains(s""""shard":${row.getInt(2)}"""))
+    // primitive keys keep the old contract: plain string, no _typed column
+    val prim = Transforms.insertKey("key")(records)
+    assert(prim.schema("key").dataType == StringType)
+    assert(!prim.columns.contains("key_typed"))
+  }
+
   test("schemaless (map-typed) values enrich through the same chain") {
     // the reference's schemaless path: value is a Map, not a Struct
     // (InsertKey.java:80-86, InsertValueAsString.java:92-97)
