@@ -66,31 +66,35 @@ object Dedup {
     val docs = Tables.load(spark, dir, "documents")
     val docSh = docs.select(col("doc_id"),
       graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
-    val exploded = docSh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // per-doc set size rides along the explode (no second aggregation);
+    // shingles travel as xxhash64 keys — 8 bytes through every shuffle
+    // instead of the ~35-byte string. A cross-shingle hash collision can
+    // only ADD a candidate (verification below is exact), never lose one.
+    val exploded = docSh.select(col("doc_id"),
+      size(col("shingles")).as("n"),
+      explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"),
+        col("s"))
 
     // Bayardo prefix filter. Global document frequency of every shingle
-    // (one agg on the shingle key), then each doc's shingles ranked
-    // rarest-first (canonical tiebreak on the shingle string) and only the
-    // first n − ceil(t·n) + 1 indexed: any pair with J ≥ t must share an
-    // indexed prefix shingle (proof: J ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉;
-    // if the smallest common element of A and B under the global order sat
-    // outside either prefix, fewer than ⌈t·n⌉ common elements could follow
-    // it). The candidate join therefore runs on the RAREST shingles only —
-    // per-shingle fanout is bounded by the df of rare shingles instead of
-    // the unbounded Σ df(s)² of the all-shingle self-join (one ubiquitous
-    // boilerplate shingle no longer produces a quadratic pair explosion).
-    // The join key is xxhash64(prefix shingle): 8 bytes through the
-    // shuffle; a collision can only ADD a candidate (verification below is
-    // exact), never lose one.
-    val dfTbl = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // (one agg on the hashed shingle key), then each doc's shingles ranked
+    // rarest-first (tiebreak on hash then the shingle string — one fixed
+    // global total order) and only the first n − ceil(t·n) + 1 indexed:
+    // any pair with J ≥ t must share an indexed prefix shingle (proof:
+    // J ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉; if the smallest common element
+    // of A and B under the global order sat outside either prefix, fewer
+    // than ⌈t·n⌉ common elements could follow it). The candidate join
+    // therefore runs on the RAREST shingles only — per-shingle fanout is
+    // bounded by the df of rare shingles instead of the unbounded Σ df(s)²
+    // of the all-shingle self-join (one ubiquitous boilerplate shingle no
+    // longer produces a quadratic pair explosion).
+    val dfTbl = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wPrefix = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("s"))
-    val prefix = exploded.join(dfTbl, "s")
-      .select(col("doc_id"), col("s"),
-        row_number().over(wPrefix).as("rk"),
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+      .orderBy(col("df"), col("sh"), col("s"))
+    val prefix = exploded.join(dfTbl, "sh")
+      .withColumn("rk", row_number().over(wPrefix))
       .where(col("rk") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .select(col("doc_id"), col("sh"))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -33,6 +33,106 @@ class ExtSpec extends SparkSpec {
     assert(exact.except(found).count() == 0)
   }
 
+  test("prefix filter: candidate fanout strictly bounded below the " +
+      "all-shingle self-join, output identical to the naive form") {
+    // the pruning the Bayardo prefix buys: shared-shingle join rows via
+    // the prefix index vs via ALL shingles (measured: ~47x at sf0.001,
+    // ~10x at sf0.1 — and unbounded vs bounded when a ubiquitous shingle
+    // appears at corpus scale)
+    val docSh = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
+    val ex = docSh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val fullFanout = ex.as("a").join(ex.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")).count()
+    // replicate the operator's prefix stage to measure its join fanout
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.8
+    val withN = docSh.select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"), col("s"))
+    val dfT = withN.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sh"), col("s"))
+    val pre = withN.join(dfT, "sh")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("sh"))
+    val prefixFanout = pre.as("a").join(pre.as("b"),
+      col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")).count()
+    assert(prefixFanout * 5 < fullFanout,
+      s"prefix fanout $prefixFanout not <20% of full $fullFanout")
+
+    // exactness: prefix-filtered output == naive all-shingle-join output
+    val naive = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(docSh.select(col("doc_id").as("d1"), size(col("shingles")).as("n1")), "d1")
+      .join(docSh.select(col("doc_id").as("d2"), size(col("shingles")).as("n2")), "d2")
+      .withColumn("jaccard",
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 6))
+      .where(col("jaccard") >= 0.8)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val filtered = Dedup.ngramJaccardPairs(spark, sf)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    assert(naive.except(filtered).count() == 0)
+    assert(filtered.except(naive).count() == 0)
+  }
+
+  test("simhash Hamming pairs: banding is EXACT for hamming <= 3 " +
+      "(equals the brute-force pair set)") {
+    val banded = Dedup.simhashHammingPairs(spark, sf)
+      .select(col("d1"), col("d2"), col("hamming"))
+    val sigs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .where(col("hamming") <= 3)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("hamming"))
+    assert(banded.except(brute).count() == 0)
+    assert(brute.except(banded).count() == 0)
+  }
+
+  test("blocked embedding near-dup: identical to brute-force all-pairs") {
+    val blocked = Similarity.embedNearDupPairs(spark, sf)
+      .select(col("d1"), col("d2"), col("sim"))
+    val emb = graft.ingest.Tables.load(spark, sf, "embeddings")
+    val brute = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      .crossJoin(emb.select(col("vec_id").as("d2"), col("embedding").as("e2")))
+      .where(col("d1") < col("d2"))
+      .withColumn("sim", round(Similarity.cosine(col("e1"), col("e2")), 6))
+      .where(col("sim") >= 0.45)
+      .select(col("d1"), col("d2"), col("sim"))
+    assert(blocked.except(brute).count() == 0)
+    assert(brute.except(blocked).count() == 0)
+  }
+
+  test("sign-LSH near-dup: every returned pair passes the exact verify; " +
+      "pairs are a deterministic subset of brute-force") {
+    val lsh = Similarity.signLshNearDupPairs(spark, sf)
+    assert(lsh.where(col("sim") < 0.45).count() == 0)
+    val emb = graft.ingest.Tables.load(spark, sf, "embeddings")
+    val brute = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      .crossJoin(emb.select(col("vec_id").as("d2"), col("embedding").as("e2")))
+      .where(col("d1") < col("d2"))
+      .withColumn("sim", round(Similarity.cosine(col("e1"), col("e2")), 6))
+      .where(col("sim") >= 0.45)
+      .select(col("d1"), col("d2"), col("sim"))
+    // candidates are verified exactly, so LSH output ⊆ brute output
+    assert(lsh.select(col("d1"), col("d2"), col("sim"))
+      .except(brute).count() == 0)
+    // deterministic across runs (md5 hyperplanes, fixed fold order)
+    val again = Similarity.signLshNearDupPairs(spark, sf)
+      .select(col("d1"), col("d2"), col("sim"))
+    assert(lsh.select(col("d1"), col("d2"), col("sim"))
+      .except(again).count() == 0)
+  }
+
   test("simhash: 32-bit signatures, cluster sizes consistent") {
     val s = Dedup.simhash(spark, sf)
     assert(s.count() == 500)
