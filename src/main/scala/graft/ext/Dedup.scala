@@ -197,6 +197,63 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+   * pair graph ([[minhashLshPairs]]) — the step a real corpus-dedup
+   * pipeline runs after pair generation, so "A≈B, B≈C" collapses into one
+   * cluster with one canonical (minimum) doc id kept. Singleton docs are
+   * their own cluster.
+   *
+   * Distributed as iterative min-label propagation (the textbook
+   * DataFrame CC: each round every vertex takes the min label among
+   * itself and its neighbors; converged when no label changes — the same
+   * driver-synchronized round structure as Pregel/GraphX, with only a
+   * per-round count crossing the driver). Label state is
+   * `localCheckpoint`ed each round so lineage stays flat. Rounds needed =
+   * component diameter — near-dup clusters are shallow (pairs/triangles),
+   * so 2-3 rounds in practice; at web scale the same loop is run with the
+   * large-star/small-star optimization (Kiveris et al., "Connected
+   * Components in MapReduce", SOCC'14), which this layout extends to
+   * directly. All label updates are MINs — deterministic under any
+   * partitioning / execution order, which is what lets the DuckDB oracle
+   * (a recursive-CTE reachability closure) hash-match exactly.
+   */
+  def dupClusters(spark: SparkSession, dir: String,
+      maxRounds: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val pairs = minhashLshPairs(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst")
+      .localCheckpoint() // computed once; pair generation is the hard part
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .where(col("label") =!= col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * SimHash Hamming-neighbor pairs: all doc pairs whose 32-bit simhash
    * signatures differ in ≤ `maxHamming` bits — the real simhash dedup
    * predicate ([[simhash]]'s exact-equality clustering is its Hamming-0

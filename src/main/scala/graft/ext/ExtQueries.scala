@@ -49,8 +49,41 @@ object ExtQueries {
     "x19_simhash_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simhashHammingPairs(s, d)),
     "x20_dedup_embed_lsh" -> ((s: SparkSession, d: String) =>
-      Similarity.signLshNearDupPairs(s, d))
+      Similarity.signLshNearDupPairs(s, d)),
+    "x21_dup_clusters" -> ((s: SparkSession, d: String) =>
+      Dedup.dupClusters(s, d))
   )
+
+  /** The x3 MinHash+LSH pair query (no final ORDER BY — reused as a CTE
+    * by the x21 connected-components oracle). */
+  private lazy val minhashPairsSql: String = {
+    val mh = (0 until 12).map(k =>
+      s"min(substr(md5('$k:' || tok), 1, 8)) AS mh$k").mkString(",\n  ")
+    val bands = (0 until 4).map { b =>
+      val key = (b * 3 until b * 3 + 3).map(k => s"mh$k").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL ")
+    val agree = (0 until 12)
+      .map(k => s"CAST(s1.mh$k = s2.mh$k AS INT)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(toks) - 2),
+       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS tok
+       |  FROM t),
+       |sig AS (SELECT doc_id,
+       |  $mh
+       |  FROM toks GROUP BY 1),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |         FROM bands l JOIN bands r
+       |           ON l.band = r.band AND l.band_key = r.band_key
+       |              AND l.doc_id < r.doc_id),
+       |est AS (SELECT d1, d2, round(($agree) / 12.0, 6) AS est_jaccard
+       |        FROM cand
+       |        JOIN sig s1 ON d1 = s1.doc_id
+       |        JOIN sig s2 ON d2 = s2.doc_id)
+       |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+  }
 
   /** In-order dot product of the DOUBLE[]-cast embedding with md5-derived
     * ±1 hyperplane `i` — the DuckDB rendering of the identical math inside
@@ -98,35 +131,26 @@ object ExtQueries {
         |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.8
         |ORDER BY d1, d2""".stripMargin,
 
-    "x3_dedup_minhash" -> {
-      val mh = (0 until 12).map(k =>
-        s"min(substr(md5('$k:' || tok), 1, 8)) AS mh$k").mkString(",\n  ")
-      val bands = (0 until 4).map { b =>
-        val key = (b * 3 until b * 3 + 3).map(k => s"mh$k").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
-      }.mkString("\nUNION ALL ")
-      val agree = (0 until 12)
-        .map(k => s"CAST(s1.mh$k = s2.mh$k AS INT)").mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(len(toks) - 2),
-         |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS tok
-         |  FROM t),
-         |sig AS (SELECT doc_id,
-         |  $mh
-         |  FROM toks GROUP BY 1),
-         |bands AS ($bands),
-         |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-         |         FROM bands l JOIN bands r
-         |           ON l.band = r.band AND l.band_key = r.band_key
-         |              AND l.doc_id < r.doc_id),
-         |est AS (SELECT d1, d2, round(($agree) / 12.0, 6) AS est_jaccard
-         |        FROM cand
-         |        JOIN sig s1 ON d1 = s1.doc_id
-         |        JOIN sig s2 ON d2 = s2.doc_id)
-         |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5
-         |ORDER BY d1, d2""".stripMargin
-    },
+    "x3_dedup_minhash" -> (minhashPairsSql + "\nORDER BY d1, d2"),
+
+    // x21: connected components over the x3 pair graph — the oracle closes
+    // reachability with a recursive CTE and labels every doc with the min
+    // reachable doc_id, exactly the fixpoint the Spark min-label
+    // propagation converges to.
+    "x21_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS d, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT re.d, e.dst AS r FROM reach re JOIN edges e ON re.r = e.src),
+         |lab AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT doc_id, cluster_id, cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "x4_dedup_simhash" ->
       """WITH toks AS (SELECT doc_id,

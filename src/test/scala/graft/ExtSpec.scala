@@ -133,6 +133,29 @@ class ExtSpec extends SparkSpec {
       .except(again).count() == 0)
   }
 
+  test("dup clusters: connected components — pair endpoints share a " +
+      "cluster, canonical is the component min, sizes consistent") {
+    val clusters = Dedup.dupClusters(spark, sf)
+    assert(clusters.count() == 500) // every doc labeled, singletons included
+    val lab = clusters.select(col("doc_id"), col("cluster_id"))
+    // every LSH pair must be collapsed into one cluster (incl. transitively)
+    val pairs = Dedup.minhashLshPairs(spark, sf).select(col("d1"), col("d2"))
+    val broken = pairs
+      .join(lab.select(col("doc_id").as("d1"), col("cluster_id").as("c1")), "d1")
+      .join(lab.select(col("doc_id").as("d2"), col("cluster_id").as("c2")), "d2")
+      .where(col("c1") =!= col("c2"))
+    assert(broken.count() == 0)
+    // canonical id is the min of its cluster, exactly one per cluster
+    assert(clusters.where(col("cluster_id") > col("doc_id")).count() == 0)
+    val canonPerCluster = clusters.where(col("is_canonical"))
+      .groupBy(col("cluster_id")).count()
+    assert(canonPerCluster.where(col("count") =!= 1).count() == 0)
+    // sizes add back up to the corpus
+    val total = clusters.where(col("is_canonical"))
+      .agg(sum(col("cluster_size"))).head().getLong(0)
+    assert(total == 500)
+  }
+
   test("simhash: 32-bit signatures, cluster sizes consistent") {
     val s = Dedup.simhash(spark, sf)
     assert(s.count() == 500)
