@@ -20,7 +20,9 @@ object Bench {
     "q1_agg", "q3_join_broadcast", "q4_join_large", "q5_window",
     "x1_dedup_exact", "x2_dedup_ngram", "x3_dedup_minhash",
     "x4_dedup_simhash", "x5_knn_brute", "x6_ann_ivf", "x8_quality",
-    "x10_fingerprint", "x13_dedup_embed", "x15_tfidf")
+    "x10_fingerprint", "x13_dedup_embed", "x15_tfidf",
+    "x19_simhash_pairs", "x20_dedup_embed_lsh", "x21_dup_clusters",
+    "kq10_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

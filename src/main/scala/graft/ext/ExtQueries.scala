@@ -51,8 +51,53 @@ object ExtQueries {
     "x20_dedup_embed_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.signLshNearDupPairs(s, d)),
     "x21_dup_clusters" -> ((s: SparkSession, d: String) =>
-      Dedup.dupClusters(s, d))
+      Dedup.dupClusters(s, d)),
+    "x22_bm25_search" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bm25Search(s, d))
   )
+
+  /** Query terms of the x22 BM25 fixture query (shared with its oracle). */
+  private val Bm25Terms = Seq("spark", "query", "stream")
+
+  /** DuckDB rendering of the x22 BM25 score — identical literals,
+    * identical association order, integer tf/df inputs, so the double
+    * arithmetic is bit-for-bit the Spark expression's. */
+  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$i" }.mkString(",\n    ")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"count(DISTINCT CASE WHEN term = '$t' THEN doc_id END) AS df_$i" }
+      .mkString(",\n    ")
+    val termScore = terms.indices.map { i =>
+      val tf = s"CAST(tf_$i AS DOUBLE)"
+      val df = s"CAST(df_$i AS DOUBLE)"
+      s"""(ln(1.0 + (n_docs - $df + 0.5) / ($df + 0.5))
+         | * ($tf * 2.2)
+         | / ($tf + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / (sum_len / n_docs))))"""
+        .stripMargin.replace("\n", " ")
+    }.mkString("\n      + ")
+    s"""WITH stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS sum_len
+       |  FROM documents),
+       |toks AS (SELECT doc_id, len(string_split(text, ' ')) AS len,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |ft AS (SELECT doc_id, len,
+       |    $tfCols
+       |  FROM toks WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfs AS (SELECT
+       |    $dfCols
+       |  FROM toks WHERE term IN ($inList)),
+       |scored AS (SELECT doc_id,
+       |    round($termScore, 6) AS score
+       |  FROM ft, dfs, stats),
+       |r AS (SELECT doc_id, score, CAST(row_number() OVER (
+       |        ORDER BY score DESC, doc_id) AS INT) AS rank
+       |      FROM scored WHERE score > 0)
+       |SELECT doc_id, score, rank FROM r WHERE rank <= $k
+       |ORDER BY rank""".stripMargin
+  }
 
   /** The x3 MinHash+LSH pair query (no final ORDER BY — reused as a CTE
     * by the x21 connected-components oracle). */
@@ -382,6 +427,8 @@ object ExtQueries {
          |WHERE round(${cosSql("a.emb", "b.emb")}, 6) >= 0.45
          |ORDER BY d1, d2""".stripMargin
     },
+
+    "x22_bm25_search" -> bm25OracleSql(Bm25Terms, 20),
 
     "x14_media_frames" ->
       """WITH f AS (

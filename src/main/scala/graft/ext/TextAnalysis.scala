@@ -154,6 +154,68 @@ object TextAnalysis {
   }
 
   /**
+   * BM25-ranked full-text search — the relevance-scored match query of
+   * the Kibana surface (the reference's users get this from ES `match`;
+   * the engine's Q4 field search is equality-only without it). Standard
+   * Okapi BM25 (k1 = 1.2, b = 0.75):
+   *   score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·len/avgdl)),
+   *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+   *
+   * Scale + determinism shape: the token stream is filtered to the QUERY
+   * TERMS first (the tiny side), so the only aggregations run over
+   * matching postings — at 100 TB this is the classic "score only the
+   * candidate postings" layout, one shuffle on doc_id. Per-term tf/df are
+   * INTEGER conditional sums (exact, order-independent) and the double
+   * formula is evaluated per term in a FIXED expression order, so the
+   * DuckDB oracle reproduces every score bit-for-bit — no
+   * sum-of-doubles-across-rows anywhere.
+   */
+  def bm25Search(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "query", "stream"),
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("double").as("sum_len"))
+    val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("len"),
+        explode(split(col("text"), " ")).as("term"))
+      .where(col("term").isin(terms: _*)) // prune to the query postings
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1).otherwise(0)).as(s"tf_$i")
+    }
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      countDistinct(when(col("term") === t, col("doc_id"))).as(s"df_$i")
+    }
+    val perDoc = toks.groupBy(col("doc_id"), col("len"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val dfs = toks.agg(dfCols.head, dfCols.tail: _*)
+    val scored = perDoc
+      .crossJoin(broadcast(dfs))   // 1 row
+      .crossJoin(broadcast(stats)) // 1 row
+    val termScore = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+      val norm = tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("len").cast("double") / (col("sum_len") / col("n_docs")))
+      idf * (tf * lit(k1 + 1)) / norm
+    }.reduce(_ + _) // fixed left-to-right term order — both engines agree
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    // no global sort); the rank window then runs over k rows only
+    val top = scored.withColumn("score", round(termScore, 6))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("score"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /**
    * PII anonymization pass over the event log: stable pseudonymous key
    * (sha-256 of the raw key — joinable but not reversible), digits in the
    * free-form payload redacted. The standard pre-release scrub of a

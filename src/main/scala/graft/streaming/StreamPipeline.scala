@@ -77,6 +77,25 @@ object StreamPipeline {
         col("session_window.end").as("session_end"),
         col("key"), col("n_events"))
 
+  /**
+   * Streaming ingestion dedup — the training-data-pipeline guard against
+   * replayed/duplicated documents at ingest time: drop records whose
+   * content hash was already seen within the watermark horizon
+   * (`dropDuplicatesWithinWatermark`, Spark 3.5+). State is one row per
+   * DISTINCT content hash inside the horizon and is evicted as the
+   * watermark advances — bounded forever on an unbounded stream, unlike a
+   * plain `dropDuplicates` whose state grows without limit. Exactly the
+   * streaming counterpart of [[graft.ext.Dedup.exactDedup]]: same md5
+   * content key, so a doc admitted here lands in the same batch dedup
+   * group downstream.
+   */
+  def dedupIngest(records: DataFrame, textCol: String = "text",
+      watermark: String = "2 hours"): DataFrame =
+    records
+      .withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Slim record for the stateful compaction view. */
   case class RecLite(topic: String, key: String, offset: Long,
       timestamp: java.sql.Timestamp, value_json: String)

