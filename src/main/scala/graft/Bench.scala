@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
  *
  * Each query is forced end-to-end with a `noop` write (count() alone can
  * skip projection work). One untimed warm-up of a small query amortizes
- * classloading/codegen JIT so timings measure the plans, not the JVM.
+ * classloading/codegen JIT, and each query is then timed TWICE with the
+ * min reported — steady-state plan cost, not first-run JIT/GC noise
+ * (run-to-run variance on a 32-thread local JVM is ±20% otherwise).
  */
 object Bench {
 
@@ -58,7 +60,7 @@ object Bench {
     // relational and the events-pipeline read paths
     run("q2_topk"); run("kq2_search_key")
 
-    val results = headline.map(n => n -> run(n))
+    val results = headline.map(n => n -> math.min(run(n), run(n)))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
