@@ -172,23 +172,31 @@ object TextAnalysis {
    */
   def bm25Search(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("spark", "query", "stream"),
-      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int = 20): DataFrame =
+    bm25(Tables.load(spark, dir, "documents"), "doc_id", "text", terms, k)
+
+  /** Generic BM25 core over any (id, text) frame — reused by the
+    * changelog facade's `matchQuery` (ranked search over payload JSON)
+    * and the x22 corpus query above. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
+    val id = col(idCol)
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
-      sum(size(split(col("text"), " "))).cast("double").as("sum_len"))
-    val toks = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).as("len"),
-        explode(split(col("text"), " ")).as("term"))
+      sum(size(split(col(textCol), " "))).cast("double").as("sum_len"))
+    val toks = docs.select(id,
+        size(split(col(textCol), " ")).as("len"),
+        explode(split(col(textCol), " ")).as("term"))
       .where(col("term").isin(terms: _*)) // prune to the query postings
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1).otherwise(0)).as(s"tf_$i")
     }
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
-      countDistinct(when(col("term") === t, col("doc_id"))).as(s"df_$i")
+      countDistinct(when(col("term") === t, id)).as(s"df_$i")
     }
-    val perDoc = toks.groupBy(col("doc_id"), col("len"))
+    val perDoc = toks.groupBy(id, col("len"))
       .agg(tfCols.head, tfCols.tail: _*)
     val dfs = toks.agg(dfCols.head, dfCols.tail: _*)
     val scored = perDoc
@@ -207,11 +215,11 @@ object TextAnalysis {
     // no global sort); the rank window then runs over k rows only
     val top = scored.withColumn("score", round(termScore, 6))
       .where(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("score").desc, id)
       .limit(k)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val w = Window.orderBy(col("score").desc, id)
     top.withColumn("rank", row_number().over(w))
-      .select(col("doc_id"), col("score"), col("rank"))
+      .select(id, col("score"), col("rank"))
       .orderBy(col("rank"))
   }
 

@@ -46,6 +46,27 @@ case class Changelog(spark: SparkSession, path: String,
 
   def tombstones(): DataFrame = LogQueries.tombstones(frame, valueJsonField)
 
+  /**
+   * Kibana's search box: a relevance-ranked match query over the record
+   * payloads (ES `match` semantics via Okapi BM25 —
+   * [[graft.ext.TextAnalysis.bm25]]). The JSON payload string is
+   * tokenized on non-alphanumerics; returns the top-k envelope rows with
+   * `score` and `rank` attached. Postings are pruned to the query terms
+   * before any aggregation, so cost is linear in matching postings at
+   * any scale.
+   */
+  def matchQuery(terms: Seq[String], k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val searchable = frame.withColumn("_text",
+      trim(regexp_replace(
+        coalesce(col(s"message.`$valueJsonField`").cast("string"), lit("")),
+        "[^a-zA-Z0-9]+", " ")))
+    val ranked = graft.ext.TextAnalysis.bm25(
+      searchable, "uid", "_text", terms, k)
+    ranked.join(frame, "uid")
+      .orderBy(col("rank"))
+  }
+
   def latest(): DataFrame = LogQueries.latestStatePerKey(frame)
 
   /** Register for `spark.sql` — the strict superset of Kibana's surface. */

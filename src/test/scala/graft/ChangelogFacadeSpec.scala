@@ -33,6 +33,15 @@ class ChangelogFacadeSpec extends SparkSpec {
     assert(log.searchJson("$.event_type", "error").count() ==
       log.searchField("event_type", "error").count())
     assert(log.tombstones().count() == 20)
+
+    // Kibana's search box: BM25-ranked match over the payload JSON
+    val hits = log.matchQuery(Seq("error"), k = 5)
+    assert(hits.count() > 0 && hits.count() <= 5)
+    assert(hits.where(
+      !col(s"message.${Pipeline.ValueJsonField}").contains("error"))
+      .count() == 0)
+    assert(hits.select($"rank").as[Int].collect().toSeq ==
+      (1 to hits.count().toInt))
     assert(log.latest().groupBy($"key").count()
       .where($"count" > 1).count() == 0)
 
