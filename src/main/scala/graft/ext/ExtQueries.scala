@@ -53,8 +53,43 @@ object ExtQueries {
     "x21_dup_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.dupClusters(s, d)),
     "x22_bm25_search" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.bm25Search(s, d))
+      TextAnalysis.bm25Search(s, d)),
+    "x23_ann_multiprobe" -> ((s: SparkSession, d: String) =>
+      Similarity.annMultiProbe(s, d))
   )
+
+  /** One Lloyd assignment CTE against `$cent`. */
+  private def kmAsgSql(name: String, cent: String): String =
+    s"""$name AS (SELECT vec_id, emb, centroid_id AS bucket FROM (
+       |    SELECT e.vec_id, e.emb, c.centroid_id, row_number() OVER (
+       |        PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.emb, c.cv), 6) DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM e, $cent c) WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd step: assignment + DECIMAL-exact element-wise means. */
+  private def kmStepSql(i: Int): String =
+    s"""${kmAsgSql(s"asg$i", s"cent$i")},
+       |m$i AS (SELECT bucket, pos,
+       |    CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT bucket, unnest(emb) AS val,
+       |          generate_subscripts(emb, 1) AS pos FROM asg$i)
+       |  GROUP BY 1, 2),
+       |cent${i + 1} AS (SELECT c.centroid_id, COALESCE(n.cv, c.cv) AS cv
+       |  FROM cent$i c LEFT JOIN (SELECT bucket, list(m ORDER BY pos) AS cv
+       |                           FROM m$i GROUP BY 1) n
+       |    ON c.centroid_id = n.bucket)""".stripMargin
+
+  /** The full k-means CTE chain (e → cent0 → 2 Lloyd steps → final `asg`)
+    * shared by the x6 and x23 oracles. */
+  private lazy val kmeansCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |cent0 AS (SELECT vec_id AS centroid_id, emb AS cv
+       |          FROM e WHERE vec_id < 8),
+       |${kmStepSql(0)},
+       |${kmStepSql(1)},
+       |${kmAsgSql("asg", "cent2")}""".stripMargin
 
   /** Query terms of the x22 BM25 fixture query (shared with its oracle). */
   private val Bm25Terms = Seq("spark", "query", "stream")
@@ -231,33 +266,8 @@ object ExtQueries {
     // then the same bucket-probe top-k. Every centroid, assignment and
     // score is reproduced bit-for-bit (decimal sums are order-independent,
     // double divides are IEEE on both engines).
-    "x6_ann_ivf" -> {
-      // one Lloyd step: assignment against $cent, then exact-decimal means
-      def asgSql(name: String, cent: String): String =
-        s"""$name AS (SELECT vec_id, emb, centroid_id AS bucket FROM (
-           |    SELECT e.vec_id, e.emb, c.centroid_id, row_number() OVER (
-           |        PARTITION BY e.vec_id
-           |        ORDER BY round(list_cosine_similarity(e.emb, c.cv), 6) DESC,
-           |                 c.centroid_id) AS rn
-           |    FROM e, $cent c) WHERE rn = 1)""".stripMargin
-      def stepSql(i: Int): String =
-        s"""${asgSql(s"asg$i", s"cent$i")},
-           |m$i AS (SELECT bucket, pos,
-           |    CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS m
-           |  FROM (SELECT bucket, unnest(emb) AS val,
-           |          generate_subscripts(emb, 1) AS pos FROM asg$i)
-           |  GROUP BY 1, 2),
-           |cent${i + 1} AS (SELECT c.centroid_id, COALESCE(n.cv, c.cv) AS cv
-           |  FROM cent$i c LEFT JOIN (SELECT bucket, list(m ORDER BY pos) AS cv
-           |                           FROM m$i GROUP BY 1) n
-           |    ON c.centroid_id = n.bucket)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |           FROM embeddings),
-         |cent0 AS (SELECT vec_id AS centroid_id, emb AS cv
-         |          FROM e WHERE vec_id < 8),
-         |${stepSql(0)},
-         |${stepSql(1)},
-         |${asgSql("asg", "cent2")},
+    "x6_ann_ivf" ->
+      s"""WITH $kmeansCtes,
          |q AS (SELECT vec_id AS query_id, emb AS qv, bucket
          |      FROM asg WHERE vec_id < 10),
          |scored AS (SELECT query_id, a.bucket, a.vec_id AS cand_id,
@@ -268,8 +278,29 @@ object ExtQueries {
          |      FROM scored)
          |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= 3
-         |ORDER BY query_id, rn""".stripMargin
-    },
+         |ORDER BY query_id, rn""".stripMargin,
+
+    // x23: same k-means + assignment, but each query probes its TOP-2
+    // buckets (multi-probe recall knob); candidates unioned, exact top-k.
+    "x23_ann_multiprobe" ->
+      s"""WITH $kmeansCtes,
+         |sims AS (SELECT e.vec_id AS query_id, e.emb AS qv, c.centroid_id,
+         |    round(list_cosine_similarity(e.emb, c.cv), 6) AS csim
+         |  FROM e, cent2 c WHERE e.vec_id < 10),
+         |probes AS (SELECT query_id, qv, centroid_id AS bucket FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY csim DESC, centroid_id) AS prn FROM sims)
+         |  WHERE prn <= 2),
+         |scored AS (SELECT query_id, a.vec_id AS cand_id,
+         |    round(list_cosine_similarity(qv, a.emb), 6) AS sim
+         |  FROM asg a JOIN probes p ON a.bucket = p.bucket
+         |  WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+         |      FROM scored)
+         |SELECT query_id, cand_id, sim, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin,
 
     "x7_langid" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -173,6 +173,53 @@ object Similarity {
     centroids
   }
 
+  /**
+   * Multi-probe IVF ANN — the recall knob production IVF deployments
+   * tune: each query probes its `nProbe` NEAREST buckets instead of one,
+   * trading `nProbe×` per-query candidate cost for recall (misses happen
+   * when a true neighbor sits just across a Voronoi boundary; probing the
+   * runner-up buckets recovers it). The corpus side is untouched — same
+   * zero-shuffle argmax assignment as [[annIvf]]; only the tiny query
+   * frame ranks all centroids ([[graft.functions.NearestCentroid.sims]])
+   * and fans out to `nProbe` rows, so the extra work is
+   * O(queries × nProbe), not corpus-sized. A (query, candidate) pair can
+   * arise from at most one probe (each candidate lives in exactly one
+   * bucket), so no dedup step is needed.
+   */
+  def annMultiProbe(spark: SparkSession, dir: String,
+      nCentroids: Int = 8, nQueries: Int = 10, k: Int = 3,
+      nProbe: Int = 2, iterations: Int = 2): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = kmeansCentroids(emb, nCentroids, iterations)
+    val nc = graft.functions.NearestCentroid.nearest(col("embedding"), centroids)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      nc.getField("bucket").cast("long").as("bucket"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        posexplode(graft.functions.NearestCentroid.sims(
+          col("embedding"), centroids)))
+      .withColumnRenamed("pos", "centroid_id")
+      .withColumnRenamed("col", "csim")
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= nProbe)
+      .select(col("query_id"), col("q"),
+        col("centroid_id").cast("long").as("bucket"))
+    val scored = assigned
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+        col("bucket"))
+      .join(broadcast(probes), "bucket")
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q"), col("c")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** IVF-bucketed ANN: k-means centroids ([[kmeansCentroids]], 2 Lloyd
     * iterations seeded from `vec_id < nCentroids`), zero-shuffle
     * per-row assignment, probe only the query's bucket. */

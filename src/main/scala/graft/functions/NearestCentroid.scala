@@ -77,4 +77,54 @@ object NearestCentroid {
   def nearest(vec: Column, centroids: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(
       NearestCentroid(GraftColumnBridge.expression(vec), centroids))
+
+  /** Public Column API: the full per-centroid similarity vector
+    * (`array<double>`, 6-dp-rounded, centroid order) — the multi-probe
+    * variant where the caller ranks several buckets, not just the argmax. */
+  def sims(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(
+      CentroidSims(GraftColumnBridge.expression(vec), centroids))
+}
+
+/** All-centroid cosine vector: same math/rounding as [[NearestCentroid]],
+  * but returns every centroid's 6-dp cosine (for multi-probe bucket
+  * ranking). Still one fused zero-shuffle pass per row. */
+case class CentroidSims(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val centroidNorms: Array[Double] =
+    matrix.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val out = new Array[Any](matrix.length)
+    var c = 0
+    while (c < matrix.length) {
+      val cent = matrix(c)
+      var dot = 0.0; var na = 0.0
+      var i = 0
+      while (i < n) {
+        val v = vec.getFloat(i).toDouble
+        dot += v * cent(i); na += v * v
+        i += 1
+      }
+      out(c) = new JBigDecimal(
+        java.lang.Double.toString(dot / math.sqrt(na) / centroidNorms(c)))
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def prettyName: String = "centroid_sims"
 }

@@ -181,6 +181,21 @@ class ExtSpec extends SparkSpec {
     assert(joined.where(col("sim") > col("best")).count() == 0)
   }
 
+  test("multi-probe IVF: recall vs brute truth >= single-probe recall; " +
+      "probing 2 buckets can only add candidates") {
+    val truth = Similarity.knnBrute(spark, sf, nQueries = 10, k = 3)
+      .select(col("query_id"), col("cand_id"))
+    val one = Similarity.annIvf(spark, sf)
+      .select(col("query_id"), col("cand_id"))
+    val two = Similarity.annMultiProbe(spark, sf)
+      .select(col("query_id"), col("cand_id"))
+    val total = truth.count().toDouble
+    val recall1 = truth.intersect(one).count() / total
+    val recall2 = truth.intersect(two).count() / total
+    assert(recall2 >= recall1,
+      s"multi-probe recall $recall2 < single-probe $recall1")
+  }
+
   test("quality + tokens: ratios in range, token counts consistent") {
     val q = TextAnalysis.qualityScore(spark, sf)
     assert(q.where(col("ttr") <= 0 || col("ttr") > 1).count() == 0)
