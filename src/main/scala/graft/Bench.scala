@@ -24,6 +24,7 @@ object Bench {
     "x4_dedup_simhash", "x5_knn_brute", "x6_ann_ivf", "x8_quality",
     "x10_fingerprint", "x13_dedup_embed", "x15_tfidf",
     "x19_simhash_pairs", "x20_dedup_embed_lsh", "x21_dup_clusters",
+    "x22_bm25_search", "x23_ann_multiprobe", "x24_unigram_logprob",
     "kq10_schema_evolution")
 
   def main(args: Array[String]): Unit = {

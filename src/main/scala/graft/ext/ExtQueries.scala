@@ -55,7 +55,9 @@ object ExtQueries {
     "x22_bm25_search" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bm25Search(s, d)),
     "x23_ann_multiprobe" -> ((s: SparkSession, d: String) =>
-      Similarity.annMultiProbe(s, d))
+      Similarity.annMultiProbe(s, d)),
+    "x24_unigram_logprob" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.unigramLogprob(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -460,6 +462,25 @@ object ExtQueries {
     },
 
     "x22_bm25_search" -> bm25OracleSql(Bm25Terms, 20),
+
+    // x24: per-token log-probs rounded to 9dp then summed as EXACT
+    // DECIMAL — the order-independence trick that makes a sum of doubles
+    // cross-engine deterministic.
+    "x24_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |total AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM toks),
+        |freq AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1),
+        |lp AS (SELECT doc_id,
+        |    CAST(round(ln(CAST(n_tok AS DOUBLE) / n_total), 9)
+        |         AS DECIMAL(28,12)) AS lp
+        |  FROM toks JOIN freq USING (tok), total),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS sum_lp
+        |        FROM lp GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(sum_lp AS DOUBLE) / n_tokens, 6) AS avg_logprob,
+        |  round(CAST(sum_lp AS DOUBLE) / n_tokens, 6) >= -8.0 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "x14_media_frames" ->
       """WITH f AS (

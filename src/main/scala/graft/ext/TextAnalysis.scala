@@ -224,6 +224,45 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram language-model scoring — the perplexity-style quality filter
+   * of CCNet-like pipelines: score every document by the mean log
+   * probability of its tokens under the corpus unigram distribution
+   * (rare-garbage-heavy docs score low and get dropped). Self-scored
+   * here (the LM is the corpus itself); production swaps in a reference
+   * corpus' frequency table — the plan is identical: one aggregation for
+   * the frequency table, one token↔freq join, one per-doc aggregation.
+   *
+   * Determinism: a per-doc SUM of double log-probs would depend on
+   * partitioning/merge order. Instead each token's log-prob is rounded
+   * to 9 dp and summed as DECIMAL(28,12) — exact, order-independent
+   * addition — then divided by the token count. ln() outputs never land
+   * on .5e-9 decimal boundaries (a double's decimal expansion doesn't
+   * terminate at digit 10), so the rounding itself can't diverge between
+   * engines either.
+   */
+  def unigramLogprob(spark: SparkSession, dir: String,
+      cutoff: Double = -8.0): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .withColumn("lp",
+        round(log(col("n_tok").cast("double") / col("n_total")), 9)
+          .cast("decimal(28,12)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp")).as("sum_lp")) // decimal: exact, order-independent
+      .withColumn("avg_logprob",
+        round(col("sum_lp").cast("double") / col("n_tokens"), 6))
+      .withColumn("keep", col("avg_logprob") >= cutoff)
+      .select(col("doc_id"), col("n_tokens"), col("avg_logprob"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * PII anonymization pass over the event log: stable pseudonymous key
    * (sha-256 of the raw key — joinable but not reversible), digits in the
    * free-form payload redacted. The standard pre-release scrub of a
