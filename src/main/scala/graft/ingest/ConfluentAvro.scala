@@ -55,7 +55,12 @@ private[ingest] trait WireFormatDecode {
   @transient private lazy val readers =
     new java.util.concurrent.ConcurrentHashMap[Int, GenericDatumReader[Any]]
 
-  /** Validate framing, read the schema id, return the resolved reader. */
+  /** Validate framing, read the schema id, return the resolved reader.
+    * A single-entry writer map is the single-schema convenience overload:
+    * real registries rarely assign id 1, so any unknown id falls back to
+    * that one supplied schema (the pre-dispatch behavior externally
+    * produced frames rely on). Multi-entry maps are registry stand-ins
+    * where a miss is a genuine config error — those stay strict. */
   protected def readerFor(bytes: Array[Byte]): GenericDatumReader[Any] = {
     if (bytes.length < 5 || bytes(0) != 0)
       throw new IllegalArgumentException(
@@ -63,7 +68,8 @@ private[ingest] trait WireFormatDecode {
     val id = ByteBuffer.wrap(bytes, 1, 4).getInt
     readers.computeIfAbsent(id, { _ =>
       val writerJson = writerSchemas.getOrElse(id,
-        throw new IllegalArgumentException(
+        if (writerSchemas.size == 1) writerSchemas.head._2
+        else throw new IllegalArgumentException(
           s"schema id $id not registered (known: ${writerSchemas.keys.toSeq.sorted.mkString(",")})"))
       // writer→reader resolution = the Avro spec's evolution rules
       new GenericDatumReader[Any](
@@ -229,10 +235,13 @@ object ConfluentAvro {
             .asScala.map(toCatalyst(_, el)).toArray)
         case Schema.Type.MAP =>
           val vt = s.getValueType
-          val m = value.asInstanceOf[java.util.Map[Any, Any]].asScala
+          // one entrySet pass: keys/values stay paired even if the map's
+          // iteration order isn't stable across traversals
+          val entries = value.asInstanceOf[java.util.Map[Any, Any]]
+            .entrySet().asScala.toArray
           ArrayBasedMapData(
-            m.keys.map(k => UTF8String.fromString(String.valueOf(k))).toArray,
-            m.values.map(toCatalyst(_, vt)).toArray)
+            entries.map(e => UTF8String.fromString(String.valueOf(e.getKey))),
+            entries.map(e => toCatalyst(e.getValue, vt)))
         case Schema.Type.RECORD =>
           val rec = value.asInstanceOf[GenericRecord]
           val fields = s.getFields.asScala

@@ -52,7 +52,9 @@ case class ConfluentAvroEncode(child: Expression, schemaJson: String,
         } else ByteBuffer.wrap(unscaled)
       case (Schema.Type.INT, _: LogicalTypes.Date) => value // days both sides
       case (Schema.Type.LONG, _: LogicalTypes.TimestampMillis) =>
-        java.lang.Long.valueOf(value.asInstanceOf[Long] / 1000L) // micros→ms
+        // floorDiv, not /: pre-epoch timestamps with sub-ms components must
+        // round toward -∞ or decode(encode(x)) drifts by 1ms
+        java.lang.Long.valueOf(Math.floorDiv(value.asInstanceOf[Long], 1000L))
       case (Schema.Type.LONG, _: LogicalTypes.TimestampMicros) => value
       case (t, _) => t match {
         case Schema.Type.STRING => value.asInstanceOf[UTF8String].toString

@@ -124,19 +124,47 @@ class AvroPipelineSpec extends SparkSpec {
     }
   }
 
-  test("decode rejects an unregistered schema id") {
+  test("single-schema decode falls back to the supplied schema for any " +
+      "registry id (real registries rarely assign id 1)") {
     import graft.ingest.ConfluentAvroEncode
     val src = records("foo", Seq(
       ("1", frame(fooSchema, "foo" -> "bar", "bar" -> 1), 0L)))
-    // re-frame under id 7, then decode with only id 1 registered
+    // re-frame under id 7, then decode through the single-schema overload
+    val reframed = src.withColumn("value",
+      ConfluentAvroEncode.encode(
+        ConfluentAvro.decodeStruct(col("value"), fooSchema), fooSchema, 7))
+    val row = reframed
+      .select(ConfluentAvro.decodeStruct(col("value"), fooSchema).as("v"))
+      .select($"v.*").head()
+    assert(row.getString(0) == "bar" && row.getInt(1) == 1)
+  }
+
+  test("explicit registry map stays strict: unknown schema id throws") {
+    import graft.ingest.ConfluentAvroEncode
+    val src = records("foo", Seq(
+      ("1", frame(fooSchema, "foo" -> "bar", "bar" -> 1), 0L)))
     val reframed = src.withColumn("value",
       ConfluentAvroEncode.encode(
         ConfluentAvro.decodeStruct(col("value"), fooSchema), fooSchema, 7))
     val ex = intercept[Exception] {
-      reframed.select(
-        ConfluentAvro.decodeStruct(col("value"), fooSchema)).collect()
+      reframed.select(ConfluentAvro.decodeStruct(col("value"),
+        Map(1 -> fooSchema, 2 -> barSchema), fooSchema)).collect()
     }
     assert(ex.getMessage.contains("7") || ex.getCause != null)
+  }
+
+  test("timestamp-millis encode floors pre-epoch sub-ms values (no drift)") {
+    import graft.ingest.ConfluentAvroEncode
+    val s = """{"type":"record","name":"T","fields":[
+      |{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}"""
+      .stripMargin
+    // -1500 µs = 1969-12-31T23:59:59.9985Z: a millis schema must floor to
+    // -2 ms (toward -∞), not truncate to -1 ms
+    val us = spark.sql("SELECT named_struct('ts', timestamp_micros(-1500)) AS v")
+      .withColumn("bytes", ConfluentAvroEncode.encode(col("v"), s))
+      .select(ConfluentAvro.decodeStruct(col("bytes"), s).as("d"))
+      .select(unix_micros($"d.ts")).head().getLong(0)
+    assert(us == -2000L)
   }
 
   // full Avro type surface: each type encodes → decodes to the identical
