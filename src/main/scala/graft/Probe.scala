@@ -23,11 +23,12 @@ object Probe {
     }
 
     time("warmup")(graft.ingest.Tables.load(spark, dir, "events").count())
-    val hist = SparkEntry.queries("kq1_discover_hist")(spark, dir)
-    time("kq1_discover_hist")(hist.write.format("noop").mode("overwrite").save())
-    hist.explain("formatted")
-    val x4 = SparkEntry.queries("x4_dedup_simhash")(spark, dir)
-    time("x4_simhash")(x4.write.format("noop").mode("overwrite").save())
+    val x22 = SparkEntry.queries("x22_bm25_search")(spark, dir)
+    time("x22_bm25")(x22.write.format("noop").mode("overwrite").save())
+    x22.explain("formatted")
+    val x19 = SparkEntry.queries("x19_simhash_pairs")(spark, dir)
+    time("x19_simhash_pairs")(x19.write.format("noop").mode("overwrite").save())
+    time("x19_simhash_pairs run2")(x19.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -217,7 +217,14 @@ object TextAnalysis {
       .where(col("score") > 0)
       .orderBy(col("score").desc, id)
       .limit(k)
-    val w = Window.orderBy(col("score").desc, id)
+    // the frame is ≤ k rows (post-limit), so a single partition is exactly
+    // right. The partition key is a non-foldable zero: a literal would be
+    // constant-folded out of the spec and WindowExec would warn as if the
+    // frame were unbounded ((score - score) can't be folded — NaN/∞
+    // semantics — but is 0.0 for every finite score, and scores here are
+    // finite by construction).
+    val w = Window.partitionBy(col("score") - col("score"))
+      .orderBy(col("score").desc, id)
     top.withColumn("rank", row_number().over(w))
       .select(id, col("score"), col("rank"))
       .orderBy(col("rank"))
