@@ -262,6 +262,80 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate clusters via ALTERNATING LARGE-STAR/SMALL-STAR
+   * connected components (Kiveris et al., "Connected Components in
+   * MapReduce and Beyond", SOCC'14) — the web-scale alternative to
+   * [[dupClusters]]'s min-label propagation. Label propagation needs
+   * diameter-many rounds; the star operations contract paths aggressively
+   * and converge in O(log n) rounds on ANY graph shape, which is what a
+   * production dedup graph (long chains of pairwise-similar crawl dups)
+   * requires. Same fixpoint, same output contract and oracle as
+   * [[dupClusters]]: every doc labeled with its component's minimum id.
+   *
+   * Edges are kept canonical (larger → smaller). Each round is two
+   * rounds of grouped MIN-aggregation + equi-join on the node key — the
+   * same shuffle shape as any large groupBy, deterministic under any
+   * partitioning because every update is a MIN:
+   *  - large-star: every node links its LARGER neighbors to the minimum
+   *    of its closed neighborhood;
+   *  - small-star: every node links its smaller neighbors (and itself)
+   *    to that minimum.
+   * Convergence (checked as edge-set equality, two anti-joins) leaves a
+   * star per component: every non-root points directly at the component
+   * min.
+   */
+  def dupClustersStars(spark: SparkSession, dir: String,
+      maxRounds: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val pairs = minhashLshPairs(spark, dir).select(col("d1"), col("d2"))
+    var edges = pairs.select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint() // pair generation runs once; lineage stays flat
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v"), col("u"))).toDF("u", "v")
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("nmin"), col("u")).as("m"))
+      sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct() // v > u >= m: canonical orientation preserved
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical input: every neighbor v < u, so min(N) is the closed-
+      // neighborhood min too
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+
+    var round = 0
+    var converged = edges.isEmpty // an edgeless corpus is already done
+    while (round < maxRounds && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dupClustersStars did not converge in $maxRounds rounds")
+    // fixpoint is a star: one parent per non-root (min() guards anyway)
+    val roots = edges.groupBy(col("u")).agg(min(col("v")).as("root"))
+      .withColumnRenamed("u", "doc_id")
+    val labels = docs.join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * SimHash Hamming-neighbor pairs: all doc pairs whose 32-bit simhash
    * signatures differ in ≤ `maxHamming` bits — the real simhash dedup
    * predicate ([[simhash]]'s exact-equality clustering is its Hamming-0

@@ -57,7 +57,9 @@ object ExtQueries {
     "x23_ann_multiprobe" -> ((s: SparkSession, d: String) =>
       Similarity.annMultiProbe(s, d)),
     "x24_unigram_logprob" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.unigramLogprob(s, d))
+      TextAnalysis.unigramLogprob(s, d)),
+    "x26_dup_clusters_stars" -> ((s: SparkSession, d: String) =>
+      Dedup.dupClustersStars(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -220,6 +222,23 @@ object ExtQueries {
     // reachable doc_id, exactly the fixpoint the Spark min-label
     // propagation converges to.
     "x21_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS d, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT re.d, e.dst AS r FROM reach re JOIN edges e ON re.r = e.src),
+         |lab AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT doc_id, cluster_id, cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    // x26: large-star/small-star CC reaches the same fixpoint as x21's
+    // label propagation — the oracle is the identical reachability closure
+    "x26_dup_clusters_stars" ->
       s"""WITH RECURSIVE pairs AS (
          |$minhashPairsSql),
          |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs

@@ -353,6 +353,92 @@ object RelQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /**
+   * AS-OF JOIN — the time-series join Spark has no native operator for:
+   * attribute every event to the same user's most recent `signup` event
+   * at-or-before it (the session/attribution join of log analytics;
+   * kafana users run the equivalent "latest state as of t" lookup against
+   * the changelog). Deterministic contract: latest `signup.ts ≤ event.ts`,
+   * ties on ts broken by the larger signup event_id; events with no prior
+   * signup keep NULLs (left as-of).
+   *
+   * Implemented as ONE window pass instead of an inequality join: tag
+   * signup rows, order each user's events by (ts, signup-first, event_id)
+   * and take `last(signup, ignoreNulls)` over the unbounded-preceding
+   * frame. The plan is a single shuffle on user_id + one sort — per-row
+   * cost O(1), no per-event fanout over the user's signup history the way
+   * the naive `s.ts <= e.ts` join explodes (that quadratic-per-key join is
+   * exactly what the DuckDB oracle runs). At 100 TB this is the only
+   * shape that survives: time-partitioned inputs arrive pre-sorted and
+   * the window degenerates to a streaming merge per key.
+   */
+  def q22AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val isSig = col("event_type") === "signup"
+    val tagged = ev.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"),
+      when(isSig, col("event_id")).as("sid"),
+      when(isSig, col("ts")).as("sts"),
+      when(isSig, lit(1)).otherwise(lit(0)).as("is_sig"))
+    // signup rows sort BEFORE non-signup rows at equal ts (is_sig desc), so
+    // a signup at exactly event.ts is visible to that event; among equal-ts
+    // signups the largest event_id sorts last and wins
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_sig").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("sig_id", last(col("sid"), ignoreNulls = true).over(w))
+      .withColumn("sig_ts", last(col("sts"), ignoreNulls = true).over(w))
+      .where(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("sig_id"), col("sig_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("sig_ts")))
+          .as("us_since_signup"))
+      .orderBy(col("event_id"))
+  }
+
+  /**
+   * RANGE (interval) JOIN, bucketized — "blast radius": for every `error`
+   * event, how many events (and distinct users) occurred in the 5 minutes
+   * strictly before it. A time-range join has no equi-key, so the naive
+   * plan is a nested-loop over errors × events (what the DuckDB oracle
+   * runs — fine at fixture scale, quadratic at any real one).
+   *
+   * The scale shape: quantize time into window-sized buckets. A 5-minute
+   * interval overlaps at most 2 buckets, so each error probes exactly its
+   * bucket and the previous one (a 2-row explode of the tiny error side),
+   * the join becomes a shuffled EQUI-join on the bucket key, and the exact
+   * `[ts−5m, ts)` predicate filters the bucket-mates. Each (error, event)
+   * pair can meet in only one bucket (the event's own), so no dedup step
+   * is needed. Fanout is bounded by events-per-bucket — data-density, not
+   * N² — and both sides shuffle-partition on the bucket key exactly like
+   * any large join. Counts aggregate per error; errors with an empty
+   * window re-enter via a left join with 0s.
+   */
+  def q23RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val win = 300000000L // 5 minutes in µs
+    val ev = Tables.load(spark, dir, "events")
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("e_us"))
+    // `div` (integral division) for the bucket id: double `/` + cast could
+    // round across a boundary for µs-scale longs
+    val facts = ev.select(unix_micros(col("ts")).as("f_us"), col("user_id"))
+      .withColumn("bucket", expr(s"f_us div $win"))
+    val probes = errs.withColumn("bucket",
+      explode(array(expr(s"(e_us div $win) - 1"), expr(s"e_us div $win"))))
+    val counts = probes.join(facts, "bucket")
+      .where(col("f_us") >= col("e_us") - win && col("f_us") < col("e_us"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_events_5m"),
+        countDistinct(col("user_id")).as("n_users_5m"))
+    errs.select(col("event_id"))
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_events_5m"), lit(0L)).as("n_events_5m"),
+        coalesce(col("n_users_5m"), lit(0L)).as("n_users_5m"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -376,7 +462,9 @@ object RelQueries {
     "q18_cube" -> (q18Cube _),
     "q19_hash_sample" -> (q19HashSample _),
     "q20_sketch" -> (q20Sketch _),
-    "q21_stats" -> (q21Stats _)
+    "q21_stats" -> (q21Stats _),
+    "q22_asof_join" -> (q22AsofJoin _),
+    "q23_range_join" -> (q23RangeJoin _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -565,6 +653,43 @@ object RelQueries {
         |        (sqrt(s2 - s1 * s1 / n) * sqrt(sdd - sd * sd / n)), 6)
         |    AS corr_qty_disc,
         |  n_rows AS n
-        |FROM m ORDER BY l_returnflag""".stripMargin
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // q22: the oracle mirrors the window formulation (not DuckDB's native
+    // ASOF JOIN) so the equal-ts tiebreak — signup visible at its own ts,
+    // larger event_id wins — is bit-identical on both engines.
+    "q22_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type = 'signup' THEN event_id END AS sid,
+        |    CASE WHEN event_type = 'signup' THEN ts END AS sts,
+        |    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_sig
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(sid IGNORE NULLS) OVER w_asof AS sig_id,
+        |    last_value(sts IGNORE NULLS) OVER w_asof AS sig_ts
+        |  FROM tagged
+        |  WINDOW w_asof AS (PARTITION BY user_id
+        |    ORDER BY ts, is_sig DESC, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, event_type, sig_id, sig_ts,
+        |  epoch_us(ts) - epoch_us(sig_ts) AS us_since_signup
+        |FROM w WHERE event_type <> 'signup' ORDER BY event_id""".stripMargin,
+
+    // q23: the oracle runs the naive inequality join the bucketed plan
+    // replaces — identical output, quadratic plan (fixture-scale only).
+    "q23_range_join" ->
+      """WITH err AS (SELECT event_id, epoch_us(ts) AS us FROM events
+        |             WHERE event_type = 'error'),
+        |f AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+        |c AS (SELECT e.event_id, count(*) AS n_events_5m,
+        |             count(DISTINCT f.user_id) AS n_users_5m
+        |      FROM err e JOIN f
+        |        ON f.us >= e.us - 300000000 AND f.us < e.us
+        |      GROUP BY 1)
+        |SELECT e.event_id, COALESCE(n_events_5m, 0) AS n_events_5m,
+        |       COALESCE(n_users_5m, 0) AS n_users_5m
+        |FROM err e LEFT JOIN c USING (event_id) ORDER BY event_id""".stripMargin
   )
 }

@@ -156,6 +156,14 @@ class ExtSpec extends SparkSpec {
     assert(total == 500)
   }
 
+  test("large-star/small-star CC reaches the identical fixpoint as " +
+      "min-label propagation") {
+    val stars = Dedup.dupClustersStars(spark, sf)
+    val prop = Dedup.dupClusters(spark, sf)
+    assert(stars.except(prop).isEmpty && prop.except(stars).isEmpty,
+      "star-contraction CC disagrees with label propagation")
+  }
+
   test("simhash: 32-bit signatures, cluster sizes consistent") {
     val s = Dedup.simhash(spark, sf)
     assert(s.count() == 500)

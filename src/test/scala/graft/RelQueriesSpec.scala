@@ -63,4 +63,50 @@ class RelQueriesSpec extends SparkSpec {
       if (name != "q13_anti") assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
+
+  test("q22 as-of join equals the brute-force inequality join; plan is a " +
+      "single window pass (no nested-loop join)") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+    val sig = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts").as("sts"),
+        col("event_id").as("sid"))
+    // brute force: left inequality join, keep latest signup (ts, then id)
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("sts").desc_nulls_last, col("sid").desc_nulls_last)
+    val brute = ev.where(col("event_type") =!= "signup")
+      .join(sig, col("user_id") === col("su") && col("sts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("event_id"), col("sid").as("sig_id"), col("sts").as("sig_ts"))
+    val asof = RelQueries.q22AsofJoin(spark, sf)
+      .select(col("event_id"), col("sig_id"), col("sig_ts"))
+    assert(asof.except(brute).isEmpty && brute.except(asof).isEmpty,
+      "as-of join disagrees with brute-force inequality join")
+    val p = plan(RelQueries.q22AsofJoin(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q23 bucketed range join equals the brute-force interval join; no " +
+      "nested-loop join in the plan") {
+    val win = 300000000L
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+    val errs = ev.where(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("e_us"))
+    val facts = ev.select(unix_micros(col("ts")).as("f_us"), col("user_id"))
+    val counts = errs.crossJoin(facts)
+      .where(col("f_us") >= col("e_us") - win && col("f_us") < col("e_us"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_events_5m"),
+        countDistinct(col("user_id")).as("n_users_5m"))
+    val brute = errs.select(col("event_id")).join(counts, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_events_5m"), lit(0L)).as("n_events_5m"),
+        coalesce(col("n_users_5m"), lit(0L)).as("n_users_5m"))
+    val bucketed = RelQueries.q23RangeJoin(spark, sf)
+    assert(bucketed.except(brute).isEmpty && brute.except(bucketed).isEmpty,
+      "bucketed range join disagrees with brute-force interval join")
+    val p = plan(RelQueries.q23RangeJoin(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
 }
