@@ -439,6 +439,29 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /**
+   * Salted hot-key join — [[Skew.saltedEquiJoin]] as a contract query.
+   * `events.event_type` has ~5 distinct values: the classic skewed key
+   * where an unsalted shuffle join lands each key's millions of rows on
+   * ONE task. The salt (derived from the high-cardinality event_id)
+   * spreads every hot key across 8 tasks; the dim side is replicated
+   * 8× (tiny), and the result is bit-identical to the plain join — only
+   * the physical partitioning changes ([[graft.SkewSpec]] pins the
+   * (key, _salt) exchange). This composes with, not replaces, AQE's
+   * skew-join: AQE splits oversized SMJ partitions at runtime, salting
+   * fixes the aggregation-feed and shuffle-hash cases AQE can't.
+   */
+  def q24SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val fact = ev.select(col("event_id"), col("event_type"))
+    val dim = ev.groupBy(col("event_type"))
+      .agg(round(sum(dec4(col("value"))).cast("double") / count(lit(1)), 4)
+        .as("type_avg"))
+    Skew.saltedEquiJoin(fact, dim, "event_type", factId = col("event_id"))
+      .select(col("event_id"), col("event_type"), col("type_avg"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -464,7 +487,8 @@ object RelQueries {
     "q20_sketch" -> (q20Sketch _),
     "q21_stats" -> (q21Stats _),
     "q22_asof_join" -> (q22AsofJoin _),
-    "q23_range_join" -> (q23RangeJoin _)
+    "q23_range_join" -> (q23RangeJoin _),
+    "q24_salted_join" -> (q24SaltedJoin _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -690,6 +714,16 @@ object RelQueries {
         |      GROUP BY 1)
         |SELECT e.event_id, COALESCE(n_events_5m, 0) AS n_events_5m,
         |       COALESCE(n_users_5m, 0) AS n_users_5m
-        |FROM err e LEFT JOIN c USING (event_id) ORDER BY event_id""".stripMargin
+        |FROM err e LEFT JOIN c USING (event_id) ORDER BY event_id""".stripMargin,
+
+    // q24: salting changes only the physical partitioning — the oracle is
+    // the plain unsalted join.
+    "q24_salted_join" ->
+      """WITH dim AS (SELECT event_type,
+        |    round(CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE)
+        |          / COUNT(*), 4) AS type_avg
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, type_avg
+        |FROM events JOIN dim USING (event_type) ORDER BY event_id""".stripMargin
   )
 }
