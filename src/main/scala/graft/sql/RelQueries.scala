@@ -462,6 +462,40 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /**
+   * SESSIONIZATION — gap-based session assignment, the batch counterpart
+   * of [[graft.streaming.StreamPipeline]]'s `session_window`: a user's
+   * events belong to one session until a silence of > 30 minutes; each
+   * session reports its event count, bounds and duration. The classic
+   * "islands" formulation: `lag` marks session starts, a running sum
+   * numbers them, one aggregation folds events into sessions — two
+   * window passes + the aggregation all over the SAME user_id
+   * partitioning, so the plan is one shuffle total; at 100 TB this is a
+   * per-key linear scan, no self-joins. All arithmetic is integer µs —
+   * bit-identical across engines (DuckDB's window SUM yields HUGEINT,
+   * cast to BIGINT in the oracle).
+   */
+  def q25Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800000000L // 30 minutes
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapped = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+    gapped
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   // ------------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -488,7 +522,8 @@ object RelQueries {
     "q21_stats" -> (q21Stats _),
     "q22_asof_join" -> (q22AsofJoin _),
     "q23_range_join" -> (q23RangeJoin _),
-    "q24_salted_join" -> (q24SaltedJoin _)
+    "q24_salted_join" -> (q24SaltedJoin _),
+    "q25_sessionize" -> (q25Sessionize _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -724,6 +759,25 @@ object RelQueries {
         |          / COUNT(*), 4) AS type_avg
         |  FROM events GROUP BY 1)
         |SELECT event_id, event_type, type_avg
-        |FROM events JOIN dim USING (event_type) ORDER BY event_id""".stripMargin
+        |FROM events JOIN dim USING (event_type) ORDER BY event_id""".stripMargin,
+
+    "q25_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  max(us) - min(us) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
   )
 }

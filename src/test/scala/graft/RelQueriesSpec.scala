@@ -109,4 +109,32 @@ class RelQueriesSpec extends SparkSpec {
     val p = plan(RelQueries.q23RangeJoin(spark, sf))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q25 sessionization matches an independent per-user reconstruction") {
+    val out = RelQueries.q25Sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .where(col("user_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      var idx = 0L
+      var prev = Long.MinValue
+      val sessions = scala.collection.mutable.Map[Long, List[Long]]()
+      sorted.foreach { case (_, _, us) =>
+        if (prev == Long.MinValue || us - prev > 1800000000L) idx += 1
+        sessions(idx) = us :: sessions.getOrElse(idx, Nil)
+        prev = us
+      }
+      sessions.foreach { case (sidx, uss) =>
+        assert(out((uid, sidx)) == ((uss.size.toLong, uss.min, uss.max)),
+          s"user $uid session $sidx")
+      }
+    }
+    // every event lands in exactly one session
+    val total = out.values.map(_._1).sum
+    assert(total == graft.ingest.Tables.load(spark, sf, "events").count())
+  }
 }
