@@ -1,33 +1,58 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /**
  * SQL registration of graft's native expressions, so the `spark.sql`
  * surface (the strict superset of Kibana's query surface, SURVEY.md §2.3)
- * can call them by name alongside the built-ins:
+ * can call them by name alongside the built-ins.
+ *
+ * Two installation paths:
+ *  - per-session: {{{ GraftFunctions.register(spark) }}} (temp functions
+ *    in the current session state only);
+ *  - cluster-wide: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+ *    — the standard [[SparkSessionExtensions]] hook, so EVERY session
+ *    state built on the cluster (spark-sql CLI, Thrift server, notebook
+ *    `newSession()`s) resolves the functions without any driver-side
+ *    registration call.
  *
  * {{{
- *   GraftFunctions.register(spark)
  *   spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
  * }}}
  */
 object GraftFunctions {
 
+  /** name → builder, shared by both installation paths. */
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" ->
+      (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "simhash32" ->
+      (exprs => SimHash32(exprs.head)),
+    "word_shingles" ->
+      (exprs => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])),
+    "confluent_avro_decode" ->
+      (exprs => {
+        val schema = exprs(1).eval().toString
+        graft.ingest.ConfluentAvroDecode(exprs.head, Map(1 -> schema), schema)
+      })
+  )
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    registry.createOrReplaceTempFunction("simhash32",
-      exprs => SimHash32(exprs.head), "scala_udf")
-    registry.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
-    registry.createOrReplaceTempFunction("confluent_avro_decode",
-      exprs => {
-        val schema = exprs(1).eval().toString
-        graft.ingest.ConfluentAvroDecode(exprs.head,
-          Map(1 -> schema), schema)
-      }, "scala_udf")
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
+}
+
+/** The `spark.sql.extensions` entry point (see [[GraftFunctions]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
 }

@@ -233,6 +233,20 @@ class ExtSpec extends SparkSpec {
     assert(f1.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 1000000007L))
   }
 
+  test("GraftExtensions injects the native functions into every session " +
+      "state (newSession resolves them with no register() call)") {
+    // a fresh session state: temp functions from register() do NOT carry
+    // over, so resolution here proves the spark.sql.extensions path
+    val fresh = spark.newSession()
+    val r = fresh.sql(
+      """SELECT simhash32('a b c') AS h,
+        |  round(cosine_similarity(CAST(array(3.0, 4.0) AS ARRAY<FLOAT>),
+        |                          CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)), 6) AS c,
+        |  size(word_shingles('a b c d', 3)) AS n
+        |FROM (SELECT 1)""".stripMargin).head()
+    assert(r.getDouble(1) == 1.0 && r.getInt(2) == 2)
+  }
+
   test("native expressions callable from the spark.sql surface") {
     graft.functions.GraftFunctions.register(spark)
     graft.ingest.Tables.load(spark, sf, "embeddings")

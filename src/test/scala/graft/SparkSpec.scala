@@ -9,6 +9,10 @@ object SparkSpec {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // the cluster-deployment path for graft's native SQL functions: every
+    // session state built from this context resolves them (tested via
+    // newSession() in ExtSpec, which temp-function registration can't reach)
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
