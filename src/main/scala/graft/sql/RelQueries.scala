@@ -496,6 +496,38 @@ object RelQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /**
+   * FUNNEL — two-step conversion analysis (signup → purchase within 24 h),
+   * the sequence query product analytics runs over event logs. Per user:
+   * the FIRST signup, the first purchase AT OR AFTER that signup, the
+   * conversion lag and a converted-within-24h flag. Users who never sign
+   * up are excluded; signed-up users who never purchase stay with NULL
+   * purchase columns (the funnel's drop-off rows).
+   *
+   * Plan: one aggregation for first-signups (shuffle on user_id), a
+   * same-key equi-join back to the purchase events, one aggregation for
+   * first-qualifying-purchase, one left join — every stage keyed on
+   * user_id, so at scale the shuffles collapse into one partitioning.
+   * All comparisons are integer µs; MIN aggregations make the result
+   * independent of partitioning and encounter order.
+   */
+  def q26Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val firstSignup = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("signup_us"))
+    val firstPurchase = ev.where(col("event_type") === "purchase")
+      .join(firstSignup, "user_id")
+      .where(col("us") >= col("signup_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    firstSignup.join(firstPurchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_us"), col("purchase_us"),
+        (col("purchase_us") - col("signup_us")).as("lag_us"),
+        coalesce(col("purchase_us") - col("signup_us") <= 86400000000L,
+          lit(false)).as("converted_24h"))
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -523,7 +555,8 @@ object RelQueries {
     "q22_asof_join" -> (q22AsofJoin _),
     "q23_range_join" -> (q23RangeJoin _),
     "q24_salted_join" -> (q24SaltedJoin _),
-    "q25_sessionize" -> (q25Sessionize _)
+    "q25_sessionize" -> (q25Sessionize _),
+    "q26_funnel" -> (q26Funnel _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -778,6 +811,20 @@ object RelQueries {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us,
         |  max(us) - min(us) AS duration_us
-        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "q26_funnel" ->
+      """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+        |      FROM events e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'purchase'
+        |        AND epoch_us(e.ts) >= s.signup_us
+        |      GROUP BY 1)
+        |SELECT s.user_id, signup_us, purchase_us,
+        |  purchase_us - signup_us AS lag_us,
+        |  COALESCE(purchase_us - signup_us <= 86400000000, FALSE)
+        |    AS converted_24h
+        |FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id""".stripMargin
   )
 }

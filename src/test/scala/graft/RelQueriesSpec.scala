@@ -137,4 +137,29 @@ class RelQueriesSpec extends SparkSpec {
     val total = out.values.map(_._1).sum
     assert(total == graft.ingest.Tables.load(spark, sf, "events").count())
   }
+
+  test("q26 funnel matches a driver-side reconstruction for sampled users") {
+    val funnel = RelQueries.q26Funnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .where(col("user_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val signups = rows.filter(_._2 == "signup").map(_._3)
+      if (signups.isEmpty) assert(!funnel.contains(uid), s"user $uid")
+      else {
+        val s = signups.min
+        val r = funnel(uid)
+        assert(r.getLong(1) == s, s"user $uid signup")
+        val purchases = rows.filter(x => x._2 == "purchase" && x._3 >= s).map(_._3)
+        if (purchases.isEmpty) {
+          assert(r.isNullAt(2) && !r.getBoolean(4), s"user $uid no purchase")
+        } else {
+          assert(r.getLong(2) == purchases.min, s"user $uid purchase")
+          assert(r.getBoolean(4) == (purchases.min - s <= 86400000000L))
+        }
+      }
+    }
+  }
 }
