@@ -59,6 +59,45 @@ object ChangelogSink {
    * records are read or rewritten, which is the only retention strategy
    * that survives 100 TB.
    */
+  /**
+   * Small-file compaction for one (topic, date) partition — the nightly
+   * job behind any streaming append sink: `foreachBatch` writes one file
+   * per micro-batch per partition, and a day of 1-minute triggers leaves
+   * 1440 tiny files whose open/footer cost dominates scans. Rewrites the
+   * partition into `ceil(bytes / targetBytes)` files, staged into a
+   * dot-prefixed temp dir (invisible to concurrent readers — Spark's file
+   * listing skips `.`/`_` paths) and swapped in with O(#files) renames.
+   * Only this partition's bytes are rewritten; a whole-table compaction is
+   * this per-partition job fanned out over partitions, so the unit of
+   * work stays bounded no matter how large the table grows. Idempotent:
+   * re-running on a compact partition is a no-op. Returns the resulting
+   * file count.
+   */
+  def compactPartition(spark: SparkSession, path: String, topic: String,
+      date: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val part = new Path(s"$path/topic=$topic/date=$date")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(part)) return 0
+    val files = fs.listStatus(part)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (files.length <= 1) return files.length
+    val nOut = math.max(1,
+      math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    if (nOut >= files.length) return files.length // already compact
+    // reading the leaf dir yields exactly the data columns the files hold
+    // (partition values live in the directory name, not the files)
+    val df = spark.read.parquet(part.toString)
+    val tmp = new Path(path,
+      s".compact-$topic-$date-${System.nanoTime()}")
+    df.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    files.foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .foreach(f => fs.rename(f.getPath, new Path(part, f.getPath.getName)))
+    fs.delete(tmp, true)
+    nOut
+  }
+
   def dropPartitionsBefore(spark: SparkSession, path: String, cutoff: String): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

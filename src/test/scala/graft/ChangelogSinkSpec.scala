@@ -33,4 +33,28 @@ class ChangelogSinkSpec extends SparkSpec {
     val kept = ChangelogSink.read(spark, dir)
     assert(kept.agg(min(to_date($"timestamp"))).as[java.sql.Date].head().toString == maxDate)
   }
+
+  test("compaction: many small appended files collapse to the target " +
+      "count, content identical, re-run is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-compact").toString
+    val env = Pipeline.envelope(spark, sf)
+    // 5 appends = at least 5 files per (topic, date) partition
+    (1 to 5).foreach(_ => ChangelogSink.append(env, dir))
+    val before = ChangelogSink.read(spark, dir)
+    val beforeRows = before.collect().toSet
+    val date = before.agg(max(to_date($"timestamp")))
+      .as[java.sql.Date].head().toString
+    val partDir = new java.io.File(s"$dir/topic=events/date=$date")
+    val filesBefore = partDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 5, s"expected >=5 small files, got $filesBefore")
+
+    val n = ChangelogSink.compactPartition(spark, dir, "events", date)
+    val filesAfter = partDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == n && filesAfter < filesBefore,
+      s"files $filesBefore -> $filesAfter (n=$n)")
+    // content is byte-for-row identical across the whole table
+    assert(ChangelogSink.read(spark, dir).collect().toSet == beforeRows)
+    // idempotent: a second run keeps the file count
+    assert(ChangelogSink.compactPartition(spark, dir, "events", date) == filesAfter)
+  }
 }
