@@ -64,6 +64,16 @@ object SparkEntry {
       LogQueries.discoverHistogram(Pipeline.envelope(s, dir), "hour")
         .orderBy(col("bucket"))),
 
+    // ---- Q1c: histogram broken down by a field (Kibana's stacked-bar ----
+    // ---- viz: date_histogram + terms sub-aggregation) -------------------
+    "kq11_hist_breakdown" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"), col("event_type"))),
+
     // ---- Q2: search key across topics ------------------------------------
     "kq2_search_key" -> ((s, dir) =>
       Pipeline.envelopeFlat(s, dir)
@@ -141,6 +151,12 @@ object SparkEntry {
     "kq1_discover_hist" ->
       (envSql + """SELECT date_trunc('hour', "timestamp") AS bucket, count(*) AS n
         |FROM env GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    "kq11_hist_breakdown" ->
+      (envSql + """SELECT date_trunc('hour', "timestamp") AS bucket,
+        |  event_type, count(*) AS n
+        |FROM env WHERE event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin),
 
     "kq2_search_key" ->
       (envSql + """SELECT * FROM env WHERE "key" = '13' ORDER BY "offset""""),

@@ -315,7 +315,9 @@ object Dedup {
     var converged = edges.isEmpty // an edgeless corpus is already done
     while (round < maxRounds && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // both frames are distinct sets: equal counts + next ⊆ edges ⟺
+      // set equality — one anti-join instead of two
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
       edges = next
       round += 1
     }
