@@ -121,6 +121,25 @@ object SparkEntry {
         .where(col("key") === "13")
         .orderBy(col("topic"), col("offset"))),
 
+    // ---- Q1d: trend over the date histogram (Kibana moving-average / ----
+    // ---- serial-diff pipeline aggregations) -----------------------------
+    "kq12_trend" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Pipeline.envelopeFlat(s, dir)
+        .groupBy(col("topic"), date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      // per-topic trend: the window partitions on topic, so the sort is
+      // per-topic, not global — bounded by the per-topic bucket count
+      val w = Window.partitionBy(col("topic")).orderBy(col("bucket"))
+      hourly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("delta", col("n") - coalesce(col("prev_n"), col("n")))
+        .withColumn("ma3", round(
+          sum(col("n")).over(w.rowsBetween(-2, 0)).cast("double")
+            / least(row_number().over(w), lit(3)), 4))
+        .orderBy(col("topic"), col("bucket"))
+    }),
+
     // ---- S1/S2 + registry evolution: two writer schema versions, one ----
     // ---- topic, per-record id dispatch, reader-schema defaults ----------
     "kq10_schema_evolution" -> ((s, dir) =>
@@ -157,6 +176,21 @@ object SparkEntry {
         |  event_type, count(*) AS n
         |FROM env WHERE event_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin),
+
+    "kq12_trend" ->
+      (envSql + """, hourly AS (
+        |  SELECT topic, date_trunc('hour', "timestamp") AS bucket,
+        |         count(*) AS n
+        |  FROM env GROUP BY 1, 2)
+        |SELECT topic, bucket, n,
+        |  lag(n) OVER w AS prev_n,
+        |  n - COALESCE(lag(n) OVER w, n) AS delta,
+        |  round(CAST(SUM(n) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |             AS DOUBLE)
+        |        / least(row_number() OVER w, 3), 4) AS ma3
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY topic ORDER BY bucket)
+        |ORDER BY topic, bucket""".stripMargin),
 
     "kq2_search_key" ->
       (envSql + """SELECT * FROM env WHERE "key" = '13' ORDER BY "offset""""),
