@@ -46,6 +46,39 @@ object SparkEntry {
       |)
       |""".stripMargin
 
+  /** The heterogeneous two-topic changelog (events + orders) as DuckDB
+   * CTEs ending in `u` — the oracle view of [[Pipeline.multiTopicFlat]],
+   * shared by kq8 and kq12. */
+  private val multiEnvSql: String =
+    envSql.stripSuffix("\n") + """,
+      |oenv AS (
+      |  SELECT
+      |    concat('orders', '+', CAST(CAST(o_custkey % 4 AS INTEGER) AS VARCHAR),
+      |           '+', CAST(o_orderkey AS VARCHAR))     AS uid,
+      |    CAST(o_custkey AS VARCHAR)                   AS "key",
+      |    'orders'                                     AS topic,
+      |    CAST(o_custkey % 4 AS INTEGER)               AS "partition",
+      |    o_orderkey                                   AS "offset",
+      |    o_orderdate                                  AS "timestamp",
+      |    CAST(to_json(struct_pack(o_orderstatus := o_orderstatus,
+      |                             o_totalprice := o_totalprice,
+      |                             o_orderpriority := o_orderpriority))
+      |         AS VARCHAR)                             AS value_json,
+      |    o_orderstatus, o_totalprice, o_orderpriority
+      |  FROM orders),
+      |u AS (
+      |  SELECT uid, "key", topic, "partition", "offset", "timestamp",
+      |         event_type, "value", props, value_json,
+      |         NULL AS o_orderstatus, NULL AS o_totalprice,
+      |         NULL AS o_orderpriority
+      |  FROM env
+      |  UNION ALL
+      |  SELECT uid, "key", topic, "partition", "offset", "timestamp",
+      |         NULL AS event_type, NULL AS "value", NULL AS props,
+      |         value_json, o_orderstatus, o_totalprice, o_orderpriority
+      |  FROM oenv)
+      |""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     logQueries ++ graft.sql.RelQueries.queries ++ graft.ext.ExtQueries.queries
@@ -122,10 +155,14 @@ object SparkEntry {
         .orderBy(col("topic"), col("offset"))),
 
     // ---- Q1d: trend over the date histogram (Kibana moving-average / ----
-    // ---- serial-diff pipeline aggregations) -----------------------------
+    // ---- serial-diff pipeline aggregations), per topic across the ------
+    // ---- heterogeneous multi-topic changelog ----------------------------
     "kq12_trend" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val hourly = Pipeline.envelopeFlat(s, dir)
+      // the multi-topic frame keeps `topic` data-driven (a single-topic
+      // envelope's literal topic would constant-fold the partition key out
+      // of the window spec entirely)
+      val hourly = Pipeline.multiTopicFlat(s, dir)
         .groupBy(col("topic"), date_trunc("hour", col("timestamp")).as("bucket"))
         .agg(count(lit(1)).as("n"))
       // per-topic trend: the window partitions on topic, so the sort is
@@ -178,10 +215,11 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin),
 
     "kq12_trend" ->
-      (envSql + """, hourly AS (
+      (multiEnvSql.stripSuffix("\n") + """,
+        |hourly AS (
         |  SELECT topic, date_trunc('hour', "timestamp") AS bucket,
         |         count(*) AS n
-        |  FROM env GROUP BY 1, 2)
+        |  FROM u GROUP BY 1, 2)
         |SELECT topic, bucket, n,
         |  lag(n) OVER w AS prev_n,
         |  n - COALESCE(lag(n) OVER w, n) AS delta,
@@ -221,34 +259,8 @@ object SparkEntry {
       (envSql + """SELECT * FROM env ORDER BY "offset""""),
 
     "kq8_multi_topic" ->
-      (envSql.stripSuffix("\n") + """,
-        |oenv AS (
-        |  SELECT
-        |    concat('orders', '+', CAST(CAST(o_custkey % 4 AS INTEGER) AS VARCHAR),
-        |           '+', CAST(o_orderkey AS VARCHAR))     AS uid,
-        |    CAST(o_custkey AS VARCHAR)                   AS "key",
-        |    'orders'                                     AS topic,
-        |    CAST(o_custkey % 4 AS INTEGER)               AS "partition",
-        |    o_orderkey                                   AS "offset",
-        |    o_orderdate                                  AS "timestamp",
-        |    CAST(to_json(struct_pack(o_orderstatus := o_orderstatus,
-        |                             o_totalprice := o_totalprice,
-        |                             o_orderpriority := o_orderpriority))
-        |         AS VARCHAR)                             AS value_json,
-        |    o_orderstatus, o_totalprice, o_orderpriority
-        |  FROM orders),
-        |u AS (
-        |  SELECT uid, "key", topic, "partition", "offset", "timestamp",
-        |         event_type, "value", props, value_json,
-        |         NULL AS o_orderstatus, NULL AS o_totalprice,
-        |         NULL AS o_orderpriority
-        |  FROM env
-        |  UNION ALL
-        |  SELECT uid, "key", topic, "partition", "offset", "timestamp",
-        |         NULL AS event_type, NULL AS "value", NULL AS props,
-        |         value_json, o_orderstatus, o_totalprice, o_orderpriority
-        |  FROM oenv)
-        |SELECT * FROM u WHERE "key" = '13' ORDER BY topic, "offset"""".stripMargin),
+      (multiEnvSql +
+        """SELECT * FROM u WHERE "key" = '13' ORDER BY topic, "offset""""),
 
     // v1-written records (even event_id) surface the reader default for
     // the field added in v2 — DuckDB reconstructs that from the raw table
