@@ -362,7 +362,8 @@ object RelQueries {
    * ties on ts broken by the larger signup event_id; events with no prior
    * signup keep NULLs (left as-of).
    *
-   * Implemented as ONE window pass instead of an inequality join: tag
+   * Implemented by the generic [[TimeJoins.asof]] operator — ONE window
+   * pass instead of an inequality join: tag
    * signup rows, order each user's events by (ts, signup-first, event_id)
    * and take `last(signup, ignoreNulls)` over the unbounded-preceding
    * frame. The plan is a single shuffle on user_id + one sort — per-row
@@ -375,24 +376,16 @@ object RelQueries {
   def q22AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val isSig = col("event_type") === "signup"
-    val tagged = ev.select(col("event_id"), col("user_id"), col("ts"),
-      col("event_type"),
-      when(isSig, col("event_id")).as("sid"),
-      when(isSig, col("ts")).as("sts"),
-      when(isSig, lit(1)).otherwise(lit(0)).as("is_sig"))
-    // signup rows sort BEFORE non-signup rows at equal ts (is_sig desc), so
-    // a signup at exactly event.ts is visible to that event; among equal-ts
-    // signups the largest event_id sorts last and wins
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("is_sig").desc, col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    tagged
-      .withColumn("sig_id", last(col("sid"), ignoreNulls = true).over(w))
-      .withColumn("sig_ts", last(col("sts"), ignoreNulls = true).over(w))
-      .where(col("event_type") =!= "signup")
+    // the generic operator: signup rows at exactly event.ts are visible;
+    // equal-ts ties go to the max payload struct = the larger sig_id
+    val signups = ev.where(isSig).select(col("user_id"),
+      col("event_id").as("sig_id"), col("ts").as("sig_ts"))
+    val others = ev.where(!isSig).select(col("event_id"), col("user_id"),
+      col("ts"), col("event_type"))
+    TimeJoins.asof(others, signups, "user_id", "ts", "sig_ts")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
-        col("sig_id"), col("sig_ts"),
-        (unix_micros(col("ts")) - unix_micros(col("sig_ts")))
+        col("asof.sig_id").as("sig_id"), col("asof.sig_ts").as("sig_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.sig_ts")))
           .as("us_since_signup"))
       .orderBy(col("event_id"))
   }
@@ -478,16 +471,8 @@ object RelQueries {
   def q25Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = 1800000000L // 30 minutes
     val ev = Tables.load(spark, dir, "events")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val gapped = ev.select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
-          .otherwise(0))
-    gapped
-      .withColumn("session_idx",
-        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    TimeJoins.sessionize(ev, "user_id", col("us"), gapUs, col("event_id"))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"),
