@@ -117,6 +117,43 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /**
+   * SPAN-LEVEL duplication statistics — the C4/RefinedWeb preprocessing
+   * step that removes repeated SPANS rather than whole documents
+   * (boilerplate, navigation chrome, license blocks recur across pages
+   * whose full texts differ). Each doc is cut into consecutive
+   * `spanLen`-token spans; a span is "duplicated" when it occurs in MORE
+   * THAN ONE document (within-doc repeats don't count). Emits per doc its
+   * span count, duplicated-span count and the dup ratio — the signal a
+   * filtering pipeline thresholds on (or uses to excise the spans).
+   *
+   * Scale shape: one explode (≤ n_tokens/spanLen rows per doc), one
+   * aggregation on the 128-bit span hash (skew-free), one hash join back
+   * — the same one-shuffle-per-stage layout as [[exactDedup]], linear in
+   * corpus size. Span hashes are md5 so the DuckDB oracle reproduces
+   * them byte-for-byte.
+   */
+  def spanDupStats(spark: SparkSession, dir: String,
+      spanLen: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val nsp = floor(size(toks) / lit(spanLen)).cast("int")
+    val spans = docs.select(col("doc_id"),
+      explode(when(nsp >= 1,
+        transform(sequence(lit(0), nsp - 1), i =>
+          md5(concat_ws(" ", slice(toks, i * spanLen + 1, lit(spanLen)))
+            .cast("binary"))))
+        .otherwise(array().cast("array<string>"))).as("span_md5"))
+    val spanDf = spans.groupBy(col("span_md5"))
+      .agg(countDistinct(col("doc_id")).as("span_docs"))
+    spans.join(spanDf, "span_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_docs") > 1, 1).otherwise(0)).as("n_dup_spans"))
+      .withColumn("dup_ratio", round(col("n_dup_spans") / col("n_spans"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** k-th minhash of a shingle column: lexicographic min of the first 8 hex
     * chars of md5(k:shingle). Engine-reproducible (md5 is md5 everywhere). */
   private def minhashOf(k: Int, tok: Column): Column =

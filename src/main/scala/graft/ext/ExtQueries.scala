@@ -61,7 +61,9 @@ object ExtQueries {
     "x26_dup_clusters_stars" -> ((s: SparkSession, d: String) =>
       Dedup.dupClustersStars(s, d)),
     "x27_embed_quantize" -> ((s: SparkSession, d: String) =>
-      Similarity.quantizeInt8(s, d))
+      Similarity.quantizeInt8(s, d)),
+    "x28_span_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.spanDupStats(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -483,6 +485,27 @@ object ExtQueries {
     },
 
     "x22_bm25_search" -> bm25OracleSql(Bm25Terms, 20),
+
+    // x28: DuckDB list slicing toks[a:b] is 1-based inclusive, matching
+    // Spark's slice(toks, a, len); md5(varchar) == md5(string as binary).
+    "x28_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sp AS (SELECT doc_id,
+        |         md5(array_to_string(toks[CAST(i*10+1 AS INT) : CAST(i*10+10 AS INT)], ' '))
+        |           AS span_md5
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(CAST(floor(len(toks) / 10) AS BIGINT))) AS i
+        |             FROM t)),
+        |d AS (SELECT span_md5, count(DISTINCT doc_id) AS span_docs
+        |      FROM sp GROUP BY 1),
+        |a AS (SELECT doc_id, count(*) AS n_spans,
+        |        CAST(SUM(CASE WHEN span_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_dup_spans
+        |      FROM sp JOIN d USING (span_md5) GROUP BY 1)
+        |SELECT doc_id, n_spans, n_dup_spans,
+        |  round(n_dup_spans / n_spans, 6) AS dup_ratio
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // x27: identical double math — cast to DOUBLE[] first, floor(v·127/s
     // + 0.5) rounding, in-order error fold, zero-vector scale guard.

@@ -170,6 +170,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("span dedup: every doc covered, dup counts bounded, exact-duplicate " +
+      "docs have dup_ratio 1.0") {
+    val stats = Dedup.spanDupStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(stats.size == 500)
+    stats.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), r) // n_dup_spans <= n_spans
+    }
+    // span counts equal an independently computed floor(tokens/10) per doc
+    val expected = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), floor(size(split(col("text"), " ")) / 10).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    stats.foreach { case (d, r) => assert(r.getLong(1) == expected(d), s"doc $d") }
+    // docs in an exact-duplicate group (present at larger SFs) share every
+    // span with their twin
+    Dedup.exactDedup(spark, sf)
+      .where(col("group_size") > 1).select(col("doc_id")).collect()
+      .map(_.getLong(0)).foreach { d =>
+        assert(stats(d).getDouble(3) == 1.0, s"doc $d should be fully duplicated")
+      }
+  }
+
   test("large-star/small-star CC reaches the identical fixpoint as " +
       "min-label propagation") {
     val stars = Dedup.dupClustersStars(spark, sf)
