@@ -63,7 +63,9 @@ object ExtQueries {
     "x27_embed_quantize" -> ((s: SparkSession, d: String) =>
       Similarity.quantizeInt8(s, d)),
     "x28_span_dedup" -> ((s: SparkSession, d: String) =>
-      Dedup.spanDupStats(s, d))
+      Dedup.spanDupStats(s, d)),
+    "x29_significant_terms" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.significantTerms(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -485,6 +487,23 @@ object ExtQueries {
     },
 
     "x22_bm25_search" -> bm25OracleSql(Bm25Terms, 20),
+
+    "x29_significant_terms" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS fg_docs
+        |  FROM documents),
+        |st AS (SELECT term, count(DISTINCT doc_id) AS bg_df,
+        |    count(DISTINCT CASE WHEN source = 'src0' THEN doc_id END) AS fg_df
+        |  FROM toks GROUP BY 1)
+        |SELECT term, fg_df, bg_df,
+        |  round((CAST(fg_df AS DOUBLE) / fg_docs)
+        |        / (CAST(bg_df AS DOUBLE) / n_docs), 6) AS lift
+        |FROM st, tot WHERE fg_df >= 5
+        |ORDER BY lift DESC, term LIMIT 20""".stripMargin,
 
     // x28: DuckDB list slicing toks[a:b] is 1-based inclusive, matching
     // Spark's slice(toks, a, len); md5(varchar) == md5(string as binary).

@@ -231,6 +231,41 @@ object TextAnalysis {
   }
 
   /**
+   * SIGNIFICANT TERMS — Kibana's `significant_terms` aggregation: which
+   * terms are OVERREPRESENTED in a foreground slice (here `source =
+   * 'src0'`) relative to the whole corpus. Scored as the
+   * foreground-to-background document-frequency lift
+   * `(fg_df/fg_docs) / (bg_df/bg_docs)` with a minimum foreground
+   * support of 5 docs (Kibana's min_doc_count), top 20 by (lift, term).
+   *
+   * One distinct-token explode + one term-keyed aggregation computing
+   * BOTH frequencies in a single pass (conditional countDistinct), a
+   * broadcast of the 1-row totals — no per-term joins, no second corpus
+   * scan. Lift is integer counts through one fixed-order double
+   * expression, so both engines compute identical bits.
+   */
+  def significantTerms(spark: SparkSession, dir: String,
+      fgSource: String = "src0", minFgDf: Int = 5, k: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("source") === fgSource, 1).otherwise(0)).as("fg_docs"))
+    toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("bg_df"),
+        countDistinct(when(col("source") === fgSource, col("doc_id")))
+          .as("fg_df"))
+      .crossJoin(broadcast(totals))
+      .where(col("fg_df") >= minFgDf)
+      .withColumn("lift", round(
+        (col("fg_df").cast("double") / col("fg_docs"))
+          / (col("bg_df").cast("double") / col("n_docs")), 6))
+      .select(col("term"), col("fg_df"), col("bg_df"), col("lift"))
+      .orderBy(col("lift").desc, col("term"))
+      .limit(k)
+  }
+
+  /**
    * Unigram language-model scoring — the perplexity-style quality filter
    * of CCNet-like pipelines: score every document by the mean log
    * probability of its tokens under the corpus unigram distribution
