@@ -27,7 +27,8 @@ object Bench {
     "x22_bm25_search", "x23_ann_multiprobe", "x24_unigram_logprob",
     "kq10_schema_evolution", "q22_asof_join", "q23_range_join",
     "q24_salted_join", "q25_sessionize", "q26_funnel",
-    "x26_dup_clusters_stars", "x27_embed_quantize", "x28_span_dedup")
+    "x26_dup_clusters_stars", "x27_embed_quantize", "x28_span_dedup",
+    "x29_significant_terms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
