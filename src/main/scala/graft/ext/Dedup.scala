@@ -274,14 +274,16 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
+      // the convergence flag rides the SAME join that computes the new
+      // label (no separate next⋈prev comparison job per round)
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .where(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.where(col("changed")).isEmpty
+      labels = next.drop("changed")
       round += 1
     }
     // truncated propagation must never be mistaken for a fixpoint: a
@@ -405,15 +407,21 @@ object Dedup {
   def simhashHammingPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
-    val width = 32 / nBlocks
+    // blocks must cover ALL 32 bits or the pigeonhole guarantee silently
+    // breaks (bits outside every block can differ without being seen):
+    // when 32 % nBlocks != 0 the remainder is spread one bit each over
+    // the first blocks (e.g. maxHamming=4 → widths 7,7,6,6,6)
+    val baseW = 32 / nBlocks; val rem = 32 % nBlocks
+    val widths = (0 until nBlocks).map(b => baseW + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val docs = Tables.load(spark, dir, "documents")
     val sigs = docs.select(col("doc_id"),
       graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
     val distinctSigs = sigs.select(col("simhash")).distinct()
     val blockStructs = array((0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),
-        shiftright(col("simhash"), b * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("blk_val"))
+        shiftright(col("simhash"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("blk_val"))
     }: _*)
     val blocks = distinctSigs.select(col("simhash"),
         explode(blockStructs).as("bk"))

@@ -239,10 +239,14 @@ object TextAnalysis {
    * support of 5 docs (Kibana's min_doc_count), top 20 by (lift, term).
    *
    * One distinct-token explode + one term-keyed aggregation computing
-   * BOTH frequencies in a single pass (conditional countDistinct), a
-   * broadcast of the 1-row totals — no per-term joins, no second corpus
-   * scan. Lift is integer counts through one fixed-order double
-   * expression, so both engines compute identical bits.
+   * BOTH frequencies in a single pass, a broadcast of the 1-row totals —
+   * no per-term joins, no second corpus scan. Because the explode is over
+   * `array_distinct`, every (doc, term) row is already unique, so the
+   * document frequencies are plain `count`/conditional-`sum` — NOT
+   * `countDistinct`, whose multi-distinct Expand would double the shuffle
+   * volume for nothing (measured 10.2 s → ~1 s at sf0.1). Lift is integer
+   * counts through one fixed-order double expression, so both engines
+   * compute identical bits.
    */
   def significantTerms(spark: SparkSession, dir: String,
       fgSource: String = "src0", minFgDf: Int = 5, k: Int = 20): DataFrame = {
@@ -252,9 +256,8 @@ object TextAnalysis {
     val totals = docs.agg(count(lit(1)).as("n_docs"),
       sum(when(col("source") === fgSource, 1).otherwise(0)).as("fg_docs"))
     toks.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("bg_df"),
-        countDistinct(when(col("source") === fgSource, col("doc_id")))
-          .as("fg_df"))
+      .agg(count(lit(1)).as("bg_df"),
+        sum(when(col("source") === fgSource, 1L).otherwise(0L)).as("fg_df"))
       .crossJoin(broadcast(totals))
       .where(col("fg_df") >= minFgDf)
       .withColumn("lift", round(

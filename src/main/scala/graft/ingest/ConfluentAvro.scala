@@ -68,8 +68,19 @@ private[ingest] trait WireFormatDecode {
     val id = ByteBuffer.wrap(bytes, 1, 4).getInt
     readers.computeIfAbsent(id, { _ =>
       val writerJson = writerSchemas.getOrElse(id,
-        if (writerSchemas.size == 1) writerSchemas.head._2
-        else throw new IllegalArgumentException(
+        if (writerSchemas.size == 1) {
+          // Avro binary is not self-describing: decoding a frame written
+          // with a genuinely different schema under this fallback yields
+          // corrupt values, not a clean error — warn once per unknown id
+          // (computeIfAbsent runs this at most once per id) so the
+          // convenience path never fails silently
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"confluent_avro_decode: schema id $id not registered; " +
+              s"falling back to the single supplied schema (single-schema " +
+              s"convenience mode) — register an id->schema map for strict " +
+              s"dispatch")
+          writerSchemas.head._2
+        } else throw new IllegalArgumentException(
           s"schema id $id not registered (known: ${writerSchemas.keys.toSeq.sorted.mkString(",")})"))
       // writer→reader resolution = the Avro spec's evolution rules
       new GenericDatumReader[Any](

@@ -72,6 +72,20 @@ object ChangelogSink {
    * work stays bounded no matter how large the table grows. Idempotent:
    * re-running on a compact partition is a no-op. Returns the resulting
    * file count.
+   *
+   * Crash/failure safety: the input is pinned to the file SNAPSHOT taken
+   * up front (a file appended after the listing is neither read nor
+   * removed, so it is never duplicated or lost), and the swap runs in
+   * three checked phases — hide every original behind a dot-prefixed
+   * rename (reversible, invisible to readers), move the staged files in,
+   * then delete the hidden originals. Every rename result is checked
+   * (HDFS/local `rename` reports failure by returning false, not by
+   * throwing); any failure before the move completes restores the hidden
+   * originals and aborts with the staged dir intact, so at no point can a
+   * reader observe a partition missing rows. Failures during the final
+   * cleanup leave only dot-prefixed garbage that readers skip. Compaction
+   * must still not run concurrently with another compaction of the SAME
+   * partition (the hide phase would race); appends are safe.
    */
   def compactPartition(spark: SparkSession, path: String, topic: String,
       date: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
@@ -84,16 +98,43 @@ object ChangelogSink {
     val nOut = math.max(1,
       math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
     if (nOut >= files.length) return files.length // already compact
-    // reading the leaf dir yields exactly the data columns the files hold
-    // (partition values live in the directory name, not the files)
-    val df = spark.read.parquet(part.toString)
+    // read the SNAPSHOT file list, not the directory: a file appended
+    // between the listing and the rewrite is then neither read (no
+    // duplicate rows in the compacted output) nor hidden/deleted below
+    // (it survives untouched). Leaf files hold exactly the data columns
+    // (partition values live in the directory name).
+    val df = spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
     val tmp = new Path(path,
       s".compact-$topic-$date-${System.nanoTime()}")
     df.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
-    files.foreach(f => fs.delete(f.getPath, false))
-    fs.listStatus(tmp)
+    val staged = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .foreach(f => fs.rename(f.getPath, new Path(part, f.getPath.getName)))
+    def renameOrThrow(src: Path, dst: Path, what: String): Unit =
+      if (!fs.rename(src, dst)) throw new IllegalStateException(
+        s"compactPartition: $what rename failed: $src -> $dst " +
+          s"(staged output left intact at $tmp)")
+    // phase 1: hide originals (reversible, readers skip dot-files);
+    // phase 2: move staged files in. Any failure restores the hidden
+    // originals and aborts — tmp is left for inspection/retry.
+    val hidden = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+    try {
+      files.foreach { f =>
+        val h = new Path(part, s".compacting-${f.getPath.getName}")
+        renameOrThrow(f.getPath, h, "hide-original")
+        hidden += ((f.getPath, h))
+      }
+      staged.foreach { f =>
+        renameOrThrow(f.getPath, new Path(part, f.getPath.getName),
+          "move-staged")
+      }
+    } catch {
+      case e: Throwable =>
+        hidden.foreach { case (orig, h) => fs.rename(h, orig) } // best effort
+        throw e
+    }
+    // phase 3: the partition is consistent from here — cleanup failures
+    // can only leave dot-prefixed garbage that readers never list
+    hidden.foreach { case (_, h) => fs.delete(h, false) }
     fs.delete(tmp, true)
     nOut
   }

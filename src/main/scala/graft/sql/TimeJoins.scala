@@ -32,10 +32,19 @@ object TimeJoins {
    * frame — one shuffle on `key`, O(1) per row, never the quadratic
    * per-key fanout of the naive inequality join.
    *
-   * `left`'s columns must not be named `asof` or start with `_asof`.
+   * `left`'s columns must not be named `asof` or start with `_asof`
+   * (enforced — a violating frame would be silently clobbered
+   * otherwise). Note the equal-time tiebreak depends on the POSITIONAL
+   * order of `right`'s non-key columns: reordering them changes which of
+   * two same-timestamp right rows wins. Call sites that care (q22) pin
+   * the projection order explicitly.
    */
   def asof(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String): DataFrame = {
+    val clash = left.columns.filter(c => c == "asof" || c.startsWith("_asof"))
+    require(clash.isEmpty,
+      s"asof: left columns ${clash.mkString(", ")} collide with the " +
+        "reserved output/scratch names ('asof', '_asof*') — rename them first")
     val payloadCols = right.columns.filter(_ != key)
     val rightTagged = right.select(col(key), col(rightTime).as("_asof_t"),
       lit(1).as("_asof_r"), struct(payloadCols.map(col).toSeq: _*).as("asof"))
