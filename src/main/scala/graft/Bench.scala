@@ -28,7 +28,8 @@ object Bench {
     "kq10_schema_evolution", "q22_asof_join", "q23_range_join",
     "q24_salted_join", "q25_sessionize", "q26_funnel",
     "x26_dup_clusters_stars", "x27_embed_quantize", "x28_span_dedup",
-    "x29_significant_terms")
+    "x29_significant_terms", "x30_repetition", "x31_contamination",
+    "kq13_rare_terms", "kq14_percentiles", "q27_window_ranks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

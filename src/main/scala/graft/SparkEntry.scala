@@ -182,6 +182,42 @@ object SparkEntry {
     "kq10_schema_evolution" -> ((s, dir) =>
       graft.ingest.AvroIngest.evolutionDemo(s, dir)),
 
+    // ---- Kibana `rare_terms` aggregation: the least-frequent keys in ----
+    // ---- the changelog (long-tail keys surface config errors / orphan ---
+    // ---- producers). (doc_count, key) is a total order, so the LIMIT ----
+    // ---- cut is deterministic; plans as one hash agg + top-k ------------
+    "kq13_rare_terms" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count"), col("key"))
+        .limit(20)),
+
+    // ---- Kibana `percentiles` aggregation per event_type, as the EXACT --
+    // ---- rank statistic (value at row ceil(p·n) of the (value, offset) --
+    // ---- order) rather than an interpolated estimator — the selected ----
+    // ---- value is an element of the data, so both engines return the ----
+    // ---- identical bits. ceil(p·n) is IEEE double both sides ------------
+    "kq14_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val env = Pipeline.envelopeFlat(s, dir).where(col("value").isNotNull)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("offset"))
+      env.select(col("event_type"), col("value"), col("offset"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5), col("value")))
+            .as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.9), col("value")))
+            .as("p90"),
+          max(when(col("rn") === ceil(col("n") * 0.99), col("value")))
+            .as("p99"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -268,6 +304,25 @@ object SparkEntry {
       """SELECT event_id, event_type, "value",
         |  CASE WHEN event_id % 2 = 0 THEN 'n/a' ELSE props END AS props
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "kq13_rare_terms" ->
+      (envSql + """SELECT "key", count(*) AS doc_count
+        |FROM env GROUP BY 1 ORDER BY doc_count, "key" LIMIT 20""".stripMargin),
+
+    "kq14_percentiles" ->
+      (envSql + """SELECT event_type,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+        |      THEN "value" END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+        |      THEN "value" END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+        |      THEN "value" END) AS p99
+        |FROM (SELECT event_type, "value",
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY "value", "offset") AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM env WHERE "value" IS NOT NULL)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -65,7 +65,11 @@ object ExtQueries {
     "x28_span_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.spanDupStats(s, d)),
     "x29_significant_terms" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.significantTerms(s, d))
+      TextAnalysis.significantTerms(s, d)),
+    "x30_repetition" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.repetitionSignals(s, d)),
+    "x31_contamination" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.contamination(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -504,6 +508,46 @@ object ExtQueries {
         |        / (CAST(bg_df AS DOUBLE) / n_docs), 6) AS lift
         |FROM st, tot WHERE fg_df >= 5
         |ORDER BY lift DESC, term LIMIT 20""".stripMargin,
+
+    // x30: DuckDB range(1, n) excludes n, matching Spark's
+    // sequence(1, size-1) inclusive; sum(BIGINT)→HUGEINT cast back.
+    "x30_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+        |          AS gram
+        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |            FROM t)),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6)
+        |    AS top_gram_frac,
+        |  round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(c) AS BIGINT), 6) AS dup_gram_frac
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x31: DuckDB list slice toks[i : i+7] is 1-based inclusive (8
+    // elements), matching Spark's slice(toks, i, 8); md5(varchar) ==
+    // md5(binary(string)).
+    "x31_contamination" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sp AS (SELECT doc_id, source,
+        |         md5(array_to_string(
+        |           toks[CAST(i AS INT) : CAST(i + 7 AS INT)], ' ')) AS h
+        |       FROM (SELECT doc_id, source, toks,
+        |               unnest(range(1, len(toks) - 6)) AS i
+        |             FROM t WHERE len(toks) >= 8)),
+        |test AS (SELECT DISTINCT h FROM sp WHERE source = 'src9')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN test.h IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN test.h IS NOT NULL THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / count(*), 6) AS contamination
+        |FROM sp LEFT JOIN test ON sp.h = test.h
+        |WHERE sp.source <> 'src9'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // x28: DuckDB list slicing toks[a:b] is 1-based inclusive, matching
     // Spark's slice(toks, a, len); md5(varchar) == md5(string as binary).

@@ -365,4 +365,80 @@ object TextAnalysis {
         minShingle.as("min_token_hash"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * REPETITION signals — the Gopher-style (Rae et al. 2021, "Scaling
+   * Language Models", table A1) quality heuristics that flag
+   * degenerate/boilerplate documents by how much they repeat themselves:
+   * per doc, the fraction of word-bigram occurrences belonging to the
+   * single most frequent bigram (`top_gram_frac`) and the fraction
+   * belonging to any bigram occurring more than once (`dup_gram_frac`).
+   * A filtering pipeline drops docs above thresholds (Gopher uses 0.18 /
+   * 0.4 for 2-grams).
+   *
+   * Scale shape: one explode (n_tokens − 1 rows per doc), one
+   * (doc, gram) aggregation, one per-doc rollup — all keyed on doc_id,
+   * so the two aggregations collapse into a single shuffle; no joins, no
+   * global state. Fractions are one fixed-order double division over
+   * exact integer counts, so both engines compute identical bits.
+   */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    // guard: sequence(1, 0) would generate a DESCENDING [1,0] — docs with
+    // fewer than 2 tokens must map to an empty gram array instead
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("top_c").cast("double") / col("n_grams"), 6)
+          .as("top_gram_frac"),
+        round(col("dup_c").cast("double") / col("n_grams"), 6)
+          .as("dup_gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * CONTAMINATION check — the benchmark-decontamination step every
+   * training-data pipeline runs before a model sees the corpus (GPT-3
+   * appendix C; PaLM §6): for each training document, the fraction of its
+   * 8-token spans (stride 1) that also occur in a held-out/test set (here
+   * the `testSource` slice stands in for the benchmark corpus). Docs with
+   * contamination above a threshold get dropped or excised.
+   *
+   * Scale shape: the test-set span table is DISTINCT and tiny relative to
+   * the corpus, so it is explicitly `broadcast` — the training side is
+   * never shuffled at all (map-side hash join + one doc_id aggregation).
+   * That is the only layout that survives a 100 TB train side: the
+   * benchmark set is fixed-size no matter how large the corpus grows.
+   * Span identity is md5 so the DuckDB oracle reproduces it exactly.
+   */
+  def contamination(spark: SparkSession, dir: String,
+      testSource: String = "src9", n: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val spans = docs.select(col("doc_id"), col("source"),
+      explode(when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          md5(concat_ws(" ", slice(toks, i, lit(n))).cast("binary"))))
+        .otherwise(array().cast("array<string>"))).as("h"))
+    val testSpans = spans.where(col("source") === testSource)
+      .select(col("h")).distinct().withColumn("hit", lit(1))
+    spans.where(col("source") =!= testSource)
+      .join(broadcast(testSpans), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_spans"), 6))
+      .orderBy(col("doc_id"))
+  }
 }

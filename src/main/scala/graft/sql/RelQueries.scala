@@ -513,6 +513,28 @@ object RelQueries {
       .orderBy(col("user_id"))
   }
 
+  /**
+   * Analytic rank functions — `percent_rank`, `cume_dist`, `ntile` in one
+   * pass (the remaining window-function family beyond q5's aggregates and
+   * row_number). One shuffle on the partition key; the ORDER BY carries
+   * `event_id` as tiebreak so every rank is deterministic, which makes
+   * the rational-arithmetic outputs ((rank−1)/(n−1), rn/n) bit-identical
+   * across engines. ntile follows the standard first-(n mod k)-buckets-
+   * get-the-extra-row definition in both engines; DuckDB's BIGINT ntile
+   * and row_number are cast to match Spark's INT/INT.
+   */
+  def q27WindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    ev.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- registration
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -541,7 +563,8 @@ object RelQueries {
     "q23_range_join" -> (q23RangeJoin _),
     "q24_salted_join" -> (q24SaltedJoin _),
     "q25_sessionize" -> (q25Sessionize _),
-    "q26_funnel" -> (q26Funnel _)
+    "q26_funnel" -> (q26Funnel _),
+    "q27_window_ranks" -> (q27WindowRanks _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -810,6 +833,15 @@ object RelQueries {
         |  purchase_us - signup_us AS lag_us,
         |  COALESCE(purchase_us - signup_us <= 86400000000, FALSE)
         |    AS converted_24h
-        |FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id""".stripMargin
+        |FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id""".stripMargin,
+
+    "q27_window_ranks" ->
+      """SELECT event_id, event_type, "value",
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY "value", event_id)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -248,6 +248,40 @@ class ExtSpec extends SparkSpec {
     assert(t.where(col("bpe_ish_tokens") < col("ws_tokens")).count() == 0)
   }
 
+  test("repetition signals: fractions in [0,1], top <= dup, gram totals " +
+      "equal n_tokens - 1") {
+    val r = TextAnalysis.repetitionSignals(spark, sf)
+    assert(r.where(col("top_gram_frac") < 0 || col("top_gram_frac") > 1 ||
+      col("dup_gram_frac") < 0 || col("dup_gram_frac") > 1).count() == 0)
+    // any gram counted in top_gram_frac with top_c > 1 is also in dup_c;
+    // a doc whose most frequent bigram is unique has dup = 0
+    assert(r.where(col("top_gram_frac") > col("dup_gram_frac") &&
+      col("dup_gram_frac") > 0).count() == 0)
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("want"))
+    assert(r.join(docs, "doc_id")
+      .where(col("n_grams") =!= col("want")).count() == 0)
+  }
+
+  test("contamination: test source absent, ratios consistent, duplicate " +
+      "of a test doc is fully contaminated") {
+    val c = TextAnalysis.contamination(spark, sf)
+    assert(c.count() > 0)
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+    val testIds = docs.where(col("source") === "src9")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(c.select("doc_id").as[Long].collect().forall(!testIds.contains(_)))
+    assert(c.where(col("n_hit") > col("n_spans")).count() == 0)
+    // an exact copy of a test doc's text (if any exists outside src9)
+    // must show contamination 1.0
+    val testTexts = docs.where(col("source") === "src9").select("text")
+    val copies = docs.where(col("source") =!= "src9")
+      .join(testTexts, "text").select("doc_id").as[Long].collect()
+    val full = c.where(col("contamination") === 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(copies.forall(full.contains))
+  }
+
   test("fingerprint: deterministic across runs, rolling hash in field") {
     val f1 = TextAnalysis.fingerprint(spark, sf).collect()
     val f2 = TextAnalysis.fingerprint(spark, sf).collect()
