@@ -355,8 +355,9 @@ object Dedup {
     while (round < maxRounds && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // both frames are distinct sets: equal counts + next ⊆ edges ⟺
-      // set equality — one anti-join instead of two
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      // set equality — a raw anti-join (except would re-distinct first)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
       round += 1
     }

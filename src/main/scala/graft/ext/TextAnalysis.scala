@@ -376,32 +376,23 @@ object TextAnalysis {
    * A filtering pipeline drops docs above thresholds (Gopher uses 0.18 /
    * 0.4 for 2-grams).
    *
-   * Scale shape: one explode (n_tokens − 1 rows per doc), one
-   * (doc, gram) aggregation, one per-doc rollup — all keyed on doc_id,
-   * so the two aggregations collapse into a single shuffle; no joins, no
-   * global state. Fractions are one fixed-order double division over
-   * exact integer counts, so both engines compute identical bits.
+   * Scale shape: the per-doc bigram counting is a pure per-row loop, so
+   * it runs in the native one-pass [[graft.functions.BigramStats]]
+   * expression — a SHUFFLE-FREE map scan (the SQL-shaped alternative
+   * explodes n_tokens − 1 gram rows per doc and shuffles the re-tokenized
+   * corpus twice; the DuckDB oracle runs that explode form and matches
+   * bit-for-bit because all counting is integer-exact). Docs with fewer
+   * than 2 tokens have no bigrams and drop out, like the explode form.
    */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = split(col("text"), " ")
-    // guard: sequence(1, 0) would generate a DESCENDING [1,0] — docs with
-    // fewer than 2 tokens must map to an empty gram array instead
-    val grams = docs.select(col("doc_id"),
-      explode(when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))).as("gram"))
-    grams.groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_grams"),
-        max(col("c")).as("top_c"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
-      .select(col("doc_id"), col("n_grams"),
-        round(col("top_c").cast("double") / col("n_grams"), 6)
+    val st = graft.functions.BigramStats.bigramStats(col("text"))
+    docs.select(col("doc_id"), st.as("st"))
+      .where(col("st.n_grams") > 0)
+      .select(col("doc_id"), col("st.n_grams").as("n_grams"),
+        round(col("st.top_c").cast("double") / col("st.n_grams"), 6)
           .as("top_gram_frac"),
-        round(col("dup_c").cast("double") / col("n_grams"), 6)
+        round(col("st.dup_c").cast("double") / col("st.n_grams"), 6)
           .as("dup_gram_frac"))
       .orderBy(col("doc_id"))
   }

@@ -33,6 +33,8 @@ object GraftFunctions {
     "word_shingles" ->
       (exprs => WordShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Int])),
+    "bigram_stats" ->
+      (exprs => BigramStats(exprs.head)),
     "confluent_avro_decode" ->
       (exprs => {
         val schema = exprs(1).eval().toString
