@@ -29,7 +29,9 @@ object Bench {
     "q24_salted_join", "q25_sessionize", "q26_funnel",
     "x26_dup_clusters_stars", "x27_embed_quantize", "x28_span_dedup",
     "x29_significant_terms", "x30_repetition", "x31_contamination",
-    "kq13_rare_terms", "kq14_percentiles", "q27_window_ranks")
+    "kq13_rare_terms", "kq14_percentiles", "q27_window_ranks",
+    "x32_dedup_containment", "q28_grouping_sets", "kq15_filters_agg",
+    "kq16_top_hits")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -218,6 +218,38 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- Kibana `filters` aggregation: several named predicates, each ---
+    // ---- counted in ONE scan (conditional aggregation — no N passes, ----
+    // ---- no union of filtered subqueries) -------------------------------
+    "kq15_filters_agg" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchases"),
+          sum(when(col("value_json") === "TOMBSTONE", 1L).otherwise(0L))
+            .as("tombstones"),
+          sum(when(col("value") > 50.0, 1L).otherwise(0L))
+            .as("high_value"))),
+
+    // ---- Kibana terms agg + `top_hits` sub-aggregation: the 3 most ------
+    // ---- recent records per event_type — a bounded per-key top-k --------
+    // ---- window, the partition key is data-driven so the sort is --------
+    // ---- per-group, never global ----------------------------------------
+    "kq16_top_hits" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("timestamp").desc, col("offset").desc)
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .withColumn("hit_rank", row_number().over(w))
+        .where(col("hit_rank") <= 3)
+        .select(col("event_type"), col("hit_rank"), col("uid"),
+          col("timestamp"), col("value"))
+        .orderBy(col("event_type"), col("hit_rank"))
+    }),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -323,6 +355,27 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY event_type) AS n
         |      FROM env WHERE "value" IS NOT NULL)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "kq15_filters_agg" ->
+      (envSql + """SELECT
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS clicks,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS purchases,
+        |  CAST(sum(CASE WHEN value_json = 'TOMBSTONE' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS tombstones,
+        |  CAST(sum(CASE WHEN "value" > 50.0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS high_value
+        |FROM env""".stripMargin),
+
+    "kq16_top_hits" ->
+      (envSql + """SELECT event_type, CAST(hit_rank AS INT) AS hit_rank,
+        |  uid, "timestamp", "value"
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY "timestamp" DESC, "offset" DESC) AS hit_rank
+        |      FROM env WHERE event_type IS NOT NULL)
+        |WHERE hit_rank <= 3
+        |ORDER BY event_type, hit_rank""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -118,6 +118,61 @@ object Dedup {
   }
 
   /**
+   * CONTAINMENT near-dup pairs: C = |A∩B| / min(|A|,|B|) ≥ t over the
+   * word-trigram shingle sets — the asymmetric-duplication predicate
+   * Jaccard misses (a document QUOTED inside a much larger one has
+   * containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0; crawl pipelines use
+   * containment to catch wrapper pages and quote-expansions).
+   *
+   * Exact prefix filtering, containment-adapted: a qualifying pair
+   * overlaps in ≥ ⌈t·min(|A|,|B|)⌉ shingles, so the SMALLER side must
+   * expose a shared shingle within its first |X| − ⌈t·|X|⌉ + 1 shingles
+   * under the global rarest-first order (same argument as
+   * [[ngramJaccardPairs]], applied to the min side). Since either side
+   * of a pair may be the smaller, candidates come from prefix(X) ⋈
+   * FULL(Y) over all ordered pairs (the full side is semi-joined down to
+   * shingles appearing in someone's prefix by the join itself), then
+   * exact verification on the full sets — identical output to the naive
+   * all-shingle self-join the DuckDB oracle runs. Fanout is bounded by
+   * Σ_{s indexed} df(s)·prefix_df(s): rare-shingle postings, not the
+   * unbounded all-pairs blowup.
+   */
+  def containmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val docSh = docs.select(col("doc_id"),
+      graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
+    val exploded = docSh.select(col("doc_id"),
+      size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"), col("s"))
+    val dfTbl = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wPrefix = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sh"), col("s"))
+    // ceil epsilon: see ngramJaccardPairs (an exact-integral t·n must not
+    // round up and silently shorten the prefix)
+    val prefix = exploded.join(dfTbl, "sh")
+      .withColumn("rk", row_number().over(wPrefix))
+      .where(col("rk") <= col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1)
+      .select(col("doc_id").as("pd"), col("sh"))
+    val full = exploded.select(col("doc_id").as("fd"), col("sh"))
+    val candidates = prefix.join(full, "sh")
+      .where(col("pd") =!= col("fd"))
+      .select(least(col("pd"), col("fd")).as("d1"),
+        greatest(col("pd"), col("fd")).as("d2"))
+      .distinct()
+    val sA = docSh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+    val sB = docSh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
+    candidates.join(sA, "d1").join(sB, "d2")
+      .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("containment", round(col("shared")
+        / least(size(col("sh1")), size(col("sh2"))), 6))
+      .where(col("containment") >= threshold)
+      .select(col("d1"), col("d2"), col("containment"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /**
    * SPAN-LEVEL duplication statistics — the C4/RefinedWeb preprocessing
    * step that removes repeated SPANS rather than whole documents
    * (boilerplate, navigation chrome, license blocks recur across pages

@@ -69,7 +69,9 @@ object ExtQueries {
     "x30_repetition" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetitionSignals(s, d)),
     "x31_contamination" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.contamination(s, d))
+      TextAnalysis.contamination(s, d)),
+    "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairs(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -526,6 +528,27 @@ object ExtQueries {
         |  round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
         |        / CAST(sum(c) AS BIGINT), 6) AS dup_gram_frac
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x32: the oracle runs the NAIVE all-shingle self-join; the Spark
+    // side's containment-adapted prefix filter is provably
+    // output-identical (smaller-side prefix must collide).
+    "x32_dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(len(toks) - 2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |           FROM sh a JOIN sh b
+        |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |j AS (SELECT d1, d2,
+        |        round(shared / least(s1.n, s2.n), 6) AS containment
+        |      FROM shared
+        |      JOIN sizes s1 ON d1 = s1.doc_id
+        |      JOIN sizes s2 ON d2 = s2.doc_id)
+        |SELECT d1, d2, containment FROM j WHERE containment >= 0.9
+        |ORDER BY d1, d2""".stripMargin,
 
     // x31: DuckDB list slice toks[i : i+7] is 1-based inclusive (8
     // elements), matching Spark's slice(toks, i, 8); md5(varchar) ==

@@ -514,6 +514,30 @@ object RelQueries {
   }
 
   /**
+   * Explicit GROUPING SETS (the general form behind q17's rollup / q18's
+   * cube): per-status totals, per-priority totals and the grand total in
+   * ONE aggregation pass — Catalyst expands the sets into a single
+   * Expand + hash-agg, not three scans. `grouping_id()` disambiguates
+   * which set each output row belongs to (and makes the ORDER BY
+   * deterministic: within a set the grouped-out column is constantly
+   * NULL, so null-ordering differences between engines can never
+   * reorder rows). Money sums follow the q1 decimal-exact pattern.
+   */
+  def q28GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("n"), col("total"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /**
    * Analytic rank functions — `percent_rank`, `cume_dist`, `ntile` in one
    * pass (the remaining window-function family beyond q5's aggregates and
    * row_number). One shuffle on the partition key; the ORDER BY carries
@@ -564,7 +588,8 @@ object RelQueries {
     "q24_salted_join" -> (q24SaltedJoin _),
     "q25_sessionize" -> (q25Sessionize _),
     "q26_funnel" -> (q26Funnel _),
-    "q27_window_ranks" -> (q27WindowRanks _)
+    "q27_window_ranks" -> (q27WindowRanks _),
+    "q28_grouping_sets" -> (q28GroupingSets _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -834,6 +859,15 @@ object RelQueries {
         |  COALESCE(purchase_us - signup_us <= 86400000000, FALSE)
         |    AS converted_24h
         |FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id""".stripMargin,
+
+    "q28_grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  o_orderstatus, o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "q27_window_ranks" ->
       """SELECT event_id, event_type, "value",

@@ -80,6 +80,35 @@ class ExtSpec extends SparkSpec {
     assert(filtered.except(naive).count() == 0)
   }
 
+  test("containment pairs: prefix-filtered output identical to the naive " +
+      "all-shingle join; quoted-subset doc detected at low jaccard") {
+    val t = 0.5 // low threshold exercises the filter harder than 0.9
+    val docSh = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
+    val ex = docSh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val naive = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .join(docSh.select(col("doc_id").as("d1"),
+        size(col("shingles")).as("n1")), "d1")
+      .join(docSh.select(col("doc_id").as("d2"),
+        size(col("shingles")).as("n2")), "d2")
+      .withColumn("containment",
+        round(col("shared") / least(col("n1"), col("n2")), 6))
+      .where(col("containment") >= t)
+      .select(col("d1"), col("d2"), col("containment"))
+    val filtered = Dedup.containmentPairs(spark, sf, threshold = t)
+    assert(naive.except(filtered).count() == 0)
+    assert(filtered.except(naive).count() == 0)
+    // containment is the asymmetric predicate: every Jaccard-0.5 pair is
+    // a containment-0.5 pair but not vice versa (J <= C always)
+    val jac = Dedup.ngramJaccardPairs(spark, sf, threshold = t)
+      .select(col("d1"), col("d2"))
+    assert(jac.except(filtered.select(col("d1"), col("d2"))).count() == 0)
+  }
+
   test("simhash Hamming pairs: banding is EXACT for hamming <= 3 " +
       "(equals the brute-force pair set)") {
     val banded = Dedup.simhashHammingPairs(spark, sf)
