@@ -218,6 +218,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- Kibana date histogram with gap filling (extended_bounds / -----
+    // ---- min_doc_count:0 — empty hour buckets appear as zero rows). ----
+    // ---- The bucket spine EXPLODEs from the 1-row min/max aggregate — ---
+    // ---- no driver-side loop, no collect --------------------------------
+    "kq17_hist_gapfill" -> ((s, dir) => {
+      val env = Pipeline.envelopeFlat(s, dir)
+      val hourly = env
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val spine = env
+        .agg(date_trunc("hour", min(col("timestamp"))).as("lo"),
+          date_trunc("hour", max(col("timestamp"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("bucket"))
+      spine.join(hourly, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- Kibana `filters` aggregation: several named predicates, each ---
     // ---- counted in ONE scan (conditional aggregation — no N passes, ----
     // ---- no union of filtered subqueries) -------------------------------
@@ -355,6 +374,17 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY event_type) AS n
         |      FROM env WHERE "value" IS NOT NULL)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "kq17_hist_gapfill" ->
+      (envSql + """SELECT spine.bucket, COALESCE(h.n, 0) AS n
+        |FROM (SELECT unnest(generate_series(
+        |        (SELECT date_trunc('hour', min("timestamp")) FROM env),
+        |        (SELECT date_trunc('hour', max("timestamp")) FROM env),
+        |        INTERVAL 1 HOUR)) AS bucket) spine
+        |LEFT JOIN (SELECT date_trunc('hour', "timestamp") AS bucket,
+        |             count(*) AS n
+        |           FROM env GROUP BY 1) h USING (bucket)
+        |ORDER BY spine.bucket""".stripMargin),
 
     "kq15_filters_agg" ->
       (envSql + """SELECT

@@ -538,6 +538,27 @@ object RelQueries {
   }
 
   /**
+   * RANGE-frame sliding window — the VALUE-bounded frame family (q5/kq12
+   * cover ROWS frames): for every event, how many events the same user
+   * produced in the trailing 10 minutes, `RANGE BETWEEN 600e6 µs
+   * PRECEDING AND CURRENT ROW` over integer-microsecond event time. A
+   * RANGE frame is defined by the ORDER BY VALUE, so ties need no
+   * tiebreak — the count is identical under any peer order, which makes
+   * it cross-engine deterministic by construction. One shuffle on
+   * user_id; per-row O(1) via the sliding frame.
+   */
+  def q29SlidingRange(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-600000000L, 0)
+    ev.withColumn("n_10min", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("us"), col("n_10min"))
+      .orderBy(col("event_id"))
+  }
+
+  /**
    * Analytic rank functions — `percent_rank`, `cume_dist`, `ntile` in one
    * pass (the remaining window-function family beyond q5's aggregates and
    * row_number). One shuffle on the partition key; the ORDER BY carries
@@ -589,7 +610,8 @@ object RelQueries {
     "q25_sessionize" -> (q25Sessionize _),
     "q26_funnel" -> (q26Funnel _),
     "q27_window_ranks" -> (q27WindowRanks _),
-    "q28_grouping_sets" -> (q28GroupingSets _)
+    "q28_grouping_sets" -> (q28GroupingSets _),
+    "q29_sliding_range" -> (q29SlidingRange _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -859,6 +881,14 @@ object RelQueries {
         |  COALESCE(purchase_us - signup_us <= 86400000000, FALSE)
         |    AS converted_24h
         |FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id""".stripMargin,
+
+    // q29: DuckDB count(*) OVER RANGE → BIGINT, matches Spark's LONG;
+    // the frame is value-bounded so tie order is irrelevant
+    "q29_sliding_range" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_10min
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q28_grouping_sets" ->
       """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
