@@ -173,6 +173,32 @@ object Dedup {
   }
 
   /**
+   * N-GRAM NOVELTY — the inverse signal of [[spanDupStats]]: per doc,
+   * the fraction of its distinct trigram shingles that occur in NO other
+   * document. Data-curation pipelines use it as a uniqueness/diversity
+   * score (high-novelty docs add information; near-zero novelty means
+   * the doc is assembled from corpus-common phrasing even when no single
+   * near-duplicate exists). Same one-explode + one-shingle-keyed-agg +
+   * one-join layout as [[exactDedup]]/[[spanDupStats]] — linear,
+   * skew-free (the shingle df aggregation keys on the shingle itself).
+   * Shingles are distinct per doc, so the df count IS the document
+   * frequency with no extra distinct pass.
+   */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles.shingles(col("text"), 3)).as("s"))
+    val dfTbl = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(dfTbl, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * SPAN-LEVEL duplication statistics — the C4/RefinedWeb preprocessing
    * step that removes repeated SPANS rather than whole documents
    * (boilerplate, navigation chrome, license blocks recur across pages

@@ -71,7 +71,9 @@ object ExtQueries {
     "x31_contamination" -> ((s: SparkSession, d: String) =>
       TextAnalysis.contamination(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
-      Dedup.containmentPairs(s, d))
+      Dedup.containmentPairs(s, d)),
+    "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramNovelty(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -549,6 +551,22 @@ object ExtQueries {
         |      JOIN sizes s2 ON d2 = s2.doc_id)
         |SELECT d1, d2, containment FROM j WHERE containment >= 0.9
         |ORDER BY d1, d2""".stripMargin,
+
+    // x33: shingles are distinct per doc, so count(*) per shingle IS the
+    // document frequency on both engines.
+    "x33_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(len(toks) - 2),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle FROM t),
+        |d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS novelty
+        |FROM sh JOIN d USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // x31: DuckDB list slice toks[i : i+7] is 1-based inclusive (8
     // elements), matching Spark's slice(toks, i, 8); md5(varchar) ==

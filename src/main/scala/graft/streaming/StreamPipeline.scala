@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 import graft.transform.Transforms
 
@@ -121,5 +123,61 @@ object StreamPipeline {
       .as[RecLite]
       .groupByKey(r => (r.topic, r.key))
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(keepLatest)
+  }
+
+  /** Running per-(topic,key) changelog statistics. */
+  case class KeyStats(topic: String, key: String, n: Long,
+      last_offset: Long, last_value: String)
+
+  /**
+   * [[StatefulProcessor]] backing [[keyStatsPerKey]]: one `ValueState`
+   * row per (topic,key) holding the record count and the
+   * latest-by-offset value. State is typed, named, and owned by the
+   * state store (RocksDB), so it checkpoints/restores like any other
+   * streaming state and could add TTL or timers without restructuring —
+   * the capabilities mapGroupsWithState can't layer on.
+   */
+  class KeyStatsProcessor
+      extends StatefulProcessor[(String, String), RecLite, KeyStats] {
+    @transient private var st: ValueState[KeyStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KeyStats]("keyStats",
+        Encoders.product[KeyStats], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, String),
+        rows: Iterator[RecLite], timerValues: TimerValues)
+        : Iterator[KeyStats] = {
+      var cur = Option(st.get())
+        .getOrElse(KeyStats(key._1, key._2, 0L, -1L, null))
+      for (r <- rows) {
+        val newer = r.offset > cur.last_offset
+        cur = KeyStats(cur.topic, cur.key, cur.n + 1,
+          if (newer) r.offset else cur.last_offset,
+          if (newer) r.value_json else cur.last_value)
+      }
+      st.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /**
+   * Per-key changelog statistics via `transformWithState` — Spark 4's
+   * arbitrary-stateful-processing API (the successor to
+   * mapGroupsWithState): emits, per trigger, each touched key's total
+   * record count and latest-by-offset value. Requires the RocksDB state
+   * store provider. State size = O(live keys); count/offset merges are
+   * associative, so replays under at-least-once delivery converge to the
+   * same per-key maximum (the count is exact under exactly-once
+   * checkpointing, which transformWithState provides).
+   */
+  def keyStatsPerKey(env: DataFrame, valueJsonField: String): Dataset[KeyStats] = {
+    import env.sparkSession.implicits._
+    env.select(col("topic"), col("key"), col("offset"), col("timestamp"),
+        col(s"message.$valueJsonField").as("value_json"))
+      .as[RecLite]
+      .groupByKey(r => (r.topic, r.key))
+      .transformWithState(new KeyStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

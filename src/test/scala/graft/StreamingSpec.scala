@@ -141,6 +141,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: typed ValueState accumulates per key across " +
+      "triggers (count + latest-by-offset value)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[RecIn]
+    val stats = StreamPipeline.keyStatsPerKey(
+      StreamPipeline.ingest(in.toDF(), "value_json"), "value_json")
+    val q = stats.toDF().writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(rec("a", 1, 0), rec("a", 5, 2), rec("b", 2, 1))
+      q.processAllAvailable()
+      in.addData(rec("a", 3, 1)) // late, lower offset: counts, doesn't win
+      q.processAllAvailable()
+      val a = spark.table("tws_out").where($"key" === "a")
+        .orderBy($"n".desc).head()
+      assert(a.getAs[Long]("n") == 3L) // state survived the trigger gap
+      assert(a.getAs[Long]("last_offset") == 5L)
+      val b = spark.table("tws_out").where($"key" === "b").head()
+      assert(b.getAs[Long]("n") == 1L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming latest-state: state survives across triggers, max wins") {
     val in = MemoryStream[RecIn]
     val env = StreamPipeline.ingest(in.toDF(), "value_json")
