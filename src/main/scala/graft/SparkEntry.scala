@@ -269,6 +269,17 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hit_rank"))
     }),
 
+    // ---- the Kibana search-box surface: a KQL-ish query STRING parsed ---
+    // ---- into a Catalyst predicate (wildcard prefix, range, NOT/OR/AND --
+    // ---- precedence, free text) — pushdown/codegen apply as if the ------
+    // ---- user had written the Column by hand ----------------------------
+    "kq18_kql" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(LogQueries.kql(
+          """event_type:cl* OR (value >= 90 AND NOT event_type:signup)
+            | OR "TOMBSTONE"""".stripMargin.replace("\n", " ")))
+        .orderBy(col("offset"))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -406,6 +417,13 @@ object SparkEntry {
         |      FROM env WHERE event_type IS NOT NULL)
         |WHERE hit_rank <= 3
         |ORDER BY event_type, hit_rank""".stripMargin),
+
+    "kq18_kql" ->
+      (envSql + """SELECT * FROM env
+        |WHERE event_type LIKE 'cl%'
+        |   OR ("value" >= 90 AND NOT (event_type = 'signup'))
+        |   OR value_json LIKE '%TOMBSTONE%'
+        |ORDER BY "offset"""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -1,0 +1,156 @@
+package graft.query
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * KQL-ish query-string parser — the Kibana search box is the reference's
+ * ONLY ad-hoc query surface (`README.md:26-42`: `key: "1"`,
+ * `key: "1" and topic: "foo"`, `message.bar: 1234`), so a user switching
+ * from kafana brings query STRINGS, not Column expressions. This parses
+ * the KQL subset those workflows use into an ordinary Catalyst `Column`
+ * predicate, which means every parsed query still gets predicate
+ * pushdown, partition pruning and codegen for free — the parser is pure
+ * plan-time sugar with zero execution-time footprint.
+ *
+ * Supported grammar (case-insensitive keywords):
+ * {{{
+ *   expr    := or
+ *   or      := and ( OR and )*
+ *   and     := not ( AND not )*           // AND binds tighter than OR
+ *   not     := NOT not | primary
+ *   primary := '(' expr ')' | clause
+ *   clause  := field ':' value            // equality; trailing * = prefix
+ *            | field (> | >= | < | <=) number
+ *            | value                      // free text: contains(value_json)
+ * }}}
+ * Values are bare words or double-quoted phrases (quotes allow spaces
+ * and disable wildcard interpretation, like KQL). Dotted field names
+ * (`message.bar`) resolve through struct columns as in Spark SQL.
+ *
+ * Untyped string literals are left to Catalyst's comparison coercion
+ * (string literal vs numeric column casts the literal), matching how
+ * Kibana queries typed mappings with unquoted tokens.
+ */
+object Kql {
+
+  /** Parse a KQL-ish string into a Column predicate over `textField` as
+    * the free-text target (the envelope's JSON-string view). */
+  def parse(query: String, textField: String = "value_json"): Column = {
+    val p = new Parser(tokenize(query), textField)
+    val c = p.expr()
+    p.expectEnd()
+    c
+  }
+
+  // ---- lexer ------------------------------------------------------------
+
+  private sealed trait Tok
+  private case class Word(s: String) extends Tok // bare token (field/value)
+  private case class Quoted(s: String) extends Tok
+  private case class Sym(s: String) extends Tok // ( ) : > >= < <=
+
+  private def tokenize(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      q.charAt(i) match {
+        case c if c.isWhitespace => i += 1
+        case '"' =>
+          val end = q.indexOf('"', i + 1)
+          require(end >= 0, s"unterminated quote at offset $i in: $q")
+          out += Quoted(q.substring(i + 1, end)); i = end + 1
+        case '(' => out += Sym("("); i += 1
+        case ')' => out += Sym(")"); i += 1
+        case ':' => out += Sym(":"); i += 1
+        case '>' | '<' =>
+          if (i + 1 < q.length && q.charAt(i + 1) == '=') {
+            out += Sym(q.substring(i, i + 2)); i += 2
+          } else { out += Sym(q.substring(i, i + 1)); i += 1 }
+        case _ =>
+          val start = i
+          while (i < q.length && !q.charAt(i).isWhitespace &&
+            !"():><\"".contains(q.charAt(i))) i += 1
+          out += Word(q.substring(start, i))
+      }
+    }
+    out.result()
+  }
+
+  // ---- recursive-descent parser ----------------------------------------
+
+  private final class Parser(toks: Vector[Tok], textField: String) {
+    private var pos = 0
+    private def peek: Option[Tok] = toks.lift(pos)
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case Word(s) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+
+    def expectEnd(): Unit =
+      require(pos == toks.length, s"trailing tokens from position $pos")
+
+    def expr(): Column = or()
+
+    private def or(): Column = {
+      var left = and()
+      while (peek.exists(isKw(_, "or"))) { next(); left = left || and() }
+      left
+    }
+
+    private def and(): Column = {
+      var left = notExpr()
+      while (peek.exists(isKw(_, "and"))) { next(); left = left && notExpr() }
+      left
+    }
+
+    private def notExpr(): Column =
+      if (peek.exists(isKw(_, "not"))) { next(); !notExpr() }
+      else primary()
+
+    private def primary(): Column = peek match {
+      case Some(Sym("(")) =>
+        next()
+        val c = expr()
+        require(peek.contains(Sym(")")), "expected )")
+        next(); c
+      case Some(Word(w)) => next(); afterTerm(w, quoted = false)
+      case Some(Quoted(s)) => next(); afterTerm(s, quoted = true)
+      case other => throw new IllegalArgumentException(s"unexpected $other")
+    }
+
+    /** A term was consumed; decide clause shape from what follows. */
+    private def afterTerm(term: String, quoted: Boolean): Column = peek match {
+      case Some(Sym(":")) =>
+        next()
+        val (v, q) = next() match {
+          case Word(s) => (s, false)
+          case Quoted(s) => (s, true)
+          case t => throw new IllegalArgumentException(s"expected value, got $t")
+        }
+        // unquoted trailing * is a prefix match, like KQL wildcards;
+        // escape LIKE metacharacters in the literal part
+        if (!q && v.endsWith("*"))
+          col(term).like(
+            v.dropRight(1).replace("\\", "\\\\")
+              .replace("%", "\\%").replace("_", "\\_") + "%")
+        else col(term) === lit(v)
+      case Some(Sym(op)) if op == ">" || op == ">=" || op == "<" || op == "<=" =>
+        next()
+        val n = next() match {
+          case Word(s) => s.toDouble
+          case t => throw new IllegalArgumentException(s"expected number, got $t")
+        }
+        op match {
+          case ">" => col(term) > lit(n)
+          case ">=" => col(term) >= lit(n)
+          case "<" => col(term) < lit(n)
+          case "<=" => col(term) <= lit(n)
+        }
+      case _ =>
+        // bare term = free-text search over the JSON-string view
+        col(textField).contains(term)
+    }
+  }
+}

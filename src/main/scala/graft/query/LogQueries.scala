@@ -15,6 +15,10 @@ import graft.model.Envelope
  */
 object LogQueries {
 
+  /** The Kibana search-box surface: parse a KQL-ish query string into a
+    * Catalyst predicate (see [[Kql]] for the grammar). */
+  def kql(query: String): Column = Kql.parse(query)
+
   /**
    * Q1a — Discover, log view: time-descending page over a time range
    * (reference: README.md:28-30, attachments/discover.png). `orderBy+limit`

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.query.Kql
+
+/** Grammar-level checks for the KQL-ish parser: each parsed predicate is
+  * compared against the hand-written Column over a small typed frame
+  * (the kq18 oracle covers the end-to-end envelope path). */
+class KqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("click", 10.0, "{\"event_type\":\"click\"}"),
+    ("clack", 95.0, "{\"event_type\":\"clack\"}"),
+    ("signup", 99.0, "{\"event_type\":\"signup\"}"),
+    ("view", 50.0, "TOMBSTONE"),
+    (null.asInstanceOf[String], 91.0, "TOMBSTONE"))
+    .toDF("event_type", "value", "value_json")
+
+  private def ids(c: org.apache.spark.sql.Column): Set[String] =
+    df.where(c).select(coalesce($"event_type", lit("NULL")))
+      .as[String].collect().toSet
+
+  test("equality, quoted phrase, numeric coercion") {
+    assert(ids(Kql.parse("event_type:click")) ==
+      ids($"event_type" === "click"))
+    assert(ids(Kql.parse("event_type:\"signup\"")) ==
+      ids($"event_type" === "signup"))
+    assert(ids(Kql.parse("value:50")) == ids($"value" === lit("50")))
+  }
+
+  test("wildcard prefix, ranges") {
+    assert(ids(Kql.parse("event_type:cl*")) ==
+      ids($"event_type".like("cl%")))
+    assert(ids(Kql.parse("value >= 91")) == ids($"value" >= 91.0))
+    assert(ids(Kql.parse("value < 50")) == ids($"value" < 50.0))
+  }
+
+  test("AND binds tighter than OR; NOT and parens; 3-valued NULLs") {
+    assert(ids(Kql.parse("event_type:view OR event_type:cl* AND value < 50")) ==
+      ids($"event_type" === "view" ||
+        ($"event_type".like("cl%") && $"value" < 50.0)))
+    assert(ids(Kql.parse("(event_type:view OR event_type:click) AND value < 50")) ==
+      ids(($"event_type" === "view" || $"event_type" === "click") &&
+        $"value" < 50.0))
+    // NOT over a NULL field row yields NULL -> filtered, not included
+    assert(ids(Kql.parse("NOT event_type:signup")) ==
+      ids(!($"event_type" === "signup")))
+  }
+
+  test("free text searches the JSON-string view") {
+    assert(ids(Kql.parse("TOMBSTONE")) ==
+      ids($"value_json".contains("TOMBSTONE")))
+    // a quoted standalone phrase is free text too (KQL phrase query)
+    assert(ids(Kql.parse("\"clack\"")) == ids($"value_json".contains("clack")))
+  }
+
+  test("malformed input is rejected, not mis-parsed") {
+    intercept[IllegalArgumentException](Kql.parse("event_type:\"unterminated"))
+    intercept[IllegalArgumentException](Kql.parse("(event_type:click"))
+    intercept[IllegalArgumentException](Kql.parse("event_type:click )"))
+  }
+}
