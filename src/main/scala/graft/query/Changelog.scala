@@ -33,6 +33,13 @@ case class Changelog(spark: SparkSession, path: String,
   def histogram(bucket: String = "hour"): DataFrame =
     LogQueries.discoverHistogram(frame, bucket)
 
+  /** The Kibana search box itself: a KQL-ish query STRING over the
+    * changelog — `search("key:13 AND topic:events")` — parsed into a
+    * Catalyst predicate ([[Kql]] grammar; free-text terms match the
+    * payload's JSON-string view). */
+  def search(query: String): DataFrame =
+    frame.where(Kql.parse(query, s"message.$valueJsonField"))
+
   def searchKey(key: String): DataFrame = LogQueries.searchKey(frame, key)
 
   def searchKeyTopic(key: String, topic: String): DataFrame =

@@ -34,6 +34,15 @@ class ChangelogFacadeSpec extends SparkSpec {
       log.searchField("event_type", "error").count())
     assert(log.tombstones().count() == 20)
 
+    // Kibana's search box as a query STRING (KQL-ish)
+    assert(log.search("key:13 AND topic:events").count() ==
+      log.searchKeyTopic("13", "events").count())
+    assert(log.search("key:13 OR key:7").count() ==
+      log.searchKey("13").count() + log.searchKey("7").count())
+    assert(log.search("\"error\"").count() ==
+      log.frame.where(
+        col(s"message.${Pipeline.ValueJsonField}").contains("error")).count())
+
     // Kibana's search box: BM25-ranked match over the payload JSON
     val hits = log.matchQuery(Seq("error"), k = 5)
     assert(hits.count() > 0 && hits.count() <= 5)
