@@ -237,6 +237,29 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- Kibana numeric `histogram` agg: fixed-interval buckets over ----
+    // ---- the payload value (floor(v/i)*i is pure IEEE double, so both ---
+    // ---- engines bucket identically); money sums decimal-exact ----------
+    "kq19_numeric_hist" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy((floor(col("value") / 10) * 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("bucket"))),
+
+    // ---- Kibana `composite` aggregation: keyset-paginated buckets — -----
+    // ---- page N resumes AFTER a cursor key instead of re-ranking, so ----
+    // ---- deep pagination over millions of buckets stays O(page) ---------
+    "kq20_composite_after" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("doc_count"))
+        .where(col("key") > "13") // the page cursor (exclusive)
+        .orderBy(col("key"))
+        .limit(10)),
+
     // ---- Kibana `filters` aggregation: several named predicates, each ---
     // ---- counted in ONE scan (conditional aggregation — no N passes, ----
     // ---- no union of filtered subqueries) -------------------------------
@@ -396,6 +419,18 @@ object SparkEntry {
         |             count(*) AS n
         |           FROM env GROUP BY 1) h USING (bucket)
         |ORDER BY spine.bucket""".stripMargin),
+
+    "kq19_numeric_hist" ->
+      (envSql + """SELECT floor("value" / 10) * 10 AS bucket,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM env WHERE "value" IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    "kq20_composite_after" ->
+      (envSql + """SELECT "key", count(*) AS doc_count
+        |FROM env GROUP BY 1 HAVING "key" > '13'
+        |ORDER BY "key" LIMIT 10""".stripMargin),
 
     "kq15_filters_agg" ->
       (envSql + """SELECT
