@@ -538,6 +538,29 @@ object RelQueries {
   }
 
   /**
+   * Correlated subqueries through the SQL-TEXT surface: orders that have
+   * a heavy line item (correlated EXISTS) and no returned one
+   * (correlated NOT EXISTS). Catalyst decorrelates both into one
+   * semi-join + anti-join plan — the point being that a user can write
+   * the subquery form and still get the q12/q13 join physics. Integer
+   * and string predicates only, so both engines agree bit-for-bit.
+   */
+  def q30CorrelatedExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders_v o
+        |WHERE EXISTS (SELECT 1 FROM lineitem_v l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /**
    * RANGE-frame sliding window — the VALUE-bounded frame family (q5/kq12
    * cover ROWS frames): for every event, how many events the same user
    * produced in the trailing 10 minutes, `RANGE BETWEEN 600e6 µs
@@ -611,7 +634,8 @@ object RelQueries {
     "q26_funnel" -> (q26Funnel _),
     "q27_window_ranks" -> (q27WindowRanks _),
     "q28_grouping_sets" -> (q28GroupingSets _),
-    "q29_sliding_range" -> (q29SlidingRange _)
+    "q29_sliding_range" -> (q29SlidingRange _),
+    "q30_correlated_exists" -> (q30CorrelatedExists _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -881,6 +905,17 @@ object RelQueries {
         |  COALESCE(purchase_us - signup_us <= 86400000000, FALSE)
         |    AS converted_24h
         |FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id""".stripMargin,
+
+    "q30_correlated_exists" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
 
     // q29: DuckDB count(*) OVER RANGE → BIGINT, matches Spark's LONG;
     // the frame is value-bounded so tie order is irrelevant

@@ -56,6 +56,18 @@ class KqlSpec extends SparkSpec {
     assert(ids(Kql.parse("\"clack\"")) == ids($"value_json".contains("clack")))
   }
 
+  test("parsed predicates push down to the parquet scan like hand-written " +
+      "Columns") {
+    val dir = java.nio.file.Files.createTempDirectory("kqlsink").toString
+    graft.sink.ChangelogSink.append(Pipeline.envelope(spark, sf), dir)
+    val q = graft.sink.ChangelogSink.read(spark, dir)
+      .where(Kql.parse("key:13"))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(key), EqualTo(key,13)]"),
+      scan)
+  }
+
   test("malformed input is rejected, not mis-parsed") {
     intercept[IllegalArgumentException](Kql.parse("event_type:\"unterminated"))
     intercept[IllegalArgumentException](Kql.parse("(event_type:click"))
