@@ -382,6 +382,36 @@ object Dedup {
   }
 
   /**
+   * KEEP-BEST survivor selection — the decision step a real dedup
+   * pipeline runs AFTER clustering: within every near-dup cluster
+   * ([[dupClusters]]) keep the highest-QUALITY member (composite score
+   * from [[TextAnalysis.qualityScore]]; ties broken by the larger
+   * doc_id), not the arbitrary minimum id. Emits one row per cluster
+   * with the kept doc and the drop count. One per-cluster bounded
+   * window over the (already computed) cluster frame — the partition
+   * key is the data-driven cluster id, the quality join is doc-keyed;
+   * no new shuffle shape beyond the clustering itself. Scores are
+   * 6dp-rounded on both engines, so the DESC ordering is bit-identical.
+   */
+  def keepBestInCluster(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val w = Window.partitionBy(col("cluster_id"))
+    val wOrd = w.orderBy(col("score").desc, col("doc_id").desc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("kept_doc"), col("score").as("kept_score"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /**
    * Near-duplicate clusters via ALTERNATING LARGE-STAR/SMALL-STAR
    * connected components (Kiveris et al., "Connected Components in
    * MapReduce and Beyond", SOCC'14) — the web-scale alternative to

@@ -73,7 +73,9 @@ object ExtQueries {
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
-      Dedup.ngramNovelty(s, d))
+      Dedup.ngramNovelty(s, d)),
+    "x34_keep_best" -> ((s: SparkSession, d: String) =>
+      Dedup.keepBestInCluster(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -551,6 +553,35 @@ object ExtQueries {
         |      JOIN sizes s2 ON d2 = s2.doc_id)
         |SELECT d1, d2, containment FROM j WHERE containment >= 0.9
         |ORDER BY d1, d2""".stripMargin,
+
+    // x34: reuses the recursive-CTE clustering (x21 oracle) + the x8
+    // quality formula; scores are 6dp-rounded on both engines so the
+    // DESC window ordering agrees bit-for-bit.
+    "x34_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsSql),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS d, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT re.d, e.dst AS r FROM reach re JOIN edges e ON re.r = e.src),
+         |lab AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |        round(least(1.0, len(string_split(text, ' ')) / 100)
+         |              * (len(list_distinct(string_split(text, ' ')))
+         |                 / len(string_split(text, ' '))), 6) AS score
+         |      FROM documents)
+         |SELECT cluster_id, cluster_size, kept_doc, kept_score,
+         |  cluster_size - 1 AS n_dropped
+         |FROM (SELECT cluster_id,
+         |        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |          AS cluster_size,
+         |        doc_id AS kept_doc, score AS kept_score,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY score DESC, doc_id DESC) AS rn
+         |      FROM lab JOIN q USING (doc_id))
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // x33: shingles are distinct per doc, so count(*) per shingle IS the
     // document frequency on both engines.
