@@ -538,6 +538,33 @@ object RelQueries {
   }
 
   /**
+   * Three-step SEQUENCE funnel (signup → click → purchase, strictly
+   * increasing event times) — the ordered-sequence mining q26's two-step
+   * funnel generalizes to. Greedy earliest-completion semantics: each
+   * stage takes the MIN event time strictly after the previous stage's
+   * time, which is the standard funnel definition and a per-stage
+   * MIN-aggregation cascade — three user_id-keyed aggregations and
+   * joins, NO per-user event sorting or window state. Left joins keep
+   * drop-offs as NULL stages. Integer-µs math end to end.
+   */
+  def q31SequenceFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+      .where(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+      .where(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        col("t3").isNotNull.as("completed"))
+      .orderBy(col("user_id"))
+  }
+
+  /**
    * Correlated subqueries through the SQL-TEXT surface: orders that have
    * a heavy line item (correlated EXISTS) and no returned one
    * (correlated NOT EXISTS). Catalyst decorrelates both into one
@@ -635,7 +662,8 @@ object RelQueries {
     "q27_window_ranks" -> (q27WindowRanks _),
     "q28_grouping_sets" -> (q28GroupingSets _),
     "q29_sliding_range" -> (q29SlidingRange _),
-    "q30_correlated_exists" -> (q30CorrelatedExists _)
+    "q30_correlated_exists" -> (q30CorrelatedExists _),
+    "q31_sequence_funnel" -> (q31SequenceFunnel _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -905,6 +933,21 @@ object RelQueries {
         |  COALESCE(purchase_us - signup_us <= 86400000000, FALSE)
         |    AS converted_24h
         |FROM s LEFT JOIN p USING (user_id) ORDER BY s.user_id""".stripMargin,
+
+    "q31_sequence_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |            FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |       GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3, t3 IS NOT NULL AS completed
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
 
     "q30_correlated_exists" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus
