@@ -99,15 +99,22 @@ private[ingest] trait WireFormatDecode {
   * encoding (`GenericRecord.toString`) — the schemaless "searchable
   * string" view. */
 case class ConfluentAvroDecode(child: Expression,
-    writerSchemas: Map[Int, String], readerSchemaJson: String)
+    writerSchemas: Map[Int, String], readerSchemaJson: String,
+    permissive: Boolean = false)
     extends UnaryExpression with CodegenFallback with WireFormatDecode {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
+    try UTF8String.fromString(
       String.valueOf(decodeBody(input.asInstanceOf[Array[Byte]])))
+    catch {
+      // PERMISSIVE mode (from_json analog): a torn/corrupt frame becomes
+      // a NULL row instead of aborting the job — at 100 TB a handful of
+      // bad records must not kill a long-running ingest
+      case scala.util.control.NonFatal(_) if permissive => null
+    }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -124,15 +131,19 @@ case class ConfluentAvroDecode(child: Expression,
  * from `AvroConverter` (SURVEY.md §1.3).
  */
 case class ConfluentAvroDecodeStruct(child: Expression,
-    writerSchemas: Map[Int, String], readerSchemaJson: String)
+    writerSchemas: Map[Int, String], readerSchemaJson: String,
+    permissive: Boolean = false)
     extends UnaryExpression with CodegenFallback with WireFormatDecode {
 
   override def dataType: DataType = ConfluentAvro.sparkType(readerSchema)
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    ConfluentAvro.toCatalyst(
+    try ConfluentAvro.toCatalyst(
       decodeBody(input.asInstanceOf[Array[Byte]]), readerSchema)
+    catch { // see ConfluentAvroDecode: PERMISSIVE nulls corrupt frames
+      case scala.util.control.NonFatal(_) if permissive => null
+    }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -167,6 +178,23 @@ object ConfluentAvro {
       readerSchemaJson: String): Column =
     GraftColumnBridge.column(ConfluentAvroDecodeStruct(
       GraftColumnBridge.expression(value), writerSchemas, readerSchemaJson))
+
+  /** PERMISSIVE typed decode — the `from_json` PERMISSIVE analog:
+    * corrupt/undecodable frames yield NULL instead of failing the job
+    * (count/quarantine the NULLs downstream; the strict default remains
+    * fail-fast so config errors stay loud). */
+  def decodeStructPermissive(value: Column,
+      writerSchemas: Map[Int, String], readerSchemaJson: String): Column =
+    GraftColumnBridge.column(ConfluentAvroDecodeStruct(
+      GraftColumnBridge.expression(value), writerSchemas, readerSchemaJson,
+      permissive = true))
+
+  /** PERMISSIVE JSON-string decode (see [[decodeStructPermissive]]). */
+  def decodeJsonPermissive(value: Column,
+      writerSchemas: Map[Int, String], readerSchemaJson: String): Column =
+    GraftColumnBridge.column(ConfluentAvroDecode(
+      GraftColumnBridge.expression(value), writerSchemas, readerSchemaJson,
+      permissive = true))
 
   /** Non-null union branches of a union schema. */
   private def unionBranches(s: Schema): Seq[Schema] =

@@ -74,6 +74,32 @@ class AvroPipelineSpec extends SparkSpec {
     assert(vals(2).isNullAt(0) && vals(2).isNullAt(1)) // tombstone row
   }
 
+  test("PERMISSIVE decode: corrupt frames become NULL rows, valid frames " +
+      "still decode; strict mode keeps failing fast") {
+    val good = frame(fooSchema, "foo" -> "ok", "bar" -> 7)
+    val torn = good.take(good.length - 1) // truncated body: EOF mid-decode
+    val badMagic = Array[Byte](9, 9, 9, 9, 9, 9)
+    val rows = records("foo", Seq(
+      ("1", good, 0L), ("2", torn, 1L), ("3", badMagic, 2L)))
+    val out = rows.select($"offset",
+        ConfluentAvro.decodeStructPermissive(
+          $"value", Map(1 -> fooSchema), fooSchema).as("v"))
+      .orderBy($"offset").collect()
+    assert(out(0).getStruct(1).getString(0) == "ok")
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+    // JSON flavor agrees
+    val js = rows.select($"offset",
+        ConfluentAvro.decodeJsonPermissive(
+          $"value", Map(1 -> fooSchema), fooSchema).as("j"))
+      .orderBy($"offset").collect()
+    assert(js(0).getString(1).contains("ok") &&
+      js(1).isNullAt(1) && js(2).isNullAt(1))
+    // default stays strict: the same corrupt input aborts
+    intercept[Exception] {
+      rows.select(ConfluentAvro.decodeStruct($"value", fooSchema)).collect()
+    }
+  }
+
   test("decode rejects non-Confluent framing") {
     val bad = records("foo", Seq(("9", Array[Byte](7, 7), 9L)))
     val ex = intercept[Exception] {
