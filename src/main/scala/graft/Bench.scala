@@ -32,7 +32,7 @@ object Bench {
     "kq13_rare_terms", "kq14_percentiles", "q27_window_ranks",
     "x32_dedup_containment", "q28_grouping_sets", "kq15_filters_agg",
     "kq16_top_hits", "kq17_hist_gapfill", "q29_sliding_range",
-    "x33_ngram_novelty", "x34_keep_best")
+    "x33_ngram_novelty", "x34_keep_best", "q31_sequence_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
