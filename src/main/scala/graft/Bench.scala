@@ -9,9 +9,15 @@ import org.apache.spark.sql.SparkSession
  *
  * Each query is forced end-to-end with a `noop` write (count() alone can
  * skip projection work). One untimed warm-up of a small query amortizes
- * classloading/codegen JIT, and each query is then timed TWICE with the
- * min reported — steady-state plan cost, not first-run JIT/GC noise
- * (run-to-run variance on a 32-thread local JVM is ±20% otherwise).
+ * classloading/codegen JIT; each query is then timed once per PASS over
+ * the whole list — three passes, each in a different shuffled order —
+ * and the per-query MIN across passes is reported. Min-of-adjacent-runs
+ * (the previous scheme) is not robust: one multi-second contention
+ * window on the host inflates BOTH back-to-back samples of whichever
+ * queries it lands on (r4's x22/x23/x24 were consecutive in run order
+ * and "regressed" 3-5x together with zero code change). With interleaved
+ * shuffled passes the same window hits different queries each pass and
+ * the min discards it.
  */
 object Bench {
 
@@ -32,7 +38,8 @@ object Bench {
     "kq13_rare_terms", "kq14_percentiles", "q27_window_ranks",
     "x32_dedup_containment", "q28_grouping_sets", "kq15_filters_agg",
     "kq16_top_hits", "kq17_hist_gapfill", "q29_sliding_range",
-    "x33_ngram_novelty", "x34_keep_best", "q31_sequence_funnel")
+    "x33_ngram_novelty", "x34_keep_best", "q31_sequence_funnel",
+    "x35_analyzed_search", "kq21_kql_freetext")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,7 +75,17 @@ object Bench {
     // relational and the events-pipeline read paths
     run("q2_topk"); run("kq2_search_key")
 
-    val results = headline.map(n => n -> math.min(run(n), run(n)))
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (pass <- 0 until 3) {
+      // deterministic per-pass shuffle — different adjacency each pass
+      val order = new scala.util.Random(42L + pass).shuffle(headline)
+      order.foreach(n => samples(n) ::= run(n))
+    }
+    val results = headline.map { n =>
+      val ok = samples(n).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -238,8 +238,10 @@ object SparkEntry {
     }),
 
     // ---- Kibana numeric `histogram` agg: fixed-interval buckets over ----
-    // ---- the payload value (floor(v/i)*i is pure IEEE double, so both ---
-    // ---- engines bucket identically); money sums decimal-exact ----------
+    // ---- the payload value. Spark floor() returns LONG while DuckDB's ---
+    // ---- returns DOUBLE, so the oracle casts its bucket to BIGINT to ----
+    // ---- align dtypes (40 vs 40.0 hash differently even when counts ----
+    // ---- agree — r4's only red row); money sums decimal-exact -----------
     "kq19_numeric_hist" -> ((s, dir) =>
       Pipeline.envelopeFlat(s, dir)
         .where(col("value").isNotNull)
@@ -281,8 +283,12 @@ object SparkEntry {
     // ---- per-group, never global ----------------------------------------
     "kq16_top_hits" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // uid is the final tiebreak: (timestamp, offset) is NOT a total
+      // order across topics/partitions (offsets repeat per
+      // topic-partition), and a cross-topic tie would pick different
+      // hits on different engines
       val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("timestamp").desc, col("offset").desc)
+        .orderBy(col("timestamp").desc, col("offset").desc, col("uid"))
       Pipeline.envelopeFlat(s, dir)
         .where(col("event_type").isNotNull)
         .withColumn("hit_rank", row_number().over(w))
@@ -301,6 +307,16 @@ object SparkEntry {
         .where(LogQueries.kql(
           """event_type:cl* OR (value >= 90 AND NOT event_type:signup)
             | OR "TOMBSTONE"""".stripMargin.replace("\n", " ")))
+        .orderBy(col("offset"))),
+
+    // ---- KQL free text through the ES analyzer: the bare MIXED-CASE -----
+    // ---- term must match the lowercased analyzed token stream of the ----
+    // ---- JSON payload, and the embedded wildcard (c*ck → click) must ----
+    // ---- translate to an escaped LIKE — both reference search-box -------
+    // ---- behaviors (README.md:40-42) ------------------------------------
+    "kq21_kql_freetext" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(LogQueries.kql("PURCHASE OR event_type:c*ck"))
         .orderBy(col("offset"))),
 
     // ---- the spark.sql text surface over a registered changelog view -----
@@ -421,7 +437,7 @@ object SparkEntry {
         |ORDER BY spine.bucket""".stripMargin),
 
     "kq19_numeric_hist" ->
-      (envSql + """SELECT floor("value" / 10) * 10 AS bucket,
+      (envSql + """SELECT CAST(floor("value" / 10) * 10 AS BIGINT) AS bucket,
         |  count(*) AS n,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM env WHERE "value" IS NOT NULL
@@ -448,7 +464,7 @@ object SparkEntry {
       (envSql + """SELECT event_type, CAST(hit_rank AS INT) AS hit_rank,
         |  uid, "timestamp", "value"
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
-        |        ORDER BY "timestamp" DESC, "offset" DESC) AS hit_rank
+        |        ORDER BY "timestamp" DESC, "offset" DESC, uid) AS hit_rank
         |      FROM env WHERE event_type IS NOT NULL)
         |WHERE hit_rank <= 3
         |ORDER BY event_type, hit_rank""".stripMargin),
@@ -458,6 +474,15 @@ object SparkEntry {
         |WHERE event_type LIKE 'cl%'
         |   OR ("value" >= 90 AND NOT (event_type = 'signup'))
         |   OR value_json LIKE '%TOMBSTONE%'
+        |ORDER BY "offset"""".stripMargin),
+
+    "kq21_kql_freetext" ->
+      (envSql + """SELECT * FROM env
+        |WHERE list_contains(
+        |        list_filter(regexp_split_to_array(lower(value_json),
+        |                                          '[^a-z0-9]+'),
+        |                    t -> t <> ''), 'purchase')
+        |   OR event_type LIKE 'c%ck'
         |ORDER BY "offset"""".stripMargin),
 
     "kq9_sql_surface" ->

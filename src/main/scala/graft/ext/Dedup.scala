@@ -73,8 +73,7 @@ object Dedup {
     val exploded = docSh.select(col("doc_id"),
       size(col("shingles")).as("n"),
       explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"),
-        col("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
 
     // Bayardo prefix filter. Global document frequency of every shingle
     // (one agg on the hashed shingle key), then each doc's shingles ranked
@@ -88,9 +87,14 @@ object Dedup {
     // bounded by the df of rare shingles instead of the unbounded Σ df(s)²
     // of the all-shingle self-join (one ubiquitous boilerplate shingle no
     // longer produces a quadratic pair explosion).
+    // ordering on (df, sh) alone is output-deterministic: two same-doc
+    // rows tying on both carry the SAME join key, so whichever side of
+    // the prefix cutoff each lands on, the candidate set is identical —
+    // carrying the shingle string through the window shuffle just to
+    // break that tie would ~4× the shuffled bytes
     val dfTbl = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wPrefix = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("sh"), col("s"))
+      .orderBy(col("df"), col("sh"))
     val prefix = exploded.join(dfTbl, "sh")
       .withColumn("rk", row_number().over(wPrefix))
       // ceil(n·t) with an epsilon: when n·t is exactly integral, a one-ulp
@@ -145,10 +149,15 @@ object Dedup {
       graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
     val exploded = docSh.select(col("doc_id"),
       size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"), col("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
+    // ordering on (df, sh) alone is output-deterministic: two same-doc
+    // rows tying on both carry the SAME join key, so whichever side of
+    // the prefix cutoff each lands on, the candidate set is identical —
+    // carrying the shingle string through the window shuffle just to
+    // break that tie would ~4× the shuffled bytes
     val dfTbl = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val wPrefix = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("sh"), col("s"))
+      .orderBy(col("df"), col("sh"))
     // ceil epsilon: see ngramJaccardPairs (an exact-integral t·n must not
     // round up and silently shorten the prefix)
     val prefix = exploded.join(dfTbl, "sh")
@@ -267,16 +276,20 @@ object Dedup {
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(k => col(s"mh$k")): _*).as("sig"))
-    // one row per (doc, band); band key = concat of the band's minhashes
-    val bandStructs = array((0 until numHashes / rowsPerBand).map { b =>
+    // one row per (doc, band); the join key is xxhash64(band, band's
+    // minhashes) — ONE LONG through the candidate shuffle instead of the
+    // 26-char md5-hex concat (the band index inside the hash keeps
+    // different bands from colliding). Semantically identical grouping to
+    // the oracle's string banding: a 2⁻⁶⁴ cross-band hash collision could
+    // only ADD a candidate, which the signature-agreement verify below
+    // then scores on the REAL signatures.
+    val bandKeys = array((0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(k => element_at(col("sig"), k + 1))
-      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("band_key"))
+      xxhash64(lit(b) +: cols: _*)
     }: _*)
     val bands = sig.select(col("doc_id"), col("sig"),
-        explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      explode(bandKeys).as("bkey"))
     val l = bands.as("l"); val r = bands.as("r")
     // candidates deduped by the pair-key aggregation; the carried
     // signatures are functionally dependent on the doc ids, so first() is
@@ -286,8 +299,7 @@ object Dedup {
         1).otherwise(0))
       .reduce(_ + _)
     l.join(r,
-        col("l.band") === col("r.band") &&
-          col("l.band_key") === col("r.band_key") &&
+        col("l.bkey") === col("r.bkey") &&
           col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
       .agg(first(col("l.sig")).as("sig1"), first(col("r.sig")).as("sig2"))

@@ -75,7 +75,19 @@ object ExtQueries {
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
       Dedup.ngramNovelty(s, d)),
     "x34_keep_best" -> ((s: SparkSession, d: String) =>
-      Dedup.keepBestInCluster(s, d))
+      Dedup.keepBestInCluster(s, d)),
+    // x35: the ES-analyzer proof — BM25 over a deterministically
+    // "messified" corpus (UPPERCASED, every space replaced by ", ") with
+    // MIXED-CASE query terms. The analyzer must recover the exact clean
+    // token stream on both engines or every score diverges.
+    "x35_analyzed_search" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val messy = graft.ingest.Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          upper(regexp_replace(col("text"), " ", ", ")).as("text"))
+      TextAnalysis.bm25(messy, "doc_id", "text",
+        Seq("Spark", "QUERY", "Stream"), 20)
+    })
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -114,14 +126,25 @@ object ExtQueries {
   /** Query terms of the x22 BM25 fixture query (shared with its oracle). */
   private val Bm25Terms = Seq("spark", "query", "stream")
 
-  /** DuckDB rendering of the x22 BM25 score — identical literals,
+  /** DuckDB rendering of the ES-standard-analyzer token list — the exact
+    * SQL contract documented on [[graft.functions.AnalyzeTokens]]:
+    * lowercase, maximal alphanumeric runs, no empty tokens. */
+  private def anTokSql(textExpr: String): String =
+    s"list_filter(regexp_split_to_array(lower($textExpr), '[^a-z0-9]+')," +
+      " t -> t <> '')"
+
+  /** DuckDB rendering of the x22/x35 BM25 score — identical literals,
     * identical association order, integer tf/df inputs, so the double
-    * arithmetic is bit-for-bit the Spark expression's. */
-  private def bm25OracleSql(terms: Seq[String], k: Int): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+    * arithmetic is bit-for-bit the Spark expression's. Tokenization is
+    * the analyzed stream on BOTH sides; `source` lets x35 feed a
+    * messified corpus through the same scoring SQL. */
+  private def bm25OracleSql(terms: Seq[String], k: Int,
+      source: String = "documents"): String = {
+    val lower = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    val inList = lower.map(t => s"'$t'").mkString(", ")
+    val tfCols = lower.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$i" }.mkString(",\n    ")
-    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+    val dfCols = lower.zipWithIndex.map { case (t, i) =>
       s"count(DISTINCT CASE WHEN term = '$t' THEN doc_id END) AS df_$i" }
       .mkString(",\n    ")
     val termScore = terms.indices.map { i =>
@@ -133,11 +156,11 @@ object ExtQueries {
         .stripMargin.replace("\n", " ")
     }.mkString("\n      + ")
     s"""WITH stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-       |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS sum_len
-       |  FROM documents),
-       |toks AS (SELECT doc_id, len(string_split(text, ' ')) AS len,
-       |    unnest(string_split(text, ' ')) AS term
-       |  FROM documents),
+       |    CAST(sum(len(${anTokSql("text")})) AS DOUBLE) AS sum_len
+       |  FROM $source),
+       |toks AS (SELECT doc_id, len(${anTokSql("text")}) AS len,
+       |    unnest(${anTokSql("text")}) AS term
+       |  FROM $source),
        |ft AS (SELECT doc_id, len,
        |    $tfCols
        |  FROM toks WHERE term IN ($inList) GROUP BY 1, 2),
@@ -375,7 +398,7 @@ object ExtQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x15_tfidf" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      s"""WITH toks AS (SELECT doc_id, unnest(${anTokSql("text")}) AS term
         |              FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df FROM
@@ -497,6 +520,10 @@ object ExtQueries {
     },
 
     "x22_bm25_search" -> bm25OracleSql(Bm25Terms, 20),
+
+    "x35_analyzed_search" -> bm25OracleSql(Seq("Spark", "QUERY", "Stream"),
+      20, source =
+        "(SELECT doc_id, upper(replace(text, ' ', ', ')) AS text FROM documents)"),
 
     "x29_significant_terms" ->
       """WITH toks AS (SELECT doc_id, source,

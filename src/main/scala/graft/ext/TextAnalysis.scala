@@ -134,8 +134,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    // ES-analyzed terms (lowercase + punctuation split), so the TF-IDF
+    // vocabulary matches what the search surface (bm25/kq18) tokenizes
     val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
+      explode(graft.functions.AnalyzeTokens.analyze(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = toks.select(col("doc_id"), col("term")).distinct()
@@ -177,28 +179,42 @@ object TextAnalysis {
 
   /** Generic BM25 core over any (id, text) frame — reused by the
     * changelog facade's `matchQuery` (ranked search over payload JSON)
-    * and the x22 corpus query above. */
+    * and the x22 corpus query above.
+    *
+    * Both the documents AND the query terms go through the ES-standard
+    * analyzer ([[graft.functions.AnalyzeTokens]]: lowercase +
+    * punctuation split), matching how the reference's users search —
+    * Kibana's match query analyzes both sides, so `"Spark,"` in a log
+    * line matches the query `Spark` (reference README.md:40-42). */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    val tokens = graft.functions.AnalyzeTokens.analyze(col(textCol))
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
-      sum(size(split(col(textCol), " "))).cast("double").as("sum_len"))
+      sum(size(tokens)).cast("double").as("sum_len"))
     val toks = docs.select(id,
-        size(split(col(textCol), " ")).as("len"),
-        explode(split(col(textCol), " ")).as("term"))
-      .where(col("term").isin(terms: _*)) // prune to the query postings
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        size(tokens).as("len"),
+        explode(tokens).as("term"))
+      .where(col("term").isin(qTerms: _*)) // prune to the query postings
+    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1).otherwise(0)).as(s"tf_$i")
     }
-    val dfCols = terms.zipWithIndex.map { case (t, i) =>
-      countDistinct(when(col("term") === t, id)).as(s"df_$i")
+    // Per-term document frequencies WITHOUT countDistinct: N parallel
+    // countDistincts compile to a multi-distinct Expand that replicates
+    // every posting row N times before the shuffle — the same
+    // anti-pattern whose removal took x29 from 10.2 s to 0.26 s. One
+    // (id, term) distinct pass, then plain conditional sums.
+    val dfCols = qTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"df_$i")
     }
     val perDoc = toks.groupBy(id, col("len"))
       .agg(tfCols.head, tfCols.tail: _*)
-    val dfs = toks.agg(dfCols.head, dfCols.tail: _*)
+    val dfs = toks.select(id, col("term")).distinct()
+      .agg(dfCols.head, dfCols.tail: _*)
     val scored = perDoc
       .crossJoin(broadcast(dfs))   // 1 row
       .crossJoin(broadcast(stats)) // 1 row

@@ -20,13 +20,23 @@ import org.apache.spark.sql.functions._
  *   and     := not ( AND not )*           // AND binds tighter than OR
  *   not     := NOT not | primary
  *   primary := '(' expr ')' | clause
- *   clause  := field ':' value            // equality; trailing * = prefix
+ *   clause  := field ':' value            // equality; each * = wildcard
  *            | field (> | >= | < | <=) number
- *            | value                      // free text: contains(value_json)
+ *            | value                      // free text (see below)
  * }}}
  * Values are bare words or double-quoted phrases (quotes allow spaces
- * and disable wildcard interpretation, like KQL). Dotted field names
+ * and disable wildcard interpretation, like KQL). Every `*` in an
+ * unquoted value is a wildcard (embedded ones included, `event_type:c*ck`
+ * matches `click`), translated to an escaped `LIKE`. Dotted field names
  * (`message.bar`) resolve through struct columns as in Spark SQL.
+ *
+ * Free text follows ES semantics: a BARE term is matched against the
+ * ANALYZED token stream of the text field (lowercase + punctuation
+ * split, [[graft.functions.AnalyzeTokens]]) with the term lowercased
+ * too — `Spark` finds `"spark,"` — and bare-term wildcards match
+ * analyzed tokens by LIKE. A QUOTED phrase keeps raw substring
+ * semantics over the JSON-string view (match_phrase-ish, exact case),
+ * which is what the kq18 `"TOMBSTONE"` sentinel search relies on.
  *
  * Untyped string literals are left to Catalyst's comparison coercion
  * (string literal vs numeric column casts the literal), matching how
@@ -129,12 +139,9 @@ object Kql {
           case Quoted(s) => (s, true)
           case t => throw new IllegalArgumentException(s"expected value, got $t")
         }
-        // unquoted trailing * is a prefix match, like KQL wildcards;
-        // escape LIKE metacharacters in the literal part
-        if (!q && v.endsWith("*"))
-          col(term).like(
-            v.dropRight(1).replace("\\", "\\\\")
-              .replace("%", "\\%").replace("_", "\\_") + "%")
+        // every unquoted * is a wildcard (trailing OR embedded), like
+        // KQL; LIKE metacharacters in the literal parts are escaped
+        if (!q && v.contains("*")) col(term).like(likePattern(v))
         else col(term) === lit(v)
       case Some(Sym(op)) if op == ">" || op == ">=" || op == "<" || op == "<=" =>
         next()
@@ -149,8 +156,23 @@ object Kql {
           case "<=" => col(term) <= lit(n)
         }
       case _ =>
-        // bare term = free-text search over the JSON-string view
-        col(textField).contains(term)
+        // free text. Quoted phrase = raw substring over the JSON-string
+        // view (match_phrase-ish); bare term = ES-analyzed token match
+        // (both the text field and the term go through the analyzer).
+        if (quoted) col(textField).contains(term)
+        else {
+          val toks = graft.functions.AnalyzeTokens.analyze(col(textField))
+          val t = term.toLowerCase(java.util.Locale.ROOT)
+          if (t.contains("*"))
+            exists(toks, _.like(likePattern(t)))
+          else array_contains(toks, lit(t))
+        }
     }
   }
+
+  /** Translate a KQL wildcard value into a LIKE pattern: each `*`
+    * becomes `%`, LIKE metacharacters in the literal parts escaped. */
+  private def likePattern(v: String): String =
+    v.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      .replace("*", "%")
 }

@@ -29,6 +29,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def serialize(df: pd.DataFrame) -> list:
+    """Canonical per-row string tuples, dtype-sensitive like the driver's
+    hash: floats keep their '.0', ints don't, NULL/NaN both become None."""
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        rows.append(tuple(
+            None if v is None or v is pd.NaT
+            or (isinstance(v, float) and v != v) else str(v)
+            for v in tup))
+    return rows
+
+
+def sort_key(row):
+    # total order with NULLs first (None is not comparable to str in py3)
+    return tuple((0, "") if v is None else (1, v) for v in row)
+
+
 def main():
     out_dir = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -73,23 +90,22 @@ def main():
               if c in duck_df.columns and str(spark_df[c].dtype) != str(duck_df[c].dtype)]
         for c, a, b in dt:
             print(f"  WARN {name}.{c}: dtype spark={a} duck={b}")
-        # order-insensitive compare: sort by all columns
-        cols = list(s.columns)
-        s2 = s.sort_values(cols, kind="mergesort", na_position="last").reset_index(drop=True)
-        d2 = d.sort_values(cols, kind="mergesort", na_position="last").reset_index(drop=True)
-        try:
-            pd.testing.assert_frame_equal(s2, d2, check_dtype=False, check_exact=True)
+        # Driver-faithful compare: the driver hashes SERIALIZED values, so
+        # int64 40 vs float64 40.0 must FAIL here too (kq19 slipped through
+        # r4's check_dtype=False compare). Stringify every cell, then compare
+        # rows as sorted multisets.
+        s2 = serialize(s)
+        d2 = serialize(d)
+        s2.sort(key=sort_key)
+        d2.sort(key=sort_key)
+        if s2 == d2:
             print(f"PASS {name} ({len(s)} rows)")
             n_pass += 1
-        except AssertionError as e:
-            msg = str(e).split("\n")
-            print(f"FAIL {name}: value mismatch: " + " | ".join(msg[:6]))
-            # show first differing row for debugging
-            neq = (s2 != d2) & ~(s2.isna() & d2.isna())
-            bad = neq.any(axis=1)
-            if bad.any():
-                i = bad.idxmax()
-                print(f"  first diff row {i}:\n  spark: {s2.loc[i].to_dict()}\n  duck : {d2.loc[i].to_dict()}")
+        else:
+            bad = next((i for i, (a, b) in enumerate(zip(s2, d2)) if a != b),
+                       min(len(s2), len(d2)) - 1)
+            print(f"FAIL {name}: serialized-value mismatch")
+            print(f"  first diff row {bad}:\n  spark: {s2[bad]}\n  duck : {d2[bad]}")
             n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail")
     sys.exit(1 if n_fail else 0)
