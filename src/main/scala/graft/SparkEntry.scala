@@ -182,6 +182,21 @@ object SparkEntry {
     "kq10_schema_evolution" -> ((s, dir) =>
       graft.ingest.AvroIngest.evolutionDemo(s, dir)),
 
+    // ---- the WIRE path: Confluent-framed BYTES (tombstones = null ------
+    // ---- bytes) → tombstone-before-decode → Avro decode → SMT chain →  --
+    // ---- envelope; must be row-identical to the parquet-shaped env -----
+    "kq22_wire_path" -> ((s, dir) =>
+      graft.ingest.AvroIngest.wirePathEnvelope(s, dir)
+        .orderBy(col("offset"))),
+
+    // ---- Spark 4 transformWithState, driver-visible: the envelope ------
+    // ---- replayed as a stream (AvailableNow, RocksDB state store) ------
+    // ---- through the typed StatefulProcessor; final per-key state ------
+    // ---- equals the SQL fixpoint the oracle computes -------------------
+    "kq23_stream_key_stats" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.keyStatsBatch(s,
+        Pipeline.envelope(s, dir), Pipeline.ValueJsonField)),
+
     // ---- Kibana `rare_terms` aggregation: the least-frequent keys in ----
     // ---- the changelog (long-tail keys surface config errors / orphan ---
     // ---- producers). (doc_count, key) is a total order, so the LIMIT ----
@@ -405,6 +420,18 @@ object SparkEntry {
       """SELECT event_id, event_type, "value",
         |  CASE WHEN event_id % 2 = 0 THEN 'n/a' ELSE props END AS props
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the wire path must reproduce the SAME envelope the parquet-shaped
+    // pipeline yields — the oracle IS the plain env CTE
+    "kq22_wire_path" ->
+      (envSql + """SELECT * FROM env ORDER BY "offset"""".stripMargin),
+
+    // the stateful processor's fixpoint: per-key count + argmax-by-offset
+    "kq23_stream_key_stats" ->
+      (envSql + """SELECT topic, "key", count(*) AS n,
+        |  max("offset") AS last_offset,
+        |  arg_max(value_json, "offset") AS last_value
+        |FROM env GROUP BY 1, 2 ORDER BY topic, "key"""".stripMargin),
 
     "kq13_rare_terms" ->
       (envSql + """SELECT "key", count(*) AS doc_count

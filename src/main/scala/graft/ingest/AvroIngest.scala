@@ -74,6 +74,46 @@ object AvroIngest {
    * evolution end-to-end, and the DuckDB oracle checks the result against
    * the raw table with the default spliced in.
    */
+  /**
+   * The reference's ACTUAL byte-level contract end-to-end (kq22): the
+   * events fixture re-shaped into a Kafka record frame whose `value` is
+   * Confluent-FRAMED BYTES (magic 0 + 4-byte schema id + Avro body,
+   * kafana.http:1-61), with every 50th offset a REAL tombstone (null
+   * bytes) — then the exact ingest chain a live deployment runs:
+   * tombstone-check-before-decode (TombstoneAwareAvroConverter.java:26-31)
+   * → S1 Avro decode → T1-T7 enrichment → flat envelope. The output must
+   * be row-identical to the parquet-shaped [[graft.Pipeline.envelopeFlat]]
+   * (the DuckDB oracle is the same `env` CTE), which proves S2 encode and
+   * S1 decode are lossless inverses INSIDE the driver's correctness gate,
+   * not just in specs: doubles round-trip bit-for-bit through Avro,
+   * strings byte-for-byte, and the tombstone path materializes the same
+   * sentinel.
+   */
+  def wirePathEnvelope(spark: SparkSession, dir: String,
+      valueJsonField: String = "value_json"): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val framed = ev.select(
+      col("user_id").cast("string").as("key"),
+      when(col("event_id") % Sources.TombstoneEvery === 0,
+        lit(null).cast("binary"))
+        .otherwise(ConfluentAvroEncode.encode(
+          struct(col("event_type"), col("value"), col("props")), EventV2, 1))
+        .as("value"),
+      lit("events").as("topic"),
+      pmod(col("user_id"), lit(4)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"))
+    val env = Transforms.enrich(valueJsonField)(
+      decodeTopic(framed, EventV2))
+    env.select(
+      col("uid"), col("key"), col("topic"), col("partition"),
+      col("offset"), col("timestamp"),
+      col("message.event_type").as("event_type"),
+      col("message.value").as("value"),
+      col("message.props").as("props"),
+      col(s"message.$valueJsonField").as(valueJsonField))
+  }
+
   def evolutionDemo(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val framed = ev.select(col("event_id"),

@@ -54,6 +54,16 @@ private[ingest] trait WireFormatDecode {
     new Schema.Parser().parse(readerSchemaJson)
   @transient private lazy val readers =
     new java.util.concurrent.ConcurrentHashMap[Int, GenericDatumReader[Any]]
+  // one shared reader + one WARN for ALL unknown ids: in PERMISSIVE mode
+  // corrupt frames with a valid magic byte carry arbitrary 4-byte ids, so
+  // caching (or logging) per unknown id would grow without bound on a
+  // long-running ingest of garbage — the readers map holds registered ids
+  // only and stays bounded by the registry size
+  @transient private lazy val fallbackWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  @transient private lazy val fallbackReader: GenericDatumReader[Any] =
+    new GenericDatumReader[Any](
+      new Schema.Parser().parse(writerSchemas.head._2), readerSchema)
 
   /** Validate framing, read the schema id, return the resolved reader.
     * A single-entry writer map is the single-schema convenience overload:
@@ -66,26 +76,26 @@ private[ingest] trait WireFormatDecode {
       throw new IllegalArgumentException(
         s"not Confluent wire format (len=${bytes.length})")
     val id = ByteBuffer.wrap(bytes, 1, 4).getInt
-    readers.computeIfAbsent(id, { _ =>
-      val writerJson = writerSchemas.getOrElse(id,
-        if (writerSchemas.size == 1) {
-          // Avro binary is not self-describing: decoding a frame written
-          // with a genuinely different schema under this fallback yields
-          // corrupt values, not a clean error — warn once per unknown id
-          // (computeIfAbsent runs this at most once per id) so the
-          // convenience path never fails silently
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"confluent_avro_decode: schema id $id not registered; " +
-              s"falling back to the single supplied schema (single-schema " +
-              s"convenience mode) — register an id->schema map for strict " +
-              s"dispatch")
-          writerSchemas.head._2
-        } else throw new IllegalArgumentException(
-          s"schema id $id not registered (known: ${writerSchemas.keys.toSeq.sorted.mkString(",")})"))
-      // writer→reader resolution = the Avro spec's evolution rules
-      new GenericDatumReader[Any](
-        new Schema.Parser().parse(writerJson), readerSchema)
-    })
+    if (writerSchemas.contains(id))
+      readers.computeIfAbsent(id, { _ =>
+        // writer→reader resolution = the Avro spec's evolution rules
+        new GenericDatumReader[Any](
+          new Schema.Parser().parse(writerSchemas(id)), readerSchema)
+      })
+    else if (writerSchemas.size == 1) {
+      // Avro binary is not self-describing: decoding a frame written
+      // with a genuinely different schema under this fallback yields
+      // corrupt values, not a clean error — warn (once per executor)
+      // so the convenience path never fails silently
+      if (fallbackWarned.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"confluent_avro_decode: schema id $id not registered; " +
+            s"falling back to the single supplied schema (single-schema " +
+            s"convenience mode) — register an id->schema map for strict " +
+            s"dispatch")
+      fallbackReader
+    } else throw new IllegalArgumentException(
+      s"schema id $id not registered (known: ${writerSchemas.keys.toSeq.sorted.mkString(",")})")
   }
 
   protected def decodeBody(bytes: Array[Byte]): Any = {

@@ -80,9 +80,11 @@ object ChangelogSink {
    * rename (reversible, invisible to readers), move the staged files in,
    * then delete the hidden originals. Every rename result is checked
    * (HDFS/local `rename` reports failure by returning false, not by
-   * throwing); any failure before the move completes restores the hidden
-   * originals and aborts with the staged dir intact, so at no point can a
-   * reader observe a partition missing rows. Failures during the final
+   * throwing); any failure before the move completes first un-moves any
+   * staged files already swapped in, then restores the hidden originals,
+   * so the partition returns to exactly its pre-swap state — at no point
+   * can a reader observe missing OR duplicated rows, and a retry
+   * snapshots the original files only. Failures during the final
    * cleanup leave only dot-prefixed garbage that readers skip. Compaction
    * must still not run concurrently with another compaction of the SAME
    * partition (the hide phase would race); appends are safe.
@@ -114,9 +116,15 @@ object ChangelogSink {
         s"compactPartition: $what rename failed: $src -> $dst " +
           s"(staged output left intact at $tmp)")
     // phase 1: hide originals (reversible, readers skip dot-files);
-    // phase 2: move staged files in. Any failure restores the hidden
-    // originals and aborts — tmp is left for inspection/retry.
+    // phase 2: move staged files in. Any failure rolls the partition back
+    // to EXACTLY its pre-swap state — staged files already moved in are
+    // moved back out (or deleted: they only duplicate rows the hidden
+    // originals still hold) BEFORE the originals are restored, so a
+    // partial swap can never leave originals + a partial compacted copy
+    // visible together (duplicate rows a retry would then snapshot and
+    // bake in). tmp is left for inspection/retry.
     val hidden = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+    val moved = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
     try {
       files.foreach { f =>
         val h = new Path(part, s".compacting-${f.getPath.getName}")
@@ -124,11 +132,15 @@ object ChangelogSink {
         hidden += ((f.getPath, h))
       }
       staged.foreach { f =>
-        renameOrThrow(f.getPath, new Path(part, f.getPath.getName),
-          "move-staged")
+        val dst = new Path(part, f.getPath.getName)
+        renameOrThrow(f.getPath, dst, "move-staged")
+        moved += ((f.getPath, dst))
       }
     } catch {
       case e: Throwable =>
+        moved.foreach { case (src, dst) => // un-move, else drop the copy
+          if (!fs.rename(dst, src)) fs.delete(dst, false)
+        }
         hidden.foreach { case (orig, h) => fs.rename(h, orig) } // best effort
         throw e
     }
@@ -137,6 +149,49 @@ object ChangelogSink {
     hidden.foreach { case (_, h) => fs.delete(h, false) }
     fs.delete(tmp, true)
     nOut
+  }
+
+  /**
+   * K3 — automatic rollover conditions (reference README.md:14: "define
+   * some rollover conditions so the data doesn't grow indefinitely").
+   * ES-side rollover rolls the ACTIVE index when it exceeds max_age /
+   * max_size and prunes old indices; in the (topic, date)-partitioned
+   * changelog the "new index per period" half happens by construction,
+   * so the conditions reduce to one sweep over partitions:
+   *
+   *  - AGE: date partitions strictly older than `cutoff` (yyyy-MM-dd)
+   *    are dropped — metadata-only, no data rewrite;
+   *  - SIZE/SHAPE: a surviving partition whose file count exceeds what
+   *    `targetBytes` would produce is compacted via [[compactPartition]]
+   *    (bounded per-partition unit of work).
+   *
+   * Idempotent: a second sweep with the same arguments is a no-op.
+   * Returns (droppedPartitions, compactedPartitions).
+   */
+  def rollIfNeeded(spark: SparkSession, path: String, cutoff: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val dropped = dropPartitionsBefore(spark, path, cutoff)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var compacted = 0
+    if (fs.exists(root)) {
+      for (topicDir <- fs.listStatus(root)
+             if topicDir.isDirectory && topicDir.getPath.getName.startsWith("topic=");
+           dateDir <- fs.listStatus(topicDir.getPath)
+             if dateDir.isDirectory && dateDir.getPath.getName.startsWith("date=")) {
+        val files = fs.listStatus(dateDir.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val nOut = math.max(1,
+          math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+        if (files.length > 1 && nOut < files.length) {
+          compactPartition(spark, path,
+            topicDir.getPath.getName.stripPrefix("topic="),
+            dateDir.getPath.getName.stripPrefix("date="), targetBytes)
+          compacted += 1
+        }
+      }
+    }
+    (dropped, compacted)
   }
 
   def dropPartitionsBefore(spark: SparkSession, path: String, cutoff: String): Int = {

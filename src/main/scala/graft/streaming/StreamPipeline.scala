@@ -180,4 +180,55 @@ object StreamPipeline {
       .transformWithState(new KeyStatsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /**
+   * Driver-visible batch wrapper around [[keyStatsPerKey]] (kq23): the
+   * fixture envelope is materialized once, replayed AS A STREAM (file
+   * source under `Trigger.AvailableNow`, RocksDB state store) through the
+   * [[KeyStatsProcessor]] into a memory sink, and the FINAL state per
+   * (topic, key) — the Update-mode emission with the max running count —
+   * is returned as an ordinary batch frame. Because the processor's
+   * per-key state is (count, argmax-by-offset value), the fixpoint is
+   * SQL-expressible: `count(*) / max(offset) / arg_max(value_json,
+   * offset)` per key, which is exactly the DuckDB oracle — Spark 4's
+   * flagship stateful API gets a CORRECTNESS row, not just spec evidence.
+   */
+  def keyStatsBatch(spark: org.apache.spark.sql.SparkSession,
+      env: DataFrame, valueJsonField: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq23-tws").toString
+    env.write.mode("overwrite").parquet(s"$work/in")
+    val stream = spark.readStream.schema(env.schema).parquet(s"$work/in")
+    val sinkName = s"kq23_tws_${System.nanoTime()}"
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val q = keyStatsPerKey(stream, valueJsonField).toDF()
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+    // the final state per key is the emission with the max n (n strictly
+    // increases every time a key appears in a micro-batch)
+    val w = Window.partitionBy(col("topic"), col("key"))
+      .orderBy(col("n").desc)
+    spark.table(sinkName)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("topic"), col("key"), col("n"),
+        col("last_offset"), col("last_value"))
+      .orderBy(col("topic"), col("key"))
+  }
 }

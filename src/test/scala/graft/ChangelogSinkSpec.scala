@@ -8,19 +8,30 @@ import org.apache.spark.sql.functions._
 import graft.sink.ChangelogSink
 
 /** A local filesystem whose renames can be made to FAIL (return false,
-  * as HDFS does) for destinations in compaction's hide phase — the
-  * failure mode the crash-safe swap must survive. Instantiated by Hadoop
-  * via reflection (`fs.flaky.impl`). */
+  * as HDFS does) in either of compaction's swap phases — hide-original,
+  * or move-staged AFTER some moves already landed (the partial-swap
+  * window where a bad rollback would leave duplicates). Instantiated by
+  * Hadoop via reflection (`fs.flaky.impl`). */
 class FlakyRenameFs extends RawLocalFileSystem {
   override def getScheme: String = "flaky"
   override def getUri: java.net.URI = java.net.URI.create("flaky:///")
   override def rename(src: HPath, dst: HPath): Boolean =
     if (FlakyRenameFs.failHides && dst.getName.startsWith(".compacting-"))
       false
+    else if (FlakyRenameFs.failMovesAfter >= 0 &&
+        dst.getName.startsWith("part-") &&
+        src.getParent.getName.startsWith(".compact-") &&
+        FlakyRenameFs.movesSeen.getAndIncrement() >=
+          FlakyRenameFs.failMovesAfter)
+      false
     else super.rename(src, dst)
 }
 
-object FlakyRenameFs { @volatile var failHides = false }
+object FlakyRenameFs {
+  @volatile var failHides = false
+  @volatile var failMovesAfter = -1 // -1 = off; N = fail the (N+1)th move
+  val movesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+}
 
 class ChangelogSinkSpec extends SparkSpec {
   import spark.implicits._
@@ -106,5 +117,74 @@ class ChangelogSinkSpec extends SparkSpec {
     val n = ChangelogSink.compactPartition(spark, dir, "events", date)
     assert(n >= 1 &&
       ChangelogSink.read(spark, dir).collect().toSet == beforeRows)
+  }
+
+  test("compaction failure MID move-staged: already-moved staged files " +
+      "rolled back before originals restored — no duplicate rows, retry " +
+      "does not bake in a partial copy") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    val dir = "flaky:" +
+      java.nio.file.Files.createTempDirectory("sink-midswap").toString
+    val env = Pipeline.envelope(spark, sf)
+    (1 to 4).foreach(_ => ChangelogSink.append(env, dir))
+    val before = ChangelogSink.read(spark, dir).collect()
+    val date = ChangelogSink.read(spark, dir)
+      .agg(max(to_date($"timestamp"))).as[java.sql.Date].head().toString
+    // target sized so the rewrite stages TWO files (a single staged file
+    // has no partial-swap window to inject into)
+    val partBytes = new java.io.File(
+      s"${dir.stripPrefix("flaky:")}/topic=events/date=$date")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = partBytes / 2 + 1
+
+    // first staged move succeeds, second fails → the partial-swap window
+    FlakyRenameFs.movesSeen.set(0)
+    FlakyRenameFs.failMovesAfter = 1
+    try {
+      val e = intercept[IllegalStateException](
+        ChangelogSink.compactPartition(spark, dir, "events", date, target))
+      assert(e.getMessage.contains("move-staged"), e.getMessage)
+    } finally FlakyRenameFs.failMovesAfter = -1
+
+    // EXACT pre-swap state: same row multiset (a bad rollback that left
+    // originals + a partial compacted copy would inflate the count)
+    val after = ChangelogSink.read(spark, dir).collect()
+    assert(after.length == before.length,
+      s"rows ${before.length} -> ${after.length}: partial swap left behind")
+    assert(after.toSet == before.toSet)
+    val partDir = new java.io.File(
+      s"${dir.stripPrefix("flaky:")}/topic=events/date=$date")
+    assert(!partDir.listFiles().exists(_.getName.startsWith(".compacting-")))
+    // retry snapshots only the restored originals → still identical rows
+    val n = ChangelogSink.compactPartition(spark, dir, "events", date, target)
+    val retried = ChangelogSink.read(spark, dir).collect()
+    assert(n == 2 && retried.length == before.length &&
+      retried.toSet == before.toSet)
+  }
+
+  test("rollIfNeeded: age condition drops old partitions, size condition " +
+      "compacts fragmented ones, second sweep is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("sink-roll").toString
+    val env = Pipeline.envelope(spark, sf)
+    (1 to 4).foreach(_ => ChangelogSink.append(env, dir))
+    val all = ChangelogSink.read(spark, dir)
+    val maxDate = all.agg(max(to_date($"timestamp")))
+      .as[java.sql.Date].head().toString
+    val datesBefore = new java.io.File(s"$dir/topic=events").listFiles()
+      .count(_.getName.startsWith("date="))
+    assert(datesBefore > 1, "fixture should span multiple dates")
+
+    val (dropped, compacted) = ChangelogSink.rollIfNeeded(spark, dir, maxDate)
+    assert(dropped == datesBefore - 1, s"dropped $dropped of $datesBefore")
+    assert(compacted == 1, s"compacted $compacted partitions")
+    val partDir = new java.io.File(s"$dir/topic=events/date=$maxDate")
+    assert(partDir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // surviving rows = exactly the max-date slice, one copy per append
+    val kept = ChangelogSink.read(spark, dir)
+    assert(kept.agg(min(to_date($"timestamp")))
+      .as[java.sql.Date].head().toString == maxDate)
+    // idempotent: nothing left to drop or compact
+    assert(ChangelogSink.rollIfNeeded(spark, dir, maxDate) == ((0, 0)))
   }
 }

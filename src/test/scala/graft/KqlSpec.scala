@@ -30,9 +30,14 @@ class KqlSpec extends SparkSpec {
     assert(ids(Kql.parse("value:50")) == ids($"value" === lit("50")))
   }
 
-  test("wildcard prefix, ranges") {
+  test("wildcard prefix, embedded wildcard, ranges") {
     assert(ids(Kql.parse("event_type:cl*")) ==
       ids($"event_type".like("cl%")))
+    // embedded * is a wildcard too (KQL semantics): c*ck matches both
+    // click and clack, not a literal "c*ck" equality
+    assert(ids(Kql.parse("event_type:c*ck")) ==
+      ids($"event_type".like("c%ck")))
+    assert(ids(Kql.parse("event_type:c*ck")) == Set("click", "clack"))
     assert(ids(Kql.parse("value >= 91")) == ids($"value" >= 91.0))
     assert(ids(Kql.parse("value < 50")) == ids($"value" < 50.0))
   }
@@ -49,11 +54,22 @@ class KqlSpec extends SparkSpec {
       ids(!($"event_type" === "signup")))
   }
 
-  test("free text searches the JSON-string view") {
+  test("free text: bare terms match the ANALYZED token stream " +
+      "(ES semantics); quoted phrases keep raw substring semantics") {
+    // bare term is analyzed on BOTH sides: mixed-case query finds the
+    // token regardless of the JSON punctuation around it
     assert(ids(Kql.parse("TOMBSTONE")) ==
       ids($"value_json".contains("TOMBSTONE")))
-    // a quoted standalone phrase is free text too (KQL phrase query)
+    assert(ids(Kql.parse("tombstone")) == ids(Kql.parse("TOMBSTONE")))
+    // "click" sits inside {"event_type":"click"} — punctuation-split
+    // tokenization finds it where a whitespace split could not
+    assert(ids(Kql.parse("CLICK")) == Set("click"))
+    // bare-term wildcard matches analyzed tokens
+    assert(ids(Kql.parse("cl*")) == Set("click", "clack"))
+    // a quoted standalone phrase is raw substring free text (KQL phrase
+    // query): case-sensitive, no analysis
     assert(ids(Kql.parse("\"clack\"")) == ids($"value_json".contains("clack")))
+    assert(ids(Kql.parse("\"CLACK\"")).isEmpty)
   }
 
   test("parsed predicates push down to the parquet scan like hand-written " +
