@@ -370,6 +370,21 @@ class ExtSpec extends SparkSpec {
       .join(graft.ingest.Tables.load(spark, sf, "documents"), "doc_id")
     assert(hits.where(!col("text").rlike("\\b(spark|query|stream)\\b"))
       .count() == 0)
+    // the per-term df aggregation must NOT compile to a multi-distinct
+    // Expand (N parallel countDistincts replicate every posting row N
+    // times before the shuffle — the x29 anti-pattern)
+    val plan = TextAnalysis.bm25Search(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "bm25 plan contains an Expand node")
+    // the analyzer makes search punctuation/case-proof: a messied corpus
+    // with mixed-case query terms returns the identical ranking
+    val messy = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        upper(regexp_replace(col("text"), " ", ", ")).as("text"))
+    val analyzed = TextAnalysis.bm25(messy, "doc_id", "text",
+      Seq("Spark", "QUERY", "Stream"), 20).collect()
+    assert(analyzed.map(x => (x.getLong(0), x.getDouble(1))).toSeq ==
+      r.map(x => (x.getLong(0), x.getDouble(1))).toSeq)
   }
 
   test("tfidf: k terms per doc, rank follows score") {
