@@ -87,7 +87,11 @@ object ExtQueries {
           upper(regexp_replace(col("text"), " ", ", ")).as("text"))
       TextAnalysis.bm25(messy, "doc_id", "text",
         Seq("Spark", "QUERY", "Stream"), 20)
-    })
+    }),
+    "x36_weighted_sample" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.weightedSample(s, d)),
+    "x37_embed_cohesion" -> ((s: SparkSession, d: String) =>
+      Similarity.embedCohesion(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -524,6 +528,43 @@ object ExtQueries {
     "x35_analyzed_search" -> bm25OracleSql(Seq("Spark", "QUERY", "Stream"),
       20, source =
         "(SELECT doc_id, upper(replace(text, ' ', ', ')) AS text FROM documents)"),
+
+    // x36: identical A-ES math — md5-hex uniform (list_reduce hex parse),
+    // ln(u)/w key, same 6dp rounds; top-k by (key DESC, doc_id)
+    "x36_weighted_sample" ->
+      """WITH q AS (SELECT doc_id,
+        |    greatest(round(least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      * (len(list_distinct(string_split(text, ' ')))
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6),
+        |      0.001) AS w,
+        |    list_reduce(list_transform(
+        |        string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h
+        |  FROM documents),
+        |keyed AS (SELECT doc_id, w,
+        |    round(ln((h + 0.5) / 4294967296.0) / w, 6) AS key FROM q),
+        |r AS (SELECT doc_id, w, "key", CAST(row_number() OVER (
+        |        ORDER BY "key" DESC, doc_id) AS INT) AS "rank"
+        |      FROM keyed)
+        |SELECT doc_id, w, "key", "rank" FROM r WHERE "rank" <= 100
+        |ORDER BY "rank"""".stripMargin,
+
+    // x37: DECIMAL-exact element-wise centroid means (the kmStepSql
+    // contract) + list_cosine_similarity on DOUBLE[]
+    "x37_embed_cohesion" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |m AS (SELECT label, pos,
+        |    CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS m
+        |  FROM (SELECT label, unnest(emb) AS val,
+        |          generate_subscripts(emb, 1) AS pos FROM e)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT label, list(m ORDER BY pos) AS centroid
+        |      FROM m GROUP BY 1)
+        |SELECT vec_id, label,
+        |  round(list_cosine_similarity(e.emb, c.centroid), 6) AS cohesion
+        |FROM e JOIN c USING (label) ORDER BY vec_id""".stripMargin,
 
     "x29_significant_terms" ->
       """WITH toks AS (SELECT doc_id, source,

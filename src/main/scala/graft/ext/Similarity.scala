@@ -264,6 +264,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /**
+   * x37 — per-label embedding COHESION: each label's centroid
+   * (element-wise DECIMAL-exact mean, same cross-engine contract as the
+   * k-means oracle) and every vector's cosine to its own label centroid.
+   * This is the cluster-quality / embedding-drift report a curation
+   * pipeline runs after labeling or clustering: low-cohesion vectors are
+   * outliers/mislabels, and a label whose cohesion distribution sags
+   * signals drift between ingestion batches.
+   *
+   * Scale shape: ONE posexplode aggregation keyed by (label, pos) —
+   * cardinality labels×dim regardless of corpus size — then the tiny
+   * centroid table broadcast-joins back for a map-only cosine pass. No
+   * all-pairs anything; the corpus is read twice and shuffled once (by
+   * label×pos, bounded). The cosine is the double fold in array order
+   * (dot / sqrt(na) / sqrt(nb)) that bit-matches DuckDB's
+   * `list_cosine_similarity` on DOUBLE[].
+   */
+  def embedCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+    val means = e.select(col("label"),
+        posexplode(col("emb")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("val").cast("decimal(38,15)")).cast("double")
+        / count(lit(1))).as("m"))
+    val cents = means.groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        _.getField("m")).as("centroid"))
+    val dot = aggregate(zip_with(col("emb"), col("centroid"),
+      (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+    val na = aggregate(col("emb"), lit(0d), (acc, v) => acc + v * v)
+    val nb = aggregate(col("centroid"), lit(0d), (acc, v) => acc + v * v)
+    e.join(broadcast(cents), "label")
+      .withColumn("cohesion", round(dot / sqrt(na) / sqrt(nb), 6))
+      .select(col("vec_id"), col("label"), col("cohesion"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-bucketed ANN: k-means centroids ([[kmeansCentroids]], 2 Lloyd
     * iterations seeded from `vec_id < nCentroids`), zero-shuffle
     * per-row assignment, probe only the query's bucket. */

@@ -362,6 +362,45 @@ object TextAnalysis {
   }
 
   /**
+   * x36 — quality-WEIGHTED deterministic sampling (Efraimidis–Spirakis
+   * A-ES, the weighted-reservoir formulation): every doc gets a uniform
+   * u from md5(doc_id) (first 8 hex digits → (h+0.5)/2³²) and the sort
+   * key ln(u)/w, where w is the x8 quality score (floored at 0.001); the
+   * k LARGEST keys are a without-replacement sample with inclusion
+   * probability proportional to w. ln(u)/w orders identically to the
+   * textbook u^(1/w) (ln is monotone) while avoiding cross-engine `pow`.
+   *
+   * This is THE curation primitive for "train on the best N docs,
+   * preferring quality but not deterministically truncating": the sample
+   * is reproducible (hash-seeded, no RNG state), embarrassingly parallel
+   * (map + top-k: TakeOrderedAndProject per partition, k rows to the
+   * driver-side heap merge — no global sort), and re-runs identically on
+   * any partitioning — the same properties as q19's hash split, with
+   * weights.
+   */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val w = greatest(
+      round(least(lit(1.0), size(toks).cast("double") / 100)
+        * (size(array_distinct(toks)).cast("double") / size(toks)), 6),
+      lit(0.001))
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyed = docs.select(col("doc_id"), w.as("w"),
+      round(log(u) / w, 6).as("key"))
+    // top-k via orderBy+limit (per-partition heaps); rank over ≤ k rows
+    val wnd = Window.partitionBy(col("key") - col("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+    keyed.orderBy(col("key").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(wnd))
+      .select(col("doc_id"), col("w"), col("key"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /**
    * Document fingerprinting: (a) a polynomial rolling hash over the full
    * character stream (base 257 mod 1e9+7 — Karp-Rabin style), and (b) a
    * min-shingle-hash (the 1-hash MinHash special case). Equal fingerprints

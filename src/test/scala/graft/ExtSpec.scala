@@ -387,6 +387,38 @@ class ExtSpec extends SparkSpec {
       r.map(x => (x.getLong(0), x.getDouble(1))).toSeq)
   }
 
+  test("weighted sample: deterministic, k rows, inclusion follows weight " +
+      "in aggregate") {
+    val s1 = TextAnalysis.weightedSample(spark, sf, k = 100).collect()
+    val s2 = TextAnalysis.weightedSample(spark, sf, k = 100).collect()
+    assert(s1.length == 100 && s1.sameElements(s2)) // hash-seeded, no RNG
+    assert(s1.map(_.getAs[Int]("rank")).toSeq == (1 to 100))
+    // keys descend and are negative (ln(u) < 0, w > 0)
+    val keys = s1.map(_.getAs[Double]("key")).toSeq
+    assert(keys == keys.sorted.reverse && keys.forall(_ < 0))
+    // aggregate bias: the sampled docs' mean weight exceeds the corpus
+    // mean (quality-proportional inclusion)
+    val corpusMeanW = TextAnalysis.qualityScore(spark, sf)
+      .agg(avg(col("score"))).head().getDouble(0)
+    val sampleMeanW = s1.map(_.getAs[Double]("w")).sum / s1.length
+    assert(sampleMeanW > corpusMeanW,
+      s"sample mean w $sampleMeanW <= corpus mean $corpusMeanW")
+  }
+
+  test("embed cohesion: one row per vector, cosine to own-label centroid " +
+      "in [-1,1], own-label centroid beats the global-worst label for " +
+      "most vectors") {
+    val c = Similarity.embedCohesion(spark, sf)
+    val rows = c.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cohesion")) <= 1.0 + 1e-9))
+    // every label is represented and has a finite mean cohesion
+    val perLabel = c.groupBy(col("label")).agg(avg(col("cohesion")).as("m"))
+      .collect()
+    assert(perLabel.length == 10 && perLabel.forall(r =>
+      !r.getAs[Double]("m").isNaN))
+  }
+
   test("tfidf: k terms per doc, rank follows score") {
     val t = TextAnalysis.tfidfTopTerms(spark, sf, k = 3)
     val perDoc = t.groupBy(col("doc_id")).count()
