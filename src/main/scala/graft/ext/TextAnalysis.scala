@@ -196,9 +196,11 @@ object TextAnalysis {
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(size(tokens)).cast("double").as("sum_len"))
-    val toks = docs.select(id,
-        size(tokens).as("len"),
-        explode(tokens).as("term"))
+    // tokenize ONCE per row: size(tokens) + explode(tokens) in one
+    // projection would evaluate the AnalyzeTokens expression twice
+    val toks = docs.select(id, tokens.as("toks"))
+      .select(id, size(col("toks")).as("len"),
+        explode(col("toks")).as("term"))
       .where(col("term").isin(qTerms: _*)) // prune to the query postings
     val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1).otherwise(0)).as(s"tf_$i")
