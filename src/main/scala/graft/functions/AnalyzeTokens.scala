@@ -4,8 +4,8 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
  * `filter(split(lower(..)))` chain (Spark lambdas are interpreted per
  * element, and tokenization sits under every search/TF-IDF/BM25 explode).
  *
- * Semantics contract (must match the DuckDB oracle EXACTLY):
+ * Semantics contract (must match the DuckDB oracle EXACTLY — pinned by
+ * `AnalyzerProps` against the declarative `filter(split(lower))` form):
  * tokens are maximal runs of ASCII alphanumerics `[A-Za-z0-9]`, with
  * `A-Z` mapped to lowercase; every other char (punctuation, whitespace,
  * non-ASCII) is a delimiter; empty tokens never appear. The DuckDB
@@ -29,16 +30,36 @@ import org.apache.spark.unsafe.types.UTF8String
  * both sides; exotic Unicode that case-folds INTO ASCII, e.g. U+212A
  * KELVIN SIGN, is out of contract).
  *
- * CodegenFallback is fine here for the same reason as [[WordShingles]]:
- * one virtual call per row, the real work is a tight loop inside.
+ * Unlike the batch-side expressions ([[WordShingles]] etc.) this one also
+ * appears inside scan-stage FILTER predicates (analyzed KQL free text,
+ * kq18/kq21), where a CodegenFallback would break the scan's whole-stage
+ * codegen span — so `doGenCode` emits a static call into [[AnalyzeTokens
+ * .tokenize]] and the surrounding operators stay fused.
  */
 case class AnalyzeTokens(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    AnalyzeTokens.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AnalyzeTokens$$.MODULE$$.tokenize($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def prettyName: String = "analyze_tokens"
+}
+
+object AnalyzeTokens {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  /** The single-pass scan shared by interpreted eval and codegen. */
+  def tokenize(input: UTF8String): ArrayData = {
+    val text = input.toString
     val out = new ArrayBuffer[Any]()
     val n = text.length
     var i = 0
@@ -56,15 +77,6 @@ case class AnalyzeTokens(child: Expression)
     if (sb.length > 0) out += UTF8String.fromString(sb.toString)
     new GenericArrayData(out.toArray)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-
-  override def prettyName: String = "analyze_tokens"
-}
-
-object AnalyzeTokens {
-  import org.apache.spark.sql.GraftColumnBridge
 
   /** ES-standard-analyzer token stream of a text column. */
   def analyze(text: Column): Column =
