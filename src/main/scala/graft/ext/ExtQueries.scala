@@ -91,7 +91,9 @@ object ExtQueries {
     "x36_weighted_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.weightedSample(s, d)),
     "x37_embed_cohesion" -> ((s: SparkSession, d: String) =>
-      Similarity.embedCohesion(s, d))
+      Similarity.embedCohesion(s, d)),
+    "x38_temperature_mixture" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.temperatureMixture(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -549,6 +551,27 @@ object ExtQueries {
         |      FROM keyed)
         |SELECT doc_id, w, "key", "rank" FROM r WHERE "rank" <= 100
         |ORDER BY "rank"""".stripMargin,
+
+    // x38: identical temperature-quota math — round(sqrt(n),6) DECIMAL
+    // weights (order-free sum), ONE double division, md5 rank selection
+    "x38_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source,
+        |    CAST(round(sqrt(n_docs), 6) AS DECIMAL(18,6)) AS w FROM c),
+        |t AS (SELECT CAST(sum(w) AS DECIMAL(18,6)) AS wt FROM w),
+        |q AS (SELECT source, CAST(floor(300.0 *
+        |        (CAST(w AS DOUBLE) / CAST(wt AS DOUBLE))) AS BIGINT)
+        |        AS quota
+        |      FROM w, t),
+        |r AS (SELECT doc_id, source, CAST(row_number() OVER (
+        |        PARTITION BY source
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+        |        AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, r.rk, q.quota
+        |FROM r JOIN q USING (source)
+        |WHERE rk <= quota ORDER BY source, rk""".stripMargin,
 
     // x37: DECIMAL-exact element-wise centroid means (the kmStepSql
     // contract) + list_cosine_similarity on DOUBLE[]

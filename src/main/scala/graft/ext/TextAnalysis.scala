@@ -403,6 +403,49 @@ object TextAnalysis {
   }
 
   /**
+   * x38 — TEMPERATURE-scaled source mixture (α = 0.5): per-source quotas
+   * ∝ n_s^α / Σ n_t^α — the multinomial temperature sampling multilingual
+   * LLM pipelines use to keep low-resource sources from vanishing under
+   * proportional sampling while still favoring bigger sources. Quota math
+   * is cross-engine exact: per-source weights are round(sqrt(n), 6)
+   * (sqrt is IEEE correctly-rounded on both engines) summed as DECIMAL
+   * (order-free), and the final share is ONE double division — so
+   * `floor(keepN · share)` lands on identical bits. Selection within a
+   * source is the deterministic md5 rank (same reproducibility story as
+   * [[weightedSample]] / q19).
+   *
+   * Scale shape: the quota table is a tiny broadcast (one row per
+   * source); selection is one per-source window rank. At 100 TB the
+   * window sort on md5 within each source is the cost — the map-only
+   * alternative (keep iff hash/2³² < quota/n, a Binomial approximation
+   * of the quota) trades exact counts for zero shuffle; this operator
+   * keeps the EXACT contract the oracle can verify.
+   */
+  def temperatureMixture(spark: SparkSession, dir: String,
+      keepN: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val weights = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs")), 6).cast("decimal(18,6)"))
+    val total = weights.agg(
+      sum(col("w")).cast("decimal(18,6)").as("wt"))
+    val quotas = weights.crossJoin(broadcast(total)) // 1 row
+      .withColumn("quota",
+        floor(lit(keepN.toDouble) *
+          (col("w").cast("double") / col("wt").cast("double"))).cast("long"))
+      .select(col("source"), col("quota"))
+    val rk = row_number().over(Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", rk)
+      .join(broadcast(quotas), "source")
+      .where(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /**
    * Document fingerprinting: (a) a polynomial rolling hash over the full
    * character stream (base 257 mod 1e9+7 — Karp-Rabin style), and (b) a
    * min-shingle-hash (the 1-hash MinHash special case). Equal fingerprints

@@ -419,6 +419,34 @@ class ExtSpec extends SparkSpec {
       !r.getAs[Double]("m").isNaN))
   }
 
+  test("temperature mixture: quotas follow n^0.5 shares, selection " +
+      "deterministic, per-source counts equal quotas") {
+    val m = TextAnalysis.temperatureMixture(spark, sf, keepN = 300)
+    val rows = m.collect()
+    // per-source selected count == quota exactly
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (s, rs) =>
+      val quota = rs.head.getAs[Long]("quota")
+      assert(rs.length == quota, s"source $s: ${rs.length} != quota $quota")
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to quota.toInt))
+    }
+    // α=0.5 flattens the mixture: the max/min selected-count ratio must
+    // be LESS extreme than the raw per-source doc-count ratio
+    val rawCounts = graft.ingest.Tables.load(spark, sf, "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    if (rawCounts.values.max > rawCounts.values.min) {
+      val rawRatio = rawCounts.values.max.toDouble / rawCounts.values.min
+      val qr = bySource.view.mapValues(_.length.toDouble)
+      val quotaRatio = qr.values.max / qr.values.min
+      assert(quotaRatio <= rawRatio + 1e-9,
+        s"temperature did not flatten: $quotaRatio vs raw $rawRatio")
+    }
+    // deterministic across runs
+    assert(TextAnalysis.temperatureMixture(spark, sf, keepN = 300)
+      .collect().sameElements(rows))
+  }
+
   test("tfidf: k terms per doc, rank follows score") {
     val t = TextAnalysis.tfidfTopTerms(spark, sf, k = 3)
     val perDoc = t.groupBy(col("doc_id")).count()
