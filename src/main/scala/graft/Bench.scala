@@ -40,7 +40,8 @@ object Bench {
     "kq16_top_hits", "kq17_hist_gapfill", "q29_sliding_range",
     "x33_ngram_novelty", "x34_keep_best", "q31_sequence_funnel",
     "x35_analyzed_search", "kq21_kql_freetext", "kq22_wire_path",
-    "x36_weighted_sample", "x37_embed_cohesion", "x38_temperature_mixture")
+    "x36_weighted_sample", "x37_embed_cohesion", "x38_temperature_mixture",
+    "x39_span_excise")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

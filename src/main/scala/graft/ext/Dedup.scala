@@ -244,6 +244,59 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * x39 — span EXCISION: the removal transform [[spanDupStats]] only
+   * reports. Each doc's consecutive `spanLen`-token spans that occur in
+   * MORE THAN ONE document are cut out and the text is rebuilt from the
+   * surviving spans (plus the unspanned tail tokens) — the
+   * C4/RefinedWeb-style boilerplate-removal step that excises repeated
+   * license blocks/navigation chrome instead of dropping whole docs.
+   *
+   * Scale shape: same as x28 — one explode, one md5-keyed dup
+   * aggregation (skew-free), one join back — plus an ordered
+   * collect_list per doc to reassemble the text. The per-doc rebuild
+   * state is bounded by the doc's own span count, so memory scales with
+   * document size, not corpus size. Emits (doc_id, n_spans, n_dropped,
+   * cleaned_text); the DuckDB oracle rebuilds the identical string
+   * (string_agg ORDER BY span index, trailing tokens appended, same
+   * trim/concat construction).
+   */
+  def spanExcise(spark: SparkSession, dir: String,
+      spanLen: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toksC = split(col("text"), " ")
+    val base = docs.select(col("doc_id"), toksC.as("toks"),
+      floor(size(toksC) / lit(spanLen)).cast("int").as("nsp"))
+    val spans = base.select(col("doc_id"),
+        posexplode(when(col("nsp") >= 1,
+          transform(sequence(lit(0), col("nsp") - 1), i =>
+            concat_ws(" ", slice(col("toks"), i * spanLen + 1, lit(spanLen)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("i", "span_text")))
+      .withColumn("span_md5", md5(col("span_text").cast("binary")))
+    val dup = spans.groupBy(col("span_md5"))
+      .agg(countDistinct(col("doc_id")).as("span_docs"))
+    // surviving spans reassembled in order; collect_list skips the nulls
+    // the `when` leaves for dropped spans
+    val rebuilt = spans.join(dup, "span_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_docs") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("span_docs") === 1,
+            struct(col("i"), col("span_text"))))),
+          _.getField("span_text"))).as("body"))
+    val tail = concat_ws(" ",
+      slice(col("toks"), col("nsp") * spanLen + 1,
+        size(col("toks")) - col("nsp") * spanLen))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        trim(concat_ws(" ", coalesce(col("body"), lit("")), tail))
+          .as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** k-th minhash of a shingle column: lexicographic min of the first 8 hex
     * chars of md5(k:shingle). Engine-reproducible (md5 is md5 everywhere). */
   private def minhashOf(k: Int, tok: Column): Column =

@@ -93,7 +93,9 @@ object ExtQueries {
     "x37_embed_cohesion" -> ((s: SparkSession, d: String) =>
       Similarity.embedCohesion(s, d)),
     "x38_temperature_mixture" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.temperatureMixture(s, d))
+      TextAnalysis.temperatureMixture(s, d)),
+    "x39_span_excise" -> ((s: SparkSession, d: String) =>
+      Dedup.spanExcise(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -551,6 +553,35 @@ object ExtQueries {
         |      FROM keyed)
         |SELECT doc_id, w, "key", "rank" FROM r WHERE "rank" <= 100
         |ORDER BY "rank"""".stripMargin,
+
+    // x39: identical span cut + string rebuild — string_agg ORDER BY the
+    // span index skips dropped spans, unspanned tail appended with the
+    // same trim(body || ' ' || tail) construction; sum(int)->HUGEINT
+    // cast back to BIGINT
+    "x39_span_excise" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(floor(len(string_split(text, ' ')) / 10) AS INT) AS nsp
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(i AS INT) AS i,
+        |    array_to_string(toks[(CAST(i AS INT)*10+1):(CAST(i AS INT)*10+10)], ' ')
+        |      AS span_text
+        |  FROM (SELECT doc_id, toks, unnest(range(nsp)) AS i FROM t)),
+        |sd AS (SELECT md5(span_text) AS h, count(DISTINCT doc_id) AS span_docs
+        |       FROM s GROUP BY 1),
+        |k AS (SELECT s.doc_id,
+        |    count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN span_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dropped,
+        |    string_agg(CASE WHEN span_docs = 1 THEN span_text END,
+        |               ' ' ORDER BY i) AS body
+        |  FROM s JOIN sd ON md5(s.span_text) = sd.h GROUP BY 1)
+        |SELECT t.doc_id,
+        |  COALESCE(k.n_spans, 0) AS n_spans,
+        |  COALESCE(k.n_dropped, 0) AS n_dropped,
+        |  trim(COALESCE(k.body, '') || ' ' ||
+        |       COALESCE(array_to_string(toks[(nsp*10+1):], ' '), ''))
+        |    AS cleaned_text
+        |FROM t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // x38: identical temperature-quota math — round(sqrt(n),6) DECIMAL
     // weights (order-free sum), ONE double division, md5 rank selection

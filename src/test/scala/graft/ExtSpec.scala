@@ -419,6 +419,44 @@ class ExtSpec extends SparkSpec {
       !r.getAs[Double]("m").isNaN))
   }
 
+  test("span excise: cleaned text drops exactly the cross-doc duplicated " +
+      "spans, keeps order and the unspanned tail, agrees with x28 counts") {
+    val ex = Dedup.spanExcise(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("cleaned_text"))).toMap
+    val stats = Dedup.spanDupStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))).toMap
+    val texts = graft.ingest.Tables.load(spark, sf, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(ex.keySet == texts.keySet) // every doc emitted, spanless included
+    // counts agree with the x28 report on its covered docs
+    stats.foreach { case (id, (n, dup)) =>
+      assert(ex(id)._1 == n && ex(id)._2 == dup, s"doc $id count mismatch")
+    }
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val (n, dropped, cleaned) = ex(id)
+      // token-count arithmetic: original - 10*dropped == cleaned tokens
+      val cleanedToks = if (cleaned.isEmpty) 0 else cleaned.split(" ", -1).length
+      assert(cleanedToks == toks.length - 10 * dropped,
+        s"doc $id: $cleanedToks != ${toks.length} - 10*$dropped")
+      // nothing dropped -> text unchanged; something dropped -> cleaned is
+      // a subsequence of the original token stream
+      if (dropped == 0) assert(cleaned == text)
+      else {
+        var j = 0
+        val orig = toks.iterator
+        val keep = if (cleaned.isEmpty) Array.empty[String]
+          else cleaned.split(" ", -1)
+        for (t <- orig) if (j < keep.length && keep(j) == t) j += 1
+        assert(j == keep.length, s"doc $id: cleaned not a subsequence")
+      }
+      assert(n == toks.length / 10)
+    }
+  }
+
   test("temperature mixture: quotas follow n^0.5 shares, selection " +
       "deterministic, per-source counts equal quotas") {
     val m = TextAnalysis.temperatureMixture(spark, sf, keepN = 300)
