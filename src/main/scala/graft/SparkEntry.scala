@@ -334,6 +334,32 @@ object SparkEntry {
         .where(LogQueries.kql("PURCHASE OR event_type:c*ck"))
         .orderBy(col("offset"))),
 
+    // ---- KQL quoted phrase = analyzed match_phrase: the mixed-case ------
+    // ---- punctuated phrase "Event_Type: PURCHASE" analyzes to the -------
+    // ---- token sequence [event, type, purchase], which must appear ------
+    // ---- CONSECUTIVELY in the payload's analyzed stream — ES's ----------
+    // ---- positional quoted-search semantics (README.md:40-42). Every ----
+    // ---- row's JSON has [event, type] adjacent, so only the third -------
+    // ---- token's adjacency separates purchases from the rest ------------
+    "kq24_kql_phrase" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(LogQueries.kql("\"Event_Type: PURCHASE\" and value >= 50"))
+        .orderBy(col("offset"))),
+
+    // ---- Kibana terms agg ORDERED BY A SUB-METRIC (order: sum(value) ----
+    // ---- desc, not doc count — the "Top N by metric" viz config); -------
+    // ---- decimal-exact sum so the ordering key is cross-engine ----------
+    // ---- bit-identical, top-k via TakeOrderedAndProject -----------------
+    "kq25_terms_by_metric" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("sum_value").desc, col("event_type"))
+        .limit(5)),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -496,11 +522,16 @@ object SparkEntry {
         |WHERE hit_rank <= 3
         |ORDER BY event_type, hit_rank""".stripMargin),
 
+    // the quoted "TOMBSTONE" is an analyzed single-token phrase now
+    // (match_phrase semantics): token containment in the analyzed stream
     "kq18_kql" ->
       (envSql + """SELECT * FROM env
         |WHERE event_type LIKE 'cl%'
         |   OR ("value" >= 90 AND NOT (event_type = 'signup'))
-        |   OR value_json LIKE '%TOMBSTONE%'
+        |   OR list_contains(
+        |        list_filter(regexp_split_to_array(lower(value_json),
+        |                                          '[^a-z0-9]+'),
+        |                    t -> t <> ''), 'tombstone')
         |ORDER BY "offset"""".stripMargin),
 
     "kq21_kql_freetext" ->
@@ -511,6 +542,29 @@ object SparkEntry {
         |                    t -> t <> ''), 'purchase')
         |   OR event_type LIKE 'c%ck'
         |ORDER BY "offset"""".stripMargin),
+
+    // the phrase [event, type, purchase] must match at CONSECUTIVE
+    // positions of the analyzed token list — the positional check the
+    // Spark side's PhraseMatch ring buffer performs
+    "kq24_kql_phrase" ->
+      (envSql + """SELECT uid, "key", topic, "partition", "offset",
+        |  "timestamp", event_type, "value", props, value_json
+        |FROM (SELECT *,
+        |        list_filter(regexp_split_to_array(lower(value_json),
+        |                                          '[^a-z0-9]+'),
+        |                    t -> t <> '') AS toks
+        |      FROM env)
+        |WHERE len(list_filter(range(len(toks) - 2),
+        |        i -> toks[i+1] = 'event' AND toks[i+2] = 'type'
+        |             AND toks[i+3] = 'purchase')) > 0
+        |  AND "value" >= 50
+        |ORDER BY "offset"""".stripMargin),
+
+    "kq25_terms_by_metric" ->
+      (envSql + """SELECT event_type, count(*) AS doc_count,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM env WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY sum_value DESC, event_type LIMIT 5""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

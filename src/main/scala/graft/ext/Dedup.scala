@@ -332,10 +332,14 @@ object Dedup {
     // one row per (doc, band); the join key is xxhash64(band, band's
     // minhashes) — ONE LONG through the candidate shuffle instead of the
     // 26-char md5-hex concat (the band index inside the hash keeps
-    // different bands from colliding). Semantically identical grouping to
-    // the oracle's string banding: a 2⁻⁶⁴ cross-band hash collision could
+    // different bands from colliding). Near-identical grouping to the
+    // oracle's string banding: a 2⁻⁶⁴ cross-band hash collision could
     // only ADD a candidate, which the signature-agreement verify below
-    // then scores on the REAL signatures.
+    // then scores on the REAL signatures — a spurious candidate whose
+    // overall signature agreement ALSO clears the 0.5 threshold would be
+    // a pair the string-banded oracle lacks (accepted: ~2⁻⁶⁴ per pair
+    // and further gated by the agreement test; hash on both engines if
+    // exact parity ever matters more than key width).
     val bandKeys = array((0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(k => element_at(col("sig"), k + 1))

@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Registration of the training-data-pipeline extension operators
  * (SURVEY.md §2.4) in the driver contract. Every SQL-expressible operator
  * carries a DuckDB oracle implementing the identical math (md5-based
- * hashes, in-order double folds); the stub-decoder pipeline is Spark-only
- * (rows-only check) because its mapPartitions stage has no SQL equivalent.
+ * hashes, in-order double folds) — including the stub-decoder pipeline,
+ * whose deterministic fake byte math is mirrored in SQL.
  */
 object ExtQueries {
 
@@ -34,8 +34,9 @@ object ExtQueries {
     "x9_tokens" -> (TextAnalysis.tokenCounts _),
     "x10_fingerprint" -> (TextAnalysis.fingerprint _),
     "x11_media_meta" -> (Multimodal.mediaMetadata _),
-    // stub-decoder pipeline: mapPartitions stage, no SQL equivalent →
-    // intentionally absent from oracleSql (driver records rows-only check)
+    // stub-decoder pipeline: the mapPartitions stage runs a DETERMINISTIC
+    // fake decode, so the oracle mirrors its byte math in SQL and the
+    // batching/schema/partition contract gets a real hash row
     "x12_media_decode" -> (Multimodal.decodeFeatures _),
     "x13_dedup_embed" -> ((s: SparkSession, d: String) =>
       Similarity.embedNearDupPairs(s, d)),
@@ -95,7 +96,21 @@ object ExtQueries {
     "x38_temperature_mixture" -> ((s: SparkSession, d: String) =>
       TextAnalysis.temperatureMixture(s, d)),
     "x39_span_excise" -> ((s: SparkSession, d: String) =>
-      Dedup.spanExcise(s, d))
+      Dedup.spanExcise(s, d)),
+    // x40: analyzed match_phrase over a deterministically messified corpus
+    // (UPPERCASED, spaces → ", "): the mixed-case punctuated query phrase
+    // "Spark, QUERY!" must match docs where the tokens [spark, query]
+    // appear CONSECUTIVELY — both the analyzer and the positional check
+    // have to agree across engines.
+    "x40_phrase_match" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ingest.Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          upper(regexp_replace(col("text"), " ", ", ")).as("text"))
+        .where(graft.functions.PhraseMatch.phrase(col("text"), "Spark, QUERY!"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -621,8 +636,8 @@ object ExtQueries {
         |FROM e JOIN c USING (label) ORDER BY vec_id""".stripMargin,
 
     "x29_significant_terms" ->
-      """WITH toks AS (SELECT doc_id, source,
-        |    unnest(list_distinct(string_split(text, ' '))) AS term
+      s"""WITH toks AS (SELECT doc_id, source,
+        |    unnest(list_distinct(${anTokSql("text")})) AS term
         |  FROM documents),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
@@ -826,6 +841,51 @@ object ExtQueries {
         |  md5(text) AS payload_md5,
         |  lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
         |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // x12: the stub decoder is DETERMINISTIC md5-free byte math, so its
+    // mapPartitions stage CAN be mirrored in SQL (ascii corpus ⇒ byte i ==
+    // ascii(char i), the x18 precedent). Slice i of the fake feature sums
+    // bytes [(i*n)/4, (i*n)/4 + n/4) — Scala's `i * n / 4` is (i*n)/4 —
+    // as a FLOAT32 mean (CAST AS FLOAT division mirrors Long.toFloat /
+    // Int), then feat_mean folds the 4 floats in order as doubles.
+    "x12_media_decode" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS INT) AS n FROM documents),
+        |f AS (SELECT doc_id, n, i,
+        |    COALESCE(list_sum(list_transform(range(n // 4),
+        |      j -> ascii(substr(text, CAST((i * n) // 4 + j + 1 AS INT), 1)))),
+        |      0) AS s
+        |  FROM (SELECT doc_id, text, n, unnest(range(4)) AS i FROM b)),
+        |feat AS (SELECT doc_id, i,
+        |    CAST(CAST(s AS FLOAT) / CAST(greatest(1, n // 4) AS FLOAT)
+        |         AS DOUBLE) AS v
+        |  FROM f),
+        |m AS (SELECT doc_id,
+        |    round((max(CASE WHEN i = 0 THEN v END)
+        |         + max(CASE WHEN i = 1 THEN v END)
+        |         + max(CASE WHEN i = 2 THEN v END)
+        |         + max(CASE WHEN i = 3 THEN v END)) / 4, 4) AS feat_mean
+        |  FROM feat GROUP BY 1)
+        |SELECT b.doc_id AS media_id,
+        |  CAST(16 + (n % 64) AS INT) AS width,
+        |  CAST(16 + ((n // 64) % 64) AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  m.feat_mean
+        |FROM b JOIN m USING (doc_id) ORDER BY media_id""".stripMargin,
+
+    // x40: the identical analyzer + consecutive-position check — range is
+    // empty when the doc has fewer tokens than the phrase, so short docs
+    // are FALSE on both engines.
+    "x40_phrase_match" ->
+      """WITH m AS (SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(
+        |        lower(upper(replace(text, ' ', ', '))), '[^a-z0-9]+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, source FROM m
+        |WHERE len(list_filter(range(len(toks) - 1),
+        |        i -> toks[i+1] = 'spark' AND toks[i+2] = 'query')) > 0
+        |ORDER BY doc_id""".stripMargin
   )
 }

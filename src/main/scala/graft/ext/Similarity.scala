@@ -113,19 +113,26 @@ object Similarity {
   def signLshNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.45, nBands: Int = 8, bandBits: Int = 8): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val bands = emb.select(col("vec_id"), col("embedding"),
+    // banded rows carry ONLY (vec_id, band, band_val) — 3 small ints per
+    // row through the candidate shuffle instead of the full embedding ×
+    // nBands; the deduped (d1, d2) candidates then join BACK to the
+    // vector table for the exact verify (the same layout x2 uses for its
+    // full shingle sets)
+    val bands = emb.select(col("vec_id"),
         posexplode(graft.functions.SignProjection.bands(
           col("embedding"), nBands, bandBits)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
     val l = bands.as("l"); val r = bands.as("r")
-    l.join(r,
+    val candidates = l.join(r,
         col("l.band") === col("r.band") &&
           col("l.band_val") === col("r.band_val") &&
           col("l.vec_id") < col("r.vec_id"))
-      .groupBy(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"))
-      .agg(first(col("l.embedding")).as("e1"),
-        first(col("r.embedding")).as("e2"))
+      .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"))
+      .distinct()
+    val e1 = emb.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val e2 = emb.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    candidates.join(e1, "d1").join(e2, "d2")
       .withColumn("sim", round(cosine(col("e1"), col("e2")), 6))
       .where(col("sim") >= threshold)
       .select(col("d1"), col("d2"), col("sim"))

@@ -269,8 +269,14 @@ object TextAnalysis {
   def significantTerms(spark: SparkSession, dir: String,
       fgSource: String = "src0", minFgDf: Int = 5, k: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    // terms are ANALYZED (AnalyzeTokens, like ES's significant_terms over
+    // an analyzed field) — the last search-family operator moved off the
+    // whitespace split; on this corpus (lowercase space-separated words)
+    // the streams coincide, but the semantic contract now matches
+    // x15/x22/kq21
     val toks = docs.select(col("doc_id"), col("source"),
-      explode(array_distinct(split(col("text"), " "))).as("term"))
+      explode(array_distinct(
+        graft.functions.AnalyzeTokens.analyze(col("text")))).as("term"))
     val totals = docs.agg(count(lit(1)).as("n_docs"),
       sum(when(col("source") === fgSource, 1).otherwise(0)).as("fg_docs"))
     toks.groupBy(col("term"))

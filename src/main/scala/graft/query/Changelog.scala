@@ -74,6 +74,21 @@ case class Changelog(spark: SparkSession, path: String,
       .orderBy(col("rank"))
   }
 
+  /**
+   * ES `match_phrase` over the record payloads: the analyzed tokens of
+   * `phrase` must appear consecutively in the payload's analyzed token
+   * stream ([[graft.functions.PhraseMatch]]) — `"Spark streaming"`
+   * matches a payload containing `spark, streaming.` the way Kibana's
+   * quoted search does. A plain map-side filter predicate: pushdown-
+   * friendly, zero shuffle, linear at any scale.
+   */
+  def matchPhrase(phrase: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    frame.where(graft.functions.PhraseMatch.phrase(
+      coalesce(col(s"message.`$valueJsonField`").cast("string"), lit("")),
+      phrase))
+  }
+
   def latest(): DataFrame = LogQueries.latestStatePerKey(frame)
 
   /** Register for `spark.sql` — the strict superset of Kibana's surface. */

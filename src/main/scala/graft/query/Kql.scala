@@ -34,9 +34,14 @@ import org.apache.spark.sql.functions._
  * ANALYZED token stream of the text field (lowercase + punctuation
  * split, [[graft.functions.AnalyzeTokens]]) with the term lowercased
  * too — `Spark` finds `"spark,"` — and bare-term wildcards match
- * analyzed tokens by LIKE. A QUOTED phrase keeps raw substring
- * semantics over the JSON-string view (match_phrase-ish, exact case),
- * which is what the kq18 `"TOMBSTONE"` sentinel search relies on.
+ * analyzed tokens by LIKE. A QUOTED phrase is an analyzed
+ * `match_phrase` ([[graft.functions.PhraseMatch]]): BOTH sides run
+ * through the analyzer and the phrase tokens must appear CONSECUTIVELY,
+ * so `"Spark streaming"` matches `spark, streaming.` exactly as ES
+ * would (a single-token phrase like `"TOMBSTONE"` degenerates to
+ * analyzed token containment). Quoted FIELD values (`f:"v"`) keep exact
+ * equality, and `f:*` is a field-existence test (`IS NOT NULL`), both
+ * as in KQL. Quoted values may escape `\"` and `\\`.
  *
  * Untyped string literals are left to Catalyst's comparison coercion
  * (string literal vs numeric column casts the literal), matching how
@@ -67,9 +72,20 @@ object Kql {
       q.charAt(i) match {
         case c if c.isWhitespace => i += 1
         case '"' =>
-          val end = q.indexOf('"', i + 1)
-          require(end >= 0, s"unterminated quote at offset $i in: $q")
-          out += Quoted(q.substring(i + 1, end)); i = end + 1
+          // backslash escapes \" and \\ inside quotes (KQL lexer rule)
+          val sb = new java.lang.StringBuilder(16)
+          var j = i + 1
+          var closed = false
+          while (j < q.length && !closed) {
+            val c = q.charAt(j)
+            if (c == '\\' && j + 1 < q.length &&
+              (q.charAt(j + 1) == '"' || q.charAt(j + 1) == '\\')) {
+              sb.append(q.charAt(j + 1)); j += 2
+            } else if (c == '"') { closed = true; j += 1 }
+            else { sb.append(c); j += 1 }
+          }
+          require(closed, s"unterminated quote at offset $i in: $q")
+          out += Quoted(sb.toString); i = j
         case '(' => out += Sym("("); i += 1
         case ')' => out += Sym(")"); i += 1
         case ':' => out += Sym(":"); i += 1
@@ -139,9 +155,11 @@ object Kql {
           case Quoted(s) => (s, true)
           case t => throw new IllegalArgumentException(s"expected value, got $t")
         }
-        // every unquoted * is a wildcard (trailing OR embedded), like
-        // KQL; LIKE metacharacters in the literal parts are escaped
-        if (!q && v.contains("*")) col(term).like(likePattern(v))
+        // a bare * is KQL field existence; any other unquoted * is a
+        // wildcard (trailing OR embedded); LIKE metacharacters in the
+        // literal parts are escaped
+        if (!q && v == "*") col(term).isNotNull
+        else if (!q && v.contains("*")) col(term).like(likePattern(v))
         else col(term) === lit(v)
       case Some(Sym(op)) if op == ">" || op == ">=" || op == "<" || op == "<=" =>
         next()
@@ -156,10 +174,10 @@ object Kql {
           case "<=" => col(term) <= lit(n)
         }
       case _ =>
-        // free text. Quoted phrase = raw substring over the JSON-string
-        // view (match_phrase-ish); bare term = ES-analyzed token match
-        // (both the text field and the term go through the analyzer).
-        if (quoted) col(textField).contains(term)
+        // free text. Quoted phrase = analyzed match_phrase (consecutive
+        // analyzed tokens); bare term = ES-analyzed token match (both
+        // the text field and the term go through the analyzer).
+        if (quoted) graft.functions.PhraseMatch.phrase(col(textField), term)
         else {
           val toks = graft.functions.AnalyzeTokens.analyze(col(textField))
           val t = term.toLowerCase(java.util.Locale.ROOT)

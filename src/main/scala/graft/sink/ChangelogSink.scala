@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
  */
 object ChangelogSink {
 
+  private[sink] val log =
+    org.slf4j.LoggerFactory.getLogger(ChangelogSink.getClass)
+
   /** Append an envelope frame to the partitioned changelog table. */
   def append(env: DataFrame, path: String): Unit =
     env.withColumn("date", to_date(col("timestamp")))
@@ -139,7 +142,18 @@ object ChangelogSink {
     } catch {
       case e: Throwable =>
         moved.foreach { case (src, dst) => // un-move, else drop the copy
-          if (!fs.rename(dst, src)) fs.delete(dst, false)
+          if (!fs.rename(dst, src) && !fs.delete(dst, false)) {
+            // both rollback paths failed: the staged file stays VISIBLE
+            // next to the restored originals, duplicating its rows — an
+            // operator must remove it before any retry snapshots the
+            // partition
+            val warn = new IllegalStateException(
+              s"compactPartition rollback: staged file $dst could be " +
+                "neither moved back nor deleted; partition holds " +
+                "DUPLICATE rows until it is removed")
+            e.addSuppressed(warn)
+            ChangelogSink.log.warn(warn.getMessage)
+          }
         }
         hidden.foreach { case (orig, h) => fs.rename(h, orig) } // best effort
         throw e

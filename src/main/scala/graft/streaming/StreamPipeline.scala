@@ -214,21 +214,33 @@ object StreamPipeline {
         .option("checkpointLocation", s"$work/ckpt")
         .start()
       q.awaitTermination()
-    } finally prev match {
-      case Some(p) => spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset(
-        "spark.sql.streaming.stateStore.providerClass")
+      // the final state per key is the emission with the max n (n
+      // strictly increases every time a key appears in a micro-batch).
+      // Collected EAGERLY (bounded by the live-key count, the same state
+      // the processor already holds) so the memory sink and the temp dir
+      // can be reclaimed below — without this, every invocation in one
+      // JVM leaks the sink's retained emissions on the driver heap plus
+      // the input parquet + RocksDB checkpoint on disk.
+      val w = Window.partitionBy(col("topic"), col("key"))
+        .orderBy(col("n").desc)
+      val fixpoint = spark.table(sinkName)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("topic"), col("key"), col("n"),
+          col("last_offset"), col("last_value"))
+        .orderBy(col("topic"), col("key"))
+      val rows = fixpoint.collect().toIndexedSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), fixpoint.schema)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.catalog.dropTempView(sinkName)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
-    // the final state per key is the emission with the max n (n strictly
-    // increases every time a key appears in a micro-batch)
-    val w = Window.partitionBy(col("topic"), col("key"))
-      .orderBy(col("n").desc)
-    spark.table(sinkName)
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("topic"), col("key"), col("n"),
-        col("last_offset"), col("last_value"))
-      .orderBy(col("topic"), col("key"))
   }
 }

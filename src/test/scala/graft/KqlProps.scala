@@ -37,6 +37,8 @@ object KqlProps extends Properties("kql") {
   private case class Prefix(p: String) extends Ast
   private case class Cmp(op: String, x: Double) extends Ast
   private case class Free(t: String) extends Ast
+  private case class Phrase(ts: Seq[String]) extends Ast
+  private case object Exists extends Ast
   private case class Not(c: Ast) extends Ast
   private case class BinOp(kw: String, l: Ast, r: Ast) extends Ast
 
@@ -46,7 +48,10 @@ object KqlProps extends Properties("kql") {
     Gen.oneOf("x", "xy", "q").map(Prefix(_)),
     for { op <- Gen.oneOf(">", ">=", "<", "<="); x <- Gen.oneOf(-3.0, 1.0, 5.0) }
       yield Cmp(op, x),
-    Gen.oneOf("alpha", "beta", "TOMBSTONE", "delta").map(Free(_)))
+    Gen.oneOf("alpha", "beta", "TOMBSTONE", "delta").map(Free(_)),
+    Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma")).map(Phrase(_))),
+    Gen.const(Exists))
 
   private def genAst(depth: Int): Gen[Ast] =
     if (depth <= 0) genLeaf
@@ -65,6 +70,8 @@ object KqlProps extends Properties("kql") {
     case Prefix(p) => s"a:$p*"
     case Cmp(op, x) => s"n $op $x"
     case Free(t) => t
+    case Phrase(ts) => s""""${ts.mkString(", ")}"""" // punctuated render
+    case Exists => "a:*"
     case Not(c) => s"NOT (${render(c)})"
     case BinOp(kw, l, r) => s"(${render(l)}) $kw (${render(r)})"
   }
@@ -77,6 +84,9 @@ object KqlProps extends Properties("kql") {
     case Cmp("<", x) => col("n") < lit(x)
     case Cmp(_, x) => col("n") <= lit(x)
     case Free(t) => col("value_json").contains(t)
+    case Phrase(ts) =>
+      graft.functions.PhraseMatch.phrase(col("value_json"), ts.mkString(" "))
+    case Exists => col("a").isNotNull
     case Not(c) => !direct(c)
     case BinOp(kw, l, r) =>
       if (kw.equalsIgnoreCase("and")) direct(l) && direct(r)

@@ -55,7 +55,7 @@ class KqlSpec extends SparkSpec {
   }
 
   test("free text: bare terms match the ANALYZED token stream " +
-      "(ES semantics); quoted phrases keep raw substring semantics") {
+      "(ES semantics); quoted phrases are analyzed match_phrase") {
     // bare term is analyzed on BOTH sides: mixed-case query finds the
     // token regardless of the JSON punctuation around it
     assert(ids(Kql.parse("TOMBSTONE")) ==
@@ -66,10 +66,30 @@ class KqlSpec extends SparkSpec {
     assert(ids(Kql.parse("CLICK")) == Set("click"))
     // bare-term wildcard matches analyzed tokens
     assert(ids(Kql.parse("cl*")) == Set("click", "clack"))
-    // a quoted standalone phrase is raw substring free text (KQL phrase
-    // query): case-sensitive, no analysis
-    assert(ids(Kql.parse("\"clack\"")) == ids($"value_json".contains("clack")))
-    assert(ids(Kql.parse("\"CLACK\"")).isEmpty)
+    // a quoted standalone phrase is an analyzed match_phrase: both sides
+    // run through the analyzer (case/punctuation-insensitive) ...
+    assert(ids(Kql.parse("\"clack\"")) == Set("clack"))
+    assert(ids(Kql.parse("\"CLACK\"")) == Set("clack"))
+    // ... and multi-word phrases are POSITIONAL — [event, type, click]
+    // appear consecutively in {"event_type":"click"}, [event, click]
+    // do not (both tokens exist, adjacency fails)
+    assert(ids(Kql.parse("\"Event_Type: CLICK\"")) == Set("click"))
+    assert(ids(Kql.parse("\"event click\"")).isEmpty)
+    // a phrase analyzing to zero tokens matches nothing (ES
+    // zero_terms_query: none)
+    assert(ids(Kql.parse("\"...\"")).isEmpty)
+  }
+
+  test("field existence f:* and escaped quotes in values") {
+    // a bare * value is KQL field existence, not a match-everything LIKE
+    assert(ids(Kql.parse("event_type:*")) == ids($"event_type".isNotNull))
+    // \" escapes a quote inside a quoted value (exact equality, so the
+    // fixture matches nothing — the point is the lexer doesn't mis-split)
+    assert(ids(Kql.parse("event_type:\"cl\\\"ick\"")) ==
+      ids($"event_type" === "cl\"ick"))
+    assert(ids(Kql.parse("event_type:\"cl\\\\ick\"")) ==
+      ids($"event_type" === "cl\\ick"))
+    intercept[IllegalArgumentException](Kql.parse("event_type:\"cl\\\""))
   }
 
   test("parsed predicates push down to the parquet scan like hand-written " +

@@ -22,6 +22,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
+        # nullable BIGINT: pandas upcasts int64-with-NULLs to float64 and
+        # would stringify 40 as '40.0' while the driver's arrow path keeps
+        # integers. Integral-valued float64 columns containing NaN are
+        # restored to nullable Int64 so both gates serialize '40'.
+        if str(df[c].dtype) == "float64" and df[c].isna().any():
+            notna = df[c].dropna()
+            if len(notna) and (notna % 1 == 0).all() \
+                    and notna.abs().max() < 2 ** 62:
+                df[c] = df[c].astype("Int64")
         # duckdb returns decimal.Decimal objects; normalize to str
         if df[c].dtype == object:
             df[c] = df[c].map(
@@ -31,13 +40,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def serialize(df: pd.DataFrame) -> list:
     """Canonical per-row string tuples, dtype-sensitive like the driver's
-    hash: floats keep their '.0', ints don't, NULL/NaN both become None."""
+    hash: floats keep their '.0', ints don't, NULL becomes None while a
+    genuine float NaN serializes as the DISTINCT string 'NaN' (the
+    driver's hash distinguishes them; a zero-vector cosine must not
+    compare equal to a NULL)."""
     rows = []
     for tup in df.itertuples(index=False, name=None):
-        rows.append(tuple(
-            None if v is None or v is pd.NaT
-            or (isinstance(v, float) and v != v) else str(v)
-            for v in tup))
+        out = []
+        for v in tup:
+            if v is None or v is pd.NaT or v is pd.NA:
+                out.append(None)
+            elif isinstance(v, float) and v != v:
+                out.append("NaN")
+            else:
+                out.append(str(v))
+        rows.append(tuple(out))
     return rows
 
 
@@ -101,9 +118,17 @@ def main():
         if s2 == d2:
             print(f"PASS {name} ({len(s)} rows)")
             n_pass += 1
+        elif len(s2) != len(d2):
+            # defensive (row counts are compared above): never index into
+            # an empty list, and report the extra row rather than a
+            # misleading "first diff" that is actually an equal prefix row
+            print(f"FAIL {name}: serialized row counts differ "
+                  f"spark={len(s2)} duck={len(d2)}")
+            longer, side = (s2, "spark") if len(s2) > len(d2) else (d2, "duck")
+            print(f"  first extra {side} row: {longer[min(len(s2), len(d2))]}")
+            n_fail += 1
         else:
-            bad = next((i for i, (a, b) in enumerate(zip(s2, d2)) if a != b),
-                       min(len(s2), len(d2)) - 1)
+            bad = next(i for i, (a, b) in enumerate(zip(s2, d2)) if a != b)
             print(f"FAIL {name}: serialized-value mismatch")
             print(f"  first diff row {bad}:\n  spark: {s2[bad]}\n  duck : {d2[bad]}")
             n_fail += 1
