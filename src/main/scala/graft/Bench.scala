@@ -41,7 +41,8 @@ object Bench {
     "x33_ngram_novelty", "x34_keep_best", "q31_sequence_funnel",
     "x35_analyzed_search", "kq21_kql_freetext", "kq22_wire_path",
     "x36_weighted_sample", "x37_embed_cohesion", "x38_temperature_mixture",
-    "x39_span_excise")
+    "x39_span_excise", "x40_phrase_match", "kq24_kql_phrase",
+    "kq25_terms_by_metric")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -61,9 +61,15 @@ object Dedup {
    * feasible and infeasible at 100 TB.
    */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    ngramJaccardPairsOf(Tables.load(spark, dir, "documents"), threshold)
+
+  /** [[ngramJaccardPairs]] over any `(doc_id, text)` frame — the entry a
+    * pipeline composes with its own corpus (also what the skewed-corpus
+    * stress spec drives). */
+  def ngramJaccardPairsOf(docs: DataFrame,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
     val docSh = docs.select(col("doc_id"),
       graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
     // per-doc set size rides along the explode (no second aggregation);
@@ -142,9 +148,13 @@ object Dedup {
    * unbounded all-pairs blowup.
    */
   def containmentPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9): DataFrame =
+    containmentPairsOf(Tables.load(spark, dir, "documents"), threshold)
+
+  /** [[containmentPairs]] over any `(doc_id, text)` frame. */
+  def containmentPairsOf(docs: DataFrame,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
     val docSh = docs.select(col("doc_id"),
       graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
     val exploded = docSh.select(col("doc_id"),

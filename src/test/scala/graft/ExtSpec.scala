@@ -109,6 +109,72 @@ class ExtSpec extends SparkSpec {
     assert(jac.except(filtered.select(col("d1"), col("d2"))).count() == 0)
   }
 
+  test("skewed corpus: ubiquitous boilerplate shingles (90% of docs) — " +
+      "prefix candidates stay far below the naive join, output identical") {
+    // the exact skew the df-ordered prefix was built for: a boilerplate
+    // tail every crawler sees (cookie banners, license footers). Its
+    // shingles have df ≈ 0.9·N, so the naive all-shingle self-join
+    // explodes quadratically on them while the rarest-first prefix never
+    // indexes them — candidates must come from rare body shingles only.
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val boiler = "copyright acme corp all rights reserved"
+    val base = (0 until 200).map { i =>
+      val body = Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, if (i % 10 != 0) s"$body $boiler" else body)
+    }
+    // cloned docs create true near-dup pairs that must survive the filter
+    val corpus = (base ++ base.take(12).map { case (id, t) => (id + 1000L, t) })
+      .toDF("doc_id", "text")
+
+    val docSh = corpus.select(col("doc_id"),
+      graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
+    val ex = docSh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val fullFanout = ex.as("a").join(ex.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")).count()
+    // replicate the operator's prefix stage to measure its join fanout
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.8
+    val withN = docSh.select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
+    val dfT = withN.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val pre = withN.join(dfT, "sh")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("sh"))
+    val prefixFanout = pre.as("a").join(pre.as("b"),
+      col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")).count()
+    assert(prefixFanout * 20 < fullFanout,
+      s"skewed prefix fanout $prefixFanout not <5% of naive $fullFanout")
+
+    // exactness under skew, both predicates: prefix-filtered == naive
+    def naive(scoreOf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+        thr: Double, name: String) =
+      ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("shared"))
+        .join(docSh.select(col("doc_id").as("d1"),
+          size(col("shingles")).as("n1")), "d1")
+        .join(docSh.select(col("doc_id").as("d2"),
+          size(col("shingles")).as("n2")), "d2")
+        .withColumn(name, round(scoreOf(col("shared"), col("n1"), col("n2")), 6))
+        .where(col(name) >= thr)
+        .select(col("d1"), col("d2"), col(name))
+    val naiveJ = naive((sh, n1, n2) => sh / (n1 + n2 - sh), 0.8, "jaccard")
+    val fastJ = Dedup.ngramJaccardPairsOf(corpus, 0.8)
+    assert(naiveJ.except(fastJ).count() == 0)
+    assert(fastJ.except(naiveJ).count() == 0)
+    assert(fastJ.count() >= 12) // the planted clones all surface
+    val naiveC = naive((sh, n1, n2) => sh / least(n1, n2), 0.9, "containment")
+    val fastC = Dedup.containmentPairsOf(corpus, 0.9)
+    assert(naiveC.except(fastC).count() == 0)
+    assert(fastC.except(naiveC).count() == 0)
+  }
+
   test("simhash Hamming pairs: banding is EXACT for hamming <= 3 " +
       "(equals the brute-force pair set)") {
     val banded = Dedup.simhashHammingPairs(spark, sf)
