@@ -346,6 +346,14 @@ object SparkEntry {
         .where(LogQueries.kql("\"Event_Type: PURCHASE\" and value >= 50"))
         .orderBy(col("offset"))),
 
+    // ---- KQL field existence (f:*) — Kibana's "field exists" filter ----
+    // ---- pill; a bare * value is IS NOT NULL, not a match-all LIKE, ----
+    // ---- so tombstones (all payload fields null) drop out ---------------
+    "kq26_kql_exists" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(LogQueries.kql("event_type:* AND value >= 99"))
+        .orderBy(col("offset"))),
+
     // ---- Kibana terms agg ORDERED BY A SUB-METRIC (order: sum(value) ----
     // ---- desc, not doc count — the "Top N by metric" viz config); -------
     // ---- decimal-exact sum so the ordering key is cross-engine ----------
@@ -558,6 +566,11 @@ object SparkEntry {
         |        i -> toks[i+1] = 'event' AND toks[i+2] = 'type'
         |             AND toks[i+3] = 'purchase')) > 0
         |  AND "value" >= 50
+        |ORDER BY "offset"""".stripMargin),
+
+    "kq26_kql_exists" ->
+      (envSql + """SELECT * FROM env
+        |WHERE event_type IS NOT NULL AND "value" >= 99
         |ORDER BY "offset"""".stripMargin),
 
     "kq25_terms_by_metric" ->

@@ -51,6 +51,13 @@ class ChangelogFacadeSpec extends SparkSpec {
       .count() == 0)
     assert(hits.select($"rank").as[Int].collect().toSeq ==
       (1 to hits.count().toInt))
+
+    // match_phrase over the payload: [event, type, error] must sit at
+    // CONSECUTIVE analyzed positions — case/punctuation-insensitive on
+    // both sides, and order matters
+    assert(log.matchPhrase("Event_Type: ERROR").count() ==
+      log.searchField("event_type", "error").count())
+    assert(log.matchPhrase("error event type").count() == 0)
     assert(log.latest().groupBy($"key").count()
       .where($"count" > 1).count() == 0)
 
