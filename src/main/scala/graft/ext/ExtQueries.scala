@@ -110,7 +110,12 @@ object ExtQueries {
         .where(graft.functions.PhraseMatch.phrase(col("text"), "Spark, QUERY!"))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
-    })
+    }),
+    // x41: the composed curation decision table — x28 span-dup gate, x8
+    // quality gate, x17 mixture gate, first-failing-reason triage, all in
+    // ONE plan (see TextAnalysis.curationDecisions).
+    "x41_curation_decisions" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.curationDecisions(s, d))
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -873,6 +878,50 @@ object ExtQueries {
         |  CAST(3 AS INT) AS channels,
         |  m.feat_mean
         |FROM b JOIN m USING (doc_id) ORDER BY media_id""".stripMargin,
+
+    // x41: composes the PROVEN x8 / x28 / x17 oracle forms (identical
+    // score rounding, span md5s, bucket hex parse) under the same gate
+    // order; thresholds compare identically-rounded doubles, so the
+    // branch taken can never diverge between engines.
+    "x41_curation_decisions" ->
+      """WITH q AS (SELECT doc_id,
+        |    round(least(1.0, len(string_split(text, ' ')) / 100)
+        |      * (len(list_distinct(string_split(text, ' ')))
+        |         / len(string_split(text, ' '))), 6) AS score
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents),
+        |sp AS (SELECT doc_id,
+        |         md5(array_to_string(toks[CAST(i*10+1 AS INT) : CAST(i*10+10 AS INT)], ' '))
+        |           AS span_md5
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(CAST(floor(len(toks) / 10) AS BIGINT))) AS i
+        |             FROM t)),
+        |d AS (SELECT span_md5, count(DISTINCT doc_id) AS span_docs
+        |      FROM sp GROUP BY 1),
+        |r AS (SELECT doc_id,
+        |        round(CAST(SUM(CASE WHEN span_docs > 1 THEN 1 ELSE 0 END)
+        |                   AS BIGINT) / count(*), 6) AS dup_ratio
+        |      FROM sp JOIN d USING (span_md5) GROUP BY 1),
+        |b AS (SELECT doc_id, source,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+        |          AS bucket
+        |      FROM documents),
+        |j AS (SELECT b.doc_id, b.source, q.score,
+        |        COALESCE(r.dup_ratio, 0.0) AS dup_ratio, b.bucket
+        |      FROM b JOIN q USING (doc_id) LEFT JOIN r USING (doc_id)),
+        |v AS (SELECT *,
+        |        CASE WHEN dup_ratio >= 0.5 THEN 'span_dup'
+        |             WHEN score < 0.2 THEN 'low_quality'
+        |             WHEN NOT (source = 'src0'
+        |                       OR (source = 'src1' AND bucket < 128)
+        |                       OR (source <> 'src0' AND source <> 'src1'
+        |                           AND bucket < 64))
+        |               THEN 'not_sampled' END AS drop_reason
+        |      FROM j)
+        |SELECT doc_id, source, score, dup_ratio,
+        |  drop_reason IS NULL AS keep, drop_reason
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // x40: the identical analyzer + consecutive-position check — range is
     // empty when the doc has fewer tokens than the phrase, so short docs

@@ -538,4 +538,51 @@ object TextAnalysis {
         round(col("n_hit").cast("double") / col("n_spans"), 6))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * x41 — the COMPOSED curation decision table: the per-document verdict a
+   * real training-data pipeline materializes before writing its kept set.
+   * Three gates in priority order, each a proven standalone operator
+   * reused as-is so the math is already cross-engine-pinned:
+   *
+   *  1. `span_dup`     — x28 span-duplication ratio ≥ `maxDupRatio`
+   *                      (boilerplate-heavy doc, C4/RefinedWeb gate);
+   *  2. `low_quality`  — x8 quality score < `minScore` (Gopher-style);
+   *  3. `not_sampled`  — outside the x17 md5-bucket source mixture.
+   *
+   * `keep` = survives all gates; `drop_reason` names the FIRST failing
+   * gate (the triage view curation dashboards aggregate on). The point of
+   * the operator is COMPOSITION: all three signals evaluate in ONE
+   * Catalyst plan — the map-only quality/bucket columns fuse into the
+   * scan stage, the span gate adds its one explode + one md5-keyed
+   * aggregation + one join back, and nothing is materialized between
+   * stages. At 100 TB that is one pass over the corpus plus one bounded
+   * shuffle pair, versus the three full materializations a
+   * stage-per-job pipeline would write.
+   */
+  def curationDecisions(spark: SparkSession, dir: String,
+      minScore: Double = 0.2, maxDupRatio: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val quality = qualityScore(spark, dir).select(col("doc_id"), col("score"))
+    val spanDup = graft.ext.Dedup.spanDupStats(spark, dir)
+      .select(col("doc_id"), col("dup_ratio"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 2), 16, 10).cast("int") // 0..255, as x17
+    val sampled = (col("source") === "src0") ||
+      (col("source") === "src1" && col("bucket") < 128) ||
+      (col("source") =!= "src0" && col("source") =!= "src1"
+        && col("bucket") < 64)
+    docs.select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .join(quality, "doc_id")
+      .join(spanDup, Seq("doc_id"), "left")
+      .withColumn("dup_ratio", coalesce(col("dup_ratio"), lit(0.0)))
+      .withColumn("drop_reason",
+        when(col("dup_ratio") >= maxDupRatio, lit("span_dup"))
+          .when(col("score") < minScore, lit("low_quality"))
+          .when(!sampled, lit("not_sampled")))
+      .withColumn("keep", col("drop_reason").isNull)
+      .select(col("doc_id"), col("source"), col("score"), col("dup_ratio"),
+        col("keep"), col("drop_reason"))
+      .orderBy(col("doc_id"))
+  }
 }

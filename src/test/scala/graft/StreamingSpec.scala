@@ -38,6 +38,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KQL predicates (incl. analyzed match_phrase) filter a STREAMING " +
+      "envelope — live-tail search, stateless map-side filter") {
+    val in = MemoryStream[RecIn]
+    val env = StreamPipeline.ingest(in.toDF(), "value_json")
+    // the Kibana search box pointed at a live tail: a quoted phrase must
+    // match [event, type, click] at consecutive analyzed positions of
+    // the payload JSON; bare-term and field clauses compose as in batch
+    val filtered = env.where(graft.query.Kql.parse(
+      "\"Event_Type: CLICK\" AND NOT key:b", "message.value_json"))
+    val q = filtered.writeStream.format("memory").queryName("kql_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rec("a", 0, 0), rec("b", 1, 1), rec("a", 2, 2, tomb = true))
+      q.processAllAvailable()
+      val out = spark.table("kql_stream_out")
+      // rec a/0 is a click and not key b; b/1 is excluded by the NOT;
+      // the tombstone has no phrase match
+      assert(out.count() == 1)
+      assert(out.select($"key").as[String].head() == "a")
+    } finally q.stop()
+  }
+
   test("streaming histogram: watermarked windowed counts") {
     val in = MemoryStream[RecIn]
     val env = StreamPipeline.ingest(in.toDF(), "value_json")
