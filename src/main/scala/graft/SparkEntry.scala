@@ -354,6 +354,15 @@ object SparkEntry {
         .where(LogQueries.kql("event_type:* AND value >= 99"))
         .orderBy(col("offset"))),
 
+    // ---- Lucene proximity syntax in the search box: "a b"~1 = in-order --
+    // ---- span_near with slop 1 — [event, purchase] must appear in ------
+    // ---- order with at most one interleaved token ('type' in the JSON); -
+    // ---- the EXACT phrase would not match, the slop bridges the gap -----
+    "kq28_kql_slop" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(LogQueries.kql("\"Event PURCHASE\"~1 and value >= 50"))
+        .orderBy(col("offset"))),
+
     // ---- Kibana terms agg ORDERED BY A SUB-METRIC (order: sum(value) ----
     // ---- desc, not doc count — the "Top N by metric" viz config); -------
     // ---- decimal-exact sum so the ordering key is cross-engine ----------
@@ -367,6 +376,26 @@ object SparkEntry {
             .as("sum_value"))
         .orderBy(col("sum_value").desc, col("event_type"))
         .limit(5)),
+
+    // ---- Kibana pipeline aggregations over the date histogram: ----------
+    // ---- cumulative_sum + derivative (the TSVB/visualization pair) — ----
+    // ---- integer counts through integer window functions, so no --------
+    // ---- cross-engine float drift is possible ---------------------------
+    "kq27_pipeline_aggs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Pipeline.envelopeFlat(s, dir)
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("bucket"))
+      // single unpartitioned window over ~hundreds of buckets (one per
+      // hour) — bounded by the time range, not the data volume; the
+      // heavy lifting happened in the partial/final count above
+      hourly
+        .withColumn("cum_n",
+          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("deriv", col("n") - lag(col("n"), 1).over(w))
+        .orderBy(col("bucket"))
+    }),
 
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
@@ -573,11 +602,41 @@ object SparkEntry {
         |WHERE event_type IS NOT NULL AND "value" >= 99
         |ORDER BY "offset"""".stripMargin),
 
+    // slop window: anchor 'event', then 'purchase' within the next
+    // 1 + slop positions (greedy fold, same construction as x42)
+    "kq28_kql_slop" ->
+      (envSql + """SELECT uid, "key", topic, "partition", "offset",
+        |  "timestamp", event_type, "value", props, value_json
+        |FROM (SELECT *,
+        |        list_filter(regexp_split_to_array(lower(value_json),
+        |                                          '[^a-z0-9]+'),
+        |                    t -> t <> '') AS toks
+        |      FROM env)
+        |WHERE len(list_filter(range(len(toks)), i ->
+        |        toks[i+1] = 'event' AND
+        |        list_reduce(
+        |          list_prepend('2', toks[(i+2) : least(i + 3, len(toks))]),
+        |          (a, t) -> CASE WHEN a = '2' AND t = 'purchase' THEN '3'
+        |                         ELSE a END) = '3')) > 0
+        |  AND "value" >= 50
+        |ORDER BY "offset"""".stripMargin),
+
     "kq25_terms_by_metric" ->
       (envSql + """SELECT event_type, count(*) AS doc_count,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM env WHERE event_type IS NOT NULL
         |GROUP BY 1 ORDER BY sum_value DESC, event_type LIMIT 5""".stripMargin),
+
+    "kq27_pipeline_aggs" ->
+      (envSql + """SELECT bucket, n,
+        |  CAST(SUM(n) OVER (ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS cum_n,
+        |  n - lag(n) OVER (ORDER BY bucket) AS deriv
+        |FROM (SELECT date_trunc('hour', "timestamp") AS bucket,
+        |        count(*) AS n
+        |      FROM env GROUP BY 1)
+        |ORDER BY bucket""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -115,7 +115,19 @@ object ExtQueries {
     // quality gate, x17 mixture gate, first-failing-reason triage, all in
     // ONE plan (see TextAnalysis.curationDecisions).
     "x41_curation_decisions" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.curationDecisions(s, d))
+      TextAnalysis.curationDecisions(s, d)),
+    // x42: ordered proximity (ES/Lucene span_near in_order) — the phrase
+    // tokens [spark, query] must appear IN ORDER within one interleaved
+    // position (slop 1): "spark fast query" matches, "query spark" does
+    // not. Both the anchor scan and the greedy window subsequence are
+    // mirrored in the oracle.
+    "x42_ordered_near" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ingest.Tables.load(s, d, "documents")
+        .where(graft.functions.PhraseMatch.near(col("text"), "Spark Query!", 1))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -922,6 +934,24 @@ object ExtQueries {
         |SELECT doc_id, source, score, dup_ratio,
         |  drop_reason IS NULL AS keep, drop_reason
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // x42: anchor on each 'spark' occurrence, then a GREEDY leftmost
+    // subsequence fold over the bounded slop window — list_reduce carries
+    // the next-needed-token state as a string ('2' → '3' on a 'query'
+    // hit); window end i + k + slop = i + 3 (1-based inclusive); an empty
+    // slice folds to the init state and fails, so doc-tail anchors are
+    // FALSE on both engines.
+    "x42_ordered_near" ->
+      s"""WITH m AS (SELECT doc_id, source, ${anTokSql("text")} AS toks
+        |  FROM documents)
+        |SELECT doc_id, source FROM m
+        |WHERE len(list_filter(range(len(toks)), i ->
+        |        toks[i+1] = 'spark' AND
+        |        list_reduce(
+        |          list_prepend('2', toks[(i+2) : least(i + 3, len(toks))]),
+        |          (a, t) -> CASE WHEN a = '2' AND t = 'query' THEN '3'
+        |                         ELSE a END) = '3')) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // x40: the identical analyzer + consecutive-position check — range is
     // empty when the doc has fewer tokens than the phrase, so short docs

@@ -53,6 +53,44 @@ case class PhraseMatch(child: Expression, phrase: Seq[String])
   override def prettyName: String = "phrase_match"
 }
 
+/**
+ * ES/Lucene `span_near` with `in_order: true`: the analyzed phrase tokens
+ * must appear IN ORDER with at most `slop` interleaved non-matching
+ * positions — formally, positions p1 < … < pk with
+ * `(pk - p1 + 1) - k <= slop` and p1 an occurrence of the first token.
+ * `slop = 0` degenerates to [[PhraseMatch]] (exact adjacency). This is
+ * the ordered-proximity half of ES's sloppy matching; it deliberately
+ * does NOT model `match_phrase`'s out-of-order transpositions (which
+ * Lucene admits at slop ≥ 2) — in-order span_near is the documented,
+ * cross-engine-reproducible contract.
+ *
+ * Per row: one analyzer pass materializes the token array, then each
+ * occurrence of the first token anchors a GREEDY leftmost subsequence
+ * match inside its bounded `k + slop` window (greedy is exact for
+ * subsequence existence) — O(tokens · (k + slop)), short-circuiting on
+ * the first hit.
+ */
+case class PhraseNear(child: Expression, phrase: Seq[String], slop: Int)
+    extends UnaryExpression with Predicate {
+
+  @transient private lazy val phraseArr: Array[String] = phrase.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    PhraseMatch.nearMatches(input.asInstanceOf[UTF8String], phraseArr, slop)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseTokens", phraseArr,
+      "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PhraseMatch$$.MODULE$$.nearMatches($c, $ref, $slop)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def prettyName: String = "phrase_near"
+}
+
 object PhraseMatch {
   import org.apache.spark.sql.GraftColumnBridge
 
@@ -116,5 +154,56 @@ object PhraseMatch {
     if (toks.isEmpty) org.apache.spark.sql.functions.lit(false)
     else GraftColumnBridge.column(
       PhraseMatch(GraftColumnBridge.expression(text), toks))
+  }
+
+  /** The [[PhraseNear]] scan: analyze, then greedy in-window subsequence
+    * match anchored at each first-token occurrence. */
+  def nearMatches(input: UTF8String, phrase: Array[String],
+      slop: Int): Boolean = {
+    val k = phrase.length
+    if (k == 0) return false
+    val toks = tokensOf(input.toString)
+    val n = toks.length
+    var i = 0
+    while (i < n) {
+      if (toks(i) == phrase(0)) {
+        var j = 1
+        var p = i + 1
+        val end = math.min(n, i + k + slop) // pk <= p1 + k + slop - 1
+        while (j < k && p < end) {
+          if (toks(p) == phrase(j)) j += 1
+          p += 1
+        }
+        if (j == k) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Analyzer pass shared by [[nearMatches]] — same char-scan contract
+    * as [[AnalyzeTokens.tokenize]], into a plain array. */
+  private[functions] def tokensOf(text: String): Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  /** span_near(in_order=true, slop) predicate over a text column. */
+  def near(text: Column, phraseStr: String, slop: Int): Column = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val toks = analyzePhrase(phraseStr)
+    if (toks.isEmpty) org.apache.spark.sql.functions.lit(false)
+    else GraftColumnBridge.column(
+      PhraseNear(GraftColumnBridge.expression(text), toks, slop))
   }
 }

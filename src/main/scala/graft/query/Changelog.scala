@@ -89,6 +89,16 @@ case class Changelog(spark: SparkSession, path: String,
       phrase))
   }
 
+  /** Ordered-proximity search (ES/Lucene `span_near`, `in_order: true`):
+    * like [[matchPhrase]] but tolerating up to `slop` interleaved tokens
+    * between the phrase tokens — the Lucene `"a b"~N` query. */
+  def spanNear(phrase: String, slop: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    frame.where(graft.functions.PhraseMatch.near(
+      coalesce(col(s"message.`$valueJsonField`").cast("string"), lit("")),
+      phrase, slop))
+  }
+
   def latest(): DataFrame = LogQueries.latestStatePerKey(frame)
 
   /** Register for `spark.sql` — the strict superset of Kibana's surface. */

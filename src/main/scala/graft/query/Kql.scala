@@ -39,9 +39,11 @@ import org.apache.spark.sql.functions._
  * through the analyzer and the phrase tokens must appear CONSECUTIVELY,
  * so `"Spark streaming"` matches `spark, streaming.` exactly as ES
  * would (a single-token phrase like `"TOMBSTONE"` degenerates to
- * analyzed token containment). Quoted FIELD values (`f:"v"`) keep exact
- * equality, and `f:*` is a field-existence test (`IS NOT NULL`), both
- * as in KQL. Quoted values may escape `\"` and `\\`.
+ * analyzed token containment). A Lucene proximity suffix `"a b"~N`
+ * relaxes adjacency to in-order span_near with slop N
+ * ([[graft.functions.PhraseNear]]). Quoted FIELD values (`f:"v"`) keep
+ * exact equality, and `f:*` is a field-existence test (`IS NOT NULL`),
+ * both as in KQL. Quoted values may escape `\"` and `\\`.
  *
  * Untyped string literals are left to Catalyst's comparison coercion
  * (string literal vs numeric column casts the literal), matching how
@@ -173,6 +175,14 @@ object Kql {
           case "<" => col(term) < lit(n)
           case "<=" => col(term) <= lit(n)
         }
+      case Some(Word(w)) if quoted && w.matches("~\\d+") =>
+        // Lucene proximity suffix on a quoted phrase: "a b"~N. Mapped to
+        // in-order span_near with slop N (identical to Lucene's sloppy
+        // phrase for N <= 1; Lucene additionally admits out-of-order
+        // transpositions at N >= 2, which this deliberately does not).
+        next()
+        graft.functions.PhraseMatch.near(col(textField), term,
+          w.drop(1).toInt)
       case _ =>
         // free text. Quoted phrase = analyzed match_phrase (consecutive
         // analyzed tokens); bare term = ES-analyzed token match (both

@@ -80,6 +80,18 @@ class KqlSpec extends SparkSpec {
     assert(ids(Kql.parse("\"...\"")).isEmpty)
   }
 
+  test("Lucene proximity \"a b\"~N: in-order span_near with slop N") {
+    // [event, click] are NOT adjacent in {"event_type":"click"} (the
+    // 'type' token sits between) — slop 0 misses, slop 1 bridges
+    assert(ids(Kql.parse("\"event click\"")).isEmpty)
+    assert(ids(Kql.parse("\"event click\"~1")) == Set("click"))
+    // order still matters at any slop
+    assert(ids(Kql.parse("\"click event\"~3")).isEmpty)
+    // slop composes with the rest of the grammar
+    assert(ids(Kql.parse("\"event click\"~1 OR event_type:signup")) ==
+      Set("click", "signup"))
+  }
+
   test("field existence f:* and escaped quotes in values") {
     // a bare * value is KQL field existence, not a match-everything LIKE
     assert(ids(Kql.parse("event_type:*")) == ids($"event_type".isNotNull))

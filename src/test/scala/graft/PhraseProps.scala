@@ -68,4 +68,42 @@ object PhraseProps extends Properties("phraseMatch") {
         .collect()
       both.forall(r => r.getBoolean(0) == r.getBoolean(1))
     }
+
+  /** Independent reference for span_near(in_order): exhaustive search for
+    * positions p1 < … < pk with span <= k + slop (no greedy shortcut). */
+  private def bruteNear(toks: Array[String], ph: Seq[String],
+      slop: Int): Boolean = {
+    val k = ph.length
+    if (k == 0) return false
+    def go(j: Int, prev: Int, first: Int): Boolean =
+      j == k || toks.indices.exists(p =>
+        p > prev && p <= first + k + slop - 1 && toks(p) == ph(j) &&
+          go(j + 1, p, first))
+    toks.indices.exists(p0 => toks(p0) == ph.head && go(1, p0, p0))
+  }
+
+  property("span_near greedy window scan == exhaustive position search; " +
+      "slop 0 == match_phrase") =
+    Prop.forAll(genTexts, genPhrase, Gen.choose(0, 3)) {
+      (texts, phrase, slop) =>
+        val ptoks = PhraseMatch.analyzePhrase(phrase)
+        val schema = StructType(Seq(
+          StructField("id", LongType),
+          StructField("text", StringType)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(texts.zipWithIndex.map {
+            case (t, i) => Row(i.toLong, t)
+          }),
+          schema)
+        val rows = df.select(col("text"),
+            PhraseMatch.near(col("text"), phrase, slop).as("near"),
+            PhraseMatch.phrase(col("text"), phrase).as("exact"))
+          .collect()
+        rows.forall { r =>
+          val toks = PhraseMatch.analyzePhrase(r.getString(0)).toArray
+          r.getBoolean(1) == bruteNear(toks, ptoks, slop) &&
+            // slop 0 must coincide with exact phrase adjacency
+            (slop != 0 || r.getBoolean(1) == r.getBoolean(2))
+        }
+    }
 }
