@@ -397,6 +397,18 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- Kibana heat-map viz: date_histogram × numeric histogram — a ----
+    // ---- 2-D bucket grid (hour, value decile), one hash aggregation; ----
+    // ---- the bucket cast aligns Spark's LONG floor with DuckDB's -------
+    // ---- DOUBLE (the kq19 rule) -----------------------------------------
+    "kq29_heatmap" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"),
+          (floor(col("value") / 10) * 10).as("value_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"), col("value_bucket"))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -637,6 +649,13 @@ object SparkEntry {
         |        count(*) AS n
         |      FROM env GROUP BY 1)
         |ORDER BY bucket""".stripMargin),
+
+    "kq29_heatmap" ->
+      (envSql + """SELECT date_trunc('hour', "timestamp") AS bucket,
+        |  CAST(floor("value" / 10) * 10 AS BIGINT) AS value_bucket,
+        |  count(*) AS n
+        |FROM env WHERE "value" IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY bucket, value_bucket""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

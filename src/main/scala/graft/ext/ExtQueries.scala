@@ -127,6 +127,29 @@ object ExtQueries {
         .where(graft.functions.PhraseMatch.near(col("text"), "Spark Query!", 1))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+    // x43: ES highlighting (the Kibana Discover match-fragment feature):
+    // for docs whose analyzed stream contains the term, emit the ±2-token
+    // window around the FIRST occurrence with every in-window match
+    // wrapped in <em> tags — presentation-layer lambdas are fine here
+    // (one bounded window per matching row, not a hot loop).
+    "x43_highlight" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ingest.Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.AnalyzeTokens.analyze(col("text")).as("toks"))
+        .withColumn("pos", array_position(col("toks"), "spark")) // 1-based
+        .where(col("pos") > 0)
+        .withColumn("w_start", greatest(lit(1L), col("pos") - 2))
+        .withColumn("w_end",
+          least(size(col("toks")).cast("long"), col("pos") + 2))
+        .select(col("doc_id"),
+          concat_ws(" ", transform(
+            slice(col("toks"), col("w_start").cast("int"),
+              (col("w_end") - col("w_start") + 1).cast("int")),
+            t => when(t === "spark", concat(lit("<em>"), t, lit("</em>")))
+              .otherwise(t))).as("fragment"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -952,6 +975,22 @@ object ExtQueries {
         |          (a, t) -> CASE WHEN a = '2' AND t = 'query' THEN '3'
         |                         ELSE a END) = '3')) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // x43: list_position is 1-based-with-NULL-when-absent in DuckDB vs
+    // Spark's 0-when-absent — the WHERE > 0 filter normalizes both; the
+    // ±2 window slice and per-token <em> wrap are identical constructions.
+    "x43_highlight" ->
+      s"""WITH m AS (SELECT doc_id, ${anTokSql("text")} AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, toks, list_position(toks, 'spark') AS pos
+        |      FROM m)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(
+        |    toks[CAST(greatest(1, pos - 2) AS INT)
+        |         : CAST(least(len(toks), pos + 2) AS INT)],
+        |    t -> CASE WHEN t = 'spark' THEN '<em>' || t || '</em>'
+        |              ELSE t END), ' ') AS fragment
+        |FROM p WHERE pos > 0 ORDER BY doc_id""".stripMargin,
 
     // x40: the identical analyzer + consecutive-position check — range is
     // empty when the doc has fewer tokens than the phrase, so short docs

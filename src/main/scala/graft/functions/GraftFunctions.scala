@@ -35,6 +35,18 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int])),
     "bigram_stats" ->
       (exprs => BigramStats(exprs.head)),
+    "analyze_tokens" ->
+      (exprs => AnalyzeTokens(exprs.head)),
+    // phrase is a plan-time constant (like word_shingles' n): analyzed
+    // once on the driver, so SQL callers get the same contract as the
+    // Column API — `phrase_match(text, 'Spark streaming')`
+    "phrase_match" ->
+      (exprs => PhraseMatch(exprs.head,
+        PhraseMatch.analyzePhrase(exprs(1).eval().toString))),
+    "phrase_near" ->
+      (exprs => PhraseNear(exprs.head,
+        PhraseMatch.analyzePhrase(exprs(1).eval().toString),
+        exprs(2).eval().asInstanceOf[Int])),
     "confluent_avro_decode" ->
       (exprs => {
         val schema = exprs(1).eval().toString

@@ -421,6 +421,20 @@ class ExtSpec extends SparkSpec {
       "SELECT simhash32(text) AS h, size(word_shingles(text, 3)) AS ns " +
         "FROM docs_v WHERE doc_id = 0").head()
     assert(sh.getLong(0) >= 0 && sh.getInt(1) > 0)
+    // the search-family expressions resolve by name too, with the query
+    // phrase analyzed at plan time like the Column API
+    val ph = spark.sql(
+      """SELECT count(*) AS exact,
+        |  sum(CASE WHEN phrase_near(text, 'Spark Query!', 1)
+        |      THEN 1 ELSE 0 END) AS near,
+        |  sum(CASE WHEN phrase_match(text, 'Spark Query!')
+        |      THEN 1 ELSE 0 END) AS adj,
+        |  max(size(analyze_tokens(text))) AS mx
+        |FROM docs_v WHERE phrase_match(text, 'Spark Query!')""".stripMargin)
+      .head()
+    assert(ph.getLong(0) == ph.getLong(1) && ph.getLong(0) == ph.getLong(2),
+      s"phrase rows must all adjacency-match: $ph")
+    assert(ph.getInt(3) > 0)
   }
 
   test("bm25: ranked results contain a query term, scores descend, " +
