@@ -128,6 +128,10 @@ object ExtQueries {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    // x44: ES more_like_this — the query doc's top TF-IDF terms become
+    // data-driven BM25 search terms (broadcast, no plan-time literals).
+    "x44_more_like_this" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.moreLikeThis(s, d)),
     // x43: ES highlighting (the Kibana Discover match-fragment feature):
     // for docs whose analyzed stream contains the term, emit the ±2-token
     // window around the FIRST occurrence with every in-window match
@@ -975,6 +979,40 @@ object ExtQueries {
         |          (a, t) -> CASE WHEN a = '2' AND t = 'query' THEN '3'
         |                         ELSE a END) = '3')) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // x44: identical MLT math — x15's qscore cut, x22's BM25 literal
+    // structure per (doc, term), x24's round-then-DECIMAL-sum for the
+    // order-free per-doc total.
+    "x44_more_like_this" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${anTokSql("text")}) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS len
+        |         FROM toks GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS sum_len FROM toks),
+        |q AS (SELECT term, df FROM (
+        |        SELECT tf.term, df.df,
+        |          round(tf.tf * ln(n.n_docs / df.df), 6) AS qscore
+        |        FROM tf JOIN df USING (term), n WHERE tf.doc_id = 0
+        |        ORDER BY qscore DESC, tf.term LIMIT 3)),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(round(
+        |           ln(1.0 + (n.n_docs - q.df + 0.5) / (q.df + 0.5))
+        |           * (tf.tf * 2.2)
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len
+        |                             / (st.sum_len / n.n_docs))), 6)
+        |              AS DECIMAL(28,12)) AS ts
+        |       FROM tf JOIN q USING (term) JOIN lens USING (doc_id), n, st
+        |       WHERE tf.doc_id <> 0),
+        |agg AS (SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score
+        |        FROM sc GROUP BY 1),
+        |r AS (SELECT doc_id, score, CAST(row_number() OVER (
+        |        ORDER BY score DESC, doc_id) AS INT) AS "rank"
+        |      FROM agg WHERE score > 0)
+        |SELECT doc_id, score, "rank" FROM r WHERE "rank" <= 10
+        |ORDER BY "rank"""".stripMargin,
 
     // x43: list_position is 1-based-with-NULL-when-absent in DuckDB vs
     // Spark's 0-when-absent — the WHERE > 0 filter normalizes both; the

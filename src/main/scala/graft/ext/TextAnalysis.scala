@@ -540,6 +540,77 @@ object TextAnalysis {
   }
 
   /**
+   * x44 — ES `more_like_this`: rank the corpus by similarity to a QUERY
+   * DOCUMENT. The query doc's most distinctive terms (top `nTerms` by
+   * the x15 TF-IDF score) become the search terms, and every other doc
+   * is scored with Okapi BM25 over them — the ES MLT pipeline
+   * (max_query_terms → boosted term query) re-expressed relationally.
+   *
+   * Unlike [[bm25]] (whose terms are PLAN-TIME literals compiled into
+   * conditional-sum columns), MLT's terms are DATA — a 3-row frame
+   * selected by a windowless top-k and BROADCAST into the scoring join,
+   * so the whole thing is still ONE plan with no driver-side collect.
+   * The per-(doc, term) BM25 contribution reuses x22's exact literal
+   * structure (same association order, ln, k1 = 1.2, b = 0.75); because
+   * the per-doc score is now an AGGREGATE over term rows (not a fixed
+   * left-to-right expression), each contribution is rounded to 6 dp and
+   * summed as DECIMAL(28,12) — the x24 order-independence trick — so
+   * partitioning can never flip a rank.
+   *
+   * Scale shape: tf/df/len aggregations are the inverted-index builds
+   * (one shuffle each, term- and doc-keyed); the query-term table is
+   * tiny and broadcast; scoring touches only postings of the selected
+   * terms. Linear in matching postings at any corpus size.
+   */
+  def moreLikeThis(spark: SparkSession, dir: String, queryDoc: Long = 0L,
+      nTerms: Int = 3, k: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.AnalyzeTokens.analyze(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val lens = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("len"))
+    val sumLen = toks.agg(count(lit(1)).cast("double").as("sum_len"))
+    // the query doc's top-nTerms by the x15 tf·ln(N/df) score — (score
+    // desc, term) is a total order, so the cut is deterministic
+    val qterms = tf.where(col("doc_id") === queryDoc)
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("qscore",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .orderBy(col("qscore").desc, col("term"))
+      .limit(nTerms)
+      .select(col("term"), col("df"))
+    val k1 = 1.2; val b = 0.75
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("len") / (col("sum_len") / col("n_docs")))
+    val contrib = tf.where(col("doc_id") =!= queryDoc)
+      .join(broadcast(qterms), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(sumLen))
+      .withColumn("ts",
+        round(idf * (col("tf") * lit(k1 + 1)) / norm, 6)
+          .cast("decimal(28,12)"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("ts")).cast("double").as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("score") - col("score")) // non-foldable 0 (x22)
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /**
    * x41 — the COMPOSED curation decision table: the per-document verdict a
    * real training-data pipeline materializes before writing its kept set.
    * Three gates in priority order, each a proven standalone operator

@@ -437,6 +437,33 @@ class ExtSpec extends SparkSpec {
     assert(ph.getInt(3) > 0)
   }
 
+  test("more_like_this: query doc excluded, ranks contiguous, every hit " +
+      "shares a top term of the query doc") {
+    val r = TextAnalysis.moreLikeThis(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    assert(!r.map(_.getLong(0)).contains(0L)) // the query doc itself
+    assert(r.map(_.getAs[Int]("rank")).toSeq == (1 to r.length))
+    val scores = r.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    // recompute the query doc's top-3 tf-idf terms independently and
+    // check every hit contains at least one
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.AnalyzeTokens.analyze(col("text"))).as("t"))
+    val n = docs.count().toDouble
+    val tf = toks.groupBy(col("doc_id"), col("t")).count()
+    val df = tf.groupBy(col("t")).count().withColumnRenamed("count", "df")
+    val top = tf.where(col("doc_id") === 0).join(df, "t")
+      .withColumn("s", round(col("count") * log(lit(n) / col("df")), 6))
+      .orderBy(col("s").desc, col("t")).limit(3)
+      .select(col("t")).collect().map(_.getString(0)).toSet
+    val hitIds = r.map(_.getLong(0)).toSet
+    val withTerm = toks.where(col("t").isin(top.toSeq: _*))
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(hitIds.subsetOf(withTerm))
+  }
+
   test("bm25: ranked results contain a query term, scores descend, " +
       "longer docs penalized at equal tf") {
     val r = TextAnalysis.bm25Search(spark, sf).collect()
