@@ -58,6 +58,12 @@ class ChangelogFacadeSpec extends SparkSpec {
     assert(log.matchPhrase("Event_Type: ERROR").count() ==
       log.searchField("event_type", "error").count())
     assert(log.matchPhrase("error event type").count() == 0)
+    // span_near bridges the interleaved 'type' token the exact phrase
+    // misses; order still matters
+    assert(log.matchPhrase("event error").count() == 0)
+    assert(log.spanNear("event error", 1).count() ==
+      log.searchField("event_type", "error").count())
+    assert(log.spanNear("error event", 3).count() == 0)
     assert(log.latest().groupBy($"key").count()
       .where($"count" > 1).count() == 0)
 
