@@ -132,6 +132,19 @@ object ExtQueries {
     // data-driven BM25 search terms (broadcast, no plan-time literals).
     "x44_more_like_this" -> ((s: SparkSession, d: String) =>
       TextAnalysis.moreLikeThis(s, d)),
+    // x45: ES term suggester (the Kibana autocomplete box): analyzed
+    // terms with the typed prefix, ranked by document frequency —
+    // per-doc-distinct explode so count(*) IS the df, one agg + top-k.
+    "x45_suggest" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ingest.Tables.load(s, d, "documents")
+        .select(explode(array_distinct(
+          graft.functions.AnalyzeTokens.analyze(col("text")))).as("term"))
+        .where(col("term").startsWith("sp"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(10)
+    }),
     // x43: ES highlighting (the Kibana Discover match-fragment feature):
     // for docs whose analyzed stream contains the term, emit the ±2-token
     // window around the FIRST occurrence with every in-window match
@@ -979,6 +992,13 @@ object ExtQueries {
         |          (a, t) -> CASE WHEN a = '2' AND t = 'query' THEN '3'
         |                         ELSE a END) = '3')) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    "x45_suggest" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(${anTokSql("text")}))
+        |                AS term
+        |              FROM documents)
+        |SELECT term, count(*) AS df FROM toks WHERE term LIKE 'sp%'
+        |GROUP BY 1 ORDER BY df DESC, term LIMIT 10""".stripMargin,
 
     // x44: identical MLT math — x15's qscore cut, x22's BM25 literal
     // structure per (doc, term), x24's round-then-DECIMAL-sum for the
