@@ -409,6 +409,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"), col("value_bucket"))),
 
+    // ---- Kibana `range` aggregation with a `missing` bucket: explicit ---
+    // ---- named value ranges (unlike kq19's fixed-interval histogram) ----
+    // ---- plus the tombstones' null values surfaced as their own bucket --
+    "kq30_range_agg" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .withColumn("range",
+          when(col("value").isNull, "missing")
+            .when(col("value") < 25, "0-25")
+            .when(col("value") < 50, "25-50")
+            .when(col("value") < 75, "50-75")
+            .otherwise("75+"))
+        .groupBy(col("range"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("range"))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -656,6 +673,16 @@ object SparkEntry {
         |  count(*) AS n
         |FROM env WHERE "value" IS NOT NULL
         |GROUP BY 1, 2 ORDER BY bucket, value_bucket""".stripMargin),
+
+    "kq30_range_agg" ->
+      (envSql + """SELECT CASE WHEN "value" IS NULL THEN 'missing'
+        |            WHEN "value" < 25 THEN '0-25'
+        |            WHEN "value" < 50 THEN '25-50'
+        |            WHEN "value" < 75 THEN '50-75'
+        |            ELSE '75+' END AS "range",
+        |  count(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM env GROUP BY 1 ORDER BY "range"""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -132,6 +132,10 @@ object ExtQueries {
     // data-driven BM25 search terms (broadcast, no plan-time literals).
     "x44_more_like_this" -> ((s: SparkSession, d: String) =>
       TextAnalysis.moreLikeThis(s, d)),
+    // x46: sharded batch-packing assignment — longest-first round-robin
+    // bins per md5 shard (LPT balancing), the sequence-packing prep step.
+    "x46_pack_bins" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packBins(s, d)),
     // x45: ES term suggester (the Kibana autocomplete box): analyzed
     // terms with the typed prefix, ranked by document frequency —
     // per-doc-distinct explode so count(*) IS the df, one agg + top-k.
@@ -992,6 +996,29 @@ object ExtQueries {
         |          (a, t) -> CASE WHEN a = '2' AND t = 'query' THEN '3'
         |                         ELSE a END) = '3')) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // x46: identical shard hash (x17's hex parse), (est_tokens DESC,
+    // doc_id) is a total order so the round-robin is deterministic;
+    // ceil→DOUBLE and window-sum→HUGEINT cast back to BIGINT.
+    "x46_pack_bins" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+        |      % 8 AS shard
+        |  FROM documents),
+        |a AS (SELECT doc_id, est_tokens, shard,
+        |    row_number() OVER (PARTITION BY shard
+        |                       ORDER BY est_tokens DESC, doc_id) AS rn
+        |  FROM d),
+        |b AS (SELECT doc_id, shard, est_tokens,
+        |    shard * 4 + CAST((rn - 1) % 4 AS INT) AS bin
+        |  FROM a)
+        |SELECT doc_id, shard, bin, est_tokens,
+        |  CAST(SUM(est_tokens) OVER (PARTITION BY bin) AS BIGINT)
+        |    AS bin_tokens,
+        |  round(CAST(SUM(est_tokens) OVER (PARTITION BY bin) AS BIGINT)
+        |        / 2048.0, 6) AS bin_fill
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "x45_suggest" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(${anTokSql("text")}))

@@ -611,6 +611,48 @@ object TextAnalysis {
   }
 
   /**
+   * x46 — BATCH PACKING assignment: distribute documents into
+   * fixed-capacity training bins, the sequence-packing preprocessing
+   * step of LLM training pipelines (docs are packed into context-window
+   * batches; balanced bins minimize padding waste). True bin packing is
+   * inherently sequential, so the scalable formulation packs PER SHARD:
+   * docs are hash-sharded (md5 bucket — deterministic, skew-free), and
+   * within each shard a longest-first round-robin assigns docs to the
+   * shard's bins (the classic LPT balancing heuristic, 4/3-optimal).
+   * Emits each doc's (shard, bin) plus the bin's total tokens and fill
+   * ratio against the capacity.
+   *
+   * Scale shape: the only window partitions on the SHARD key — packing
+   * parallelism equals shard count, each shard's sort is over its own
+   * docs, never a global order. One shuffle for the window, one
+   * (bin)-keyed window sum. All-integer math except the final rounded
+   * fill ratio.
+   */
+  def packBins(spark: SparkSession, dir: String, nShards: Int = 8,
+      binsPerShard: Int = 4, capacity: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val estTokens = ceil(length(col("text")) / 4.0).cast("long") // x9's heuristic
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 2), 16, 10).cast("int"), lit(nShards))
+    val wShard = Window.partitionBy(col("shard"))
+      .orderBy(col("est_tokens").desc, col("doc_id"))
+    val assigned = docs
+      .select(col("doc_id"), estTokens.as("est_tokens"), shard.as("shard"))
+      .withColumn("rn", row_number().over(wShard))
+      .withColumn("bin",
+        col("shard") * binsPerShard + pmod(col("rn") - 1, lit(binsPerShard)))
+    val wBin = Window.partitionBy(col("bin"))
+    assigned
+      .withColumn("bin_tokens", sum(col("est_tokens")).over(wBin))
+      .withColumn("bin_fill",
+        round(col("bin_tokens").cast("double") / capacity, 6))
+      .select(col("doc_id"), col("shard"), col("bin"), col("est_tokens"),
+        col("bin_tokens"), col("bin_fill"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * x41 — the COMPOSED curation decision table: the per-document verdict a
    * real training-data pipeline materializes before writing its kept set.
    * Three gates in priority order, each a proven standalone operator
