@@ -48,7 +48,8 @@ object Plans {
     "x41_curation_decisions" -> "composed curation: quality/bucket columns fused map-side; span gate adds ONE explode + md5 agg + join — one pass, no inter-stage materialization",
     "x42_ordered_near" -> "span_near: native phrase_near predicate in the scan stage, map-only before the output sort",
     "kq28_kql_slop" -> "Lucene \"a b\"~N via KQL: sloppy-proximity predicate evaluated in the scan, AND-composed with the range filter",
-    "x44_more_like_this" -> "MLT: data-driven query terms as a BROADCAST 3-row frame into the postings join — one plan, no collect, no plan-time term literals")
+    "x44_more_like_this" -> "MLT: data-driven query terms as a BROADCAST 3-row frame into the postings join — one plan, no collect, no plan-time term literals",
+    "x46_pack_bins" -> "batch packing: the assignment window partitions on the SHARD key (no global sort); bin sums are a second bounded window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

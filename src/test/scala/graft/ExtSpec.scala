@@ -437,6 +437,27 @@ class ExtSpec extends SparkSpec {
     assert(ph.getInt(3) > 0)
   }
 
+  test("pack bins: every doc assigned once, bins stay within shard, " +
+      "LPT round-robin balances each shard's bins") {
+    val p = TextAnalysis.packBins(spark, sf).cache()
+    assert(p.count() == 500)
+    assert(p.select(col("doc_id")).distinct().count() == 500)
+    // bin ids live inside their shard's range [shard*4, shard*4+4)
+    assert(p.where(col("bin") < col("shard") * 4 ||
+      col("bin") >= col("shard") * 4 + 4).count() == 0)
+    // balance: within every shard, the heaviest bin carries at most
+    // 2x the lightest (longest-first round-robin on this corpus's
+    // tight length distribution is far better; 2x is a safe envelope)
+    val spread = p.groupBy(col("shard"), col("bin"))
+      .agg(max(col("bin_tokens")).as("t"))
+      .groupBy(col("shard"))
+      .agg((max(col("t")) / min(col("t"))).as("ratio"))
+      .agg(max(col("ratio")))
+      .head().getDouble(0)
+    assert(spread <= 2.0, s"bin imbalance $spread")
+    p.unpersist()
+  }
+
   test("more_like_this: query doc excluded, ranks contiguous, every hit " +
       "shares a top term of the query doc") {
     val r = TextAnalysis.moreLikeThis(spark, sf).collect()
