@@ -44,7 +44,8 @@ object Bench {
     "x39_span_excise", "x40_phrase_match", "kq24_kql_phrase",
     "kq25_terms_by_metric", "x41_curation_decisions", "x42_ordered_near",
     "kq27_pipeline_aggs", "kq28_kql_slop", "x43_highlight", "kq29_heatmap",
-    "x44_more_like_this", "x45_suggest", "x46_pack_bins", "kq30_range_agg")
+    "x44_more_like_this", "x45_suggest", "x46_pack_bins", "kq30_range_agg",
+    "x47_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

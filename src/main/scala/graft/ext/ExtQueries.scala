@@ -132,6 +132,11 @@ object ExtQueries {
     // data-driven BM25 search terms (broadcast, no plan-time literals).
     "x44_more_like_this" -> ((s: SparkSession, d: String) =>
       TextAnalysis.moreLikeThis(s, d)),
+    // x47: decontamination excision — tokens covered by any test-set
+    // sliding span are cut, text rebuilt from survivors (x31's report
+    // turned into the removal transform; test spans broadcast).
+    "x47_decontaminate" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.decontaminate(s, d)),
     // x46: sharded batch-packing assignment — longest-first round-robin
     // bins per md5 shard (LPT balancing), the sequence-packing prep step.
     "x46_pack_bins" -> ((s: SparkSession, d: String) =>
@@ -996,6 +1001,42 @@ object ExtQueries {
         |          (a, t) -> CASE WHEN a = '2' AND t = 'query' THEN '3'
         |                         ELSE a END) = '3')) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // x47: x31's sliding-span construction (1-based starts, 8-token
+    // slices, md5 keys) + token-granular anti-join; string_agg ORDER BY
+    // pos rebuilds the identical survivor string; fully-excised docs
+    // surface with empty cleaned_text via the LEFT JOIN + COALESCE.
+    "x47_decontaminate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |tr AS (SELECT doc_id, toks FROM t WHERE source <> 'src9'),
+        |sp AS (SELECT doc_id, CAST(i AS INT) AS start,
+        |         md5(array_to_string(
+        |           toks[CAST(i AS INT) : CAST(i + 7 AS INT)], ' ')) AS h
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |             FROM tr WHERE len(toks) >= 8)),
+        |test AS (SELECT DISTINCT
+        |           md5(array_to_string(
+        |             toks[CAST(i AS INT) : CAST(i + 7 AS INT)], ' ')) AS h
+        |         FROM (SELECT toks, unnest(range(1, len(toks) - 6)) AS i
+        |               FROM t WHERE source = 'src9' AND len(toks) >= 8)),
+        |cov AS (SELECT DISTINCT doc_id, start + CAST(j AS INT) AS pos
+        |        FROM (SELECT sp.doc_id, sp.start, unnest(range(8)) AS j
+        |              FROM sp JOIN test USING (h))),
+        |tp AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT)
+        |           AS pos, unnest(toks) AS tok
+        |       FROM tr),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+        |         FROM tp LEFT JOIN cov
+        |           ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+        |         WHERE cov.pos IS NULL),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        |        FROM kept GROUP BY 1)
+        |SELECT tr.doc_id, len(tr.toks) AS n_tokens,
+        |  len(tr.toks) - COALESCE(agg.n_kept, 0) AS n_dropped,
+        |  COALESCE(agg.cleaned, '') AS cleaned_text
+        |FROM tr LEFT JOIN agg USING (doc_id) ORDER BY tr.doc_id""".stripMargin,
 
     // x46: identical shard hash (x17's hex parse), (est_tokens DESC,
     // doc_id) is a total order so the round-robin is deterministic;

@@ -611,6 +611,63 @@ object TextAnalysis {
   }
 
   /**
+   * x47 — DECONTAMINATION EXCISION: the removal transform behind x31's
+   * contamination REPORT. Every training-doc token covered by any
+   * sliding `n`-token span that also occurs in the held-out test slice
+   * is cut out, and the text is rebuilt from the surviving tokens — the
+   * span-level benchmark-decontamination step (dropping whole docs at a
+   * contamination threshold loses data; excising just the leaked spans
+   * keeps the rest).
+   *
+   * Unlike x39 (non-overlapping spans, span-level rebuild), the sliding
+   * spans OVERLAP, so removal works at TOKEN granularity: matched spans
+   * explode to their `n` covered positions (bounded fanout), tokens
+   * anti-join against the covered set, and each doc's survivors
+   * reassemble in position order. The test-span table is BROADCAST
+   * (held-out slices are small by construction) — the 100 TB training
+   * side shuffles only for the per-doc rebuild, keyed on doc_id.
+   */
+  def decontaminate(spark: SparkSession, dir: String,
+      testSource: String = "src9", n: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toksC = split(col("text"), " ")
+    def slidingSpans(frame: DataFrame) = frame
+      .select(col("doc_id"),
+        posexplode(when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)), i =>
+            md5(concat_ws(" ", slice(col("toks"), i, lit(n)))
+              .cast("binary"))))
+          .otherwise(array().cast("array<string>"))).as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).as("start"), col("h"))
+    val train = docs.where(col("source") =!= testSource)
+      .select(col("doc_id"), toksC.as("toks"))
+    val testSpans = slidingSpans(
+      docs.where(col("source") === testSource)
+        .select(col("doc_id"), toksC.as("toks")))
+      .select(col("h")).distinct()
+    val covered = slidingSpans(train)
+      .join(broadcast(testSpans), "h")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val tokPos = train.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok"))).as("cleaned"))
+    train.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * x46 — BATCH PACKING assignment: distribute documents into
    * fixed-capacity training bins, the sequence-packing preprocessing
    * step of LLM training pipelines (docs are packed into context-window

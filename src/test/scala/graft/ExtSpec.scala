@@ -437,6 +437,25 @@ class ExtSpec extends SparkSpec {
     assert(ph.getInt(3) > 0)
   }
 
+  test("decontaminate: drops tokens exactly when x31 reports " +
+      "contamination, survivor string is token-consistent") {
+    val dec = TextAnalysis.decontaminate(spark, sf).cache()
+    val rep = TextAnalysis.contamination(spark, sf)
+      .select(col("doc_id"), col("n_hit"))
+    // a doc loses tokens iff its contamination report has span hits
+    val j = dec.join(rep, Seq("doc_id"), "left")
+      .withColumn("hits", coalesce(col("n_hit"), lit(0L)))
+    assert(j.where(col("n_dropped") > 0 && col("hits") === 0).count() == 0)
+    assert(j.where(col("n_dropped") === 0 && col("hits") > 0).count() == 0)
+    // survivor accounting: cleaned token count == n_tokens - n_dropped
+    val bad = dec.withColumn("n_clean",
+        when(col("cleaned_text") === "", 0)
+          .otherwise(size(split(col("cleaned_text"), " "))))
+      .where(col("n_clean") =!= col("n_tokens") - col("n_dropped"))
+    assert(bad.count() == 0)
+    dec.unpersist()
+  }
+
   test("pack bins: every doc assigned once, bins stay within shard, " +
       "LPT round-robin balances each shard's bins") {
     val p = TextAnalysis.packBins(spark, sf).cache()
