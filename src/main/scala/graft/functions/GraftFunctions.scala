@@ -24,6 +24,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  */
 object GraftFunctions {
 
+  /** Plan-time-constant argument: several builders fold an argument on
+    * the driver at resolution time (shingle width, query phrase, fuzzy
+    * term). A non-foldable argument (e.g. a column) would hit
+    * `eval()` with an opaque unsupported-operation error — fail as a
+    * clear ANALYSIS error instead. */
+  private def constArg(fn: String, what: String, e: Expression): Any = {
+    if (!e.foldable) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3055",
+      messageParameters = Map("scalaFuncName" -> fn,
+        "detail" -> s"$fn requires a literal $what, got: ${e.sql}"))
+    e.eval()
+  }
+
   /** name → builder, shared by both installation paths. */
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" ->
@@ -32,7 +45,8 @@ object GraftFunctions {
       (exprs => SimHash32(exprs.head)),
     "word_shingles" ->
       (exprs => WordShingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])),
+        constArg("word_shingles", "shingle width", exprs(1))
+          .asInstanceOf[Int])),
     "bigram_stats" ->
       (exprs => BigramStats(exprs.head)),
     "analyze_tokens" ->
@@ -41,15 +55,26 @@ object GraftFunctions {
     // once on the driver, so SQL callers get the same contract as the
     // Column API — `phrase_match(text, 'Spark streaming')`
     "phrase_match" ->
-      (exprs => PhraseMatch(exprs.head,
-        PhraseMatch.analyzePhrase(exprs(1).eval().toString))),
+      (exprs => PhraseMatch(exprs.head, PhraseMatch.analyzePhrase(
+        constArg("phrase_match", "string phrase", exprs(1)).toString))),
     "phrase_near" ->
       (exprs => PhraseNear(exprs.head,
-        PhraseMatch.analyzePhrase(exprs(1).eval().toString),
-        exprs(2).eval().asInstanceOf[Int])),
+        PhraseMatch.analyzePhrase(
+          constArg("phrase_near", "string phrase", exprs(1)).toString),
+        constArg("phrase_near", "integer slop", exprs(2))
+          .asInstanceOf[Int])),
+    // term analyzed once on the driver, same contract as the Column API —
+    // `fuzzy_match(text, 'purchse', 1)`
+    "fuzzy_match" ->
+      (exprs => FuzzyMatch(exprs.head,
+        PhraseMatch.analyzePhrase(
+          constArg("fuzzy_match", "string term", exprs(1)).toString).head,
+        constArg("fuzzy_match", "integer distance", exprs(2))
+          .asInstanceOf[Int])),
     "confluent_avro_decode" ->
       (exprs => {
-        val schema = exprs(1).eval().toString
+        val schema = constArg("confluent_avro_decode", "schema string",
+          exprs(1)).toString
         graft.ingest.ConfluentAvroDecode(exprs.head, Map(1 -> schema), schema)
       })
   )

@@ -41,9 +41,14 @@ import org.apache.spark.sql.functions._
  * would (a single-token phrase like `"TOMBSTONE"` degenerates to
  * analyzed token containment). A Lucene proximity suffix `"a b"~N`
  * relaxes adjacency to in-order span_near with slop N
- * ([[graft.functions.PhraseNear]]). Quoted FIELD values (`f:"v"`) keep
- * exact equality, and `f:*` is a field-existence test (`IS NOT NULL`),
- * both as in KQL. Quoted values may escape `\"` and `\\`.
+ * ([[graft.functions.PhraseNear]]). A Lucene fuzzy suffix on a BARE
+ * term — `term~` (ES `fuzziness: AUTO`) or `term~N` (N ≤ 2, the ES
+ * limit) — matches any analyzed token within classic Levenshtein
+ * distance N of the analyzed term ([[graft.functions.FuzzyMatch]]; AUTO
+ * maps term length 0-2/3-5/≥6 → 0/1/2). Quoted FIELD values (`f:"v"`)
+ * keep exact equality, and `f:*` is a field-existence test
+ * (`IS NOT NULL`), both as in KQL. Quoted values may escape `\"` and
+ * `\\`.
  *
  * Untyped string literals are left to Catalyst's comparison coercion
  * (string literal vs numeric column casts the literal), matching how
@@ -186,15 +191,33 @@ object Kql {
       case _ =>
         // free text. Quoted phrase = analyzed match_phrase (consecutive
         // analyzed tokens); bare term = ES-analyzed token match (both
-        // the text field and the term go through the analyzer).
+        // the text field and the term go through the analyzer); bare
+        // term with a trailing ~ or ~N = Lucene fuzzy match.
         if (quoted) graft.functions.PhraseMatch.phrase(col(textField), term)
-        else {
-          val toks = graft.functions.AnalyzeTokens.analyze(col(textField))
-          val t = term.toLowerCase(java.util.Locale.ROOT)
-          if (t.contains("*"))
-            exists(toks, _.like(likePattern(t)))
-          else array_contains(toks, lit(t))
+        else fuzzySuffix(term) match {
+          case Some((base, dist)) =>
+            require(!base.contains("*"),
+              s"fuzzy and wildcard cannot combine in one term: $term")
+            graft.functions.FuzzyMatch.fuzzy(col(textField), base, dist)
+          case None =>
+            val toks = graft.functions.AnalyzeTokens.analyze(col(textField))
+            val t = term.toLowerCase(java.util.Locale.ROOT)
+            if (t.contains("*"))
+              exists(toks, _.like(likePattern(t)))
+            else array_contains(toks, lit(t))
         }
+    }
+  }
+
+  /** Split a bare free-text term into (base, explicit distance) when it
+    * carries a Lucene fuzzy suffix: `term~` → AUTO (None), `term~N` → N.
+    * A lone `~`/`~N` (empty base) is not a fuzzy term. */
+  private def fuzzySuffix(term: String): Option[(String, Option[Int])] = {
+    val m = "^(.+?)~(\\d*)$".r
+    term match {
+      case m(base, digits) =>
+        Some((base, if (digits.isEmpty) None else Some(digits.toInt)))
+      case _ => None
     }
   }
 
