@@ -363,6 +363,15 @@ object SparkEntry {
         .where(LogQueries.kql("\"Event PURCHASE\"~1 and value >= 50"))
         .orderBy(col("offset"))),
 
+    // ---- Lucene fuzzy suffix in the search box: `purchse~` (a typo'd ----
+    // ---- query) = ES fuzziness AUTO — len 7 -> distance 2, so the -------
+    // ---- analyzed token 'purchase' (one insertion away) still matches; --
+    // ---- the whole thing is a scan-stage codegen'd predicate ------------
+    "kq31_kql_fuzzy" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(LogQueries.kql("purchse~ and value >= 50"))
+        .orderBy(col("offset"))),
+
     // ---- Kibana terms agg ORDERED BY A SUB-METRIC (order: sum(value) ----
     // ---- desc, not doc count — the "Top N by metric" viz config); -------
     // ---- decimal-exact sum so the ordering key is cross-engine ----------
@@ -647,6 +656,19 @@ object SparkEntry {
         |          list_prepend('2', toks[(i+2) : least(i + 3, len(toks))]),
         |          (a, t) -> CASE WHEN a = '2' AND t = 'purchase' THEN '3'
         |                         ELSE a END) = '3')) > 0
+        |  AND "value" >= 50
+        |ORDER BY "offset"""".stripMargin),
+
+    // fuzzy AUTO on the 7-char term = classic Levenshtein <= 2 over the
+    // analyzed token stream — DuckDB's levenshtein is classic like
+    // Spark's (FuzzyProps pins the native scan to the built-in)
+    "kq31_kql_fuzzy" ->
+      (envSql + """SELECT * FROM env
+        |WHERE len(list_filter(
+        |        list_filter(regexp_split_to_array(lower(value_json),
+        |                                          '[^a-z0-9]+'),
+        |                    t -> t <> ''),
+        |        t -> levenshtein(t, 'purchse') <= 2)) > 0
         |  AND "value" >= 50
         |ORDER BY "offset"""".stripMargin),
 

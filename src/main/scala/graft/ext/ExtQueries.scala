@@ -154,6 +154,25 @@ object ExtQueries {
         .orderBy(col("df").desc, col("term"))
         .limit(10)
     }),
+    // x48: Lucene fuzzy search (`term~`, ES fuzziness) — planted typos in
+    // a messified corpus: every third doc's 'spark' tokens are corrupted
+    // to 'sprk', then the whole text is UPPERCASED with ", " separators
+    // (the x35/x40 messification). The AUTO-distance fuzzy term 'Spark!'
+    // (analyzes to 'spark', len 5 -> distance 1) must find BOTH the clean
+    // and the typo'd docs — analyzer + Levenshtein agree across engines.
+    "x48_fuzzy_match" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.ingest.Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          upper(regexp_replace(
+            when(col("doc_id") % 3 === 0,
+              regexp_replace(col("text"), "spark", "sprk"))
+              .otherwise(col("text")),
+            " ", ", ")).as("text"))
+        .where(graft.functions.FuzzyMatch.fuzzy(col("text"), "Spark!"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     // x43: ES highlighting (the Kibana Discover match-fragment feature):
     // for docs whose analyzed stream contains the term, emit the ±2-token
     // window around the FIRST occurrence with every in-window match
@@ -1101,6 +1120,20 @@ object ExtQueries {
         |      FROM agg WHERE score > 0)
         |SELECT doc_id, score, "rank" FROM r WHERE "rank" <= 10
         |ORDER BY "rank"""".stripMargin,
+
+    // x48: identical typo-planting + messification, then the FuzzyProps-
+    // pinned contract — any analyzed token within classic Levenshtein 1
+    // of 'spark' (DuckDB's levenshtein is classic, like Spark's).
+    "x48_fuzzy_match" ->
+      s"""WITH c AS (SELECT doc_id, source,
+        |    upper(replace(CASE WHEN doc_id % 3 = 0
+        |                       THEN replace(text, 'spark', 'sprk')
+        |                       ELSE text END, ' ', ', ')) AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, ${anTokSql("text")} AS toks FROM c)
+        |SELECT doc_id, source FROM m
+        |WHERE len(list_filter(toks, t -> levenshtein(t, 'spark') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // x43: list_position is 1-based-with-NULL-when-absent in DuckDB vs
     // Spark's 0-when-absent — the WHERE > 0 filter normalizes both; the

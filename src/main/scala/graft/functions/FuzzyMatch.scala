@@ -87,7 +87,7 @@ object FuzzyMatch {
   /** Classic Levenshtein `<= d` with length pre-filter and early abandon
     * (two-row DP; once a full row's minimum exceeds `d`, no completion
     * can bring the distance back under it). */
-  private[functions] def within(tok: String, term: String, d: Int): Boolean = {
+  private[graft] def within(tok: String, term: String, d: Int): Boolean = {
     val n = tok.length
     val m = term.length
     if (math.abs(n - m) > d) return false
@@ -117,14 +117,17 @@ object FuzzyMatch {
     prev(m) <= d
   }
 
-  /** Fuzzy term predicate over a text column. `termStr` is analyzed at
-    * plan time and must yield EXACTLY one token (ES fuzziness applies to
-    * single terms); `maxDist = None` selects the AUTO schedule. A term
-    * that analyzes to zero tokens matches nothing. */
-  def fuzzy(text: Column, termStr: String,
-      maxDist: Option[Int] = None): Column = {
+  /** Expression-level builder shared by the Column API and the SQL
+    * registration ([[GraftFunctions]]), so both entry points enforce ONE
+    * contract: a term analyzing to zero tokens matches nothing (a plain
+    * `false` literal), a multi-token term is rejected (never silently
+    * truncated to its first token), and the distance is capped at ES's
+    * Levenshtein-automaton limit of 2. */
+  private[graft] def fuzzyExpr(child: Expression, termStr: String,
+      maxDist: Option[Int]): Expression = {
     val toks = PhraseMatch.analyzePhrase(termStr)
-    if (toks.isEmpty) org.apache.spark.sql.functions.lit(false)
+    if (toks.isEmpty)
+      org.apache.spark.sql.catalyst.expressions.Literal.FalseLiteral
     else {
       require(toks.length == 1,
         s"fuzzy term must analyze to a single token, got $toks from: $termStr")
@@ -132,8 +135,16 @@ object FuzzyMatch {
       val d = maxDist.getOrElse(auto(t.length))
       require(d >= 0 && d <= 2,
         s"fuzzy edit distance must be 0..2 (ES limit), got $d")
-      GraftColumnBridge.column(
-        FuzzyMatch(GraftColumnBridge.expression(text), t, d))
+      FuzzyMatch(child, t, d)
     }
   }
+
+  /** Fuzzy term predicate over a text column. `termStr` is analyzed at
+    * plan time and must yield EXACTLY one token (ES fuzziness applies to
+    * single terms); `maxDist = None` selects the AUTO schedule. A term
+    * that analyzes to zero tokens matches nothing. */
+  def fuzzy(text: Column, termStr: String,
+      maxDist: Option[Int] = None): Column =
+    GraftColumnBridge.column(
+      fuzzyExpr(GraftColumnBridge.expression(text), termStr, maxDist))
 }

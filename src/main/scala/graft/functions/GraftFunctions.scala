@@ -28,12 +28,17 @@ object GraftFunctions {
     * the driver at resolution time (shingle width, query phrase, fuzzy
     * term). A non-foldable argument (e.g. a column) would hit
     * `eval()` with an opaque unsupported-operation error — fail as a
-    * clear ANALYSIS error instead. */
-  private def constArg(fn: String, what: String, e: Expression): Any = {
+    * clear ANALYSIS error instead, via the standard
+    * `NON_FOLDABLE_ARGUMENT` condition (the legacy template class this
+    * once cited does not exist in Spark 4.1's error-conditions.json, so
+    * constructing it crashed with INTERNAL_ERROR instead of the intended
+    * message). */
+  private def constArg(fn: String, param: String, tpe: String,
+      e: Expression): Any = {
     if (!e.foldable) throw new org.apache.spark.sql.AnalysisException(
-      errorClass = "_LEGACY_ERROR_TEMP_3055",
-      messageParameters = Map("scalaFuncName" -> fn,
-        "detail" -> s"$fn requires a literal $what, got: ${e.sql}"))
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map("funcName" -> s"`$fn`",
+        "paramName" -> s"`$param`", "paramType" -> s""""$tpe""""))
     e.eval()
   }
 
@@ -45,7 +50,7 @@ object GraftFunctions {
       (exprs => SimHash32(exprs.head)),
     "word_shingles" ->
       (exprs => WordShingles(exprs.head,
-        constArg("word_shingles", "shingle width", exprs(1))
+        constArg("word_shingles", "n", "INT", exprs(1))
           .asInstanceOf[Int])),
     "bigram_stats" ->
       (exprs => BigramStats(exprs.head)),
@@ -56,24 +61,26 @@ object GraftFunctions {
     // Column API — `phrase_match(text, 'Spark streaming')`
     "phrase_match" ->
       (exprs => PhraseMatch(exprs.head, PhraseMatch.analyzePhrase(
-        constArg("phrase_match", "string phrase", exprs(1)).toString))),
+        constArg("phrase_match", "phrase", "STRING", exprs(1)).toString))),
     "phrase_near" ->
       (exprs => PhraseNear(exprs.head,
         PhraseMatch.analyzePhrase(
-          constArg("phrase_near", "string phrase", exprs(1)).toString),
-        constArg("phrase_near", "integer slop", exprs(2))
+          constArg("phrase_near", "phrase", "STRING", exprs(1)).toString),
+        constArg("phrase_near", "slop", "INT", exprs(2))
           .asInstanceOf[Int])),
-    // term analyzed once on the driver, same contract as the Column API —
-    // `fuzzy_match(text, 'purchse', 1)`
+    // routed through FuzzyMatch.fuzzy so SQL and Column callers share ONE
+    // contract: a term analyzing to zero tokens is `false` (not a bare
+    // NoSuchElementException), a multi-token term is rejected (not
+    // silently truncated to its first token), and the ES 0..2 distance
+    // cap is enforced — `fuzzy_match(text, 'purchse', 1)`
     "fuzzy_match" ->
-      (exprs => FuzzyMatch(exprs.head,
-        PhraseMatch.analyzePhrase(
-          constArg("fuzzy_match", "string term", exprs(1)).toString).head,
-        constArg("fuzzy_match", "integer distance", exprs(2))
-          .asInstanceOf[Int])),
+      (exprs => FuzzyMatch.fuzzyExpr(exprs.head,
+        constArg("fuzzy_match", "term", "STRING", exprs(1)).toString,
+        Some(constArg("fuzzy_match", "distance", "INT", exprs(2))
+          .asInstanceOf[Int]))),
     "confluent_avro_decode" ->
       (exprs => {
-        val schema = constArg("confluent_avro_decode", "schema string",
+        val schema = constArg("confluent_avro_decode", "schema", "STRING",
           exprs(1)).toString
         graft.ingest.ConfluentAvroDecode(exprs.head, Map(1 -> schema), schema)
       })

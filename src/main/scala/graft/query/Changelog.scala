@@ -89,6 +89,22 @@ case class Changelog(spark: SparkSession, path: String,
       phrase))
   }
 
+  /** Lucene fuzzy term search (the query-bar `term~` / `term~N` suffix,
+    * ES `fuzziness`): rows whose payload's analyzed token stream contains
+    * a token within classic Levenshtein distance of the analyzed term —
+    * a typo'd `fuzzy("purchse")` still finds `purchase` records.
+    * `maxDist = None` selects the ES AUTO schedule (term length
+    * 0-2/3-5/≥6 → 0/1/2); explicit distances are capped at ES's limit
+    * of 2. Like [[matchPhrase]], a plain map-side filter predicate
+    * ([[graft.functions.FuzzyMatch]]): zero shuffle, linear at any
+    * scale. */
+  def fuzzy(term: String, maxDist: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    frame.where(graft.functions.FuzzyMatch.fuzzy(
+      coalesce(col(s"message.`$valueJsonField`").cast("string"), lit("")),
+      term, maxDist))
+  }
+
   /** Ordered-proximity search (ES/Lucene `span_near`, `in_order: true`):
     * like [[matchPhrase]] but tolerating up to `slop` interleaved tokens
     * between the phrase tokens — the Lucene `"a b"~N` query. */

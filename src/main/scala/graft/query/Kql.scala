@@ -198,7 +198,14 @@ object Kql {
           case Some((base, dist)) =>
             require(!base.contains("*"),
               s"fuzzy and wildcard cannot combine in one term: $term")
-            graft.functions.FuzzyMatch.fuzzy(col(textField), base, dist)
+            // Lucene-style leniency: a base analyzing to anything but ONE
+            // token (foo-bar~, !!!~) is not a fuzzy candidate — fall back
+            // to the analyzed-phrase path the base would take unfuzzed
+            // (zero tokens match nothing) instead of throwing a raw
+            // plan-time require from deep inside FuzzyMatch
+            if (graft.functions.PhraseMatch.analyzePhrase(base).length == 1)
+              graft.functions.FuzzyMatch.fuzzy(col(textField), base, dist)
+            else graft.functions.PhraseMatch.phrase(col(textField), base)
           case None =>
             val toks = graft.functions.AnalyzeTokens.analyze(col(textField))
             val t = term.toLowerCase(java.util.Locale.ROOT)
@@ -211,12 +218,20 @@ object Kql {
 
   /** Split a bare free-text term into (base, explicit distance) when it
     * carries a Lucene fuzzy suffix: `term~` → AUTO (None), `term~N` → N.
-    * A lone `~`/`~N` (empty base) is not a fuzzy term. */
+    * A lone `~`/`~N` (empty base) is not a fuzzy term. An explicit N
+    * outside ES's 0..2 cap is a clear PARSE error here (length-guarded
+    * before `toInt`, so `term~99999999999` can't NumberFormatException)
+    * rather than a raw require escaping from plan construction. */
   private def fuzzySuffix(term: String): Option[(String, Option[Int])] = {
     val m = "^(.+?)~(\\d*)$".r
     term match {
       case m(base, digits) =>
-        Some((base, if (digits.isEmpty) None else Some(digits.toInt)))
+        val dist = if (digits.isEmpty) None else {
+          require(digits.length == 1 && digits.toInt <= 2,
+            s"fuzzy distance must be 0..2 (ES limit), got ~$digits in: $term")
+          Some(digits.toInt)
+        }
+        Some((base, dist))
       case _ => None
     }
   }

@@ -64,6 +64,14 @@ class ChangelogFacadeSpec extends SparkSpec {
     assert(log.spanNear("event error", 1).count() ==
       log.searchField("event_type", "error").count())
     assert(log.spanNear("error event", 3).count() == 0)
+    // Lucene fuzzy: the typo'd query-bar term still finds its records
+    // (AUTO distance from term length); explicit distance 0 degenerates
+    // to exact analyzed-token containment
+    assert(log.fuzzy("errr").count() ==
+      log.searchField("event_type", "error").count())
+    assert(log.fuzzy("error", Some(0)).count() ==
+      log.searchField("event_type", "error").count())
+    assert(log.search("errr~1").count() == log.fuzzy("errr", Some(1)).count())
     assert(log.latest().groupBy($"key").count()
       .where($"count" > 1).count() == 0)
 

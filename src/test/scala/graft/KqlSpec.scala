@@ -92,6 +92,32 @@ class KqlSpec extends SparkSpec {
       Set("click", "signup"))
   }
 
+  test("Lucene fuzzy term~ / term~N: analyzed fuzzy match with AUTO " +
+      "or explicit distance; lenient on degenerate input") {
+    // clck~1: one substitution+insertion? no — clck→click is one INSERT
+    // (distance 1); clck→clack also distance 1 — both match
+    assert(ids(Kql.parse("clck~1")) == Set("click", "clack"))
+    // explicit distance 0 is exact analyzed-token match
+    assert(ids(Kql.parse("click~0")) == Set("click"))
+    // AUTO: len(signup)=6 -> distance 2; 'signup' itself matches, and
+    // nothing else in the fixture is within 2
+    assert(ids(Kql.parse("signup~")) == Set("signup"))
+    // AUTO: len(cl)=2 -> distance 0, so only an exact token matches
+    assert(ids(Kql.parse("cl~")).isEmpty)
+    // fuzzy composes with the grammar
+    assert(ids(Kql.parse("clck~1 AND value < 50")) == Set("click"))
+    // distance beyond the ES cap is a clear parse error, never a
+    // NumberFormatException — even at Long-overflow magnitudes
+    intercept[IllegalArgumentException](Kql.parse("term~3"))
+    intercept[IllegalArgumentException](Kql.parse("term~99999999999"))
+    // a base analyzing to multiple tokens falls back to the analyzed
+    // phrase path (Lucene leniency), not a plan-time crash
+    assert(ids(Kql.parse("event_type:click AND click-event~1")).isEmpty)
+    assert(ids(Kql.parse("event-type~")) == ids(Kql.parse("\"event type\"")))
+    // fuzzy + wildcard cannot combine
+    intercept[IllegalArgumentException](Kql.parse("cl*ck~1"))
+  }
+
   test("field existence f:* and escaped quotes in values") {
     // a bare * value is KQL field existence, not a match-everything LIKE
     assert(ids(Kql.parse("event_type:*")) == ids($"event_type".isNotNull))
