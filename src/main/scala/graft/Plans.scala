@@ -49,7 +49,10 @@ object Plans {
     "x42_ordered_near" -> "span_near: native phrase_near predicate in the scan stage, map-only before the output sort",
     "kq28_kql_slop" -> "Lucene \"a b\"~N via KQL: sloppy-proximity predicate evaluated in the scan, AND-composed with the range filter",
     "x44_more_like_this" -> "MLT: data-driven query terms as a BROADCAST 3-row frame into the postings join — one plan, no collect, no plan-time term literals",
-    "x46_pack_bins" -> "batch packing: the assignment window partitions on the SHARD key (no global sort); bin sums are a second bounded window")
+    "x46_pack_bins" -> "batch packing: the assignment window partitions on the SHARD key (no global sort); bin sums are a second bounded window",
+    "x47_decontaminate" -> "decontamination excision: covered positions aggregate to ONE array per CONTAMINATED doc (matched-span-sized shuffle); intact docs join back and excise via index-aware filter — the training token stream is never exploded for the rebuild",
+    "x48_fuzzy_match" -> "fuzzy search: native fuzzy_match predicate (length pre-filter + early-abandon DP) in the scan stage, map-only before the output sort",
+    "x43_highlight" -> "multi-fragment highlighting: occurrence positions from ONE index scan per doc, capped at 3 BEFORE the explode — bounded fanout, map-only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

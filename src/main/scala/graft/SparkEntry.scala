@@ -363,6 +363,16 @@ object SparkEntry {
         .where(LogQueries.kql("\"Event PURCHASE\"~1 and value >= 50"))
         .orderBy(col("offset"))),
 
+    // ---- the LIVE-TAIL search box: the same KQL string (wildcard + ------
+    // ---- analyzed match_phrase + range) parsed once and planned as a ----
+    // ---- STREAMING scan predicate — AvailableNow replay through the -----
+    // ---- streaming planner, final frame row-identical to the batch ------
+    // ---- semantics the oracle computes -----------------------------------
+    "kq32_stream_search" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.kqlSearchBatch(s,
+        Pipeline.envelopeFlat(s, dir),
+        "event_type:cl* OR \"Event_Type: PURCHASE\" OR value >= 95")),
+
     // ---- Lucene fuzzy suffix in the search box: `purchse~` (a typo'd ----
     // ---- query) = ES fuzziness AUTO — len 7 -> distance 2, so the -------
     // ---- analyzed token 'purchase' (one insertion away) still matches; --
@@ -398,7 +408,10 @@ object SparkEntry {
       val w = Window.orderBy(col("bucket"))
       // single unpartitioned window over ~hundreds of buckets (one per
       // hour) — bounded by the time range, not the data volume; the
-      // heavy lifting happened in the partial/final count above
+      // heavy lifting happened in the partial/final count above. The
+      // WindowExec single-partition warning in the bench tail is THIS
+      // bounded input: LogQueriesSpec pins the plan shape (window reads
+      // the post-agg frame, <= 744 rows at any scale factor)
       hourly
         .withColumn("cum_n",
           sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -657,6 +670,23 @@ object SparkEntry {
         |          (a, t) -> CASE WHEN a = '2' AND t = 'purchase' THEN '3'
         |                         ELSE a END) = '3')) > 0
         |  AND "value" >= 50
+        |ORDER BY "offset"""".stripMargin),
+
+    // the streaming replay must reproduce BATCH KQL semantics exactly:
+    // wildcard LIKE + the kq24 consecutive-position phrase check + range
+    "kq32_stream_search" ->
+      (envSql + """SELECT uid, "key", topic, "partition", "offset",
+        |  "timestamp", event_type, "value", props, value_json
+        |FROM (SELECT *,
+        |        list_filter(regexp_split_to_array(lower(value_json),
+        |                                          '[^a-z0-9]+'),
+        |                    t -> t <> '') AS toks
+        |      FROM env)
+        |WHERE event_type LIKE 'cl%'
+        |   OR len(list_filter(range(len(toks) - 2),
+        |        i -> toks[i+1] = 'event' AND toks[i+2] = 'type'
+        |             AND toks[i+3] = 'purchase')) > 0
+        |   OR "value" >= 95
         |ORDER BY "offset"""".stripMargin),
 
     // fuzzy AUTO on the 7-char term = classic Levenshtein <= 2 over the

@@ -138,7 +138,7 @@ object ExtQueries {
     "x47_decontaminate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.decontaminate(s, d)),
     // x46: sharded batch-packing assignment — longest-first round-robin
-    // bins per md5 shard (LPT balancing), the sequence-packing prep step.
+    // bins per md5 shard, the sequence-packing prep step.
     "x46_pack_bins" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packBins(s, d)),
     // x45: ES term suggester (the Kibana autocomplete box): analyzed
@@ -175,26 +175,38 @@ object ExtQueries {
     }),
     // x43: ES highlighting (the Kibana Discover match-fragment feature):
     // for docs whose analyzed stream contains the term, emit the ±2-token
-    // window around the FIRST occurrence with every in-window match
-    // wrapped in <em> tags — presentation-layer lambdas are fine here
-    // (one bounded window per matching row, not a hot loop).
+    // window around EACH of the first `number_of_fragments`=3 occurrences
+    // (ES returns top-N fragments per doc, not just the first match),
+    // every in-window match wrapped in <em> tags. Bounded and map-only:
+    // occurrence positions come from one index scan over the doc's own
+    // token array, capped at 3 BEFORE the explode, so the fanout is <=3
+    // rows per matching doc — presentation-layer lambdas are fine here
+    // (one bounded window per fragment, not a hot loop). The when()
+    // guard matters: Spark's sequence(1, 0) DESCENDS instead of being
+    // empty, so token-free docs must short-circuit.
     "x43_highlight" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
+      val occs = when(size(col("toks")) > 0,
+        slice(filter(sequence(lit(1), size(col("toks"))),
+          p => element_at(col("toks"), p) === "spark"), 1, 3))
+        .otherwise(array().cast("array<int>"))
       graft.ingest.Tables.load(s, d, "documents")
         .select(col("doc_id"),
           graft.functions.AnalyzeTokens.analyze(col("text")).as("toks"))
-        .withColumn("pos", array_position(col("toks"), "spark")) // 1-based
-        .where(col("pos") > 0)
-        .withColumn("w_start", greatest(lit(1L), col("pos") - 2))
-        .withColumn("w_end",
-          least(size(col("toks")).cast("long"), col("pos") + 2))
-        .select(col("doc_id"),
+        .withColumn("occs", occs)
+        .where(size(col("occs")) > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("occs")).as(Seq("idx0", "pos")))
+        .withColumn("fragment_idx", col("idx0") + 1)
+        .withColumn("w_start", greatest(lit(1), col("pos") - 2))
+        .withColumn("w_end", least(size(col("toks")), col("pos") + 2))
+        .select(col("doc_id"), col("fragment_idx"),
           concat_ws(" ", transform(
-            slice(col("toks"), col("w_start").cast("int"),
-              (col("w_end") - col("w_start") + 1).cast("int")),
+            slice(col("toks"), col("w_start"),
+              col("w_end") - col("w_start") + 1),
             t => when(t === "spark", concat(lit("<em>"), t, lit("</em>")))
               .otherwise(t))).as("fragment"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"), col("fragment_idx"))
     })
   )
 
@@ -1135,21 +1147,28 @@ object ExtQueries {
         |WHERE len(list_filter(toks, t -> levenshtein(t, 'spark') <= 1)) > 0
         |ORDER BY doc_id""".stripMargin,
 
-    // x43: list_position is 1-based-with-NULL-when-absent in DuckDB vs
-    // Spark's 0-when-absent — the WHERE > 0 filter normalizes both; the
-    // ±2 window slice and per-token <em> wrap are identical constructions.
+    // x43: the same first-3-occurrences index scan (DuckDB range(1,n+1)
+    // is 1-based like Spark's sequence(1,n); the [1:3] slice caps before
+    // the unnest), generate_subscripts aligned with unnest for the
+    // fragment index; ±2 window slice and per-token <em> wrap identical.
     "x43_highlight" ->
       s"""WITH m AS (SELECT doc_id, ${anTokSql("text")} AS toks
         |  FROM documents),
-        |p AS (SELECT doc_id, toks, list_position(toks, 'spark') AS pos
-        |      FROM m)
-        |SELECT doc_id,
+        |p AS (SELECT doc_id, toks,
+        |        list_filter(range(1, len(toks) + 1),
+        |                    i -> toks[i] = 'spark')[1:3] AS occs
+        |      FROM m),
+        |f AS (SELECT doc_id, toks,
+        |        CAST(generate_subscripts(occs, 1) AS INT) AS fragment_idx,
+        |        unnest(occs) AS pos
+        |      FROM p)
+        |SELECT doc_id, fragment_idx,
         |  array_to_string(list_transform(
         |    toks[CAST(greatest(1, pos - 2) AS INT)
         |         : CAST(least(len(toks), pos + 2) AS INT)],
         |    t -> CASE WHEN t = 'spark' THEN '<em>' || t || '</em>'
         |              ELSE t END), ' ') AS fragment
-        |FROM p WHERE pos > 0 ORDER BY doc_id""".stripMargin,
+        |FROM f ORDER BY doc_id, fragment_idx""".stripMargin,
 
     // x40: the identical analyzer + consecutive-position check — range is
     // empty when the doc has fewer tokens than the phrase, so short docs

@@ -620,12 +620,20 @@ object TextAnalysis {
    * keeps the rest).
    *
    * Unlike x39 (non-overlapping spans, span-level rebuild), the sliding
-   * spans OVERLAP, so removal works at TOKEN granularity: matched spans
-   * explode to their `n` covered positions (bounded fanout), tokens
-   * anti-join against the covered set, and each doc's survivors
-   * reassemble in position order. The test-span table is BROADCAST
-   * (held-out slices are small by construction) — the 100 TB training
-   * side shuffles only for the per-doc rebuild, keyed on doc_id.
+   * spans OVERLAP, so removal works at TOKEN granularity — but the
+   * REBUILD never touches uncontaminated tokens: matched spans explode
+   * to their `n` covered positions (bounded fanout, matched spans only),
+   * which aggregate into ONE sorted position-array per contaminated doc;
+   * that slim frame joins back to the INTACT docs on doc_id, and the
+   * excision is an index-aware higher-order filter over the doc's own
+   * token array. The test-span table is BROADCAST (held-out slices are
+   * small by construction), so when contamination is sparse the only
+   * shuffled rows are the matched spans and the per-doc position arrays
+   * — the 100 TB training token stream itself is never exploded or
+   * reshuffled for the rebuild (it was before round 8: every token went
+   * through a posexplode → anti-join → collect_list round trip). The
+   * interpreted filter lambda runs only on the contaminated docs (the
+   * null-guard's otherwise branch), not the corpus hot path.
    */
   def decontaminate(spark: SparkSession, dir: String,
       testSource: String = "src9", n: Int = 8): DataFrame = {
@@ -645,25 +653,25 @@ object TextAnalysis {
       docs.where(col("source") === testSource)
         .select(col("doc_id"), toksC.as("toks")))
       .select(col("h")).distinct()
+    // one row per CONTAMINATED doc: its distinct covered positions,
+    // sorted — the shuffle is sized by matched spans, not the corpus
     val covered = slidingSpans(train)
       .join(broadcast(testSpans), "h")
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
-      .distinct()
-    val tokPos = train.select(col("doc_id"),
-        posexplode(col("toks")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-    val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          _.getField("tok"))).as("cleaned"))
-    train.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
+      .agg(array_sort(array_distinct(collect_list(col("pos")))).as("cov"))
+    // 1-based token index i+1 against the covered-position array; docs
+    // with no contamination (cov null after the left join) pass through
+    val kept = when(col("cov").isNull, col("toks"))
+      .otherwise(filter(col("toks"),
+        (tok, i) => !array_contains(col("cov"), i + 1)))
+    train.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        kept.as("kept"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+        (col("n_tokens") - size(col("kept"))).as("n_dropped"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -674,10 +682,13 @@ object TextAnalysis {
    * batches; balanced bins minimize padding waste). True bin packing is
    * inherently sequential, so the scalable formulation packs PER SHARD:
    * docs are hash-sharded (md5 bucket — deterministic, skew-free), and
-   * within each shard a longest-first round-robin assigns docs to the
-   * shard's bins (the classic LPT balancing heuristic, 4/3-optimal).
-   * Emits each doc's (shard, bin) plus the bin's total tokens and fill
-   * ratio against the capacity.
+   * within each shard a longest-first ROUND-ROBIN assigns docs to the
+   * shard's bins — LPT's sort without its least-loaded-bin placement
+   * (round-robin ignores current bin loads, so it carries no 4/3
+   * optimality bound; it is the one-window-function formulation that
+   * balances well when sizes are not heavy-tailed). Emits each doc's
+   * (shard, bin) plus the bin's total tokens and fill ratio against the
+   * capacity.
    *
    * Scale shape: the only window partitions on the SHARD key — packing
    * parallelism equals shard count, each shard's sort is over its own

@@ -216,11 +216,13 @@ object StreamPipeline {
       q.awaitTermination()
       // the final state per key is the emission with the max n (n
       // strictly increases every time a key appears in a micro-batch).
-      // Collected EAGERLY (bounded by the live-key count, the same state
-      // the processor already holds) so the memory sink and the temp dir
-      // can be reclaimed below — without this, every invocation in one
-      // JVM leaks the sink's retained emissions on the driver heap plus
-      // the input parquet + RocksDB checkpoint on disk.
+      // Materialized EAGERLY to its own temp parquet (deleted on JVM
+      // exit) so the memory sink and the streaming workdir can be
+      // reclaimed below — but WITHOUT a driver-side collect: the
+      // fixpoint stays a distributed frame end to end, so a
+      // high-cardinality key space never funnels through the driver
+      // heap. The read-back re-sorts because parquet file order is not
+      // a contract.
       val w = Window.partitionBy(col("topic"), col("key"))
         .orderBy(col("n").desc)
       val fixpoint = spark.table(sinkName)
@@ -228,10 +230,10 @@ object StreamPipeline {
         .where(col("rk") === 1)
         .select(col("topic"), col("key"), col("n"),
           col("last_offset"), col("last_value"))
-        .orderBy(col("topic"), col("key"))
-      val rows = fixpoint.collect().toIndexedSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), fixpoint.schema)
+      val out = java.nio.file.Files.createTempDirectory("kq23-out").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+      fixpoint.write.mode("overwrite").parquet(out.toString)
+      spark.read.parquet(out.toString).orderBy(col("topic"), col("key"))
     } finally {
       prev match {
         case Some(p) => spark.conf.set(
@@ -240,6 +242,45 @@ object StreamPipeline {
           "spark.sql.streaming.stateStore.providerClass")
       }
       spark.catalog.dropTempView(sinkName)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /**
+   * Driver-visible live-tail search (kq32): the Kibana search box over a
+   * FLOWING changelog. The flat envelope is replayed as a stream
+   * (file source, `Trigger.AvailableNow`) with a parsed [[graft.query.Kql]]
+   * predicate — wildcards, analyzed free text, match_phrase, ranges — as
+   * the streaming `where`; matches append to a parquet sink and the
+   * final frame is read back and re-sorted (parquet file order is not a
+   * contract). The predicate is STATELESS, so this is the unbounded-
+   * stream shape as-is: scan-stage filtering inside the streaming
+   * planner (the micro-batch plans the same pushdown/codegen predicate
+   * the batch path gets), zero streaming state, append-mode safe at any
+   * scale. kq23's pattern applied to the search surface: proof that
+   * parsed KQL predicates — including the native analyzed-phrase
+   * expressions — survive the streaming planner with identical
+   * semantics, not just the batch one.
+   */
+  def kqlSearchBatch(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame, query: String,
+      textField: String = "value_json"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq32-kql").toString
+    envFlat.write.mode("overwrite").parquet(s"$work/in")
+    val stream = spark.readStream.schema(envFlat.schema).parquet(s"$work/in")
+    val out = java.nio.file.Files.createTempDirectory("kq32-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    try {
+      val q = stream.where(graft.query.Kql.parse(query, textField))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out.toString).orderBy(col("offset"))
+    } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }

@@ -52,6 +52,34 @@ class LogQueriesSpec extends SparkSpec {
       .distinct().as[String].collect().toSeq == Seq(Envelope.Tombstone))
   }
 
+  test("kq27's unpartitioned window reads the BOUNDED post-aggregation " +
+      "bucket frame, never the raw envelope") {
+    // the pipeline-aggs cumulative sum/derivative window is global by
+    // semantics (a cumulative sum has no partition key) — the scale
+    // contract is that its INPUT is the hourly aggregate, bounded by the
+    // time range (one row per hour), not by data volume. Pin the plan
+    // shape: every WindowExec's subtree must contain the hash aggregate
+    // that collapses the envelope to buckets BEFORE the window.
+    // (string-order check: a tree prints parents before children, so
+    // Window-before-HashAggregate-before-FileScan pins the shape; the
+    // AQE wrapper hides the subtree from a structural collect)
+    val df = SparkEntry.queries("kq27_pipeline_aggs")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val wIdx = plan.indexOf("Window ")
+    assert(wIdx >= 0, plan)
+    val aggIdx = plan.indexOf("HashAggregate", wIdx)
+    assert(aggIdx > wIdx, plan) // the grouped aggregate sits BELOW the window
+    val scanIdx = plan.indexOf("FileScan", wIdx)
+    assert(scanIdx > aggIdx, plan) // and the raw scan only below the aggregate
+    // and the bound holds numerically: window input rows == distinct
+    // hour buckets <= hours in the fixture's one-month range — invariant
+    // across scale factors, while the envelope row count is not
+    val buckets = Pipeline.envelopeFlat(spark, sf)
+      .select(date_trunc("hour", $"timestamp")).distinct().count()
+    assert(df.count() == buckets)
+    assert(buckets <= 744)
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
