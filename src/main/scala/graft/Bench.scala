@@ -18,6 +18,20 @@ import org.apache.spark.sql.SparkSession
  * and "regressed" 3-5x together with zero code change). With interleaved
  * shuffled passes the same window hits different queries each pass and
  * the min discards it.
+ *
+ * DRIFT, ADJUDICATED (round 8; movement table in BENCH_ADJUDICATION.md):
+ * the r5->r6 (+13%) and r6->r7 (+17%) total drifts — with zero code
+ * diff on the moved queries — are HOST CONTENTION the min-of-3 did not
+ * fully discard, not regressions: an idle-host rerun of the identical
+ * r7 binary/list recovered the unchanged-query median to 0.89x of r7
+ * (20/69 unchanged queries slower than r7, vs 57/71 "slower" in r7's
+ * drift), and every unchanged >30% mover sits in the sub-second band
+ * where the fixed ~0.2-0.5 s per-job overhead dominates (BENCH_CURVE's
+ * noise floor). Cross-round totals therefore carry an environment error
+ * bar of roughly +-15%; per-query comparisons below ~1 s are noise
+ * unless they reproduce on an idle host. The expensive iterative CC
+ * family gets 5 samples (2 extra post-pass runs) since a single
+ * contention window costs it the most absolute seconds.
  */
 object Bench {
 
@@ -45,7 +59,14 @@ object Bench {
     "kq25_terms_by_metric", "x41_curation_decisions", "x42_ordered_near",
     "kq27_pipeline_aggs", "kq28_kql_slop", "x43_highlight", "kq29_heatmap",
     "x44_more_like_this", "x45_suggest", "x46_pack_bins", "kq30_range_agg",
-    "x47_decontaminate")
+    "x47_decontaminate", "x48_fuzzy_match", "kq31_kql_fuzzy",
+    "kq32_stream_search")
+
+  /** Iterative connected-components queries: the most expensive family,
+    * sampled 5x (3 passes + 2 extra) so one contention window can't own
+    * their min. */
+  private val ccFamily: Set[String] =
+    Set("x21_dup_clusters", "x26_dup_clusters_stars", "x34_keep_best")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,6 +109,8 @@ object Bench {
       val order = new scala.util.Random(42L + pass).shuffle(headline)
       order.foreach(n => samples(n) ::= run(n))
     }
+    // min-of-5 for the CC family (see scaladoc)
+    for (_ <- 0 until 2; n <- ccFamily) samples(n) ::= run(n)
     val results = headline.map { n =>
       val ok = samples(n).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)

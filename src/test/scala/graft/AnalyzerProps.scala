@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalacheck.{Gen, Prop, Properties}
 
-import graft.functions.AnalyzeTokens
+import graft.functions.{AnalyzeTokens, TokenPositions}
 
 /**
  * Property checks for the ES-standard-analyzer tokenizer: the native
@@ -53,5 +53,30 @@ object AnalyzerProps extends Properties("analyzeTokens") {
       both.forall { r =>
         r.getSeq[String](1) == r.getSeq[String](2)
       }
+    }
+
+  property("token_positions: native short-circuit scan == declarative " +
+      "slice(filter(sequence), 1, max) over the analyzed stream") =
+    Prop.forAll(genTexts, Gen.oneOf("a", "ab", "a1", "zz"),
+        Gen.choose(1, 4)) { (texts, term, max) =>
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(texts.zipWithIndex.map {
+          case (t, i) => Row(i.toLong, t)
+        }),
+        schema)
+      val toks = AnalyzeTokens.analyze(col("text"))
+      // the when() guard: Spark's sequence(1, 0) DESCENDS, not empties
+      val decl = when(size(toks) > 0,
+        slice(filter(sequence(lit(1), size(toks)),
+          p => element_at(toks, p) === term), 1, max))
+        .otherwise(array().cast("array<int>"))
+      val both = df.select(
+          TokenPositions.positionsOf(col("text"), term, max).as("native"),
+          decl.as("declarative"))
+        .collect()
+      both.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1))
     }
 }
