@@ -52,7 +52,8 @@ object Plans {
     "x46_pack_bins" -> "batch packing: the assignment window partitions on the SHARD key (no global sort); bin sums are a second bounded window",
     "x47_decontaminate" -> "decontamination excision: covered positions aggregate to ONE array per CONTAMINATED doc (matched-span-sized shuffle); intact docs join back and excise via index-aware filter — the training token stream is never exploded for the rebuild",
     "x48_fuzzy_match" -> "fuzzy search: native fuzzy_match predicate (length pre-filter + early-abandon DP) in the scan stage, map-only before the output sort",
-    "x43_highlight" -> "multi-fragment highlighting: NATIVE short-circuiting token_positions scan in the scan stage (20x over the interpreted filter-over-sequence form), capped at 3 BEFORE the explode — bounded fanout, map-only")
+    "x43_highlight" -> "multi-fragment highlighting: NATIVE short-circuiting token_positions scan in the scan stage (20x over the interpreted filter-over-sequence form), capped at 3 BEFORE the explode — bounded fanout, map-only",
+    "x49_pack_lpt" -> "true per-shard LPT packing: ONLY the per-shard LONG size arrays shuffle (8B/doc); the sequential least-loaded fold is one native codegen'd pass per shard, result joins back on (shard, rank)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -141,6 +141,11 @@ object ExtQueries {
     // bins per md5 shard, the sequence-packing prep step.
     "x46_pack_bins" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packBins(s, d)),
+    // x49: the same sharding with TRUE per-shard LPT (least-loaded-bin
+    // placement, 4/3-optimal makespan) via the native LptAssign fold
+    // over rank-ordered per-shard size arrays.
+    "x49_pack_lpt" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packBinsLpt(s, d)),
     // x45: ES term suggester (the Kibana autocomplete box): analyzed
     // terms with the typed prefix, ranked by document frequency —
     // per-doc-distinct explode so count(*) IS the df, one agg + top-k.
@@ -1084,6 +1089,45 @@ object ExtQueries {
         |b AS (SELECT doc_id, shard, est_tokens,
         |    shard * 4 + CAST((rn - 1) % 4 AS INT) AS bin
         |  FROM a)
+        |SELECT doc_id, shard, bin, est_tokens,
+        |  CAST(SUM(est_tokens) OVER (PARTITION BY bin) AS BIGINT)
+        |    AS bin_tokens,
+        |  round(CAST(SUM(est_tokens) OVER (PARTITION BY bin) AS BIGINT)
+        |        / 2048.0, 6) AS bin_fill
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // x49: x46's shard hash + rank order, then the LPT fold as a
+    // RECURSIVE CTE advancing every shard one rank per iteration,
+    // carrying the 4 bin loads as a BIGINT list; the pick is
+    // list_position(loads, list_min(loads)) — first-index tie-break,
+    // exactly the native fold's argmin. All-integer, no drift possible.
+    "x49_pack_lpt" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+        |      % 8 AS shard
+        |  FROM documents),
+        |a AS (SELECT doc_id, est_tokens, shard,
+        |    row_number() OVER (PARTITION BY shard
+        |                       ORDER BY est_tokens DESC, doc_id) AS rn
+        |  FROM d),
+        |steps AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+        |         CAST([0,0,0,0] AS BIGINT[]) AS loads,
+        |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin_local
+        |  FROM (SELECT DISTINCT shard FROM a)
+        |  UNION ALL
+        |  SELECT a.shard, a.rn,
+        |    list_transform(range(1, 5), j -> s.loads[CAST(j AS INT)] +
+        |      CASE WHEN j = list_position(s.loads, list_min(s.loads))
+        |           THEN a.est_tokens ELSE 0 END),
+        |    a.doc_id,
+        |    CAST(list_position(s.loads, list_min(s.loads)) - 1 AS INT)
+        |  FROM steps s JOIN a ON a.shard = s.shard AND a.rn = s.rn + 1),
+        |asg AS (SELECT doc_id, bin_local FROM steps WHERE doc_id IS NOT NULL),
+        |b AS (SELECT a.doc_id, a.shard, a.est_tokens,
+        |        a.shard * 4 + asg.bin_local AS bin
+        |      FROM a JOIN asg USING (doc_id))
         |SELECT doc_id, shard, bin, est_tokens,
         |  CAST(SUM(est_tokens) OVER (PARTITION BY bin) AS BIGINT)
         |    AS bin_tokens,

@@ -686,7 +686,8 @@ object TextAnalysis {
    * shard's bins — LPT's sort without its least-loaded-bin placement
    * (round-robin ignores current bin loads, so it carries no 4/3
    * optimality bound; it is the one-window-function formulation that
-   * balances well when sizes are not heavy-tailed). Emits each doc's
+   * balances well when sizes are not heavy-tailed — [[packBinsLpt]] is
+   * the true-LPT sibling when the bound matters). Emits each doc's
    * (shard, bin) plus the bin's total tokens and fill ratio against the
    * capacity.
    *
@@ -712,6 +713,56 @@ object TextAnalysis {
         col("shard") * binsPerShard + pmod(col("rn") - 1, lit(binsPerShard)))
     val wBin = Window.partitionBy(col("bin"))
     assigned
+      .withColumn("bin_tokens", sum(col("est_tokens")).over(wBin))
+      .withColumn("bin_fill",
+        round(col("bin_tokens").cast("double") / capacity, 6))
+      .select(col("doc_id"), col("shard"), col("bin"), col("est_tokens"),
+        col("bin_tokens"), col("bin_fill"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * x49 — BATCH PACKING with TRUE per-shard LPT: [[packBins]]'s sharding
+   * but with Graham's actual Longest-Processing-Time placement — each
+   * doc (longest first) lands on the shard's currently LEAST-LOADED
+   * bin, the 4/3-optimal makespan heuristic x46's round-robin is not.
+   *
+   * The fold is inherently sequential per shard, so the scalable
+   * formulation ships ONLY the per-shard LONG size arrays (8 bytes per
+   * doc; shard count is the parallelism knob and bounds each list):
+   * one window ranks docs within their shard, one agg gathers the
+   * rank-ordered sizes, the native [[graft.functions.LptAssign]] fold
+   * (O(bins) argmin per item, codegen'd) emits the 0-based local bin
+   * per rank, and the exploded (shard, rank) → bin frame joins back to
+   * the docs. Same output shape as x46 so the two packers are directly
+   * comparable; `bin_fill` shows LPT's tighter balance.
+   */
+  def packBinsLpt(spark: SparkSession, dir: String, nShards: Int = 8,
+      binsPerShard: Int = 4, capacity: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val estTokens = ceil(length(col("text")) / 4.0).cast("long")
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 2), 16, 10).cast("int"), lit(nShards))
+    val wShard = Window.partitionBy(col("shard"))
+      .orderBy(col("est_tokens").desc, col("doc_id"))
+    val ranked = docs
+      .select(col("doc_id"), estTokens.as("est_tokens"), shard.as("shard"))
+      .withColumn("rn", row_number().over(wShard))
+    // rank-ordered per-shard size lists (array_sort on (rn, est) structs
+    // — collect_list order is not a contract), folded natively
+    val assigned = ranked
+      .groupBy(col("shard"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("rn"), col("est_tokens")))),
+        _.getField("est_tokens")).as("sizes"))
+      .select(col("shard"),
+        posexplode(graft.functions.LptAssign.lpt(col("sizes"), binsPerShard))
+          .as(Seq("rn0", "bin_local")))
+      .select(col("shard"), (col("rn0") + 1).as("rn"),
+        (col("shard") * binsPerShard + col("bin_local")).as("bin"))
+    val wBin = Window.partitionBy(col("bin"))
+    ranked.join(assigned, Seq("shard", "rn"))
       .withColumn("bin_tokens", sum(col("est_tokens")).over(wBin))
       .withColumn("bin_fill",
         round(col("bin_tokens").cast("double") / capacity, 6))
