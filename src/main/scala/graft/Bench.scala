@@ -60,7 +60,8 @@ object Bench {
     "kq27_pipeline_aggs", "kq28_kql_slop", "x43_highlight", "kq29_heatmap",
     "x44_more_like_this", "x45_suggest", "x46_pack_bins", "kq30_range_agg",
     "x47_decontaminate", "x48_fuzzy_match", "kq31_kql_fuzzy",
-    "kq32_stream_search", "x49_pack_lpt")
+    "kq32_stream_search", "x49_pack_lpt", "x50_hard_negatives", "x51_chunk",
+    "kq33_composite_agg", "kq34_search_after", "kq35_auto_hist")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra) so one contention window can't own

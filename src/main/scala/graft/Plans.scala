@@ -53,7 +53,12 @@ object Plans {
     "x47_decontaminate" -> "decontamination excision: covered positions aggregate to ONE array per CONTAMINATED doc (matched-span-sized shuffle); intact docs join back and excise via index-aware filter — the training token stream is never exploded for the rebuild",
     "x48_fuzzy_match" -> "fuzzy search: native fuzzy_match predicate (length pre-filter + early-abandon DP) in the scan stage, map-only before the output sort",
     "x43_highlight" -> "multi-fragment highlighting: NATIVE short-circuiting token_positions scan in the scan stage (20x over the interpreted filter-over-sequence form), capped at 3 BEFORE the explode — bounded fanout, map-only",
-    "x49_pack_lpt" -> "true per-shard LPT packing: ONLY the per-shard LONG size arrays shuffle (8B/doc); the sequential least-loaded fold is one native codegen'd pass per shard, result joins back on (shard, rank)")
+    "x49_pack_lpt" -> "true per-shard LPT packing: ONLY the per-shard LONG size arrays shuffle (8B/doc); the sequential least-loaded fold is one native codegen'd pass per shard, result joins back on (shard, rank)",
+    "x50_hard_negatives" -> "hard-negative mining: label inequality fused into the broadcast-queries candidate scan BEFORE scoring; per-query state is one k-row window heap",
+    "x51_chunk" -> "token chunking: map-only explode(sequence)+slice inside codegen, no shuffle except the output sort",
+    "kq33_composite_agg" -> "composite agg paging: the after-key tuple filter sits BELOW the aggregate at the scan, and the page is a TakeOrderedAndProject top-k in key order — the full bucket set is never materialized",
+    "kq34_search_after" -> "search_after: keyset cursor evaluated in the scan stage BELOW the envelope projection (the derived nanos->micros timestamp blocks parquet-level pushdown) + TakeOrderedAndProject — deep pages cost O(page), not O(depth)",
+    "kq35_auto_hist" -> "auto_date_histogram: 1-row bounds aggregate broadcast back over the scan (scalar-attach idiom); one hash agg on the chosen rung")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -448,6 +448,26 @@ object SparkEntry {
             .as("sum_value"))
         .orderBy(col("range"))),
 
+    // ---- ES search_after: keyset pagination on the Discover sort tuple --
+    // ---- (timestamp DESC, offset DESC) — the O(page) deep-scroll path; --
+    // ---- the cursor inequality is pushed to the scan ---------------------
+    "kq34_search_after" -> ((s, dir) =>
+      LogQueries.searchAfter(Pipeline.envelopeFlat(s, dir),
+        lit("2024-01-20 12:00:00").cast("timestamp"), lit(5000L), 100)),
+
+    // ---- ES composite aggregation: page 2 of the (event_type, key) ------
+    // ---- bucket stream, resuming after the ('error','42') after_key; ----
+    // ---- the cursor filters GROUPING keys, so it pushes below the agg ---
+    "kq33_composite_agg" -> ((s, dir) =>
+      LogQueries.compositeAgg(Pipeline.envelopeFlat(s, dir),
+        "event_type", "key", Some(("error", "42")), 20)),
+
+    // ---- Kibana auto_date_histogram: interval chosen from the rounding --
+    // ---- ladder to fit the bucket budget (100 → the 12h rung over the ---
+    // ---- one-month fixture), bounds via a 1-row broadcast aggregate -----
+    "kq35_auto_hist" -> ((s, dir) =>
+      LogQueries.autoDateHistogram(Pipeline.envelopeFlat(s, dir), 100)),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -735,6 +755,41 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM env GROUP BY 1 ORDER BY "range"""".stripMargin),
+
+    "kq34_search_after" ->
+      (envSql + """SELECT * FROM env
+        |WHERE "timestamp" < TIMESTAMP '2024-01-20 12:00:00'
+        |   OR ("timestamp" = TIMESTAMP '2024-01-20 12:00:00' AND "offset" < 5000)
+        |ORDER BY "timestamp" DESC, "offset" DESC LIMIT 100""".stripMargin),
+
+    "kq33_composite_agg" ->
+      (envSql + """SELECT event_type, "key", count(*) AS doc_count
+        |FROM env
+        |WHERE event_type IS NOT NULL AND "key" IS NOT NULL
+        |GROUP BY 1, 2
+        |HAVING event_type > 'error'
+        |    OR (event_type = 'error' AND "key" > '42')
+        |ORDER BY event_type, "key" LIMIT 20""".stripMargin),
+
+    // kq35: the rung choice and bucket edges replay in integer floor-second
+    // arithmetic — identical to the Spark side by construction.
+    "kq35_auto_hist" ->
+      (envSql + """, b AS (SELECT CAST(floor(epoch("timestamp")) AS BIGINT) AS sec
+        |           FROM env),
+        |r AS (SELECT min(sec) AS lo, max(sec) AS hi FROM b),
+        |p AS (SELECT CAST(CASE
+        |    WHEN hi // 60 - lo // 60 + 1 <= 100 THEN 60
+        |    WHEN hi // 300 - lo // 300 + 1 <= 100 THEN 300
+        |    WHEN hi // 900 - lo // 900 + 1 <= 100 THEN 900
+        |    WHEN hi // 3600 - lo // 3600 + 1 <= 100 THEN 3600
+        |    WHEN hi // 10800 - lo // 10800 + 1 <= 100 THEN 10800
+        |    WHEN hi // 43200 - lo // 43200 + 1 <= 100 THEN 43200
+        |    WHEN hi // 86400 - lo // 86400 + 1 <= 100 THEN 86400
+        |    ELSE 604800 END AS BIGINT) AS interval_sec FROM r)
+        |SELECT make_timestamp((sec // interval_sec) * interval_sec * 1000000)
+        |         AS bucket,
+        |       interval_sec, count(*) AS n
+        |FROM b, p GROUP BY 1, 2 ORDER BY bucket""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -27,6 +27,15 @@ object ExtQueries {
     "x4_dedup_simhash" -> (Dedup.simhash _),
     "x5_knn_brute" -> ((s: SparkSession, d: String) =>
       Similarity.knnBrute(s, d)),
+    // x50: contrastive hard-negative mining — top-k most-similar vectors
+    // with a DIFFERENT label, the label inequality fused into the
+    // candidate scan before ranking.
+    "x50_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.hardNegatives(s, d)),
+    // x51: token-window chunking with stride — the sequence-prep step in
+    // front of tokenize-and-pack; map-only explode+slice, no shuffle.
+    "x51_chunk" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.chunkTokens(s, d)),
     "x6_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.annIvf(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
@@ -443,6 +452,40 @@ object ExtQueries {
          |      FROM scored)
          |SELECT query_id, cand_id, sim, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5
          |ORDER BY query_id, rn""".stripMargin,
+
+    // x50: x5's scored scan with the label inequality, labels carried
+    // through the ranking.
+    "x50_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |                  label AS q_label
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT query_id, q_label, e.vec_id AS cand_id,
+         |    e.label AS c_label,
+         |    round(${cosSql("qv", "e.embedding")}, 6) AS sim
+         |  FROM q, embeddings e WHERE e.label <> q.q_label),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+         |      FROM scored)
+         |SELECT query_id, q_label, cand_id, c_label, sim,
+         |       CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin,
+
+    // x51: chunk starts replay as a range() unnest; DuckDB's inclusive
+    // list slice toks[a:b] clamps at the tail exactly like Spark's
+    // slice(toks, start, len).
+    "x51_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |        CAST(unnest(range(0, (len(toks) - 1) // 24 + 1)) AS INT)
+        |          AS chunk_id
+        |      FROM d)
+        |SELECT doc_id, chunk_id,
+        |  CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // x6: the oracle replays the IDENTICAL 2-iteration Lloyd k-means —
     // seeds vec_id<8, argmax assignment on round(cos,6) with centroid-id

@@ -52,6 +52,38 @@ object Similarity {
   }
 
   /**
+   * x50 — HARD-NEGATIVE MINING for contrastive training: for each query
+   * vector, the top-k most-similar vectors with a DIFFERENT label — the
+   * near-misses that make the best negatives (in-batch random negatives
+   * are mostly trivially far; training signal comes from the hard ones).
+   * Same broadcast-queries × corpus scan as [[knnBrute]] with the label
+   * inequality fused into the scan filter BEFORE any scoring ranks — no
+   * extra shuffle over kNN, and the per-query state is still one k-row
+   * heap inside the window top-k. At 100 TB the corpus side swaps to the
+   * IVF bucket probe ([[annIvf]]) unchanged: the label filter composes
+   * with bucket pruning because it touches only candidate rows.
+   */
+  def hardNegatives(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("label").as("q_label"))
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c"), col("label").as("c_label"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .where(col("c_label") =!= col("q_label"))
+      .withColumn("sim", round(cosine(col("q"), col("c")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("q_label"), col("cand_id"),
+        col("c_label"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, EXACT: all pairs with
    * cosine ≥ τ. The candidate generation is a block-partitioned equi-join,
    * not a `crossJoin`: each vector gets a block id (`vec_id % B`), the

@@ -772,6 +772,38 @@ object TextAnalysis {
   }
 
   /**
+   * x51 — TOKEN-WINDOW CHUNKING with stride: every long document split
+   * into fixed-width token windows overlapping by `window - stride` —
+   * the sequence-prep step in front of tokenize-and-pack (the sibling of
+   * [[packBins]]/[[packBinsLpt]], which pack the chunks this emits).
+   * Chunk starts are 0, stride, 2·stride, … while they fall inside the
+   * doc, so every token is covered and short docs yield exactly one
+   * chunk.
+   *
+   * Map-only at any scale: `explode(sequence(...))` fans each doc to its
+   * chunk count (bounded by len/stride) with no shuffle, `slice` +
+   * `array_join` rebuild the chunk text inside codegen, and no state
+   * crosses documents. The only shuffle in this entry is the
+   * deterministic output ORDER BY for the oracle compare.
+   */
+  def chunkTokens(spark: SparkSession, dir: String,
+      window: Int = 32, stride: Int = 24): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), floor((col("n") - 1) / stride).cast("int"))))
+      .withColumn("start", col("chunk_id") * stride)
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(window), col("n") - col("start")).cast("long")
+          .as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /**
    * x41 — the COMPOSED curation decision table: the per-document verdict a
    * real training-data pipeline materializes before writing its kept set.
    * Three gates in priority order, each a proven standalone operator

@@ -43,6 +43,78 @@ object LogQueries {
       .agg(count(lit(1)).as("n"))
 
   /**
+   * Q1a' — Discover, NEXT page via ES `search_after`: keyset pagination on
+   * the sort tuple (timestamp DESC, offset DESC) instead of from+size. The
+   * cursor is a strict tuple-inequality predicate, so the scan PRUNES
+   * everything at-or-after the cursor (PushedFilters on timestamp) and the
+   * plan stays `TakeOrderedAndProject` — page N costs O(page), where
+   * offset paging costs O(N·page) and ES hard-caps it at 10k hits. This is
+   * the only pagination that survives deep scrolls over a 100 TB changelog.
+   */
+  def searchAfter(env: DataFrame, afterTs: Column, afterOffset: Column,
+      n: Int): DataFrame =
+    env.where(col("timestamp") < afterTs ||
+        (col("timestamp") === afterTs && col("offset") < afterOffset))
+      .orderBy(col("timestamp").desc, col("offset").desc)
+      .limit(n)
+
+  /**
+   * ES `composite` aggregation — the ONLY ES agg that can page through ALL
+   * buckets of a multi-source group-by (terms aggs truncate to top-N and
+   * shard_size approximation): buckets stream in (src1, src2) key order,
+   * each page resuming strictly after the `after_key` cursor. Spark-first
+   * shape: the cursor is a tuple-inequality on the GROUPING keys, which
+   * Catalyst pushes below the aggregate to the scan, and orderBy+limit on
+   * top is a distributed top-k (`TakeOrderedAndProject`) — each page
+   * aggregates only the key range it needs, never materializing the full
+   * bucket set. That is exactly why composite paging scales where
+   * from+size on terms aggs does not.
+   */
+  def compositeAgg(env: DataFrame, src1: String, src2: String,
+      after: Option[(String, String)], pageSize: Int): DataFrame = {
+    val buckets = env
+      .where(col(src1).isNotNull && col(src2).isNotNull)
+      .groupBy(col(src1), col(src2))
+      .agg(count(lit(1)).as("doc_count"))
+    val paged = after match {
+      case Some((a1, a2)) => buckets.where(col(src1) > lit(a1) ||
+        (col(src1) === lit(a1) && col(src2) > lit(a2)))
+      case None => buckets
+    }
+    paged.orderBy(col(src1), col(src2)).limit(pageSize)
+  }
+
+  /**
+   * ES/Kibana `auto_date_histogram` (what Lens draws by default): pick the
+   * SMALLEST interval from the standard rounding ladder that keeps the
+   * bucket count within `maxBuckets`, then date-histogram at that rung.
+   * The min/max bounds are ONE 1-row aggregate broadcast back over the
+   * scan (the same scalar-attach idiom as TF-IDF's N) — two passes, no
+   * driver round-trip, no collect. All arithmetic is on floor-second
+   * epochs (exact integers in both engines), so the rung choice and the
+   * bucket edges are deterministic cross-engine.
+   */
+  def autoDateHistogram(env: DataFrame, maxBuckets: Int): DataFrame = {
+    // ES's fixed rounding ladder (1m 5m 15m 1h 3h 12h 1d 7d), in seconds.
+    val ladder = Seq(60L, 300L, 900L, 3600L, 10800L, 43200L, 86400L, 604800L)
+    val sec = col("timestamp").cast("long")
+    val nBuckets = (rung: Long) =>
+      floor(col("hi") / rung).cast("long") - floor(col("lo") / rung).cast("long") + 1
+    val chosen = ladder.init.foldRight(lit(ladder.last)) { (rung, alt) =>
+      when(nBuckets(rung) <= maxBuckets, lit(rung)).otherwise(alt)
+    }
+    val params = env.agg(min(sec).as("lo"), max(sec).as("hi"))
+      .select(chosen.as("interval_sec"))
+    env.crossJoin(broadcast(params))
+      .groupBy((floor(sec / col("interval_sec")).cast("long") *
+        col("interval_sec")).as("bucket_sec"), col("interval_sec"))
+      .agg(count(lit(1)).as("n"))
+      .select(timestamp_seconds(col("bucket_sec")).as("bucket"),
+        col("interval_sec"), col("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /**
    * Q2 — Search key across topics (reference: README.md:32-34,
    * attachments/search_for_key.png). A plain equality filter — pushed down
    * to the parquet scan (PushedFilters), no shuffle, no join.

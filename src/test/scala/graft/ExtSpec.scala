@@ -312,6 +312,60 @@ class ExtSpec extends SparkSpec {
     assert(k.where(col("rn") === 1).count() == 5)
   }
 
+  test("hard negatives: labels always differ, ranks contiguous, top-5 ids " +
+      "match an independent driver-side reference") {
+    val hn = Similarity.hardNegatives(spark, sf, nQueries = 3, k = 5)
+    assert(hn.where(col("q_label") === col("c_label")).count() == 0)
+    val perQ = hn.groupBy(col("query_id")).count()
+    assert(perQ.where(col("count") =!= 5).count() == 0)
+    // independent reference: plain Scala cosine over the collected corpus
+    val all = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byQuery = hn.select(col("query_id"), col("cand_id"), col("rn"))
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+    for ((qid, q, qLabel) <- all.filter(_._1 < 3)) {
+      val want = all.filter(v => v._3 != qLabel)
+        .map(v => (v._1, BigDecimal(cos(q, v._2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (id, sim) => (-sim, id) }.take(5).map(_._1).toSeq
+      val got = byQuery(qid).sortBy(_._3).map(_._2).toSeq
+      assert(got == want, s"query $qid")
+    }
+  }
+
+  test("token chunking: stride coverage — every token in exactly the " +
+      "expected chunks, text matches the token slices") {
+    val W = 32; val S = 24
+    val chunks = TextAnalysis.chunkTokens(spark, sf, W, S)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_text"))
+      .as[(Long, Int, Long, String)].collect().groupBy(_._1)
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(chunks.size == docs.length)
+    for ((did, text) <- docs) {
+      val toks = text.split(" ", -1)
+      val starts = toks.indices.by(S)
+      val got = chunks(did).sortBy(_._2)
+      assert(got.map(_._2).toSeq == starts.indices.toSeq, s"doc $did ids")
+      for ((st, (_, _, nTok, ctext)) <- starts.zip(got)) {
+        val slice = toks.slice(st, st + W)
+        assert(nTok == slice.length, s"doc $did start $st")
+        assert(ctext == slice.mkString(" "), s"doc $did start $st")
+      }
+    }
+  }
+
   test("IVF ANN: every result stays in the query's bucket; sims ≤ brute top-1") {
     val ivf = Similarity.annIvf(spark, sf, nCentroids = 4, nQueries = 5, k = 2)
     val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 1)

@@ -80,6 +80,72 @@ class LogQueriesSpec extends SparkSpec {
     assert(buckets <= 744)
   }
 
+  test("search_after: page 2 by keyset equals rows 101..200 of the global " +
+      "order; cursor predicate pushed to the scan; plan stays top-k") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val all = flat.orderBy($"timestamp".desc, $"offset".desc).limit(200)
+      .select($"timestamp", $"offset")
+      .as[(java.sql.Timestamp, Long)].collect()
+    val (cursorTs, cursorOff) = all(99)
+    val page2 = LogQueries.searchAfter(flat,
+      lit(cursorTs), lit(cursorOff), 100)
+    val got = page2.select($"timestamp", $"offset")
+      .as[(java.sql.Timestamp, Long)].collect()
+    assert(got.toSeq == all.drop(100).toSeq)
+    // deep pages stay O(page): distributed top-k, not a global sort, and
+    // the cursor inequality evaluates in the scan stage BELOW the envelope
+    // projection (string order: parents before children, so top-k, then
+    // Filter, then the raw scan; the derived nanos->micros timestamp keeps
+    // it out of parquet PushedFilters but inside whole-stage codegen)
+    val plan = page2.queryExecution.executedPlan.toString
+    val topkIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(topkIdx >= 0, plan)
+    val filterIdx = plan.indexOf("Filter", topkIdx)
+    assert(filterIdx > topkIdx, plan)
+    assert(plan.indexOf("Scan parquet", filterIdx) > filterIdx, plan)
+  }
+
+  test("composite agg: page equals the bucket-stream slice after the " +
+      "cursor; the after-key filter sits below the aggregate") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val page = LogQueries.compositeAgg(flat, "event_type", "key",
+      Some(("error", "42")), 20)
+    val got = page.select($"event_type", $"key", $"doc_count")
+      .as[(String, String, Long)].collect()
+    // reference: the FULL bucket stream, sliced strictly after the cursor
+    val full = flat.where($"event_type".isNotNull && $"key".isNotNull)
+      .groupBy($"event_type", $"key").agg(count(lit(1)).as("doc_count"))
+      .orderBy($"event_type", $"key")
+      .as[(String, String, Long)].collect()
+    val want = full.dropWhile { case (t, k, _) =>
+      t < "error" || (t == "error" && k <= "42") }.take(20)
+    assert(got.toSeq == want.toSeq)
+    // the cursor filters GROUPING keys, so Catalyst pushes it below the
+    // aggregate (optimized tree prints Aggregate before its Filter child)
+    val opt = page.queryExecution.optimizedPlan.toString
+    val aggIdx = opt.indexOf("Aggregate")
+    val filterIdx = opt.indexOf("Filter", aggIdx)
+    assert(aggIdx >= 0 && filterIdx > aggIdx, opt)
+  }
+
+  test("auto_date_histogram: buckets cover every row, rung is the " +
+      "smallest ladder entry fitting the budget") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val hist = LogQueries.autoDateHistogram(flat, 100)
+    assert(hist.agg(sum($"n")).as[Long].head() == flat.count())
+    val intervals = hist.select($"interval_sec").distinct().as[Long].collect()
+    assert(intervals.length == 1)
+    val ladder = Seq(60L, 300L, 900L, 3600L, 10800L, 43200L, 86400L, 604800L)
+    assert(ladder.contains(intervals.head))
+    assert(hist.count() <= 100)
+    // the NEXT-smaller rung must overflow the budget (else it'd be chosen)
+    val (lo, hi) = flat.agg(min($"timestamp".cast("long")),
+      max($"timestamp".cast("long"))).as[(Long, Long)].head()
+    ladder.takeWhile(_ < intervals.head).lastOption.foreach { smaller =>
+      assert(hi / smaller - lo / smaller + 1 > 100)
+    }
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
