@@ -61,7 +61,9 @@ object Bench {
     "x44_more_like_this", "x45_suggest", "x46_pack_bins", "kq30_range_agg",
     "x47_decontaminate", "x48_fuzzy_match", "kq31_kql_fuzzy",
     "kq32_stream_search", "x49_pack_lpt", "x50_hard_negatives", "x51_chunk",
-    "kq33_composite_agg", "kq34_search_after", "kq35_auto_hist")
+    "kq33_composite_agg", "kq34_search_after", "kq35_auto_hist",
+    "kq36_extended_stats", "kq37_bucket_script", "kq38_adjacency_matrix",
+    "x52_epoch_shuffle", "x53_pii_redact")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra) so one contention window can't own

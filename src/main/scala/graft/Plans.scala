@@ -58,7 +58,12 @@ object Plans {
     "x51_chunk" -> "token chunking: map-only explode(sequence)+slice inside codegen, no shuffle except the output sort",
     "kq33_composite_agg" -> "composite agg paging: the after-key tuple filter sits BELOW the aggregate at the scan, and the page is a TakeOrderedAndProject top-k in key order — the full bucket set is never materialized",
     "kq34_search_after" -> "search_after: keyset cursor evaluated in the scan stage BELOW the envelope projection (the derived nanos->micros timestamp blocks parquet-level pushdown) + TakeOrderedAndProject — deep pages cost O(page), not O(depth)",
-    "kq35_auto_hist" -> "auto_date_histogram: 1-row bounds aggregate broadcast back over the scan (scalar-attach idiom); one hash agg on the chosen rung")
+    "kq35_auto_hist" -> "auto_date_histogram: 1-row bounds aggregate broadcast back over the scan (scalar-attach idiom); one hash agg on the chosen rung",
+    "kq36_extended_stats" -> "extended_stats: ONE partial+final hash aggregate carrying exact int64 cents moments; variance/std are projections above it",
+    "kq37_bucket_script" -> "bucket_script: one hash agg; the script is an integer-division projection ABOVE the bucket results, exactly ES's evaluation order",
+    "kq38_adjacency_matrix" -> "adjacency_matrix: ONE scan, one 1-row conditional aggregate for every matrix cell — no joins, no self-product",
+    "x52_epoch_shuffle" -> "epoch shuffle: map-only md5 batch assignment; the only shuffle is the (epoch, batch)-partitioned position window — no global sort, no single-partition window",
+    "x53_pii_redact" -> "PII redaction: map-only regex projection; the only exchange is the output sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -468,6 +468,21 @@ object SparkEntry {
     "kq35_auto_hist" -> ((s, dir) =>
       LogQueries.autoDateHistogram(Pipeline.envelopeFlat(s, dir), 100)),
 
+    // ---- ES extended_stats: count/min/max/sum/avg/variance/std per ------
+    // ---- event type — exact int64 cents arithmetic, one hash agg --------
+    "kq36_extended_stats" -> ((s, dir) =>
+      LogQueries.extendedStats(Pipeline.envelopeFlat(s, dir))),
+
+    // ---- TSVB bucket_script: per-bucket error rate in ppm via integer ---
+    // ---- floor-division over sibling metrics of one hash agg ------------
+    "kq37_bucket_script" -> ((s, dir) =>
+      LogQueries.bucketScript(Pipeline.envelopeFlat(s, dir))),
+
+    // ---- ES adjacency_matrix: named filters + pairwise intersections ----
+    // ---- counted in ONE scan (1-row conditional aggregate) --------------
+    "kq38_adjacency_matrix" -> ((s, dir) =>
+      LogQueries.adjacencyMatrix(Pipeline.envelopeFlat(s, dir))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -790,6 +805,52 @@ object SparkEntry {
         |         AS bucket,
         |       interval_sec, count(*) AS n
         |FROM b, p GROUP BY 1, 2 ORDER BY bucket""".stripMargin),
+
+    // kq36: all moments in exact int64 cents (value has 2dp by fixture);
+    // var/std are single IEEE ops over exact integers — bit-identical.
+    "kq36_extended_stats" ->
+      (envSql + """, g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(min(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |    CAST(max(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+        |    CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS s1,
+        |    CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS s2
+        |  FROM env WHERE "value" IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n, min_v, max_v,
+        |  CAST(s1 AS DOUBLE) / 100 AS sum_v,
+        |  CAST(s1 AS DOUBLE) / 100 / n AS avg_v,
+        |  CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n * 10000) AS var_pop,
+        |  sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n * 10000)) AS std_pop
+        |FROM g ORDER BY event_type""".stripMargin),
+
+    // kq37: integer floor-division (// vs div) — identical int64 result.
+    "kq37_bucket_script" ->
+      (envSql + """SELECT date_trunc('hour', "timestamp") AS bucket,
+        |  count(*) AS total,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS errors,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |       AS BIGINT) * 1000000 // count(*) AS error_ppm
+        |FROM env GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    "kq38_adjacency_matrix" ->
+      (envSql + """SELECT
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN "value" > 20 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN event_type = 'click' AND "value" > 20
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS a_and_c,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' AND "value" > 20
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS b_and_c
+        |FROM env""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

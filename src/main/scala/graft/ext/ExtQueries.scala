@@ -36,6 +36,14 @@ object ExtQueries {
     // front of tokenize-and-pack; map-only explode+slice, no shuffle.
     "x51_chunk" -> ((s: SparkSession, d: String) =>
       TextAnalysis.chunkTokens(s, d)),
+    // x52: epoch-aware deterministic training shuffle — md5 order keys,
+    // map-only batch assignment, (epoch, batch)-partitioned positions.
+    "x52_epoch_shuffle" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.epochShuffle(s, d)),
+    // x53: regex PII redaction over a planted-PII corpus — map-only
+    // scrub to typed placeholders plus per-doc match counts.
+    "x53_pii_redact" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.piiRedact(s, d)),
     "x6_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.annIvf(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
@@ -486,6 +494,49 @@ object ExtQueries {
         |  array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
         |    AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // x52: md5 replays byte-for-byte; the first hex byte mod 8 is the
+    // batch (256 % 8 = 0, exactly uniform); row_number needs the INT cast.
+    "x52_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 2)) AS epoch
+        |           FROM documents),
+        |k AS (SELECT doc_id, CAST(epoch AS INT) AS epoch,
+        |        md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+        |          AS order_key
+        |      FROM e),
+        |b AS (SELECT *,
+        |        CAST(list_reduce(list_transform(
+        |            string_split(substr(order_key, 1, 2), ''),
+        |            c -> instr('0123456789abcdef', c) - 1),
+        |          (a, x) -> a * 16 + x) % 8 AS INT) AS batch_id
+        |      FROM k)
+        |SELECT epoch, batch_id,
+        |       CAST(row_number() OVER (PARTITION BY epoch, batch_id
+        |              ORDER BY order_key, doc_id) AS INT) AS pos,
+        |       doc_id, order_key
+        |FROM b ORDER BY epoch, batch_id, pos""".stripMargin,
+
+    // x53: the planted PII replays verbatim; RE2 and Java regex agree on
+    // these backtracking-free patterns; 'g' makes regexp_replace global
+    // like Spark's.
+    "x53_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |              '@example.com for details' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' or call 555-' ||
+        |              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+        |       AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+',
+        |      '[EMAIL]', 'g'), '555-[0-9]{4}', '[PHONE]', 'g') AS clean_text
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // x6: the oracle replays the IDENTICAL 2-iteration Lloyd k-means —
     // seeds vec_id<8, argmax assignment on round(cos,6) with centroid-id

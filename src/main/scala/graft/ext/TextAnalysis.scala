@@ -804,6 +804,69 @@ object TextAnalysis {
   }
 
   /**
+   * x52 — EPOCH-AWARE TRAINING SHUFFLE: the deterministic global reorder
+   * every training run needs per epoch, WITHOUT a global sort. Each
+   * (epoch, doc) gets an md5 order key; the batch is the key's first byte
+   * mod `nBatches` (256 % 8 = 0 ⇒ exactly uniform), so batch assignment
+   * is MAP-ONLY, and the within-batch position is a window partitioned by
+   * (epoch, batch) — parallelism = epochs × batches, each partition
+   * ~corpus/nBatches, no single-partition window, no driver state. A new
+   * epoch is a new salt: the whole corpus reshuffles with zero lineage
+   * back to the previous order.
+   */
+  def epochShuffle(spark: SparkSession, dir: String, nEpochs: Int = 2,
+      nBatches: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val key = md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("epoch").cast("string")).cast("binary"))
+    val w = Window.partitionBy(col("epoch"), col("batch_id"))
+      .orderBy(col("order_key"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(nEpochs - 1))))
+      .withColumn("order_key", key)
+      .withColumn("batch_id",
+        pmod(conv(substring(col("order_key"), 1, 2), 16, 10).cast("int"),
+          lit(nBatches)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("epoch"), col("batch_id"), col("pos"), col("doc_id"),
+        col("order_key"))
+      .orderBy(col("epoch"), col("batch_id"), col("pos"))
+  }
+
+  /**
+   * x53 — PII REDACTION over a PLANTED-PII corpus (x48's messify pattern:
+   * the fixture is synthetic word soup, so the PII to find is planted
+   * deterministically in-query — every 7th doc gets an email, every 11th
+   * a phone number, doc 0 and 77 both). Redaction itself is the real
+   * operator: regex scrub to typed placeholders plus per-doc match counts
+   * — entirely MAP-ONLY (one projection, no shuffle but the output sort),
+   * which is what makes regex-PII the cheap first pass of every corpus
+   * cleanup at 100 TB. Patterns are RE2-safe (no backtracking constructs)
+   * so Spark's Java regex and the oracle's RE2 agree exactly.
+   */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phonePat = "555-[0-9]{4}"
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com for details"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    docs.select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phonePat)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("t"), emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * x41 — the COMPOSED curation decision table: the per-document verdict a
    * real training-data pipeline materializes before writing its kept set.
    * Three gates in priority order, each a proven standalone operator

@@ -115,6 +115,71 @@ object LogQueries {
   }
 
   /**
+   * ES `extended_stats` aggregation per event type: count/min/max/sum/avg
+   * plus population variance and std-dev. Cross-engine determinism: `value`
+   * has exactly 2 decimal places, so everything reduces to EXACT int64
+   * arithmetic on cents — s1 = Σv_c, s2 = Σv_c² (bounded: |v_c| ≤ 10⁴ ⇒
+   * s2 ≤ 10⁸·n, safely inside int64 at any tested SF) — and
+   * var = (n·s2 − s1²)/(n²·10⁴) evaluates as ONE IEEE double division of
+   * exact integers, identical bit-for-bit in both engines; std = sqrt(var)
+   * is correctly rounded by contract in both. One hash aggregate, no
+   * window, no second pass. (At 100 TB promote s2 to DECIMAL(38,0) — the
+   * shape is unchanged.)
+   */
+  def extendedStats(env: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    env.where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value").cast("decimal(18,2)")).cast("double").as("min_v"),
+        max(col("value").cast("decimal(18,2)")).cast("double").as("max_v"),
+        sum(cents).as("s1"), sum(cents * cents).as("s2"))
+      .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+        (col("s1").cast("double") / 100).as("sum_v"),
+        (col("s1").cast("double") / 100 / col("n")).as("avg_v"),
+        ((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n").cast("double") * col("n") * 10000)).as("var_pop"))
+      .withColumn("std_pop", sqrt(col("var_pop")))
+      .orderBy(col("event_type"))
+  }
+
+  /**
+   * Kibana TSVB `bucket_script`: a per-bucket expression over sibling
+   * metrics — here the error rate of each hourly bucket, emitted in parts
+   * per million via INTEGER floor-division (`errors·10⁶ div total`), so
+   * both engines compute the identical int64 — no cross-engine
+   * decimal-division scale rules, no double rounding ties. Still one hash
+   * aggregate; the script is a projection ABOVE it (exactly how ES
+   * evaluates bucket_script: over bucket results, not documents).
+   */
+  def bucketScript(env: DataFrame): DataFrame =
+    env.groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errors"))
+      .withColumn("error_ppm",
+        expr("errors * 1000000L div total"))
+      .orderBy(col("bucket"))
+
+  /**
+   * ES `adjacency_matrix` aggregation: given named filters, the doc count
+   * of every filter AND every pairwise intersection — Kibana's
+   * relationship-graph data source. ES evaluates each doc against all
+   * filters in one pass; the Spark-first shape is identical: ONE scan, one
+   * 1-row conditional aggregate (`sum(case …)`) per matrix cell — no
+   * joins, no self-products, trivially 100 TB-safe.
+   */
+  def adjacencyMatrix(env: DataFrame): DataFrame = {
+    val a = col("event_type") === "click"
+    val b = col("event_type") === "purchase"
+    val c = col("value") > 20
+    def cell(p: Column, name: String) =
+      sum(when(p, 1L).otherwise(0L)).as(name)
+    env.agg(cell(a, "a"), cell(b, "b"), cell(c, "c"),
+      cell(a && c, "a_and_c"), cell(b && c, "b_and_c"))
+  }
+
+  /**
    * Q2 — Search key across topics (reference: README.md:32-34,
    * attachments/search_for_key.png). A plain equality filter — pushed down
    * to the parquet scan (PushedFilters), no shuffle, no join.

@@ -366,6 +366,52 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle: positions contiguous per (epoch, batch), batch = " +
+      "first md5 byte mod 8 recomputed via MessageDigest, epochs reorder") {
+    val nDocs = graft.ingest.Tables.load(spark, sf, "documents").count()
+    val rows = TextAnalysis.epochShuffle(spark, sf)
+      .select($"epoch", $"batch_id", $"pos", $"doc_id", $"order_key")
+      .as[(Int, Int, Int, Long, String)].collect()
+    assert(rows.length == 2 * nDocs)
+    // independent reference for key + batch
+    val mdRef = java.security.MessageDigest.getInstance("MD5")
+    for ((epoch, batch, _, did, key) <- rows.take(50)) {
+      val hex = mdRef.digest(s"$did:$epoch".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(key == hex)
+      assert(batch == Integer.parseInt(hex.take(2), 16) % 8)
+    }
+    for (((_, _), grp) <- rows.groupBy(r => (r._1, r._2))) {
+      assert(grp.map(_._3).sorted.toSeq == (1 to grp.length))
+      // within-batch order follows the md5 key
+      assert(grp.sortBy(_._3).map(_._5).toSeq == grp.map(_._5).sorted.toSeq)
+    }
+    // a fresh epoch is a genuinely different global order
+    val e0 = rows.filter(_._1 == 0).sortBy(r => (r._2, r._3)).map(_._4)
+    val e1 = rows.filter(_._1 == 1).sortBy(r => (r._2, r._3)).map(_._4)
+    assert(e0.toSeq != e1.toSeq)
+  }
+
+  test("pii redact: planted docs scrubbed to placeholders with exact " +
+      "counts, unplanted docs byte-identical") {
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val out = TextAnalysis.piiRedact(spark, sf)
+      .select($"doc_id", $"n_emails", $"n_phones", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == docs.size)
+    for ((did, ne, np, clean) <- out) {
+      if (did % 7 == 0) {
+        assert(ne == 1 && clean.contains("[EMAIL]") && !clean.contains("@"),
+          s"doc $did")
+      } else assert(ne == 0, s"doc $did")
+      if (did % 11 == 0) {
+        assert(np == 1 && clean.contains("[PHONE]"), s"doc $did")
+      } else assert(np == 0, s"doc $did")
+      if (did % 7 != 0 && did % 11 != 0) assert(clean == docs(did), s"doc $did")
+    }
+  }
+
   test("IVF ANN: every result stays in the query's bucket; sims ≤ brute top-1") {
     val ivf = Similarity.annIvf(spark, sf, nCentroids = 4, nQueries = 5, k = 2)
     val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 1)

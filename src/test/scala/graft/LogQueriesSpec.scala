@@ -146,6 +146,61 @@ class LogQueriesSpec extends SparkSpec {
     }
   }
 
+  test("extended_stats: every moment matches an exact integer-cents " +
+      "reference, bit-for-bit including variance and std") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val got = LogQueries.extendedStats(flat)
+      .select($"event_type", $"n", $"min_v", $"max_v", $"sum_v", $"avg_v",
+        $"var_pop", $"std_pop")
+      .as[(String, Long, Double, Double, Double, Double, Double, Double)]
+      .collect()
+    val cents = flat.where($"value".isNotNull)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(got.map(_._1).toSet == cents.keySet)
+    for ((et, n, minV, maxV, sumV, avgV, varP, stdP) <- got) {
+      val vs = cents(et).map(_._2)
+      val (s1, s2) = (vs.sum, vs.map(v => v * v).sum)
+      assert(n == vs.length)
+      assert(minV == vs.min.toDouble / 100 && maxV == vs.max.toDouble / 100)
+      assert(sumV == s1.toDouble / 100)
+      assert(avgV == s1.toDouble / 100 / n)
+      val expectVar = (n * s2 - s1 * s1).toDouble / (n.toDouble * n * 10000)
+      assert(varP == expectVar && stdP == math.sqrt(expectVar), et)
+    }
+  }
+
+  test("bucket_script: ppm is the exact integer floor-division of the " +
+      "sibling metrics; one aggregate, script above it") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val rows = LogQueries.bucketScript(flat)
+      .select($"total", $"errors", $"error_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((total, errors, ppm) <- rows) {
+      assert(errors <= total)
+      assert(ppm == errors * 1000000L / total)
+    }
+    // exactly one aggregate in the plan — the script is a projection
+    val plan = LogQueries.bucketScript(flat)
+      .queryExecution.optimizedPlan.toString
+    assert("Aggregate \\[".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("adjacency_matrix: cells match independent filter counts; " +
+      "intersections bounded by their margins") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val (a, b, c, ac, bc) = LogQueries.adjacencyMatrix(flat)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(a == flat.where($"event_type" === "click").count())
+    assert(b == flat.where($"event_type" === "purchase").count())
+    assert(c == flat.where($"value" > 20).count())
+    assert(ac == flat.where($"event_type" === "click" && $"value" > 20).count())
+    assert(bc == flat.where($"event_type" === "purchase" && $"value" > 20).count())
+    assert(ac <= math.min(a, c) && bc <= math.min(b, c))
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
