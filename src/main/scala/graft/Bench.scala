@@ -63,7 +63,9 @@ object Bench {
     "kq32_stream_search", "x49_pack_lpt", "x50_hard_negatives", "x51_chunk",
     "kq33_composite_agg", "kq34_search_after", "kq35_auto_hist",
     "kq36_extended_stats", "kq37_bucket_script", "kq38_adjacency_matrix",
-    "x52_epoch_shuffle", "x53_pii_redact")
+    "x52_epoch_shuffle", "x53_pii_redact", "kq39_percentile_ranks",
+    "kq40_weighted_avg", "x54_class_balance", "x55_concat_pack",
+    "x56_bigram_nll")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra) so one contention window can't own

@@ -63,7 +63,12 @@ object Plans {
     "kq37_bucket_script" -> "bucket_script: one hash agg; the script is an integer-division projection ABOVE the bucket results, exactly ES's evaluation order",
     "kq38_adjacency_matrix" -> "adjacency_matrix: ONE scan, one 1-row conditional aggregate for every matrix cell — no joins, no self-product",
     "x52_epoch_shuffle" -> "epoch shuffle: map-only md5 batch assignment; the only shuffle is the (epoch, batch)-partitioned position window — no global sort, no single-partition window",
-    "x53_pii_redact" -> "PII redaction: map-only regex projection; the only exchange is the output sort")
+    "x53_pii_redact" -> "PII redaction: map-only regex projection; the only exchange is the output sort",
+    "kq39_percentile_ranks" -> "percentile_ranks: one conditional 1-row aggregate counting every bound in a single scan",
+    "kq40_weighted_avg" -> "weighted_avg: JSON weight extracted in the scan-side projection, exact int64 sums, one hash agg",
+    "x54_class_balance" -> "class balancing: 1-row broadcast target; md5-ranked window per stratum (the documented exact-count cost)",
+    "x55_concat_pack" -> "concat packing: one (doc_id, est_tokens) running-sum window per shard — 16 B/doc shuffle, boundary cut is a projection",
+    "x56_bigram_nll" -> "bigram LM: bigram postings joins + 1-row broadcast N; 9dp-rounded DECIMAL-summed contributions, no collect")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

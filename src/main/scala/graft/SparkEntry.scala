@@ -483,6 +483,16 @@ object SparkEntry {
     "kq38_adjacency_matrix" -> ((s, dir) =>
       LogQueries.adjacencyMatrix(Pipeline.envelopeFlat(s, dir))),
 
+    // ---- ES percentile_ranks: % of values at-or-below each bound, ------
+    // ---- one conditional 1-row aggregate, exact integer ratios ----------
+    "kq39_percentile_ranks" -> ((s, dir) =>
+      LogQueries.percentileRanks(Pipeline.envelopeFlat(s, dir))),
+
+    // ---- ES weighted_avg: value weighted by the JSON payload field -----
+    // ---- props.k — exact cents x weight int64 sums, one IEEE division --
+    "kq40_weighted_avg" -> ((s, dir) =>
+      LogQueries.weightedAvg(Pipeline.envelopeFlat(s, dir))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -851,6 +861,38 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'purchase' AND "value" > 20
         |           THEN 1 ELSE 0 END) AS BIGINT) AS b_and_c
         |FROM env""".stripMargin),
+
+    "kq39_percentile_ranks" ->
+      (envSql + """SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN "value" <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_le_10,
+        |  CAST(sum(CASE WHEN "value" <= 25 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_le_25,
+        |  CAST(sum(CASE WHEN "value" <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_le_50,
+        |  CAST(CAST(sum(CASE WHEN "value" <= 10 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS DOUBLE) * 100 / count(*) AS pct_10,
+        |  CAST(CAST(sum(CASE WHEN "value" <= 25 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS DOUBLE) * 100 / count(*) AS pct_25,
+        |  CAST(CAST(sum(CASE WHEN "value" <= 50 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS DOUBLE) * 100 / count(*) AS pct_50
+        |FROM env WHERE "value" IS NOT NULL""".stripMargin),
+
+    // kq40: the CASE guard (not AND) protects json_extract_string from
+    // DuckDB's WHERE-conjunct reordering; props is always JSON when set.
+    "kq40_weighted_avg" ->
+      (envSql + """, j AS (
+        |  SELECT event_type,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |    CASE WHEN props LIKE '{%'
+        |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    END AS w
+        |  FROM env WHERE "value" IS NOT NULL AND props IS NOT NULL)
+        |SELECT event_type, count(*) AS n, CAST(sum(w) AS BIGINT) AS sw,
+        |  CAST(CAST(sum(vc * w) AS BIGINT) AS DOUBLE) / 100
+        |    / CAST(sum(w) AS BIGINT) AS weighted_avg
+        |FROM j WHERE w IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -44,6 +44,18 @@ object ExtQueries {
     // scrub to typed placeholders plus per-doc match counts.
     "x53_pii_redact" -> ((s: SparkSession, d: String) =>
       TextAnalysis.piiRedact(s, d)),
+    // x54: exact class balancing — every stratum cut to the smallest
+    // stratum's size by md5-ranked window, target via 1-row broadcast.
+    "x54_class_balance" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.classBalance(s, d)),
+    // x55: GPT-style concatenation packing — the per-shard doc stream
+    // cut at context boundaries via one running-sum window.
+    "x55_concat_pack" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.concatPack(s, d)),
+    // x56: interpolated bigram LM scoring — postings-join nll with
+    // 9dp-rounded DECIMAL-summed contributions (x22/x30's recipe).
+    "x56_bigram_nll" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bigramNll(s, d)),
     "x6_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.annIvf(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
@@ -537,6 +549,76 @@ object ExtQueries {
         |  regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+',
         |      '[EMAIL]', 'g'), '555-[0-9]{4}', '[PHONE]', 'g') AS clean_text
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // x54: same md5 rank, target = min per-stratum count via CTE.
+    "x54_class_balance" ->
+      """WITH sizes AS (SELECT source, count(*) AS cnt
+        |              FROM documents GROUP BY 1),
+        |t AS (SELECT min(cnt) AS target FROM sizes),
+        |r AS (SELECT doc_id, source,
+        |        md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |             AS INT) AS rn
+        |      FROM documents)
+        |SELECT doc_id, source, rn FROM r, t WHERE rn <= target
+        |ORDER BY source, rn""".stripMargin,
+
+    // x55: ceil -> DOUBLE in DuckDB (CAST to BIGINT); the running sum
+    // excludes the current row (ROWS ... 1 PRECEDING), // floor-divides.
+    "x55_concat_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(ceil(len(text) / 4.0) AS BIGINT) AS est_tokens,
+        |    CAST(list_reduce(list_transform(
+        |        string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 2), ''),
+        |        c -> instr('0123456789abcdef', c) - 1),
+        |      (a, x) -> a * 16 + x) % 8 AS INT) AS shard
+        |  FROM documents),
+        |c AS (SELECT *, CAST(COALESCE(sum(est_tokens) OVER (
+        |        PARTITION BY shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS cum_before
+        |      FROM d)
+        |SELECT shard, doc_id, est_tokens,
+        |       CAST(cum_before // 2048 AS BIGINT) AS context_id,
+        |       CAST(cum_before % 2048 AS BIGINT) AS offset_in_context
+        |FROM c ORDER BY shard, doc_id""".stripMargin,
+
+    // x56: identical association order for the interpolated probability,
+    // 9dp-rounded ln DECIMAL-summed per doc (x22/x30 recipe); the
+    // average stays in EXACT integer nano-nats — a rounded double avg
+    // tied at the 6th decimal and the engines split the .5; positive
+    // numerator so // and div agree.
+    "x56_bigram_nll" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |bg AS (SELECT doc_id,
+        |         toks[CAST(i AS INT)] AS w1,
+        |         toks[CAST(i AS INT) + 1] AS w2
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, len(toks))) AS i FROM d)),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |c2 AS (SELECT tok, count(*) AS c2 FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM tok),
+        |per_doc AS (SELECT doc_id, w1, w2, count(*) AS m
+        |            FROM bg GROUP BY 1, 2, 3),
+        |scored AS (SELECT p.doc_id, p.m,
+        |    CAST(CAST(round(ln(
+        |        0.75 * (CAST(c12.c12 AS DOUBLE) / c1.c1)
+        |      + 0.25 * (CAST(c2.c2 AS DOUBLE) / n.n_total)), 9)
+        |      AS DECIMAL(20,9)) * 1000000000 AS BIGINT) * p.m
+        |      AS contrib_nano
+        |  FROM per_doc p
+        |  JOIN c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
+        |  JOIN c1 ON p.w1 = c1.w1
+        |  JOIN c2 ON p.w2 = c2.tok, n)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  CAST(-sum(contrib_nano) AS BIGINT) AS nll_nano_sum,
+        |  CAST(CAST(-sum(contrib_nano) AS BIGINT)
+        |       // CAST(sum(m) AS BIGINT) AS BIGINT) AS avg_nll_nano
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // x6: the oracle replays the IDENTICAL 2-iteration Lloyd k-means —
     // seeds vec_id<8, argmax assignment on round(cos,6) with centroid-id

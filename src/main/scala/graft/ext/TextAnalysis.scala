@@ -867,6 +867,125 @@ object TextAnalysis {
   }
 
   /**
+   * x54 — EXACT CLASS BALANCING: downsample every stratum (source) to
+   * the size of the SMALLEST stratum — the balanced-evaluation-set cut
+   * (the approximate sibling is [[sourceMixture]]'s map-only
+   * hash-threshold sampling; this is the exact-count variant). The
+   * target size is ONE 1-row broadcast aggregate (min over per-stratum
+   * counts); selection is an md5-ranked window per stratum, so the
+   * chosen subset is deterministic and engine-independent. The
+   * per-stratum rank is the honest cost: an ordered window over each
+   * stratum (strata are few, each ~corpus/|strata|) — at 100 TB prefer
+   * the hash-threshold cut unless exact counts are contractual.
+   */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val key = md5(col("doc_id").cast("string").cast("binary"))
+    val target = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("target")) // 1-row scalar
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("sample_key"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), key.as("sample_key"))
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .where(col("rn") <= col("target"))
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /**
+   * x55 — CONCATENATION PACKING (GPT-style sequence packing): per shard,
+   * documents are concatenated in a deterministic stream and CUT at
+   * fixed context-size boundaries — every token lands in exactly one
+   * context, documents may straddle a boundary (that is the defining
+   * difference from the bin-assignment packers [[packBins]]/
+   * [[packBinsLpt]], which never split a doc). Each doc's context is
+   * floor(cum_tokens_before / capacity) with its offset inside that
+   * context — ONE running-sum window per shard (shard = md5 bucket, so
+   * parallelism = shard count and the stream order is reproducible
+   * everywhere). The window's input is (doc_id, est_tokens) only —
+   * 16 B/doc through the shuffle.
+   */
+  def concatPack(spark: SparkSession, dir: String, nShards: Int = 8,
+      capacity: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val estTokens = ceil(length(col("text")) / 4.0).cast("long") // x9 heuristic
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 2), 16, 10).cast("int"), lit(nShards))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), estTokens.as("est_tokens"),
+        shard.as("shard"))
+      .withColumn("cum_before",
+        coalesce(sum(col("est_tokens")).over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("est_tokens"),
+        expr(s"cum_before div $capacity").as("context_id"),
+        (col("cum_before") % capacity).as("offset_in_context"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
+  /**
+   * x56 — INTERPOLATED BIGRAM LM SCORING: per-document average negative
+   * log-likelihood (nats) under a Jelinek–Mercer bigram model estimated
+   * on the corpus itself — the standard LM-quality filter one rung above
+   * [[unigramLogprob]]: p(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/N,
+   * with c(w1·) the bigram-prefix count. Cross-engine determinism is
+   * x22/x30's recipe hardened one step: probabilities are IEEE doubles
+   * from exact integer counts with IDENTICAL association order in both
+   * engines, each distinct bigram's ln is rounded to 9dp and
+   * DECIMAL-summed (order-independent) — and the per-doc AVERAGE stays
+   * in EXACT INTEGER NANO-NATS (the 9dp sum is an exact multiple of
+   * 1e-9; negate to a positive numerator, then floor-divide by the
+   * bigram count). A rounded double average tied at the 6th decimal on
+   * 22/500 sf0.01 docs — engines resolve .5 differently; integers
+   * cannot. Shape: one bigram-postings aggregate + three count joins +
+   * a 1-row broadcast scalar — no collect, postings-join scale like
+   * BM25.
+   */
+  def bigramNll(spark: SparkSession, dir: String,
+      lambda: Double = 0.75): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bigrams = docs.select(col("doc_id"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = toks.groupBy(col("tok")).agg(count(lit(1)).as("c2"))
+    val n = toks.agg(count(lit(1)).as("n_total")) // 1-row scalar
+    val perDoc = bigrams.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val p = lit(lambda) * (col("c12").cast("double") / col("c1")) +
+      lit(1.0 - lambda) * (col("c2").cast("double") / col("n_total"))
+    perDoc
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .join(c2, perDoc("w2") === c2("tok")).drop("tok")
+      .crossJoin(broadcast(n))
+      // nano-nats per DISTINCT bigram as an exact LONG before any sum —
+      // decimal(20,9) * 10^9 stays inside precision 38 (a wide decimal
+      // sum multiplied afterwards silently loses scale when the product
+      // overflows precision: sums came back truncated to 6dp)
+      .withColumn("lp_nano",
+        (round(log(p), 9).cast("decimal(20,9)") * 1000000000).cast("long"))
+      .withColumn("contrib_nano", col("lp_nano") * col("m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("contrib_nano")).as("lp_nano_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("lp_nano_sum")).as("nll_nano_sum"))
+      .withColumn("avg_nll_nano", expr("nll_nano_sum div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * x41 — the COMPOSED curation decision table: the per-document verdict a
    * real training-data pipeline materializes before writing its kept set.
    * Three gates in priority order, each a proven standalone operator

@@ -180,6 +180,48 @@ object LogQueries {
   }
 
   /**
+   * ES `percentile_ranks` aggregation — the inverse of `percentiles`
+   * (kq14): for each given bound, the percentage of values at or below
+   * it. One conditional 1-row aggregate (the kq15 filters-agg shape): a
+   * single scan counts every bound, and each percentage is one IEEE
+   * division of exact integers — deterministic cross-engine, no
+   * interpolation, no TDigest approximation needed at any scale.
+   */
+  def percentileRanks(env: DataFrame,
+      bounds: Seq[Int] = Seq(10, 25, 50)): DataFrame = {
+    val cells = bounds.map(b =>
+      sum(when(col("value") <= b, 1L).otherwise(0L)).as(s"n_le_$b"))
+    val base = env.where(col("value").isNotNull)
+      .agg(count(lit(1)).as("n"), cells: _*)
+    bounds.foldLeft(base) { (df, b) =>
+      df.withColumn(s"pct_$b",
+        col(s"n_le_$b").cast("double") * 100 / col("n"))
+    }
+  }
+
+  /**
+   * ES `weighted_avg` aggregation: the average of `value` weighted by a
+   * field of the JSON payload (`props.k`) — Kibana's weighted-average
+   * metric over a document-supplied weight. Exact int64 arithmetic:
+   * value in cents × integer weight, both sums exact, ONE final IEEE
+   * division — bit-identical across engines. The JSON extraction happens
+   * in the scan-side projection; one hash aggregate total.
+   */
+  def weightedAvg(env: DataFrame): DataFrame = {
+    val vc = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val w = get_json_object(col("props"), "$.k").cast("long")
+    env.where(col("value").isNotNull && col("props").isNotNull)
+      .select(col("event_type"), vc.as("vc"), w.as("w"))
+      .where(col("w").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc") * col("w")).as("swv"),
+        sum(col("w")).as("sw"))
+      .select(col("event_type"), col("n"), col("sw"),
+        (col("swv").cast("double") / 100 / col("sw")).as("weighted_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
    * Q2 — Search key across topics (reference: README.md:32-34,
    * attachments/search_for_key.png). A plain equality filter — pushed down
    * to the parquet scan (PushedFilters), no shuffle, no join.

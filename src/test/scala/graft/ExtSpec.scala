@@ -412,6 +412,72 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("class balance: every stratum exactly the smallest stratum's " +
+      "size, members are the md5-rank prefix") {
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val bySource = docs.groupBy(_._2)
+    val target = bySource.values.map(_.length).min
+    val got = TextAnalysis.classBalance(spark, sf)
+      .select($"doc_id", $"source", $"rn").as[(Long, String, Int)].collect()
+    assert(got.groupBy(_._2).values.forall(_.length == target))
+    // reference: md5-hex rank prefix per stratum
+    val mdRef = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) = mdRef.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    for ((src, members) <- bySource) {
+      val want = members.map(_._1).sortBy(id => (hex(id), id)).take(target)
+      val gotIds = got.filter(_._2 == src).sortBy(_._3).map(_._1)
+      assert(gotIds.toSeq == want.toSeq, src)
+    }
+  }
+
+  test("concat pack: offsets are running sums mod capacity, contexts " +
+      "cut exactly at capacity boundaries, every token placed once") {
+    val cap = 2048L
+    val rows = TextAnalysis.concatPack(spark, sf)
+      .select($"shard", $"doc_id", $"est_tokens", $"context_id",
+        $"offset_in_context")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      var cum = 0L
+      for ((_, _, est, ctx, off) <- grp.sortBy(_._2)) {
+        assert(ctx == cum / cap && off == cum % cap)
+        cum += est
+      }
+      assert(cum == grp.map(_._3).sum)
+    }
+  }
+
+  test("bigram nll: matches a driver-side Jelinek-Mercer reference with " +
+      "the same rounding schedule") {
+    val texts = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val allToks = texts.flatMap(_._2.split(" ", -1))
+    val nTotal = allToks.length.toDouble
+    val c2 = allToks.groupBy(identity).view.mapValues(_.length).toMap
+    val bigrams = texts.flatMap { case (_, t) =>
+      val ts = t.split(" ", -1); ts.dropRight(1).zip(ts.drop(1)) }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length).toMap
+    val got = TextAnalysis.bigramNll(spark, sf)
+      .select($"doc_id", $"n_bigrams", $"nll_nano_sum", $"avg_nll_nano")
+      .as[(Long, Long, Long, Long)].collect().take(25)
+    for ((did, nb, nanoSum, avgNano) <- got) {
+      val ts = texts.find(_._1 == did).get._2.split(" ", -1)
+      val bgs = ts.dropRight(1).zip(ts.drop(1))
+      assert(nb == bgs.length)
+      val sum = bgs.map { bg =>
+        val p = 0.75 * (c12(bg).toDouble / c1(bg._1)) +
+          0.25 * (c2(bg._2).toDouble / nTotal)
+        BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val expectNano = (-sum * 1000000000L).toLongExact
+      assert(nanoSum == expectNano, s"doc $did")
+      assert(avgNano == expectNano / nb, s"doc $did")
+    }
+  }
+
   test("IVF ANN: every result stays in the query's bucket; sims ≤ brute top-1") {
     val ivf = Similarity.annIvf(spark, sf, nCentroids = 4, nQueries = 5, k = 2)
     val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 1)

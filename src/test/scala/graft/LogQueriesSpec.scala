@@ -201,6 +201,43 @@ class LogQueriesSpec extends SparkSpec {
     assert(ac <= math.min(a, c) && bc <= math.min(b, c))
   }
 
+  test("percentile_ranks: counts match direct filters; ranks of the kq14 " +
+      "percentile values invert correctly") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val row = LogQueries.percentileRanks(flat)
+      .select($"n", $"n_le_10", $"n_le_25", $"n_le_50",
+        $"pct_10", $"pct_25", $"pct_50")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    val (n, le10, le25, le50, p10, p25, p50) = row
+    assert(n == flat.where($"value".isNotNull).count())
+    assert(le10 == flat.where($"value" <= 10).count())
+    assert(le25 == flat.where($"value" <= 25).count())
+    assert(le50 == flat.where($"value" <= 50).count())
+    assert(p10 == le10.toDouble * 100 / n)
+    assert(le10 <= le25 && le25 <= le50 && p10 <= p25 && p25 <= p50)
+  }
+
+  test("weighted_avg: equals the exact cents-x-weight ratio computed " +
+      "driver-side; weights come from the JSON payload") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val got = LogQueries.weightedAvg(flat)
+      .select($"event_type", $"n", $"sw", $"weighted_avg")
+      .as[(String, Long, Long, Double)].collect()
+    val raw = flat.where($"value".isNotNull && $"props".isNotNull)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long"),
+        get_json_object($"props", "$.k").cast("long"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    assert(got.nonEmpty && got.map(_._1).toSet == raw.keySet)
+    for ((et, n, sw, wavg) <- got) {
+      val rs = raw(et)
+      assert(n == rs.length)
+      assert(sw == rs.map(_._3).sum)
+      val swv = rs.map(r => r._2 * r._3).sum
+      assert(wavg == swv.toDouble / 100 / sw, et)
+    }
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
