@@ -68,7 +68,8 @@ object Plans {
     "kq40_weighted_avg" -> "weighted_avg: JSON weight extracted in the scan-side projection, exact int64 sums, one hash agg",
     "x54_class_balance" -> "class balancing: 1-row broadcast target; md5-ranked window per stratum (the documented exact-count cost)",
     "x55_concat_pack" -> "concat packing: one (doc_id, est_tokens) running-sum window per shard — 16 B/doc shuffle, boundary cut is a projection",
-    "x56_bigram_nll" -> "bigram LM: bigram postings joins + 1-row broadcast N; 9dp-rounded DECIMAL-summed contributions, no collect")
+    "x56_bigram_nll" -> "bigram LM: bigram postings joins + 1-row broadcast N; 9dp-rounded DECIMAL-summed contributions, no collect",
+    "kq41_categorize_text" -> "categorize_text: one projection (bounded per-message token walk) + one hash aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -493,6 +493,20 @@ object SparkEntry {
     "kq40_weighted_avg" -> ((s, dir) =>
       LogQueries.weightedAvg(Pipeline.envelopeFlat(s, dir))),
 
+    // ---- ES categorize_text: messages clustered by token PATTERN -------
+    // ---- (number runs dropped, first 5 shape tokens), counted with ------
+    // ---- a MIN-uid example — the Kibana Discover "Patterns" tab ---------
+    "kq41_categorize_text" -> ((s, dir) =>
+      LogQueries.categorizeText(Pipeline.envelopeFlat(s, dir))),
+
+    // ---- streaming threshold alert: 6h tumbling event-time windows ------
+    // ---- per type aggregated INSIDE the streaming planner (Complete ----
+    // ---- mode, AvailableNow replay); alert rule = n > 1.2x mean via ----
+    // ---- exact integer cross-multiplication downstream ------------------
+    "kq42_stream_alert" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.windowAlertBatch(s,
+        Pipeline.envelopeFlat(s, dir))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -893,6 +907,32 @@ object SparkEntry {
         |    / CAST(sum(w) AS BIGINT) AS weighted_avg
         |FROM j WHERE w IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // kq41: the analyzed-token contract (anTokSql shape), digit runs
+    // dropped, DuckDB list slice clamps like Spark's slice.
+    "kq41_categorize_text" ->
+      (envSql + """SELECT array_to_string(
+        |    (list_filter(list_filter(regexp_split_to_array(
+        |        lower(value_json), '[^a-z0-9]+'), t -> t <> ''),
+        |      t -> NOT regexp_matches(t, '^[0-9]+$')))[1:5], ' ')
+        |    AS category,
+        |  count(*) AS doc_count, min(uid) AS example_uid
+        |FROM env GROUP BY 1 ORDER BY category""".stripMargin),
+
+    // kq42: 6h tumbling windows floor to epoch in whole seconds (kq35's
+    // make_timestamp pattern); the 1.2x-mean alert threshold replays as
+    // integer cross-multiplication, no floating point.
+    "kq42_stream_alert" ->
+      (envSql + """, w AS (
+        |  SELECT make_timestamp((CAST(floor(epoch("timestamp")) AS BIGINT)
+        |           // 21600) * 21600 * 1000000) AS bucket,
+        |         event_type, count(*) AS n
+        |  FROM env WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT count(*) AS n_windows, CAST(sum(n) AS BIGINT) AS sum_n
+        |      FROM w)
+        |SELECT bucket, event_type, n FROM w, s
+        |WHERE n * 5 * n_windows > sum_n * 6
+        |ORDER BY bucket, event_type""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -222,6 +222,28 @@ object LogQueries {
   }
 
   /**
+   * ES/Kibana `categorize_text` aggregation (the Discover "Patterns" tab
+   * and the ML log-categorization viz): cluster messages by their token
+   * PATTERN — the analyzed token stream with number runs dropped,
+   * truncated to the first `maxTokens` shape tokens — and count each
+   * category with an example doc. One projection + one hash aggregate;
+   * the per-row lambda walks a short bounded token array (messages, not
+   * corpora), so the interpreted higher-order functions stay off any hot
+   * loop. Deterministic: the category key is a pure function of the
+   * message, the example is the MIN uid.
+   */
+  def categorizeText(env: DataFrame, field: String = "value_json",
+      maxTokens: Int = 5): DataFrame = {
+    val toks = graft.functions.AnalyzeTokens.analyze(col(field))
+    val shape = filter(toks, t => !(t rlike "^[0-9]+$"))
+    env.withColumn("category",
+        array_join(slice(shape, 1, maxTokens), " "))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("doc_count"), min(col("uid")).as("example_uid"))
+      .orderBy(col("category"))
+  }
+
+  /**
    * Q2 — Search key across topics (reference: README.md:32-34,
    * attachments/search_for_key.png). A plain equality filter — pushed down
    * to the parquet scan (PushedFilters), no shuffle, no join.

@@ -247,6 +247,56 @@ object StreamPipeline {
   }
 
   /**
+   * Driver-visible streaming threshold alert (kq42): the ES
+   * Watcher/Kibana alerting rule "count per bucket exceeds the norm"
+   * evaluated over a FLOWING changelog. The envelope replays as a stream
+   * through a WINDOWED AGGREGATION — 6-hour tumbling event-time windows
+   * per event type, Complete mode into a bounded memory sink (window
+   * count × type count rows), `Trigger.AvailableNow` — proof that
+   * windowed streaming aggregation survives the streaming planner with
+   * batch-identical bucket edges (kq23 proved arbitrary state, kq32
+   * proved predicates; this proves the window operator). The final
+   * counts persist to temp parquet (no driver collect) and the alert
+   * rule — n exceeds 1.2× the mean window count — evaluates DOWNSTREAM
+   * of the stream as EXACT integer cross-multiplication (5·n·windows >
+   * 6·Σn), so the oracle replays it with no floating-point threshold.
+   */
+  def windowAlertBatch(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq42-alert").toString
+    envFlat.write.mode("overwrite").parquet(s"$work/in")
+    val stream = spark.readStream.schema(envFlat.schema).parquet(s"$work/in")
+    val sinkName = s"kq42_alert_${System.nanoTime()}"
+    try {
+      val q = stream.where(col("event_type").isNotNull)
+        .groupBy(window(col("timestamp"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      val out = java.nio.file.Files.createTempDirectory("kq42-out").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+      spark.table(sinkName).write.mode("overwrite").parquet(out.toString)
+      val counts = spark.read.parquet(out.toString)
+      val stats = counts.agg(count(lit(1)).as("n_windows"),
+        sum(col("n")).as("sum_n")) // 1-row scalar
+      counts.crossJoin(broadcast(stats))
+        .where(col("n") * 5 * col("n_windows") > col("sum_n") * 6)
+        .select(col("bucket"), col("event_type"), col("n"))
+        .orderBy(col("bucket"), col("event_type"))
+    } finally {
+      spark.catalog.dropTempView(sinkName)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /**
    * Driver-visible live-tail search (kq32): the Kibana search box over a
    * FLOWING changelog. The flat envelope is replayed as a stream
    * (file source, `Trigger.AvailableNow`) with a parsed [[graft.query.Kql]]

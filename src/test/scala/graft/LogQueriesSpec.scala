@@ -238,6 +238,29 @@ class LogQueriesSpec extends SparkSpec {
     }
   }
 
+  test("categorize_text: categories are digit-free 5-token prefixes, " +
+      "counts cover every message, examples are minimal uids") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val cats = LogQueries.categorizeText(flat)
+      .select($"category", $"doc_count", $"example_uid")
+      .as[(String, Long, String)].collect()
+    assert(cats.map(_._2).sum == flat.count())
+    for ((cat, _, _) <- cats) {
+      val toks = cat.split(" ", -1).filter(_.nonEmpty)
+      assert(toks.length <= 5)
+      assert(toks.forall(t => !t.forall(_.isDigit)))
+    }
+    // every category key replays from its example doc's message
+    val byUid = flat.select($"uid", $"value_json")
+      .as[(String, String)].collect().toMap
+    for ((cat, _, uid) <- cats) {
+      val want = byUid(uid).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+        .filterNot(_.forall(_.isDigit)).take(5).mkString(" ")
+      assert(cat == want, uid)
+    }
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()

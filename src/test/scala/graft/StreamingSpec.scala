@@ -216,4 +216,24 @@ class StreamingSpec extends SparkSpec {
       assert(after == 9L)
     } finally q.stop()
   }
+
+  test("stream alert: windowed streaming counts equal batch windowing; " +
+      "alerts are exactly the above-1.2x-mean buckets") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val alerts = StreamPipeline.windowAlertBatch(spark, flat)
+      .select($"bucket", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    val batch = flat.where($"event_type".isNotNull)
+      .groupBy(window($"timestamp", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    val total = batch.map(_._3).sum
+    val nw = batch.length.toLong
+    val want = batch.filter { case (_, _, n) => n * 5 * nw > total * 6 }
+      .sortBy(r => (r._1.getTime, r._2))
+    assert(alerts.toSeq == want.toSeq)
+    // the rule actually discriminates: some but not all windows alert
+    assert(alerts.nonEmpty && alerts.length < nw)
+  }
 }
