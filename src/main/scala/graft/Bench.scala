@@ -65,7 +65,8 @@ object Bench {
     "kq36_extended_stats", "kq37_bucket_script", "kq38_adjacency_matrix",
     "x52_epoch_shuffle", "x53_pii_redact", "kq39_percentile_ranks",
     "kq40_weighted_avg", "x54_class_balance", "x55_concat_pack",
-    "x56_bigram_nll", "kq41_categorize_text", "kq42_stream_alert")
+    "x56_bigram_nll", "kq41_categorize_text", "kq42_stream_alert",
+    "x57_incremental_dedup", "x58_normalize", "kq43_stream_dedup")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra) so one contention window can't own

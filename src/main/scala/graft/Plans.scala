@@ -69,7 +69,9 @@ object Plans {
     "x54_class_balance" -> "class balancing: 1-row broadcast target; md5-ranked window per stratum (the documented exact-count cost)",
     "x55_concat_pack" -> "concat packing: one (doc_id, est_tokens) running-sum window per shard — 16 B/doc shuffle, boundary cut is a projection",
     "x56_bigram_nll" -> "bigram LM: bigram postings joins + 1-row broadcast N; 9dp-rounded DECIMAL-summed contributions, no collect",
-    "kq41_categorize_text" -> "categorize_text: one projection (bounded per-message token walk) + one hash aggregate")
+    "kq41_categorize_text" -> "categorize_text: one projection (bounded per-message token walk) + one hash aggregate",
+    "x57_incremental_dedup" -> "incremental dedup: ONE signature subtree; the band join is strictly new-batch x corpus (filtered sides), never corpus self-join",
+    "x58_normalize" -> "normalization: map-only regex projection; the only exchange is the output sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -507,6 +507,13 @@ object SparkEntry {
       graft.streaming.StreamPipeline.windowAlertBatch(s,
         Pipeline.envelopeFlat(s, dir))),
 
+    // ---- streaming dedup: dropDuplicates state on payload content -------
+    // ---- inside the streaming planner; content-determined aggregate -----
+    // ---- downstream so arrival order can't leak into the result ---------
+    "kq43_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.streamDedupBatch(s,
+        Pipeline.envelopeFlat(s, dir))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -933,6 +940,13 @@ object SparkEntry {
         |SELECT bucket, event_type, n FROM w, s
         |WHERE n * 5 * n_windows > sum_n * 6
         |ORDER BY bucket, event_type""".stripMargin),
+
+    // kq43: a payload determines its event type, so distinct payloads per
+    // type == count(DISTINCT value_json) grouped by type.
+    "kq43_stream_dedup" ->
+      (envSql + """SELECT coalesce(event_type, 'TOMBSTONE') AS event_type,
+        |  count(DISTINCT value_json) AS n_distinct
+        |FROM env GROUP BY 1 ORDER BY event_type""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

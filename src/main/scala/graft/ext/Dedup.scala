@@ -313,6 +313,60 @@ object Dedup {
     substring(md5(concat(lit(s"$k:"), tok).cast("binary")), 1, 8)
 
   /**
+   * x57 — INCREMENTAL dedup against an accumulated corpus: the production
+   * shape of near-dup detection — a NEW BATCH arrives and must be checked
+   * against the existing corpus WITHOUT re-comparing the corpus to
+   * itself. Candidates come from the same minhash band join as
+   * [[minhashLshPairs]], but the join is STRICTLY new×corpus (the corpus
+   * side never self-joins), so incremental cost is O(new batch) band
+   * collisions — at 100 TB the corpus-side signatures are a precomputed
+   * index you append to, and each day's batch pays only its own
+   * candidates. The batch is planted deterministically (every 5th doc
+   * re-ingested verbatim under a shifted id), so every planted doc must
+   * rediscover its source at signature agreement 1.0.
+   */
+  def incrementalDedup(spark: SparkSession, dir: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      idOffset: Long = 1000000L): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val newBatch = base.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + idOffset).as("doc_id"), col("text"))
+    val all = base.withColumn("is_new", lit(false))
+      .unionByName(newBatch.withColumn("is_new", lit(true)))
+    val toks = all.select(col("doc_id"), col("is_new"),
+      explode(graft.functions.WordShingles.shingles(col("text"), 3))
+        .as("tok"))
+    val sigCols = (0 until numHashes).map(k =>
+      min(minhashOf(k, col("tok"))).as(s"mh$k"))
+    val sig = toks.groupBy(col("doc_id"), col("is_new"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), col("is_new"),
+        array((0 until numHashes).map(k => col(s"mh$k")): _*).as("sig"))
+    val bandKeys = array((0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => element_at(col("sig"), k + 1))
+      xxhash64(lit(b) +: cols: _*)
+    }: _*)
+    val bands = sig.select(col("doc_id"), col("is_new"), col("sig"),
+      explode(bandKeys).as("bkey"))
+    val l = bands.where(col("is_new")).as("l")
+    val r = bands.where(!col("is_new")).as("r")
+    val agree = (0 until numHashes).map(k =>
+      when(element_at(col("sig1"), k + 1) === element_at(col("sig2"), k + 1),
+        1).otherwise(0))
+      .reduce(_ + _)
+    l.join(r, col("l.bkey") === col("r.bkey"))
+      .groupBy(col("l.doc_id").as("new_id"), col("r.doc_id").as("corpus_id"))
+      .agg(first(col("l.sig")).as("sig1"), first(col("r.sig")).as("sig2"))
+      .withColumn("est_jaccard",
+        round(agree.cast("double") / numHashes, 6))
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("new_id"), col("corpus_id"), col("est_jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /**
    * MinHash + LSH banding, shingle→minhash→band→bucket-join: 12 minhashes
    * over the word-trigram shingle set, banded 4×3; docs sharing any band
    * hash become candidate pairs; candidates are then verified with the

@@ -56,6 +56,14 @@ object ExtQueries {
     // 9dp-rounded DECIMAL-summed contributions (x22/x30's recipe).
     "x56_bigram_nll" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramNll(s, d)),
+    // x57: incremental near-dup against the accumulated corpus — minhash
+    // band join strictly new-batch x corpus, never corpus x corpus.
+    "x57_incremental_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalDedup(s, d)),
+    // x58: canonical text normalization (casefold + whitespace collapse
+    // + trim) over a planted-mess corpus; map-only.
+    "x58_normalize" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.normalizeText(s, d)),
     "x6_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.annIvf(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
@@ -361,6 +369,48 @@ object ExtQueries {
        |SELECT d1, d2, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
   }
 
+  /** x57's oracle: [[minhashPairsSql]]'s signature/banding replayed over
+    * corpus + the planted new batch, with the candidate join STRICTLY
+    * new×corpus. Same string band keys (the xxhash64-vs-string parity
+    * note on the Spark side applies identically). */
+  private lazy val incrementalDedupSql: String = {
+    val mh = (0 until 12).map(k =>
+      s"min(substr(md5('$k:' || tok), 1, 8)) AS mh$k").mkString(",\n  ")
+    val bands = (0 until 4).map { b =>
+      val key = (b * 3 until b * 3 + 3).map(k => s"mh$k").mkString(" || '|' || ")
+      s"SELECT doc_id, is_new, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL ")
+    val agree = (0 until 12)
+      .map(k => s"CAST(s1.mh$k = s2.mh$k AS INT)").mkString(" + ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text, FALSE AS is_new FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, TRUE FROM documents
+       |  WHERE doc_id % 5 = 0),
+       |t AS (SELECT doc_id, is_new, string_split(text, ' ') AS toks
+       |      FROM all_docs),
+       |toks AS (SELECT doc_id, is_new, unnest(list_distinct(list_transform(
+       |    range(len(toks) - 2),
+       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS tok
+       |  FROM t),
+       |sig AS (SELECT doc_id, is_new,
+       |  $mh
+       |  FROM toks GROUP BY 1, 2),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id
+       |         FROM bands l JOIN bands r
+       |           ON l.band = r.band AND l.band_key = r.band_key
+       |              AND l.is_new AND NOT r.is_new),
+       |est AS (SELECT new_id, corpus_id,
+       |          round(($agree) / 12.0, 6) AS est_jaccard
+       |        FROM cand
+       |        JOIN sig s1 ON new_id = s1.doc_id
+       |        JOIN sig s2 ON corpus_id = s2.doc_id)
+       |SELECT new_id, corpus_id, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
   /** In-order dot product of the DOUBLE[]-cast embedding with md5-derived
     * ±1 hyperplane `i` — the DuckDB rendering of the identical math inside
     * [[graft.functions.SignProjection]] (same hash rule, same fold order,
@@ -408,6 +458,10 @@ object ExtQueries {
         |ORDER BY d1, d2""".stripMargin,
 
     "x3_dedup_minhash" -> (minhashPairsSql + "\nORDER BY d1, d2"),
+
+    // x57: x3's banding over corpus + planted batch (every 5th doc
+    // re-ingested verbatim at id+1e6); candidates strictly new x corpus.
+    "x57_incremental_dedup" -> incrementalDedupSql,
 
     // x21: connected components over the x3 pair graph — the oracle closes
     // reachability with a recursive CTE and labels every doc with the min
@@ -619,6 +673,22 @@ object ExtQueries {
         |  CAST(CAST(-sum(contrib_nano) AS BIGINT)
         |       // CAST(sum(m) AS BIGINT) AS BIGINT) AS avg_nll_nano
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x58: the planted mess replays verbatim; 'g' makes regexp_replace
+    // global like Spark's; trim strips ASCII spaces in both engines.
+    "x58_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(9) || t || '   '
+        |         ELSE t END AS raw
+        |  FROM (SELECT doc_id,
+        |      CASE WHEN doc_id % 3 = 0 THEN upper(replace(text, ' ', '  '))
+        |           ELSE text END AS t
+        |    FROM documents))
+        |SELECT doc_id,
+        |  trim(regexp_replace(lower(raw), '\s+', ' ', 'g')) AS normalized,
+        |  raw <> trim(regexp_replace(lower(raw), '\s+', ' ', 'g'))
+        |    AS changed
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // x6: the oracle replays the IDENTICAL 2-iteration Lloyd k-means —
     // seeds vec_id<8, argmax assignment on round(cos,6) with centroid-id

@@ -986,6 +986,31 @@ object TextAnalysis {
   }
 
   /**
+   * x58 — TEXT NORMALIZATION: the canonical first cleanup pass of every
+   * corpus build — casefold, collapse whitespace runs, trim — over a
+   * deterministically MESSIFIED corpus (x48's pattern: the fixture is
+   * clean word soup, so the mess to clean is planted in-query — every
+   * 3rd doc uppercased with doubled spaces, every 4th wrapped in
+   * tab/trailing whitespace). Entirely MAP-ONLY (one projection; the
+   * only exchange is the output sort), which is why normalization is
+   * free at 100 TB. `changed` distinguishes repaired docs for audit.
+   */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val messy = when(col("doc_id") % 3 === 0,
+        upper(regexp_replace(col("text"), " ", "  ")))
+      .otherwise(col("text"))
+    val wrapped = when(col("doc_id") % 4 === 0,
+        concat(lit("\t"), messy, lit("   "))).otherwise(messy)
+    val normalized =
+      trim(regexp_replace(lower(col("raw")), "\\s+", " "))
+    docs.select(col("doc_id"), wrapped.as("raw"))
+      .select(col("doc_id"), normalized.as("normalized"),
+        (col("raw") =!= normalized).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * x41 — the COMPOSED curation decision table: the per-document verdict a
    * real training-data pipeline materializes before writing its kept set.
    * Three gates in priority order, each a proven standalone operator

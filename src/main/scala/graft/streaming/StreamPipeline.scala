@@ -297,6 +297,46 @@ object StreamPipeline {
   }
 
   /**
+   * Driver-visible streaming dedup (kq43): exact-duplicate suppression on
+   * the FLOWING changelog — `dropDuplicates` on the payload content
+   * inside the streaming planner (state keyed by `value_json`,
+   * AvailableNow replay into a parquet sink). WHICH physical row
+   * survives per content depends on arrival order, so the returned frame
+   * aggregates only CONTENT-DETERMINED columns: distinct payloads per
+   * event type — deterministic regardless of stream ordering, and
+   * exactly `count(DISTINCT value_json)` in the batch oracle. kq23/kq32/
+   * kq42 proved state, predicates and windows; this proves the
+   * dedup-state operator. Unbounded streams bound this state with
+   * `withWatermark` + `dropDuplicatesWithinWatermark`; the replay is
+   * finite so the exact variant is the honest equivalent here.
+   */
+  def streamDedupBatch(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq43-dedup").toString
+    envFlat.write.mode("overwrite").parquet(s"$work/in")
+    val stream = spark.readStream.schema(envFlat.schema).parquet(s"$work/in")
+    val out = java.nio.file.Files.createTempDirectory("kq43-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    try {
+      val q = stream.dropDuplicates("value_json")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out.toString)
+        .groupBy(coalesce(col("event_type"), lit("TOMBSTONE"))
+          .as("event_type"))
+        .agg(count(lit(1)).as("n_distinct"))
+        .orderBy(col("event_type"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /**
    * Driver-visible live-tail search (kq32): the Kibana search box over a
    * FLOWING changelog. The flat envelope is replayed as a stream
    * (file source, `Trigger.AvailableNow`) with a parsed [[graft.query.Kql]]

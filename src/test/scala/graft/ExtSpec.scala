@@ -478,6 +478,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: every planted copy rediscovers its source at " +
+      "agreement 1.0; candidates are strictly new x corpus") {
+    val rows = Dedup.incrementalDedup(spark, sf)
+      .select($"new_id", $"corpus_id", $"est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (n, c, _) => n >= 1000000L && c < 1000000L })
+    val planted = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect().filter(_ % 5 == 0)
+    for (d <- planted)
+      assert(rows.contains((d + 1000000L, d, 1.0)), s"doc $d")
+  }
+
+  test("normalize: all docs reduce to the canonical lowercase " +
+      "single-spaced form; exactly the planted docs report changed") {
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val out = TextAnalysis.normalizeText(spark, sf)
+      .select($"doc_id", $"normalized", $"changed")
+      .as[(Long, String, Boolean)].collect()
+    assert(out.length == docs.size)
+    for ((did, norm, changed) <- out) {
+      val canonical = docs(did).toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").trim
+      assert(norm == canonical, s"doc $did")
+      // the fixture is already canonical, so changed == planted mess
+      if (docs(did) == canonical)
+        assert(changed == (did % 3 == 0 || did % 4 == 0), s"doc $did")
+    }
+  }
+
   test("IVF ANN: every result stays in the query's bucket; sims ≤ brute top-1") {
     val ivf = Similarity.annIvf(spark, sf, nCentroids = 4, nQueries = 5, k = 2)
     val brute = Similarity.knnBrute(spark, sf, nQueries = 5, k = 1)

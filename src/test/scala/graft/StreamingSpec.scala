@@ -236,4 +236,20 @@ class StreamingSpec extends SparkSpec {
     // the rule actually discriminates: some but not all windows alert
     assert(alerts.nonEmpty && alerts.length < nw)
   }
+
+  test("stream dedup: dropDuplicates state yields exactly the batch " +
+      "distinct-payload counts per event type") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val got = StreamPipeline.streamDedupBatch(spark, flat)
+      .select($"event_type", $"n_distinct")
+      .as[(String, Long)].collect().toMap
+    val want = flat
+      .groupBy(coalesce($"event_type", lit("TOMBSTONE")).as("t"))
+      .agg(countDistinct($"value_json").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+    // duplicates genuinely exist in the fixture: the streaming state
+    // suppressed at least one row
+    assert(got.values.sum < flat.count())
+  }
 }
