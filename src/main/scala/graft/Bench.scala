@@ -30,8 +30,8 @@ import org.apache.spark.sql.SparkSession
  * noise floor). Cross-round totals therefore carry an environment error
  * bar of roughly +-15%; per-query comparisons below ~1 s are noise
  * unless they reproduce on an idle host. The expensive iterative CC
- * family gets 5 samples (2 extra post-pass runs) since a single
- * contention window costs it the most absolute seconds.
+ * family gets 5 samples (2 extra, interleaved into the shuffled passes)
+ * since a single contention window costs it the most absolute seconds.
  */
 object Bench {
 
@@ -69,8 +69,8 @@ object Bench {
     "x57_incremental_dedup", "x58_normalize", "kq43_stream_dedup")
 
   /** Iterative connected-components queries: the most expensive family,
-    * sampled 5x (3 passes + 2 extra) so one contention window can't own
-    * their min. */
+    * sampled 5x (3 passes + 2 extra rides shuffled inside the first two
+    * passes) so one contention window can't own their min. */
   private val ccFamily: Set[String] =
     Set("x21_dup_clusters", "x26_dup_clusters_stars", "x34_keep_best")
 
@@ -111,12 +111,15 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (pass <- 0 until 3) {
-      // deterministic per-pass shuffle — different adjacency each pass
-      val order = new scala.util.Random(42L + pass).shuffle(headline)
+      // deterministic per-pass shuffle — different adjacency each pass;
+      // the CC family's 2 extra samples (min-of-5) ride INSIDE the first
+      // two shuffled passes rather than back-to-back after them, so one
+      // contention window can't own all their extra samples either
+      val extra = if (pass < 2) ccFamily.toList else Nil
+      val order = new scala.util.Random(42L + pass)
+        .shuffle(headline ++ extra)
       order.foreach(n => samples(n) ::= run(n))
     }
-    // min-of-5 for the CC family (see scaladoc)
-    for (_ <- 0 until 2; n <- ccFamily) samples(n) ::= run(n)
     val results = headline.map { n =>
       val ok = samples(n).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)

@@ -837,25 +837,27 @@ object SparkEntry {
         |       interval_sec, count(*) AS n
         |FROM b, p GROUP BY 1, 2 ORDER BY bucket""".stripMargin),
 
-    // kq36: all moments in exact int64 cents (value has 2dp by fixture);
-    // var/std are single IEEE ops over exact integers — bit-identical.
+    // kq36: all moments in exact integer cents (value has 2dp by
+    // fixture); the sums/products stay in HUGEINT (Spark side: DECIMAL)
+    // so n*s2 and s1*s1 can never wrap or round — the final doubles are
+    // casts of the SAME exact integer in both engines.
     "kq36_extended_stats" ->
       (envSql + """, g AS (
         |  SELECT event_type, count(*) AS n,
         |    CAST(min(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
         |    CAST(max(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
-        |    CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |         AS BIGINT) AS s1,
-        |    CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |           * CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |         AS BIGINT) AS s2
+        |    sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS s1,
+        |    sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |          * CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS s2
         |  FROM env WHERE "value" IS NOT NULL GROUP BY 1)
         |SELECT event_type, n, min_v, max_v,
         |  CAST(s1 AS DOUBLE) / 100 AS sum_v,
         |  CAST(s1 AS DOUBLE) / 100 / n AS avg_v,
-        |  CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |  CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * n * 10000) AS var_pop,
-        |  sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |  sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * n * 10000)) AS std_pop
         |FROM g ORDER BY event_type""".stripMargin),
 
@@ -900,13 +902,15 @@ object SparkEntry {
         |FROM env WHERE "value" IS NOT NULL""".stripMargin),
 
     // kq40: the CASE guard (not AND) protects json_extract_string from
-    // DuckDB's WHERE-conjunct reordering; props is always JSON when set.
+    // DuckDB's WHERE-conjunct reordering; TRY_CAST mirrors Spark's
+    // null-on-failure cast so a non-integral weight drops the row in
+    // BOTH engines instead of erroring only the oracle.
     "kq40_weighted_avg" ->
       (envSql + """, j AS (
         |  SELECT event_type,
         |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
         |    CASE WHEN props LIKE '{%'
-        |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
         |    END AS w
         |  FROM env WHERE "value" IS NOT NULL AND props IS NOT NULL)
         |SELECT event_type, count(*) AS n, CAST(sum(w) AS BIGINT) AS sw,

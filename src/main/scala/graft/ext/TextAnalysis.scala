@@ -16,6 +16,17 @@ import graft.ingest.Tables
  */
 object TextAnalysis {
 
+  /** x9's chars/4 token estimate — the ONE rendering shared by every
+    * packer (x46/x49/x55); their oracles pin this exact expression. */
+  private def estTokensCol: Column =
+    ceil(length(col("text")) / 4.0).cast("long")
+
+  /** First md5 byte of doc_id mod `n` — the packers' shared shard key
+    * (uniform for n dividing 256); oracle-pinned like [[estTokensCol]]. */
+  private def mdShard(n: Int): Column =
+    pmod(conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 2), 16, 10).cast("int"), lit(n))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val dataWords = Seq("spark", "table", "query", "join", "batch",
     "stream", "vector", "column")
@@ -701,9 +712,8 @@ object TextAnalysis {
       binsPerShard: Int = 4, capacity: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")
-    val estTokens = ceil(length(col("text")) / 4.0).cast("long") // x9's heuristic
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")
-      .cast("binary")), 1, 2), 16, 10).cast("int"), lit(nShards))
+    val estTokens = estTokensCol
+    val shard = mdShard(nShards)
     val wShard = Window.partitionBy(col("shard"))
       .orderBy(col("est_tokens").desc, col("doc_id"))
     val assigned = docs
@@ -741,9 +751,8 @@ object TextAnalysis {
       binsPerShard: Int = 4, capacity: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")
-    val estTokens = ceil(length(col("text")) / 4.0).cast("long")
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")
-      .cast("binary")), 1, 2), 16, 10).cast("int"), lit(nShards))
+    val estTokens = estTokensCol
+    val shard = mdShard(nShards)
     val wShard = Window.partitionBy(col("shard"))
       .orderBy(col("est_tokens").desc, col("doc_id"))
     val ranked = docs
@@ -912,9 +921,8 @@ object TextAnalysis {
       capacity: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")
-    val estTokens = ceil(length(col("text")) / 4.0).cast("long") // x9 heuristic
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")
-      .cast("binary")), 1, 2), 16, 10).cast("int"), lit(nShards))
+    val estTokens = estTokensCol
+    val shard = mdShard(nShards)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col("doc_id"), estTokens.as("est_tokens"),

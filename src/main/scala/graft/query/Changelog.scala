@@ -94,8 +94,8 @@ case class Changelog(spark: SparkSession, path: String,
     * a token within classic Levenshtein distance of the analyzed term —
     * a typo'd `fuzzy("purchse")` still finds `purchase` records.
     * `maxDist = None` selects the ES AUTO schedule (term length
-    * 0-2/3-5/≥6 → 0/1/2); explicit distances are capped at ES's limit
-    * of 2. Like [[matchPhrase]], a plain map-side filter predicate
+    * 0-2/3-5/≥6 → 0/1/2); explicit distances outside ES's 0..2 limit
+    * are REJECTED with an IllegalArgumentException at plan time. Like [[matchPhrase]], a plain map-side filter predicate
     * ([[graft.functions.FuzzyMatch]]): zero shuffle, linear at any
     * scale. */
   def fuzzy(term: String, maxDist: Option[Int] = None): DataFrame = {

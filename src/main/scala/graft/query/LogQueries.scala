@@ -116,28 +116,33 @@ object LogQueries {
 
   /**
    * ES `extended_stats` aggregation per event type: count/min/max/sum/avg
-   * plus population variance and std-dev. Cross-engine determinism: `value`
-   * has exactly 2 decimal places, so everything reduces to EXACT int64
-   * arithmetic on cents — s1 = Σv_c, s2 = Σv_c² (bounded: |v_c| ≤ 10⁴ ⇒
-   * s2 ≤ 10⁸·n, safely inside int64 at any tested SF) — and
+   * plus population variance and std-dev. Cross-engine determinism:
+   * `value` has exactly 2 decimal places, so everything reduces to EXACT
+   * integer arithmetic on cents — s1 = Σv_c, s2 = Σv_c², accumulated and
+   * multiplied as DECIMAL so the moment products n·s2 and s1² can NEVER
+   * silently wrap (with |v_c| ≤ 10⁴, int64 products would overflow at
+   * only ~3·10⁵ rows per group; decimal keeps them exact to ~10¹² rows,
+   * and Spark nulls rather than wraps beyond that) — then
    * var = (n·s2 − s1²)/(n²·10⁴) evaluates as ONE IEEE double division of
-   * exact integers, identical bit-for-bit in both engines; std = sqrt(var)
-   * is correctly rounded by contract in both. One hash aggregate, no
-   * window, no second pass. (At 100 TB promote s2 to DECIMAL(38,0) — the
-   * shape is unchanged.)
+   * an exact integer, identical bit-for-bit in both engines;
+   * std = sqrt(var) is correctly rounded by contract in both. One hash
+   * aggregate, no window, no second pass.
    */
   def extendedStats(env: DataFrame): DataFrame = {
-    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val cents = (col("value").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)")
+    val nDec = col("n").cast("decimal(19,0)")
     env.where(col("value").isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         min(col("value").cast("decimal(18,2)")).cast("double").as("min_v"),
         max(col("value").cast("decimal(18,2)")).cast("double").as("max_v"),
-        sum(cents).as("s1"), sum(cents * cents).as("s2"))
+        sum(cents).as("s1"),
+        sum((cents * cents).cast("decimal(28,0)")).as("s2"))
       .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
         (col("s1").cast("double") / 100).as("sum_v"),
         (col("s1").cast("double") / 100 / col("n")).as("avg_v"),
-        ((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+        ((nDec * col("s2") - col("s1") * col("s1")).cast("double") /
           (col("n").cast("double") * col("n") * 10000)).as("var_pop"))
       .withColumn("std_pop", sqrt(col("var_pop")))
       .orderBy(col("event_type"))

@@ -326,7 +326,10 @@ object StreamPipeline {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.read.parquet(out.toString)
+      // explicit schema: a FileStreamSink that received zero rows has no
+      // data files, and a schema-less read would fail instead of
+      // returning the empty frame
+      spark.read.schema(envFlat.schema).parquet(out.toString)
         .groupBy(coalesce(col("event_type"), lit("TOMBSTONE"))
           .as("event_type"))
         .agg(count(lit(1)).as("n_distinct"))
@@ -369,7 +372,11 @@ object StreamPipeline {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.read.parquet(out.toString).orderBy(col("offset"))
+      // explicit schema: a no-match query leaves the sink with only
+      // _spark_metadata; schema-less inference would throw instead of
+      // yielding the empty frame
+      spark.read.schema(envFlat.schema).parquet(out.toString)
+        .orderBy(col("offset"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
