@@ -796,8 +796,13 @@ object TextAnalysis {
    * deterministic output ORDER BY for the oracle compare.
    */
   def chunkTokens(spark: SparkSession, dir: String,
-      window: Int = 32, stride: Int = 24): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+      window: Int = 32, stride: Int = 24): DataFrame =
+    chunkTokensOf(Tables.load(spark, dir, "documents"), window, stride)
+
+  /** [[chunkTokens]] over an arbitrary (doc_id, text) frame — the
+    * property suite drives this directly with generated corpora. */
+  def chunkTokensOf(docs: DataFrame,
+      window: Int, stride: Int): DataFrame = {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")))
