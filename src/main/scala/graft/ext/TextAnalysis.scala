@@ -923,9 +923,14 @@ object TextAnalysis {
    * 16 B/doc through the shuffle.
    */
   def concatPack(spark: SparkSession, dir: String, nShards: Int = 8,
-      capacity: Int = 2048): DataFrame = {
+      capacity: Int = 2048): DataFrame =
+    concatPackOf(Tables.load(spark, dir, "documents"), nShards, capacity)
+
+  /** [[concatPack]] over an arbitrary (doc_id, text) frame — the
+    * property suite drives this directly with generated corpora. */
+  def concatPackOf(docs: DataFrame, nShards: Int,
+      capacity: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
     val estTokens = estTokensCol
     val shard = mdShard(nShards)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
