@@ -829,9 +829,14 @@ object TextAnalysis {
    * back to the previous order.
    */
   def epochShuffle(spark: SparkSession, dir: String, nEpochs: Int = 2,
-      nBatches: Int = 8): DataFrame = {
+      nBatches: Int = 8): DataFrame =
+    epochShuffleOf(Tables.load(spark, dir, "documents"), nEpochs, nBatches)
+
+  /** [[epochShuffle]] over an arbitrary frame with a doc_id column — the
+    * property suite drives this directly with generated id sets. */
+  def epochShuffleOf(docs: DataFrame, nEpochs: Int,
+      nBatches: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
     val key = md5(concat(col("doc_id").cast("string"), lit(":"),
       col("epoch").cast("string")).cast("binary"))
     val w = Window.partitionBy(col("epoch"), col("batch_id"))
