@@ -71,7 +71,9 @@ object Plans {
     "x56_bigram_nll" -> "bigram LM: bigram postings joins + 1-row broadcast N; 9dp-rounded DECIMAL-summed contributions, no collect",
     "kq41_categorize_text" -> "categorize_text: one projection (bounded per-message token walk) + one hash aggregate",
     "x57_incremental_dedup" -> "incremental dedup: ONE signature subtree; the band join is strictly new-batch x corpus (filtered sides), never corpus self-join",
-    "x58_normalize" -> "normalization: map-only regex projection; the only exchange is the output sort")
+    "x58_normalize" -> "normalization: map-only regex projection; the only exchange is the output sort",
+    "x59_dedup_index_reuse" -> "index reuse: query-time corpus side is the STORED band-key-bucketed signature table (no documents rescan, no re-shingling, no corpus-side exchange); only the batch side shingles+shuffles",
+    "x61_ann_index_reuse" -> "IVF index reuse: probe joins the STORED assignment table only — no embeddings scan, no k-means rerun in the query plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -514,6 +514,19 @@ object SparkEntry {
       graft.streaming.StreamPipeline.streamDedupBatch(s,
         Pipeline.envelopeFlat(s, dir))),
 
+    // ---- kq42's PRODUCTION sibling: watermark + Append into a parquet --
+    // ---- sink — bounded state, each window emitted once when closed; ----
+    // ---- the open tail windows are absent BY SEMANTICS -----------------
+    "kq44_stream_alert_wm" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.windowAlertWatermarked(s,
+        Pipeline.envelopeFlat(s, dir))),
+
+    // ---- kq43's PRODUCTION sibling: dropDuplicatesWithinWatermark — ----
+    // ---- dedup state EVICTED as the watermark advances -----------------
+    "kq45_stream_dedup_wm" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.streamDedupWatermarked(s,
+        Pipeline.envelopeFlat(s, dir))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -902,14 +915,16 @@ object SparkEntry {
         |FROM env WHERE "value" IS NOT NULL""".stripMargin),
 
     // kq40: the CASE guard (not AND) protects json_extract_string from
-    // DuckDB's WHERE-conjunct reordering; TRY_CAST mirrors Spark's
-    // null-on-failure cast so a non-integral weight drops the row in
-    // BOTH engines instead of erroring only the oracle.
+    // DuckDB's WHERE-conjunct reordering, and json_valid (not LIKE '{%')
+    // screens MALFORMED payloads too — Spark's get_json_object yields
+    // NULL for those where an unguarded DuckDB call would error;
+    // TRY_CAST mirrors Spark's null-on-failure cast so a non-integral
+    // weight drops the row in BOTH engines.
     "kq40_weighted_avg" ->
       (envSql + """, j AS (
         |  SELECT event_type,
         |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
-        |    CASE WHEN props LIKE '{%'
+        |    CASE WHEN json_valid(props)
         |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
         |    END AS w
         |  FROM env WHERE "value" IS NOT NULL AND props IS NOT NULL)
@@ -945,11 +960,39 @@ object SparkEntry {
         |WHERE n * 5 * n_windows > sum_n * 6
         |ORDER BY bucket, event_type""".stripMargin),
 
-    // kq43: a payload determines its event type, so distinct payloads per
-    // type == count(DISTINCT value_json) grouped by type.
+    // kq43: survivors are deduped per (type, payload) with NULL payloads
+    // coalesced to a sentinel on BOTH sides, so Spark's NULLs-equal
+    // dropDuplicates and SQL's NULL-skipping count(DISTINCT) agree on
+    // every fixture, not just ones without NULL payloads.
     "kq43_stream_dedup" ->
       (envSql + """SELECT coalesce(event_type, 'TOMBSTONE') AS event_type,
-        |  count(DISTINCT value_json) AS n_distinct
+        |  count(DISTINCT coalesce(value_json, '__null_payload__'))
+        |    AS n_distinct
+        |FROM env GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // kq44: kq42's window counts restricted to CLOSED windows — the
+    // append-mode emission set. Watermark = floor-to-ms(max event time
+    // over the filtered stream) - 1h; a window is emitted once
+    // window_end <= watermark. Pure batch predicate, no streaming state
+    // in the oracle.
+    "kq44_stream_alert_wm" ->
+      (envSql + """, w AS (
+        |  SELECT make_timestamp((CAST(floor(epoch("timestamp")) AS BIGINT)
+        |           // 21600) * 21600 * 1000000) AS bucket,
+        |         event_type, count(*) AS n
+        |  FROM env WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT max("timestamp") AS mx FROM env
+        |      WHERE event_type IS NOT NULL)
+        |SELECT bucket, event_type, n FROM w, m
+        |WHERE epoch_ms(bucket) + 21600000 <= epoch_ms(mx) - 3600000
+        |ORDER BY bucket, event_type""".stripMargin),
+
+    // kq45: single-batch AvailableNow replay makes within-watermark dedup
+    // equal exact dedup, so kq43's oracle replays unchanged.
+    "kq45_stream_dedup_wm" ->
+      (envSql + """SELECT coalesce(event_type, 'TOMBSTONE') AS event_type,
+        |  count(DISTINCT coalesce(value_json, '__null_payload__'))
+        |    AS n_distinct
         |FROM env GROUP BY 1 ORDER BY event_type""".stripMargin),
 
     "kq9_sql_surface" ->

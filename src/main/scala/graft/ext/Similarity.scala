@@ -260,6 +260,62 @@ object Similarity {
   }
 
   /**
+   * x61 — "index once, query many" for ANN (the IVF counterpart of
+   * [[graft.ext.Dedup.dedupIndexReuse]]): the expensive build — Lloyd
+   * iterations (driver-synced k×dim centroids) plus the full-corpus
+   * nearest-centroid assignment pass — runs ONCE and persists as two
+   * tables: the (vec_id, embedding, bucket) assignment table, bucketed
+   * (file-layout bucketed, by the IVF `bucket` key) via
+   * [[graft.sink.BucketedTables]], and the small centroid matrix. At
+   * query time NOTHING rescans `embeddings` or reruns k-means: queries
+   * probe the STORED assignment table (their bucket is already in the
+   * index; a brand-new out-of-corpus query would assign itself against
+   * the stored centroid table — k×dim, a broadcast scalar). Identical
+   * result contract to [[annIvf]] — the oracle is shared.
+   */
+  def annIndexReuse(spark: SparkSession, dir: String,
+      nCentroids: Int = 8, nQueries: Int = 10, k: Int = 3,
+      iterations: Int = 2): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    // ingest-time: k-means + assignment, persisted (names keyed by corpus
+    // dir so SFs never collide)
+    val suffix = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val idxTable = s"graft_ivf_index_$suffix"
+    val centTable = s"graft_ivf_centroids_$suffix"
+    val tmp = sys.props("java.io.tmpdir")
+    val centroids = kmeansCentroids(emb, nCentroids, iterations)
+    val nc = graft.functions.NearestCentroid.nearest(col("embedding"), centroids)
+    graft.sink.BucketedTables.writeBucketed(
+      emb.select(col("vec_id"), col("embedding"),
+        nc.getField("bucket").cast("long").as("bucket")),
+      idxTable, "bucket", 8, path = Some(s"$tmp/graft_index/$idxTable"))
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("centroid_id", "centroid")
+      .write.mode("overwrite")
+      .parquet(s"$tmp/graft_index/$centTable")
+    // query-time: probe the stored index only — no embeddings scan, no
+    // k-means rerun
+    val assigned = spark.table(idxTable)
+    val queries = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("bucket"))
+    val scored = assigned
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+        col("bucket"))
+      .join(broadcast(queries), "bucket")
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q"), col("c")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("bucket"), col("cand_id"), col("sim"),
+        col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /**
    * INT8 EMBEDDING QUANTIZATION — the storage/serving compression step of
    * an embedding pipeline (a float32 corpus shrinks 4× before ANN
    * serving). Symmetric per-vector max-abs scaling: `scale = max|x_i|`,

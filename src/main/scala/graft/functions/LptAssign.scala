@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -34,7 +34,12 @@ import org.apache.spark.sql.types._
  * brute-force optimum (the 4/3 bound) on small instances.
  */
 case class LptAssign(child: Expression, bins: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // assign() reads ArrayData.getLong — anything but array<bigint> must
+  // fail at analysis, not mid-task with a ClassCastException.
+  // (No explicit result type: AbstractDataType is private[sql].)
+  override def inputTypes = Seq(ArrayType(LongType))
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

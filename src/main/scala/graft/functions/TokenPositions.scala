@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -31,7 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * literal. Pinned to the declarative form by `AnalyzerProps`.
  */
 case class TokenPositions(child: Expression, term: String, max: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // positions() casts to UTF8String — non-string children must fail at
+  // analysis, not mid-task with a ClassCastException.
+  // (No explicit result type: AbstractDataType is private[sql].)
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

@@ -13,13 +13,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object BucketedTables {
 
-  /** Persist `df` as a managed bucketed table (parquet, no Hive needed). */
+  /** Persist `df` as a bucketed table (parquet, no Hive needed) — managed
+    * (warehouse-dir) by default, external at `path` when given. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      numBuckets: Int, sortCol: Option[String] = None): Unit = {
-    val w = df.write
+      numBuckets: Int, sortCol: Option[String] = None,
+      path: Option[String] = None): Unit = {
+    val w0 = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
+    val w = path.fold(w0)(p => w0.option("path", p))
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 

@@ -297,10 +297,116 @@ object StreamPipeline {
   }
 
   /**
+   * kq44 — the PRODUCTION shape of kq42's streaming alert: the same 6 h
+   * tumbling window aggregation but with `withWatermark` + **Append**
+   * mode into a parquet sink, which is the form that runs forever on an
+   * unbounded topic — state holds only windows the watermark hasn't
+   * passed (horizon / window-width rows per type), each window is
+   * emitted EXACTLY ONCE when it closes, and nothing re-emits or
+   * accumulates on the driver (kq42's Complete-mode memory sink re-emits
+   * the full bucket set per trigger and parks it driver-side — fine for
+   * a bounded replay proof, wrong for production; this entry is the
+   * honest sibling the kq42 scaladoc promises).
+   *
+   * Determinism contract for the oracle: Append emits a window once the
+   * event-time watermark (max event time seen minus `delay`, tracked in
+   * MILLISECONDS) is at or past the window end, so on a finite
+   * AvailableNow replay the emitted set is exactly the windows with
+   * `window_end_ms <= floor(max_ts_ms) - delay_ms` — a pure batch
+   * predicate DuckDB replays (the final no-data micro-batch,
+   * `spark.sql.streaming.noDataMicroBatches.enabled` default true,
+   * flushes every window the final watermark closed). The LAST window(s)
+   * stay open by construction and are NOT in the result — that omission
+   * is the bounded-state semantics, not data loss.
+   */
+  def windowAlertWatermarked(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame, delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq44-alert").toString
+    envFlat.write.mode("overwrite").parquet(s"$work/in")
+    val stream = spark.readStream.schema(envFlat.schema).parquet(s"$work/in")
+    val out = java.nio.file.Files.createTempDirectory("kq44-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    try {
+      val q = stream.where(col("event_type").isNotNull)
+        .withWatermark("timestamp", delay)
+        .groupBy(window(col("timestamp"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))
+      spark.read.schema(schema).parquet(out.toString)
+        .orderBy(col("bucket"), col("event_type"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /**
+   * kq45 — the PRODUCTION shape of kq43's streaming dedup:
+   * `dropDuplicatesWithinWatermark` on the same (event type,
+   * NULL-coalesced payload) key. Unlike kq43's exact `dropDuplicates`
+   * (state = every key ever seen, unbounded on an endless topic), state
+   * here is EVICTED once the watermark passes a key's event time plus
+   * the delay — bounded forever, the [[dedupIngest]] operator promoted
+   * to a driver-checked entry. Within one micro-batch every key is in
+   * state, and the AvailableNow file replay here processes the input as
+   * one batch, so the surviving set equals exact dedup and the kq43
+   * oracle replays unchanged; on a multi-batch unbounded stream the
+   * guarantee weakens (by design) to "no duplicates within the
+   * watermark delay of each other".
+   */
+  def streamDedupWatermarked(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame, delay: String = "48 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq45-dedup").toString
+    envFlat.write.mode("overwrite").parquet(s"$work/in")
+    val stream = spark.readStream.schema(envFlat.schema).parquet(s"$work/in")
+    val out = java.nio.file.Files.createTempDirectory("kq45-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    try {
+      val q = stream
+        .withColumn("dedup_type",
+          coalesce(col("event_type"), lit("TOMBSTONE")))
+        .withColumn("dedup_payload",
+          coalesce(col("value_json"), lit("__null_payload__")))
+        .withWatermark("timestamp", delay)
+        .dropDuplicatesWithinWatermark("dedup_type", "dedup_payload")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.schema(envFlat.schema).parquet(out.toString)
+        .groupBy(coalesce(col("event_type"), lit("TOMBSTONE"))
+          .as("event_type"))
+        .agg(count(lit(1)).as("n_distinct"))
+        .orderBy(col("event_type"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /**
    * Driver-visible streaming dedup (kq43): exact-duplicate suppression on
    * the FLOWING changelog — `dropDuplicates` on the payload content
-   * inside the streaming planner (state keyed by `value_json`,
-   * AvailableNow replay into a parquet sink). WHICH physical row
+   * inside the streaming planner (state keyed by (event type,
+   * NULL-coalesced payload), AvailableNow replay into a parquet sink).
+   * WHICH physical row
    * survives per content depends on arrival order, so the returned frame
    * aggregates only CONTENT-DETERMINED columns: distinct payloads per
    * event type — deterministic regardless of stream ordering, and
@@ -319,7 +425,18 @@ object StreamPipeline {
     val out = java.nio.file.Files.createTempDirectory("kq43-out").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
     try {
-      val q = stream.dropDuplicates("value_json")
+      // dedup state keyed by (event type, payload), with NULL payloads
+      // mapped to an explicit sentinel: streaming dropDuplicates treats
+      // NULLs as equal while the oracle's count(DISTINCT) skips them, so
+      // a raw value_json key would diverge on any fixture with NULL
+      // payloads; scoping the key by type additionally keeps the grouped
+      // counts deterministic if one payload ever appeared under two types.
+      val q = stream
+        .withColumn("dedup_type",
+          coalesce(col("event_type"), lit("TOMBSTONE")))
+        .withColumn("dedup_payload",
+          coalesce(col("value_json"), lit("__null_payload__")))
+        .dropDuplicates("dedup_type", "dedup_payload")
         .writeStream.format("parquet")
         .option("path", out.toString)
         .option("checkpointLocation", s"$work/ckpt")

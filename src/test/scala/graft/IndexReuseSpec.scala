@@ -1,0 +1,49 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+
+/** x59's done-bar: the persisted signature index gives the SAME answer as
+  * x57's inline recompute, and the query-time plan provably reads the
+  * stored index on the corpus side — exactly one `documents` scan (the new
+  * batch's own) and a bucketed read of the signature table. */
+class IndexReuseSpec extends SparkSpec {
+
+  test("index-reuse result is identical to inline incremental dedup") {
+    val inline = Dedup.incrementalDedup(spark, sf).collect().toSeq
+    val reused = Dedup.dedupIndexReuse(spark, sf).collect().toSeq
+    assert(reused == inline)
+    assert(reused.nonEmpty) // every planted doc rediscovers its source
+  }
+
+  test("query-time plan scans documents once and the index bucketed") {
+    val df = Dedup.dedupIndexReuse(spark, sf)
+    df.collect()
+    // AQE's toString appends the "== Initial Plan ==" section, which would
+    // double-count the scans — assert on the final plan only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // corpus side = the stored bucketed table, not a documents rescan
+    assert("documents\\.parquet".r.findAllIn(plan).length == 1,
+      s"expected exactly one documents scan (the new batch):\n$plan")
+    assert(plan.contains("graft_minhash_index_"), plan)
+    assert(plan.contains("Bucketed: true"),
+      s"index side should be a bucketed scan:\n$plan")
+  }
+
+  test("IVF index-reuse result is identical to inline annIvf") {
+    val inline = Similarity.annIvf(spark, sf).collect().toSeq
+    val reused = Similarity.annIndexReuse(spark, sf).collect().toSeq
+    assert(reused == inline)
+    assert(reused.nonEmpty)
+  }
+
+  test("IVF query-time plan never scans embeddings") {
+    val df = Similarity.annIndexReuse(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("embeddings.parquet"),
+      s"query-time plan must read only the stored index:\n$plan")
+    assert(plan.contains("graft_ivf_index_"), plan)
+  }
+}
