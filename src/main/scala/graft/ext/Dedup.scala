@@ -456,8 +456,16 @@ object Dedup {
    * join.
    */
   def minhashLshPairs(spark: SparkSession, dir: String,
-      numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+      numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    minhashPairsOf(Tables.load(spark, dir, "documents"),
+      numHashes, rowsPerBand)
+      .orderBy(col("d1"), col("d2"))
+
+  /** [[minhashLshPairs]] over any `(doc_id, text)` frame, UNSORTED — the
+    * form a composed pipeline (x60) embeds mid-plan, where an interior
+    * ORDER BY would only add a pointless exchange. */
+  private[ext] def minhashPairsOf(docs: DataFrame,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
     // the signature is computed ONCE: one aggregation produces the full
     // 12-hash signature as an array; bands are EXPLODED from it (not
     // unioned over per-band re-aggregations) and the signatures ride along
@@ -494,7 +502,6 @@ object Dedup {
         round(agree.cast("double") / numHashes, 6))
       .where(col("est_jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("est_jaccard"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /**

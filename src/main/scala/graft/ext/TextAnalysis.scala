@@ -650,6 +650,18 @@ object TextAnalysis {
       testSource: String = "src9", n: Int = 8): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val toksC = split(col("text"), " ")
+    decontaminateOf(
+      docs.where(col("source") =!= testSource)
+        .select(col("doc_id"), toksC.as("toks")),
+      docs.where(col("source") === testSource)
+        .select(col("doc_id"), toksC.as("toks")), n)
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[decontaminate]] over arbitrary `(doc_id, toks)` train/test frames,
+    * UNSORTED — the form the composed pipeline (x60) embeds mid-plan. */
+  private[ext] def decontaminateOf(train: DataFrame, test: DataFrame,
+      n: Int): DataFrame = {
     def slidingSpans(frame: DataFrame) = frame
       .select(col("doc_id"),
         posexplode(when(size(col("toks")) >= n,
@@ -658,12 +670,7 @@ object TextAnalysis {
               .cast("binary"))))
           .otherwise(array().cast("array<string>"))).as(Seq("i0", "h")))
       .select(col("doc_id"), (col("i0") + 1).as("start"), col("h"))
-    val train = docs.where(col("source") =!= testSource)
-      .select(col("doc_id"), toksC.as("toks"))
-    val testSpans = slidingSpans(
-      docs.where(col("source") === testSource)
-        .select(col("doc_id"), toksC.as("toks")))
-      .select(col("h")).distinct()
+    val testSpans = slidingSpans(test).select(col("h")).distinct()
     // one row per CONTAMINATED doc: its distinct covered positions,
     // sorted — the shuffle is sized by matched spans, not the corpus
     val covered = slidingSpans(train)
@@ -683,7 +690,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept"))).as("n_dropped"),
         concat_ws(" ", col("kept")).as("cleaned_text"))
-      .orderBy(col("doc_id"))
   }
 
   /**
