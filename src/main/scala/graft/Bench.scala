@@ -66,7 +66,11 @@ object Bench {
     "x52_epoch_shuffle", "x53_pii_redact", "kq39_percentile_ranks",
     "kq40_weighted_avg", "x54_class_balance", "x55_concat_pack",
     "x56_bigram_nll", "kq41_categorize_text", "kq42_stream_alert",
-    "x57_incremental_dedup", "x58_normalize", "kq43_stream_dedup")
+    "x57_incremental_dedup", "x58_normalize", "kq43_stream_dedup",
+    "kq44_stream_alert_wm", "kq45_stream_dedup_wm",
+    "x59_dedup_index_reuse", "x61_ann_index_reuse",
+    "x62_dedup_index_probe", "x63_ann_index_probe",
+    "x64_dedup_index_append", "x60_pipeline")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

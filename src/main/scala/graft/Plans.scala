@@ -73,7 +73,8 @@ object Plans {
     "x57_incremental_dedup" -> "incremental dedup: ONE signature subtree; the band join is strictly new-batch x corpus (filtered sides), never corpus self-join",
     "x58_normalize" -> "normalization: map-only regex projection; the only exchange is the output sort",
     "x59_dedup_index_reuse" -> "index reuse: query-time corpus side is the STORED band-key-bucketed signature table (no documents rescan, no re-shingling, no corpus-side exchange); only the batch side shingles+shuffles",
-    "x61_ann_index_reuse" -> "IVF index reuse: probe joins the STORED assignment table only — no embeddings scan, no k-means rerun in the query plan")
+    "x61_ann_index_reuse" -> "IVF index reuse: probe joins the STORED assignment table only — no embeddings scan, no k-means rerun in the query plan",
+    "x60_pipeline" -> "composed curation pipeline: normalize fuses into the scans; dedup is the band join + one left-anti; decontam spans broadcast; chunk is map-only; pack + epoch shuffle are two slim windows — NOTHING materialized between stages")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -358,26 +358,33 @@ object Dedup {
    * [[incrementalDedup]] for the same planted batch, so the oracle is
    * shared.
    */
-  def dedupIndexReuse(spark: SparkSession, dir: String,
-      numHashes: Int = 12, rowsPerBand: Int = 3,
-      idOffset: Long = 1000000L): DataFrame = {
+  /** Index-table name suffix for a corpus dir: the SANITIZED FULL PATH
+    * (not a 32-bit hash — `dir.hashCode` could silently collide two
+    * corpora into one table). Shared by the dedup and ANN indexes. */
+  private[ext] def indexSuffix(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+
+  /** Builds + persists the corpus minhash signature index (band-key-
+    * bucketed parquet table); returns the table name. Ingest-time cost:
+    * one `documents` scan + shingle/signature pass + the bucket write. */
+  private def buildDedupIndex(spark: SparkSession, dir: String,
+      numHashes: Int, rowsPerBand: Int): String = {
+    val table = "graft_minhash_index_" + indexSuffix(dir)
     val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    // ingest-time: build + persist the corpus signature index (bucketed
-    // by band key; table name keyed by corpus dir so SFs never collide)
-    val table = "graft_minhash_index_" +
-      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-    val path = s"${sys.props("java.io.tmpdir")}/graft_index/$table"
     graft.sink.BucketedTables.writeBucketed(
       explodeBandKeys(minhashSignatures(base, numHashes), numHashes,
         rowsPerBand),
-      table, "bkey", 8, path = Some(path))
-    // query-time: only the new batch touches `documents`
-    val stored = spark.table(table)
-    val newBatch = base.where(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + idOffset).as("doc_id"), col("text"))
-    val probe = explodeBandKeys(minhashSignatures(newBatch, numHashes),
-      numHashes, rowsPerBand)
+      table, "bkey", 8,
+      path = Some(s"${sys.props("java.io.tmpdir")}/graft_index/$table"))
+    table
+  }
+
+  /** Query-time verify join shared by the index-reuse entries: band join
+    * of the probe signatures against a stored segment, then the
+    * signature-agreement estimate over the candidate pairs. UNSORTED. */
+  private def probeStored(probe: DataFrame, stored: DataFrame,
+      numHashes: Int): DataFrame = {
     val agree = (0 until numHashes).map(k =>
       when(element_at(col("sig1"), k + 1) === element_at(col("sig2"), k + 1),
         1).otherwise(0)).reduce(_ + _)
@@ -388,6 +395,81 @@ object Dedup {
         round(agree.cast("double") / numHashes, 6))
       .where(col("est_jaccard") >= 0.5)
       .select(col("new_id"), col("corpus_id"), col("est_jaccard"))
+  }
+
+  /** The planted new batch (every 5th doc re-ingested under a shifted id)
+    * exploded to its band keys — the probe side of x59/x62. */
+  private def plantedProbe(spark: SparkSession, dir: String,
+      numHashes: Int, rowsPerBand: Int, idOffset: Long,
+      modulo: Int = 5): DataFrame = {
+    val newBatch = Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % modulo === 0)
+      .select((col("doc_id") + idOffset).as("doc_id"), col("text"))
+    explodeBandKeys(minhashSignatures(newBatch, numHashes), numHashes,
+      rowsPerBand)
+  }
+
+  def dedupIndexReuse(spark: SparkSession, dir: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      idOffset: Long = 1000000L): DataFrame = {
+    // ingest-time: build + persist; query-time: only the new batch
+    // touches `documents`
+    val table = buildDedupIndex(spark, dir, numHashes, rowsPerBand)
+    probeStored(
+      plantedProbe(spark, dir, numHashes, rowsPerBand, idOffset),
+      spark.table(table), numHashes)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /**
+   * x62 — the PROBE-ONLY side of x59: reuses the stored index if this
+   * session already built it (building it once if not, so the entry is
+   * self-contained) — the steady-state "query many" cost of the
+   * index-once model. Identical result contract to [[dedupIndexReuse]]
+   * and [[incrementalDedup]] — the oracle is shared; the BENCH delta
+   * between x59 (build+probe every run) and x62 (probe-only after the
+   * first run) is the point: probe ≪ build.
+   */
+  def dedupIndexProbe(spark: SparkSession, dir: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      idOffset: Long = 1000000L): DataFrame = {
+    val table = "graft_minhash_index_" + indexSuffix(dir)
+    if (!spark.catalog.tableExists(table))
+      buildDedupIndex(spark, dir, numHashes, rowsPerBand)
+    probeStored(
+      plantedProbe(spark, dir, numHashes, rowsPerBand, idOffset),
+      spark.table(table), numHashes)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /**
+   * x64 — INDEX APPEND: the index is maintained INCREMENTALLY as
+   * segments, never rebuilt. Yesterday's ingest batch (the x57/x59
+   * planted batch, ids +1e6) is persisted as its OWN band-key-bucketed
+   * segment next to the corpus segment — an idempotent per-batch
+   * overwrite, the ES/Lucene segment model — and today's batch (every
+   * 7th doc, ids +2e6) probes BOTH segments. Each probe join hits one
+   * pre-bucketed segment with no corpus-side shuffle; segment results
+   * union (corpus_id spaces are disjoint across segments, so per-segment
+   * verify == whole-index verify). Docs divisible by 35 prove the append:
+   * they match their original AND the appended batch-1 copy.
+   */
+  def dedupIndexAppend(spark: SparkSession, dir: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val table = "graft_minhash_index_" + indexSuffix(dir)
+    if (!spark.catalog.tableExists(table))
+      buildDedupIndex(spark, dir, numHashes, rowsPerBand)
+    // append batch-1 (ids +1e6) as its own segment — idempotent overwrite
+    val segTable = table + "_seg1"
+    graft.sink.BucketedTables.writeBucketed(
+      plantedProbe(spark, dir, numHashes, rowsPerBand, 1000000L),
+      segTable, "bkey", 8,
+      path = Some(s"${sys.props("java.io.tmpdir")}/graft_index/$segTable"))
+    // today's batch probes corpus segment + appended segment
+    val probe = plantedProbe(spark, dir, numHashes, rowsPerBand, 2000000L,
+      modulo = 7)
+    probeStored(probe, spark.table(table), numHashes)
+      .unionByName(probeStored(probe, spark.table(segTable), numHashes))
       .orderBy(col("new_id"), col("corpus_id"))
   }
 

@@ -69,6 +69,11 @@ object ExtQueries {
     // (no corpus rescan / re-shingling at query time).
     "x59_dedup_index_reuse" -> ((s: SparkSession, d: String) =>
       Dedup.dedupIndexReuse(s, d)),
+    // x60: the COMPOSED curation pipeline — normalize → near-dup prune →
+    // decontaminate → chunk → pack → epoch-shuffle in ONE Catalyst plan
+    // (see CurationPipeline.curate); the reason the ext family exists.
+    "x60_pipeline" -> ((s: SparkSession, d: String) =>
+      CurationPipeline.curate(s, d)),
     "x6_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.annIvf(s, d)),
     // x61: x6's IVF with the build persisted — centroid + bucketed
@@ -76,6 +81,16 @@ object ExtQueries {
     // (no embeddings rescan, no k-means rerun at query time).
     "x61_ann_index_reuse" -> ((s: SparkSession, d: String) =>
       Similarity.annIndexReuse(s, d)),
+    // x62/x63: the PROBE-ONLY sides of x59/x61 — index reused if already
+    // built this session; the bench delta vs x59/x61 is probe ≪ build.
+    "x62_dedup_index_probe" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupIndexProbe(s, d)),
+    "x63_ann_index_probe" -> ((s: SparkSession, d: String) =>
+      Similarity.annIndexProbe(s, d)),
+    // x64: segment-append maintenance — batch-1 signatures persisted as
+    // their own bucketed segment; batch-2 probes corpus + appended.
+    "x64_dedup_index_append" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupIndexAppend(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
     "x8_quality" -> (TextAnalysis.qualityScore _),
     "x9_tokens" -> (TextAnalysis.tokenCounts _),
@@ -383,7 +398,28 @@ object ExtQueries {
     * corpus + the planted new batch, with the candidate join STRICTLY
     * new×corpus. Same string band keys (the xxhash64-vs-string parity
     * note on the Spark side applies identically). */
-  private lazy val incrementalDedupSql: String = {
+  private lazy val incrementalDedupSql: String = incrementalSqlOver(
+    """SELECT doc_id, text, FALSE AS is_new FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, TRUE FROM documents
+      |  WHERE doc_id % 5 = 0""".stripMargin)
+
+  /** x64's oracle: the same incremental shape with the corpus EXTENDED by
+    * the appended batch-1 segment (ids +1e6) and the probe being batch-2
+    * (every 7th doc, ids +2e6) — docs divisible by 35 must match both
+    * their original and the appended copy. */
+  private lazy val indexAppendSql: String = incrementalSqlOver(
+    """SELECT doc_id, text, FALSE AS is_new FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, FALSE FROM documents
+      |  WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, TRUE FROM documents
+      |  WHERE doc_id % 7 = 0""".stripMargin)
+
+  /** The x57 incremental-dedup oracle shape over a parameterized
+    * corpus/batch CTE (`is_new` marks the probe side). */
+  private def incrementalSqlOver(allDocs: String): String = {
     val mh = (0 until 12).map(k =>
       s"min(substr(md5('$k:' || tok), 1, 8)) AS mh$k").mkString(",\n  ")
     val bands = (0 until 4).map { b =>
@@ -393,10 +429,7 @@ object ExtQueries {
     val agree = (0 until 12)
       .map(k => s"CAST(s1.mh$k = s2.mh$k AS INT)").mkString(" + ")
     s"""WITH all_docs AS (
-       |  SELECT doc_id, text, FALSE AS is_new FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, text, TRUE FROM documents
-       |  WHERE doc_id % 5 = 0),
+       |  $allDocs),
        |t AS (SELECT doc_id, is_new, string_split(text, ' ') AS toks
        |      FROM all_docs),
        |toks AS (SELECT doc_id, is_new, unnest(list_distinct(list_transform(
@@ -419,6 +452,138 @@ object ExtQueries {
        |SELECT new_id, corpus_id, est_jaccard FROM est
        |WHERE est_jaccard >= 0.5
        |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
+  /** x61/x63's shared oracle: x6's k-means + bucket probe unchanged (the
+    * stored index changes where assignments come FROM, not their values). */
+  private lazy val annIvfStoredSql: String =
+    s"""WITH $kmeansCtes,
+       |q AS (SELECT vec_id AS query_id, emb AS qv, bucket
+       |      FROM asg WHERE vec_id < 10),
+       |scored AS (SELECT query_id, a.bucket, a.vec_id AS cand_id,
+       |    round(list_cosine_similarity(qv, a.emb), 6) AS sim
+       |  FROM asg a JOIN q USING (bucket) WHERE a.vec_id <> q.query_id),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+       |      FROM scored)
+       |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 3
+       |ORDER BY query_id, rn""".stripMargin
+
+  /** x60's oracle: the pinned x58 / x3 / x47 / x51 / x55 / x52 CTE forms
+    * chained over the SAME intermediate frames the Spark plan produces —
+    * normalize feeds the minhash banding, survivors (pairs' larger ids
+    * dropped) feed the decontamination excision, cleaned text feeds the
+    * chunker, chunks feed the concat-packer at chunk_uid granularity, and
+    * the packed stream feeds the epoch shuffle. Every scalar formula
+    * (mess plant, minhash strings, span md5s, chars/4 estimate, '0x' hex
+    * parse, order-key md5) is byte-identical to its standalone oracle, so
+    * any divergence localizes to the stage that broke. */
+  private lazy val curationPipelineSql: String = {
+    val mh = (0 until 12).map(k =>
+      s"min(substr(md5('$k:' || tok), 1, 8)) AS mh$k").mkString(",\n  ")
+    val bands = (0 until 4).map { b =>
+      val key = (b * 3 until b * 3 + 3).map(k => s"mh$k").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL ")
+    val agree = (0 until 12)
+      .map(k => s"CAST(s1.mh$k = s2.mh$k AS INT)").mkString(" + ")
+    s"""WITH norm AS (SELECT doc_id, source,
+       |    trim(regexp_replace(lower(raw), '\\s+', ' ', 'g')) AS text
+       |  FROM (SELECT doc_id, source,
+       |      CASE WHEN doc_id % 4 = 0 THEN chr(9) || t || '   '
+       |           ELSE t END AS raw
+       |    FROM (SELECT doc_id, source,
+       |        CASE WHEN doc_id % 3 = 0 THEN upper(replace(text, ' ', '  '))
+       |             ELSE text END AS t
+       |      FROM documents))),
+       |nt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM norm),
+       |mtoks AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(toks) - 2),
+       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS tok
+       |  FROM nt),
+       |sig AS (SELECT doc_id,
+       |  $mh
+       |  FROM mtoks GROUP BY 1),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |         FROM bands l JOIN bands r
+       |           ON l.band = r.band AND l.band_key = r.band_key
+       |              AND l.doc_id < r.doc_id),
+       |dup AS (SELECT DISTINCT d2 AS doc_id
+       |        FROM cand
+       |        JOIN sig s1 ON d1 = s1.doc_id
+       |        JOIN sig s2 ON d2 = s2.doc_id
+       |        WHERE round(($agree) / 12.0, 6) >= 0.5),
+       |tr AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |       FROM norm
+       |       WHERE source <> 'src9'
+       |         AND doc_id NOT IN (SELECT doc_id FROM dup)),
+       |sp AS (SELECT doc_id, CAST(i AS INT) AS start,
+       |         md5(array_to_string(
+       |           toks[CAST(i AS INT) : CAST(i + 7 AS INT)], ' ')) AS h
+       |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+       |             FROM tr WHERE len(toks) >= 8)),
+       |test AS (SELECT DISTINCT
+       |           md5(array_to_string(
+       |             toks[CAST(i AS INT) : CAST(i + 7 AS INT)], ' ')) AS h
+       |         FROM (SELECT toks, unnest(range(1, len(toks) - 6)) AS i
+       |               FROM nt JOIN norm USING (doc_id)
+       |               WHERE source = 'src9' AND len(toks) >= 8)),
+       |cov AS (SELECT DISTINCT doc_id, start + CAST(j AS INT) AS pos
+       |        FROM (SELECT sp.doc_id, sp.start, unnest(range(8)) AS j
+       |              FROM sp JOIN test USING (h))),
+       |tp AS (SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT)
+       |           AS pos, unnest(toks) AS tok
+       |       FROM tr),
+       |kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+       |         FROM tp LEFT JOIN cov
+       |           ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+       |         WHERE cov.pos IS NULL),
+       |cln AS (SELECT tr.doc_id, COALESCE(agg.cleaned, '') AS cleaned_text
+       |        FROM tr LEFT JOIN (SELECT doc_id,
+       |            string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       |          FROM kept GROUP BY 1) agg USING (doc_id)),
+       |cd AS (SELECT doc_id, string_split(cleaned_text, ' ') AS toks
+       |       FROM cln),
+       |ch AS (SELECT doc_id, toks, len(toks) AS n,
+       |         CAST(unnest(range(0, (len(toks) - 1) // 24 + 1)) AS INT)
+       |           AS chunk_id
+       |       FROM cd),
+       |chunks AS (SELECT doc_id, chunk_id,
+       |    CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tokens,
+       |    array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+       |      AS chunk_text
+       |  FROM ch),
+       |st AS (SELECT doc_id * 1000 + chunk_id AS chunk_uid, doc_id,
+       |    chunk_id, n_tokens,
+       |    CAST(ceil(length(chunk_text) / 4.0) AS BIGINT) AS est_tokens,
+       |    CAST(('0x' || substr(md5(CAST(doc_id * 1000 + chunk_id
+       |      AS VARCHAR)), 1, 2)) AS INT) % 8 AS shard
+       |  FROM chunks),
+       |pk AS (SELECT *, CAST(COALESCE(sum(est_tokens) OVER (
+       |        PARTITION BY shard ORDER BY chunk_uid
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS BIGINT) AS cum_before
+       |      FROM st),
+       |e AS (SELECT chunk_uid, doc_id, chunk_id, n_tokens, est_tokens,
+       |        shard,
+       |        CAST(cum_before // 2048 AS BIGINT) AS context_id,
+       |        CAST(cum_before % 2048 AS BIGINT) AS offset_in_context,
+       |        unnest(range(0, 2)) AS epoch
+       |      FROM pk),
+       |k AS (SELECT e.*, md5(CAST(chunk_uid AS VARCHAR) || ':' ||
+       |        CAST(epoch AS VARCHAR)) AS order_key
+       |      FROM e),
+       |b AS (SELECT *, CAST(('0x' || substr(order_key, 1, 2)) AS INT) % 8
+       |        AS batch_id
+       |      FROM k)
+       |SELECT CAST(epoch AS INT) AS epoch, batch_id,
+       |  CAST(row_number() OVER (PARTITION BY epoch, batch_id
+       |         ORDER BY order_key, chunk_uid) AS INT) AS pos,
+       |  chunk_uid, doc_id, chunk_id, n_tokens, est_tokens, shard,
+       |  context_id, offset_in_context
+       |FROM b ORDER BY epoch, batch_id, pos""".stripMargin
   }
 
   /** In-order dot product of the DOUBLE[]-cast embedding with md5-derived
@@ -477,6 +642,8 @@ object ExtQueries {
     // index changes WHERE the corpus signatures come from, not their
     // values) — the oracle is shared.
     "x59_dedup_index_reuse" -> incrementalDedupSql,
+    // x62: probe-only over the same stored index — same contract.
+    "x62_dedup_index_probe" -> incrementalDedupSql,
 
     // x21: connected components over the x3 pair graph — the oracle closes
     // reachability with a recursive CTE and labels every doc with the min
@@ -705,6 +872,9 @@ object ExtQueries {
         |    AS changed
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // x60: the composed pipeline oracle (see curationPipelineSql).
+    "x60_pipeline" -> curationPipelineSql,
+
     // x6: the oracle replays the IDENTICAL 2-iteration Lloyd k-means —
     // seeds vec_id<8, argmax assignment on round(cos,6) with centroid-id
     // tiebreak, DECIMAL(38,15)-exact element-wise means cast to double —
@@ -725,22 +895,13 @@ object ExtQueries {
          |FROM r WHERE rn <= 3
          |ORDER BY query_id, rn""".stripMargin,
 
-    // x61: identical result contract to x6 by construction (the persisted
-    // index changes WHERE the assignments come from, not their values) —
-    // the oracle replays x6's k-means + probe unchanged.
-    "x61_ann_index_reuse" ->
-      s"""WITH $kmeansCtes,
-         |q AS (SELECT vec_id AS query_id, emb AS qv, bucket
-         |      FROM asg WHERE vec_id < 10),
-         |scored AS (SELECT query_id, a.bucket, a.vec_id AS cand_id,
-         |    round(list_cosine_similarity(qv, a.emb), 6) AS sim
-         |  FROM asg a JOIN q USING (bucket) WHERE a.vec_id <> q.query_id),
-         |r AS (SELECT *, row_number() OVER (
-         |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
-         |      FROM scored)
-         |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn
-         |FROM r WHERE rn <= 3
-         |ORDER BY query_id, rn""".stripMargin,
+    // x61/x63: identical result contract to x6 by construction (the
+    // persisted index changes WHERE the assignments come from, not their
+    // values) — the oracle replays x6's k-means + probe unchanged.
+    "x61_ann_index_reuse" -> annIvfStoredSql,
+    "x63_ann_index_probe" -> annIvfStoredSql,
+    // x64: the segment-append oracle (see indexAppendSql).
+    "x64_dedup_index_append" -> indexAppendSql,
 
     // x23: same k-means + assignment, but each query probes its TOP-2
     // buckets (multi-probe recall knob); candidates unioned, exact top-k.

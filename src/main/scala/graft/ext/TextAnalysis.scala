@@ -17,15 +17,20 @@ import graft.ingest.Tables
 object TextAnalysis {
 
   /** x9's chars/4 token estimate — the ONE rendering shared by every
-    * packer (x46/x49/x55); their oracles pin this exact expression. */
-  private def estTokensCol: Column =
-    ceil(length(col("text")) / 4.0).cast("long")
+    * packer (x46/x49/x55) and the composed pipeline (x60); their oracles
+    * pin this exact expression. */
+  private[ext] def estTokensOf(text: Column): Column =
+    ceil(length(text) / 4.0).cast("long")
 
-  /** First md5 byte of doc_id mod `n` — the packers' shared shard key
-    * (uniform for n dividing 256); oracle-pinned like [[estTokensCol]]. */
-  private def mdShard(n: Int): Column =
-    pmod(conv(substring(md5(col("doc_id").cast("string")
+  private def estTokensCol: Column = estTokensOf(col("text"))
+
+  /** First md5 byte of `id` mod `n` — the packers' shared shard key
+    * (uniform for n dividing 256); oracle-pinned like [[estTokensOf]]. */
+  private[ext] def mdShardOf(id: Column, n: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")
       .cast("binary")), 1, 2), 16, 10).cast("int"), lit(n))
+
+  private def mdShard(n: Int): Column = mdShardOf(col("doc_id"), n)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val dataWords = Seq("spark", "table", "query", "join", "batch",
