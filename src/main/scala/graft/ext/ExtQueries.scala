@@ -96,10 +96,15 @@ object ExtQueries {
     "x9_tokens" -> (TextAnalysis.tokenCounts _),
     "x10_fingerprint" -> (TextAnalysis.fingerprint _),
     "x11_media_meta" -> (Multimodal.mediaMetadata _),
-    // stub-decoder pipeline: the mapPartitions stage runs a DETERMINISTIC
-    // fake decode, so the oracle mirrors its byte math in SQL and the
-    // batching/schema/partition contract gets a real hash row
+    // real PPM codec: synthetic-but-valid P6 files decoded by a real
+    // header parser; the oracle recomputes the closed-form pixel stats
+    // in SQL, so any encoder/parser off-by-one breaks the hash
     "x12_media_decode" -> (Multimodal.decodeFeatures _),
+    // real box-filter resize: encode → decode → downsample → re-encode →
+    // decode; both codec directions exercised
+    "x65_media_resize" -> (Multimodal.resizeFeatures _),
+    // real RIFF/WAVE chunk walk + PCM16 decode, per-channel energy stats
+    "x66_wav_decode" -> (Multimodal.wavChannelStats _),
     "x13_dedup_embed" -> ((s: SparkSession, d: String) =>
       Similarity.embedNearDupPairs(s, d)),
     "x14_media_frames" -> ((s: SparkSession, d: String) =>
@@ -1383,36 +1388,66 @@ object ExtQueries {
         |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    // x12: the stub decoder is DETERMINISTIC md5-free byte math, so its
-    // mapPartitions stage CAN be mirrored in SQL (ascii corpus ⇒ byte i ==
-    // ascii(char i), the x18 precedent). Slice i of the fake feature sums
-    // bytes [(i*n)/4, (i*n)/4 + n/4) — Scala's `i * n / 4` is (i*n)/4 —
-    // as a FLOAT32 mean (CAST AS FLOAT division mirrors Long.toFloat /
-    // Int), then feat_mean folds the 4 floats in order as doubles.
+    // x12: the PPM payload is generated from a closed form over doc_id
+    // (dims 8+id%9 × 8+(id/9)%9, pixel byte i = (id*131+i*29)%256), so
+    // the oracle recomputes the decoded per-channel sums WITHOUT touching
+    // the bytes — the Spark side must encode AND parse correctly to
+    // match. All outputs are exact BIGINTs: zero rounding-tie risk.
     "x12_media_decode" ->
-      """WITH b AS (SELECT doc_id, text,
-        |    CAST(octet_length(encode(text)) AS INT) AS n FROM documents),
-        |f AS (SELECT doc_id, n, i,
-        |    COALESCE(list_sum(list_transform(range(n // 4),
-        |      j -> ascii(substr(text, CAST((i * n) // 4 + j + 1 AS INT), 1)))),
-        |      0) AS s
-        |  FROM (SELECT doc_id, text, n, unnest(range(4)) AS i FROM b)),
-        |feat AS (SELECT doc_id, i,
-        |    CAST(CAST(s AS FLOAT) / CAST(greatest(1, n // 4) AS FLOAT)
-        |         AS DOUBLE) AS v
-        |  FROM f),
-        |m AS (SELECT doc_id,
-        |    round((max(CASE WHEN i = 0 THEN v END)
-        |         + max(CASE WHEN i = 1 THEN v END)
-        |         + max(CASE WHEN i = 2 THEN v END)
-        |         + max(CASE WHEN i = 3 THEN v END)) / 4, 4) AS feat_mean
-        |  FROM feat GROUP BY 1)
-        |SELECT b.doc_id AS media_id,
-        |  CAST(16 + (n % 64) AS INT) AS width,
-        |  CAST(16 + ((n // 64) % 64) AS INT) AS height,
-        |  CAST(3 AS INT) AS channels,
-        |  m.feat_mean
-        |FROM b JOIN m USING (doc_id) ORDER BY media_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |    8 + (doc_id // 9) % 9 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM d),
+        |v AS (SELECT doc_id, w, h, i % 3 AS c,
+        |    (doc_id * 131 + i * 29) % 256 AS v FROM px)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels,
+        |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+        |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+        |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
+        |  CAST(w * h AS BIGINT) AS n_px
+        |FROM v GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+
+    // x65: the box filter floor-averages each factor×factor block per
+    // channel; the oracle recomputes every output pixel from the same
+    // closed form (4 source lookups each) and sums per channel — again
+    // exact integers end to end.
+    "x65_media_resize" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |    8 + (doc_id // 9) % 9 AS h FROM documents),
+        |o AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM d),
+        |j AS (SELECT doc_id, w, ow, oh,
+        |    unnest(range(ow * oh * 3)) AS k FROM o),
+        |b AS (SELECT doc_id, w, ow, oh, k % 3 AS c,
+        |    (k // 3) % ow AS bx, (k // 3) // ow AS by FROM j),
+        |p AS (SELECT doc_id, ow, oh, c,
+        |    (((doc_id * 131 + ((by*2    ) * w + bx*2    ) * 3 * 29 + c * 29) % 256)
+        |   + ((doc_id * 131 + ((by*2    ) * w + bx*2 + 1) * 3 * 29 + c * 29) % 256)
+        |   + ((doc_id * 131 + ((by*2 + 1) * w + bx*2    ) * 3 * 29 + c * 29) % 256)
+        |   + ((doc_id * 131 + ((by*2 + 1) * w + bx*2 + 1) * 3 * 29 + c * 29) % 256))
+        |    // 4 AS v
+        |  FROM b)
+        |SELECT doc_id AS media_id, CAST(ow AS BIGINT) AS out_w,
+        |  CAST(oh AS BIGINT) AS out_h,
+        |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+        |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+        |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
+        |  CAST(ow * oh AS BIGINT) AS n_px
+        |FROM p GROUP BY doc_id, ow, oh ORDER BY media_id""".stripMargin,
+
+    // x66: WAV samples are ((id*7 + s*13 + c*31) % 2048) - 1024; the
+    // oracle recomputes per-channel sum-of-squares and peak directly.
+    "x66_wav_decode" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS nch,
+        |    64 + doc_id % 97 AS ns FROM documents),
+        |k AS (SELECT doc_id, nch, ns, unnest(range(ns * nch)) AS k FROM d),
+        |v AS (SELECT doc_id, ns, k % nch AS c,
+        |    ((doc_id * 7 + (k // nch) * 13 + (k % nch) * 31) % 2048) - 1024 AS a
+        |  FROM k)
+        |SELECT doc_id AS media_id, CAST(c AS BIGINT) AS channel,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(sum(a * a) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(a)) AS BIGINT) AS peak_abs
+        |FROM v GROUP BY doc_id, ns, c ORDER BY media_id, channel""".stripMargin,
 
     // x41: composes the PROVEN x8 / x28 / x17 oracle forms (identical
     // score rounding, span md5s, bucket hex parse) under the same gate

@@ -835,23 +835,64 @@ class ExtSpec extends SparkSpec {
     assert(t.where(col("rk") === 1).count() == 500)
   }
 
-  test("multimodal: metadata real, stub decode deterministic with batch shape") {
+  test("multimodal: metadata real; PPM codec round-trips and matches closed form") {
     val meta = Multimodal.mediaMetadata(spark, sf)
     val row = meta.where(col("media_id") === 0).head()
     assert(row.getAs[Long]("n_bytes") > 0)
     assert(row.getAs[String]("header_hex").length == 8) // 4 bytes → 8 hex
     val feats = Multimodal.decodeFeatures(spark, sf)
     assert(feats.count() == 500)
-    assert(feats.where(col("width") < 16 || col("width") >= 80).count() == 0)
-    val again = Multimodal.decodeFeatures(spark, sf).collect()
-    assert(feats.collect().sameElements(again))
-    // resize stub: deterministic byte downsample, ~1/4 the payload
+    assert(feats.where(col("width") < 8 || col("width") > 16).count() == 0)
+    // decoded channel sums for one image equal the generator's closed form
+    val id = 7L
+    val (w, h) = Multimodal.imgDims(id)
+    val expR = (0 until w * h).map(p => Multimodal.imgByte(id, p.toLong * 3)).map(_.toLong).sum
+    val f7 = feats.where(col("media_id") === id).head()
+    assert(f7.getAs[Long]("width") == w && f7.getAs[Long]("height") == h)
+    assert(f7.getAs[Long]("r_sum") == expR)
+    // header parser handles comments/whitespace; rejects garbage
+    val (pw, ph, mv, _) = Multimodal.ppmHeader(
+      "P6\n# c1\n  # c2\n 3\t2 # trailing\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](18)(1))
+    assert((pw, ph, mv) == (3, 2, 255))
+    intercept[IllegalArgumentException](Multimodal.ppmHeader("JFIF....".getBytes("US-ASCII")))
+  }
+
+  test("multimodal: box resize halves dims; block floor-averages verified") {
     import spark.implicits._
-    val in = Multimodal.mediaFrame(spark, sf)
-      .select(col("media_id"), col("payload")).as[Multimodal.MediaIn]
-    val resized = Multimodal.resizeStub(in, factor = 4)
-    val (o, r) = (in.head(), Multimodal.resizeStub(in, 4).head())
-    assert(r.payload.length == (o.payload.length + 3) / 4)
-    assert(resized.count() == in.count())
+    val in = Multimodal.syntheticImages(spark, sf)
+    val rs = Multimodal.resizeFeatures(spark, sf)
+    assert(rs.count() == 500)
+    val id = 11L
+    val (w, h) = Multimodal.imgDims(id)
+    val r11 = rs.where(col("media_id") === id).head()
+    assert(r11.getAs[Long]("out_w") == w / 2 && r11.getAs[Long]("out_h") == h / 2)
+    // hand-compute the resized green-channel sum from the closed form
+    def src(y: Int, x: Int, c: Int) = Multimodal.imgByte(id, ((y * w + x) * 3 + c).toLong).toLong
+    val expG = (for { by <- 0 until h / 2; bx <- 0 until w / 2 } yield
+      (src(by*2, bx*2, 1) + src(by*2, bx*2+1, 1) + src(by*2+1, bx*2, 1) + src(by*2+1, bx*2+1, 1)) / 4).sum
+    assert(r11.getAs[Long]("g_sum") == expG)
+    // resized payload is itself a valid P6 the parser accepts
+    val rp = Multimodal.resizePpm(in.where(col("media_id") === id).as[Multimodal.MediaIn]).head()
+    val (ow, oh, _, _) = Multimodal.ppmHeader(rp.payload)
+    assert((ow, oh) == (w / 2, h / 2))
+  }
+
+  test("multimodal: WAV chunk walker decodes PCM16 per channel, skips LIST") {
+    val st = Multimodal.wavChannelStats(spark, sf)
+    // one row per channel: ids with odd doc_id are stereo
+    val id = 9L // stereo (1 + 9%2 = 2)
+    val rows = st.where(col("media_id") === id).collect()
+    assert(rows.length == 2)
+    val (nch, ns) = Multimodal.wavShape(id)
+    assert(nch == 2 && rows.forall(_.getAs[Long]("n_samples") == ns))
+    val expSq = (0 until ns).map(s => { val a = Multimodal.wavAmp(id, s.toLong, 1L).toLong; a * a }).sum
+    assert(rows.find(_.getAs[Long]("channel") == 1L).get.getAs[Long]("sum_sq") == expSq)
+    assert(st.agg(max(col("peak_abs"))).head().getLong(0) <= 1024)
+    // a non-WAV payload is rejected, not misparsed
+    intercept[Exception] {
+      import spark.implicits._
+      Multimodal.decodeWav(spark.createDataset(
+        Seq(Multimodal.MediaIn(0L, "RIFFxxxxJUNK".getBytes("US-ASCII"))))).collect()
+    }
   }
 }
