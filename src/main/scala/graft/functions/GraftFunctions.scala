@@ -82,7 +82,8 @@ object GraftFunctions {
       (exprs => {
         val schema = constArg("confluent_avro_decode", "schema", "STRING",
           exprs(1)).toString
-        graft.ingest.ConfluentAvroDecode(exprs.head, Map(1 -> schema), schema)
+        graft.ingest.ConfluentAvroDecode(exprs.head,
+          graft.ingest.StaticSchemaRegistry(Map(1 -> schema)), schema)
       })
   )
 

@@ -27,13 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
  * schema per record from the frame's schema id by delegating to
  * Confluent's `AvroConverter` (TombstoneAwareAvroConverter.java:16-23,
  * kafana.http:74), which is how a topic whose schema evolved keeps
- * decoding. Here the same contract is a `writerSchemas: Map[id → schema]`
- * (the registry stand-in — in production populated from the registry
- * REST API once per executor) plus a single `reader` schema the caller
- * wants the data AS: each record's writer schema is looked up from its
- * own frame, and Avro schema resolution (the spec's evolution rules —
- * added-field-with-default, field reordering, promotions) maps writer →
- * reader. Resolved `GenericDatumReader`s are cached per writer id.
+ * decoding. Here the same contract is the pluggable [[SchemaResolver]]
+ * interface (fixtures use [[StaticSchemaRegistry]]; production plugs a
+ * registry-REST-backed implementation) plus a single `reader` schema the
+ * caller wants the data AS: each record's writer schema is resolved from
+ * its own frame's id, and Avro schema resolution (the spec's evolution
+ * rules — added-field-with-default, field reordering, promotions) maps
+ * writer → reader. Resolved `GenericDatumReader`s are cached per writer
+ * id, so a remote resolver is hit once per id per executor.
  *
  * Both decode expressions are Catalyst `Expression`s (not Scala UDFs):
  * schemas/readers are built once per executor via transient-lazy fields —
@@ -47,7 +48,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * [[ConfluentAvro.decodeOrTombstone]].
  */
 private[ingest] trait WireFormatDecode {
-  def writerSchemas: Map[Int, String]
+  def resolver: SchemaResolver
   def readerSchemaJson: String
 
   @transient protected lazy val readerSchema: Schema =
@@ -57,45 +58,47 @@ private[ingest] trait WireFormatDecode {
   // one shared reader + one WARN for ALL unknown ids: in PERMISSIVE mode
   // corrupt frames with a valid magic byte carry arbitrary 4-byte ids, so
   // caching (or logging) per unknown id would grow without bound on a
-  // long-running ingest of garbage — the readers map holds registered ids
+  // long-running ingest of garbage — the readers map holds resolved ids
   // only and stays bounded by the registry size
   @transient private lazy val fallbackWarned =
     new java.util.concurrent.atomic.AtomicBoolean(false)
   @transient private lazy val fallbackReader: GenericDatumReader[Any] =
     new GenericDatumReader[Any](
-      new Schema.Parser().parse(writerSchemas.head._2), readerSchema)
+      new Schema.Parser().parse(resolver.soleSchema.get), readerSchema)
 
   /** Validate framing, read the schema id, return the resolved reader.
-    * A single-entry writer map is the single-schema convenience overload:
-    * real registries rarely assign id 1, so any unknown id falls back to
-    * that one supplied schema (the pre-dispatch behavior externally
-    * produced frames rely on). Multi-entry maps are registry stand-ins
-    * where a miss is a genuine config error — those stay strict. */
+    * A resolver in single-schema convenience mode ([[SchemaResolver
+    * .soleSchema]]) answers any unknown id with that one schema — real
+    * registries rarely assign id 1, so externally produced frames rely
+    * on this pre-dispatch behavior. Multi-schema resolvers stay strict:
+    * a miss is a genuine config error. */
   protected def readerFor(bytes: Array[Byte]): GenericDatumReader[Any] = {
     if (bytes.length < 5 || bytes(0) != 0)
       throw new IllegalArgumentException(
         s"not Confluent wire format (len=${bytes.length})")
     val id = ByteBuffer.wrap(bytes, 1, 4).getInt
-    if (writerSchemas.contains(id))
-      readers.computeIfAbsent(id, { _ =>
-        // writer→reader resolution = the Avro spec's evolution rules
-        new GenericDatumReader[Any](
-          new Schema.Parser().parse(writerSchemas(id)), readerSchema)
-      })
-    else if (writerSchemas.size == 1) {
-      // Avro binary is not self-describing: decoding a frame written
-      // with a genuinely different schema under this fallback yields
-      // corrupt values, not a clean error — warn (once per executor)
-      // so the convenience path never fails silently
-      if (fallbackWarned.compareAndSet(false, true))
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"confluent_avro_decode: schema id $id not registered; " +
-            s"falling back to the single supplied schema (single-schema " +
-            s"convenience mode) — register an id->schema map for strict " +
-            s"dispatch")
-      fallbackReader
-    } else throw new IllegalArgumentException(
-      s"schema id $id not registered (known: ${writerSchemas.keys.toSeq.sorted.mkString(",")})")
+    resolver.resolve(id) match {
+      case Some(writer) =>
+        readers.computeIfAbsent(id, { _ =>
+          // writer→reader resolution = the Avro spec's evolution rules
+          new GenericDatumReader[Any](
+            new Schema.Parser().parse(writer), readerSchema)
+        })
+      case None if resolver.soleSchema.isDefined =>
+        // Avro binary is not self-describing: decoding a frame written
+        // with a genuinely different schema under this fallback yields
+        // corrupt values, not a clean error — warn (once per executor)
+        // so the convenience path never fails silently
+        if (fallbackWarned.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"confluent_avro_decode: schema id $id not registered; " +
+              s"falling back to the single supplied schema (single-schema " +
+              s"convenience mode) — register an id->schema resolver for " +
+              s"strict dispatch")
+        fallbackReader
+      case None => throw new IllegalArgumentException(
+        s"schema id $id not registered (known: ${resolver.knownIds.mkString(",")})")
+    }
   }
 
   protected def decodeBody(bytes: Array[Byte]): Any = {
@@ -109,7 +112,7 @@ private[ingest] trait WireFormatDecode {
   * encoding (`GenericRecord.toString`) — the schemaless "searchable
   * string" view. */
 case class ConfluentAvroDecode(child: Expression,
-    writerSchemas: Map[Int, String], readerSchemaJson: String,
+    resolver: SchemaResolver, readerSchemaJson: String,
     permissive: Boolean = false)
     extends UnaryExpression with CodegenFallback with WireFormatDecode {
 
@@ -141,7 +144,7 @@ case class ConfluentAvroDecode(child: Expression,
  * from `AvroConverter` (SURVEY.md §1.3).
  */
 case class ConfluentAvroDecodeStruct(child: Expression,
-    writerSchemas: Map[Int, String], readerSchemaJson: String,
+    resolver: SchemaResolver, readerSchemaJson: String,
     permissive: Boolean = false)
     extends UnaryExpression with CodegenFallback with WireFormatDecode {
 
@@ -168,26 +171,35 @@ object ConfluentAvro {
   /** Single-schema JSON decode (id-dispatch degenerate case: one
     * registered writer, reader = writer). */
   def decodeJson(value: Column, schemaJson: String): Column =
-    GraftColumnBridge.column(ConfluentAvroDecode(
-      GraftColumnBridge.expression(value), Map(1 -> schemaJson), schemaJson))
+    decodeJson(value, StaticSchemaRegistry(Map(1 -> schemaJson)), schemaJson)
 
   /** Registry-style JSON decode: per-record writer dispatch + reader view. */
   def decodeJson(value: Column, writerSchemas: Map[Int, String],
       readerSchemaJson: String): Column =
+    decodeJson(value, StaticSchemaRegistry(writerSchemas), readerSchemaJson)
+
+  /** JSON decode against any [[SchemaResolver]] (registry-backed in
+    * production). */
+  def decodeJson(value: Column, resolver: SchemaResolver,
+      readerSchemaJson: String): Column =
     GraftColumnBridge.column(ConfluentAvroDecode(
-      GraftColumnBridge.expression(value), writerSchemas, readerSchemaJson))
+      GraftColumnBridge.expression(value), resolver, readerSchemaJson))
 
   /** Typed struct decode, single schema. */
   def decodeStruct(value: Column, schemaJson: String): Column =
-    GraftColumnBridge.column(ConfluentAvroDecodeStruct(
-      GraftColumnBridge.expression(value), Map(1 -> schemaJson), schemaJson))
+    decodeStruct(value, StaticSchemaRegistry(Map(1 -> schemaJson)), schemaJson)
 
   /** Registry-style typed decode: per-record writer dispatch, data
     * surfaced AS the reader schema (evolution applied per record). */
   def decodeStruct(value: Column, writerSchemas: Map[Int, String],
       readerSchemaJson: String): Column =
+    decodeStruct(value, StaticSchemaRegistry(writerSchemas), readerSchemaJson)
+
+  /** Typed decode against any [[SchemaResolver]]. */
+  def decodeStruct(value: Column, resolver: SchemaResolver,
+      readerSchemaJson: String): Column =
     GraftColumnBridge.column(ConfluentAvroDecodeStruct(
-      GraftColumnBridge.expression(value), writerSchemas, readerSchemaJson))
+      GraftColumnBridge.expression(value), resolver, readerSchemaJson))
 
   /** PERMISSIVE typed decode — the `from_json` PERMISSIVE analog:
     * corrupt/undecodable frames yield NULL instead of failing the job
@@ -196,15 +208,15 @@ object ConfluentAvro {
   def decodeStructPermissive(value: Column,
       writerSchemas: Map[Int, String], readerSchemaJson: String): Column =
     GraftColumnBridge.column(ConfluentAvroDecodeStruct(
-      GraftColumnBridge.expression(value), writerSchemas, readerSchemaJson,
-      permissive = true))
+      GraftColumnBridge.expression(value), StaticSchemaRegistry(writerSchemas),
+      readerSchemaJson, permissive = true))
 
   /** PERMISSIVE JSON-string decode (see [[decodeStructPermissive]]). */
   def decodeJsonPermissive(value: Column,
       writerSchemas: Map[Int, String], readerSchemaJson: String): Column =
     GraftColumnBridge.column(ConfluentAvroDecode(
-      GraftColumnBridge.expression(value), writerSchemas, readerSchemaJson,
-      permissive = true))
+      GraftColumnBridge.expression(value), StaticSchemaRegistry(writerSchemas),
+      readerSchemaJson, permissive = true))
 
   /** Non-null union branches of a union schema. */
   private def unionBranches(s: Schema): Seq[Schema] =
@@ -334,9 +346,15 @@ object ConfluentAvro {
   /** Registry-style flavor of [[decodeOrTombstone]]: per-record writer
     * dispatch with the data surfaced as `readerSchemaJson`. */
   def decodeOrTombstone(value: Column, writerSchemas: Map[Int, String],
+      readerSchemaJson: String): (Column, Column) =
+    decodeOrTombstone(value, StaticSchemaRegistry(writerSchemas),
+      readerSchemaJson)
+
+  /** [[decodeOrTombstone]] against any [[SchemaResolver]]. */
+  def decodeOrTombstone(value: Column, resolver: SchemaResolver,
       readerSchemaJson: String): (Column, Column) = {
     val schema = new Schema.Parser().parse(readerSchemaJson)
-    val decoded = decodeStruct(value, writerSchemas, readerSchemaJson)
+    val decoded = decodeStruct(value, resolver, readerSchemaJson)
     val (st, structVal) = sparkType(schema) match {
       case s: StructType => (s, decoded)
       case other => // non-record topic: wrap into a 1-field struct
@@ -344,7 +362,7 @@ object ConfluentAvro {
           struct(decoded.as("value")))
     }
     val json = when(value.isNull, lit(graft.model.Envelope.Tombstone))
-      .otherwise(decodeJson(value, writerSchemas, readerSchemaJson))
+      .otherwise(decodeJson(value, resolver, readerSchemaJson))
     val structCol = when(value.isNull, lit(null).cast(st))
       .otherwise(structVal)
     (structCol, json)

@@ -179,6 +179,41 @@ class AvroPipelineSpec extends SparkSpec {
     assert(ex.getMessage.contains("7") || ex.getCause != null)
   }
 
+  test("custom SchemaResolver drives the decode: dynamic id→schema " +
+      "resolution matches the static-map result") {
+    // a resolver that COMPUTES the writer schema from the id instead of
+    // holding a map — the registry-client shape: resolve() may do I/O in
+    // production; here it derives v1/v2 from id parity
+    val dynamic = new graft.ingest.SchemaResolver {
+      override def resolve(id: Int): Option[String] =
+        if (id == 1) Some(AvroIngest.EventV1)
+        else if (id == 2) Some(AvroIngest.EventV2)
+        else None
+      override def knownIds: Seq[Int] = Seq(1, 2)
+      override def soleSchema: Option[String] = None
+    }
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+      .where($"event_id" < 20)
+    val framed = ev.select($"event_id",
+      when(pmod($"event_id", lit(2)) === 0,
+        graft.ingest.ConfluentAvroEncode.encode(
+          struct($"event_type", $"value"), AvroIngest.EventV1, 1))
+        .otherwise(graft.ingest.ConfluentAvroEncode.encode(
+          struct($"event_type", $"value", $"props"), AvroIngest.EventV2, 2))
+        .as("framed"))
+    def decoded(r: graft.ingest.SchemaResolver) = framed
+      .select($"event_id", ConfluentAvro.decodeStruct(
+        $"framed", r, AvroIngest.EventV2).as("v"))
+      .select($"event_id", $"v.event_type", $"v.value", $"v.props")
+      .orderBy($"event_id").collect()
+    val viaStatic =
+      decoded(graft.ingest.StaticSchemaRegistry(
+        Map(1 -> AvroIngest.EventV1, 2 -> AvroIngest.EventV2)))
+    val viaDynamic = decoded(dynamic)
+    assert(viaDynamic.sameElements(viaStatic))
+    assert(viaDynamic.length == 20)
+  }
+
   test("timestamp-millis encode floors pre-epoch sub-ms values (no drift)") {
     import graft.ingest.ConfluentAvroEncode
     val s = """{"type":"record","name":"T","fields":[
