@@ -71,7 +71,8 @@ object Bench {
     "x59_dedup_index_reuse", "x61_ann_index_reuse",
     "x62_dedup_index_probe", "x63_ann_index_probe",
     "x64_dedup_index_append", "x60_pipeline",
-    "x12_media_decode", "x65_media_resize", "x66_wav_decode")
+    "x12_media_decode", "x65_media_resize", "x66_wav_decode",
+    "q32_skew_join")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

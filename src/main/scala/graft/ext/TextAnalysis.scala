@@ -980,10 +980,21 @@ object TextAnalysis {
    * BM25.
    */
   def bigramNll(spark: SparkSession, dir: String,
-      lambda: Double = 0.75): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+      lambda: Double = 0.75): DataFrame =
+    bigramNllOf(Tables.load(spark, dir, "documents"), lambda)
+
+  /** [[bigramNll]] over any (doc_id, text) frame — the property suite
+    * feeds arbitrary corpora through this to pin the exact-integer
+    * nano-nat contract ([[graft.StatsProps]]). */
+  private[graft] def bigramNllOf(docs: DataFrame,
+      lambda: Double): DataFrame = {
     val bigrams = docs.select(col("doc_id"),
         split(col("text"), " ").as("toks"))
+      // single-token docs have no bigrams — and MUST be filtered before
+      // the transform: sequence(1, 0) is DESCENDING in Spark ([1, 0]),
+      // so without the guard a 1-token doc indexes toks[1] out of
+      // bounds (ANSI error). Caught by StatsProps on arbitrary corpora.
+      .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1)," +
           " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("bg"))

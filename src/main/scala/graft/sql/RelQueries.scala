@@ -444,6 +444,43 @@ object RelQueries {
    * skew-join: AQE splits oversized SMJ partitions at runtime, salting
    * fixes the aggregation-feed and shuffle-hash cases AQE can't.
    */
+  /**
+   * Q32 — PLANTED-HEAVY-KEY JOIN, the AQE skew-handling demonstration
+   * (and q24's counterpart: WHEN NOT TO SALT). 70% of the fact collapses
+   * onto one literal hot key, then joins a per-key dim through a plain
+   * shuffled equi-join. No salting, no hints: at scale AQE detects the
+   * oversized partition at runtime and splits it across tasks —
+   * `SkewSpec` executes this exact shape with an unbroadcastable dim and
+   * skew thresholds proportionate to fixture bytes and pins
+   * `skew=true` on the SortMergeJoin node of the final adaptive plan.
+   * [[Skew.saltedEquiJoin]] (q24) remains for what AQE does NOT cover:
+   * skew feeding a hash AGGREGATE (no join node to split) and
+   * first-shuffle skew under `spark.sql.adaptive.forceOptimizeSkewedJoin
+   * =false` interacting with required child distributions.
+   */
+  def q32SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val fact = ev.select(col("event_id"),
+      when(col("event_id") % 10 < 7, lit("hot"))
+        .otherwise(col("event_type")).as("k"),
+      col("value"))
+    // per-key reference dim — in production a table too WIDE to
+    // broadcast; a literal stand-in here. Deliberately NOT an aggregate
+    // of the fact: AQE's skew rule only matches a join whose two inputs
+    // are plain ENSURE_REQUIREMENTS shuffles (SMJ(Sort(Shuffle),
+    // Sort(Shuffle))) — an aggregate under the join hides the stage and
+    // the hot partition would never split
+    val dim = Seq("hot", "click", "error", "purchase", "signup", "view")
+      .zipWithIndex.map { case (k, i) => (k, (i + 1) * 10L) }
+      .toDF("k", "k_weight")
+    fact.join(dim, "k")
+      .groupBy(col("k"), col("k_weight"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec4(col("value"))).cast("double"), 4).as("sum_v"))
+      .orderBy(col("k"))
+  }
+
   def q24SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val fact = ev.select(col("event_id"), col("event_type"))
@@ -657,6 +694,7 @@ object RelQueries {
     "q22_asof_join" -> (q22AsofJoin _),
     "q23_range_join" -> (q23RangeJoin _),
     "q24_salted_join" -> (q24SaltedJoin _),
+    "q32_skew_join" -> (q32SkewJoin _),
     "q25_sessionize" -> (q25Sessionize _),
     "q26_funnel" -> (q26Funnel _),
     "q27_window_ranks" -> (q27WindowRanks _),
@@ -890,6 +928,20 @@ object RelQueries {
         |SELECT e.event_id, COALESCE(n_events_5m, 0) AS n_events_5m,
         |       COALESCE(n_users_5m, 0) AS n_users_5m
         |FROM err e LEFT JOIN c USING (event_id) ORDER BY event_id""".stripMargin,
+
+    // q32: AQE's runtime skew split changes only the physical execution —
+    // the oracle is the same logical join/aggregate.
+    "q32_skew_join" ->
+      """WITH f AS (SELECT event_id,
+        |    CASE WHEN event_id % 10 < 7 THEN 'hot' ELSE event_type END AS k,
+        |    "value" FROM events),
+        |d AS (SELECT * FROM (VALUES ('hot', 10), ('click', 20),
+        |    ('error', 30), ('purchase', 40), ('signup', 50), ('view', 60))
+        |    AS t(k, w))
+        |SELECT k, CAST(w AS BIGINT) AS k_weight, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS sum_v
+        |FROM f JOIN d USING (k) GROUP BY k, w ORDER BY k""".stripMargin,
 
     // q24: salting changes only the physical partitioning — the oracle is
     // the plain unsalted join.

@@ -41,6 +41,51 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits the planted heavy key at runtime: SortMergeJoin " +
+      "carries skew=true in the final adaptive plan (q32's shape)") {
+    // q32's exact join shape: 70% of events on one literal key, dim
+    // unbroadcastable (threshold -1), skew thresholds proportionate to
+    // the fixture's shuffle bytes — at production defaults the same
+    // trigger fires at 256 MB partitions
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2kb",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1kb",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // AQE splits a skewed REDUCE partition at MAPPER-output boundaries:
+      // a single-mapper scan is unsplittable, so fan the tiny fixture
+      // scan out into several input splits (at real scale the mapper
+      // count is already in the thousands)
+      "spark.sql.files.maxPartitionBytes" -> "4kb",
+      "spark.sql.files.openCostInBytes" -> "512b") {
+      import spark.implicits._
+      // the fixture parquet is ONE row group → one effective mapper, and
+      // a skewed reduce partition can only split at mapper boundaries;
+      // repartition(8) stands in for the thousands of scan splits a real
+      // table has
+      val ev = Tables.load(spark, sf, "events").repartition(8)
+      val fact = ev.select(col("event_id"),
+        when(col("event_id") % 10 < 7, lit("hot"))
+          .otherwise(col("event_type")).as("k"),
+        col("value"))
+      val dim = Seq("hot", "click", "error", "purchase", "signup", "view")
+        .zipWithIndex.map { case (k, i) => (k, (i + 1) * 10L) }
+        .toDF("k", "k_weight")
+      val joined = fact.join(dim, "k")
+      // materialize THIS frame's own QueryExecution (a write/count builds
+      // a separate one whose adaptive plan we couldn't inspect)
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"), plan)
+      // and the result is the plain join's result regardless of the split
+      assert(rows.length == ev.count())
+    }
+  }
+
   private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
