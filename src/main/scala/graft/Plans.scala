@@ -74,6 +74,10 @@ object Plans {
     "x58_normalize" -> "normalization: map-only regex projection; the only exchange is the output sort",
     "x59_dedup_index_reuse" -> "index reuse: query-time corpus side is the STORED band-key-bucketed signature table (no documents rescan, no re-shingling, no corpus-side exchange); only the batch side shingles+shuffles",
     "x61_ann_index_reuse" -> "IVF index reuse: probe joins the STORED assignment table only — no embeddings scan, no k-means rerun in the query plan",
+    "q32_skew_join" -> "planted heavy key: plain shuffled join, AQE splits the hot partition at runtime (SkewSpec pins skew=true)",
+    "x12_media_decode" -> "real PPM decode: map-only mapPartitions codec, no shuffle, payloads never on the driver",
+    "x66_wav_decode" -> "real WAV chunk-walk decode: map-only flatMap to per-channel rows",
+    "x67_split" -> "stratified hash split: map-only projection + one tiny aggregate",
     "x60_pipeline" -> "composed curation pipeline: normalize fuses into the scans; dedup is the band join + one left-anti; decontam spans broadcast; chunk is map-only; pack + epoch shuffle are two slim windows — NOTHING materialized between stages")
 
   def main(args: Array[String]): Unit = {

@@ -105,6 +105,8 @@ object ExtQueries {
     "x65_media_resize" -> (Multimodal.resizeFeatures _),
     // real RIFF/WAVE chunk walk + PCM16 decode, per-channel energy stats
     "x66_wav_decode" -> (Multimodal.wavChannelStats _),
+    // deterministic stratified train/val/test hash split (audit table)
+    "x67_split" -> (TextAnalysis.stratifiedSplit _),
     "x13_dedup_embed" -> ((s: SparkSession, d: String) =>
       Similarity.embedNearDupPairs(s, d)),
     "x14_media_frames" -> ((s: SparkSession, d: String) =>
@@ -1448,6 +1450,26 @@ object ExtQueries {
         |  CAST(sum(a * a) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(a)) AS BIGINT) AS peak_abs
         |FROM v GROUP BY doc_id, ns, c ORDER BY media_id, channel""".stripMargin,
+
+    // x67: the md5-hex→int recipe (q19/x36 precedent) mod 1000 gives
+    // the split bucket; thresholds and token counts are exact integers.
+    "x67_split" ->
+      """WITH b AS (SELECT source, doc_id,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+        |      c -> instr('0123456789abcdef', c) - 1),
+        |      (a, b) -> a * 16 + b) % 1000 AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |p AS (SELECT source, bucket, n_toks,
+        |    CASE WHEN bucket < 960 THEN 'train'
+        |         WHEN bucket < 980 THEN 'val' ELSE 'test' END AS part
+        |  FROM b)
+        |SELECT source, part, COUNT(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS tok_sum,
+        |  CAST(min(bucket) AS BIGINT) AS b_min,
+        |  CAST(max(bucket) AS BIGINT) AS b_max
+        |FROM p GROUP BY source, part ORDER BY source, part""".stripMargin,
 
     // x41: composes the PROVEN x8 / x28 / x17 oracle forms (identical
     // score rounding, span md5s, bucket hex parse) under the same gate

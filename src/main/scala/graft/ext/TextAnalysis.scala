@@ -371,6 +371,35 @@ object TextAnalysis {
    * recipe" step that builds a training mix from heterogeneous sources).
    * Same selection on every engine and every run.
    */
+  /**
+   * x67 — STRATIFIED TRAIN/VAL/TEST SPLIT: the deterministic hash split
+   * every corpus build ships — bucket = first 8 md5 hex digits of the
+   * doc id, mod 1000; buckets <960 train, <980 val, rest test. A doc's
+   * assignment depends only on its own id, so the split is stable under
+   * corpus growth and identical across engines/runs (the q19/x36 md5
+   * recipe), and per-source stratification is free because the hash is
+   * uniform within every source. Emits the per-(source, split) audit
+   * table: doc counts, token sums, bucket range. Map-only projection +
+   * one hash aggregate over ~|sources|×3 groups — a single pass at any
+   * scale, no shuffle beyond the tiny final aggregate.
+   */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 1000
+    val part = when(col("bucket") < 960, "train")
+      .when(col("bucket") < 980, "val").otherwise("test")
+    docs.select(col("source"), col("doc_id"), bucket.as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("part", part)
+      .groupBy(col("source"), col("part"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("tok_sum"),
+        min(col("bucket")).as("b_min"),
+        max(col("bucket")).as("b_max"))
+      .orderBy(col("source"), col("part"))
+  }
+
   def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val bucket = conv(substring(md5(col("doc_id").cast("string")

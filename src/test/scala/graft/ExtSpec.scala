@@ -835,6 +835,32 @@ class ExtSpec extends SparkSpec {
     assert(t.where(col("rk") === 1).count() == 500)
   }
 
+  test("stratified split: parts partition the corpus ~96/2/2, assignment " +
+      "deterministic and source-stratified") {
+    val s = TextAnalysis.stratifiedSplit(spark, sf)
+    val rows = s.collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == 500)
+    val byPart = rows.groupBy(_.getAs[String]("part"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    // hash split: train ≈ 96%, val+test ≈ 4% (uniform md5 buckets)
+    assert(byPart("train") > 450 && byPart("train") < 495)
+    assert(byPart.getOrElse("val", 0L) + byPart.getOrElse("test", 0L)
+      == 500 - byPart("train"))
+    // bucket audit columns respect the split boundaries
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("b_min"), r.getAs[Long]("b_max"))
+      r.getAs[String]("part") match {
+        case "train" => assert(lo >= 0 && hi < 960)
+        case "val"   => assert(lo >= 960 && hi < 980)
+        case "test"  => assert(lo >= 980 && hi < 1000)
+      }
+    }
+    // deterministic: identical on re-run
+    assert(TextAnalysis.stratifiedSplit(spark, sf).collect()
+      .sameElements(rows))
+  }
+
   test("multimodal: metadata real; PPM codec round-trips and matches closed form") {
     val meta = Multimodal.mediaMetadata(spark, sf)
     val row = meta.where(col("media_id") === 0).head()
