@@ -91,6 +91,11 @@ object ExtQueries {
     // their own bucketed segment; batch-2 probes corpus + appended.
     "x64_dedup_index_append" -> ((s: SparkSession, d: String) =>
       Dedup.dedupIndexAppend(s, d)),
+    // x68: the ANN counterpart — new vectors assigned via STORED
+    // centroids (no k-means rerun), own bucketed segment, one GLOBAL
+    // top-k across corpus+segment.
+    "x68_ann_index_append" -> ((s: SparkSession, d: String) =>
+      Similarity.annIndexAppend(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
     "x8_quality" -> (TextAnalysis.qualityScore _),
     "x9_tokens" -> (TextAnalysis.tokenCounts _),
@@ -315,6 +320,40 @@ object ExtQueries {
        |${kmStepSql(0)},
        |${kmStepSql(1)},
        |${kmAsgSql("asg", "cent2")}""".stripMargin
+
+  /** x68's oracle: the same stored-centroid k-means replay, with the
+    * appended segment and the queries BOTH assigned via the final cent2
+    * table (exactly what "no k-means rerun" means), then one global
+    * top-k over corpus ∪ segment. */
+  private lazy val annIndexAppendSql: String =
+    s"""WITH $kmeansCtes,
+       |seg AS (SELECT vec_id + 1000000 AS vec_id, emb
+       |        FROM e WHERE vec_id % 5 = 0),
+       |sega AS (SELECT vec_id, emb, centroid_id AS bucket FROM (
+       |    SELECT s.vec_id, s.emb, c.centroid_id, row_number() OVER (
+       |        PARTITION BY s.vec_id
+       |        ORDER BY round(list_cosine_similarity(s.emb, c.cv), 6) DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM seg s, cent2 c) WHERE rn = 1),
+       |q AS (SELECT vec_id + 2000000 AS query_id, emb AS qv,
+       |             centroid_id AS bucket FROM (
+       |    SELECT s.vec_id, s.emb, c.centroid_id, row_number() OVER (
+       |        PARTITION BY s.vec_id
+       |        ORDER BY round(list_cosine_similarity(s.emb, c.cv), 6) DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM (SELECT vec_id, emb FROM e WHERE vec_id % 7 = 0) s, cent2 c)
+       |    WHERE rn = 1),
+       |allasg AS (SELECT vec_id, emb, bucket FROM asg
+       |           UNION ALL SELECT vec_id, emb, bucket FROM sega),
+       |scored AS (SELECT query_id, a.bucket, a.vec_id AS cand_id,
+       |    round(list_cosine_similarity(qv, a.emb), 6) AS sim
+       |  FROM allasg a JOIN q USING (bucket)),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+       |      FROM scored)
+       |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 3
+       |ORDER BY query_id, rn""".stripMargin
 
   /** Query terms of the x22 BM25 fixture query (shared with its oracle). */
   private val Bm25Terms = Seq("spark", "query", "stream")
@@ -907,6 +946,7 @@ object ExtQueries {
     // values) — the oracle replays x6's k-means + probe unchanged.
     "x61_ann_index_reuse" -> annIvfStoredSql,
     "x63_ann_index_probe" -> annIvfStoredSql,
+    "x68_ann_index_append" -> annIndexAppendSql,
     // x64: the segment-append oracle (see indexAppendSql).
     "x64_dedup_index_append" -> indexAppendSql,
 

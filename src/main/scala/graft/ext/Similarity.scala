@@ -343,6 +343,62 @@ object Similarity {
   }
 
   /**
+   * x68 — IVF SEGMENT-APPEND maintenance (the ANN counterpart of
+   * [[graft.ext.Dedup.dedupIndexAppend]], x64): a NEW VECTOR BATCH
+   * (every 5th embedding, ids +1e6) joins the index WITHOUT re-running
+   * k-means — each new vector is assigned against the STORED centroid
+   * table (a k×dim broadcast scalar; the one bounded collect this
+   * module documents) and persisted as its OWN bucketed segment, the
+   * ES/Lucene segment model. Query time: new out-of-corpus queries
+   * (every 7th embedding, ids +2e6) likewise bucket-assign via the
+   * stored centroids, then probe corpus + appended segments UNIONED,
+   * with ONE global top-k window across segments (a per-segment top-k
+   * would be wrong the moment a true neighbor lives in the new
+   * segment). Queries whose source id is divisible by 35 must find
+   * their verbatim +1e6 copy at sim 1.0 (spec-pinned). Centroid drift
+   * under appends is the documented operational limit: production
+   * re-clusters when segment skew degrades recall; the probe path is
+   * unchanged by that rebuild.
+   */
+  def annIndexAppend(spark: SparkSession, dir: String,
+      nCentroids: Int = 8, k: Int = 3, iterations: Int = 2): DataFrame = {
+    val suffix = Dedup.indexSuffix(dir)
+    val idxTable = s"graft_ivf_index_$suffix"
+    if (!spark.catalog.tableExists(idxTable))
+      buildAnnIndex(spark, dir, nCentroids, iterations)
+    val tmp = sys.props("java.io.tmpdir")
+    // stored centroids: k×dim, the bounded broadcast-scalar collect
+    val stored = spark.read.parquet(s"$tmp/graft_index/graft_ivf_centroids_$suffix")
+      .orderBy(col("centroid_id")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    def bucketOf(c: Column): Column = graft.functions.NearestCentroid
+      .nearest(c, stored).getField("bucket").cast("long")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val segTable = idxTable + "_seg1"
+    graft.sink.BucketedTables.writeBucketed(
+      emb.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          bucketOf(col("embedding")).as("bucket")),
+      segTable, "bucket", 8, path = Some(s"$tmp/graft_index/$segTable"))
+    val queries = emb.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 2000000L).as("query_id"),
+        col("embedding").as("q"), bucketOf(col("embedding")).as("bucket"))
+    val assigned = spark.table(idxTable).unionByName(spark.table(segTable))
+    val scored = assigned
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+        col("bucket"))
+      .join(broadcast(queries), "bucket")
+      .withColumn("sim", round(cosine(col("q"), col("c")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("bucket"), col("cand_id"), col("sim"),
+        col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /**
    * INT8 EMBEDDING QUANTIZATION — the storage/serving compression step of
    * an embedding pipeline (a float32 corpus shrinks 4× before ANN
    * serving). Symmetric per-vector max-abs scaling: `scale = max|x_i|`,

@@ -46,4 +46,25 @@ class IndexReuseSpec extends SparkSpec {
       s"query-time plan must read only the stored index:\n$plan")
     assert(plan.contains("graft_ivf_index_"), plan)
   }
+
+  test("IVF segment append: stored-centroid assignment, global top-k " +
+      "across segments; planted copies rediscovered at sim 1.0") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.annIndexAppend(spark, sf)
+    // queries are every 7th vec (+2e6); those with source id % 35 == 0
+    // have a verbatim copy in the appended segment (+1e6) — the GLOBAL
+    // top-k must surface it at similarity 1.0
+    val emb = graft.ingest.Tables.load(spark, sf, "embeddings")
+    val n = emb.count()
+    (0L until n by 35L).foreach { src =>
+      val hits = out.where(col("query_id") === src + 2000000L &&
+        col("cand_id") === src + 1000000L).collect()
+      assert(hits.length == 1, s"query ${src + 2000000L} must rediscover " +
+        s"its appended copy ${src + 1000000L}")
+      assert(hits.head.getAs[Double]("sim") == 1.0)
+    }
+    // every query also sees its own corpus source at sim 1.0, rank <= 2
+    val self = out.where(col("cand_id") === col("query_id") - 2000000L)
+    assert(self.where(col("sim") =!= 1.0).count() == 0)
+  }
 }
