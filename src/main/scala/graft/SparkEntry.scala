@@ -527,6 +527,12 @@ object SparkEntry {
       graft.streaming.StreamPipeline.streamDedupWatermarked(s,
         Pipeline.envelopeFlat(s, dir))),
 
+    // ---- stream-stream interval join: q26's funnel correlation as two --
+    // ---- watermarked unbounded streams, state TTL'd by the time bounds -
+    "kq46_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.streamIntervalJoin(s,
+        graft.ingest.Tables.load(s, dir, "events"))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -994,6 +1000,17 @@ object SparkEntry {
         |  count(DISTINCT coalesce(value_json, '__null_payload__'))
         |    AS n_distinct
         |FROM env GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // kq46: a finite replay of the inner interval join emits exactly the
+    // batch time-bounded self-join (watermarks bound state, not emission).
+    "kq46_stream_join" ->
+      """SELECT s.user_id, s.event_id AS s_id, p.event_id AS p_id,
+        |  epoch_us(p.ts) - epoch_us(s.ts) AS gap_us
+        |FROM events s JOIN events p
+        |  ON s.user_id = p.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
+        |ORDER BY s.user_id, s_id, p_id""".stripMargin,
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

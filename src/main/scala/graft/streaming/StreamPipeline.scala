@@ -498,4 +498,67 @@ object StreamPipeline {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }
+
+  /**
+   * kq46 — STREAM-STREAM INTERVAL JOIN, watermarked on BOTH sides: the
+   * live form of q26's funnel correlation — every (signup, purchase)
+   * pair of the same user with the purchase inside 24 h of the signup,
+   * joined as two unbounded streams. The event-time range condition +
+   * the two watermarks are what make this run forever: Spark derives a
+   * state TTL for each side from them (a signup can be dropped once the
+   * purchase-side watermark passes its ts + 24 h; a purchase once the
+   * signup-side watermark passes its ts), so state is bounded by
+   * rate × (horizon + delay) instead of the full history. The join
+   * shuffles both streams on user_id once — same co-partitioning story
+   * as the batch funnel at 100 TB.
+   *
+   * Determinism for the oracle: inner stream-stream join results emit as
+   * soon as both rows have arrived (the watermark bounds STATE, not
+   * emission), so a finite AvailableNow replay — both sides fully
+   * present — emits exactly the batch interval join; DuckDB replays it
+   * as a plain time-bounded self-join.
+   */
+  def streamIntervalJoin(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq46-join").toString
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts"))
+    ev.write.mode("overwrite").parquet(s"$work/in")
+    val out = java.nio.file.Files.createTempDirectory("kq46-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    try {
+      def side(t: String, u: String, id: String, ts: String) =
+        spark.readStream.schema(ev.schema).parquet(s"$work/in")
+          .where(col("event_type") === t)
+          .select(col("user_id").as(u), col("event_id").as(id),
+            col("ts").as(ts))
+          .withWatermark(ts, delay)
+      val q = side("signup", "u", "s_id", "s_ts")
+        .join(side("purchase", "u2", "p_id", "p_ts"), expr(
+          "u = u2 AND p_ts >= s_ts AND p_ts <= s_ts + interval 24 hours"))
+        .select(col("u").as("user_id"), col("s_id"), col("p_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+            .as("gap_us"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("gap_us",
+          org.apache.spark.sql.types.LongType)))
+      spark.read.schema(schema).parquet(out.toString)
+        .orderBy(col("user_id"), col("s_id"), col("p_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
 }

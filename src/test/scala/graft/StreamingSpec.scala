@@ -252,4 +252,29 @@ class StreamingSpec extends SparkSpec {
     // suppressed at least one row
     assert(got.values.sum < flat.count())
   }
+
+  test("stream-stream interval join: watermarked streaming pairs equal " +
+      "the batch time-bounded join exactly") {
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+    val streamed = StreamPipeline.streamIntervalJoin(spark, ev).collect()
+    val s = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("s_id"),
+        col("ts").as("s_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val batch = s.join(p, col("user_id") === col("u2") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("interval 24 hours"))
+      .select(col("user_id"), col("s_id"), col("p_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+          .as("gap_us"))
+      .orderBy(col("user_id"), col("s_id"), col("p_id")).collect()
+    assert(streamed.sameElements(batch))
+    assert(streamed.nonEmpty)
+    // every gap respects the interval bounds
+    assert(streamed.forall { r =>
+      val g = r.getAs[Long]("gap_us"); g >= 0 && g <= 86400000000L
+    })
+  }
 }
