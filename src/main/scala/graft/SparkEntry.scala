@@ -533,6 +533,12 @@ object SparkEntry {
       graft.streaming.StreamPipeline.streamIntervalJoin(s,
         graft.ingest.Tables.load(s, dir, "events"))),
 
+    // ---- left-outer interval join: null-extended rows emitted BY the ---
+    // ---- watermark (state eviction), the deep outer-join semantics -----
+    "kq47_stream_join_outer" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.streamIntervalJoinOuter(s,
+        graft.ingest.Tables.load(s, dir, "events"))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -1011,6 +1017,32 @@ object SparkEntry {
         | AND s.event_type = 'signup' AND p.event_type = 'purchase'
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
         |ORDER BY s.user_id, s_id, p_id""".stripMargin,
+
+    // kq47: matched pairs emit unconditionally (inner semantics); a
+    // null-extended signup emits iff no match exists AND the final join
+    // watermark (min of the two streams' max event time, ms, − delay)
+    // has passed its 24 h horizon — signups nearer the end of data are
+    // ABSENT by bounded-state semantics.
+    "kq47_stream_join_outer" ->
+      """WITH s AS (SELECT user_id, event_id AS s_id, ts AS s_ts
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT s.user_id, s.s_id, p.p_id,
+        |        epoch_us(p.p_ts) - epoch_us(s.s_ts) AS gap_us
+        |      FROM s JOIN p ON s.user_id = p.user_id
+        |        AND p.p_ts >= s.s_ts
+        |        AND p.p_ts <= s.s_ts + INTERVAL 24 HOURS),
+        |wm AS (SELECT least((SELECT epoch_ms(max(s_ts)) FROM s),
+        |                    (SELECT epoch_ms(max(p_ts)) FROM p))
+        |              - 3600000 AS wm_ms),
+        |un AS (SELECT s.user_id, s.s_id, CAST(NULL AS BIGINT) AS p_id,
+        |         CAST(NULL AS BIGINT) AS gap_us
+        |       FROM s, wm
+        |       WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.s_id = s.s_id)
+        |         AND wm_ms > epoch_ms(s_ts) + 86400000)
+        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM un)
+        |ORDER BY user_id, s_id, p_id""".stripMargin,
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

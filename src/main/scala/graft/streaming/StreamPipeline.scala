@@ -561,4 +561,68 @@ object StreamPipeline {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }
+
+  /**
+   * kq47 — LEFT-OUTER stream-stream interval join: kq46 with the
+   * unmatched signups KEPT — the semantically deep case, because an
+   * unbounded join cannot know "no purchase will ever come" except
+   * through the watermark: a signup's null-extended row is emitted only
+   * when the purchase-side watermark passes s_ts + horizon (match now
+   * impossible), i.e. OUTER results are emitted BY state eviction, not
+   * by arrival. Consequence on a finite replay: signups too close to
+   * the end of the data (watermark never passes their horizon) are
+   * ABSENT from the outer result — that is the bounded-state semantics,
+   * exactly like kq44's open tail windows, not data loss.
+   *
+   * Oracle determinism: final watermark = floor-to-ms(min over the two
+   * streams' max event time) − delay (each side's watermark is its own
+   * max − delay; the JOIN operator advances on the MIN). Matched pairs
+   * emit unconditionally (inner semantics); a null-extended row emits
+   * iff it has no match AND wm_ms > s_ts_ms + horizon_ms. DuckDB
+   * replays both legs as pure batch predicates.
+   */
+  def streamIntervalJoinOuter(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, delay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq47-join").toString
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts"))
+    ev.write.mode("overwrite").parquet(s"$work/in")
+    val out = java.nio.file.Files.createTempDirectory("kq47-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    try {
+      def side(t: String, u: String, id: String, ts: String) =
+        spark.readStream.schema(ev.schema).parquet(s"$work/in")
+          .where(col("event_type") === t)
+          .select(col("user_id").as(u), col("event_id").as(id),
+            col("ts").as(ts))
+          .withWatermark(ts, delay)
+      val q = side("signup", "u", "s_id", "s_ts")
+        .join(side("purchase", "u2", "p_id", "p_ts"), expr(
+          "u = u2 AND p_ts >= s_ts AND p_ts <= s_ts + interval 24 hours"),
+          "leftOuter")
+        .select(col("u").as("user_id"), col("s_id"), col("p_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+            .as("gap_us"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("gap_us",
+          org.apache.spark.sql.types.LongType)))
+      spark.read.schema(schema).parquet(out.toString)
+        .orderBy(col("user_id"), col("s_id"), col("p_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
 }

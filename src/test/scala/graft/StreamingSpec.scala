@@ -277,4 +277,30 @@ class StreamingSpec extends SparkSpec {
       val g = r.getAs[Long]("gap_us"); g >= 0 && g <= 86400000000L
     })
   }
+
+  test("left-outer interval join: null-extended signups are exactly the " +
+      "unmatched ones the final watermark closed") {
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+    val out = StreamPipeline.streamIntervalJoinOuter(spark, ev)
+    val matched = out.where(col("p_id").isNotNull)
+    val nulls = out.where(col("p_id").isNull)
+    // inner leg == kq46's join
+    val inner = StreamPipeline.streamIntervalJoin(spark, ev)
+    assert(matched.collect().sameElements(inner.collect()))
+    // null leg: unmatched AND s_ts + 24h behind the min-side watermark
+    val s = ev.where(col("event_type") === "signup")
+    val p = ev.where(col("event_type") === "purchase")
+    val wmMs = math.min(
+      s.agg(max(unix_millis(col("ts")))).head().getLong(0),
+      p.agg(max(unix_millis(col("ts")))).head().getLong(0)) - 3600000L
+    val expected = s.join(p.select(col("user_id").as("u2"),
+          col("ts").as("p_ts")),
+        col("user_id") === col("u2") && col("p_ts") >= col("ts") &&
+          col("p_ts") <= col("ts") + expr("interval 24 hours"),
+        "left_anti")
+      .where(unix_millis(col("ts")) + 86400000L < wmMs)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(nulls.collect().map(_.getAs[Long]("s_id")).toSet == expected)
+    assert(nulls.count() > 0) // the outer leg is genuinely exercised
+  }
 }
