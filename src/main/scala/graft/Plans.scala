@@ -78,6 +78,7 @@ object Plans {
     "x12_media_decode" -> "real PPM decode: map-only mapPartitions codec, no shuffle, payloads never on the driver",
     "x66_wav_decode" -> "real WAV chunk-walk decode: map-only flatMap to per-channel rows",
     "x67_split" -> "stratified hash split: map-only projection + one tiny aggregate",
+    "x68_ann_index_append" -> "IVF segment append: stored-centroid assignment (broadcast scalar), bucketed segment scan union, one global top-k",
     "x60_pipeline" -> "composed curation pipeline: normalize fuses into the scans; dedup is the band join + one left-anti; decontam spans broadcast; chunk is map-only; pack + epoch shuffle are two slim windows — NOTHING materialized between stages")
 
   def main(args: Array[String]): Unit = {
