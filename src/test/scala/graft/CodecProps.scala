@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.ext.Multimodal
+
+/**
+ * Pure-JVM property checks for the multimodal codecs — no Spark, so they
+ * run at ScalaCheck speed and pin the codec layer independently of the
+ * plumbing: encode → decode is the identity on ARBITRARY inputs, not just
+ * the closed-form fixture payloads the oracles cover.
+ */
+object CodecProps extends Properties("mediaCodecs") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(200)
+
+  private val genDims: Gen[(Int, Int)] = for {
+    w <- Gen.choose(1, 32)
+    h <- Gen.choose(1, 32)
+  } yield (w, h)
+
+  private def genPixels(w: Int, h: Int): Gen[Array[Byte]] =
+    Gen.containerOfN[Array, Byte](w * h * 3, Gen.choose(
+      Byte.MinValue, Byte.MaxValue))
+
+  property("PPM encode→decode is identity: header round-trips, channel " +
+      "sums equal direct byte sums") =
+    Prop.forAll(genDims.flatMap { case (w, h) =>
+      genPixels(w, h).map(px => (w, h, px))
+    }) { case (w, h, px) =>
+      val bytes = Multimodal.encodePpm(w, h, px)
+      val (dw, dh, r, g, b) = Multimodal.ppmChannelSums(bytes)
+      val ref = Array(0L, 0L, 0L)
+      px.zipWithIndex.foreach { case (v, i) => ref(i % 3) += (v & 0xff) }
+      dw == w && dh == h && r == ref(0) && g == ref(1) && b == ref(2)
+    }
+
+  property("PPM resize: output dims floor-halve; every output pixel is " +
+      "the floor-average of its source block") =
+    Prop.forAll(genDims.suchThat { case (w, h) => w >= 2 && h >= 2 }
+      .flatMap { case (w, h) => genPixels(w, h).map(px => (w, h, px)) }) {
+      case (w, h, px) =>
+        val resized = Multimodal.resizePpmBytes(
+          Multimodal.encodePpm(w, h, px), 2)
+        val (ow, oh, off) = {
+          val (a, b, _, o) = Multimodal.ppmHeader(resized); (a, b, o)
+        }
+        def src(y: Int, x: Int, c: Int): Long =
+          px((y * w + x) * 3 + c) & 0xff
+        ow == w / 2 && oh == h / 2 && (0 until oh).forall(by =>
+          (0 until ow).forall(bx => (0 until 3).forall { c =>
+            val want = (src(by * 2, bx * 2, c) + src(by * 2, bx * 2 + 1, c) +
+              src(by * 2 + 1, bx * 2, c) + src(by * 2 + 1, bx * 2 + 1, c)) / 4
+            (resized(off + (by * ow + bx) * 3 + c) & 0xff).toLong == want
+          }))
+    }
+
+  private val genWav: Gen[(Int, Array[Int])] = for {
+    nch <- Gen.choose(1, 4)
+    frames <- Gen.choose(1, 128)
+    samples <- Gen.containerOfN[Array, Int](frames * nch,
+      Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+  } yield (nch, samples)
+
+  property("WAV encode→decode is identity: chunk walker skips LIST, " +
+      "per-channel sumSq/peak/frames equal direct sums") =
+    Prop.forAll(genWav) { case (nch, interleaved) =>
+      val stats = Multimodal.wavChannelSums(
+        Multimodal.encodeWav(nch, interleaved))
+      val frames = interleaved.length / nch
+      stats.size == nch && stats.forall { case (c, fr, sq, pk) =>
+        val chan = interleaved.zipWithIndex.collect {
+          case (v, i) if i % nch == c => v.toLong
+        }
+        fr == frames && sq == chan.map(v => v * v).sum &&
+          pk == (if (chan.isEmpty) 0L else chan.map(math.abs).max)
+      }
+    }
+
+  property("corrupt headers are rejected, never misparsed") =
+    Prop.forAll(Gen.containerOfN[Array, Byte](16,
+      Gen.choose(Byte.MinValue, Byte.MaxValue))) { junk =>
+      val ppm = scala.util.Try(Multimodal.ppmChannelSums(junk)).isFailure ||
+        (junk.length > 2 && junk(0) == 'P' && junk(1) == '6')
+      val wav = scala.util.Try(Multimodal.wavChannelSums(junk)).isFailure ||
+        junk.startsWith("RIFF".getBytes("US-ASCII"))
+      ppm && wav
+    }
+}
