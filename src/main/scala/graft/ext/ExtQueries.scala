@@ -112,6 +112,9 @@ object ExtQueries {
     "x66_wav_decode" -> (Multimodal.wavChannelStats _),
     // deterministic stratified train/val/test hash split (audit table)
     "x67_split" -> (TextAnalysis.stratifiedSplit _),
+    // hybrid search: BM25 ∪ dense-vector rankings fused by RRF (rank-only)
+    "x69_hybrid_rrf" -> ((s: SparkSession, d: String) =>
+      Similarity.hybridRrf(s, d)),
     "x13_dedup_embed" -> ((s: SparkSession, d: String) =>
       Similarity.embedNearDupPairs(s, d)),
     "x14_media_frames" -> ((s: SparkSession, d: String) =>
@@ -354,6 +357,32 @@ object ExtQueries {
        |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn
        |FROM r WHERE rn <= 3
        |ORDER BY query_id, rn""".stripMargin
+
+  /** x69's oracle: the pinned x22 BM25 oracle embedded verbatim as the
+    * lexical leg, the x5 cosine form as the vector leg, fused by
+    * rank-only RRF — each term ONE double division, fixed add order. */
+  private lazy val hybridRrfSql: String =
+    s"""WITH lex AS (SELECT doc_id, rank AS r_lex
+       |             FROM (${bm25OracleSql(Seq("spark", "query", "stream"), 20)
+                              .replace("\n", "\n               ")}) t),
+       |v AS (SELECT e.vec_id AS doc_id,
+       |        round(${cosSql("q0.qv", "e.embedding")}, 6) AS sim
+       |      FROM (SELECT embedding AS qv FROM embeddings
+       |            WHERE vec_id = 0) q0,
+       |           embeddings e WHERE e.vec_id <> 0),
+       |vr AS (SELECT doc_id, CAST(row_number() OVER (
+       |         ORDER BY sim DESC, doc_id) AS INT) AS r_vec FROM v),
+       |vec AS (SELECT doc_id, r_vec FROM vr WHERE r_vec <= 20),
+       |fused AS (SELECT COALESCE(l.doc_id, vec.doc_id) AS doc_id,
+       |    l.r_lex, vec.r_vec,
+       |    round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0)
+       |        + COALESCE(CAST(1 AS DOUBLE) / (60 + vec.r_vec), 0), 6)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN vec ON l.doc_id = vec.doc_id),
+       |rr AS (SELECT *, CAST(row_number() OVER (
+       |         ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fused)
+       |SELECT doc_id, r_lex, r_vec, rrf, rank FROM rr WHERE rank <= 10
+       |ORDER BY rank""".stripMargin
 
   /** Query terms of the x22 BM25 fixture query (shared with its oracle). */
   private val Bm25Terms = Seq("spark", "query", "stream")
@@ -947,6 +976,7 @@ object ExtQueries {
     "x61_ann_index_reuse" -> annIvfStoredSql,
     "x63_ann_index_probe" -> annIvfStoredSql,
     "x68_ann_index_append" -> annIndexAppendSql,
+    "x69_hybrid_rrf" -> hybridRrfSql,
     // x64: the segment-append oracle (see indexAppendSql).
     "x64_dedup_index_append" -> indexAppendSql,
 

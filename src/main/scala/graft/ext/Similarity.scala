@@ -516,4 +516,58 @@ object Similarity {
         col("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /**
+   * x69 — HYBRID SEARCH via Reciprocal Rank Fusion (ES 8.x's `rrf`
+   * retriever): the lexical BM25 ranking (x22's analyzed query) fused
+   * with a dense-vector cosine ranking (query vector = embedding 0, the
+   * stand-in for an externally encoded query) by
+   * `score = Σ_lists 1/(K + rank)`, K = 60 — the standard fusion that
+   * needs NO score normalization because it consumes ranks only, which
+   * is exactly why it composes arbitrary retrievers. Docs missing from
+   * a list contribute 0 for it (retrieved-lists semantics).
+   *
+   * Both legs reuse their pinned deterministic orders (BM25 6dp score
+   * desc, doc_id; cosine 6dp desc, vec_id) and their scale shapes
+   * (postings-pruned aggregate; broadcast query × corpus scan with
+   * TakeOrdered top-depth — the corpus side swaps to the IVF probe
+   * unchanged). Fusion itself is a full-outer join of two ≤depth-row
+   * frames — driver-free, broadcast-size.
+   *
+   * Cross-engine determinism: ranks are exact ints; each RRF term is ONE
+   * double division `1.0/(60+rank)`, summed in fixed lex-then-vec order.
+   * No 6dp rounding tie is possible: a reduced denominator (60+r) ∈
+   * [61, 80] containing any prime other than 2/5 gives a non-terminating
+   * decimal (can't land on an exact half), and the only 2^a·5^b values
+   * (64, 80) terminate within 6 digits.
+   */
+  def hybridRrf(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "query", "stream"),
+      depth: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    val lex = graft.ext.TextAnalysis.bm25(
+        Tables.load(spark, dir, "documents"), "doc_id", "text", terms, depth)
+      .select(col("doc_id"), col("rank").as("r_lex"))
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q0 = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val vecTop = emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 6))
+      .orderBy(col("sim").desc, col("vec_id")).limit(depth)
+    val vec = vecTop.withColumn("r_vec", row_number().over(
+        Window.partitionBy(col("sim") - col("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("r_vec"))
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0)), 6))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("rrf") - col("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"),
+        col("rank"))
+      .orderBy(col("rank"))
+  }
 }

