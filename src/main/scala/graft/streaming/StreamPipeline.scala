@@ -518,8 +518,32 @@ object StreamPipeline {
    * present — emits exactly the batch interval join; DuckDB replays it
    * as a plain time-bounded self-join.
    */
+  /** Run `f` with the session's shuffle partitions temporarily lowered.
+    * A stateful streaming query instantiates one state-store provider
+    * per shuffle partition per stateful operator (a join has TWO); at
+    * local fixture scale the 32-partition default is ~7 s of pure
+    * provider/checkpoint setup per run, while the state itself is tiny.
+    * A real cluster sizes this to state volume instead (state rows /
+    * partition must fit memory); the join semantics are unaffected —
+    * each fresh run here checkpoints from scratch, so the partition
+    * count is free to differ between runs. */
+  private def withStreamingPartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   def streamIntervalJoin(spark: org.apache.spark.sql.SparkSession,
-      events: DataFrame, delay: String = "1 hour"): DataFrame = {
+      events: DataFrame, delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
+      streamIntervalJoinImpl(spark, events, delay, "inner")
+    }
+
+  private def streamIntervalJoinImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, delay: String, joinType: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val work = java.nio.file.Files.createTempDirectory("kq46-join").toString
     val ev = events.select(col("user_id"), col("event_id"),
@@ -536,7 +560,8 @@ object StreamPipeline {
           .withWatermark(ts, delay)
       val q = side("signup", "u", "s_id", "s_ts")
         .join(side("purchase", "u2", "p_id", "p_ts"), expr(
-          "u = u2 AND p_ts >= s_ts AND p_ts <= s_ts + interval 24 hours"))
+          "u = u2 AND p_ts >= s_ts AND p_ts <= s_ts + interval 24 hours"),
+          joinType)
         .select(col("u").as("user_id"), col("s_id"), col("p_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
             .as("gap_us"))
@@ -582,47 +607,8 @@ object StreamPipeline {
    * replays both legs as pure batch predicates.
    */
   def streamIntervalJoinOuter(spark: org.apache.spark.sql.SparkSession,
-      events: DataFrame, delay: String = "1 hour"): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val work = java.nio.file.Files.createTempDirectory("kq47-join").toString
-    val ev = events.select(col("user_id"), col("event_id"),
-      col("event_type"), col("ts"))
-    ev.write.mode("overwrite").parquet(s"$work/in")
-    val out = java.nio.file.Files.createTempDirectory("kq47-out").toFile
-    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
-    try {
-      def side(t: String, u: String, id: String, ts: String) =
-        spark.readStream.schema(ev.schema).parquet(s"$work/in")
-          .where(col("event_type") === t)
-          .select(col("user_id").as(u), col("event_id").as(id),
-            col("ts").as(ts))
-          .withWatermark(ts, delay)
-      val q = side("signup", "u", "s_id", "s_ts")
-        .join(side("purchase", "u2", "p_id", "p_ts"), expr(
-          "u = u2 AND p_ts >= s_ts AND p_ts <= s_ts + interval 24 hours"),
-          "leftOuter")
-        .select(col("u").as("user_id"), col("s_id"), col("p_id"),
-          (unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
-            .as("gap_us"))
-        .writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("s_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("p_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("gap_us",
-          org.apache.spark.sql.types.LongType)))
-      spark.read.schema(schema).parquet(out.toString)
-        .orderBy(col("user_id"), col("s_id"), col("p_id"))
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      events: DataFrame, delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
+      streamIntervalJoinImpl(spark, events, delay, "leftOuter")
     }
-  }
 }
