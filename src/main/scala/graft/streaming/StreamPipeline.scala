@@ -262,7 +262,7 @@ object StreamPipeline {
    * 6·Σn), so the oracle replays it with no floating-point threshold.
    */
   def windowAlertBatch(spark: org.apache.spark.sql.SparkSession,
-      envFlat: DataFrame): DataFrame = {
+      envFlat: DataFrame): DataFrame = withStreamingPartitions(spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val work = java.nio.file.Files.createTempDirectory("kq42-alert").toString
     envFlat.write.mode("overwrite").parquet(s"$work/in")
@@ -320,7 +320,8 @@ object StreamPipeline {
    * is the bounded-state semantics, not data loss.
    */
   def windowAlertWatermarked(spark: org.apache.spark.sql.SparkSession,
-      envFlat: DataFrame, delay: String = "1 hour"): DataFrame = {
+      envFlat: DataFrame, delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val work = java.nio.file.Files.createTempDirectory("kq44-alert").toString
     envFlat.write.mode("overwrite").parquet(s"$work/in")
@@ -370,7 +371,8 @@ object StreamPipeline {
    * watermark delay of each other".
    */
   def streamDedupWatermarked(spark: org.apache.spark.sql.SparkSession,
-      envFlat: DataFrame, delay: String = "48 hours"): DataFrame = {
+      envFlat: DataFrame, delay: String = "48 hours"): DataFrame =
+    withStreamingPartitions(spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val work = java.nio.file.Files.createTempDirectory("kq45-dedup").toString
     envFlat.write.mode("overwrite").parquet(s"$work/in")
@@ -417,7 +419,7 @@ object StreamPipeline {
    * finite so the exact variant is the honest equivalent here.
    */
   def streamDedupBatch(spark: org.apache.spark.sql.SparkSession,
-      envFlat: DataFrame): DataFrame = {
+      envFlat: DataFrame): DataFrame = withStreamingPartitions(spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     val work = java.nio.file.Files.createTempDirectory("kq43-dedup").toString
     envFlat.write.mode("overwrite").parquet(s"$work/in")
