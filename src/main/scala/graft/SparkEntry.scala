@@ -539,6 +539,13 @@ object SparkEntry {
       graft.streaming.StreamPipeline.streamIntervalJoinOuter(s,
         graft.ingest.Tables.load(s, dir, "events"))),
 
+    // ---- watermarked streaming session windows: q25's sessionization ---
+    // ---- as bounded-state streaming; open tail sessions absent by ------
+    // ---- semantics (emitted only once the watermark passes their end) --
+    "kq48_stream_session" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.sessionWindowWatermarked(s,
+        graft.ingest.Tables.load(s, dir, "events"))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -984,9 +991,11 @@ object SparkEntry {
 
     // kq44: kq42's window counts restricted to CLOSED windows — the
     // append-mode emission set. Watermark = floor-to-ms(max event time
-    // over the filtered stream) - 1h; a window is emitted once
-    // window_end <= watermark. Pure batch predicate, no streaming state
-    // in the oracle.
+    // over the filtered stream) - 1h; a TUMBLING window is emitted once
+    // window_end <= watermark (end == wm EMITS — probed in
+    // StreamingSpec; note session windows differ: kq48's rule is the
+    // strict end < wm). Pure batch predicate, no streaming state in the
+    // oracle.
     "kq44_stream_alert_wm" ->
       (envSql + """, w AS (
         |  SELECT make_timestamp((CAST(floor(epoch("timestamp")) AS BIGINT)
@@ -1043,6 +1052,34 @@ object SparkEntry {
         |         AND wm_ms > epoch_ms(s_ts) + 86400000)
         |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM un)
         |ORDER BY user_id, s_id, p_id""".stripMargin,
+
+    // kq48: session_window semantics — events span [ts, ts+gap) and merge
+    // on OVERLAP only, so the islands form breaks on diff >= gap (NOT
+    // q25's diff > gap); a session emits once its end (µs) is STRICTLY
+    // before the final watermark (floor-to-ms(max ts) − 1h, in µs) —
+    // end == wm is NOT emitted (pinned empirically in StreamingSpec).
+    "kq48_stream_session" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_idx
+        |  FROM g),
+        |agg AS (
+        |  SELECT user_id, min(us) AS start_us,
+        |    max(us) + 1800000000 AS end_us, count(*) AS n_events
+        |  FROM s GROUP BY user_id, session_idx),
+        |m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
+        |SELECT user_id, start_us, end_us, n_events FROM agg, m
+        |WHERE end_us < (mx_ms - 3600000) * 1000
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

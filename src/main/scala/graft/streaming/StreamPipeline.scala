@@ -613,4 +613,79 @@ object StreamPipeline {
     withStreamingPartitions(spark, 8) {
       streamIntervalJoinImpl(spark, events, delay, "leftOuter")
     }
+
+  /**
+   * kq48 — watermarked streaming SESSION WINDOWS (Append mode), the
+   * production form of q25's batch sessionization: per-user activity
+   * sessions over an unbounded event stream via `session_window`, with
+   * state bounded by the watermark (open sessions are kept only until
+   * the watermark passes their end; everything older is emitted once
+   * and evicted). [[sessionActivity]] proved the operator at spec
+   * level; this entry is the driver-checked, oracle-backed form.
+   *
+   * Two boundary semantics the oracle must encode EXACTLY (both pinned
+   * in StreamingSpec with planted boundary rows):
+   *
+   *  - MERGE RULE: each event spans `[ts, ts + gap)` and sessions merge
+   *    only on OVERLAP, so two events exactly `gap` apart are two
+   *    sessions — the batch islands form must break on `diff >= gap`,
+   *    not q25's `diff > gap` (half-open windows; an event at a
+   *    session's `end` belongs to the next session).
+   *  - EMISSION RULE: a session is emitted once
+   *    `session_end < watermark` — STRICTLY before; a session ending
+   *    exactly at the watermark stays open (pinned empirically in
+   *    StreamingSpec, including a sub-ms-before-wm session that IS
+   *    emitted, so the predicate is µs-grain `<`, not `<= wm − 1ms`).
+   *    The watermark on a finite AvailableNow replay is
+   *    floor-to-ms(max event time) − delay (event-time stats are
+   *    tracked in MILLISECONDS; session ends keep µs precision, so the
+   *    oracle compares µs against wm_ms × 1000). The open tail
+   *    sessions are absent BY SEMANTICS, kq44's rule.
+   *
+   * At 100 TB: state is per-user open sessions inside the watermark
+   * horizon only — rate × horizon rows, independent of history; the
+   * aggregation shuffles once on user_id and session merging is a
+   * per-key sorted scan inside the state store.
+   */
+  def sessionWindowWatermarked(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, gap: String = "30 minutes",
+      delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq48-sess").toString
+    val ev = events.select(col("user_id"), col("event_id"), col("ts"))
+    ev.write.mode("overwrite").parquet(s"$work/in")
+    val out = java.nio.file.Files.createTempDirectory("kq48-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    try {
+      val q = spark.readStream.schema(ev.schema).parquet(s"$work/in")
+        .withWatermark("ts", delay)
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("start_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("end_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType)))
+      spark.read.schema(schema).parquet(out.toString)
+        .orderBy(col("user_id"), col("start_us"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
 }

@@ -278,6 +278,83 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("session windows (watermarked append): boundary semantics — exact-gap " +
+      "events split; end==wm withheld, end sub-ms before wm emitted") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two events exactly 30 min apart — half-open [ts, ts+gap)
+    // windows do NOT overlap, so they are TWO sessions
+    // user 2: lone early event, session end 09:30 — safely closed
+    // user 99: the watermark setter — max ts 11:30 → wm = 10:30, which is
+    // EXACTLY user 1's first session end (the <= emission boundary)
+    val ev = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")),
+      (1L, 11L, t("2024-01-01 10:30:00")),
+      (2L, 20L, t("2024-01-01 09:00:00")),
+      // end = 10:29:59.999500 — 500 µs BEFORE the ms-grained watermark
+      (3L, 30L, t("2024-01-01 09:59:59.9995")),
+      (99L, 90L, t("2024-01-01 11:30:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val out = StreamPipeline.sessionWindowWatermarked(spark, ev)
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def us(s: String) = t(s).getTime * 1000L
+    assert(out == Set(
+      (2L, us("2024-01-01 09:00:00"), us("2024-01-01 09:30:00"), 1L),
+      // sub-ms before the watermark → emitted: the predicate is a strict
+      // µs-grain end < wm, not end <= wm - 1ms
+      (3L, us("2024-01-01 09:59:59") + 999500L,
+        us("2024-01-01 10:29:59") + 999500L, 1L)))
+    // user 1's FIRST session ends exactly AT the watermark and is NOT
+    // emitted (strict <); the second (end 11:00) and user 99's (end
+    // 12:00) are past the watermark — withheld open state
+  }
+
+  test("tumbling windows (watermarked append): kq44's emission boundary is " +
+      "end <= wm — end==wm EMITS, unlike session windows' strict rule") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 6 h windows, 1 h delay. Window [00:00, 06:00) closes against the
+    // watermark set by the max event time:
+    //   max 07:00:00.000 → wm 06:00:00.000 == end → EMITTED (<=)
+    //   max 06:59:59.999 → wm 05:59:59.999 <  end → withheld
+    // (session windows differ: kq48's probe shows end == wm stays open
+    // there — the two operators' eviction predicates are NOT the same)
+    def run(maxTs: String): Set[(java.sql.Timestamp, String, Long)] =
+      StreamPipeline.windowAlertWatermarked(spark,
+        Seq(("click", t("2024-01-01 01:00:00")),
+          ("view", t(maxTs))).toDF("event_type", "timestamp"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(run("2024-01-01 07:00:00") ==
+      Set((t("2024-01-01 00:00:00"), "click", 1L)))
+    assert(run("2024-01-01 06:59:59.999") == Set.empty)
+  }
+
+  test("session windows (watermarked append): streamed fixture sessions " +
+      "equal the batch islands form with >= gap splits and the wm filter") {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800000000L
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+    val streamed = StreamPipeline.sessionWindowWatermarked(spark, ev).collect()
+    val evUs = ev.select($"user_id", $"event_id",
+      unix_micros($"ts").as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wmUs = (ev.agg(max(unix_millis($"ts"))).head().getLong(0)
+      - 3600000L) * 1000L
+    val batch = evUs
+      .withColumn("brk", when(lag($"us", 1).over(w).isNull ||
+        $"us" - lag($"us", 1).over(w) >= gapUs, 1L).otherwise(0L))
+      .withColumn("sidx", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sidx")
+      .agg(min($"us").as("start_us"),
+        (max($"us") + gapUs).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .where($"end_us" < wmUs)
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .orderBy($"user_id", $"start_us").collect()
+    assert(streamed.sameElements(batch))
+    assert(streamed.nonEmpty)
+  }
+
   test("left-outer interval join: null-extended signups are exactly the " +
       "unmatched ones the final watermark closed") {
     val ev = graft.ingest.Tables.load(spark, sf, "events")
