@@ -98,6 +98,9 @@ object ExtQueries {
       Similarity.annIndexAppend(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
     "x8_quality" -> (TextAnalysis.qualityScore _),
+    // model-based quality filter: hashed-linear (fastText-style)
+    // classifier scored by a native map-only expression
+    "x70_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "x9_tokens" -> (TextAnalysis.tokenCounts _),
     "x10_fingerprint" -> (TextAnalysis.fingerprint _),
     "x11_media_meta" -> (Multimodal.mediaMetadata _),
@@ -1028,6 +1031,20 @@ object ExtQueries {
         |        len(list_distinct(string_split(text, ' '))) AS n_types
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // x70: per-token md5 → 32-bit hash (SimHash32's pinned '0x'||hex
+    // recipe) → bucket mod 1024 → closed-form integer weight; list_sum
+    // over every occurrence. All-integer — exact hash parity.
+    "x70_quality_classifier" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> (('0x' || substr(md5(t), 1, 8))::BIGINT % 1024)
+        |         * 131 % 997 - 498)) AS BIGINT) AS score,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> (('0x' || substr(md5(t), 1, 8))::BIGINT % 1024)
+        |         * 131 % 997 - 498)) AS BIGINT) > 0 AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x9_tokens" ->
       """SELECT doc_id,

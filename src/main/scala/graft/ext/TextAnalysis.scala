@@ -119,6 +119,33 @@ object TextAnalysis {
   }
 
   /**
+   * Model-based quality classification (x70) — the step the x8 heuristics
+   * gate ahead of: a fastText-style hashed-linear classifier scored at
+   * inference time over every document (the FineWeb-Edu / DCLM filtering
+   * shape). Each token occurrence hashes into one of 1024 weight buckets
+   * ([[graft.functions.HashedLinearScore]]'s pinned md5 contract) and the
+   * document's score is the integer weight sum; `kept = score > 0` is the
+   * filter decision. The weight table is a deterministic closed form —
+   * `w(b) = (b·131 mod 997) − 498` — so the DuckDB oracle recomputes the
+   * exact scores without a model artifact; swapping trained weights in
+   * changes one lookup, not the plan.
+   *
+   * Plan: ONE map-only projection (native per-row fold — no explode, no
+   * shuffle, no higher-order interpreted lambda); at 100 TB this runs at
+   * scan speed next to the x8 heuristics in the same stage.
+   */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.functions.HashedLinearScore.hashedLinearScore(col("text"))
+          .as("score"))
+      .withColumn("kept", col("score") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Token counting: whitespace tokens, a BPE-ish regex segmentation
    * (letter runs / digit runs / other), and the chars/4 heuristic LLM
    * token estimate.

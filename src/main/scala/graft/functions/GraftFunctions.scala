@@ -54,6 +54,8 @@ object GraftFunctions {
           .asInstanceOf[Int])),
     "bigram_stats" ->
       (exprs => BigramStats(exprs.head)),
+    "hashed_linear_score" ->
+      (exprs => HashedLinearScore(exprs.head)),
     "analyze_tokens" ->
       (exprs => AnalyzeTokens(exprs.head)),
     // phrase is a plan-time constant (like word_shingles' n): analyzed

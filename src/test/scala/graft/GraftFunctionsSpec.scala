@@ -65,6 +65,45 @@ class GraftFunctionsSpec extends SparkSpec {
       .contains("0..2"))
   }
 
+  test("hashed_linear_score: native fold == declarative higher-order " +
+      "formulation == driver-side MessageDigest reference, on fixture docs") {
+    import org.apache.spark.sql.functions.expr
+    val docs = graft.ingest.Tables.load(spark, sf, "documents").limit(50)
+    val rows = docs.select($"text",
+        graft.functions.HashedLinearScore.hashedLinearScore($"text")
+          .as("native"),
+        expr("aggregate(transform(split(text, ' ', -1), t -> " +
+          "(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 1024)" +
+          " * 131 % 997 - 498), 0L, (a, x) -> a + x)").as("declarative"))
+      .collect()
+    assert(rows.length == 50)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("native") == r.getAs[Long]("declarative"))
+      val ref = r.getAs[String]("text").split(" ", -1).map { t =>
+        val d = md.digest(t.getBytes("UTF-8")); md.reset()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        ((h % 1024L) * 131L) % 997L - 498L
+      }.sum
+      assert(r.getAs[Long]("native") == ref)
+    }
+    // the filter genuinely discriminates: both classes occur
+    val kept = rows.count(_.getAs[Long]("native") > 0)
+    assert(kept > 0 && kept < rows.length)
+    // the SQL registration resolves it too
+    view
+    val viaSql = sqlRows(
+      "SELECT hashed_linear_score(text) FROM gf_docs WHERE id = 1")
+    assert(viaSql.head.getLong(0) ==
+      "the purchase went through".split(" ", -1).map { t =>
+        val d = md.digest(t.getBytes("UTF-8")); md.reset()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        ((h % 1024L) * 131L) % 997L - 498L
+      }.sum)
+  }
+
   test("non-foldable plan-time-constant arguments fail as " +
       "NON_FOLDABLE_ARGUMENT, not INTERNAL_ERROR") {
     view
