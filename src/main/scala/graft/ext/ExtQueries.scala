@@ -120,6 +120,10 @@ object ExtQueries {
       Similarity.hybridRrf(s, d)),
     "x13_dedup_embed" -> ((s: SparkSession, d: String) =>
       Similarity.embedNearDupPairs(s, d)),
+    // SemDeDup: k-means-cluster-scoped semantic dedup, keep-farthest-
+    // from-centroid dominance rule
+    "x71_semdedup" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedup(s, d)),
     "x14_media_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(s, d)),
     "x15_tfidf" -> ((s: SparkSession, d: String) =>
@@ -972,6 +976,32 @@ object ExtQueries {
          |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= 3
          |ORDER BY query_id, rn""".stripMargin,
+
+    // x71: same k-means replay, then the SemDeDup dominance rule within
+    // each cluster — a vector is pruned iff a same-cluster τ-neighbor
+    // (round(cos,6) >= 0.35; the fixture vectors are near-random, max
+    // within-cluster cosine ≈ 0.47, so τ is set where a real kept/pruned
+    // mix exists) precedes it in (csim ASC, vec_id ASC); csim is the
+    // vector's OWN rounded centroid cosine from the assignment.
+    "x71_semdedup" ->
+      s"""WITH $kmeansCtes,
+         |sc AS (SELECT a.vec_id, a.bucket, a.emb,
+         |    round(list_cosine_similarity(a.emb, c.cv), 6) AS csim
+         |  FROM asg a JOIN cent2 c ON a.bucket = c.centroid_id),
+         |pr AS (SELECT x.vec_id, x.csim, y.vec_id AS o_id, y.csim AS o_csim
+         |  FROM sc x JOIN sc y
+         |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+         |   AND round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.35),
+         |ag AS (SELECT vec_id, count(*) AS n_dups,
+         |    max(CASE WHEN o_csim < csim
+         |             OR (o_csim = csim AND o_id < vec_id)
+         |             THEN 1 ELSE 0 END) AS dominated
+         |  FROM pr GROUP BY 1)
+         |SELECT s.vec_id, s.bucket, s.csim,
+         |  CAST(COALESCE(ag.n_dups, 0) AS BIGINT) AS n_dups,
+         |  COALESCE(ag.dominated, 0) = 0 AS kept
+         |FROM sc s LEFT JOIN ag USING (vec_id)
+         |ORDER BY s.vec_id""".stripMargin,
 
     // x61/x63: identical result contract to x6 by construction (the
     // persisted index changes WHERE the assignments come from, not their

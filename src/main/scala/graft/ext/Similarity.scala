@@ -260,6 +260,60 @@ object Similarity {
   }
 
   /**
+   * x71 — SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023): the
+   * cluster-scoped embedding dedup that makes semantic pruning tractable
+   * at corpus scale. Where x13/x20 find near-dup PAIRS globally, SemDeDup
+   * k-means-clusters the embedding space first and compares ONLY within
+   * clusters — O(Σ|cluster|²) instead of O(N²), and each cluster's
+   * pairwise block is an independent task (at 100 TB: cap cluster sizes
+   * via more centroids; the shuffle key is the cluster id).
+   *
+   * Keep rule (the paper's): within a τ-similar group, keep the example
+   * FARTHEST from its centroid (low centroid-sim = the informative
+   * outlier; the prototypical redundant copies drop). Declaratively: a
+   * vector is pruned iff some same-cluster τ-neighbor precedes it in
+   * (centroid_sim ASC, vec_id ASC) order — the standard one-pass
+   * dominance approximation of the paper's greedy sweep (a dominated
+   * item drops even if its dominator also dropped; same guarantee
+   * direction — never keeps two τ-neighbors where the greedy would keep
+   * one — and no sequential dependency).
+   *
+   * All comparisons use round(cos, 6) (the x6 idiom) with vec_id
+   * tiebreaks, so the order is total and the DuckDB oracle replays the
+   * identical k-means (shared kmeansCtes), assignment, and dominance
+   * predicate bit-for-bit.
+   */
+  def semDedup(spark: SparkSession, dir: String, nCentroids: Int = 8,
+      iterations: Int = 2, threshold: Double = 0.35): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = kmeansCentroids(emb, nCentroids, iterations)
+    val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
+      centroids)
+    val asg = emb.select(col("vec_id"), col("embedding"),
+      nc.getField("bucket").cast("long").as("bucket"),
+      nc.getField("csim").as("csim"))
+    val l = asg.select(col("bucket"), col("vec_id"), col("embedding"),
+      col("csim"))
+    val r = asg.select(col("bucket").as("o_bucket"),
+      col("vec_id").as("o_id"), col("embedding").as("o_emb"),
+      col("csim").as("o_csim"))
+    val neighbors = l.join(r,
+        col("bucket") === col("o_bucket") && col("vec_id") =!= col("o_id"))
+      .where(round(cosine(col("embedding"), col("o_emb")), 6)
+        >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(when(col("o_csim") < col("csim") ||
+          (col("o_csim") === col("csim") && col("o_id") < col("vec_id")),
+          1L).otherwise(0L)).as("dominated"))
+    asg.join(neighbors, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("csim"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("dominated"), lit(0L)) === 0L).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /**
    * x61 — "index once, query many" for ANN (the IVF counterpart of
    * [[graft.ext.Dedup.dedupIndexReuse]]): the expensive build — Lloyd
    * iterations (driver-synced k×dim centroids) plus the full-corpus

@@ -516,6 +516,52 @@ class ExtSpec extends SparkSpec {
     assert(joined.where(col("sim") > col("best")).count() == 0)
   }
 
+  test("semdedup: matches a driver-side dominance reference on the real " +
+      "assignment; loners always kept; a real kept/pruned mix exists") {
+    val out = Similarity.semDedup(spark, sf).collect()
+    assert(out.length == 500)
+    // independent reference: recompute the dominance sweep from the
+    // operator's OWN (bucket, csim) assignment plus exact pairwise
+    // cosines over the raw fixture vectors
+    val emb = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap.map { case (k, v) => k -> v.map(_.toDouble).toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byBucket = out.groupBy(_.getAs[Long]("bucket"))
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id"); val cs = r.getAs[Double]("csim")
+      val mates = byBucket(r.getAs[Long]("bucket")).filter(
+        _.getAs[Long]("vec_id") != id)
+      val neigh = mates.filter(m =>
+        cos(emb(id), emb(m.getAs[Long]("vec_id"))) >= 0.35)
+      assert(r.getAs[Long]("n_dups") == neigh.length.toLong, s"n_dups $id")
+      val dominated = neigh.exists { m =>
+        val ocs = m.getAs[Double]("csim")
+        ocs < cs || (ocs == cs && m.getAs[Long]("vec_id") < id)
+      }
+      assert(r.getAs[Boolean]("kept") == !dominated, s"kept $id")
+    }
+    val kept = out.count(_.getAs[Boolean]("kept"))
+    assert(kept > 0 && kept < out.length)
+    // the dominance order keeps the farthest-from-centroid member of
+    // every cluster's candidate set: per bucket, the minimum (csim, id)
+    // among vectors WITH neighbors is always kept
+    byBucket.values.foreach { rows =>
+      val withNeigh = rows.filter(_.getAs[Long]("n_dups") > 0)
+      if (withNeigh.nonEmpty) {
+        val first = withNeigh.minBy(r =>
+          (r.getAs[Double]("csim"), r.getAs[Long]("vec_id")))
+        assert(first.getAs[Boolean]("kept"))
+      }
+    }
+  }
+
   test("multi-probe IVF: recall vs brute truth >= single-probe recall; " +
       "probing 2 buckets can only add candidates") {
     val truth = Similarity.knnBrute(spark, sf, nQueries = 10, k = 3)
