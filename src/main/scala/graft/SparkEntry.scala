@@ -546,6 +546,13 @@ object SparkEntry {
       graft.streaming.StreamPipeline.sessionWindowWatermarked(s,
         graft.ingest.Tables.load(s, dir, "events"))),
 
+    // ---- transformWithState event-time TIMERS: alert-on-absence — the --
+    // ---- trigger is the ABSENCE of rows, fired by the watermark; state -
+    // ---- clears on emission, live users stay armed -----------------------
+    "kq49_stream_inactivity" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.inactivityWatch(s,
+        graft.ingest.Tables.load(s, dir, "events"))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -1080,6 +1087,20 @@ object SparkEntry {
         |SELECT user_id, start_us, end_us, n_events FROM agg, m
         |WHERE end_us < (mx_ms - 3600000) * 1000
         |ORDER BY user_id, start_us""".stripMargin,
+
+    // kq49: a user's inactivity timer (floor-to-ms(last event) + 6 h)
+    // fires once the final watermark (floor-to-ms(max ts) − 1 h) is at
+    // or past it — expiry == wm FIRES (timers share kq44's tumbling <=
+    // boundary, not kq48's strict session one; probed in StreamingSpec);
+    // the still-active tail is absent by semantics.
+    "kq49_stream_inactivity" ->
+      """WITH s AS (SELECT user_id, count(*) AS n_events,
+        |             max(epoch_us(ts)) AS last_seen_us
+        |           FROM events GROUP BY 1),
+        |m AS (SELECT epoch_ms(max(ts)) AS mx_ms FROM events)
+        |SELECT user_id, n_events, last_seen_us FROM s, m
+        |WHERE (last_seen_us // 1000) + 21600000 <= mx_ms - 3600000
+        |ORDER BY user_id""".stripMargin,
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 import graft.transform.Transforms
 
@@ -613,6 +613,138 @@ object StreamPipeline {
     withStreamingPartitions(spark, 8) {
       streamIntervalJoinImpl(spark, events, delay, "leftOuter")
     }
+
+  /** Per-user running activity plus the registered inactivity-timer
+    * expiry (ms) — the [[InactivityProcessor]]'s ValueState row. */
+  case class UserActivity(n_events: Long, last_seen_us: Long,
+      timer_ms: Long)
+  /** Input row for the inactivity watch. */
+  case class UserEvt(user_id: Long, ts: java.sql.Timestamp, us: Long)
+  /** Timer-emitted output: the user went quiet. */
+  case class InactiveUser(user_id: Long, n_events: Long,
+      last_seen_us: Long)
+
+  /**
+   * [[StatefulProcessor]] behind [[inactivityWatch]] (kq49): rows only
+   * UPDATE state (count + max event time) and re-arm an EVENT-TIME
+   * timer at `last_seen + horizon`; the output row is emitted solely by
+   * [[handleExpiredTimer]] when the watermark passes the timer — state
+   * is cleared on emission, so a user's silence is reported exactly
+   * once and the store holds only currently-active users. This is the
+   * transformWithState feature surface kq23's processor doesn't touch:
+   * TimeMode.EventTime, registerTimer/deleteTimer re-arming, and
+   * timer-driven (not row-driven) Append output.
+   */
+  class InactivityProcessor(horizonMs: Long)
+      extends StatefulProcessor[Long, UserEvt, InactiveUser] {
+    @transient private var st: ValueState[UserActivity] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserActivity]("activity",
+        Encoders.product[UserActivity], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvt],
+        timerValues: TimerValues): Iterator[InactiveUser] = {
+      var cur = Option(st.get())
+        .getOrElse(UserActivity(0L, Long.MinValue, -1L))
+      for (r <- rows)
+        cur = UserActivity(cur.n_events + 1,
+          math.max(cur.last_seen_us, r.us), cur.timer_ms)
+      // re-arm: one live timer per user at last_seen(ms, floored) + horizon
+      val expiry = math.floorDiv(cur.last_seen_us, 1000L) + horizonMs
+      if (cur.timer_ms != expiry) {
+        if (cur.timer_ms >= 0) getHandle.deleteTimer(cur.timer_ms)
+        getHandle.registerTimer(expiry)
+        cur = cur.copy(timer_ms = expiry)
+      }
+      st.update(cur)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[InactiveUser] = {
+      val cur = st.get()
+      st.clear()
+      if (cur == null) Iterator.empty
+      else Iterator.single(InactiveUser(key, cur.n_events,
+        cur.last_seen_us))
+    }
+  }
+
+  /**
+   * kq49 — INACTIVITY WATCH via transformWithState EVENT-TIME TIMERS:
+   * "alert when a user goes silent for `horizon`" — the ES Watcher /
+   * alert-on-absence shape, which no window or join can express because
+   * the trigger is the ABSENCE of rows; only a timer the watermark
+   * drives can fire it. Each user's state re-arms a timer at
+   * `last_seen + horizon`; the emission is timer-driven Append output
+   * with state cleared on fire (see [[InactivityProcessor]]).
+   *
+   * Determinism on a finite AvailableNow replay: the no-data batch
+   * advances the watermark to floor-to-ms(max event time) − delay, and
+   * a timer fires iff `expiry <= watermark` — probed in StreamingSpec:
+   * expiry == wm FIRES (timers share the tumbling-window `<=` eviction
+   * boundary, NOT kq48's strict session-window one; the three operators'
+   * boundary rules are pinned side by side). So the emitted set is
+   * exactly the users with `floor_ms(last_seen) + horizon <= wm_ms` — a
+   * pure batch predicate — and the still-active tail is absent BY
+   * SEMANTICS.
+   *
+   * At 100 TB: state is one small row + one timer per live user inside
+   * the horizon; both are keyed RocksDB entries, shuffled once on
+   * user_id — rate × horizon bounded, history-independent.
+   */
+  def inactivityWatch(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, horizonMs: Long = 21600000L,
+      delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("kq49-inact").toString
+    val ev = events.select(col("user_id"), col("ts"))
+    ev.write.mode("overwrite").parquet(s"$work/in")
+    val out = java.nio.file.Files.createTempDirectory("kq49-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream.schema(ev.schema).parquet(s"$work/in")
+        .withWatermark("ts", delay)
+        .withColumn("us", unix_micros(col("ts")))
+        .as[UserEvt]
+        .groupByKey(_.user_id)
+        .transformWithState(new InactivityProcessor(horizonMs),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("last_seen_us",
+          org.apache.spark.sql.types.LongType)))
+      spark.read.schema(schema).parquet(out.toString)
+        .orderBy(col("user_id"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
 
   /**
    * kq48 — watermarked streaming SESSION WINDOWS (Append mode), the

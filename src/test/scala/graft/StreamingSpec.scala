@@ -355,6 +355,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("inactivity watch (event-time timers): expiry == wm FIRES (the " +
+      "tumbling-window <= rule, not kq48's strict one); tail stays armed") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // horizon 6 h, delay 1 h. user 1's timer arms at 06:00:00.000:
+    //   max 07:00:00.000 → wm 06:00:00.000 == expiry → FIRES (<=)
+    //   max 06:59:59.999 → wm 05:59:59.999 <  expiry → still armed
+    def run(maxTs: String): Map[Long, (Long, Long)] =
+      StreamPipeline.inactivityWatch(spark,
+        Seq((1L, t("2024-01-01 00:00:00")),
+          (99L, t(maxTs))).toDF("user_id", "ts"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(run("2024-01-01 07:00:00") ==
+      Map(1L -> ((1L, t("2024-01-01 00:00:00").getTime * 1000L))))
+    assert(run("2024-01-01 06:59:59.999") == Map.empty)
+    // user 99 (the live tail) never fires — its horizon is open
+  }
+
+  test("inactivity watch: streamed fixture emissions equal the batch " +
+      "last-seen + horizon <= watermark predicate, counts exact") {
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+    val streamed = StreamPipeline.inactivityWatch(spark, ev).collect()
+    val wmMs =
+      ev.agg(max(unix_millis(col("ts")))).head().getLong(0) - 3600000L
+    val batch = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_seen_us"))
+      .where(floor(col("last_seen_us") / 1000L) + 21600000L <= wmMs)
+      .orderBy(col("user_id")).collect()
+    assert(streamed.sameElements(batch))
+    // both sides of the watermark genuinely occur
+    assert(streamed.nonEmpty)
+    assert(streamed.length < ev.select(col("user_id")).distinct().count())
+  }
+
   test("left-outer interval join: null-extended signups are exactly the " +
       "unmatched ones the final watermark closed") {
     val ev = graft.ingest.Tables.load(spark, sf, "events")
