@@ -79,7 +79,9 @@ object Plans {
     "x66_wav_decode" -> "real WAV chunk-walk decode: map-only flatMap to per-channel rows",
     "x67_split" -> "stratified hash split: map-only projection + one tiny aggregate",
     "x68_ann_index_append" -> "IVF segment append: stored-centroid assignment (broadcast scalar), bucketed segment scan union, one global top-k",
-    "x60_pipeline" -> "composed curation pipeline: normalize fuses into the scans; dedup is the band join + one left-anti; decontam spans broadcast; chunk is map-only; pack + epoch shuffle are two slim windows — NOTHING materialized between stages")
+    "x60_pipeline" -> "composed curation pipeline: normalize fuses into the scans; dedup is the band join + one left-anti; decontam spans broadcast; chunk is map-only; pack + epoch shuffle are two slim windows — NOTHING materialized between stages",
+    "x70_quality_classifier" -> "model-based quality filter: native hashed_linear_score fold in the scan-side projection — no explode, no shuffle except the output sort",
+    "x71_semdedup" -> "SemDeDup: zero-shuffle centroid assignment, then the pairwise verify joins ONLY within cluster buckets; dominance is a grouped aggregate + left join, no global all-pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
