@@ -37,6 +37,28 @@ object ChangelogSink {
     spark.read.parquet(path)
 
   /**
+   * [[append]] with an ingest audit attached via `Dataset.observe` — the
+   * production data-quality hook: metrics are accumulated BY THE WRITE
+   * JOB ITSELF (per-task accumulators folded into the job, not a second
+   * scan of the input), so every ingest batch gets a (rows, tombstones,
+   * min/max event time) audit row for free. Returns the observed metrics;
+   * a deployment forwards them to its metrics sink or asserts
+   * freshness/volume SLOs on them. At 100 TB the cost is a few
+   * accumulators per task — the data is read exactly once.
+   */
+  def appendObserved(env: DataFrame, path: String): Map[String, Any] = {
+    val obs = new org.apache.spark.sql.Observation("ingest_audit")
+    val audited = env.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("message.value_json") === "TOMBSTONE", 1L)
+        .otherwise(0L)).as("n_tombstones"),
+      min(col("timestamp")).as("min_ts"),
+      max(col("timestamp")).as("max_ts"))
+    append(audited, path)
+    obs.get
+  }
+
+  /**
    * Streaming flavor of [[append]]: a `foreachBatch` writer that dedups
    * each micro-batch on `uid` before appending. Combined with the
    * append-only model this gives the reference's effectively-once story

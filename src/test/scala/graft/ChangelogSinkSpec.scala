@@ -61,6 +61,55 @@ class ChangelogSinkSpec extends SparkSpec {
     assert(kept.agg(min(to_date($"timestamp"))).as[java.sql.Date].head().toString == maxDate)
   }
 
+  test("partition pruning: a topic+date predicate reaches the scan as " +
+      "partition filters and prunes to exactly the matching partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("changelog-prune").toString
+    val env = Pipeline.envelope(spark, sf)
+    ChangelogSink.append(env, dir)
+    val dates = ChangelogSink.read(spark, dir)
+      .select(date_format(to_date($"timestamp"), "yyyy-MM-dd"))
+      .distinct().as[String].collect().sorted
+    assert(dates.length > 1) // pruning must have something to prune
+    val oneDate = dates.head
+    val q = ChangelogSink.read(spark, dir)
+      .where($"topic" === "events" && $"date" === oneDate)
+    q.collect() // materialize the exact inspected plan
+    def scanOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : FileSourceScanExec = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanOf(a.executedPlan)
+      case other =>
+        other.collectFirst { case f: FileSourceScanExec => f }.get
+    }
+    val scan = scanOf(q.queryExecution.executedPlan)
+    // the predicate became PARTITION filters (directory-level pruning),
+    // not data filters evaluated per row
+    assert(scan.partitionFilters.nonEmpty)
+    // and only the ONE matching (topic, date) partition is scanned
+    assert(scan.selectedPartitions.partitionCount == 1)
+    val total = new java.io.File(dir, "topic=events").listFiles()
+      .count(_.getName.startsWith("date="))
+    assert(total == dates.length) // the unscanned partitions exist on disk
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("observed append: the write job itself reports the ingest audit " +
+      "(rows, tombstones, event-time bounds) — no second scan") {
+    val dir = Files.createTempDirectory("changelog-obs").toString
+    val env = Pipeline.envelope(spark, sf)
+    val metrics = ChangelogSink.appendObserved(env, dir)
+    assert(metrics("n_rows") == env.count())
+    assert(metrics("n_tombstones") ==
+      env.where($"message.value_json" === "TOMBSTONE").count())
+    val (lo, hi) = (metrics("min_ts").asInstanceOf[java.sql.Timestamp],
+      metrics("max_ts").asInstanceOf[java.sql.Timestamp])
+    assert(!lo.after(hi))
+    // the write really landed, row-identical
+    assert(ChangelogSink.read(spark, dir).count() == env.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("compaction: many small appended files collapse to the target " +
       "count, content identical, re-run is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("sink-compact").toString
