@@ -81,7 +81,9 @@ object Plans {
     "x68_ann_index_append" -> "IVF segment append: stored-centroid assignment (broadcast scalar), bucketed segment scan union, one global top-k",
     "x60_pipeline" -> "composed curation pipeline: normalize fuses into the scans; dedup is the band join + one left-anti; decontam spans broadcast; chunk is map-only; pack + epoch shuffle are two slim windows — NOTHING materialized between stages",
     "x70_quality_classifier" -> "model-based quality filter: native hashed_linear_score fold in the scan-side projection — no explode, no shuffle except the output sort",
-    "x71_semdedup" -> "SemDeDup: zero-shuffle centroid assignment, then the pairwise verify joins ONLY within cluster buckets; dominance is a grouped aggregate + left join, no global all-pairs")
+    "x71_semdedup" -> "SemDeDup: zero-shuffle centroid assignment, then the pairwise verify joins ONLY within cluster buckets; dominance is a grouped aggregate + left join, no global all-pairs",
+    "x72_snapshot_diff" -> "snapshot diff: per-side md5 digests computed in the scan stage, ONE full-outer hash join on doc_id — two corpus scans, one co-partitioned shuffle pair, no driver state",
+    "x73_vocab_build" -> "vocab build: explode + token-keyed hash agg (reduce cardinality = vocabulary) materialized ONCE (localCheckpoint — probed: the pruned total branch defeats exchange reuse), top-V via TakeOrderedAndProject and total as a vocab-frame agg both read the materialized counts — one corpus pass, never a global sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1,9 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-/** Ad-hoc plan/profiling probe (dev tool, not part of the contract). */
+/** Scratch probe main — current use: does x73's total-over-vocab branch
+  * reuse the token-counts aggregation exchange at runtime (AQE stage
+  * cache), or does the corpus get scanned twice? */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -17,18 +19,24 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-
-    time("warmup")(graft.ingest.Tables.load(spark, dir, "events").count())
-    val x22 = SparkEntry.queries("x22_bm25_search")(spark, dir)
-    time("x22_bm25")(x22.write.format("noop").mode("overwrite").save())
-    x22.explain("formatted")
-    val x19 = SparkEntry.queries("x19_simhash_pairs")(spark, dir)
-    time("x19_simhash_pairs")(x19.write.format("noop").mode("overwrite").save())
-    time("x19_simhash_pairs run2")(x19.write.format("noop").mode("overwrite").save())
+    val df = graft.ext.TextAnalysis.vocabBuild(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    // the FINAL adaptive plan, post-execution
+    val executed = df.queryExecution.executedPlan
+    val finalPlan = executed.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(executed)
+    val s = finalPlan.toString
+    println("[probe] ReusedExchange in final plan: " +
+      s.contains("ReusedExchange"))
+    println("[probe] ReusedQueryStage in final plan: " +
+      s.contains("ReusedQueryStage"))
+    println("[probe] parquet scans in final plan: " +
+      "Scan parquet".r.findAllIn(s).length)
+    println("[probe] shuffle stage ids: " +
+      "ShuffleQueryStage (\\d+)".r.findAllMatchIn(s)
+        .map(_.group(1)).toList.mkString(","))
+    println(s)
     spark.stop()
   }
 }

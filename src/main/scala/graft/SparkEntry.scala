@@ -553,6 +553,31 @@ object SparkEntry {
       graft.streaming.StreamPipeline.inactivityWatch(s,
         graft.ingest.Tables.load(s, dir, "events"))),
 
+    // ---- stream-static enrichment: the event stream left-joined to a ---
+    // ---- broadcast static dim — stateless (no watermark/state store), --
+    // ---- dim re-resolved per micro-batch (slowly-changing-dim story) ---
+    "kq50_stream_enrich" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.streamStaticEnrich(s,
+        graft.ingest.Tables.load(s, dir, "events"),
+        graft.ingest.Tables.load(s, dir, "customer"))),
+
+    // ---- Kibana moving_fn + serial_diff pipeline aggs over the hourly --
+    // ---- histogram: trailing-24-bucket moving sum and lag-24 seasonal --
+    // ---- difference — integer-only windows on the bounded bucket frame -
+    "kq51_moving_fn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Pipeline.envelopeFlat(s, dir)
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      // same bounded post-agg frame as kq27 (≤ one row per hour of data
+      // span) — the single-partition window never sees raw events
+      val w = Window.orderBy(col("bucket"))
+      hourly
+        .withColumn("mov24", sum(col("n")).over(w.rowsBetween(-23, 0)))
+        .withColumn("sdiff24", col("n") - lag(col("n"), 24).over(w))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -1101,6 +1126,29 @@ object SparkEntry {
         |SELECT user_id, n_events, last_seen_us FROM s, m
         |WHERE (last_seen_us // 1000) + 21600000 <= mx_ms - 3600000
         |ORDER BY user_id""".stripMargin,
+
+    // kq50: a stateless stream-static join replays as the plain batch
+    // left join — no watermark emission rule applies (nothing in state).
+    "kq50_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e."value",
+        |  c.c_mktsegment AS mktsegment, c.c_nationkey AS nationkey
+        |FROM events e LEFT JOIN
+        |  (SELECT * FROM customer WHERE c_acctbal > 0) c
+        |  ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
+    // kq51: trailing moving sum + lag-24 serial difference — integer
+    // window functions over the hourly buckets, no float surface.
+    "kq51_moving_fn" ->
+      (envSql + """SELECT bucket, n,
+        |  CAST(SUM(n) OVER (ORDER BY bucket
+        |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS mov24,
+        |  n - lag(n, 24) OVER (ORDER BY bucket) AS sdiff24
+        |FROM (SELECT date_trunc('hour', "timestamp") AS bucket,
+        |        count(*) AS n
+        |      FROM env GROUP BY 1)
+        |ORDER BY bucket""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -115,6 +115,13 @@ object ExtQueries {
     "x66_wav_decode" -> (Multimodal.wavChannelStats _),
     // deterministic stratified train/val/test hash split (audit table)
     "x67_split" -> (TextAnalysis.stratifiedSplit _),
+    // corpus snapshot diff: added/removed/changed by content hash — one
+    // full-outer join of the two releases' (doc_id, md5) projections
+    "x72_snapshot_diff" -> (TextAnalysis.snapshotDiff _),
+    // tokenizer-training vocab: global token counts, top-V, exact
+    // integer cumulative coverage (ppm floor division)
+    "x73_vocab_build" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabBuild(s, d)),
     // hybrid search: BM25 ∪ dense-vector rankings fused by RRF (rank-only)
     "x69_hybrid_rrf" -> ((s: SparkSession, d: String) =>
       Similarity.hybridRrf(s, d)),
@@ -1570,6 +1577,46 @@ object ExtQueries {
 
     // x67: the md5-hex→int recipe (q19/x36 precedent) mod 1000 gives
     // the split bucket; thresholds and token counts are exact integers.
+    "x72_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, source, text FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM a WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, 'new ' || text FROM a
+        |  WHERE doc_id % 11 = 0),
+        |ah AS (SELECT doc_id, source AS a_source, md5(text) AS old_md5 FROM a),
+        |bh AS (SELECT doc_id, source AS b_source, md5(text) AS new_md5 FROM b),
+        |d AS (
+        |  SELECT COALESCE(ah.doc_id, bh.doc_id) AS doc_id,
+        |    COALESCE(a_source, b_source) AS source,
+        |    CASE WHEN new_md5 IS NULL THEN 'removed'
+        |         WHEN old_md5 IS NULL THEN 'added'
+        |         WHEN old_md5 <> new_md5 THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    old_md5, new_md5
+        |  FROM ah FULL OUTER JOIN bh ON ah.doc_id = bh.doc_id)
+        |SELECT * FROM d WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+
+    "x73_vocab_build" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM tok GROUP BY token),
+        |total AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS total_occ FROM counts),
+        |top AS (SELECT token, n_occ, n_docs FROM counts
+        |  ORDER BY n_occ DESC, token LIMIT 64),
+        |ranked AS (SELECT token, n_occ, n_docs,
+        |    ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) AS rank,
+        |    CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occ
+        |  FROM top)
+        |SELECT rank, token, n_occ, n_docs, cum_occ,
+        |  CAST((cum_occ * 1000000) // total_occ AS BIGINT) AS cov_ppm
+        |FROM ranked, total ORDER BY rank""".stripMargin,
+
     "x67_split" ->
       """WITH b AS (SELECT source, doc_id,
         |    list_reduce(list_transform(

@@ -1157,4 +1157,98 @@ object TextAnalysis {
         col("keep"), col("drop_reason"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * x72 — corpus SNAPSHOT DIFF, the dataset-versioning primitive: given
+   * two releases of a corpus, report every added / removed / changed
+   * document by content hash — what a training-data registry records
+   * between dataset versions (and what an incremental pipeline consumes
+   * to reprocess only the delta). The comparison is one full-outer hash
+   * join on `doc_id` with per-side md5 content digests: both snapshots
+   * are read ONCE, the digest is computed in the scan stage, and the
+   * only shuffle is the join's — at 100 TB this is two corpus scans plus
+   * one co-partitioned join, with no driver-side state. Rows with status
+   * `unchanged` are filtered out (the delta is what a diff consumer
+   * reads; the unchanged mass would dominate the output otherwise).
+   *
+   * Snapshot B is DERIVED deterministically from the fixture corpus
+   * (remove `doc_id % 13 == 0`, append " v2" to the text of surviving
+   * `doc_id % 7 == 0`, add a `doc_id + 1_000_000` copy prefixed "new "
+   * for `doc_id % 11 == 0`) so the DuckDB oracle can rebuild the exact
+   * same release; a production run points `b` at the next snapshot's
+   * parquet instead — the diff plan is unchanged.
+   */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val b = a.where(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(a.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          concat(lit("new "), col("text")).as("text")))
+    val aH = a.select(col("doc_id"), col("source").as("a_source"),
+      md5(col("text")).as("old_md5"))
+    val bH = b.select(col("doc_id"), col("source").as("b_source"),
+      md5(col("text")).as("new_md5"))
+    aH.join(bH, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("a_source"), col("b_source")).as("source"),
+        when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5").isNull, lit("added"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_md5"), col("new_md5"))
+      .where(col("status") =!= "unchanged")
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * x73 — tokenizer-training VOCABULARY BUILD: global token frequencies,
+   * the top-V vocabulary by (occurrences DESC, token ASC), and each
+   * rank's cumulative corpus coverage — the frequency-cutoff prestep of
+   * BPE/WordPiece training and the standard "what does a V-entry vocab
+   * cover" diagnostic. Coverage is EXACT integer arithmetic: cumulative
+   * occurrences via an integer window sum over the V-row frame, and
+   * parts-per-million as a floor division (`cum_occ * 1e6 div total`) —
+   * no double division, so no cross-engine rounding-tie surface.
+   *
+   * Plan shape at 100 TB: one explode + one hash aggregation shuffled on
+   * the token (the vocabulary, not the corpus, is the reduce-side
+   * cardinality), then TakeOrderedAndProject for the top V — per
+   * partition heaps, V rows to the driver-side merge, never a global
+   * sort. The counts frame feeds BOTH the top-V selection and the
+   * `total_occ` scalar; a naive diamond would re-run the corpus scan
+   * for each branch (probed: the total branch column-prunes doc_id
+   * away, so the two aggregation subtrees canonicalize differently and
+   * exchange reuse can never fire) — the vocab-sized counts are
+   * therefore materialized ONCE via `localCheckpoint`, the same
+   * cut-the-lineage pattern the CC rounds use; a production run
+   * persists the vocab table instead. The rank/cumsum window runs on
+   * the bounded V-row result — the WindowExec single-partition warning
+   * is this ≤V-row frame, not corpus data.
+   */
+  def vocabBuild(spark: SparkSession, dir: String, topV: Int = 64)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val counts = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .localCheckpoint()
+    val total = counts.agg(sum(col("n_occ")).as("total_occ"))
+    val top = counts.orderBy(col("n_occ").desc, col("token")).limit(topV)
+    val w = Window.orderBy(col("n_occ").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_occ",
+        sum(col("n_occ")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cov_ppm", expr("cum_occ * 1000000 div total_occ"))
+      .select(col("rank"), col("token"), col("n_occ"), col("n_docs"),
+        col("cum_occ"), col("cov_ppm"))
+      .orderBy(col("rank"))
+  }
 }

@@ -614,6 +614,67 @@ object StreamPipeline {
       streamIntervalJoinImpl(spark, events, delay, "leftOuter")
     }
 
+  /**
+   * kq50 — STREAM-STATIC enrichment join, the third Structured Streaming
+   * join pillar (stream-stream inner kq46 / outer kq47 are the other
+   * two): the flowing event stream left-joined to a STATIC dimension
+   * (customers with a positive balance) on the user key. Stream-static
+   * joins are STATELESS — no watermark, no state store; the batch side
+   * is re-resolved every micro-batch, which is exactly the
+   * slowly-changing-dimension story (a dim table updated between batches
+   * is picked up on the next trigger without restarting the query). The
+   * dim is broadcast, so at 100 TB/day stream volume the enrichment
+   * never shuffles the stream side; events whose user fails the dim
+   * predicate flow through null-extended (the LEFT join is load-bearing:
+   * enrichment must not DROP facts when the dim has gaps).
+   *
+   * A finite AvailableNow replay of a stateless map-side join emits
+   * exactly the batch join, so the DuckDB oracle is the plain left join
+   * — no watermark emission rule applies (nothing is held in state).
+   */
+  def streamStaticEnrich(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, customers: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq50-enrich").toString
+    val ev = events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(s"$work/in")
+    val dim = customers.where(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_mktsegment").as("mktsegment"),
+        col("c_nationkey").as("nationkey"))
+    val out = java.nio.file.Files.createTempDirectory("kq50-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    try {
+      val q = spark.readStream.schema(ev.schema).parquet(s"$work/in")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("mktsegment"), col("nationkey"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("nationkey",
+          org.apache.spark.sql.types.IntegerType)))
+      spark.read.schema(schema).parquet(out.toString)
+        .orderBy(col("event_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   /** Per-user running activity plus the registered inactivity-timer
     * expiry (ms) — the [[InactivityProcessor]]'s ValueState row. */
   case class UserActivity(n_events: Long, last_seen_us: Long,

@@ -990,4 +990,54 @@ class ExtSpec extends SparkSpec {
         Seq(Multimodal.MediaIn(0L, "RIFFxxxxJUNK".getBytes("US-ASCII"))))).collect()
     }
   }
+
+  test("snapshot diff: statuses partition the derived delta exactly") {
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    val d = TextAnalysis.snapshotDiff(spark, sf)
+    // the derivation's three arms, recomputed independently
+    val removed = docs.where(col("doc_id") % 13 === 0).count()
+    val added = docs.where(col("doc_id") % 11 === 0).count()
+    val changed = docs.where(col("doc_id") % 7 === 0 &&
+      col("doc_id") % 13 =!= 0).count()
+    assert(d.where(col("status") === "removed").count() == removed)
+    assert(d.where(col("status") === "added").count() == added)
+    assert(d.where(col("status") === "changed").count() == changed)
+    assert(d.count() == removed + added + changed) // no unchanged leak
+    // hash presence encodes the side membership
+    assert(d.where(col("status") === "added" && col("old_md5").isNotNull)
+      .count() == 0)
+    assert(d.where(col("status") === "removed" && col("new_md5").isNotNull)
+      .count() == 0)
+    assert(d.where(col("status") === "changed" &&
+      (col("old_md5").isNull || col("new_md5") === col("old_md5")))
+      .count() == 0)
+    // added ids live in the shifted id space, disjoint from the corpus
+    assert(d.where(col("status") === "added" && col("doc_id") < 1000000L)
+      .count() == 0)
+    assert(n > 0)
+  }
+
+  test("vocab build: ranks contiguous, counts monotone, coverage exact") {
+    val v = TextAnalysis.vocabBuild(spark, sf).collect()
+    assert(v.nonEmpty && v.length <= 64)
+    assert(v.map(_.getAs[Long]("rank")).toSeq == (1L to v.length).toSeq)
+    val occ = v.map(_.getAs[Long]("n_occ"))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b })
+    // cum_occ is the prefix sum of n_occ
+    assert(v.map(_.getAs[Long]("cum_occ")).toSeq == occ.scanLeft(0L)(_ + _).tail.toSeq)
+    // coverage is ppm of the TRUE corpus token total, floor-divided
+    val totalOcc = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t")).count()
+    v.foreach { r =>
+      assert(r.getAs[Long]("cov_ppm") ==
+        r.getAs[Long]("cum_occ") * 1000000L / totalOcc)
+    }
+    // rank 1 is the true global argmax under (n_occ DESC, token ASC)
+    val top = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t")).head()
+    assert(v.head.getAs[String]("token") == top.getAs[String]("t"))
+    assert(v.head.getAs[Long]("n_occ") == top.getAs[Long]("count"))
+  }
 }
