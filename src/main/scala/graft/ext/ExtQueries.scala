@@ -122,6 +122,11 @@ object ExtQueries {
     // integer cumulative coverage (ppm floor division)
     "x73_vocab_build" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabBuild(s, d)),
+    // deterministic range-sharded export: exact-percentile boundaries
+    // over a bounded 24-bit key domain (repartitionByRange without the
+    // run-to-run sampling), per-shard audit table
+    "x74_range_shards" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.rangeShards(s, d)),
     // hybrid search: BM25 ∪ dense-vector rankings fused by RRF (rank-only)
     "x69_hybrid_rrf" -> ((s: SparkSession, d: String) =>
       Similarity.hybridRrf(s, d)),
@@ -1616,6 +1621,25 @@ object ExtQueries {
         |SELECT rank, token, n_occ, n_docs, cum_occ,
         |  CAST((cum_occ * 1000000) // total_occ AS BIGINT) AS cov_ppm
         |FROM ranked, total ORDER BY rank""".stripMargin,
+
+    "x74_range_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 6), ''),
+        |      c -> instr('0123456789abcdef', c) - 1),
+        |      (a, b) -> a * 16 + b) AS key,
+        |    CAST(ceil(len(text) / 4.0) AS BIGINT) AS est_tokens
+        |  FROM documents),
+        |b AS (SELECT quantile_cont(key,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bnds FROM k),
+        |a AS (SELECT key, est_tokens,
+        |    CAST(len(list_filter(bnds, x -> key > x)) AS BIGINT) AS shard
+        |  FROM k, b)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(MIN(key) AS BIGINT) AS key_min,
+        |  CAST(MAX(key) AS BIGINT) AS key_max,
+        |  CAST(SUM(est_tokens) AS BIGINT) AS tok_sum
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
     "x67_split" ->
       """WITH b AS (SELECT source, doc_id,

@@ -1229,6 +1229,51 @@ object TextAnalysis {
    * the bounded V-row result — the WindowExec single-partition warning
    * is this ≤V-row frame, not corpus data.
    */
+  /**
+   * x74 — deterministic RANGE-SHARDED export: assign every doc to one of
+   * S contiguous key ranges with boundaries at the EXACT S-quantiles,
+   * then report the per-shard audit (count, key bounds, token mass).
+   * This is `repartitionByRange` with the sampling removed: Spark's
+   * built-in range partitioner draws a reservoir SAMPLE, so shard
+   * boundaries differ run to run — unacceptable for a reproducible
+   * corpus export (resumable jobs, diffable shards, stable manifests).
+   * Here the boundary pass is an exact `percentile` aggregate and
+   * assignment is a pure function of the key, so the same corpus always
+   * produces byte-identical shards.
+   *
+   * Scale design: the shard key is the first 24 BITS of md5(doc_id) —
+   * uniform (shard balance ~1/√n per shard) and, crucially, a BOUNDED
+   * domain (≤16.7M distinct values), so the exact-percentile aggregate
+   * shuffles at most the (key → count) histogram REGARDLESS of corpus
+   * size — no reservoir, no t-digest approximation, deterministic at
+   * 100 TB. Two corpus passes total (boundary histogram + assignment),
+   * the same count `repartitionByRange` spends (sample pass + shuffle);
+   * the boundary row broadcasts. Interpolated boundaries are exact
+   * dyadic doubles (quantiles at k/8 of 24-bit ints), and DuckDB's
+   * `quantile_cont` uses the identical type-7 `h=(n-1)q` formula
+   * (probed) — no cross-engine float surface.
+   */
+  def rangeShards(spark: SparkSession, dir: String, shards: Int = 8)
+      : DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val keyed = docs.select(col("doc_id"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long").as("key"),
+      estTokensOf(col("text")).as("est_tokens"))
+    val qs = (1 until shards).map(q => s"${q}D / $shards")
+    val bounds = keyed.agg(
+      expr(s"percentile(key, array(${qs.mkString(", ")}))").as("bnds"))
+    keyed.crossJoin(broadcast(bounds))
+      .withColumn("shard",
+        expr("size(filter(bnds, b -> key > b))").cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("key")).as("key_min"),
+        max(col("key")).as("key_max"),
+        sum(col("est_tokens")).as("tok_sum"))
+      .orderBy(col("shard"))
+  }
+
   def vocabBuild(spark: SparkSession, dir: String, topV: Int = 64)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1018,6 +1018,29 @@ class ExtSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("range shards: contiguous key ranges, lossless, deterministic") {
+    val s1 = TextAnalysis.rangeShards(spark, sf).collect()
+    assert(s1.map(_.getAs[Long]("shard")).toSeq == (0L to 7L))
+    // every doc lands in exactly one shard
+    val nDocs = graft.ingest.Tables.load(spark, sf, "documents").count()
+    assert(s1.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // ranges are contiguous and ordered: shard i's max key never exceeds
+    // shard i+1's min key (the range-partitioning contract)
+    s1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("key_max") <= b.getAs[Long]("key_min"))
+    }
+    // exact-percentile boundaries balance the uniform md5 keys: no shard
+    // further than 3σ-ish from n/8 at this corpus size
+    val expect = nDocs.toDouble / 8
+    s1.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n_docs") - expect) <= expect * 0.4)
+    }
+    // byte-identical on re-run — the property repartitionByRange's
+    // reservoir sampling cannot give
+    val s2 = TextAnalysis.rangeShards(spark, sf).collect()
+    assert(s1.sameElements(s2))
+  }
+
   test("vocab build: ranks contiguous, counts monotone, coverage exact") {
     val v = TextAnalysis.vocabBuild(spark, sf).collect()
     assert(v.nonEmpty && v.length <= 64)
