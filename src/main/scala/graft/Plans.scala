@@ -83,7 +83,8 @@ object Plans {
     "x70_quality_classifier" -> "model-based quality filter: native hashed_linear_score fold in the scan-side projection — no explode, no shuffle except the output sort",
     "x71_semdedup" -> "SemDeDup: zero-shuffle centroid assignment, then the pairwise verify joins ONLY within cluster buckets; dominance is a grouped aggregate + left join, no global all-pairs",
     "x72_snapshot_diff" -> "snapshot diff: per-side md5 digests computed in the scan stage, ONE full-outer hash join on doc_id — two corpus scans, one co-partitioned shuffle pair, no driver state",
-    "x73_vocab_build" -> "vocab build: explode + token-keyed hash agg (reduce cardinality = vocabulary) materialized ONCE (localCheckpoint — probed: the pruned total branch defeats exchange reuse), top-V via TakeOrderedAndProject and total as a vocab-frame agg both read the materialized counts — one corpus pass, never a global sort")
+    "x73_vocab_build" -> "vocab build: explode + token-keyed hash agg (reduce cardinality = vocabulary) materialized ONCE (localCheckpoint — probed: the pruned total branch defeats exchange reuse), top-V via TakeOrderedAndProject and total as a vocab-frame agg both read the materialized counts — one corpus pass, never a global sort",
+    "x76_bpe_tokenize" -> "BPE apply: the per-doc rollup joins the BROADCAST merged word-type table (words tokenized once on types, 12 training rounds already folded into the checkpointed frame) — the corpus text is never re-tokenized per occurrence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1,0 +1,194 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BpeMerge
+import graft.ingest.Tables
+
+/**
+ * Byte-pair-encoding tokenizer TRAINING and application — the real
+ * Sennrich (2016) algorithm, not x9's "BPE-ish" regex estimate: learn
+ * the K most frequent adjacent-symbol merges from the corpus, then
+ * tokenize with them.
+ *
+ * Scale design — why BPE training is cheap on Spark despite being
+ * iterative: the ONLY corpus-sized pass is the initial word-TYPE count
+ * (one explode + one hash aggregation, exactly x73's shape). Every
+ * merge round after that operates on the word-type table — bounded by
+ * the VOCABULARY, not the corpus (Heaps' law: ~millions of types at
+ * 100 TB, each a short symbol array) — so K rounds cost K small jobs,
+ * localCheckpoint-bounded like the CC rounds. Per round, the argmax
+ * merge rule is ONE row collected to the driver: the learned merge
+ * list IS driver state by definition (it is the training artifact,
+ * like x6's k×dim centroid sync), bounded by K.
+ *
+ * Determinism: pair counts are exact integers; the argmax tiebreak is
+ * (count DESC, left ASC, right ASC) on ASCII symbols, identical under
+ * Spark's and DuckDB's binary string orderings. The merge APPLICATION
+ * is the greedy left-to-right scan ([[graft.functions.BpeMerge]]),
+ * whose DuckDB mirror is the run-parity closed form over window
+ * functions; the oracle replays all K rounds as a generated CTE chain
+ * ([[oracleCtes]]).
+ */
+object Bpe {
+
+  /** End-of-word marker — '>' does not occur in the corpus charset
+    * (space + a-w,y; probed), so merged symbols can encode "token ends
+    * a word" exactly like Sennrich's `</w>`. */
+  val Marker = ">"
+
+  /** Merge-round count shared by the entries and their oracles. */
+  val Steps = 12
+
+  /** One learned merge rule. */
+  case class MergeRule(step: Long, lhs: String, rhs: String, cnt: Long)
+
+  /** Word-type table: one row per DISTINCT word with its corpus
+    * frequency and initial symbol array (chars + end marker). The one
+    * corpus-sized pass; checkpointed so the K rounds never rescan. */
+  private def wordTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        concat(split(col("word"), ""), array(lit(Marker))))
+      .localCheckpoint()
+
+  /** Run `steps` merge rounds; returns the learned rules and the final
+    * word-type frame (symbols after all merges). */
+  private[ext] def train(spark: SparkSession, dir: String,
+      steps: Int = Steps): (Seq[MergeRule], DataFrame) = {
+    var wt = wordTypes(spark, dir)
+    val rules = Seq.newBuilder[MergeRule]
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      // adjacent-pair counts over word TYPES weighted by frequency;
+      // the size >= 2 filter also guards ANSI against the descending
+      // sequence(0, -1) a fully-merged 1-symbol word would produce
+      val best = wt.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getAs[String]("lhs"),
+          best(0).getAs[String]("rhs"), best(0).getAs[Long]("cnt"))
+        rules += MergeRule(k.toLong, l, r, c)
+        wt = wt.withColumn("syms", BpeMerge(col("syms"), l, r))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    (rules.result(), wt)
+  }
+
+  /** x75 — the learned merge-rule table (the tokenizer artifact). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    train(spark, dir)._1.toDF().orderBy(col("step"))
+  }
+
+  /**
+   * x76 — tokenize the corpus with the learned merges: per doc, total
+   * subword count and word count. Words tokenize once on the TYPE
+   * table (where all K merges already ran); the per-doc rollup is one
+   * (doc, word) aggregation joined to the broadcast-sized type table —
+   * the corpus text itself is never re-tokenized per occurrence.
+   */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val (_, wt) = train(spark, dir)
+    val perWord = wt.select(col("word"),
+      size(col("syms")).cast("long").as("n_sub"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+      .join(broadcast(perWord), "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ") * col("n_sub")).as("bpe_tokens"),
+        sum(col("n_occ")).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Generated DuckDB CTE chain replaying `steps` training rounds: each
+   * round recounts adjacent pairs, picks the same (cnt DESC, lhs, rhs)
+   * argmax, and applies the merge via the run-parity closed form (a
+   * match position is kept iff its offset inside its maximal
+   * consecutive-match run is even — equivalent to the greedy
+   * left-to-right scan; runs > 1 only arise when lhs = rhs).
+   * `w{steps}` is the final word-type relation.
+   */
+  private[ext] def oracleCtes(steps: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH w0 AS MATERIALIZED (
+             |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             |    list_append(string_split(word, ''), '$Marker') AS syms
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+             |        FROM documents)
+             |  GROUP BY word)""".stripMargin
+    for (k <- 0 until steps) {
+      b ++= s""",
+        |p$k AS MATERIALIZED (
+        |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+        |    CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM w$k, UNNEST(range(1, len(syms))) AS t(i)
+        |  GROUP BY 1, 2),
+        |b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k
+        |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |pos$k AS MATERIALIZED (
+        |  SELECT word, freq, t.i AS i, syms[i] AS s
+        |  FROM w$k, UNNEST(range(1, len(syms) + 1)) AS t(i)),
+        |mk$k AS MATERIALIZED (
+        |  SELECT p.word, p.freq, p.i, p.s,
+        |    CASE WHEN p.s = b.lhs AND lead(p.s) OVER
+        |      (PARTITION BY p.word ORDER BY p.i) = b.rhs
+        |    THEN 1 ELSE 0 END AS m
+        |  FROM pos$k p, b$k b),
+        |kp$k AS MATERIALIZED (
+        |  SELECT word, freq, i, s, CASE WHEN m = 1 AND
+        |      (ROW_NUMBER() OVER (PARTITION BY word, m, grp ORDER BY i)
+        |        - 1) % 2 = 0
+        |    THEN 1 ELSE 0 END AS kept
+        |  FROM (SELECT *, i - ROW_NUMBER() OVER
+        |          (PARTITION BY word, m ORDER BY i) AS grp
+        |        FROM mk$k)),
+        |w${k + 1} AS MATERIALIZED (
+        |  SELECT word, freq, list(sym ORDER BY i) AS syms FROM (
+        |    SELECT word, freq, i,
+        |      CASE WHEN kept = 1 THEN s || lead(s) OVER
+        |             (PARTITION BY word ORDER BY i)
+        |           WHEN lag(kept) OVER
+        |             (PARTITION BY word ORDER BY i) = 1 THEN NULL
+        |           ELSE s END AS sym
+        |    FROM kp$k)
+        |  WHERE sym IS NOT NULL GROUP BY word, freq)""".stripMargin
+    }
+    b.result()
+  }
+
+  /** x75's oracle: the union of every round's chosen rule. */
+  private[ext] def trainOracle(steps: Int): String = {
+    val unions = (0 until steps).map(k =>
+      s"SELECT CAST(${k + 1} AS BIGINT) AS step, lhs, rhs, cnt FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"${oracleCtes(steps)}\nSELECT * FROM (\n  $unions\n) ORDER BY step"
+  }
+
+  /** x76's oracle: per-doc subword totals from the final type table. */
+  private[ext] def tokenizeOracle(steps: Int): String =
+    s"""${oracleCtes(steps)}
+       |SELECT d.doc_id,
+       |  CAST(SUM(len(w.syms)) AS BIGINT) AS bpe_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |      FROM documents) d
+       |JOIN w$steps w ON d.word = w.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+}

@@ -127,6 +127,12 @@ object ExtQueries {
     // run-to-run sampling), per-shard audit table
     "x74_range_shards" -> ((s: SparkSession, d: String) =>
       TextAnalysis.rangeShards(s, d)),
+    // real Sennrich BPE training: K merge rounds on the bounded
+    // word-TYPE table (one corpus pass total); output = the rule table
+    "x75_bpe_train" -> (Bpe.bpeTrain _),
+    // apply the learned merges: per-doc subword totals, words tokenized
+    // once on the type table, never per occurrence
+    "x76_bpe_tokenize" -> (Bpe.bpeTokenize _),
     // hybrid search: BM25 ∪ dense-vector rankings fused by RRF (rank-only)
     "x69_hybrid_rrf" -> ((s: SparkSession, d: String) =>
       Similarity.hybridRrf(s, d)),
@@ -1621,6 +1627,10 @@ object ExtQueries {
         |SELECT rank, token, n_occ, n_docs, cum_occ,
         |  CAST((cum_occ * 1000000) // total_occ AS BIGINT) AS cov_ppm
         |FROM ranked, total ORDER BY rank""".stripMargin,
+
+    "x75_bpe_train" -> Bpe.trainOracle(Bpe.Steps),
+
+    "x76_bpe_tokenize" -> Bpe.tokenizeOracle(Bpe.Steps),
 
     "x74_range_shards" ->
       """WITH k AS (SELECT doc_id,

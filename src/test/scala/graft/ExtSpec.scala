@@ -1041,6 +1041,52 @@ class ExtSpec extends SparkSpec {
     assert(s1.sameElements(s2))
   }
 
+  test("bpe train: 12 rules, max pair count non-increasing, step-1 " +
+      "argmax matches an independent recount") {
+    val rules = Bpe.bpeTrain(spark, sf).collect()
+    assert(rules.length == Bpe.Steps)
+    assert(rules.map(_.getAs[Long]("step")).toSeq == (1L to Bpe.Steps))
+    // merging can only reduce or redistribute pair mass: the chosen
+    // count never increases across steps
+    val cnts = rules.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // step 1 is the true argmax over initial char+marker pairs,
+    // recomputed independently from the raw corpus
+    val words = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).collect()
+      .map(_.getString(0))
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    words.foreach { w =>
+      val syms = w.map(_.toString) :+ Bpe.Marker
+      syms.zip(syms.tail).foreach(p =>
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + 1L)
+    }
+    val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+    assert((rules.head.getAs[String]("lhs"),
+      rules.head.getAs[String]("rhs")) == best._1)
+    assert(rules.head.getAs[Long]("cnt") == best._2)
+  }
+
+  test("bpe tokenize: subword totals bounded by chars+words below and " +
+      "words above; merges genuinely compress") {
+    val t = Bpe.bpeTokenize(spark, sf)
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+    assert(t.count() == docs.count())
+    // initial symbols = chars-per-word + one marker per word
+    //                 = (len - (nw-1) spaces) + nw = len + 1
+    val joined = t.join(docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nw"),
+      (length(col("text")) + 1).cast("long").as("init_syms")),
+      "doc_id")
+    // every word is >= 1 subword; before any merge a word of c chars is
+    // c+1 symbols, and merges only shrink
+    assert(joined.where(col("bpe_tokens") < col("n_words")).count() == 0)
+    assert(joined.where(col("n_words") =!= col("nw")).count() == 0)
+    assert(joined.where(col("bpe_tokens") > col("init_syms")).count() == 0)
+    // 12 merges on this corpus must actually compress SOME doc
+    assert(joined.where(col("bpe_tokens") < col("init_syms")).count() > 0)
+  }
+
   test("vocab build: ranks contiguous, counts monotone, coverage exact") {
     val v = TextAnalysis.vocabBuild(spark, sf).collect()
     assert(v.nonEmpty && v.length <= 64)
