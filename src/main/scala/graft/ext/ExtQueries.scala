@@ -130,6 +130,12 @@ object ExtQueries {
     // real Sennrich BPE training: K merge rounds on the bounded
     // word-TYPE table (one corpus pass total); output = the rule table
     "x75_bpe_train" -> (Bpe.bpeTrain _),
+    // CCNet perplexity stratification: exact nano-nat unigram NLL,
+    // head/middle/tail at exact quartile boundaries, tail dropped
+    "x77_ccnet_buckets" -> (TextAnalysis.ccnetBuckets _),
+    // product quantization: per-subspace Euclidean codebooks, encoding
+    // as ONE literal-fold map-only projection (scan-speed PQ)
+    "x78_pq" -> ((s: SparkSession, d: String) => Similarity.pq(s, d)),
     // apply the learned merges: per-doc subword totals, words tokenized
     // once on the type table, never per occurrence
     "x76_bpe_tokenize" -> (Bpe.bpeTokenize _),
@@ -315,6 +321,68 @@ object ExtQueries {
         .orderBy(col("doc_id"), col("fragment_idx"))
     })
   )
+
+  /** Squared-L2 between a subvector and a codebook row, as the SAME
+    * left-fold association as Spark's codegen'd `reduce(_ + _)`. */
+  private def pqDistSql(sub: String, cv: String): String =
+    s"list_reduce(list_transform(range(1, 17), i -> " +
+      s"($sub[i] - $cv[i]) * ($sub[i] - $cv[i])), (a, b) -> a + b)"
+
+  /** One per-subspace Euclidean assignment CTE against `$cb`. */
+  private def pqAsgSql(name: String, cb: String): String =
+    s"""$name AS MATERIALIZED (SELECT vec_id, s, sub, c FROM (
+       |    SELECT b.vec_id, b.s, b.sub, cb.c, row_number() OVER (
+       |        PARTITION BY b.vec_id, b.s
+       |        ORDER BY round(${pqDistSql("b.sub", "cb.cv")}, 6), cb.c)
+       |      AS rn
+       |    FROM sub b JOIN $cb cb ON cb.s = b.s) WHERE rn = 1)""".stripMargin
+
+  /** One per-subspace Lloyd step (assignment + exact decimal means). */
+  private def pqStepSql(i: Int): String =
+    s"""${pqAsgSql(s"pasg$i", s"cb$i")},
+       |pm$i AS MATERIALIZED (SELECT s, c, pos,
+       |    CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT s, c, unnest(sub) AS val,
+       |          generate_subscripts(sub, 1) AS pos FROM pasg$i)
+       |  GROUP BY 1, 2, 3),
+       |cb${i + 1} AS MATERIALIZED (
+       |  SELECT cb.s, cb.c, COALESCE(n.cv, cb.cv) AS cv
+       |  FROM cb$i cb LEFT JOIN (SELECT s, c, list(m ORDER BY pos) AS cv
+       |                          FROM pm$i GROUP BY 1, 2) n
+       |    ON n.s = cb.s AND n.c = cb.c)""".stripMargin
+
+  /** x78's oracle: the full per-subspace PQ replay — 2 Euclidean Lloyd
+    * steps per subspace, then the coding pass (rounded-distance argmin
+    * with lowest-c ties; reconstruction error from FULL-precision
+    * minima added in fixed s-order, exactly [[Similarity.pq]]). */
+  private lazy val pqSql: String = {
+    val cs = (0 until 4).map(s =>
+      s"MAX(CASE WHEN s = $s THEN c END) AS c$s").mkString(", ")
+    val es = (0 until 4).map(s =>
+      s"MAX(CASE WHEN s = $s THEN mind END) AS e$s").mkString(", ")
+    val cOut = (0 until 4).map(s => s"CAST(c$s AS BIGINT) AS c$s")
+      .mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |sub AS MATERIALIZED (SELECT vec_id, s,
+       |    list_slice(emb, s * 16 + 1, (s + 1) * 16) AS sub
+       |  FROM e, UNNEST([0, 1, 2, 3]) AS t(s)),
+       |cb0 AS MATERIALIZED (SELECT s, CAST(vec_id AS INT) AS c, sub AS cv
+       |  FROM sub WHERE vec_id < 4),
+       |${pqStepSql(0)},
+       |${pqStepSql(1)},
+       |fc AS (SELECT vec_id, s, c, mind FROM (
+       |    SELECT b.vec_id, b.s, cb.c,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY round(${pqDistSql("b.sub", "cb.cv")}, 6), cb.c)
+       |        AS rn,
+       |      min(${pqDistSql("b.sub", "cb.cv")}) OVER (
+       |        PARTITION BY b.vec_id, b.s) AS mind
+       |    FROM sub b JOIN cb2 cb ON cb.s = b.s) WHERE rn = 1),
+       |pv AS (SELECT vec_id, $cs, $es FROM fc GROUP BY vec_id)
+       |SELECT vec_id, $cOut, round(((e0 + e1) + e2) + e3, 6) AS err
+       |FROM pv ORDER BY vec_id""".stripMargin
+  }
 
   /** One Lloyd assignment CTE against `$cent`. */
   private def kmAsgSql(name: String, cent: String): String =
@@ -1629,6 +1697,32 @@ object ExtQueries {
         |FROM ranked, total ORDER BY rank""".stripMargin,
 
     "x75_bpe_train" -> Bpe.trainOracle(Bpe.Steps),
+
+    "x78_pq" -> pqSql,
+
+    "x77_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM tok),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+        |      FROM tok GROUP BY tok),
+        |m AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
+        |      FROM tok GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(SUM(m.m) AS BIGINT) AS n_tokens,
+        |    CAST(-SUM(m.m * CAST(CAST(round(ln(f.n_tok / n.n_total), 9)
+        |        AS DECIMAL(20,9)) * 1000000000 AS BIGINT)) AS BIGINT)
+        |      AS nll_nano_sum
+        |  FROM m JOIN f USING (tok), n GROUP BY doc_id),
+        |sc AS (SELECT doc_id, n_tokens,
+        |    nll_nano_sum // n_tokens AS nll_nano FROM s),
+        |b AS (SELECT quantile_cont(nll_nano, [0.25, 0.75]) AS q FROM sc)
+        |SELECT doc_id, n_tokens, CAST(nll_nano AS BIGINT) AS nll_nano,
+        |  CASE WHEN nll_nano <= q[1] THEN 'head'
+        |       WHEN nll_nano > q[2] THEN 'tail'
+        |       ELSE 'middle' END AS bucket,
+        |  (CASE WHEN nll_nano > q[2] THEN 'tail' ELSE '' END) <> 'tail'
+        |    AS kept
+        |FROM sc, b ORDER BY doc_id""".stripMargin,
 
     "x76_bpe_tokenize" -> Bpe.tokenizeOracle(Bpe.Steps),
 

@@ -624,4 +624,110 @@ object Similarity {
         col("rank"))
       .orderBy(col("rank"))
   }
+
+  /** Squared-L2 distance between a slice of `emb` (positions
+    * `off until off + cv.length`) and the LITERAL centroid `cv`, as a
+    * fixed left-to-right codegen'd sum — the oracle's `list_reduce`
+    * fold adds in the same association, so the doubles are
+    * bit-identical across engines (the cosine-fold precedent). */
+  private def subDist(emb: Column, cv: Seq[Double], off: Int): Column =
+    cv.indices.map { i =>
+      val d = emb.getItem(off + i).cast("double") - lit(cv(i))
+      d * d
+    }.reduce(_ + _)
+
+  /** First-index argmin over k 6dp-rounded distance columns — the
+    * lowest-c tiebreak, identical to `row_number() ORDER BY dist, c`. */
+  private def argminC(d: Seq[Column]): Column = {
+    val m = least(d: _*)
+    d.zipWithIndex.tail.foldLeft(when(d.head === m, 0)) {
+      case (acc, (dc, c)) => acc.when(dc === m, c)
+    }
+  }
+
+  /**
+   * Per-subspace PQ codebooks: `result(s)(c)` is centroid `c` of
+   * subspace `s` after `iterations` Lloyd steps with EUCLIDEAN
+   * assignment (PQ quantizes raw subvectors; cosine is the wrong
+   * metric inside a subspace). Deterministic: init centroid c =
+   * vector c's slice, assignment on 6dp-rounded distances with
+   * lowest-c ties, means DECIMAL(38,15)-exact. The driver sync per
+   * iteration is the S×k×subDim codebook (256 doubles) — the x6
+   * centroid-sync pattern.
+   */
+  private[graft] def pqCodebooks(emb: DataFrame, subspaces: Int, k: Int,
+      subDim: Int, iterations: Int): Seq[Seq[Seq[Double]]] = {
+    val init = emb.where(col("vec_id") < k).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    var books: Seq[Seq[Seq[Double]]] = (0 until subspaces).map(s =>
+      init.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
+    for (_ <- 0 until iterations) {
+      val bucketCols = (0 until subspaces).map { s =>
+        val d = (0 until k).map(c =>
+          round(subDist(col("embedding"), books(s)(c), s * subDim), 6))
+        argminC(d).as(s"b$s")
+      }
+      val sSub = (col("pos") / lit(subDim)).cast("int")
+      val stats = emb.select(Seq(col("embedding")) ++ bucketCols: _*)
+        .select(array((0 until subspaces).map(s => col(s"b$s")): _*)
+            .as("bs"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(sSub.as("s_sub"),
+          element_at(col("bs"), sSub + 1).as("c"),
+          pmod(col("pos"), lit(subDim)).as("lpos"), col("v"))
+        .groupBy(col("s_sub"), col("c"), col("lpos"))
+        .agg(sum(col("v").cast("double").cast("decimal(38,15)")).as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("s_sub"), col("c"), col("lpos"),
+          (col("sm").cast("double") / col("n")).as("m"))
+        .collect()
+      val means = stats.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .view.mapValues(rows =>
+          rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq).toMap
+      books = (0 until subspaces).map(s => (0 until k).map(c =>
+        means.getOrElse((s, c), books(s)(c))))
+    }
+    books
+  }
+
+  /**
+   * x78 — PRODUCT QUANTIZATION (Jégou et al. 2011), the embedding
+   * compression behind billion-scale ANN indexes: the 64-dim vector is
+   * split into 4 subspaces of 16 dims, each quantized to one of 4
+   * per-subspace centroids, so a vector stores as 4 small codes (here
+   * 4 bytes vs 256 — a 64× cut; production uses 8-bit codebooks for
+   * the same shape). Codebooks come from [[pqCodebooks]]'s
+   * deterministic per-subspace Lloyd; the ENCODING pass is then ONE
+   * map-only projection — every distance is a literal-centroid
+   * codegen'd fold over the scan, no explode, no shuffle, no UDF —
+   * which is the whole point at 100 TB: PQ encoding runs at scan
+   * speed. Reported per vector: the 4 codes and the total squared
+   * reconstruction error (the quantization-quality metric), 6dp like
+   * every similarity in this package; the four per-subspace errors add
+   * in fixed s-order so partitioning cannot flip the rounding.
+   */
+  def pq(spark: SparkSession, dir: String, subspaces: Int = 4,
+      k: Int = 4, iterations: Int = 2): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dim = 64
+    val subDim = dim / subspaces
+    val books = pqCodebooks(emb, subspaces, k, subDim, iterations)
+    val codeCols = (0 until subspaces).map { s =>
+      val dR = (0 until k).map(c =>
+        round(subDist(col("embedding"), books(s)(c), s * subDim), 6))
+      argminC(dR).cast("long").as(s"c$s")
+    }
+    val errCols = (0 until subspaces).map { s =>
+      val dF = (0 until k).map(c =>
+        subDist(col("embedding"), books(s)(c), s * subDim))
+      least(dF: _*).as(s"e$s")
+    }
+    emb.select(Seq(col("vec_id")) ++ codeCols ++ errCols: _*)
+      .withColumn("err", round((0 until subspaces)
+        .map(s => col(s"e$s")).reduce(_ + _), 6))
+      .select(Seq(col("vec_id")) ++
+        (0 until subspaces).map(s => col(s"c$s")) :+ col("err"): _*)
+      .orderBy(col("vec_id"))
+  }
 }

@@ -1274,6 +1274,62 @@ object TextAnalysis {
       .orderBy(col("shard"))
   }
 
+  /**
+   * x77 — CCNet-style PERPLEXITY BUCKETING: every doc scored by its
+   * average unigram negative log-likelihood and cut into head / middle
+   * / tail buckets at corpus-relative quantile boundaries — the CCNet
+   * (Wenzek et al. 2020) quality-stratification step between x24's
+   * fixed-cutoff LM filter and training-set assembly (`kept` drops the
+   * tail, the standard CCNet action).
+   *
+   * Determinism stack: scores are EXACT INTEGER nano-nats (x56's
+   * recipe — per-type `round(ln p, 9)` widened to DECIMAL(20,9), ×1e9
+   * to LONG before any sum, positive numerator floor-division), and
+   * the bucket boundaries are the exact 25th/75th percentiles —
+   * QUARTILES rather than CCNet's terciles deliberately: dyadic q
+   * makes the type-7 interpolation exact in double (x74's argument),
+   * where q=1/3 would round and risk a last-ulp boundary straddle
+   * between engines.
+   *
+   * Scale: one explode + vocab-keyed freq aggregation, one (doc, tok)
+   * aggregation joined to the broadcast-scale vocab, then the
+   * doc-level score frame (16 B/doc) is localCheckpoint-materialized
+   * so the boundary aggregate and the bucket assignment share ONE
+   * scoring pass (the x73 diamond lesson); CCNet itself fits its LM
+   * and percentiles on a reference corpus for the same reason.
+   */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val scores = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+      .join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("lp_nano",
+        (round(log(col("n_tok").cast("double") / col("n_total")), 9)
+          .cast("decimal(20,9)") * 1000000000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        (-sum(col("m") * col("lp_nano"))).as("nll_nano_sum"))
+      .withColumn("nll_nano", expr("nll_nano_sum div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("nll_nano"))
+      .localCheckpoint()
+    val bounds = scores.agg(
+      expr("percentile(nll_nano, array(1D / 4, 3D / 4))").as("q"))
+    scores.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("nll_nano") <= expr("q[0]"), "head")
+          .when(col("nll_nano") > expr("q[1]"), "tail")
+          .otherwise("middle"))
+      .withColumn("kept", col("bucket") =!= "tail")
+      .select(col("doc_id"), col("n_tokens"), col("nll_nano"),
+        col("bucket"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   def vocabBuild(spark: SparkSession, dir: String, topV: Int = 64)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window

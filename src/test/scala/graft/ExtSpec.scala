@@ -1041,6 +1041,81 @@ class ExtSpec extends SparkSpec {
     assert(s1.sameElements(s2))
   }
 
+  test("pq: codes match a driver-side argmin over the returned " +
+      "codebooks; reconstruction error is the sum of subspace minima") {
+    val emb = graft.ingest.Tables.load(spark, sf, "embeddings")
+    val books = Similarity.pqCodebooks(emb, 4, 4, 16, 2)
+    assert(books.length == 4 && books.forall(b =>
+      b.length == 4 && b.forall(_.length == 16)))
+    val out = Similarity.pq(spark, sf).collect()
+    assert(out.length == emb.count())
+    (0 until 4).foreach(s => assert(out.forall { r =>
+      val c = r.getAs[Long](s"c$s"); c >= 0 && c <= 3
+    }))
+    // replay the coding math on the driver for a sample of vectors,
+    // same fold order and the same 6dp argmin rounding
+    val vecs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    vecs.foreach { case (id, v) =>
+      def dist(s: Int, c: Int): Double =
+        (0 until 16).map { i =>
+          val d = v(s * 16 + i).toDouble - books(s)(c)(i)
+          d * d
+        }.reduce(_ + _)
+      def r6(x: Double): Double = BigDecimal.valueOf(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+      val row = out.find(_.getAs[Long]("vec_id") == id).get
+      var errSum = 0.0
+      (0 until 4).foreach { s =>
+        val ds = (0 until 4).map(c => dist(s, c))
+        val expectC = (0 until 4).minBy(c => (r6(ds(c)), c))
+        assert(row.getAs[Long](s"c$s") == expectC, s"vec $id sub $s")
+        errSum += ds.min
+      }
+      assert(row.getAs[Double]("err") == r6(errSum))
+    }
+    // every vector with vec_id < 4 seeded a centroid; after 2 Lloyd
+    // steps codes still cover all 4 values in at least one subspace
+    assert((0 until 4).exists(s =>
+      out.map(_.getAs[Long](s"c$s")).distinct.length == 4))
+  }
+
+  test("ccnet buckets: ordered strata, quartile-sized head/tail, tail " +
+      "dropped, score matches a driver-side recount") {
+    val b = TextAnalysis.ccnetBuckets(spark, sf).collect()
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    assert(b.length == n)
+    def scores(bucket: String) = b.filter(_.getAs[String]("bucket") == bucket)
+      .map(_.getAs[Long]("nll_nano"))
+    // strata are ordered: every head score below every middle score
+    // below every tail score (they are boundary-separated)
+    assert(scores("head").max <= scores("middle").min)
+    assert(scores("middle").max <= scores("tail").min)
+    // quartile boundaries put roughly n/4 in head and tail
+    assert(math.abs(scores("head").length - n / 4.0) <= n * 0.05 + 1)
+    assert(math.abs(scores("tail").length - n / 4.0) <= n * 0.05 + 1)
+    assert(b.forall(r =>
+      r.getAs[Boolean]("kept") == (r.getAs[String]("bucket") != "tail")))
+    // one doc's score recomputed independently (driver-side freq count
+    // + the exact nano-nat rounding schedule)
+    val words = docs.select(col("doc_id"),
+      split(col("text"), " ").as("w")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+    val freq = words.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val total = words.map(_._2.size).sum.toDouble
+    val (d0, toks0) = words.minBy(_._1)
+    val nllSum = -toks0.map { t =>
+      val lp = BigDecimal(math.log(freq(t) / total))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      (lp * 1000000000).toLongExact
+    }.sum
+    val expect = nllSum / toks0.size // both positive: floor division
+    assert(b.find(_.getAs[Long]("doc_id") == d0).get
+      .getAs[Long]("nll_nano") == expect)
+  }
+
   test("bpe train: 12 rules, max pair count non-increasing, step-1 " +
       "argmax matches an independent recount") {
     val rules = Bpe.bpeTrain(spark, sf).collect()
