@@ -84,7 +84,9 @@ object Plans {
     "x71_semdedup" -> "SemDeDup: zero-shuffle centroid assignment, then the pairwise verify joins ONLY within cluster buckets; dominance is a grouped aggregate + left join, no global all-pairs",
     "x72_snapshot_diff" -> "snapshot diff: per-side md5 digests computed in the scan stage, ONE full-outer hash join on doc_id — two corpus scans, one co-partitioned shuffle pair, no driver state",
     "x73_vocab_build" -> "vocab build: explode + token-keyed hash agg (reduce cardinality = vocabulary) materialized ONCE (localCheckpoint — probed: the pruned total branch defeats exchange reuse), top-V via TakeOrderedAndProject and total as a vocab-frame agg both read the materialized counts — one corpus pass, never a global sort",
-    "x76_bpe_tokenize" -> "BPE apply: the per-doc rollup joins the BROADCAST merged word-type table (words tokenized once on types, 12 training rounds already folded into the checkpointed frame) — the corpus text is never re-tokenized per occurrence")
+    "x76_bpe_tokenize" -> "BPE apply: the per-doc rollup joins the BROADCAST merged word-type table (words tokenized once on types, 12 training rounds already folded into the checkpointed frame) — the corpus text is never re-tokenized per occurrence",
+    "x79_dsir" -> "DSIR: stats pass is explode+agg onto a 2048-row bucket table; the weight table is a bounded driver sync folded back as a LITERAL, so scoring is one native map-only fold per doc (no second explode, no join) + Gumbel top-k via TakeOrderedAndProject",
+    "kq52_matrix_stats" -> "matrix_stats: ONE partial+final hash aggregate carrying all five exact DECIMAL joint moments; numerators and correlation are projections above it")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -578,6 +578,19 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- exactly-once foreachBatch sink: batchId-keyed idempotent ------
+    // ---- dynamic-partition overwrite; one batch's commit deliberately --
+    // ---- replayed — the rollup must equal the plain batch aggregate ----
+    "kq53_stream_exactly_once" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.exactlyOnceSink(s,
+        graft.ingest.Tables.load(s, dir, "events"))),
+
+    // ---- ES matrix_stats: per-type joint moments of (value, hour) ------
+    // ---- — exact int64 covariance/variance numerators, one hash agg, ---
+    // ---- correlation as one fixed-shape IEEE expression ----------------
+    "kq52_matrix_stats" -> ((s, dir) =>
+      LogQueries.matrixStats(Pipeline.envelopeFlat(s, dir))),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -1149,6 +1162,49 @@ object SparkEntry {
         |        count(*) AS n
         |      FROM env GROUP BY 1)
         |ORDER BY bucket""".stripMargin),
+
+    // kq53: the exactly-once contract IS the oracle — an idempotent
+    // replayed commit leaves the cross-batch rollup equal to the plain
+    // one-shot batch aggregate over the events table.
+    "kq53_stream_exactly_once" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS DOUBLE) / 100 AS sum_v
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // kq52: HUGEINT moment products mirror Spark's DECIMAL(38,0) path
+    // (never wrap), output numerators CAST back to BIGINT; correlation
+    // uses the pinned cov/sqrt(vx)/sqrt(vy) association over exact
+    // integers and the zero-variance CASE yields NULL in both engines.
+    "kq52_matrix_stats" ->
+      (envSql + """, j AS (
+        |  SELECT event_type,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+        |    hour("timestamp") AS y
+        |  FROM env WHERE "value" IS NOT NULL),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(xc AS HUGEINT) * xc) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(xc AS HUGEINT) * y) AS sxy
+        |  FROM j GROUP BY 1),
+        |m AS (SELECT event_type, n,
+        |    CAST(sx AS DOUBLE) / 100 / n AS mean_x,
+        |    CAST(sy AS DOUBLE) / n AS mean_y,
+        |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |         AS BIGINT) AS cov_num,
+        |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |         AS BIGINT) AS varx_num,
+        |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+        |         AS BIGINT) AS vary_num
+        |  FROM g)
+        |SELECT event_type, n, mean_x, mean_y, cov_num, varx_num, vary_num,
+        |  CASE WHEN varx_num > 0 AND vary_num > 0
+        |       THEN CAST(cov_num AS DOUBLE) / sqrt(CAST(varx_num AS DOUBLE))
+        |            / sqrt(CAST(vary_num AS DOUBLE))
+        |  END AS corr
+        |FROM m ORDER BY event_type""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

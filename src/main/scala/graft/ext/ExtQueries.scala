@@ -136,6 +136,10 @@ object ExtQueries {
     // product quantization: per-subspace Euclidean codebooks, encoding
     // as ONE literal-fold map-only projection (scan-speed PQ)
     "x78_pq" -> ((s: SparkSession, d: String) => Similarity.pq(s, d)),
+    // DSIR importance resampling: hashed-bigram log-ratio weights in
+    // exact nano-nats, native map-only scoring, Gumbel top-k selection
+    "x79_dsir" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirSelect(s, d)),
     // apply the learned merges: per-doc subword totals, words tokenized
     // once on the type table, never per occurrence
     "x76_bpe_tokenize" -> (Bpe.bpeTokenize _),
@@ -1699,6 +1703,59 @@ object ExtQueries {
     "x75_bpe_train" -> Bpe.trainOracle(Bpe.Steps),
 
     "x78_pq" -> pqSql,
+
+    // x79: DSIR — the weight table replays the exact integer nano-nat
+    // recipe (each ln rounded to 9dp and scaled BEFORE any combination,
+    // x56's schedule), so scores/keys are int64 on both engines; the
+    // Gumbel uniform is the pinned md5-32 (h+0.5)/2^32 with the 'dsir:'
+    // salt. DuckDB list indexing is 1-based (toks[i], toks[i+1] over
+    // i ∈ range(1, len)) matching Spark's sequence(1, size-1) guard.
+    "x79_dsir" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |doc_bk AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(toks[CAST(i AS INT)] || ' ' ||
+        |        toks[CAST(i AS INT) + 1]), 1, 8))::BIGINT % 2048 AS bucket
+        |  FROM (SELECT doc_id, source, toks,
+        |          unnest(range(1, len(toks))) AS i FROM d)),
+        |cnt AS (SELECT bucket,
+        |    sum(CASE WHEN source = 'src9' THEN 1 ELSE 0 END) AS tgt,
+        |    sum(CASE WHEN source = 'src9' THEN 0 ELSE 1 END) AS raw
+        |  FROM doc_bk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tgt) AS BIGINT) AS tgt_tot,
+        |               CAST(sum(raw) AS BIGINT) AS raw_tot FROM cnt),
+        |w AS (SELECT b.bucket,
+        |    CAST(CAST(round(ln(CAST(coalesce(c.tgt, 0) + 1 AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) * 1000000000 AS BIGINT)
+        |  - CAST(CAST(round(ln(CAST(t.tgt_tot + 2048 AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) * 1000000000 AS BIGINT)
+        |  - (CAST(CAST(round(ln(CAST(coalesce(c.raw, 0) + 1 AS DOUBLE)), 9)
+        |       AS DECIMAL(20,9)) * 1000000000 AS BIGINT)
+        |   - CAST(CAST(round(ln(CAST(t.raw_tot + 2048 AS DOUBLE)), 9)
+        |       AS DECIMAL(20,9)) * 1000000000 AS BIGINT)) AS w_nano
+        |  FROM (SELECT unnest(range(2048)) AS bucket) b
+        |  LEFT JOIN cnt c ON b.bucket = c.bucket, tot t),
+        |score AS (SELECT k.doc_id, CAST(sum(w.w_nano) AS BIGINT)
+        |            AS score_nano
+        |          FROM doc_bk k JOIN w ON k.bucket = w.bucket GROUP BY 1),
+        |g AS (SELECT doc_id, source,
+        |    greatest(len(string_split(text, ' ')) - 1, 0) AS n_bigrams,
+        |    CAST(CAST(round(-ln(-ln(
+        |        (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+        |          1, 8))::BIGINT + 0.5) / 4294967296.0)), 9)
+        |      AS DECIMAL(20,9)) * 1000000000 AS BIGINT) AS gumbel_nano
+        |  FROM documents),
+        |keyed AS (SELECT g.doc_id, g.source, g.n_bigrams,
+        |    coalesce(s.score_nano, 0) AS score_nano, g.gumbel_nano,
+        |    coalesce(s.score_nano, 0) + g.gumbel_nano AS key_nano
+        |  FROM g LEFT JOIN score s ON g.doc_id = s.doc_id),
+        |r AS (SELECT doc_id, source, n_bigrams, score_nano, gumbel_nano,
+        |        key_nano, CAST(row_number() OVER (
+        |          ORDER BY key_nano DESC, doc_id) AS INT) AS "rank"
+        |      FROM keyed)
+        |SELECT doc_id, source, n_bigrams, score_nano, gumbel_nano,
+        |  key_nano, "rank"
+        |FROM r WHERE "rank" <= 100 ORDER BY "rank"""".stripMargin,
 
     "x77_ccnet_buckets" ->
       """WITH tok AS (SELECT doc_id,

@@ -481,6 +481,121 @@ object TextAnalysis {
   }
 
   /**
+   * x79 — DSIR importance resampling (Xie et al., "Data Selection for
+   * Language Models via Importance Resampling", NeurIPS 2023): select raw
+   * documents that LOOK LIKE a small target corpus by estimating hashed
+   * n-gram bag-of-words models of both distributions and Gumbel-top-k
+   * sampling on the per-document log importance weight. This is the
+   * principled upgrade of [[weightedSample]]'s heuristic weights — the
+   * target slice here is the held-out `src9` docs (the same slice
+   * [[decontaminate]] treats as eval data).
+   *
+   * Estimation (one corpus pass): every adjacent-token bigram hashes into
+   * one of B=2048 buckets ([[graft.functions.HashedBigramWeightSum]]'s
+   * pinned md5-32 contract) and each side's bucket distribution gets
+   * add-one smoothing: p(b) = (c_b + 1) / (total + B). The per-bucket log
+   * ratio is frozen to EXACT INTEGER NANO-NATS via x56's pinned rounding
+   * schedule — each ln is rounded to 9dp and scaled, and only integers
+   * are combined afterwards, so the weight table is bit-identical across
+   * engines and the per-doc score (an int64 sum over bigram occurrences)
+   * is order-free exact:
+   * {{{
+   *   w_nano(b) = L(tgt_b+1) − L(tgtTot+B) − (L(raw_b+1) − L(rawTot+B))
+   *   where L(x) = round9(ln(x)) · 1e9  as int64
+   * }}}
+   *
+   * Scoring (second pass, MAP-ONLY): the B-long weight table is a bounded
+   * driver sync (16 KB — the x6 centroid-sync pattern) folded into the
+   * plan as a literal, so each doc's score is one native per-row fold: no
+   * explode, no join, no shuffle. At 100 TB the stats pass is x73's
+   * explode+agg shape over a 2048-row output and the scoring pass runs at
+   * scan speed.
+   *
+   * Selection: Gumbel top-k — key = score + g where
+   * g = round9(−ln(−ln(u))) · 1e9 and u is the pinned md5 uniform of
+   * `'dsir:' || doc_id` — equivalent to sampling k docs without
+   * replacement ∝ exp(score) (the A-ES connection x36 exploits), fully
+   * deterministic and reproducible on any partitioning. All sort keys are
+   * int64: zero cross-engine tie surface.
+   */
+  def dsirSelect(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    dsirSelectOf(Tables.load(spark, dir, "documents"), k)
+
+  /** DSIR hashed-feature bucket count (B). */
+  private[graft] val DsirBuckets = 2048
+
+  /** The target distribution: the held-out src9 slice (x47's eval set). */
+  private[graft] val DsirTarget = "src9"
+
+  /** x56's pinned ln→nano-nat schedule: round ln to 9dp, scale to int64.
+    * The explicit double cast keeps the Spark and DuckDB forms textually
+    * parallel (exact for counts ≤ 2^53 either way). */
+  private def lnNano(c: Column): Column =
+    (round(log(c.cast("double")), 9).cast("decimal(20,9)") * 1000000000)
+      .cast("long")
+
+  /** The estimated per-bucket nano-nat log-ratio table (B rows). */
+  private[graft] def dsirWeightTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val b = DsirBuckets
+    val bg = docs.select(col("source"), split(col("text"), " ").as("toks"))
+      // < 2 tokens → no bigrams (and sequence(1, 0) is descending: the
+      // StatsProps-caught ANSI trap — guard BEFORE the transform)
+      .where(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(toks[i - 1], ' ', toks[i]))")).as("feat"))
+      .select(col("source"),
+        (conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long") % b)
+          .as("bucket"))
+    val counts = bg.groupBy(col("bucket")).agg(
+      sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("tgt"),
+      sum(when(col("source") === DsirTarget, 0L).otherwise(1L)).as("raw"))
+    val totals = counts.agg(sum(col("tgt")).as("tgt_tot"),
+      sum(col("raw")).as("raw_tot")) // 1-row scalar
+    spark.range(b).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("tgt", "raw"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (lnNano(col("tgt") + 1) - lnNano(col("tgt_tot") + b)
+          - (lnNano(col("raw") + 1) - lnNano(col("raw_tot") + b)))
+          .as("w_nano"))
+  }
+
+  /** [[dsirSelect]] over any (doc_id, source, text) frame — the spec
+    * drives this directly and replays the math independently. */
+  private[graft] def dsirSelectOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = DsirBuckets
+    // Bounded driver sync: B int64 weights (16 KB) — the same pattern as
+    // the k×dim centroid collect; DSIR is definitionally two passes
+    // (estimate the ratio model, then score with it).
+    val wRows = dsirWeightTable(docs).orderBy(col("bucket")).collect()
+    val weights = Array.ofDim[Long](b)
+    wRows.foreach(r => weights(r.getLong(0).toInt) = r.getLong(1))
+    val u = (conv(substring(md5(concat(lit("dsir:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val scored = docs.select(col("doc_id"), col("source"),
+        greatest(size(split(col("text"), " ")) - 1, lit(0)).cast("long")
+          .as("n_bigrams"),
+        graft.functions.HashedBigramWeightSum.bigramWeightSum(col("text"),
+          typedLit(weights.toSeq)).as("score_nano"),
+        (round(-log(-log(u)), 9).cast("decimal(20,9)") * 1000000000)
+          .cast("long").as("gumbel_nano"))
+      .withColumn("key_nano", col("score_nano") + col("gumbel_nano"))
+    // top-k via orderBy+limit (per-partition heaps); rank over ≤ k rows
+    val wnd = Window.partitionBy(col("key_nano") - col("key_nano"))
+      .orderBy(col("key_nano").desc, col("doc_id"))
+    scored.orderBy(col("key_nano").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(wnd))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("score_nano"), col("gumbel_nano"), col("key_nano"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /**
    * x38 — TEMPERATURE-scaled source mixture (α = 0.5): per-source quotas
    * ∝ n_s^α / Σ n_t^α — the multinomial temperature sampling multilingual
    * LLM pipelines use to keep low-resource sources from vanishing under

@@ -56,6 +56,8 @@ object GraftFunctions {
       (exprs => BigramStats(exprs.head)),
     "hashed_linear_score" ->
       (exprs => HashedLinearScore(exprs.head)),
+    "hashed_bigram_weight_sum" ->
+      (exprs => HashedBigramWeightSum(exprs(0), exprs(1))),
     "analyze_tokens" ->
       (exprs => AnalyzeTokens(exprs.head)),
     // phrase is a plan-time constant (like word_shingles' n): analyzed

@@ -149,6 +149,54 @@ object LogQueries {
   }
 
   /**
+   * ES `matrix_stats` aggregation (kq52): the multi-field correlation
+   * matrix Kibana's transform/ML screens draw — per event-type bucket,
+   * the joint second-order moments of (value, hour-of-day) and their
+   * Pearson correlation. ES computes mean/variance/covariance/correlation
+   * per field pair in one streaming pass; the Spark-first shape is the
+   * same single hash aggregate of Σx, Σy, Σx², Σy², Σxy.
+   *
+   * Cross-engine determinism is [[extendedStats]]'s recipe extended to
+   * the CROSS moment: cents (exact int64) × hour (0–23) accumulated as
+   * DECIMAL, the covariance/variance NUMERATORS n·Σxy − ΣxΣy emitted as
+   * EXACT int64 (the moments a consumer would feed into any downstream
+   * math), and the only doubles — means and the correlation — are each
+   * ONE fixed-shape IEEE expression over those exact integers
+   * (`cov / sqrt(vx) / sqrt(vy)`, the [[graft.functions.CosineSimilarity]]
+   * association), bit-identical in both engines. Zero-variance groups
+   * yield a null correlation rather than ±inf.
+   */
+  def matrixStats(env: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100)
+      .cast("decimal(18,0)").cast("long")
+    val nDec = col("n").cast("decimal(38,0)")
+    val sxDec = col("sx").cast("decimal(38,0)")
+    val syDec = col("sy").cast("decimal(38,0)")
+    env.where(col("value").isNotNull)
+      .select(col("event_type"), cents.as("xc"),
+        hour(col("timestamp")).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("xc") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        (col("sx").cast("double") / 100 / col("n")).as("mean_x"),
+        (col("sy").cast("double") / col("n")).as("mean_y"),
+        (nDec * col("sxy") - sxDec * col("sy")).cast("long").as("cov_num"),
+        (nDec * col("sxx") - sxDec * col("sx")).cast("long").as("varx_num"),
+        (nDec * col("syy") - syDec * col("sy")).cast("long").as("vary_num"))
+      .withColumn("corr",
+        when(col("varx_num") > 0 && col("vary_num") > 0,
+          col("cov_num").cast("double")
+            / sqrt(col("varx_num").cast("double"))
+            / sqrt(col("vary_num").cast("double"))))
+      .orderBy(col("event_type"))
+  }
+
+  /**
    * Kibana TSVB `bucket_script`: a per-bucket expression over sibling
    * metrics — here the error rate of each hourly bucket, emitted in parts
    * per million via INTEGER floor-division (`errors·10⁶ div total`), so

@@ -675,6 +675,82 @@ object StreamPipeline {
     }
   }
 
+  /**
+   * kq53 — EXACTLY-ONCE `foreachBatch` SINK: the production answer to
+   * "Structured Streaming delivers micro-batches AT LEAST once to a
+   * non-transactional sink" — the sink write is made IDEMPOTENT by
+   * keying on the (replayed-deterministic) `batchId`, so a batch retried
+   * after a mid-write crash overwrites its own partial output instead of
+   * appending duplicates. This is the documented Spark recipe for
+   * exactly-once semantics over arbitrary batch sinks (foreachBatch +
+   * idempotent write), and the piece the kq7 changelog's uid-upsert
+   * idempotence doesn't cover: AGGREGATED output, where a replayed
+   * micro-batch would otherwise double-count.
+   *
+   * Mechanics: the event stream is consumed file-per-trigger (several
+   * micro-batches), each batch reduces to a per-type (count, cent-sum)
+   * aggregate, and the commit writes `batch_id=<id>` partitions with
+   * DYNAMIC partition overwrite — rewriting exactly its own partition,
+   * byte-identical on replay. The at-least-once failure is SIMULATED by
+   * running one batch's full compute+commit TWICE (what a retried task
+   * does); the final table must be unchanged by the replay. The driver
+   * entry returns the cross-batch rollup, which therefore equals the
+   * plain batch aggregate — that equality IS the exactly-once proof the
+   * oracle checks. All integer/cents arithmetic (kq36's recipe).
+   *
+   * At 100 TB/day the same shape holds: the per-batch aggregate is tiny,
+   * the partition overwrite touches one directory per trigger, and
+   * recovery after any crash is replay-the-batch, not reconcile-the-sink.
+   */
+  def exactlyOnceSink(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq53-e1").toString
+    val ev = events.select(col("event_id"), col("event_type"), col("value"))
+    // 4 input files → 4 micro-batches at one file per trigger
+    ev.repartition(4).write.mode("overwrite").parquet(s"$work/in")
+    val table = s"$work/table"
+    try {
+      def commit(batch: DataFrame, batchId: Long): Unit =
+        batch.where(col("event_type").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("value").cast("decimal(18,2)") * 100)
+              .cast("decimal(18,0)")).as("sum_cents"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(table)
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          commit(batch, batchId)
+          // simulated at-least-once retry: batch 1's compute + commit
+          // runs twice, as a recovered task would — must be a no-op
+          if (batchId == 1L) commit(batch, batchId)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // cross-batch rollup: equals the one-shot batch aggregate IFF the
+      // replayed commit was idempotent (the exactly-once contract)
+      spark.read.parquet(table)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("sum_cents")).cast("decimal(38,0)").as("cents"))
+        .select(col("event_type"), col("n_events"),
+          (col("cents").cast("double") / 100).as("sum_v"))
+        .orderBy(col("event_type"))
+        .localCheckpoint() // materialize before the temp dir is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   /** Per-user running activity plus the registered inactivity-timer
     * expiry (ms) — the [[InactivityProcessor]]'s ValueState row. */
   case class UserActivity(n_events: Long, last_seen_us: Long,

@@ -171,6 +171,46 @@ class LogQueriesSpec extends SparkSpec {
     }
   }
 
+  test("matrix_stats: moment numerators match an exact BigInt reference; " +
+      "correlation is the pinned cov/sqrt/sqrt; zero variance -> null") {
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val got = LogQueries.matrixStats(flat)
+      .select($"event_type", $"n", $"mean_x", $"mean_y", $"cov_num",
+        $"varx_num", $"vary_num", $"corr")
+      .collect()
+    val raw = flat.where($"value".isNotNull)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long"),
+        hour($"timestamp").cast("long"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    assert(got.map(_.getString(0)).toSet == raw.keySet)
+    got.foreach { r =>
+      val vs = raw(r.getString(0))
+      val n = BigInt(vs.length)
+      val sx = vs.map(v => BigInt(v._2)).sum
+      val sy = vs.map(v => BigInt(v._3)).sum
+      val sxx = vs.map(v => BigInt(v._2) * v._2).sum
+      val syy = vs.map(v => BigInt(v._3) * v._3).sum
+      val sxy = vs.map(v => BigInt(v._2) * v._3).sum
+      assert(r.getLong(1) == vs.length)
+      assert(r.getDouble(2) == sx.toDouble / 100 / vs.length)
+      assert(r.getDouble(3) == sy.toDouble / vs.length)
+      val (cov, vx, vy) = (n * sxy - sx * sy, n * sxx - sx * sx,
+        n * syy - sy * sy)
+      assert(r.getLong(4) == cov.toLong && r.getLong(5) == vx.toLong &&
+        r.getLong(6) == vy.toLong, r.getString(0))
+      assert(r.getDouble(7) ==
+        cov.toDouble / math.sqrt(vx.toDouble) / math.sqrt(vy.toDouble))
+    }
+    // a constant field yields vary_num = 0 → NULL correlation, not ±inf
+    val const = Seq(("a", 1.00, "2024-01-01 05:00:00"),
+        ("a", 2.00, "2024-01-01 05:30:00"))
+      .toDF("event_type", "value", "t")
+      .select($"event_type", $"value", to_timestamp($"t").as("timestamp"))
+    val row = LogQueries.matrixStats(const).collect().head
+    assert(row.getLong(6) == 0L && row.isNullAt(7))
+  }
+
   test("bucket_script: ppm is the exact integer floor-division of the " +
       "sibling metrics; one aggregate, script above it") {
     val flat = Pipeline.envelopeFlat(spark, sf)

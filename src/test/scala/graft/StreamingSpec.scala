@@ -435,4 +435,28 @@ class StreamingSpec extends SparkSpec {
     assert(nulls.collect().map(_.getAs[Long]("s_id")).toSet == expected)
     assert(nulls.count() > 0) // the outer leg is genuinely exercised
   }
+
+  test("exactly-once foreachBatch sink: the deliberately REPLAYED batch " +
+      "commit is a no-op — the rollup equals the one-shot batch aggregate") {
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+    val got = StreamPipeline.exactlyOnceSink(spark, ev)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // one-shot batch reference, same cents recipe; if the replayed
+    // batch-1 commit had APPENDED instead of overwriting, its types'
+    // counts and sums would double and this equality breaks
+    val ref = ev.where(col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)")).as("cents"))
+      .select(col("event_type"), col("n"),
+        (col("cents").cast("decimal(38,0)").cast("double") / 100)
+          .as("sum_v"))
+      .orderBy(col("event_type"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == ref)
+    assert(got.nonEmpty)
+  }
 }
