@@ -88,7 +88,9 @@ object Plans {
     "x73_vocab_build" -> "vocab build: explode + token-keyed hash agg (reduce cardinality = vocabulary) materialized ONCE (localCheckpoint — probed: the pruned total branch defeats exchange reuse), top-V via TakeOrderedAndProject and total as a vocab-frame agg both read the materialized counts — one corpus pass, never a global sort",
     "x76_bpe_tokenize" -> "BPE apply: the per-doc rollup joins the BROADCAST merged word-type table (words tokenized once on types, 12 training rounds already folded into the checkpointed frame) — the corpus text is never re-tokenized per occurrence",
     "x79_dsir" -> "DSIR: stats pass is explode+agg onto a 2048-row bucket table; the weight table is a bounded driver sync folded back as a LITERAL, so scoring is one native map-only fold per doc (no second explode, no join) + Gumbel top-k via TakeOrderedAndProject",
-    "kq52_matrix_stats" -> "matrix_stats: ONE partial+final hash aggregate carrying all five exact DECIMAL joint moments; numerators and correlation are projections above it")
+    "kq52_matrix_stats" -> "matrix_stats: ONE partial+final hash aggregate carrying all five exact DECIMAL joint moments; numerators and correlation are projections above it",
+    "kq54_collapse" -> "field collapse: per-key top-1 is a bounded window partitioned on the data-driven key (one key shuffle, never a global sort); the collapsed page itself is a TakeOrderedAndProject top-k",
+    "kq55_percolate" -> "percolate: ONE scan computes every stored query's verdict as an array of structs — explode + filter, map-only; no join, no shuffle, cost is one pass regardless of registry size")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -591,6 +591,52 @@ object SparkEntry {
     "kq52_matrix_stats" -> ((s, dir) =>
       LogQueries.matrixStats(Pipeline.envelopeFlat(s, dir))),
 
+    // ---- ES field collapse: the Discover page deduplicated per key -----
+    // ---- — one TOP HIT per collapse key (the key's most recent ---------
+    // ---- record, Discover's own sort tuple) with the group's -----------
+    // ---- inner-hit count; the page is the top-20 collapsed groups by ---
+    // ---- the top hit's sort. Per-group top-1 is a bounded window on ----
+    // ---- the data-driven key (never a global sort); the page itself ----
+    // ---- is a top-k. uid is the final tiebreak for the same reason as --
+    // ---- kq16: (timestamp, offset) is not a total order. ---------------
+    "kq54_collapse" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byKey = Window.partitionBy(col("key"))
+      val w = byKey.orderBy(col("timestamp").desc, col("offset").desc,
+        col("uid"))
+      Pipeline.envelopeFlat(s, dir)
+        .withColumn("hit_rank", row_number().over(w))
+        .withColumn("n_hits", count(lit(1)).over(byKey))
+        .where(col("hit_rank") === 1)
+        .select(col("key"), col("uid"), col("timestamp"), col("offset"),
+          col("event_type"), col("n_hits"))
+        .orderBy(col("timestamp").desc, col("offset").desc, col("uid"))
+        .limit(20)
+    }),
+
+    // ---- ES percolator: REVERSE search — the stored-query registry is --
+    // ---- matched against every incoming record. Each stored KQL string -
+    // ---- parses (plan time) to a Catalyst predicate; ONE scan computes -
+    // ---- all verdicts as an array of (query_id, hit) structs, explode + -
+    // ---- filter keeps the matches. Map-only: no join, no shuffle — at --
+    // ---- 100 TB percolation costs exactly one pass regardless of how ---
+    // ---- many queries are registered. ----------------------------------
+    "kq55_percolate" -> ((s, dir) => {
+      val stored: Seq[(Int, String)] = Seq(
+        1 -> "event_type:click AND value >= 50",
+        2 -> "event_type:p*",
+        3 -> "\"TOMBSTONE\"",
+        4 -> "value < 10 OR event_type:signup")
+      val verdicts = array(stored.map { case (id, q) =>
+        struct(lit(id).as("query_id"), LogQueries.kql(q).as("hit"))
+      }: _*)
+      Pipeline.envelopeFlat(s, dir)
+        .select(col("uid"), explode(verdicts).as("m"))
+        .where(col("m.hit"))
+        .select(col("m.query_id").as("query_id"), col("uid"))
+        .orderBy(col("query_id"), col("uid"))
+    }),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -752,6 +798,41 @@ object SparkEntry {
         |      FROM env WHERE event_type IS NOT NULL)
         |WHERE hit_rank <= 3
         |ORDER BY event_type, hit_rank""".stripMargin),
+
+    "kq54_collapse" ->
+      (envSql + """SELECT "key", uid, "timestamp", "offset", event_type,
+        |  n_hits
+        |FROM (SELECT "key", uid, "timestamp", "offset", event_type,
+        |        row_number() OVER (PARTITION BY "key"
+        |          ORDER BY "timestamp" DESC, "offset" DESC, uid)
+        |          AS hit_rank,
+        |        count(*) OVER (PARTITION BY "key") AS n_hits
+        |      FROM env)
+        |WHERE hit_rank = 1
+        |ORDER BY "timestamp" DESC, "offset" DESC, uid
+        |LIMIT 20""".stripMargin),
+
+    // percolate: each stored KQL query hand-translated exactly like
+    // kq18/kq21's pinned forms (wildcard -> LIKE, quoted phrase ->
+    // analyzed-token containment); the UNION ALL arms are the per-query
+    // legs of the one-scan explode
+    "kq55_percolate" ->
+      (envSql + """SELECT CAST(query_id AS INT) AS query_id, uid FROM (
+        |  SELECT 1 AS query_id, uid FROM env
+        |  WHERE event_type = 'click' AND "value" >= 50
+        |  UNION ALL
+        |  SELECT 2 AS query_id, uid FROM env
+        |  WHERE event_type LIKE 'p%'
+        |  UNION ALL
+        |  SELECT 3 AS query_id, uid FROM env
+        |  WHERE list_contains(
+        |          list_filter(regexp_split_to_array(lower(value_json),
+        |                                            '[^a-z0-9]+'),
+        |                      t -> t <> ''), 'tombstone')
+        |  UNION ALL
+        |  SELECT 4 AS query_id, uid FROM env
+        |  WHERE "value" < 10 OR event_type = 'signup')
+        |ORDER BY query_id, uid""".stripMargin),
 
     // the quoted "TOMBSTONE" is an analyzed single-token phrase now
     // (match_phrase semantics): token containment in the analyzed stream

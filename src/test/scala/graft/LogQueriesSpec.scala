@@ -301,6 +301,41 @@ class LogQueriesSpec extends SparkSpec {
     }
   }
 
+  test("field collapse: one row per key, the top hit is that key's most " +
+      "recent record, inner-hit counts are the true group sizes") {
+    val page = SparkEntry.queries("kq54_collapse")(spark, sf)
+      .select($"key", $"uid", $"n_hits")
+      .as[(String, String, Long)].collect()
+    assert(page.nonEmpty && page.length <= 20)
+    assert(page.map(_._1).distinct.length == page.length) // collapsed
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    for ((k, uid, n) <- page.take(3)) {
+      val grp = flat.where($"key" === k)
+        .select($"timestamp", $"offset", $"uid")
+        .as[(java.sql.Timestamp, Long, String)].collect()
+      assert(n == grp.length, k)
+      // Discover sort: timestamp DESC, offset DESC, uid ASC tiebreak
+      val micros = (t: java.sql.Timestamp) =>
+        t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+      val want = grp.sortBy(r => (-micros(r._1), -r._2, r._3)).head._3
+      assert(uid == want, k)
+    }
+  }
+
+  test("percolate: per-query match sets equal direct predicate filters; " +
+      "a record matching several stored queries emits once per query") {
+    val out = SparkEntry.queries("kq55_percolate")(spark, sf)
+      .as[(Int, String)].collect()
+    val flat = Pipeline.envelopeFlat(spark, sf)
+    val q2 = flat.where($"event_type".startsWith("p"))
+      .select($"uid").as[String].collect().toSet
+    assert(out.filter(_._1 == 2).map(_._2).toSet == q2)
+    val q4 = flat.where($"value" < 10 || $"event_type" === "signup")
+      .select($"uid").as[String].collect().toSet
+    assert(out.filter(_._1 == 4).map(_._2).toSet == q4)
+    assert(out.groupBy(_._2).exists(_._2.size > 1))
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
