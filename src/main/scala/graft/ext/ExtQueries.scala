@@ -146,6 +146,10 @@ object ExtQueries {
     // hybrid search: BM25 ∪ dense-vector rankings fused by RRF (rank-only)
     "x69_hybrid_rrf" -> ((s: SparkSession, d: String) =>
       Similarity.hybridRrf(s, d)),
+    // MMR diversified re-rank: greedy λ·rel − (1−λ)·max-sim-to-selected
+    // over the bounded top-N page, exact int64 micro-unit scores
+    "x80_mmr" -> ((s: SparkSession, d: String) =>
+      Similarity.mmrRerank(s, d)),
     "x13_dedup_embed" -> ((s: SparkSession, d: String) =>
       Similarity.embedNearDupPairs(s, d)),
     // SemDeDup: k-means-cluster-scoped semantic dedup, keep-farthest-
@@ -1703,6 +1707,8 @@ object ExtQueries {
     "x75_bpe_train" -> Bpe.trainOracle(Bpe.Steps),
 
     "x78_pq" -> pqSql,
+
+    "x80_mmr" -> Similarity.mmrOracle(),
 
     // x79: DSIR — the weight table replays the exact integer nano-nat
     // recipe (each ln rounded to 9dp and scaled BEFORE any combination,

@@ -730,4 +730,143 @@ object Similarity {
         (0 until subspaces).map(s => col(s"c$s")) :+ col("err"): _*)
       .orderBy(col("vec_id"))
   }
+
+  /** 6dp-rounded cosine frozen to exact integer micro-units (the x56
+    * DECIMAL freeze: round → DECIMAL(10,6) → ×1e6 → BIGINT), so every
+    * downstream MMR comparison is int64 — no cross-engine rounding-tie
+    * surface past this one pinned rounding. */
+  private def cosMicro(a: Column, b: Column): Column =
+    (round(cosine(a, b), 6).cast("decimal(10,6)") * 1000000).cast("long")
+
+  /**
+   * x80 — MAXIMAL MARGINAL RELEVANCE diversified re-rank (Carbonell &
+   * Goldstein 1998; ES's `diversified_sampler` / result-diversification
+   * shape): from each query's top-`nCand` relevance page, greedily pick
+   * `k` results maximizing `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — the
+   * relevance/redundancy trade that keeps a results page from showing k
+   * near-copies (and a fine-tuning batch from k near-duplicate
+   * exemplars).
+   *
+   * Scale shape: the corpus-sized work is exactly ONE relevance pass
+   * (the brute-force scan here; the IVF probe at 100 TB — they compose
+   * because MMR only needs the page). Everything after operates on the
+   * bounded nQueries×nCand candidate page: the pairwise matrix is a
+   * page×page self-join keyed on query_id, and each greedy round is one
+   * (join + max + window-argmax) over page-sized frames,
+   * `localCheckpoint`ed so lineage stays flat across rounds (the CC/BPE
+   * pattern). All scores are exact int64 micro-units: λ=0.7 scaled by 10
+   * to `7·rel − 3·maxsim`, ties broken by cand_id — fully deterministic.
+   */
+  def mmrRerank(spark: SparkSession, dir: String, nQueries: Int = 4,
+      nCand: Int = 20, k: Int = 8): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv"))
+      .crossJoin(broadcast(queries))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("rel_micro", cosMicro(col("cv"), col("qv")))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_micro").desc, col("cand_id"))
+    val cand = scored.withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= nCand)
+      .select(col("query_id"), col("cand_id"), col("cv"), col("rel_micro"))
+      .localCheckpoint() // bounded: nQueries × nCand rows
+    val pair = cand.select(col("query_id"), col("cand_id").as("a"),
+        col("cv").as("va"))
+      .join(cand.select(col("query_id"), col("cand_id").as("b"),
+        col("cv").as("vb")), Seq("query_id"))
+      .where(col("a") =!= col("b"))
+      .withColumn("sim_micro", cosMicro(col("va"), col("vb")))
+      .select(col("query_id"), col("a"), col("b"), col("sim_micro"))
+      .localCheckpoint() // bounded: nQueries × nCand²
+    val bare = cand.select(col("query_id"), col("cand_id"),
+      col("rel_micro"))
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr_micro").desc, col("cand_id"))
+    // round 1: S is empty, maxsim ≡ 0 — MMR degenerates to argmax rel
+    var selected = bare.withColumn("mmr_micro", col("rel_micro") * 7)
+      .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), col("rel_micro"),
+        lit(1).as("sel_round"), col("mmr_micro"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val maxsim = pair
+        .join(selected.select(col("query_id"), col("cand_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a"))
+        .agg(max(col("sim_micro")).as("maxsim_micro"))
+      val pick = bare
+        .join(selected.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(maxsim.withColumnRenamed("a", "cand_id"),
+          Seq("query_id", "cand_id"))
+        .withColumn("mmr_micro",
+          col("rel_micro") * 7 - col("maxsim_micro") * 3)
+        .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("rel_micro"),
+          lit(r).as("sel_round"), col("mmr_micro"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.orderBy(col("query_id"), col("sel_round"))
+  }
+
+  /** DuckDB oracle for [[mmrRerank]]: the greedy rounds as a generated
+    * MATERIALIZED CTE chain (each round references the previous selection
+    * three times — without MATERIALIZED DuckDB inlines and the tree grows
+    * 3^k, the x75 lesson). */
+  def mmrOracle(nQueries: Int = 4, nCand: Int = 20, k: Int = 8): String = {
+    def cosM(a: String, b: String): String =
+      s"CAST(CAST(round(list_cosine_similarity(CAST($a AS DOUBLE[]), " +
+        s"CAST($b AS DOUBLE[])), 6) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+    val rounds = (2 to k).map { r =>
+      s"""sel$r AS MATERIALIZED (
+         |  SELECT * FROM sel${r - 1}
+         |  UNION ALL
+         |  SELECT query_id, cand_id, rel_micro, $r AS sel_round, mmr_micro
+         |  FROM (
+         |    SELECT c.query_id, c.cand_id, c.rel_micro,
+         |      7 * c.rel_micro - 3 * m.maxsim_micro AS mmr_micro,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY 7 * c.rel_micro - 3 * m.maxsim_micro DESC,
+         |                 c.cand_id) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT p.query_id, p.a,
+         |            max(p.sim_micro) AS maxsim_micro
+         |          FROM pair p JOIN sel${r - 1} s
+         |            ON p.query_id = s.query_id AND p.b = s.cand_id
+         |          GROUP BY p.query_id, p.a) m
+         |      ON c.query_id = m.query_id AND c.cand_id = m.a
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+         |      WHERE s2.query_id = c.query_id
+         |        AND s2.cand_id = c.cand_id))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       |scored AS MATERIALIZED (
+       |  SELECT q.query_id, e.vec_id AS cand_id, e.embedding AS cv,
+       |    ${cosM("e.embedding", "q.qv")} AS rel_micro
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, cand_id, cv, rel_micro FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel_micro DESC, cand_id) AS rn FROM scored)
+       |  WHERE rn <= $nCand),
+       |pair AS MATERIALIZED (
+       |  SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+       |    ${cosM("x.cv", "y.cv")} AS sim_micro
+       |  FROM cand x JOIN cand y
+       |    ON x.query_id = y.query_id AND x.cand_id <> y.cand_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, cand_id, rel_micro, 1 AS sel_round,
+       |    7 * rel_micro AS mmr_micro
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY 7 * rel_micro DESC, cand_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, cand_id, rel_micro, sel_round, mmr_micro
+       |FROM sel$k ORDER BY query_id, sel_round""".stripMargin
+  }
 }

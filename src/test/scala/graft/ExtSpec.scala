@@ -1184,4 +1184,52 @@ class ExtSpec extends SparkSpec {
     assert(v.head.getAs[String]("token") == top.getAs[String]("t"))
     assert(v.head.getAs[Long]("n_occ") == top.getAs[Long]("count"))
   }
+
+  test("MMR re-rank: greedy selection equals an independent driver-side " +
+      "replay; the diversity term genuinely reorders some page") {
+    val out = graft.SparkEntry.queries("x80_mmr")(spark, sf)
+      .select(col("query_id"), col("cand_id"), col("rel_micro"),
+        col("sel_round"), col("mmr_micro"))
+      .as[(Long, Long, Long, Int, Long)].collect()
+    val all = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val vecs = all.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def micro(a: Seq[Float], b: Seq[Float]): Long =
+      (BigDecimal(cos(a, b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLongExact
+    var reordered = false
+    for (qid <- 0L until 4L) {
+      val q = vecs(qid)
+      val page = all.filter(_._1 != qid)
+        .map { case (id, v) => (id, micro(q, v)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(20)
+      var sel = Vector.empty[(Long, Long, Int, Long)]
+      var remaining = page
+      for (r <- 1 to 8) {
+        val scoredPicks = remaining.map { case (id, rel) =>
+          val maxsim =
+            if (sel.isEmpty) 0L
+            else sel.map(s => micro(vecs(id), vecs(s._1))).max
+          (id, rel, 7 * rel - 3 * maxsim)
+        }
+        val best = scoredPicks.minBy(p => (-p._3, p._1))
+        sel :+= ((best._1, best._2, r, best._3))
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      val got = out.filter(_._1 == qid).sortBy(_._4)
+        .map(t => (t._2, t._3, t._4, t._5)).toSeq
+      assert(got == sel, s"query $qid")
+      if (sel.map(_._1) != page.take(8).map(_._1).toVector) reordered = true
+    }
+    assert(reordered, "diversity term never changed pure-relevance order")
+  }
 }
