@@ -150,6 +150,10 @@ object ExtQueries {
     // over the bounded top-N page, exact int64 micro-unit scores
     "x80_mmr" -> ((s: SparkSession, d: String) =>
       Similarity.mmrRerank(s, d)),
+    // JL random projection 64→16: md5-sign matrix, one codegen'd map-only
+    // pass, exact integer micro-unit sketches + norm audit
+    "x81_random_projection" -> ((s: SparkSession, d: String) =>
+      Similarity.randomProjection(s, d)),
     "x13_dedup_embed" -> ((s: SparkSession, d: String) =>
       Similarity.embedNearDupPairs(s, d)),
     // SemDeDup: k-means-cluster-scoped semantic dedup, keep-farthest-
@@ -1709,6 +1713,8 @@ object ExtQueries {
     "x78_pq" -> pqSql,
 
     "x80_mmr" -> Similarity.mmrOracle(),
+
+    "x81_random_projection" -> Similarity.randomProjectionOracle(),
 
     // x79: DSIR — the weight table replays the exact integer nano-nat
     // recipe (each ln rounded to 9dp and scaled BEFORE any combination,

@@ -812,6 +812,75 @@ object Similarity {
     selected.orderBy(col("query_id"), col("sel_round"))
   }
 
+  /**
+   * x81 — JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (Achlioptas 2003
+   * database-friendly ±1 variant): 64-dim embeddings sketched to 16 dims
+   * through a deterministic md5-derived sign matrix — the cheap
+   * dimensionality reduction in front of clustering / dedup / ANN when
+   * the full vectors are too wide to shuffle (4× less shuffle bytes here;
+   * at 100 TB the projection runs at scan speed and only the sketch moves).
+   *
+   * Determinism: each input element is frozen ONCE to exact int64
+   * micro-units (the 6dp DECIMAL freeze), after which projections and
+   * both norm audits are pure integer sums — order-free, so neither
+   * engine's aggregation order matters, and overflow-safe (|p_j| ≤
+   * 64·|e|·1e6 ≪ 2⁶³). The whole sketch is ONE native
+   * [[graft.functions.RademacherSketch]] loop per row (the equivalent
+   * 64-column declarative fold blows janino's 64 KB method limit and
+   * silently drops to interpreted — measured, hence native); the norm
+   * audit (in_normsq vs out_normsq, with E[out] = 16·in for ±1 JL)
+   * makes the distortion measurable downstream.
+   */
+  def randomProjection(spark: SparkSession, dir: String, dIn: Int = 64,
+      dOut: Int = 16): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val wide = emb.select(col("vec_id"),
+      graft.functions.RademacherSketch.sketch(col("embedding"), dOut)
+        .as("sk"))
+    wide.select(col("vec_id") +:
+        ((0 until dOut).map(j => element_at(col("sk"), j + 1).as(s"p$j")) :+
+          element_at(col("sk"), dOut + 1).as("in_normsq")): _*)
+      .withColumn("out_normsq",
+        (0 until dOut).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[randomProjection]]: the sign matrix is derived
+    * IN SQL from the same md5 recipe (not shared as literals), elements
+    * get the same 6dp freeze, and everything downstream is integer
+    * grouping — order-free on both engines. */
+  def randomProjectionOracle(dIn: Int = 64, dOut: Int = 16): String = {
+    val pCols = (0 until dOut)
+      .map(j => s"CAST(sum(CASE WHEN j = $j THEN pj END) AS BIGINT) AS p$j")
+      .mkString(",\n  ")
+    s"""WITH s AS (
+       |  SELECT i.i, j.j,
+       |    CASE WHEN ('0x' || substr(md5('rp:' || i.i || ':' || j.j),
+       |      1, 1))::INT < 8 THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT unnest(range($dIn)) AS i) i,
+       |       (SELECT unnest(range($dOut)) AS j) j),
+       |m AS MATERIALIZED (
+       |  SELECT vec_id, i.i,
+       |    CAST(CAST(round(CAST(embedding[CAST(i.i AS INT) + 1] AS DOUBLE),
+       |      6) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS mi
+       |  FROM embeddings, (SELECT unnest(range($dIn)) AS i) i),
+       |p AS MATERIALIZED (
+       |  SELECT m.vec_id, s.j, CAST(sum(s.sgn * m.mi) AS BIGINT) AS pj
+       |  FROM m JOIN s ON m.i = s.i GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT vec_id, CAST(sum(mi * mi) AS BIGINT) AS in_normsq
+       |  FROM m GROUP BY 1),
+       |wide AS (
+       |  SELECT vec_id,
+       |  $pCols,
+       |  CAST(sum(pj * pj) AS BIGINT) AS out_normsq
+       |  FROM p GROUP BY 1)
+       |SELECT w.vec_id, ${(0 until dOut).map(j => s"w.p$j").mkString(", ")},
+       |  n.in_normsq, w.out_normsq
+       |FROM wide w JOIN norms n ON w.vec_id = n.vec_id
+       |ORDER BY w.vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[mmrRerank]]: the greedy rounds as a generated
     * MATERIALIZED CTE chain (each round references the previous selection
     * three times — without MATERIALIZED DuckDB inlines and the tree grows

@@ -1232,4 +1232,36 @@ class ExtSpec extends SparkSpec {
     }
     assert(reordered, "diversity term never changed pure-relevance order")
   }
+
+  test("random projection: native sketch equals an independent driver " +
+      "replay; the JL norm ratio concentrates at 1") {
+    import graft.functions.RademacherSketch
+    val out = graft.SparkEntry.queries("x81_random_projection")(spark, sf)
+      .collect()
+    val vecs = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(out.length == vecs.size)
+    var ratioSum = 0.0
+    for (r <- out) {
+      val id = r.getAs[Long]("vec_id")
+      val m = vecs(id).map(v => RademacherSketch.freezeMicro(v.toDouble))
+      val signs = RademacherSketch.signMatrix(m.length, 16)
+      for (j <- 0 until 16) {
+        val want = m.indices.map(d =>
+          if (signs(j)(d) > 0) m(d) else -m(d)).sum
+        assert(r.getAs[Long](s"p$j") == want, s"vec $id p$j")
+      }
+      val inN = m.map(x => x * x).sum
+      assert(r.getAs[Long]("in_normsq") == inN, s"vec $id in_normsq")
+      val outN = (0 until 16).map { j =>
+        val p = r.getAs[Long](s"p$j"); p * p
+      }.sum
+      assert(r.getAs[Long]("out_normsq") == outN, s"vec $id out_normsq")
+      ratioSum += outN.toDouble / (16.0 * inN)
+    }
+    val meanRatio = ratioSum / out.length
+    assert(meanRatio > 0.8 && meanRatio < 1.2,
+      s"JL mean norm ratio $meanRatio out of band")
+  }
 }
