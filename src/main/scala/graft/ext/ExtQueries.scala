@@ -108,6 +108,10 @@ object ExtQueries {
     // header parser; the oracle recomputes the closed-form pixel stats
     // in SQL, so any encoder/parser off-by-one breaks the hash
     "x12_media_decode" -> (Multimodal.decodeFeatures _),
+    // video frame sampling: real concatenated-PPM stream container,
+    // header-parsed frame walk, every 2nd frame decoded to exact stats
+    "x82_video_frames" -> ((s: SparkSession, d: String) =>
+      Multimodal.frameSampleStats(s, d)),
     // real box-filter resize: encode → decode → downsample → re-encode →
     // decode; both codec directions exercised
     "x65_media_resize" -> (Multimodal.resizeFeatures _),
@@ -1623,6 +1627,29 @@ object ExtQueries {
         |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
         |  CAST(w * h AS BIGINT) AS n_px
         |FROM v GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin,
+
+    // x82: the sampled frames' pixel bytes are (id*131 + f*17 + i*29)
+    // % 256; the oracle recomputes the decoded per-channel sums for the
+    // strided frames directly from the closed form — any walker
+    // off-by-one (frame boundary, header length) breaks the hash.
+    "x82_video_frames" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |    8 + (doc_id // 9) % 9 AS h, 4 + doc_id % 5 AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(range(nf)) AS fi FROM d),
+        |sf AS (SELECT * FROM f WHERE fi % 2 = 0),
+        |px AS (SELECT doc_id, w, h, fi,
+        |    unnest(range(w * h * 3)) AS i FROM sf),
+        |v AS (SELECT doc_id, w, h, fi, i % 3 AS c,
+        |    (doc_id * 131 + fi * 17 + i * 29) % 256 AS v FROM px)
+        |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+        |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+        |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
+        |  CAST(w * h AS BIGINT) AS n_px
+        |FROM v GROUP BY doc_id, w, h, fi
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // x65: the box filter floor-averages each factor×factor block per
     // channel; the oracle recomputes every output pixel from the same

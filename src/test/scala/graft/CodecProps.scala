@@ -78,6 +78,28 @@ object CodecProps extends Properties("mediaCodecs") {
       }
     }
 
+  private val genStream: Gen[(Int, Int, List[Array[Byte]], Int)] = for {
+    (w, h) <- genDims
+    nf <- Gen.choose(1, 8)
+    frames <- Gen.listOfN(nf, genPixels(w, h))
+    stride <- Gen.choose(1, 3)
+  } yield (w, h, frames, stride)
+
+  property("PPM-stream walk: sampled frames' sums equal direct sums of " +
+      "exactly the strided frames; boundaries come from header parses") =
+    Prop.forAll(genStream) { case (w, h, frames, stride) =>
+      val stream = frames.map(Multimodal.encodePpm(w, h, _))
+        .reduce(_ ++ _)
+      val got = Multimodal.sampleFrameSums(stream, stride)
+      val want = frames.zipWithIndex.filter(_._2 % stride == 0).map {
+        case (px, f) =>
+          val ref = Array(0L, 0L, 0L)
+          px.zipWithIndex.foreach { case (v, i) => ref(i % 3) += (v & 0xff) }
+          (f, w, h, ref(0), ref(1), ref(2))
+      }
+      got == want
+    }
+
   property("corrupt headers are rejected, never misparsed") =
     Prop.forAll(Gen.containerOfN[Array, Byte](16,
       Gen.choose(Byte.MinValue, Byte.MaxValue))) { junk =>
