@@ -96,6 +96,10 @@ object ExtQueries {
     // top-k across corpus+segment.
     "x68_ann_index_append" -> ((s: SparkSession, d: String) =>
       Similarity.annIndexAppend(s, d)),
+    // ANN quality eval: recall@k of the IVF probe vs exact kNN on a
+    // query sample — the bucket-pruning health metric as an entry
+    "x83_ann_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.annRecall(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
     "x8_quality" -> (TextAnalysis.qualityScore _),
     // model-based quality filter: hashed-linear (fastText-style)
@@ -1078,6 +1082,39 @@ object ExtQueries {
          |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= 3
          |ORDER BY query_id, rn""".stripMargin,
+
+    // x83: both legs replayed from their pinned forms (x6's k-means +
+    // bucket probe, x5's brute-force), then one left join + aggregate;
+    // recall is exact integer ppm by floor division.
+    "x83_ann_recall" ->
+      s"""WITH $kmeansCtes,
+         |iq AS (SELECT vec_id AS query_id, emb AS qv, bucket
+         |       FROM asg WHERE vec_id < 10),
+         |iscored AS (SELECT query_id, a.vec_id AS cand_id,
+         |    round(list_cosine_similarity(qv, a.emb), 6) AS sim
+         |  FROM asg a JOIN iq USING (bucket) WHERE a.vec_id <> iq.query_id),
+         |ivf AS (SELECT query_id, cand_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS rn FROM iscored)
+         |  WHERE rn <= 5),
+         |eq AS (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE vec_id < 10),
+         |escored AS (SELECT query_id, e.vec_id AS cand_id,
+         |    round(${cosSql("qv", "e.embedding")}, 6) AS sim
+         |  FROM eq, embeddings e WHERE e.vec_id <> eq.query_id),
+         |exact AS (SELECT query_id, cand_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS rn FROM escored)
+         |  WHERE rn <= 5)
+         |SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST((CAST(sum(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+         |    AS recall_ppm
+         |FROM exact x LEFT JOIN ivf i
+         |  ON x.query_id = i.query_id AND x.cand_id = i.cand_id
+         |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
 
     // x71: same k-means replay, then the SemDeDup dominance rule within
     // each cluster — a vector is pruned iff a same-cluster τ-neighbor

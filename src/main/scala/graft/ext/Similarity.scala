@@ -731,6 +731,34 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /**
+   * x83 — ANN QUALITY EVAL: recall@k of the IVF probe ([[annIvf]])
+   * against the exact brute-force kNN ([[knnBrute]]), as a first-class
+   * entry. At 100 TB nobody can eyeball whether bucket pruning loses
+   * neighbors; the standard operational health metric is recall@k over a
+   * query SAMPLE — the exact leg runs on the sample only (nQueries × N,
+   * not N²), so the eval stays tractable at any corpus size and runs as
+   * one job beside the serving path. Reuses both pinned searches
+   * verbatim; the comparison is a left join of two nQueries×k frames +
+   * one tiny aggregate, and recall lands as an exact integer ppm
+   * (floor division — no rounding-tie surface).
+   */
+  def annRecall(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val exact = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = annIvf(spark, dir, nCentroids = 8, nQueries = nQueries,
+        k = k, iterations = 2)
+      .select(col("query_id"), col("cand_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      .orderBy(col("query_id"))
+  }
+
   /** 6dp-rounded cosine frozen to exact integer micro-units (the x56
     * DECIMAL freeze: round → DECIMAL(10,6) → ×1e6 → BIGINT), so every
     * downstream MMR comparison is int64 — no cross-engine rounding-tie

@@ -1233,6 +1233,26 @@ class ExtSpec extends SparkSpec {
     assert(reordered, "diversity term never changed pure-relevance order")
   }
 
+  test("ANN recall eval: hits are exactly the IVF ∩ exact intersection; " +
+      "ppm is the floor ratio") {
+    val rec = graft.SparkEntry.queries("x83_ann_recall")(spark, sf).collect()
+    assert(rec.length == 10)
+    val exact = Similarity.knnBrute(spark, sf)
+      .select(col("query_id"), col("cand_id")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.annIvf(spark, sf, k = 5)
+      .select(col("query_id"), col("cand_id")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (r <- rec) {
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("n_exact") == 5)
+      assert(r.getAs[Long]("n_hit") ==
+        (exact(q) intersect ivf(q)).size.toLong, s"query $q")
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_hit") * 1000000L / 5)
+    }
+  }
+
   test("random projection: native sketch equals an independent driver " +
       "replay; the JL norm ratio concentrates at 1") {
     import graft.functions.RademacherSketch
