@@ -100,6 +100,10 @@ object ExtQueries {
     // query sample — the bucket-pruning health metric as an entry
     "x83_ann_recall" -> ((s: SparkSession, d: String) =>
       Similarity.annRecall(s, d)),
+    // ES rank_eval: precision/recall/MRR/DCG@10 for per-term BM25
+    // rankings against tf-graded judgments, one postings pass
+    "x84_rank_eval" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.rankEval(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
     "x8_quality" -> (TextAnalysis.qualityScore _),
     // model-based quality filter: hashed-linear (fastText-style)
@@ -1082,6 +1086,57 @@ object ExtQueries {
          |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= 3
          |ORDER BY query_id, rn""".stripMargin,
+
+    // x84: the per-term BM25 legs replayed in long format (df = rows of
+    // the tf table — equivalent to count distinct docs), judgments
+    // rebuilt from tf; set metrics by floor division, DCG contributions
+    // 6dp-rounded and DECIMAL-summed (ln bit-identical both engines).
+    "x84_rank_eval" -> {
+      val inList = Seq("spark", "query", "stream")
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(len(${anTokSql("text")})) AS DOUBLE) AS sum_len
+         |  FROM documents),
+         |toks AS (SELECT doc_id, len(${anTokSql("text")}) AS len,
+         |    unnest(${anTokSql("text")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT term, doc_id, len, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks WHERE term IN ($inList) GROUP BY 1, 2, 3),
+         |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |  FROM tf GROUP BY 1),
+         |rel AS (SELECT term, CAST(count(*) AS BIGINT) AS n_relevant
+         |  FROM tf WHERE tf >= 2 GROUP BY 1),
+         |scored AS (SELECT t.term, t.doc_id, t.tf,
+         |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (CAST(t.tf AS DOUBLE) * 2.2)
+         |      / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25
+         |         + 0.75 * CAST(len AS DOUBLE) / (sum_len / n_docs))), 6)
+         |      AS score
+         |  FROM tf t JOIN dfs USING (term), stats),
+         |top AS (SELECT * FROM (
+         |    SELECT term, doc_id, tf, CAST(row_number() OVER (
+         |      PARTITION BY term ORDER BY score DESC, doc_id) AS INT)
+         |      AS pos
+         |    FROM scored WHERE score > 0) WHERE pos <= 10),
+         |en AS (SELECT term, pos,
+         |    CASE WHEN tf >= 2 THEN 1 ELSE 0 END AS relevant,
+         |    CASE WHEN least(tf, 3) = 1 THEN 1.0
+         |         WHEN least(tf, 3) = 2 THEN 3.0 ELSE 7.0 END AS gain
+         |  FROM top),
+         |m AS (SELECT term, CAST(sum(relevant) AS BIGINT) AS n_rel_at_k,
+         |    min(CASE WHEN relevant = 1 THEN pos END) AS frp,
+         |    SUM(CAST(round(gain * ln(2) / ln(CAST(pos AS DOUBLE) + 1.0),
+         |      6) AS DECIMAL(20,6))) AS dcg_sum
+         |  FROM en GROUP BY 1)
+         |SELECT m.term, r.n_relevant, m.n_rel_at_k,
+         |  CAST((m.n_rel_at_k * 1000000) // 10 AS BIGINT)
+         |    AS precision_ppm,
+         |  CAST((m.n_rel_at_k * 1000000) // r.n_relevant AS BIGINT)
+         |    AS recall_ppm,
+         |  CAST(COALESCE(1000000 // frp, 0) AS BIGINT) AS mrr_ppm,
+         |  CAST(dcg_sum AS DOUBLE) AS dcg
+         |FROM m JOIN rel r USING (term) ORDER BY m.term""".stripMargin
+    },
 
     // x83: both legs replayed from their pinned forms (x6's k-means +
     // bucket probe, x5's brute-force), then one left join + aggregate;

@@ -215,6 +215,81 @@ object TextAnalysis {
    * DuckDB oracle reproduces every score bit-for-bit — no
    * sum-of-doubles-across-rows anywhere.
    */
+  /**
+   * x84 — SEARCH RELEVANCE EVALUATION (the ES `rank_eval` API):
+   * precision@k, recall@k, MRR and DCG@k for a set of ranked queries
+   * against graded judgments, in ONE pass over the postings. Each query
+   * is a single analyzed term ranked by its own BM25 leg (the x22
+   * formula per term, 6dp-rounded); judgments are derived from the
+   * corpus deterministically — rating = min(tf, 3), relevant iff
+   * tf ≥ 2 (ES's `relevant_rating_threshold`) — so the oracle can
+   * rebuild them exactly.
+   *
+   * Determinism: set metrics (precision/recall/MRR) are exact integer
+   * ppm by floor division; DCG's per-position contribution
+   * `(2^rating − 1)·ln2 / ln(pos+1)` is 6dp-rounded and DECIMAL-summed
+   * in the x44 recipe (ln is bit-identical across engines, division is
+   * IEEE), so partitioning can never flip a metric. Scale shape: one
+   * postings-pruned pass builds tf/df/judgments together; rankings are
+   * per-term bounded windows over score>0 postings only; every
+   * downstream frame is judgment-sized.
+   */
+  def rankEval(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "query", "stream"), k: Int = 10,
+      relThreshold: Int = 2, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    val tokens = graft.functions.AnalyzeTokens.analyze(col("text"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(size(tokens)).cast("double").as("sum_len"))
+    val tf = docs.select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("len"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(qTerms: _*))
+      .groupBy(col("term"), col("doc_id"), col("len"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val rel = tf.where(col("tf") >= relThreshold)
+      .groupBy(col("term")).agg(count(lit(1)).as("n_relevant"))
+    val tfd = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = tfd + lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("len").cast("double") / (col("sum_len") / col("n_docs")))
+    val scored = tf.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+      .withColumn("score", round(idf * (tfd * lit(k1 + 1)) / norm, 6))
+      .where(col("score") > 0)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val top = scored.withColumn("pos", row_number().over(w))
+      .where(col("pos") <= k)
+      .withColumn("rating", least(col("tf"), lit(3L)))
+      .withColumn("relevant",
+        (col("tf") >= relThreshold).cast("long"))
+      .withColumn("gain", when(col("rating") === 1, 1.0)
+        .when(col("rating") === 2, 3.0).otherwise(7.0))
+      .withColumn("dcg_c", round(col("gain") * log(lit(2.0)) /
+          log(col("pos").cast("double") + lit(1.0)), 6)
+        .cast("decimal(20,6)"))
+    top.groupBy(col("term")).agg(
+        sum(col("relevant")).as("n_rel_at_k"),
+        min(when(col("relevant") === 1, col("pos"))).as("first_rel_pos"),
+        sum(col("dcg_c")).as("dcg_sum"))
+      .join(broadcast(rel), "term")
+      .select(col("term"), col("n_relevant"), col("n_rel_at_k"),
+        expr(s"n_rel_at_k * 1000000 div $k").cast("long")
+          .as("precision_ppm"),
+        expr("n_rel_at_k * 1000000 div n_relevant").cast("long")
+          .as("recall_ppm"),
+        coalesce(expr("1000000 div first_rel_pos"), lit(0L)).cast("long")
+          .as("mrr_ppm"),
+        col("dcg_sum").cast("double").as("dcg"))
+      .orderBy(col("term"))
+  }
+
   def bm25Search(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("spark", "query", "stream"),
       k: Int = 20): DataFrame =

@@ -1253,6 +1253,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("rank_eval: judgments recompute from analyzed term frequencies; " +
+      "set metrics are the exact floor ratios") {
+    val m = graft.SparkEntry.queries("x84_rank_eval")(spark, sf).collect()
+    assert(m.length == 3)
+    val toks = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.AnalyzeTokens.analyze(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    for (r <- m) {
+      val t = r.getAs[String]("term")
+      val tfs = toks.map { case (_, tk) => tk.count(_ == t) }
+        .filter(_ > 0)
+      assert(r.getAs[Long]("n_relevant") == tfs.count(_ >= 2).toLong, t)
+      val atK = r.getAs[Long]("n_rel_at_k")
+      assert(atK >= 0 && atK <= 10)
+      assert(r.getAs[Long]("precision_ppm") == atK * 1000000L / 10, t)
+      assert(r.getAs[Long]("recall_ppm") ==
+        atK * 1000000L / r.getAs[Long]("n_relevant"), t)
+      val mrr = r.getAs[Long]("mrr_ppm")
+      assert(mrr >= 0 && mrr <= 1000000)
+      assert(r.getAs[Double]("dcg") > 0)
+    }
+  }
+
   test("random projection: native sketch equals an independent driver " +
       "replay; the JL norm ratio concentrates at 1") {
     import graft.functions.RademacherSketch
