@@ -104,6 +104,10 @@ object ExtQueries {
     // rankings against tf-graded judgments, one postings pass
     "x84_rank_eval" -> ((s: SparkSession, d: String) =>
       TextAnalysis.rankEval(s, d)),
+    // dataset card: per-source release summary — exact integer counts,
+    // sums, permille, dup tallies, vocab size, top token
+    "x85_dataset_card" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.datasetCard(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
     "x8_quality" -> (TextAnalysis.qualityScore _),
     // model-based quality filter: hashed-linear (fastText-style)
@@ -1086,6 +1090,41 @@ object ExtQueries {
          |SELECT query_id, bucket, cand_id, sim, CAST(rn AS INT) AS rn
          |FROM r WHERE rn <= 3
          |ORDER BY query_id, rn""".stripMargin,
+
+    // x85: every figure recomputes directly — counts/sums/floor
+    // divisions; dup tally via the same md5-content groupBy; top token
+    // by (n_occ DESC, token ASC).
+    "x85_dataset_card" ->
+      """WITH d AS (SELECT source, doc_id, text,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |base AS (SELECT source, md5(text) AS h,
+        |    CAST(len(toks) AS BIGINT) AS n_tok FROM d),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS token_sum,
+        |    CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS short_docs
+        |  FROM base GROUP BY 1),
+        |dup AS (SELECT source, CAST(sum(c) AS BIGINT) AS dup_docs FROM (
+        |    SELECT source, h, count(*) AS c FROM base GROUP BY 1, 2)
+        |  WHERE c > 1 GROUP BY 1),
+        |tok AS (SELECT source, unnest(toks) AS token FROM d),
+        |tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM tok GROUP BY 1, 2),
+        |voc AS (SELECT source, CAST(count(*) AS BIGINT)
+        |    AS distinct_tokens FROM tc GROUP BY 1),
+        |top AS (SELECT source, token AS top_token,
+        |    n_occ AS top_token_occ FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY n_occ DESC, token) AS rn FROM tc) WHERE rn = 1)
+        |SELECT ps.source, ps.n_docs, ps.token_sum,
+        |  CAST((ps.token_sum * 1000) // ps.n_docs AS BIGINT)
+        |    AS mean_tokens_permille,
+        |  ps.short_docs, CAST(COALESCE(dup.dup_docs, 0) AS BIGINT)
+        |    AS dup_docs,
+        |  voc.distinct_tokens, top.top_token, top.top_token_occ
+        |FROM ps LEFT JOIN dup USING (source)
+        |JOIN voc USING (source) JOIN top USING (source)
+        |ORDER BY ps.source""".stripMargin,
 
     // x84: the per-term BM25 legs replayed in long format (df = rows of
     // the tf table — equivalent to count distinct docs), judgments

@@ -502,6 +502,61 @@ object TextAnalysis {
       .orderBy(col("source"), col("part"))
   }
 
+  /**
+   * x85 — DATASET CARD: the per-source summary table a curation pipeline
+   * publishes with every release (HuggingFace dataset-card / Datasheets
+   * for Datasets shape): doc and token counts, mean length, short-doc
+   * and exact-duplicate tallies, vocabulary size, and the most frequent
+   * token — every figure an EXACT integer (counts, sums, floor-divided
+   * permille; no averages), so the card is reproducible bit-for-bit on
+   * any engine and any partitioning.
+   *
+   * Scale shape: one doc-level pass (md5 + token count in the scan
+   * projection) feeds the per-source rollup and the duplicate tally
+   * (content-hash groupBy — x1's shuffle); one explode pass feeds the
+   * (source, token) vocabulary aggregate, whose per-source top-1 is a
+   * bounded window over vocabulary-sized data. Nothing collects; every
+   * join key is `source` (a handful of groups), joined small-to-small
+   * after aggregation.
+   */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text"),
+        split(col("text"), " ").as("toks"))
+    val base = docs.select(col("source"), md5(col("text")).as("h"),
+      size(col("toks")).cast("long").as("n_tok"))
+    val perSource = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("token_sum"),
+      sum(when(col("n_tok") < 20, 1L).otherwise(0L)).as("short_docs"))
+    val dups = base.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1)
+      .groupBy(col("source")).agg(sum(col("c")).as("dup_docs"))
+    val tok = docs.select(col("source"), explode(col("toks")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_occ"))
+    val vocab = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("distinct_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_occ").desc, col("token"))
+    val top = tok.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("source"), col("token").as("top_token"),
+        col("n_occ").as("top_token_occ"))
+    perSource
+      .join(dups, Seq("source"), "left")
+      .na.fill(0L, Seq("dup_docs"))
+      .join(vocab, Seq("source"))
+      .join(top, Seq("source"))
+      .withColumn("mean_tokens_permille",
+        expr("token_sum * 1000 div n_docs").cast("long"))
+      .select(col("source"), col("n_docs"), col("token_sum"),
+        col("mean_tokens_permille"), col("short_docs"), col("dup_docs"),
+        col("distinct_tokens"), col("top_token"), col("top_token_occ"))
+      .orderBy(col("source"))
+  }
+
   def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val bucket = conv(substring(md5(col("doc_id").cast("string")

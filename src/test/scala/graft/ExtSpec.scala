@@ -1253,6 +1253,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dataset card: one source's figures recompute driver-side; " +
+      "cards cover every source exactly once") {
+    val cards = graft.SparkEntry.queries("x85_dataset_card")(spark, sf)
+      .collect()
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    assert(cards.map(_.getAs[String]("source")).toSet ==
+      docs.map(_._1).toSet)
+    val src = cards.head.getAs[String]("source")
+    val texts = docs.filter(_._1 == src).map(_._2)
+    val tokLists = texts.map(_.split(" ", -1).toSeq)
+    val card = cards.find(_.getAs[String]("source") == src).get
+    assert(card.getAs[Long]("n_docs") == texts.length.toLong)
+    val tokenSum = tokLists.map(_.length.toLong).sum
+    assert(card.getAs[Long]("token_sum") == tokenSum)
+    assert(card.getAs[Long]("mean_tokens_permille") ==
+      tokenSum * 1000 / texts.length)
+    assert(card.getAs[Long]("short_docs") ==
+      tokLists.count(_.length < 20).toLong)
+    val dupMass = texts.groupBy(identity).values
+      .filter(_.length > 1).map(_.length.toLong).sum
+    assert(card.getAs[Long]("dup_docs") == dupMass)
+    val occ = tokLists.flatten.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(card.getAs[Long]("distinct_tokens") == occ.size.toLong)
+    val (topTok, topOcc) = occ.toSeq.minBy { case (t, n) => (-n, t) }
+    assert(card.getAs[String]("top_token") == topTok)
+    assert(card.getAs[Long]("top_token_occ") == topOcc)
+  }
+
   test("rank_eval: judgments recompute from analyzed term frequencies; " +
       "set metrics are the exact floor ratios") {
     val m = graft.SparkEntry.queries("x84_rank_eval")(spark, sf).collect()
