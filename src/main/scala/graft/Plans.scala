@@ -96,7 +96,8 @@ object Plans {
     "x82_video_frames" -> "video frame sampling: per-partition PPM-stream walk (header-parsed boundaries), skipped frames never pixel-walked; zero shuffle before the output sort, payloads never reach the driver",
     "x83_ann_recall" -> "ANN recall eval: the exact leg runs on the QUERY SAMPLE only (nQueries x N, never N^2); comparison is a left join of two k x nQueries frames + one tiny aggregate",
     "x84_rank_eval" -> "rank_eval: ONE postings-pruned pass builds tf/df/judgments together; rankings are per-term bounded windows over score>0 postings, every downstream frame judgment-sized",
-    "x85_dataset_card" -> "dataset card: one doc-level pass feeds the source rollup + content-hash dup tally; one explode pass feeds the vocab agg; all joins AFTER aggregation on the handful-of-groups source key")
+    "x85_dataset_card" -> "dataset card: one doc-level pass feeds the source rollup + content-hash dup tally; one explode pass feeds the vocab agg; all joins AFTER aggregation on the handful-of-groups source key",
+    "x86_dedup_eval" -> "dedup eval: both pair legs reuse their pinned plans over the augmented corpus; the comparison is one full-outer join on (d1,d2) + a 1-row aggregate — at scale the truth leg runs on a sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -587,6 +587,49 @@ object Dedup {
   }
 
   /**
+   * x86 — DEDUP QUALITY EVAL: precision/recall of the MinHash-LSH
+   * candidate pairs (x3, est ≥ 0.5) against the exact n-gram Jaccard
+   * truth (x2, jaccard ≥ 0.8), the dedup analog of the ANN recall eval
+   * (x83). The operational point is the same: banding parameters (12
+   * hashes × 4 bands here) trade recall for candidate volume, and at
+   * corpus scale nobody can eyeball what the banding loses — this entry
+   * IS the tuning metric. Both legs reuse their pinned pair queries
+   * verbatim; the comparison is one full-outer join on (d1, d2) + a
+   * 1-row aggregate, all metrics exact integer ppm (null-guarded floor
+   * divisions). On a production corpus the truth leg runs on a SAMPLE
+   * (it is the expensive exact join); here the fixture corpus is small
+   * enough to run it whole.
+   */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    // the fixture corpus has NO mid-range-Jaccard pairs (planted dups
+    // are all >= 0.8, everything else dissimilar), which would make the
+    // eval vacuously perfect — augment with deterministic PARTIAL copies
+    // (first 2/3 of tokens, ids +2e6) so j ≈ 0.66 pairs exist and the
+    // 12×(4,3) banding genuinely loses some of them
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val derived = docs.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, " +
+          "CAST(greatest((2 * size(split(text, ' '))) div 3, 3) AS INT))" +
+          ", ' ')").as("text"))
+    val corpus = docs.unionByName(derived)
+    val truth = ngramJaccardPairsOf(corpus, 0.5)
+      .select(col("d1"), col("d2")).withColumn("t", lit(1L))
+    val pred = minhashPairsOf(corpus, 12, 3)
+      .select(col("d1"), col("d2")).withColumn("hit", lit(1L))
+    truth.join(pred, Seq("d1", "d2"), "full")
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_pred"),
+        sum(when(col("t").isNotNull && col("hit").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .withColumn("precision_ppm",
+        coalesce(expr("n_hit * 1000000 div n_pred"), lit(0L)))
+      .withColumn("recall_ppm",
+        coalesce(expr("n_hit * 1000000 div n_truth"), lit(0L)))
+  }
+
+  /**
    * 32-bit SimHash per doc over the distinct-token set: token hash =
    * first 8 md5 hex digits as an int; bit i of the signature is the sign
    * of Σ_tokens (2·bit_i(h)−1). Near-dup clusters = equal signatures.

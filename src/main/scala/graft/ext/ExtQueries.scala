@@ -108,6 +108,10 @@ object ExtQueries {
     // sums, permille, dup tallies, vocab size, top token
     "x85_dataset_card" -> ((s: SparkSession, d: String) =>
       TextAnalysis.datasetCard(s, d)),
+    // dedup quality eval: precision/recall of LSH candidates vs exact
+    // Jaccard truth — the banding-parameter tuning metric as an entry
+    "x86_dedup_eval" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupEval(s, d)),
     "x7_langid" -> (TextAnalysis.langId _),
     "x8_quality" -> (TextAnalysis.qualityScore _),
     // model-based quality filter: hashed-linear (fastText-style)
@@ -561,7 +565,28 @@ object ExtQueries {
 
   /** The x3 MinHash+LSH pair query (no final ORDER BY — reused as a CTE
     * by the x21 connected-components oracle). */
-  private lazy val minhashPairsSql: String = {
+  /** The x2 exact n-gram Jaccard pair query (no final ORDER BY — reused
+    * as the truth leg of the x86 dedup eval, over any corpus relation
+    * and threshold). */
+  private def ngramPairsSql(source: String = "documents",
+      threshold: Double = 0.8): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $source),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(len(toks) - 2),
+      |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle FROM t),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      |           FROM sh a JOIN sh b
+      |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |j AS (SELECT d1, d2,
+      |        round(shared / (s1.n + s2.n - shared), 6) AS jaccard
+      |      FROM shared
+      |      JOIN sizes s1 ON d1 = s1.doc_id
+      |      JOIN sizes s2 ON d2 = s2.doc_id)
+      |SELECT d1, d2, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+
+  private def minhashPairsSql(source: String = "documents"): String = {
     val mh = (0 until 12).map(k =>
       s"min(substr(md5('$k:' || tok), 1, 8)) AS mh$k").mkString(",\n  ")
     val bands = (0 until 4).map { b =>
@@ -570,7 +595,7 @@ object ExtQueries {
     }.mkString("\nUNION ALL ")
     val agree = (0 until 12)
       .map(k => s"CAST(s1.mh$k = s2.mh$k AS INT)").mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $source),
        |toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(len(toks) - 2),
        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS tok
@@ -811,24 +836,41 @@ object ExtQueries {
         |FROM h JOIN g USING (content_hash) ORDER BY doc_id""".stripMargin,
 
     "x2_dedup_ngram" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(len(toks) - 2),
-        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle FROM t),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-        |           FROM sh a JOIN sh b
-        |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2),
-        |j AS (SELECT d1, d2,
-        |        round(shared / (s1.n + s2.n - shared), 6) AS jaccard
-        |      FROM shared
-        |      JOIN sizes s1 ON d1 = s1.doc_id
-        |      JOIN sizes s2 ON d2 = s2.doc_id)
-        |SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.8
-        |ORDER BY d1, d2""".stripMargin,
+      (ngramPairsSql() + "\nORDER BY d1, d2"),
 
-    "x3_dedup_minhash" -> (minhashPairsSql + "\nORDER BY d1, d2"),
+    // x86: the corpus is AUGMENTED with deterministic partial copies
+    // (first 2/3 of tokens, ids +2e6) so mid-range-Jaccard pairs exist
+    // and the LSH banding genuinely loses some; both pair legs replay
+    // their pinned forms over the augmented relation, then one
+    // full-outer join + 1-row aggregate; ppm by null-guarded floor
+    // division.
+    "x86_dedup_eval" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(toks[1:CAST(greatest((2 * len(toks)) // 3, 3)
+         |      AS INT)], ' ') AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents)
+         |  WHERE doc_id % 3 = 0),
+         |tr0 AS (${ngramPairsSql("aug", 0.5)}),
+         |pr0 AS (${minhashPairsSql("aug")}),
+         |tr AS (SELECT d1, d2, 1 AS t FROM tr0),
+         |pr AS (SELECT d1, d2, 1 AS hit FROM pr0)
+         |SELECT CAST(sum(COALESCE(t, 0)) AS BIGINT) AS n_truth,
+         |  CAST(sum(COALESCE(hit, 0)) AS BIGINT) AS n_pred,
+         |  CAST(sum(CASE WHEN t IS NOT NULL AND hit IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE((sum(CASE WHEN t IS NOT NULL AND hit IS NOT NULL
+         |    THEN 1 ELSE 0 END) * 1000000) // nullif(sum(COALESCE(hit, 0)),
+         |    0), 0) AS BIGINT) AS precision_ppm,
+         |  CAST(COALESCE((sum(CASE WHEN t IS NOT NULL AND hit IS NOT NULL
+         |    THEN 1 ELSE 0 END) * 1000000) // nullif(sum(COALESCE(t, 0)),
+         |    0), 0) AS BIGINT) AS recall_ppm
+         |FROM tr FULL OUTER JOIN pr USING (d1, d2)""".stripMargin,
+
+    "x3_dedup_minhash" -> (minhashPairsSql() + "\nORDER BY d1, d2"),
 
     // x57: x3's banding over corpus + planted batch (every 5th doc
     // re-ingested verbatim at id+1e6); candidates strictly new x corpus.
@@ -847,7 +889,7 @@ object ExtQueries {
     // propagation converges to.
     "x21_dup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
-         |$minhashPairsSql),
+         |${minhashPairsSql()}),
          |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
          |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
          |reach AS (
@@ -864,7 +906,7 @@ object ExtQueries {
     // label propagation — the oracle is the identical reachability closure
     "x26_dup_clusters_stars" ->
       s"""WITH RECURSIVE pairs AS (
-         |$minhashPairsSql),
+         |${minhashPairsSql()}),
          |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
          |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
          |reach AS (
@@ -1593,7 +1635,7 @@ object ExtQueries {
     // DESC window ordering agrees bit-for-bit.
     "x34_keep_best" ->
       s"""WITH RECURSIVE pairs AS (
-         |$minhashPairsSql),
+         |${minhashPairsSql()}),
          |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
          |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
          |reach AS (

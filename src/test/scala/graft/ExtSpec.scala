@@ -1253,6 +1253,20 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dedup eval: ppm identities hold and the gray zone is genuinely " +
+      "exercised — banding loses some mid-Jaccard pairs") {
+    val r = graft.SparkEntry.queries("x86_dedup_eval")(spark, sf).head()
+    val (nT, nP, nH) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_pred"),
+      r.getAs[Long]("n_hit"))
+    assert(nH <= math.min(nT, nP))
+    assert(r.getAs[Long]("precision_ppm") == nH * 1000000L / nP)
+    assert(r.getAs[Long]("recall_ppm") == nH * 1000000L / nT)
+    // the augmented corpus plants j≈0.66 pairs the 12×(4,3) banding
+    // cannot all catch: recall must sit strictly inside (0, 1)
+    assert(nH > 0 && nH < nT,
+      s"gray zone not exercised: hit=$nH truth=$nT")
+  }
+
   test("dataset card: one source's figures recompute driver-side; " +
       "cards cover every source exactly once") {
     val cards = graft.SparkEntry.queries("x85_dataset_card")(spark, sf)
