@@ -511,6 +511,37 @@ object RelQueries {
   }
 
   /**
+   * q35 — AQE RUNTIME BROADCAST-JOIN conversion, the fourth runtime
+   * re-optimization pinned as an entry (q32 skew split, q33 bloom
+   * filter, q34 DPP are the other three): the dim side reaches the join
+   * THROUGH AN AGGREGATE, so the static planner cannot size it and
+   * falls back to a SortMergeJoin — but the finished shuffle stage
+   * turns out tiny, and AQE replans the join as a BroadcastHashJoin
+   * (the broadcast side chosen from RUNTIME stage sizes), so the big
+   * side's sort and cross-node redistribution never run. At 100 TB this
+   * is the difference between shuffling the fact and shipping a few MB:
+   * the single most valuable adaptive rewrite on aggregate-derived
+   * dims, where static stats are always conservative. `JoinOptSpec`
+   * executes this exact shape with the static broadcast threshold
+   * disabled and pins BroadcastHashJoin over materialized
+   * BroadcastQueryStages in the FINAL adaptive plan (initial plan SMJ).
+   */
+  def q35AqeBhj(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val urgent = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 10 === 0)
+      .groupBy(col("o_orderkey"))
+      .agg(max(dec2(col("o_totalprice"))).as("o_price"))
+    li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(col("o_price")).cast("double").as("sum_price"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -774,6 +805,7 @@ object RelQueries {
     "q32_skew_join" -> (q32SkewJoin _),
     "q33_bloom_join" -> (q33BloomJoin _),
     "q34_dpp_join" -> (q34DppJoin _),
+    "q35_aqe_bhj" -> (q35AqeBhj _),
     "q25_sessionize" -> (q25Sessionize _),
     "q26_funnel" -> (q26Funnel _),
     "q27_window_ranks" -> (q27WindowRanks _),
@@ -1024,6 +1056,19 @@ object RelQueries {
 
     // q33: the runtime bloom filter changes only which probe rows reach
     // the shuffle — the oracle is the plain filtered join.
+    "q35_aqe_bhj" ->
+      """WITH urgent AS (SELECT o_orderkey,
+        |    max(CAST(o_totalprice AS DECIMAL(18,2))) AS o_price
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0
+        |  GROUP BY 1)
+        |SELECT l_linestatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN urgent ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q33_bloom_join" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -51,6 +51,51 @@ class JoinOptSpec extends SparkSpec {
     }
   }
 
+  test("AQE runtime broadcast: q35's aggregate-derived dim demotes the " +
+      "statically-planned SMJ to a BroadcastHashJoin at runtime") {
+    // disable the STATIC broadcast threshold so the planner must pick a
+    // SortMergeJoin (the aggregate hides the dim's true size anyway),
+    // but leave the ADAPTIVE threshold generous: once the dim's shuffle
+    // stage finishes and turns out tiny, AQE replans the join broadcast
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB",
+      "spark.sql.adaptive.localShuffleReader.enabled" -> "true") {
+      val li = Tables.load(spark, sf, "lineitem")
+      val urgent = Tables.load(spark, sf, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 10 === 0)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_ord"))
+      val joined = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+        .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n_lines"))
+      val rows = joined.collect()
+      // AdaptiveSparkPlan.toString prints BOTH the final and the
+      // initial plan — the initial one legitimately contains the SMJ
+      // (that IS the demonstration), so split and assert per section
+      val full = joined.queryExecution.executedPlan.toString
+      val Array(finalPlan, initialPlan) =
+        full.split("== Initial Plan ==", 2)
+      // the conversion happened: the static pick was an SMJ, the final
+      // plan a broadcast join over materialized query stages. Which
+      // side gets broadcast comes from RUNTIME stage sizes (at fixture
+      // scale both are tiny and Spark may pick either), so pin the
+      // mechanism, not the side.
+      assert(initialPlan.contains("SortMergeJoin"), full.take(4000))
+      assert(finalPlan.contains("BroadcastHashJoin"), full.take(4000))
+      assert(!finalPlan.contains("SortMergeJoin"), full.take(4000))
+      assert(finalPlan.contains("BroadcastQueryStage"), full.take(4000))
+      // results identical to the statically-broadcast plan
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "10MB") {
+        val plain = li.join(urgent,
+            li("l_orderkey") === urgent("o_orderkey"))
+          .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n_lines"))
+        assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+          plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      }
+    }
+  }
+
   test("dynamic partition pruning: q34's weekend dim filter becomes a " +
       "DynamicPruningExpression partition filter on the fact scan") {
     val work = java.nio.file.Files.createTempDirectory("joinopt-dpp")
