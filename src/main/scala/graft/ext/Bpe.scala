@@ -117,6 +117,58 @@ object Bpe {
   }
 
   /**
+   * x87 — TOKENIZER EVAL: fertility (subwords per word) and compression
+   * (text bytes per subword) of the trained x75 BPE, per source — the
+   * two figures a tokenizer report always leads with (a fertility jump
+   * on one source means the vocabulary underfits it; bytes/token is the
+   * context-window budget). Exact integer permille by floor division.
+   * Reuses the tokenize-on-the-TYPE-table path (text never re-tokenized
+   * per occurrence); the eval itself is one doc-level join + a
+   * per-source rollup.
+   */
+  def tokenizerEval(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = bpeTokenize(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+    perDoc.join(docs, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("bpe_tokens")).as("bpe_tokens"),
+        sum(col("n_bytes")).as("text_bytes"))
+      .withColumn("fertility_permille",
+        expr("bpe_tokens * 1000 div words").cast("long"))
+      .withColumn("bytes_per_token_permille",
+        expr("text_bytes * 1000 div bpe_tokens").cast("long"))
+      .orderBy(col("source"))
+  }
+
+  /** x87's oracle: the same 12-round replay, rolled up per source
+    * (DuckDB `strlen` is BYTE length, matching Spark's octet_length). */
+  private[ext] def tokenizerEvalOracle(steps: Int): String =
+    s"""${oracleCtes(steps)},
+       |pd AS (SELECT d.doc_id,
+       |    CAST(SUM(len(w.syms)) AS BIGINT) AS bpe_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents) d
+       |  JOIN w$steps w ON d.word = w.word
+       |  GROUP BY d.doc_id),
+       |db AS (SELECT doc_id, source,
+       |    CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents)
+       |SELECT db.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pd.n_words) AS BIGINT) AS words,
+       |  CAST(sum(pd.bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(db.n_bytes) AS BIGINT) AS text_bytes,
+       |  CAST((sum(pd.bpe_tokens) * 1000) // sum(pd.n_words) AS BIGINT)
+       |    AS fertility_permille,
+       |  CAST((sum(db.n_bytes) * 1000) // sum(pd.bpe_tokens) AS BIGINT)
+       |    AS bytes_per_token_permille
+       |FROM pd JOIN db USING (doc_id)
+       |GROUP BY db.source ORDER BY db.source""".stripMargin
+
+  /**
    * Generated DuckDB CTE chain replaying `steps` training rounds: each
    * round recounts adjacent pairs, picks the same (cnt DESC, lhs, rhs)
    * argmax, and applies the merge via the run-parity closed form (a

@@ -163,6 +163,9 @@ object ExtQueries {
     // apply the learned merges: per-doc subword totals, words tokenized
     // once on the type table, never per occurrence
     "x76_bpe_tokenize" -> (Bpe.bpeTokenize _),
+    // tokenizer eval: per-source fertility + bytes/token of the trained
+    // BPE — exact integer permille
+    "x87_tokenizer_eval" -> (Bpe.tokenizerEval _),
     // hybrid search: BM25 ∪ dense-vector rankings fused by RRF (rank-only)
     "x69_hybrid_rrf" -> ((s: SparkSession, d: String) =>
       Similarity.hybridRrf(s, d)),
@@ -1994,6 +1997,8 @@ object ExtQueries {
         |FROM sc, b ORDER BY doc_id""".stripMargin,
 
     "x76_bpe_tokenize" -> Bpe.tokenizeOracle(Bpe.Steps),
+
+    "x87_tokenizer_eval" -> Bpe.tokenizerEvalOracle(Bpe.Steps),
 
     "x74_range_shards" ->
       """WITH k AS (SELECT doc_id,

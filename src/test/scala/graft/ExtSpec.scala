@@ -1267,6 +1267,33 @@ class ExtSpec extends SparkSpec {
       s"gray zone not exercised: hit=$nH truth=$nT")
   }
 
+  test("tokenizer eval: word/byte totals recompute from the corpus, " +
+      "bpe totals equal x76's per-doc output, permilles are floor " +
+      "ratios") {
+    val ev = graft.SparkEntry.queries("x87_tokenizer_eval")(spark, sf)
+      .collect()
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val src = ev.head.getAs[String]("source")
+    val texts = docs.filter(_._1 == src).map(_._2)
+    val row = ev.find(_.getAs[String]("source") == src).get
+    assert(row.getAs[Long]("n_docs") == texts.length.toLong)
+    assert(row.getAs[Long]("words") ==
+      texts.map(_.split(" ", -1).length.toLong).sum)
+    assert(row.getAs[Long]("text_bytes") ==
+      texts.map(_.getBytes("UTF-8").length.toLong).sum)
+    for (r <- ev) {
+      val (w, t, b) = (r.getAs[Long]("words"), r.getAs[Long]("bpe_tokens"),
+        r.getAs[Long]("text_bytes"))
+      assert(r.getAs[Long]("fertility_permille") == t * 1000 / w)
+      assert(r.getAs[Long]("bytes_per_token_permille") == b * 1000 / t)
+      assert(t >= w) // every word is at least one subword
+    }
+    val totalBpe = graft.ext.Bpe.bpeTokenize(spark, sf)
+      .agg(sum(col("bpe_tokens"))).as[Long].head()
+    assert(ev.map(_.getAs[Long]("bpe_tokens")).sum == totalBpe)
+  }
+
   test("dataset card: one source's figures recompute driver-side; " +
       "cards cover every source exactly once") {
     val cards = graft.SparkEntry.queries("x85_dataset_card")(spark, sf)
