@@ -553,6 +553,13 @@ object SparkEntry {
       graft.streaming.StreamPipeline.inactivityWatch(s,
         graft.ingest.Tables.load(s, dir, "events"))),
 
+    // ---- transformWithState LIST state: CEP pattern alert — ≥3 clicks --
+    // ---- by one user within 24 h, counted over state ∪ batch at -----
+    // ---- each arrival; state pruned losslessly at wm − window ----------
+    "kq56_stream_cep" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.patternAlerts(s,
+        graft.ingest.Tables.load(s, dir, "events"))),
+
     // ---- stream-static enrichment: the event stream left-joined to a ---
     // ---- broadcast static dim — stateless (no watermark/state store), --
     // ---- dim re-resolved per micro-batch (slowly-changing-dim story) ---
@@ -1220,6 +1227,20 @@ object SparkEntry {
         |SELECT user_id, n_events, last_seen_us FROM s, m
         |WHERE (last_seen_us // 1000) + 21600000 <= mx_ms - 3600000
         |ORDER BY user_id""".stripMargin,
+
+    // kq56: alerts fire ON ARRIVAL (no watermark tail rule) and ties
+    // count order-free, so the streamed emission equals the batch
+    // RANGE-frame window count per user — q29's frame with a >= 3 gate.
+    "kq56_stream_cep" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |           WHERE event_type = 'click'),
+        |c AS (SELECT user_id, us, CAST(count(*) OVER (
+        |        PARTITION BY user_id ORDER BY us
+        |        RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_window
+        |  FROM e)
+        |SELECT user_id, us AS at_us, n_window FROM c WHERE n_window >= 3
+        |ORDER BY user_id, at_us""".stripMargin,
 
     // kq50: a stateless stream-static join replays as the plain batch
     // left join — no watermark emission rule applies (nothing in state).

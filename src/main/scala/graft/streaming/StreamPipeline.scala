@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 import graft.transform.Transforms
 
@@ -805,6 +805,134 @@ object StreamPipeline {
       if (cur == null) Iterator.empty
       else Iterator.single(InactiveUser(key, cur.n_events,
         cur.last_seen_us))
+    }
+  }
+
+  case class CepAlert(user_id: Long, at_us: Long, n_window: Long)
+
+  /**
+   * [[StatefulProcessor]] behind [[patternAlerts]] (kq56): per-user
+   * LIST STATE of recent target-event timestamps. On each arriving
+   * event e, alert iff the user produced ≥ `minCount` target events in
+   * `[e − window, e]` — counted over stored state ∪ this batch, ties
+   * included regardless of intra-batch order, so the rule is exactly
+   * the batch RANGE-frame window count (q29's frame) and never depends
+   * on iterator order. State is pruned below `watermark − window`:
+   * every future event's window starts at or after that line (late rows
+   * beyond the watermark are dropped by the framework), so eviction is
+   * lossless — per-user state is bounded by rate × (delay + window),
+   * never full history.
+   */
+  class PatternAlertProcessor(windowUs: Long, minCount: Int)
+      extends StatefulProcessor[Long, UserEvt, CepAlert] {
+    @transient private var st: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Long]("hits", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvt],
+        timerValues: TimerValues): Iterator[CepAlert] = {
+      val incoming = rows.map(_.us).toArray
+      val stored = st.get().toArray
+      val all = stored ++ incoming
+      val alerts = incoming.sorted.flatMap { e =>
+        val n = all.count(u => u >= e - windowUs && u <= e)
+        if (n >= minCount) Some(CepAlert(key, e, n.toLong)) else None
+      }
+      val floorUs = timerValues.getCurrentWatermarkInMs() * 1000L - windowUs
+      val keep = all.filter(_ >= floorUs)
+      st.clear()
+      if (keep.nonEmpty) st.put(keep)
+      alerts.iterator
+    }
+  }
+
+  /**
+   * kq56 — STREAMING PATTERN ALERT (CEP): "≥ 3 clicks by the same user
+   * within 24 hours" over an unbounded stream — the security/abuse
+   * alerting shape (N failed logins, N checkout retries) that needs
+   * CUSTOM list state: a windowed aggregate can't anchor the window at
+   * each EVENT, and a self-join doubles the stream. Implemented with
+   * transformWithState ListState (the state primitive kq23's value
+   * state and kq49's timers don't touch); see [[PatternAlertProcessor]]
+   * for the exact arrival rule and the lossless watermark eviction.
+   *
+   * The harness replays the fixture as FOUR time-ordered files under
+   * `maxFilesPerTrigger=1`, so state genuinely persists across four
+   * micro-batches and the eviction line genuinely advances; because
+   * arrival order is event-time order (and ties count order-free), the
+   * emission equals the batch RANGE-window count ≥ 3 row-for-row — the
+   * DuckDB oracle, with no watermark tail rule (alerts fire on arrival).
+   */
+  def patternAlerts(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, target: String = "click",
+      windowUs: Long = 86400L * 1000000L, minCount: Int = 3,
+      delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("kq56-cep").toString
+    val ev = events.where(col("event_type") === target)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+    // four time-ordered slices with strictly increasing mtimes → the
+    // file source feeds them as four consecutive micro-batches
+    val Array(mn, mx) = ev.agg(min(col("us")), max(col("us")))
+      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
+    val step = math.max((mx - mn) / 4 + 1, 1L)
+    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
+    for (i <- 0 until 4) {
+      val slice = ev.where(col("us") >= mn + i * step &&
+        col("us") < mn + (i + 1) * step)
+      val tmp = s"$work/slice$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val out = java.nio.file.Files.createTempDirectory("kq56-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .withWatermark("ts", delay)
+        .as[UserEvt]
+        .groupByKey(_.user_id)
+        .transformWithState(new PatternAlertProcessor(windowUs, minCount),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("at_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_window",
+          org.apache.spark.sql.types.LongType)))
+      spark.read.schema(schema).parquet(out.toString)
+        .orderBy(col("user_id"), col("at_us"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }
 

@@ -459,4 +459,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == ref)
     assert(got.nonEmpty)
   }
+
+  test("CEP pattern alert (list state): streamed alerts equal the batch " +
+      "RANGE-window count; at least one alert's window spans a " +
+      "micro-batch boundary") {
+    val windowUs = 86400L * 1000000L
+    val events = graft.ingest.Tables.load(spark, sf, "events")
+    val got = graft.streaming.StreamPipeline.patternAlerts(spark, events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch reference: per-user trailing-24h count at each click
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)].collect()
+    val byUser = clicks.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ref = (for {
+      (u, times) <- byUser.toSeq
+      t <- times
+      n = times.count(x => x >= t - windowUs && x <= t).toLong
+      if n >= 3
+    } yield (u, t, n)).sortBy(a => (a._1, a._2))
+    assert(got == ref)
+    assert(got.nonEmpty)
+    // cross-batch state: the harness slices [min, max] into 4 equal
+    // ranges; some alert must count contributors from an earlier slice
+    val mn = clicks.map(_._2).min; val mx = clicks.map(_._2).max
+    val step = math.max((mx - mn) / 4 + 1, 1L)
+    val bounds = (1 to 3).map(i => mn + i * step)
+    val spanning = got.exists { case (u, t, _) =>
+      bounds.exists(b => t >= b && t - windowUs < b &&
+        byUser(u).exists(x => x < b && x >= t - windowUs))
+    }
+    assert(spanning, "no alert window spans a batch boundary")
+  }
 }
