@@ -474,6 +474,44 @@ object Dedup {
   }
 
   /**
+   * x88 — INDEX SEGMENT MERGE (compaction), completing the index
+   * lifecycle (x59 build → x62 probe → x64 append → merge): with daily
+   * appends the segment count grows and every query pays one probe join
+   * PER SEGMENT — exactly Lucene's problem, and its answer: periodically
+   * merge small segments into one. The merge is ONE bucketed rewrite of
+   * the stored signature rows (union of segments, re-bucketed on the
+   * band key) — signatures are NEVER recomputed and `documents` is never
+   * re-shingled; at 100 TB compaction costs one shuffle of the
+   * signature index (≈ 100 B/doc), not a corpus pass. Today's batch
+   * then probes the MERGED segment alone, and because segment corpus_id
+   * spaces are disjoint, one probe of the merge ≡ the union of
+   * per-segment probes — the result contract (and oracle) is x64's,
+   * which is the proof the compaction lost nothing.
+   */
+  def dedupIndexMerge(spark: SparkSession, dir: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    val table = "graft_minhash_index_" + indexSuffix(dir)
+    if (!spark.catalog.tableExists(table))
+      buildDedupIndex(spark, dir, numHashes, rowsPerBand)
+    val segTable = table + "_seg1"
+    if (!spark.catalog.tableExists(segTable))
+      graft.sink.BucketedTables.writeBucketed(
+        plantedProbe(spark, dir, numHashes, rowsPerBand, 1000000L),
+        segTable, "bkey", 8,
+        path = Some(s"${sys.props("java.io.tmpdir")}/graft_index/$segTable"))
+    val mergedTable = table + "_merged1"
+    graft.sink.BucketedTables.writeBucketed(
+      spark.table(table).unionByName(spark.table(segTable)),
+      mergedTable, "bkey", 8,
+      path = Some(
+        s"${sys.props("java.io.tmpdir")}/graft_index/$mergedTable"))
+    val probe = plantedProbe(spark, dir, numHashes, rowsPerBand, 2000000L,
+      modulo = 7)
+    probeStored(probe, spark.table(mergedTable), numHashes)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /**
    * x57 — INCREMENTAL dedup against an accumulated corpus: the production
    * shape of near-dup detection — a NEW BATCH arrives and must be checked
    * against the existing corpus WITHOUT re-comparing the corpus to

@@ -91,6 +91,11 @@ object ExtQueries {
     // their own bucketed segment; batch-2 probes corpus + appended.
     "x64_dedup_index_append" -> ((s: SparkSession, d: String) =>
       Dedup.dedupIndexAppend(s, d)),
+    // x88: segment COMPACTION — one bucketed rewrite of the signature
+    // rows (no recompute, no corpus pass); probing the merge must equal
+    // x64's per-segment union, the proof nothing was lost.
+    "x88_index_merge" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupIndexMerge(s, d)),
     // x68: the ANN counterpart — new vectors assigned via STORED
     // centroids (no k-means rerun), own bucketed segment, one GLOBAL
     // top-k across corpus+segment.
@@ -1290,6 +1295,10 @@ object ExtQueries {
     "x69_hybrid_rrf" -> hybridRrfSql,
     // x64: the segment-append oracle (see indexAppendSql).
     "x64_dedup_index_append" -> indexAppendSql,
+
+    // x88: probing the merged segment is contract-identical to x64's
+    // per-segment union (disjoint corpus_id spaces) — same oracle.
+    "x88_index_merge" -> indexAppendSql,
 
     // x23: same k-means + assignment, but each query probes its TOP-2
     // buckets (multi-probe recall knob); candidates unioned, exact top-k.

@@ -67,4 +67,21 @@ class IndexReuseSpec extends SparkSpec {
     val self = out.where(col("cand_id") === col("query_id") - 2000000L)
     assert(self.where(col("sim") =!= 1.0).count() == 0)
   }
+
+  test("segment merge: probing the compacted index equals the " +
+      "per-segment union, from ONE merged bucketed scan") {
+    val appended = Dedup.dedupIndexAppend(spark, sf).collect().toSeq
+    val merged = Dedup.dedupIndexMerge(spark, sf)
+    val got = merged.collect().toSeq
+    assert(got == appended) // compaction lost nothing
+    assert(got.nonEmpty)
+    val plan = merged.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // probe side is the planted batch (one documents scan); the stored
+    // side is the SINGLE merged segment — not corpus + seg1
+    assert(plan.contains("_merged1"), plan)
+    assert(!plan.contains("_seg1]"),
+      s"merged probe must not scan the pre-merge segment:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+  }
 }
