@@ -229,6 +229,19 @@ object ExtQueries {
     // "messified" corpus (UPPERCASED, every space replaced by ", ") with
     // MIXED-CASE query terms. The analyzer must recover the exact clean
     // token stream on both engines or every score diverges.
+    // ES terms_set query: match docs containing >= m of the k analyzed
+    // terms — one map-only scan, the membership count in the scan stage
+    "x89_terms_set" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val terms = array(Seq("spark", "query", "stream").map(lit): _*)
+      val matched = size(array_intersect(
+        array_distinct(graft.functions.AnalyzeTokens.analyze(col("text"))),
+        terms)).cast("long")
+      graft.ingest.Tables.load(s, d, "documents")
+        .select(col("doc_id"), matched.as("n_matched"))
+        .where(col("n_matched") >= 2)
+        .orderBy(col("doc_id"))
+    }),
     "x35_analyzed_search" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       val messy = graft.ingest.Tables.load(s, d, "documents")
@@ -2008,6 +2021,16 @@ object ExtQueries {
     "x76_bpe_tokenize" -> Bpe.tokenizeOracle(Bpe.Steps),
 
     "x87_tokenizer_eval" -> Bpe.tokenizerEvalOracle(Bpe.Steps),
+
+    // x89: distinct-analyzed-token ∩ term-list cardinality, gated at m=2
+    "x89_terms_set" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_intersect(list_distinct(${anTokSql("text")}),
+         |    ['spark', 'query', 'stream'])) AS BIGINT) AS n_matched
+         |FROM documents
+         |WHERE len(list_intersect(list_distinct(${anTokSql("text")}),
+         |    ['spark', 'query', 'stream'])) >= 2
+         |ORDER BY doc_id""".stripMargin,
 
     "x74_range_shards" ->
       """WITH k AS (SELECT doc_id,

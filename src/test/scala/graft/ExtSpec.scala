@@ -1253,6 +1253,21 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("terms_set: matches equal a driver-side distinct-analyzed-token " +
+      "count; both m=2 and m=3 strata are populated") {
+    val got = graft.SparkEntry.queries("x89_terms_set")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val terms = Set("spark", "query", "stream")
+    val want = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          .distinct.count(terms).toLong
+      }.filter(_._2 >= 2).toMap
+    assert(got == want)
+    assert(got.values.exists(_ == 2L) && got.values.exists(_ == 3L))
+  }
+
   test("dedup eval: ppm identities hold and the gray zone is genuinely " +
       "exercised — banding loses some mid-Jaccard pairs") {
     val r = graft.SparkEntry.queries("x86_dedup_eval")(spark, sf).head()
