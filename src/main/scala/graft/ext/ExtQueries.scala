@@ -188,6 +188,10 @@ object ExtQueries {
     // from-centroid dominance rule
     "x71_semdedup" -> ((s: SparkSession, d: String) =>
       Similarity.semDedup(s, d)),
+    // SemDeDup cluster-scoping loss: τ-pairs split within/cross cluster
+    // against the same shared k-means — the eval-family completion
+    "x90_semdedup_eval" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedupEval(s, d)),
     "x14_media_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(s, d)),
     "x15_tfidf" -> ((s: SparkSession, d: String) =>
@@ -1272,6 +1276,23 @@ object ExtQueries {
          |FROM exact x LEFT JOIN ivf i
          |  ON x.query_id = i.query_id AND x.cand_id = i.cand_id
          |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+
+    // x90: the same k-means replay; the truth leg is the plain exact
+    // all-pairs τ-join, split by bucket equality — counts + one floor
+    // division, all exact integers.
+    "x90_semdedup_eval" ->
+      s"""WITH $kmeansCtes,
+         |p AS (SELECT a.bucket AS b1, b.bucket AS b2
+         |  FROM asg a JOIN asg b ON a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN b1 = b2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_within,
+         |  CAST(sum(CASE WHEN b1 <> b2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cross,
+         |  CAST((sum(CASE WHEN b1 = b2 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS within_ppm
+         |FROM p""".stripMargin,
 
     // x71: same k-means replay, then the SemDeDup dominance rule within
     // each cluster — a vector is pruned iff a same-cluster τ-neighbor

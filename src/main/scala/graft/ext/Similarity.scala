@@ -759,6 +759,43 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /**
+   * x90 — SEMDEDUP CLUSTER-SCOPING EVAL, the third member of the
+   * approximate-path eval family (x83 ANN recall, x86 LSH banding):
+   * SemDeDup (x71) only compares vectors WITHIN a k-means cluster, so
+   * every τ-similar pair straddling a cluster boundary is a duplicate
+   * the pruning can never see — this entry measures exactly that loss:
+   * all τ-pairs (blocked exact all-pairs, x13's shape), split into
+   * within-cluster vs cross-cluster against the SAME shared
+   * deterministic k-means assignment x71 uses, with the within fraction
+   * as exact integer ppm. At corpus scale the all-pairs truth leg runs
+   * on a SAMPLE (documented like x86's); the assignment side stays the
+   * broadcast nearest-centroid map pass.
+   */
+  def semDedupEval(spark: SparkSession, dir: String, nCentroids: Int = 8,
+      iterations: Int = 2, threshold: Double = 0.35): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = kmeansCentroids(emb, nCentroids, iterations)
+    val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
+      centroids)
+    val asg = emb.select(col("vec_id"),
+      nc.getField("bucket").cast("long").as("bucket"))
+    val pairs = embedNearDupPairs(spark, dir, threshold)
+      .select(col("d1"), col("d2"))
+    pairs
+      .join(asg.select(col("vec_id").as("d1"), col("bucket").as("b1")),
+        Seq("d1"))
+      .join(asg.select(col("vec_id").as("d2"), col("bucket").as("b2")),
+        Seq("d2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("b1") === col("b2"), 1L).otherwise(0L))
+          .as("n_within"),
+        sum(when(col("b1") =!= col("b2"), 1L).otherwise(0L))
+          .as("n_cross"))
+      .withColumn("within_ppm",
+        expr("n_within * 1000000 div n_pairs"))
+  }
+
   /** 6dp-rounded cosine frozen to exact integer micro-units (the x56
     * DECIMAL freeze: round → DECIMAL(10,6) → ×1e6 → BIGINT), so every
     * downstream MMR comparison is int64 — no cross-engine rounding-tie

@@ -1253,6 +1253,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("semdedup eval: the pair split recomputes driver-side against " +
+      "x71's own assignment; cross-cluster loss is real") {
+    val r = graft.SparkEntry.queries("x90_semdedup_eval")(spark, sf).head()
+    val buckets = graft.SparkEntry.queries("x71_semdedup")(spark, sf)
+      .select(col("vec_id"), col("bucket")).as[(Long, Long)]
+      .collect().toMap
+    val vecs = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var nPairs = 0L; var nWithin = 0L
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
+      val s = BigDecimal(cos(vecs(i)._2, vecs(j)._2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (s >= 0.35) {
+        nPairs += 1
+        if (buckets(vecs(i)._1) == buckets(vecs(j)._1)) nWithin += 1
+      }
+    }
+    assert(r.getAs[Long]("n_pairs") == nPairs)
+    assert(r.getAs[Long]("n_within") == nWithin)
+    assert(r.getAs[Long]("n_cross") == nPairs - nWithin)
+    assert(r.getAs[Long]("within_ppm") == nWithin * 1000000L / nPairs)
+    assert(nWithin > 0 && nPairs - nWithin > 0,
+      s"split not exercised: $nWithin of $nPairs within")
+  }
+
   test("terms_set: matches equal a driver-side distinct-analyzed-token " +
       "count; both m=2 and m=3 strata are populated") {
     val got = graft.SparkEntry.queries("x89_terms_set")(spark, sf)
