@@ -113,6 +113,13 @@ object ExtQueries {
     // sums, permille, dup tallies, vocab size, top token
     "x85_dataset_card" -> ((s: SparkSession, d: String) =>
       TextAnalysis.datasetCard(s, d)),
+    // ε-DP count release: md5-seeded Laplace noise in exact nano-units
+    "x91_dp_release" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dpRelease(s, d)),
+    // k-anonymity: (segment, nation) groups < k generalize to region,
+    // still-small groups suppressed — the microdata release discipline
+    "x92_k_anonymity" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.kAnonymize(s, d)),
     // dedup quality eval: precision/recall of LSH candidates vs exact
     // Jaccard truth — the banding-parameter tuning metric as an entry
     "x86_dedup_eval" -> ((s: SparkSession, d: String) =>
@@ -1192,6 +1199,47 @@ object ExtQueries {
         |FROM ps LEFT JOIN dup USING (source)
         |JOIN voc USING (source) JOIN top USING (source)
         |ORDER BY ps.source""".stripMargin,
+
+    // x91: the same inverse-CDF Laplace from the same md5 uniform —
+    // ln bit-identical, the 9dp nano freeze before any combination.
+    "x91_dp_release" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |u AS (SELECT source, n_docs,
+        |    (('0x' || substr(md5('dp:' || source), 1, 8))::BIGINT + 0.5)
+        |      / 4294967296.0 AS u
+        |  FROM s),
+        |n AS (SELECT source, n_docs,
+        |    CAST(CAST(round(-1.0 * sign(u - 0.5)
+        |        * ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS DECIMAL(20,9))
+        |      * 1000000000 AS BIGINT) AS noise_nano
+        |  FROM u)
+        |SELECT source, n_docs, noise_nano,
+        |  n_docs * 1000000000 + noise_nano AS released_nano
+        |FROM n ORDER BY source""".stripMargin,
+
+    // x92: level-0 counts, failing groups re-aggregated at region
+    // level, the same three-way verdict — all exact integers.
+    "x92_k_anonymity" ->
+      """WITH l0 AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(count(*) AS BIGINT) AS n_custs
+        |  FROM customer GROUP BY 1, 2),
+        |j AS (SELECT l0.*, n.n_regionkey FROM l0
+        |  JOIN nation n ON l0.c_nationkey = n.n_nationkey),
+        |l1 AS (SELECT c_mktsegment, n_regionkey,
+        |    CAST(sum(n_custs) AS BIGINT) AS n_region
+        |  FROM j WHERE n_custs < 5 GROUP BY 1, 2)
+        |SELECT j.c_mktsegment, j.c_nationkey, j.n_regionkey, j.n_custs,
+        |  CASE WHEN j.n_custs >= 5 THEN 'nation'
+        |       WHEN COALESCE(l1.n_region, 0) >= 5 THEN 'region'
+        |       ELSE 'suppressed' END AS level,
+        |  CASE WHEN j.n_custs >= 5 THEN j.n_custs
+        |       WHEN COALESCE(l1.n_region, 0) >= 5 THEN l1.n_region
+        |       ELSE 0 END AS released_size
+        |FROM j LEFT JOIN l1
+        |  ON j.c_mktsegment = l1.c_mktsegment
+        | AND j.n_regionkey = l1.n_regionkey
+        |ORDER BY j.c_mktsegment, j.c_nationkey""".stripMargin,
 
     // x84: the per-term BM25 legs replayed in long format (df = rows of
     // the tf table — equivalent to count distinct docs), judgments

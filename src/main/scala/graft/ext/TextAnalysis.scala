@@ -557,6 +557,78 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /**
+   * x91 — DIFFERENTIALLY-PRIVATE count release (ε-DP, Laplace
+   * mechanism): per-source doc counts published with Laplace(1/ε) noise
+   * — the privacy-preserving statistics release a data clearing-house
+   * runs before sharing corpus composition (counting queries have
+   * sensitivity 1, so `b = 1/ε`). The Laplace sample is the inverse-CDF
+   * transform `−b·sgn(u−½)·ln(1−2|u−½|)` of a DETERMINISTIC md5-seeded
+   * uniform (`(h+0.5)/2³²`, x36's recipe — never exactly ½ because the
+   * numerator `2h+1−2³²` is odd, so the ln argument is never 0), frozen
+   * to exact integer nano-units (x56's 9dp DECIMAL schedule), so the
+   * release is reproducible bit-for-bit — real deployments swap the
+   * seeded uniform for a CSPRNG and drop `n_docs`; both facts are the
+   * oracle's requirements, not the operator's limits. Map-only after
+   * one tiny per-source aggregate.
+   */
+  def dpRelease(spark: SparkSession, dir: String,
+      epsilon: Double = 1.0): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val h = conv(substring(md5(concat(lit("dp:"), col("source"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val absTerm = abs(u - lit(0.5))
+    val noise = -lit(1.0 / epsilon) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * absTerm)
+    val noiseNano = (round(noise, 9).cast("decimal(20,9)") * 1000000000L)
+      .cast("long")
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("noise_nano", noiseNano)
+      .select(col("source"), col("n_docs"), col("noise_nano"),
+        (col("n_docs") * 1000000000L + col("noise_nano"))
+          .as("released_nano"))
+      .orderBy(col("source"))
+  }
+
+  /**
+   * x92 — K-ANONYMITY with hierarchy generalization (Sweeney 2002), the
+   * other half of the privacy pair (x91 protects aggregates; this
+   * protects the microdata): quasi-identifier groups
+   * (mktsegment, nation) smaller than k are GENERALIZED one hierarchy
+   * level up (nation → region, the TPC-H geography); groups still under
+   * k after generalization are SUPPRESSED — the release discipline
+   * before sharing per-customer rows. Output is the per-original-group
+   * verdict: release at nation level, at region level (with the merged
+   * size), or suppress. All counts exact integers; generalization is
+   * one broadcast join to the 25-row nation dim + one region-level
+   * re-aggregate of only the FAILING groups (the standard bottom-up
+   * local recoding), so cost is two tiny aggregates above one scan.
+   */
+  def kAnonymize(spark: SparkSession, dir: String, k: Int = 5)
+      : DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val l0 = cust.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .drop("n_nationkey")
+    val l1 = l0.where(col("n_custs") < k)
+      .groupBy(col("c_mktsegment"), col("n_regionkey"))
+      .agg(sum(col("n_custs")).as("n_region"))
+    l0.join(l1, Seq("c_mktsegment", "n_regionkey"), "left")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        col("n_regionkey"), col("n_custs"),
+        when(col("n_custs") >= k, "nation")
+          .when(coalesce(col("n_region"), lit(0L)) >= k, "region")
+          .otherwise("suppressed").as("level"),
+        when(col("n_custs") >= k, col("n_custs"))
+          .when(coalesce(col("n_region"), lit(0L)) >= k, col("n_region"))
+          .otherwise(lit(0L)).as("released_size"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
   def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val bucket = conv(substring(md5(col("doc_id").cast("string")

@@ -1253,6 +1253,70 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("DP release: Laplace noise recomputes from MessageDigest; the " +
+      "released value is the exact integer identity") {
+    val out = graft.SparkEntry.queries("x91_dp_release")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val src = r.getAs[String]("source")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dp:$src".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      val noise = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val nano = (BigDecimal(noise)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP) * 1000000000L)
+        .toLongExact
+      assert(r.getAs[Long]("noise_nano") == nano, src)
+      assert(r.getAs[Long]("released_nano") ==
+        r.getAs[Long]("n_docs") * 1000000000L + nano, src)
+    }
+    // Laplace(1): noises vary across sources, both signs appear
+    val signs = out.map(r => java.lang.Long.signum(
+      r.getAs[Long]("noise_nano")))
+    assert(signs.contains(1) && signs.contains(-1))
+  }
+
+  test("k-anonymity: every released group is >= k or suppressed; the " +
+      "three-way verdict recomputes driver-side") {
+    val out = graft.SparkEntry.queries("x92_k_anonymity")(spark, sf)
+      .collect()
+    val levels = out.map(_.getAs[String]("level")).toSet
+    assert(levels == Set("nation", "region", "suppressed"))
+    assert(out.forall { r =>
+      val s = r.getAs[Long]("released_size")
+      s == 0L || s >= 5L
+    })
+    // recompute the verdicts from raw customer/nation rows
+    val cust = graft.ingest.Tables.load(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long"))
+      .as[(String, Long)].collect()
+    val n2r = graft.ingest.Tables.load(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long"),
+        col("n_regionkey").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val l0 = cust.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val l1 = l0.filter(_._2 < 5).groupBy { case ((seg, nat), _) =>
+      (seg, n2r(nat))
+    }.view.mapValues(_.values.sum).toMap
+    assert(out.length == l0.size)
+    for (r <- out) {
+      val key = (r.getAs[String]("c_mktsegment"),
+        r.getAs[Number]("c_nationkey").longValue)
+      val n = l0(key)
+      assert(r.getAs[Long]("n_custs") == n)
+      val want =
+        if (n >= 5) ("nation", n)
+        else {
+          val nr = l1.getOrElse((key._1, n2r(key._2)), 0L)
+          if (nr >= 5) ("region", nr) else ("suppressed", 0L)
+        }
+      assert((r.getAs[String]("level"),
+        r.getAs[Long]("released_size")) == want, key)
+    }
+  }
+
   test("semdedup eval: the pair split recomputes driver-side against " +
       "x71's own assignment; cross-cluster loss is real") {
     val r = graft.SparkEntry.queries("x90_semdedup_eval")(spark, sf).head()
