@@ -644,6 +644,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("uid"))
     }),
 
+    // ---- right to erasure: delete one subject's records by rewriting ---
+    // ---- ONLY the partitions that contain them (partition-pruned -------
+    // ---- discovery + staged swap); the audit frame is the receipt ------
+    "kq57_forget_key" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("kq57-sink").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(work)
+      val sink = new java.io.File(work, "log").toString
+      graft.sink.ChangelogSink.append(Pipeline.envelopeFlat(s, dir), sink)
+      graft.sink.ChangelogSink.forgetKey(s, sink, "13")
+        .orderBy(col("topic"), col("date"))
+    }),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -805,6 +817,20 @@ object SparkEntry {
         |      FROM env WHERE event_type IS NOT NULL)
         |WHERE hit_rank <= 3
         |ORDER BY event_type, hit_rank""".stripMargin),
+
+    // kq57: the audit is pure arithmetic over the envelope — per
+    // (topic, date) counts, restricted to partitions holding the key
+    "kq57_forget_key" ->
+      (envSql + """SELECT topic,
+        |  strftime(CAST("timestamp" AS DATE), '%Y-%m-%d') AS "date",
+        |  CAST(count(*) AS BIGINT) AS rows_before,
+        |  CAST(sum(CASE WHEN "key" = '13' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rows_deleted,
+        |  CAST(count(*) - sum(CASE WHEN "key" = '13' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rows_after
+        |FROM env GROUP BY 1, 2
+        |HAVING sum(CASE WHEN "key" = '13' THEN 1 ELSE 0 END) > 0
+        |ORDER BY topic, "date"""".stripMargin),
 
     "kq54_collapse" ->
       (envSql + """SELECT "key", uid, "timestamp", "offset", event_type,

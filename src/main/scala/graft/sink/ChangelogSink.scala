@@ -114,6 +114,81 @@ object ChangelogSink {
    * must still not run concurrently with another compaction of the SAME
    * partition (the hide phase would race); appends are safe.
    */
+  /**
+   * RIGHT TO ERASURE (GDPR art. 17 / CCPA deletion): remove every record
+   * with `key` from the changelog by rewriting ONLY the (topic, date)
+   * partitions that contain it. Discovery is one PARTITION-PRUNED scan
+   * (the key filter reaches the parquet scan; the hit list is partition
+   * METADATA — bounded driver state like the centroid sync); each
+   * affected partition then rewrites through the same snapshot-read +
+   * staged-write + hide-then-swap discipline as [[compactPartition]],
+   * so a crash mid-swap rolls back and a RETRY is a no-op (no key rows
+   * remain → nothing rewrites). Untouched partitions are never read,
+   * listed, or renamed — at 100 TB erasing one subject costs the few
+   * partitions they actually appear in, not a table rewrite.
+   *
+   * Returns the audit frame (topic, date, rows_before, rows_deleted,
+   * rows_after) — the erasure receipt a compliance pipeline stores.
+   */
+  def forgetKey(spark: SparkSession, path: String, key: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val hits = read(spark, path).where(col("key") === key)
+      .groupBy(col("topic"), col("date"))
+      .agg(count(lit(1)).as("n_del"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val audit = hits.map { case (topic, date, nDel) =>
+      val part = new Path(s"$path/topic=$topic/date=$date")
+      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(part)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val snapshot = spark.read.parquet(
+        files.map(_.getPath.toString).toIndexedSeq: _*)
+      val before = snapshot.count()
+      val kept = snapshot.where(col("key") =!= key || col("key").isNull)
+      val tmp = new Path(path, s".forget-$topic-$date-${System.nanoTime()}")
+      kept.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val staged = fs.listStatus(tmp)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      def renameOrThrow(src: Path, dst: Path, what: String): Unit =
+        if (!fs.rename(src, dst)) throw new IllegalStateException(
+          s"forgetKey: $what rename failed: $src -> $dst")
+      val hidden = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+      val moved = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+      try {
+        files.foreach { f =>
+          val h = new Path(part, s".forgetting-${f.getPath.getName}")
+          renameOrThrow(f.getPath, h, "hide-original")
+          hidden += ((f.getPath, h))
+        }
+        staged.foreach { f =>
+          val dst = new Path(part, f.getPath.getName)
+          renameOrThrow(f.getPath, dst, "move-staged")
+          moved += ((f.getPath, dst))
+        }
+        hidden.foreach { case (_, h) => fs.delete(h, false) }
+        fs.delete(tmp, true)
+      } catch {
+        case e: Throwable =>
+          moved.foreach { case (src, dst) => fs.rename(dst, src) }
+          hidden.foreach { case (orig, h) => fs.rename(h, orig) }
+          throw e
+      }
+      (topic, date, before, nDel, before - nDel)
+    }
+    val schema = StructType(Seq(
+      StructField("topic", StringType), StructField("date", StringType),
+      StructField("rows_before", LongType),
+      StructField("rows_deleted", LongType),
+      StructField("rows_after", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(audit.toIndexedSeq.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)), 1),
+      schema)
+  }
+
   def compactPartition(spark: SparkSession, path: String, topic: String,
       date: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
     val part = new Path(s"$path/topic=$topic/date=$date")

@@ -236,4 +236,40 @@ class ChangelogSinkSpec extends SparkSpec {
     // idempotent: nothing left to drop or compact
     assert(ChangelogSink.rollIfNeeded(spark, dir, maxDate) == ((0, 0)))
   }
+
+  test("forgetKey: the subject's rows vanish, everyone else's survive " +
+      "exactly, untouched partitions keep their files, retry is a no-op") {
+    val dir = Files.createTempDirectory("changelog-forget").toString
+    val env = Pipeline.envelopeFlat(spark, sf)
+    ChangelogSink.append(env, dir)
+    val beforeByKey = ChangelogSink.read(spark, dir)
+      .groupBy($"key").count().as[(String, Long)].collect().toMap
+    // snapshot the files of a partition the key does NOT touch
+    val root = new java.io.File(s"$dir/topic=events")
+    val keyDates = ChangelogSink.read(spark, dir)
+      .where($"key" === "13").select($"date".cast("string"))
+      .distinct().as[String].collect().toSet
+    val untouchedDir = root.listFiles().filter(_.isDirectory)
+      .find(d => !keyDates.contains(d.getName.stripPrefix("date=")))
+    val untouchedBefore = untouchedDir.map(
+      _.listFiles().map(f => (f.getName, f.lastModified())).toSet)
+
+    val audit = ChangelogSink.forgetKey(spark, dir, "13").collect()
+    assert(audit.nonEmpty)
+    assert(audit.forall(r => r.getAs[Long]("rows_after") ==
+      r.getAs[Long]("rows_before") - r.getAs[Long]("rows_deleted")))
+    val after = ChangelogSink.read(spark, dir)
+    assert(after.where($"key" === "13").count() == 0)
+    val afterByKey = after.groupBy($"key").count()
+      .as[(String, Long)].collect().toMap
+    assert(afterByKey == (beforeByKey - "13"))
+    // non-hit partitions were never rewritten
+    untouchedBefore.foreach { files =>
+      assert(untouchedDir.get.listFiles()
+        .map(f => (f.getName, f.lastModified())).toSet == files)
+    }
+    // retry: nothing contains the key anymore → empty audit, no change
+    assert(ChangelogSink.forgetKey(spark, dir, "13").count() == 0)
+    assert(ChangelogSink.read(spark, dir).count() == after.count())
+  }
 }
