@@ -133,11 +133,15 @@ object ChangelogSink {
   def forgetKey(spark: SparkSession, path: String, key: String)
       : DataFrame = {
     import org.apache.spark.sql.types._
+    // the partition column is DateType — cast to string BEFORE collect:
+    // decoding java.sql.Date rows needs JVM --add-opens flags a plain
+    // `java -cp` launch (the bench harness) doesn't pass, and the audit
+    // wants the partition-dir spelling anyway
     val hits = read(spark, path).where(col("key") === key)
-      .groupBy(col("topic"), col("date"))
+      .groupBy(col("topic"), col("date").cast("string").as("date"))
       .agg(count(lit(1)).as("n_del"))
       .collect()
-      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2))
     val audit = hits.map { case (topic, date, nDel) =>
       val part = new Path(s"$path/topic=$topic/date=$date")
