@@ -104,7 +104,8 @@ object Plans {
     "x88_index_merge" -> "index compaction: ONE bucketed rewrite of signature rows (no recompute, no corpus pass); the probe then scans a SINGLE merged bucketed segment instead of one join per segment",
     "x90_semdedup_eval" -> "semdedup eval: blocked exact tau-pairs (truth, sample-sized at scale) joined twice to the broadcast nearest-centroid assignment; one 1-row aggregate",
     "x92_k_anonymity" -> "k-anonymity: two tiny aggregates above one scan — level-0 counts + a region re-aggregate of only the FAILING groups (bottom-up local recoding), nation dim broadcast",
-    "kq57_forget_key" -> "right to erasure: partition-pruned discovery (the key filter reaches the scan), then ONLY the hit partitions rewrite via staged hide-then-swap — erasing one subject costs their partitions, never a table rewrite")
+    "kq57_forget_key" -> "right to erasure: partition-pruned discovery (the key filter reaches the scan), then ONLY the hit partitions rewrite via staged hide-then-swap — erasing one subject costs their partitions, never a table rewrite",
+    "x93_stream_index_append" -> "streaming index maintenance: each trigger pays only its own shingle/signature pass + a segment-sized idempotent write; the corpus index is never touched, the probe is the x64 contract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

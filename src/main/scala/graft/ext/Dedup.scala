@@ -512,6 +512,71 @@ object Dedup {
   }
 
   /**
+   * x93 — STREAMING INDEX MAINTENANCE: the x64 append loop as it runs in
+   * production — new documents ARRIVE AS A STREAM, and every micro-batch
+   * commits its minhash signatures as its own segment from inside
+   * `foreachBatch` (batchId-keyed dynamic-partition overwrite, the kq53
+   * exactly-once discipline: batch 0's commit is deliberately REPLAYED
+   * and must be a no-op). The planted batch streams in TWO micro-batches
+   * (`maxFilesPerTrigger=1`), so the segment store genuinely accumulates
+   * across triggers; queries then probe corpus segment ∪ stream-built
+   * segments and the result is CONTRACT-IDENTICAL to the batch append
+   * (x64's oracle — disjoint corpus_id spaces, every pair lives in
+   * exactly one segment). At 100 TB each trigger pays only its own
+   * shingle/signature pass and a segment-sized write; the corpus index
+   * is never touched, and x88's compaction folds the accumulated
+   * micro-segments on whatever cadence suits.
+   */
+  def streamingIndexAppend(spark: SparkSession, dir: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val table = "graft_minhash_index_" + indexSuffix(dir)
+    if (!spark.catalog.tableExists(table))
+      buildDedupIndex(spark, dir, numHashes, rowsPerBand)
+    val work =
+      java.nio.file.Files.createTempDirectory("x93-stream").toString
+    val newBatch = Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    newBatch.repartition(2).write.mode("overwrite").parquet(s"$work/in")
+    val segPath = s"$work/segments"
+    try {
+      def commit(batch: DataFrame, batchId: Long): Unit =
+        explodeBandKeys(minhashSignatures(batch, numHashes), numHashes,
+            rowsPerBand)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(segPath)
+      val q = spark.readStream.schema(newBatch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          commit(batch.toDF(), batchId)
+          // at-least-once retry: the recommit must be a no-op
+          if (batchId == 0L) commit(batch.toDF(), batchId)
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamSegs = spark.read.parquet(segPath)
+        .select(col("doc_id"), col("sig"), col("bkey"))
+        .localCheckpoint() // the probe result must outlive the temp dir
+      val probe = plantedProbe(spark, dir, numHashes, rowsPerBand,
+        2000000L, modulo = 7)
+      probeStored(probe, spark.table(table), numHashes)
+        .unionByName(probeStored(probe, streamSegs, numHashes))
+        .orderBy(col("new_id"), col("corpus_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$work/in"))
+    }
+  }
+
+  /**
    * x57 — INCREMENTAL dedup against an accumulated corpus: the production
    * shape of near-dup detection — a NEW BATCH arrives and must be checked
    * against the existing corpus WITHOUT re-comparing the corpus to

@@ -91,6 +91,11 @@ object ExtQueries {
     // their own bucketed segment; batch-2 probes corpus + appended.
     "x64_dedup_index_append" -> ((s: SparkSession, d: String) =>
       Dedup.dedupIndexAppend(s, d)),
+    // x93: index maintenance AS A STREAM — per-micro-batch signature
+    // segments committed from foreachBatch (idempotent, replay-proof);
+    // probing corpus ∪ stream segments equals the batch append.
+    "x93_stream_index_append" -> ((s: SparkSession, d: String) =>
+      Dedup.streamingIndexAppend(s, d)),
     // x88: segment COMPACTION — one bucketed rewrite of the signature
     // rows (no recompute, no corpus pass); probing the merge must equal
     // x64's per-segment union, the proof nothing was lost.
@@ -1381,6 +1386,10 @@ object ExtQueries {
     // x88: probing the merged segment is contract-identical to x64's
     // per-segment union (disjoint corpus_id spaces) — same oracle.
     "x88_index_merge" -> indexAppendSql,
+
+    // x93: the stream-built segments hold exactly the planted batch's
+    // signatures, so the probe contract is x64's again — same oracle.
+    "x93_stream_index_append" -> indexAppendSql,
 
     // x23: same k-means + assignment, but each query probes its TOP-2
     // buckets (multi-probe recall knob); candidates unioned, exact top-k.

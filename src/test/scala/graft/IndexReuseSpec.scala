@@ -68,6 +68,14 @@ class IndexReuseSpec extends SparkSpec {
     assert(self.where(col("sim") =!= 1.0).count() == 0)
   }
 
+  test("streaming index append: foreachBatch-built segments yield the " +
+      "identical probe result as the batch append") {
+    val streamed = Dedup.streamingIndexAppend(spark, sf).collect().toSeq
+    val batch = Dedup.dedupIndexAppend(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("segment merge: probing the compacted index equals the " +
       "per-segment union, from ONE merged bucketed scan") {
     val appended = Dedup.dedupIndexAppend(spark, sf).collect().toSeq
