@@ -585,6 +585,53 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- ES moving_fn MODELS (beyond kq51's sum/diff): ewma, ----------
+    // ---- linearWeightedAvg and Holt linear trend over the same --------
+    // ---- trailing-24-bucket frame. alpha = beta = 1/2 keeps ewma ------
+    // ---- DYADIC-exact (frac bits grow <= 1/step over a 24-window, -----
+    // ---- integer counts — every double is exact); Holt's coupled ------
+    // ---- recurrence can exceed 52 mantissa bits, so its contract is ---
+    // ---- the kq52 one: a FIXED-SHAPE IEEE op sequence (left-assoc, ----
+    // ---- pinned below) that DuckDB's recursive-CTE replay repeats -----
+    // ---- bit-for-bit. linearWeightedAvg stays EXACT-INTEGER as a ------
+    // ---- (numerator, denominator) pair — never a rounded quotient. ----
+    // ---- The fold is an interpreted HOF, but it runs on the bounded ---
+    // ---- post-agg bucket frame (kq27/kq51 precedent), never on raw ----
+    // ---- events: at 100 TB the window input is still <= one row per ---
+    // ---- hour of span. --------------------------------------------------
+    "kq58_moving_model" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Pipeline.envelopeFlat(s, dir)
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("bucket")).rowsBetween(-23, 0)
+      hourly
+        .withColumn("vals", collect_list(col("n")).over(w))
+        // ES MovingFunctions semantics: ewma seeds with the FIRST window
+        // value (the seed takes no alpha); holt seeds s1 = v1, b1 = 0.
+        // s' = ((x + s) + b)/2 and b' = ((s' - s) + b)/2 — the exact
+        // left-assoc sequence the oracle mirrors.
+        .withColumn("st", expr(
+          """aggregate(vals,
+            |  named_struct('k', 0L, 'avg', 0D, 'num', 0L, 's', 0D, 'b', 0D),
+            |  (acc, x) -> named_struct(
+            |    'k',   acc.k + 1L,
+            |    'avg', IF(acc.k = 0L, CAST(x AS DOUBLE),
+            |              (CAST(x AS DOUBLE) + acc.avg) / 2D),
+            |    'num', acc.num + x * (acc.k + 1L),
+            |    's',   IF(acc.k = 0L, CAST(x AS DOUBLE),
+            |              (CAST(x AS DOUBLE) + acc.s + acc.b) / 2D),
+            |    'b',   IF(acc.k = 0L, 0D,
+            |              ((CAST(x AS DOUBLE) + acc.s + acc.b) / 2D
+            |                - acc.s + acc.b) / 2D)))""".stripMargin))
+        .select(col("bucket"), col("n"),
+          col("st.avg").as("ewma24"),
+          col("st.num").as("lin_num"),
+          expr("st.k * (st.k + 1L) div 2L").cast("long").as("lin_den"),
+          (col("st.s") + col("st.b")).as("holt1"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- exactly-once foreachBatch sink: batchId-keyed idempotent ------
     // ---- dynamic-partition overwrite; one batch's commit deliberately --
     // ---- replayed — the rollup must equal the plain batch aggregate ----
@@ -1290,6 +1337,45 @@ object SparkEntry {
         |        count(*) AS n
         |      FROM env GROUP BY 1)
         |ORDER BY bucket""".stripMargin),
+
+    // kq58: the window folds replayed per bucket as ONE recursive CTE
+    // advancing every bucket's accumulator a step at a time (bounded by
+    // the 24-row frame). ewma's dyadic halvings are exact; holt repeats
+    // the entry's pinned left-assoc IEEE sequence bit-for-bit; the
+    // linear weights stay integer. greatest(rn-23, 1) re-derives each
+    // window's in-frame position j.
+    "kq58_moving_model" ->
+      (envSql.replaceFirst("WITH ", "WITH RECURSIVE ") + """, h AS (
+        |  SELECT date_trunc('hour', "timestamp") AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM env GROUP BY 1),
+        |hr AS (SELECT bucket, n,
+        |         CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS rn
+        |       FROM h),
+        |win AS (
+        |  SELECT a.rn AS rn, b.n AS v,
+        |         CAST(b.rn - greatest(a.rn - 23, 1) + 1 AS BIGINT) AS j
+        |  FROM hr a JOIN hr b ON b.rn BETWEEN a.rn - 23 AND a.rn),
+        |steps AS (
+        |  SELECT rn, j, CAST(v AS DOUBLE) AS avg, v * j AS num,
+        |         CAST(v AS DOUBLE) AS s, CAST(0 AS DOUBLE) AS b
+        |  FROM win WHERE j = 1
+        |  UNION ALL
+        |  SELECT w.rn, w.j,
+        |         (CAST(w.v AS DOUBLE) + st.avg) / 2,
+        |         st.num + w.v * w.j,
+        |         (CAST(w.v AS DOUBLE) + st.s + st.b) / 2,
+        |         ((CAST(w.v AS DOUBLE) + st.s + st.b) / 2
+        |           - st.s + st.b) / 2
+        |  FROM steps st JOIN win w ON w.rn = st.rn AND w.j = st.j + 1),
+        |last AS (SELECT rn, max(j) AS k FROM win GROUP BY rn)
+        |SELECT hr.bucket, hr.n, st.avg AS ewma24,
+        |  CAST(st.num AS BIGINT) AS lin_num,
+        |  CAST(l.k * (l.k + 1) // 2 AS BIGINT) AS lin_den,
+        |  st.s + st.b AS holt1
+        |FROM hr JOIN last l ON hr.rn = l.rn
+        |  JOIN steps st ON st.rn = hr.rn AND st.j = l.k
+        |ORDER BY hr.bucket""".stripMargin),
 
     // kq53: the exactly-once contract IS the oracle — an idempotent
     // replayed commit leaves the cross-batch rollup equal to the plain

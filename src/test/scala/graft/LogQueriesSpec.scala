@@ -336,6 +336,35 @@ class LogQueriesSpec extends SparkSpec {
     assert(out.groupBy(_._2).exists(_._2.size > 1))
   }
 
+  test("moving_fn models: ewma/linear/holt replay bit-for-bit from the " +
+      "bucket counts (dyadic ewma, pinned left-assoc holt sequence)") {
+    val out = SparkEntry.queries("kq58_moving_model")(spark, sf)
+      .select($"n", $"ewma24", $"lin_num", $"lin_den", $"holt1")
+      .as[(Long, Double, Long, Long, Double)].collect()
+    val ns = out.map(_._1)
+    for (i <- ns.indices) {
+      val win = ns.slice(math.max(0, i - 23), i + 1)
+      // ES MovingFunctions.ewma: seed = first value, then a*(x)+(1-a)*avg
+      var avg = win.head.toDouble
+      for (x <- win.tail) avg = (x.toDouble + avg) / 2
+      assert(out(i)._2 == avg, s"ewma at $i")
+      // linearWeightedAvg numerator/denominator, exact integers
+      val num = win.zipWithIndex.map { case (v, j) => v * (j + 1L) }.sum
+      assert(out(i)._3 == num && out(i)._4 == win.length * (win.length + 1L) / 2)
+      // holt: s1=v1, b1=0; s'=((x+s)+b)/2, b'=((s'-s)+b)/2 — the exact
+      // IEEE sequence the entry and the DuckDB oracle both execute
+      var s = win.head.toDouble; var b = 0.0
+      for (x <- win.tail) {
+        val s2 = (x.toDouble + s + b) / 2
+        b = (s2 - s + b) / 2
+        s = s2
+      }
+      assert(out(i)._5 == s + b, s"holt at $i")
+    }
+    // the short-prefix windows (k < 24) are genuinely exercised
+    assert(ns.length > 24)
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
