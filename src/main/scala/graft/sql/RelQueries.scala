@@ -542,6 +542,43 @@ object RelQueries {
   }
 
   /**
+   * q36 — RECURSIVE CTE (ANSI `WITH RECURSIVE`, new SQL surface in
+   * Spark 4): transitive closure over an edge table — each customer
+   * walks its parent chain (parent = c_custkey div 10, a deterministic
+   * decimal-trie hierarchy derived from the fixture; roots are keys
+   * 0..9) to its root, accumulating depth and the full path string.
+   * The recursion shape is the general graph-walk: the recursive leg
+   * JOINS the working set to the edge relation (not a pure projection),
+   * so the planner runs one hash join per level — at 100 TB each level
+   * is a key-partitioned join whose working set shrinks 10x per round
+   * (the CC/PageRank iteration shape, here expressed declaratively and
+   * terminated by edge exhaustion rather than a driver loop). Depth is
+   * log10(N) — 5 levels at 100k keys — far under Spark's default
+   * 100-level recursion guard. `root_size` (customers sharing a root)
+   * is a bounded window over the 10-key root domain.
+   */
+  def q36Recursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("q36_customer")
+    spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS key, c_custkey AS cur, 0 AS depth,
+        |         CAST(c_custkey AS STRING) AS path
+        |  FROM q36_customer
+        |  UNION ALL
+        |  SELECT c.key, e.parent, c.depth + 1,
+        |         CONCAT(c.path, '>', CAST(e.parent AS STRING))
+        |  FROM chain c
+        |  JOIN (SELECT c_custkey AS child, c_custkey DIV 10 AS parent
+        |        FROM q36_customer WHERE c_custkey > 9) e
+        |    ON c.cur = e.child
+        |)
+        |SELECT key AS c_custkey, cur AS root, depth, path,
+        |       count(*) OVER (PARTITION BY cur) AS root_size
+        |FROM chain WHERE cur <= 9
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -812,7 +849,8 @@ object RelQueries {
     "q28_grouping_sets" -> (q28GroupingSets _),
     "q29_sliding_range" -> (q29SlidingRange _),
     "q30_correlated_exists" -> (q30CorrelatedExists _),
-    "q31_sequence_funnel" -> (q31SequenceFunnel _)
+    "q31_sequence_funnel" -> (q31SequenceFunnel _),
+    "q36_recursive" -> (q36Recursive _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1180,6 +1218,26 @@ object RelQueries {
         |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY "value", event_id)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // q36: the identical recursive closure — DuckDB's `//` is Spark's
+    // `div` on BIGINTs (both floor on the positive key domain)
+    "q36_recursive" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS key, c_custkey AS cur, 0 AS depth,
+        |         CAST(c_custkey AS VARCHAR) AS path
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c.key, e.parent, c.depth + 1,
+        |         CONCAT(c.path, '>', CAST(e.parent AS VARCHAR))
+        |  FROM chain c
+        |  JOIN (SELECT c_custkey AS child, c_custkey // 10 AS parent
+        |        FROM customer WHERE c_custkey > 9) e
+        |    ON c.cur = e.child
+        |)
+        |SELECT key AS c_custkey, cur AS root, depth, path,
+        |       count(*) OVER (PARTITION BY cur) AS root_size
+        |FROM chain WHERE cur <= 9
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -138,6 +138,30 @@ class RelQueriesSpec extends SparkSpec {
     assert(total == graft.ingest.Tables.load(spark, sf, "events").count())
   }
 
+  test("q36 recursive closure: every chain replays the decimal-trie walk " +
+      "driver-side; roots partition the full key space") {
+    val out = RelQueries.q36Recursive(spark, sf)
+      .select(col("c_custkey"), col("root"), col("depth"), col("path"),
+        col("root_size"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3),
+        r.getLong(4)))
+    val n = graft.ingest.Tables.load(spark, sf, "customer").count()
+    assert(out.length == n)           // one closure row per customer
+    for ((k, root, depth, path, _) <- out) {
+      // independent walk: divide by 10 until <= 9
+      var cur = k; var d = 0; val sb = new StringBuilder(cur.toString)
+      while (cur > 9) { cur /= 10; d += 1; sb.append(">").append(cur) }
+      assert(root == cur && depth == d && path == sb.toString, s"key $k")
+    }
+    // root_size is the true cohort size and cohorts cover the key space
+    val cohorts = out.groupBy(_._2)
+    assert(cohorts.values.map(_.length.toLong).sum == n)
+    for ((root, rows) <- cohorts)
+      assert(rows.forall(_._5 == rows.length), s"root $root")
+    assert(out.map(_._3).max >= 2)    // multi-level recursion exercised
+  }
+
   test("q26 funnel matches a driver-side reconstruction for sampled users") {
     val funnel = RelQueries.q26Funnel(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
