@@ -579,6 +579,38 @@ object RelQueries {
   }
 
   /**
+   * q37 — VARIANT, Spark 4's semi-structured column type (the modern
+   * path kq4b's string-level `get_json_object` predates): each event's
+   * fields nest into one JSON payload, `parse_json` turns it into an
+   * open-schema VARIANT (binary-encoded, not re-parsed per access), and
+   * every downstream touch goes through typed `variant_get` paths —
+   * the filter on `$.meta.k`, the grouping key from `$.meta.type`, the
+   * metric from `$.vals[0]`. The oracle recomputes from the ORIGINAL
+   * columns, so it checks round-trip FIDELITY: a long, a double and a
+   * string must survive encode -> variant -> typed extraction exactly
+   * (the double via JSON shortest-round-trip). Money stays on the
+   * DECIMAL-cents rails. At 100 TB the point of VARIANT over JSON
+   * strings is decode-once binary access and Parquet shredding of hot
+   * paths; the plan keeps all three accesses in one scan projection.
+   */
+  def q37Variant(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val payload = to_json(struct(
+      struct(col("event_type").as("type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")).as("meta"),
+      array(col("value")).as("vals")))
+    ev.select(parse_json(payload).as("v"))
+      .where(expr("variant_get(v, '$.meta.k', 'long')") >= 50)
+      .groupBy(expr("variant_get(v, '$.meta.type', 'string')").as("vtype"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("variant_get(v, '$.meta.k', 'long')")).as("sum_k"),
+        sum(expr("variant_get(v, '$.vals[0]', 'double')")
+          .cast(DecimalType(18, 2)).multiply(lit(100)).cast("long"))
+          .cast("long").as("sum_v_cents"))
+      .orderBy(col("vtype"))
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -850,7 +882,8 @@ object RelQueries {
     "q29_sliding_range" -> (q29SlidingRange _),
     "q30_correlated_exists" -> (q30CorrelatedExists _),
     "q31_sequence_funnel" -> (q31SequenceFunnel _),
-    "q36_recursive" -> (q36Recursive _)
+    "q36_recursive" -> (q36Recursive _),
+    "q37_variant" -> (q37Variant _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1238,6 +1271,19 @@ object RelQueries {
         |SELECT key AS c_custkey, cur AS root, depth, path,
         |       count(*) OVER (PARTITION BY cur) AS root_size
         |FROM chain WHERE cur <= 9
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // q37: the oracle computes from the ORIGINAL columns — if any typed
+    // value failed the encode -> variant -> extract round trip on the
+    // Spark side, the hash would split
+    "q37_variant" ->
+      """SELECT event_type AS vtype, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS sum_v_cents
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

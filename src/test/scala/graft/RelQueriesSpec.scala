@@ -162,6 +162,35 @@ class RelQueriesSpec extends SparkSpec {
     assert(out.map(_._3).max >= 2)    // multi-level recursion exercised
   }
 
+  test("q37 variant: typed path extraction round-trips the original " +
+      "columns; missing paths yield null via try_variant_get") {
+    val ev = graft.ingest.Tables.load(spark, sf, "events").limit(200)
+    val v = ev.select(col("event_id"), col("event_type"), col("value"),
+      parse_json(to_json(struct(
+        struct(col("event_type").as("type")).as("meta"),
+        array(col("value")).as("vals")))).as("v"))
+    val got = v.select(col("event_id"),
+        expr("variant_get(v, '$.meta.type', 'string')"),
+        expr("variant_get(v, '$.vals[0]', 'double')"),
+        expr("try_variant_get(v, '$.meta.absent', 'string')"))
+      .collect()
+    val want = ev.select(col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val w = want(r.getLong(0))
+      assert(r.getString(1) == w.getString(1))
+      assert(r.getDouble(2) == w.getDouble(2)) // exact JSON round-trip
+      assert(r.isNullAt(3))                    // missing path -> null
+    }
+    // the aggregate entry's grouping keys are the true event types
+    val types = RelQueries.q37Variant(spark, sf)
+      .select(col("vtype")).collect().map(_.getString(0)).toSet
+    assert(types.subsetOf(graft.ingest.Tables.load(spark, sf, "events")
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSet))
+  }
+
   test("q26 funnel matches a driver-side reconstruction for sampled users") {
     val funnel = RelQueries.q26Funnel(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
