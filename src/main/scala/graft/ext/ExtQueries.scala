@@ -101,6 +101,15 @@ object ExtQueries {
     // x64's per-segment union, the proof nothing was lost.
     "x88_index_merge" -> ((s: SparkSession, d: String) =>
       Dedup.dedupIndexMerge(s, d)),
+    // x94: ES cardinality agg (Kibana Unique Count) from first
+    // principles — every HLL register and the register-max merge
+    // hash-checked, estimates next to exact distinct counts.
+    "x94_hll_cardinality" -> ((s: SparkSession, d: String) =>
+      Sketches.hllCardinality(s, d)),
+    // x96: count-min heavy hitters — per-source segments merged
+    // cell-wise, exact top-10 probed, per-probe overestimate exact.
+    "x96_cms_topk" -> ((s: SparkSession, d: String) =>
+      Sketches.cmsHeavyHitters(s, d)),
     // x68: the ANN counterpart — new vectors assigned via STORED
     // centroids (no k-means rerun), own bucketed segment, one GLOBAL
     // top-k across corpus+segment.
@@ -1390,6 +1399,10 @@ object ExtQueries {
     // x93: the stream-built segments hold exactly the planted batch's
     // signatures, so the probe contract is x64's again — same oracle.
     "x93_stream_index_append" -> indexAppendSql,
+
+    "x94_hll_cardinality" -> Sketches.hllOracle,
+
+    "x96_cms_topk" -> Sketches.cmsOracle,
 
     // x23: same k-means + assignment, but each query probes its TOP-2
     // buckets (multi-probe recall knob); candidates unioned, exact top-k.

@@ -1,0 +1,250 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+
+/**
+ * Mergeable sketch operators — the data structures that make "count
+ * distinct users" and "top terms" answerable on a 1000-executor cluster
+ * without ever centralizing raw values.
+ *
+ * ES's `cardinality` aggregation (Kibana's "Unique Count" metric) is
+ * HyperLogLog-based precisely because HLL registers MERGE: every shard
+ * summarizes locally and the coordinating node folds fixed-size register
+ * vectors (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+ * near-optimal cardinality estimation algorithm"). Count-min sketch
+ * (Cormode & Muthukrishnan 2005) is the frequency-table analog: cells
+ * add, so per-partition sketches sum into a corpus sketch.
+ *
+ * Spark ships both shapes (`approx_count_distinct`'s HLL++ and
+ * `CountMinSketch`), and q20 already exercises the built-in inside an
+ * error-envelope oracle. These entries instead build the sketches from
+ * FIRST PRINCIPLES with the repo's pinned md5-32 hash, which buys what
+ * the built-ins cannot give: a DuckDB oracle that replays every register
+ * and cell EXACTLY, so the driver hash-checks the sketch construction,
+ * the merge law, and the estimator arithmetic — not just an error bound.
+ *
+ * Cross-engine determinism: register indices/values and all cell counts
+ * are integers; the only doubles are the final estimators, computed as
+ * ONE fixed-shape IEEE expression per row (left-assoc literal products,
+ * one division, `ln` — bit-identical across engines per the x22/x24/x36
+ * precedent) and rounded to 6dp.
+ *
+ * Scale posture: both sketches are one explode + one map-side-combinable
+ * aggregation into a BOUNDED key domain (64 registers / 4x16 cells per
+ * source), so the shuffle carries kilobytes regardless of corpus size;
+ * the merge step aggregates sketch rows, never raw tokens. No collects,
+ * no UDFs.
+ */
+object Sketches {
+
+  /** Registers m = 64 (b = 6 bits); remaining 26 hash bits feed rho. */
+  private val M = 64
+  /** rho is capped at 27 = 26 remainder bits + 1 (w = 0 case). */
+  private val RhoCap = 27
+  /** 2^27, the scale that makes sum(2^-M_j) an exact integer. */
+  private val Scale = 134217728L
+
+  /** source-tagged analyzed tokens of the documents corpus. */
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+
+  /**
+   * Two sketched fields per source: the ~30-token fixture vocabulary
+   * (`token`, exercising the linear-counting correction) and the
+   * high-cardinality doc-scoped occurrence key (`doc_token`, thousands
+   * of distinct values — exercising the raw alpha*m^2/sum estimator).
+   * Cardinality over BOTH regimes is what the ES agg faces in practice.
+   */
+  private def hllFields(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    t.select(col("source"), lit("token").as("field"), col("token").as("v"))
+      .unionByName(t.select(col("source"), lit("doc_token").as("field"),
+        concat(col("token"), lit("#"), col("doc_id")).as("v")))
+  }
+
+  /**
+   * x94 — HLL cardinality (ES `cardinality` / Kibana Unique Count):
+   * per-source distinct-token estimates plus the register-max MERGED
+   * `__all__` sketch, next to the exact distinct counts the estimate
+   * approximates. The merged row is computed FROM THE PER-SOURCE
+   * REGISTERS (max per index), never from raw tokens — that is the
+   * mergeability law a shard-parallel deployment relies on, here made
+   * hash-checkable. `s_scaled` = sum_j 2^(27 - M_j) stays an exact
+   * BIGINT; the raw estimator alpha_64 * m^2 / sum(2^-M_j) and the
+   * small-range linear-counting correction m * ln(m / V) (Flajolet's
+   * E <= 2.5m rule) are each one pinned IEEE expression.
+   */
+  def hllCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val vals = hllFields(spark, dir)
+    val hashed = vals
+      .withColumn("h",
+        conv(substring(md5(col("v")), 1, 8), 16, 10).cast("long"))
+      .withColumn("j", col("h") % M)
+      .withColumn("rho", expr(
+        s"CASE WHEN h div $M = 0 THEN $RhoCap " +
+          s"ELSE $RhoCap - length(bin(h div $M)) END"))
+    val regs = hashed.groupBy(col("source"), col("field"), col("j"))
+      .agg(max(col("rho")).as("m"))
+    // register-max merge: the cross-source sketch without re-reading data
+    val merged = regs.groupBy(col("field"), col("j"))
+      .agg(max(col("m")).as("m"))
+      .select(lit("__all__").as("source"), col("field"), col("j"), col("m"))
+    val sketch = regs.unionByName(merged)
+      .groupBy(col("source"), col("field"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($RhoCap - m AS INT))"))
+        .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .select(col("source"), col("field"),
+        (col("s_present") + (lit(M) - col("n_present")) * lit(Scale))
+          .cast("long").as("s_scaled"),
+        (lit(M) - col("n_present")).cast("long").as("v_zero"))
+    val exact = vals.groupBy(col("source"), col("field"))
+      .agg(countDistinct(col("v")).as("exact_distinct"))
+      .unionByName(vals.groupBy(col("field"))
+        .agg(countDistinct(col("v")).as("exact_distinct"))
+        .select(lit("__all__").as("source"), col("field"),
+          col("exact_distinct")))
+    sketch.join(exact, Seq("source", "field"))
+      // alpha_64 = 0.709 (Flajolet's constant for m = 64); the literal
+      // product folds left-assoc identically in both engines
+      .withColumn("e_raw",
+        lit(0.709) * lit(4096.0) * lit(Scale.toDouble)
+          / col("s_scaled").cast("double"))
+      .withColumn("hll_est", round(
+        when(col("e_raw") <= lit(2.5 * M) && col("v_zero") > 0,
+          lit(M.toDouble) * log(lit(M.toDouble) / col("v_zero").cast("double")))
+          .otherwise(col("e_raw")), 6))
+      .select(col("source"), col("field"), col("exact_distinct"),
+        col("v_zero"), col("s_scaled"), col("hll_est"))
+      .orderBy(col("field"), col("source"))
+  }
+
+  /** DuckDB replay of every register, the merge, and the estimator. */
+  def hllOracle: String =
+    s"""WITH tok AS (
+       |  SELECT source, doc_id, t AS token
+       |  FROM (SELECT source, doc_id,
+       |          unnest(string_split(text, ' ')) AS t
+       |        FROM documents)
+       |  WHERE t <> ''),
+       |vals AS (SELECT source, 'token' AS field, token AS v FROM tok
+       |         UNION ALL
+       |         SELECT source, 'doc_token' AS field,
+       |                token || '#' || CAST(doc_id AS VARCHAR) AS v
+       |         FROM tok),
+       |h AS (SELECT source, field, v,
+       |        ('0x' || substr(md5(v), 1, 8))::BIGINT AS h FROM vals),
+       |r AS (SELECT source, field, h % $M AS j,
+       |        CASE WHEN h // $M = 0 THEN $RhoCap
+       |             ELSE $RhoCap - length(bin(h // $M)) END AS rho
+       |      FROM h),
+       |reg AS (SELECT source, field, j, max(rho) AS m
+       |        FROM r GROUP BY 1, 2, 3),
+       |reg2 AS (SELECT * FROM reg
+       |         UNION ALL
+       |         SELECT '__all__', field, j, max(m) FROM reg GROUP BY 2, 3),
+       |sk AS (SELECT source, field,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST($RhoCap - m AS INT))
+       |              + ($M - count(*)) * $Scale AS BIGINT) AS s_scaled,
+       |         CAST($M - count(*) AS BIGINT) AS v_zero
+       |       FROM reg2 GROUP BY 1, 2),
+       |ex AS (SELECT source, field,
+       |         CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+       |       FROM vals GROUP BY 1, 2
+       |       UNION ALL
+       |       SELECT '__all__', field, CAST(count(DISTINCT v) AS BIGINT)
+       |       FROM vals GROUP BY 2),
+       |e AS (SELECT sk.source, sk.field, exact_distinct, v_zero, s_scaled,
+       |        0.709 * 4096.0 * ${Scale.toDouble}
+       |          / CAST(s_scaled AS DOUBLE) AS e_raw
+       |      FROM sk JOIN ex
+       |        ON sk.source = ex.source AND sk.field = ex.field)
+       |SELECT source, field, exact_distinct, v_zero, s_scaled,
+       |  round(CASE WHEN e_raw <= ${2.5 * M} AND v_zero > 0
+       |        THEN ${M.toDouble} * ln(${M.toDouble} / CAST(v_zero AS DOUBLE))
+       |        ELSE e_raw END, 6) AS hll_est
+       |FROM e ORDER BY field, source""".stripMargin
+
+  /** CMS geometry: d = 4 salted hash rows, w = 256 columns. */
+  private val D = 4
+  private val W = 16
+
+  private def cmsCell(tokenCol: String): String =
+    s"conv(substring(md5(concat('cms', CAST(d AS STRING), ':', $tokenCol)), " +
+      s"1, 8), 16, 10) % $W"
+
+  /**
+   * x96 — count-min heavy hitters: per-source CMS segments built in one
+   * map-side-combinable pass, merged CELL-WISE (sums — the CMS merge
+   * law), then the exact top-10 tokens probed against the merged sketch
+   * (estimate = min over the 4 rows). CMS never under-counts, so
+   * `over = cms_est - n_occ >= 0` — the oracle hash-checks the exact
+   * overestimate of every probe, not a bound. At 100 TB the sketch is
+   * 4x16 cells per source however large the corpus; only the top-k
+   * probe touches exact counts (x73's bounded top-V shape).
+   */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(spark, dir)
+    val ds = array((0 until D).map(lit): _*)
+    val segments = toks
+      .select(col("source"), col("token"), explode(ds).as("d"))
+      .withColumn("c", expr(cmsCell("token")))
+      .groupBy(col("source"), col("d"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    // cell-wise merge of the per-source segment sketches
+    val cms = segments.groupBy(col("d"), col("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token")).limit(10)
+    val probes = top
+      .select(col("token"), col("n_occ"), explode(ds).as("d"))
+      .withColumn("c", expr(cmsCell("token")))
+    probes.join(cms, Seq("d", "c"))
+      .groupBy(col("token"), col("n_occ"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_occ").desc, col("token"))))
+      .select(col("rank"), col("token"), col("n_occ"), col("cms_est"),
+        (col("cms_est") - col("n_occ")).as("overcount"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB replay of the cells, the cell-wise merge, and the probes. */
+  def cmsOracle: String =
+    s"""WITH tok AS (
+       |  SELECT source, t AS token
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+       |        FROM documents)
+       |  WHERE t <> ''),
+       |occ AS (SELECT source, token, unnest(range($D)) AS d FROM tok),
+       |cell AS (SELECT source, d,
+       |           ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':'
+       |             || token), 1, 8))::BIGINT % $W AS c,
+       |           count(*) AS cnt
+       |         FROM occ GROUP BY 1, 2, 3),
+       |cms AS (SELECT d, c, CAST(sum(cnt) AS BIGINT) AS cnt
+       |        FROM cell GROUP BY 1, 2),
+       |top AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+       |        FROM tok GROUP BY 1
+       |        ORDER BY n_occ DESC, token LIMIT 10),
+       |probe AS (SELECT token, n_occ, unnest(range($D)) AS d FROM top),
+       |est AS (SELECT p.token, p.n_occ, min(s.cnt) AS cms_est
+       |        FROM (SELECT token, n_occ, d,
+       |                ('0x' || substr(md5('cms' || CAST(d AS VARCHAR)
+       |                  || ':' || token), 1, 8))::BIGINT % $W AS c
+       |              FROM probe) p
+       |        JOIN cms s ON p.d = s.d AND p.c = s.c
+       |        GROUP BY 1, 2)
+       |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INT)
+       |         AS rank,
+       |       token, n_occ, CAST(cms_est AS BIGINT) AS cms_est,
+       |       CAST(cms_est - n_occ AS BIGINT) AS overcount
+       |FROM est ORDER BY rank""".stripMargin
+}

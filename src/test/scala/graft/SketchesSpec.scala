@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sketches
+
+/** Driver-side replays of the sketch laws: HLL registers + register-max
+  * merge from an independent MessageDigest hash, and CMS's never-
+  * undercount guarantee with genuinely colliding cells. Exact VALUES are
+  * covered by the DuckDB oracle; these pin the algebra. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5_32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+  }
+
+  test("hll: per-source registers and the __all__ merge replay from an " +
+      "independent driver-side hash; estimates follow the pinned formula") {
+    val out = Sketches.hllCardinality(spark, sf)
+      .where($"field" === "token")
+      .select($"source", $"exact_distinct", $"v_zero", $"s_scaled")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val toks = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .where(length($"t") > 0)
+      .as[(String, String)].collect()
+    // independent register build per source
+    val regs = toks.groupBy(_._1).map { case (src, rows) =>
+      val m = Array.fill(64)(0)
+      for ((_, t) <- rows) {
+        val h = md5_32(t); val j = (h % 64).toInt; val w = h / 64
+        val rho = if (w == 0) 27 else 27 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > m(j)) m(j) = rho
+      }
+      src -> m
+    }
+    for ((src, m) <- regs) {
+      val (_, exact, vz, ss) = out(src)
+      assert(vz == m.count(_ == 0), src)
+      assert(ss == m.map(v => 1L << (27 - v)).sum, src)
+      assert(exact == toks.filter(_._1 == src).map(_._2).distinct.length)
+    }
+    // the merge law: __all__ register = max over per-source registers
+    val allM = Array.tabulate(64)(j => regs.values.map(_(j)).max)
+    val (_, _, vzAll, ssAll) = out("__all__")
+    assert(vzAll == allM.count(_ == 0))
+    assert(ssAll == allM.map(v => 1L << (27 - v)).sum)
+  }
+
+  test("cms: estimates never undercount, collisions genuinely occur, and " +
+      "one probe's four cells replay driver-side") {
+    val out = Sketches.cmsHeavyHitters(spark, sf)
+      .select($"token", $"n_occ", $"cms_est", $"overcount")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r._4 >= 0 && r._3 == r._2 + r._4))
+    assert(out.exists(_._4 > 0), "W=16 must force at least one collision")
+    // replay the top token's estimate from raw occurrence counts
+    val counts = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("t"))
+      .where(length($"t") > 0)
+      .groupBy($"t").count().as[(String, Long)].collect().toMap
+    val top = out.minBy(r => (-r._2, r._1))
+    val est = (0 until 4).map { d =>
+      val c = md5_32(s"cms$d:${top._1}") % 16
+      counts.iterator
+        .filter { case (t, _) => md5_32(s"cms$d:$t") % 16 == c }
+        .map(_._2).sum
+    }.min
+    assert(est == top._3, top._1)
+  }
+}
