@@ -106,6 +106,10 @@ object ExtQueries {
     // hash-checked, estimates next to exact distinct counts.
     "x94_hll_cardinality" -> ((s: SparkSession, d: String) =>
       Sketches.hllCardinality(s, d)),
+    // x95: PageRank over the cluster-scoped kNN similarity graph —
+    // exact integer nano-unit rounds, O(E) per iteration.
+    "x95_pagerank" -> ((s: SparkSession, d: String) =>
+      Similarity.pageRank(s, d)),
     // x96: count-min heavy hitters — per-source segments merged
     // cell-wise, exact top-10 probed, per-probe overestimate exact.
     "x96_cms_topk" -> ((s: SparkSession, d: String) =>
@@ -494,6 +498,54 @@ object ExtQueries {
        |${kmStepSql(0)},
        |${kmStepSql(1)},
        |${kmAsgSql("asg", "cent2")}""".stripMargin
+
+  /** x95's oracle: shared k-means replay -> cluster-scoped kNN edges ->
+    * 6 generated MATERIALIZED integer pagerank rounds (each pr_t and the
+    * edge table are multiply-referenced; DuckDB would otherwise inline
+    * and re-evaluate the k-means per reference — the x75 lesson). */
+  private lazy val pageRankSql: String = {
+    val rounds = 6
+    val roundCtes = (1 to rounds).map { t =>
+      s"""pr$t AS MATERIALIZED (SELECT n.vec_id,
+         |    CAST(150000000 + (85 * COALESCE(i.inbox, 0)) // 100 AS BIGINT)
+         |      AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT k.dst AS vec_id, sum(p.pr // k.outdeg) AS inbox
+         |    FROM knn k JOIN pr${t - 1} p ON k.src = p.vec_id
+         |    GROUP BY 1) i USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $kmeansCtes,
+       |sc AS MATERIALIZED (SELECT vec_id, emb, bucket FROM asg),
+       |nodes AS MATERIALIZED (SELECT vec_id, bucket FROM sc),
+       |knn0 AS (SELECT src, dst FROM (
+       |    SELECT x.vec_id AS src, y.vec_id AS dst, row_number() OVER (
+       |        PARTITION BY x.vec_id
+       |        ORDER BY round(list_cosine_similarity(x.emb, y.emb), 6) DESC,
+       |                 y.vec_id) AS rn
+       |    FROM sc x JOIN sc y
+       |      ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+       |  WHERE rn <= 4),
+       |knn AS MATERIALIZED (SELECT k.src, k.dst, o.outdeg
+       |  FROM knn0 k JOIN (SELECT src, count(*) AS outdeg
+       |                    FROM knn0 GROUP BY 1) o USING (src)),
+       |pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+       |$roundCtes,
+       |deg AS (SELECT n.vec_id, n.bucket,
+       |    CAST(COALESCE(od.outdeg, 0) AS BIGINT) AS outdeg,
+       |    CAST(COALESCE(idg.indeg, 0) AS BIGINT) AS indeg
+       |  FROM nodes n
+       |  LEFT JOIN (SELECT src, count(*) AS outdeg FROM knn GROUP BY 1) od
+       |    ON n.vec_id = od.src
+       |  LEFT JOIN (SELECT dst, count(*) AS indeg FROM knn GROUP BY 1) idg
+       |    ON n.vec_id = idg.dst),
+       |fin AS (SELECT d.vec_id, d.bucket, d.outdeg, d.indeg,
+       |    p.pr AS pr_nano,
+       |    row_number() OVER (ORDER BY p.pr DESC, d.vec_id) AS rank
+       |  FROM deg d JOIN pr$rounds p USING (vec_id))
+       |SELECT CAST(rank AS INT) AS rank, vec_id, bucket, outdeg, indeg,
+       |  pr_nano
+       |FROM fin WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
 
   /** x68's oracle: the same stored-centroid k-means replay, with the
     * appended segment and the queries BOTH assigned via the final cent2
@@ -1401,6 +1453,12 @@ object ExtQueries {
     "x93_stream_index_append" -> indexAppendSql,
 
     "x94_hll_cardinality" -> Sketches.hllOracle,
+
+    // x95: the shared kmeans replay builds the same cluster-scoped kNN
+    // graph, then 6 generated MATERIALIZED pagerank rounds (knn/od and
+    // every pr_t are multiply-referenced — the x75 inlining lesson);
+    // all-integer nano-unit arithmetic, `//` == `div` on positives.
+    "x95_pagerank" -> pageRankSql,
 
     "x96_cms_topk" -> Sketches.cmsOracle,
 

@@ -314,6 +314,90 @@ object Similarity {
   }
 
   /**
+   * x95 — PAGERANK over the cluster-scoped kNN similarity graph: the
+   * link-analysis quality signal (Page et al. 1999) a web-curation
+   * pipeline computes over crawl graphs, here over the data-driven
+   * graph the embedding space induces (each vector links to its k = 4
+   * most-similar same-cluster neighbors — x71's cluster scoping keeps
+   * edge construction subquadratic; a centrality-ranked corpus view).
+   *
+   * Determinism: the whole iteration is EXACT INTEGER nano-units.
+   * pr_0 = 1e9 per node; each round every node with out-edges sends
+   * `pr div outdeg` along each edge (floor division, positive — DuckDB
+   * `//` agrees) and every node restarts from the damped base:
+   * pr' = 0.15e9 + (85 * inbox) div 100. Mass lost to floor remainders
+   * and to dangling nodes (singleton clusters) is DROPPED — the
+   * renormalization-free PageRank variant — which costs nothing for
+   * RANKING and buys bit-exact cross-engine replay with zero doubles.
+   *
+   * Scale: the graph is built once (one within-cluster pair join + one
+   * bounded top-k window) and each round is ONE edge-keyed join + ONE
+   * dst-keyed aggregation — O(E) per round, the x21/x26 connected-
+   * components iteration shape, with `localCheckpoint` cutting lineage
+   * per round so the 6-round plan never re-derives the graph.
+   */
+  /** x95's graph: each vector's k most-similar SAME-CLUSTER neighbors
+    * (round(cos, 6) DESC, id ASC), as (src, dst) edges plus the node
+    * table — shared by the entry and its spec's driver-side replay. */
+  private[graft] def knnGraph(spark: SparkSession, dir: String,
+      nCentroids: Int, iterations: Int, k: Int): (DataFrame, DataFrame) = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = kmeansCentroids(emb, nCentroids, iterations)
+    val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
+      centroids)
+    val asg = emb.select(col("vec_id"), col("embedding"),
+      nc.getField("bucket").cast("long").as("bucket"))
+    val other = asg.select(col("bucket").as("o_bucket"),
+      col("vec_id").as("o_id"), col("embedding").as("o_emb"))
+    val wk = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("o_id"))
+    val edges = asg.join(other,
+        col("bucket") === col("o_bucket") && col("vec_id") =!= col("o_id"))
+      .withColumn("sim", round(cosine(col("embedding"), col("o_emb")), 6))
+      .withColumn("rn", row_number().over(wk))
+      .where(col("rn") <= k)
+      .select(col("vec_id").as("src"), col("o_id").as("dst"))
+      .localCheckpoint()
+    (edges, asg.select(col("vec_id"), col("bucket")).localCheckpoint())
+  }
+
+  def pageRank(spark: SparkSession, dir: String, nCentroids: Int = 8,
+      iterations: Int = 2, k: Int = 4, rounds: Int = 6,
+      topN: Int = 20): DataFrame = {
+    val (edges, nodeTable) = knnGraph(spark, dir, nCentroids, iterations, k)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, "src").localCheckpoint()
+    val nodes = nodeTable
+    var pr = nodes.select(col("vec_id"), lit(1000000000L).as("pr"))
+    for (_ <- 1 to rounds) {
+      val inbox = withDeg
+        .join(pr.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("inbox"))
+      pr = nodes.select(col("vec_id"))
+        .join(inbox, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"),
+          (lit(150000000L) + expr("(85 * coalesce(inbox, 0L)) div 100"))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+    val wr = Window.orderBy(col("pr_nano").desc, col("vec_id"))
+    nodes
+      .join(outdeg, nodes("vec_id") === outdeg("src"), "left")
+      .join(indeg, nodes("vec_id") === indeg("dst"), "left")
+      .join(pr.withColumnRenamed("pr", "pr_nano"), "vec_id")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"), col("pr_nano"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= topN)
+      .select(col("rank"), col("vec_id"), col("bucket"), col("outdeg"),
+        col("indeg"), col("pr_nano"))
+      .orderBy(col("rank"))
+  }
+
+  /**
    * x61 — "index once, query many" for ANN (the IVF counterpart of
    * [[graft.ext.Dedup.dedupIndexReuse]]): the expensive build — Lloyd
    * iterations (driver-synced k×dim centroids) plus the full-corpus

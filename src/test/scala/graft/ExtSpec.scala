@@ -1492,4 +1492,28 @@ class ExtSpec extends SparkSpec {
     assert(meanRatio > 0.8 && meanRatio < 1.2,
       s"JL mean norm ratio $meanRatio out of band")
   }
+
+  test("x95 pagerank: the integer power iteration replays driver-side " +
+      "from the shared kNN edge list") {
+    import spark.implicits._
+    val (edgeDf, nodeDf) = graft.ext.Similarity.knnGraph(spark, sf, 8, 2, 4)
+    val edges = edgeDf.as[(Long, Long)].collect()
+    val nodes = nodeDf.select($"vec_id").as[Long].collect()
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var pr = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 6) {
+      val inbox = scala.collection.mutable.Map.empty[Long, Long]
+      for ((s, d) <- edges)
+        inbox(d) = inbox.getOrElse(d, 0L) + pr(s) / outdeg(s)
+      pr = nodes.map(n =>
+        n -> (150000000L + 85L * inbox.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val want = nodes.map(n => (n, pr(n)))
+      .sortBy { case (n, p) => (-p, n) }.take(20)
+    val got = graft.ext.Similarity.pageRank(spark, sf)
+      .select($"vec_id", $"pr_nano").as[(Long, Long)].collect()
+    assert(got.toSeq == want.toSeq)
+    // the graph is non-trivial: some node concentrates > 2x base mass
+    assert(want.head._2 > 2000000000L)
+  }
 }
