@@ -84,7 +84,8 @@ object Bench {
     "x82_video_frames", "x83_ann_recall", "x84_rank_eval", "x85_dataset_card", "x86_dedup_eval", "q35_aqe_bhj", "x87_tokenizer_eval", "kq56_stream_cep", "x88_index_merge", "x89_terms_set", "x90_semdedup_eval",
     "x91_dp_release", "x92_k_anonymity", "kq57_forget_key",
     "x93_stream_index_append", "kq58_moving_model", "q36_recursive",
-    "q37_variant", "x94_hll_cardinality", "x96_cms_topk", "x95_pagerank")
+    "q37_variant", "x94_hll_cardinality", "x96_cms_topk", "x95_pagerank",
+    "kq59_geo_grid", "kq60_geo_distance")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -703,6 +703,13 @@ object SparkEntry {
         .orderBy(col("topic"), col("date"))
     }),
 
+    // ---- Kibana Maps / ES geo surface: geohash_grid cell densities -----
+    // ---- (first-principles integer bit-interleave geohash) and ---------
+    // ---- geo_bounding_box + geo_distance nearest-k over md5-derived ----
+    // ---- micro-degree points — all-integer, trig-free ------------------
+    "kq59_geo_grid" -> ((s, dir) => graft.query.Geo.geoGrid(s, dir)),
+    "kq60_geo_distance" -> ((s, dir) => graft.query.Geo.geoDistance(s, dir)),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -1376,6 +1383,10 @@ object SparkEntry {
         |FROM hr JOIN last l ON hr.rn = l.rn
         |  JOIN steps st ON st.rn = hr.rn AND st.j = l.k
         |ORDER BY hr.bucket""".stripMargin),
+
+    "kq59_geo_grid" -> graft.query.Geo.geoGridOracle,
+
+    "kq60_geo_distance" -> graft.query.Geo.geoDistanceOracle,
 
     // kq53: the exactly-once contract IS the oracle — an idempotent
     // replayed commit leaves the cross-batch rollup equal to the plain

@@ -1,0 +1,166 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ingest.Tables
+
+/**
+ * Kibana Maps / ES geo query surface: `geohash_grid` aggregation (the
+ * map's cell-density layer), `geo_bounding_box` filtering, and
+ * `geo_distance`-style nearest-k — re-expressed over integer
+ * MICRO-DEGREE coordinates so every figure is exact and cross-engine.
+ *
+ * The fixture has no geo columns, so coordinates derive from the pinned
+ * md5-32 closed form over the customer key ('lat:'/'lon:' salts) — the
+ * same derived-fixture discipline as x72's snapshot or x86's partial
+ * copies; the DuckDB oracle rebuilds the identical points.
+ *
+ * Geohash cells are computed from FIRST PRINCIPLES: 10 quantized bits
+ * per axis, bit-interleaved (lon first — the geohash standard) into a
+ * 20-bit cell id, base32-encoded with the geohash alphabet. All integer
+ * shifts/masks — no trig, no doubles — so precision-4 cells match any
+ * standard geohash implementation on the same points.
+ *
+ * Distance ranking uses the squared equirectangular proxy (dlat^2 +
+ * dlon^2 in micro-degrees, exact BIGINT): monotone with true distance
+ * at city scale and free of cross-engine libm trig, documented as the
+ * sort key the ES `geo_distance` sort plays here.
+ *
+ * Scale: the grid agg is one map-side-combinable aggregation into the
+ * bounded cell domain; the bbox filter is two range predicates that
+ * push to the scan; nearest-k is a TakeOrderedAndProject top-k.
+ */
+object Geo {
+
+  private val Alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Micro-degree coordinate derivation + geohash cell, as engine-
+    * shareable SQL fragments. `shift(x, i)` abstracts `shiftright` vs
+    * `>>`. */
+  private def latSql(custkey: String, duck: Boolean): String =
+    if (duck)
+      s"('0x' || substr(md5('lat:' || CAST($custkey AS VARCHAR)), 1, 8))::BIGINT % 180000001 - 90000000"
+    else
+      s"CAST(conv(substring(md5(concat('lat:', CAST($custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 180000001 - 90000000"
+
+  private def lonSql(custkey: String, duck: Boolean): String =
+    if (duck)
+      s"('0x' || substr(md5('lon:' || CAST($custkey AS VARCHAR)), 1, 8))::BIGINT % 360000001 - 180000000"
+    else
+      s"CAST(conv(substring(md5(concat('lon:', CAST($custkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 360000001 - 180000000"
+
+  /** 10-bit axis quantizers (clamped at the open top edge). */
+  private def lonBitsSql(duck: Boolean): String =
+    s"least(((lon_u + 180000000) * 1024) ${div(duck)} 360000000, 1023)"
+  private def latBitsSql(duck: Boolean): String =
+    s"least(((lat_u + 90000000) * 1024) ${div(duck)} 180000000, 1023)"
+  private def div(duck: Boolean): String = if (duck) "//" else "div"
+
+  /** lon/lat bit interleave into the 20-bit geohash cell id. */
+  private def cellSql(duck: Boolean): String = {
+    def sh(c: String, i: Int): String =
+      if (duck) s"($c >> $i)" else s"shiftright($c, $i)"
+    (0 until 10).map { i =>
+      s"((${sh("lonb", i)} & 1) * ${1L << (2 * i + 1)} + " +
+        s"(${sh("latb", i)} & 1) * ${1L << (2 * i)})"
+    }.mkString(" + ")
+  }
+
+  /** Precision-4 base32 geohash string from the 20-bit cell. */
+  private def geohashSql(duck: Boolean): String = {
+    def sh(i: Int): String = if (duck) s"(cell >> $i)" else s"shiftright(cell, $i)"
+    val f = if (duck) "substr" else "substring"
+    Seq(15, 10, 5, 0)
+      .map(i => s"$f('$Alpha', CAST((${sh(i)} & 31) + 1 AS INT), 1)")
+      .mkString(" || ")
+  }
+
+  /** The derived geo-point table as a DataFrame (Spark side). */
+  private def geoPoints(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("lat_u", expr(latSql("c_custkey", duck = false)))
+      .withColumn("lon_u", expr(lonSql("c_custkey", duck = false)))
+
+  private def withGeohash(points: DataFrame): DataFrame = {
+    val chars = Seq(15, 10, 5, 0).map(i =>
+      s"substring('$Alpha', CAST((shiftright(cell, $i) & 31) + 1 AS INT), 1)")
+    points
+      .withColumn("lonb", expr(lonBitsSql(duck = false)))
+      .withColumn("latb", expr(latBitsSql(duck = false)))
+      .withColumn("cell", expr(cellSql(duck = false)))
+      .withColumn("geohash4", expr(chars.mkString("concat(", ", ", ")")))
+  }
+
+  /** The shared oracle prefix: the identical derived points in DuckDB. */
+  private def geoCte: String =
+    s"""geo AS (
+       |  SELECT c_custkey, c_acctbal,
+       |    ${latSql("c_custkey", duck = true)} AS lat_u,
+       |    ${lonSql("c_custkey", duck = true)} AS lon_u
+       |  FROM customer),
+       |cells AS (
+       |  SELECT *, ${cellSql(duck = true)} AS cell FROM (
+       |    SELECT *, ${lonBitsSql(duck = true)} AS lonb,
+       |              ${latBitsSql(duck = true)} AS latb
+       |    FROM geo)),
+       |hashed AS (
+       |  SELECT *, ${geohashSql(duck = true)} AS geohash4 FROM cells)""".stripMargin
+
+  /** Full per-customer point + geohash frame (spec replay surface). */
+  private[graft] def pointsWithGeohash(spark: SparkSession,
+      dir: String): DataFrame = withGeohash(geoPoints(spark, dir))
+
+  /** kq59 — geohash_grid: precision-4 cell densities (top-15 cells by
+    * customer count with exact cent balances). */
+  def geoGrid(spark: SparkSession, dir: String): DataFrame =
+    withGeohash(geoPoints(spark, dir))
+      .groupBy(col("geohash4"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2)).multiply(lit(100))
+          .cast("long")).cast("long").as("sum_bal_cents"))
+      .orderBy(col("n_customers").desc, col("geohash4"))
+      .limit(15)
+
+  def geoGridOracle: String =
+    s"""WITH $geoCte
+       |SELECT geohash4, CAST(count(*) AS BIGINT) AS n_customers,
+       |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |       AS BIGINT) AS sum_bal_cents
+       |FROM hashed GROUP BY 1
+       |ORDER BY n_customers DESC, geohash4 LIMIT 15""".stripMargin
+
+  /** The demo viewport (micro-degrees) and query point (Paris). */
+  private val LatLo = 10000000L
+  private val LatHi = 60000000L
+  private val LonLo = -30000000L
+  private val LonHi = 40000000L
+  private val QLat = 48856600L
+  private val QLon = 2352200L
+
+  /** kq60 — geo_bounding_box + geo_distance sort: the 10 customers
+    * nearest the query point inside the viewport, ranked by the exact
+    * integer squared-equirectangular proxy. */
+  def geoDistance(spark: SparkSession, dir: String): DataFrame =
+    geoPoints(spark, dir)
+      .where(col("lat_u").between(LatLo, LatHi) &&
+        col("lon_u").between(LonLo, LonHi))
+      .withColumn("d2",
+        (col("lat_u") - QLat) * (col("lat_u") - QLat) +
+          (col("lon_u") - QLon) * (col("lon_u") - QLon))
+      .select(col("c_custkey"), col("lat_u"), col("lon_u"), col("d2"))
+      .orderBy(col("d2"), col("c_custkey"))
+      .limit(10)
+
+  def geoDistanceOracle: String =
+    s"""WITH $geoCte
+       |SELECT c_custkey, lat_u, lon_u,
+       |  (lat_u - $QLat) * (lat_u - $QLat)
+       |    + (lon_u - $QLon) * (lon_u - $QLon) AS d2
+       |FROM geo
+       |WHERE lat_u BETWEEN $LatLo AND $LatHi
+       |  AND lon_u BETWEEN $LonLo AND $LonHi
+       |ORDER BY d2, c_custkey LIMIT 10""".stripMargin
+}

@@ -365,6 +365,49 @@ class LogQueriesSpec extends SparkSpec {
     assert(ns.length > 24)
   }
 
+  test("geo: the integer-interleave geohash equals the canonical " +
+      "bisection algorithm; nearest-k replays driver-side") {
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    // canonical geohash: alternating lon/lat range bisection, in exact
+    // integer micro-degrees scaled x1024 so midpoints stay integral
+    def reference(latU: Long, lonU: Long): String = {
+      var laLo = -90000000L * 1024; var laHi = 90000000L * 1024
+      var loLo = -180000000L * 1024; var loHi = 180000000L * 1024
+      val bits = new StringBuilder
+      var lonTurn = true
+      while (bits.length < 20) {
+        if (lonTurn) {
+          val mid = (loLo + loHi) / 2
+          if (lonU * 1024 >= mid) { bits.append('1'); loLo = mid }
+          else { bits.append('0'); loHi = mid }
+        } else {
+          val mid = (laLo + laHi) / 2
+          if (latU * 1024 >= mid) { bits.append('1'); laLo = mid }
+          else { bits.append('0'); laHi = mid }
+        }
+        lonTurn = !lonTurn
+      }
+      val cell = java.lang.Long.parseLong(bits.toString, 2)
+      (3 to 0 by -1).map(i => alpha(((cell >> (i * 5)) & 31).toInt)).mkString
+    }
+    val pts = graft.query.Geo.pointsWithGeohash(spark, sf)
+      .select($"c_custkey", $"lat_u", $"lon_u", $"geohash4")
+      .as[(Long, Long, Long, String)].collect()
+    assert(pts.nonEmpty)
+    for ((k, la, lo, gh) <- pts)
+      assert(gh == reference(la, lo), s"customer $k ($la, $lo)")
+    // nearest-k: independent driver-side bbox + d2 ranking
+    val want = pts
+      .filter(p => p._2 >= 10000000L && p._2 <= 60000000L &&
+        p._3 >= -30000000L && p._3 <= 40000000L)
+      .map(p => (p._1, (p._2 - 48856600L) * (p._2 - 48856600L) +
+        (p._3 - 2352200L) * (p._3 - 2352200L)))
+      .sortBy { case (k2, d2) => (d2, k2) }.take(10).map(_._1).toSeq
+    val got = SparkEntry.queries("kq60_geo_distance")(spark, sf)
+      .select($"c_custkey").as[Long].collect().toSeq
+    assert(got == want)
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
