@@ -703,6 +703,13 @@ object SparkEntry {
         .orderBy(col("topic"), col("date"))
     }),
 
+    // ---- chained stateful streaming: watermarked dedup feeding a -------
+    // ---- watermarked tumbling window in ONE query — replayed copies ----
+    // ---- must collapse before the window counts them -------------------
+    "kq61_stream_chain" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.streamDedupThenWindow(s,
+        Pipeline.envelopeFlat(s, dir))),
+
     // ---- Kibana Maps / ES geo surface: geohash_grid cell densities -----
     // ---- (first-principles integer bit-interleave geohash) and ---------
     // ---- geo_bounding_box + geo_distance nearest-k over md5-derived ----
@@ -1383,6 +1390,28 @@ object SparkEntry {
         |FROM hr JOIN last l ON hr.rn = l.rn
         |  JOIN steps st ON st.rn = hr.rn AND st.j = l.k
         |ORDER BY hr.bucket""".stripMargin),
+
+    // kq61: kq44's watermark tail rule applied to the DISTINCT
+    // (type, payload, event-time) triples — the dedup collapses the
+    // planted replays, so the windows count distinct triples; the
+    // global watermark is floor-ms(max ts) - 1h and windows emit at
+    // end <= wm (the pinned tumbling rule).
+    "kq61_stream_chain" ->
+      (envSql + """, d AS (
+        |  SELECT DISTINCT event_type,
+        |    coalesce(value_json, '__null_payload__') AS payload,
+        |    "timestamp"
+        |  FROM env WHERE event_type IS NOT NULL),
+        |w AS (
+        |  SELECT make_timestamp((CAST(floor(epoch("timestamp")) AS BIGINT)
+        |           // 21600) * 21600 * 1000000) AS bucket,
+        |         event_type, count(*) AS n
+        |  FROM d GROUP BY 1, 2),
+        |m AS (SELECT max("timestamp") AS mx FROM env
+        |      WHERE event_type IS NOT NULL)
+        |SELECT bucket, event_type, n FROM w, m
+        |WHERE epoch_ms(bucket) + 21600000 <= epoch_ms(mx) - 3600000
+        |ORDER BY bucket, event_type""".stripMargin),
 
     "kq59_geo_grid" -> graft.query.Geo.geoGridOracle,
 

@@ -404,6 +404,74 @@ object StreamPipeline {
   }
 
   /**
+   * kq61 — CHAINED STATEFUL OPERATORS: watermarked dedup feeding a
+   * watermarked tumbling-window aggregation in ONE streaming query (the
+   * multi-stateful-operator support that makes "dedup the topic, then
+   * window it" a single job instead of two with an intermediate topic).
+   * The input is the non-null envelope with every third record REPLAYED
+   * as an exact copy — the Kafka redelivery story, where a replay
+   * carries identical content AND event time — so the dedup state must
+   * collapse the copies or every third window count inflates.
+   *
+   * The dedup key is (type, payload, event-time string): keying by the
+   * formatted timestamp rather than the raw event-time column keeps the
+   * surviving row's WINDOW deterministic even if one payload genuinely
+   * recurs at two different times (each occurrence then survives, in
+   * its own window — redelivery collapses, recurrence does not).
+   *
+   * Emission semantics compose: dedup emits rows downstream within the
+   * micro-batch; the window operator gates on the one GLOBAL watermark
+   * (floor-to-ms(max event time) - delay) with kq44's pinned `<=` rule,
+   * so the oracle is kq44's tail rule over the DISTINCT triples. State
+   * in BOTH operators is watermark-bounded — the chain runs forever.
+   */
+  def streamDedupThenWindow(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame, delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq61-chain").toString
+    val base = envFlat.where(col("event_type").isNotNull)
+    base.unionByName(base.where(col("offset") % 3 === 0))
+      .write.mode("overwrite").parquet(s"$work/in")
+    val schema = envFlat.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$work/in")
+    val out = java.nio.file.Files.createTempDirectory("kq61-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    try {
+      val q = stream
+        .withColumn("dedup_payload",
+          coalesce(col("value_json"), lit("__null_payload__")))
+        .withColumn("dedup_ts",
+          date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withWatermark("timestamp", delay)
+        .dropDuplicatesWithinWatermark("event_type", "dedup_payload",
+          "dedup_ts")
+        .groupBy(window(col("timestamp"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))
+      spark.read.schema(outSchema).parquet(out.toString)
+        .orderBy(col("bucket"), col("event_type"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /**
    * Driver-visible streaming dedup (kq43): exact-duplicate suppression on
    * the FLOWING changelog — `dropDuplicates` on the payload content
    * inside the streaming planner (state keyed by (event type,

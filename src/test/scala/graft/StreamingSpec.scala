@@ -491,4 +491,37 @@ class StreamingSpec extends SparkSpec {
     }
     assert(spanning, "no alert window spans a batch boundary")
   }
+
+  test("chained stateful ops (dedup -> window): planted replays collapse " +
+      "before the window counts them; tail rule is kq44's") {
+    val env = Pipeline.envelopeFlat(spark, sf)
+    val got = graft.streaming.StreamPipeline
+      .streamDedupThenWindow(spark, env)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2))).toSeq
+    // batch reference over DISTINCT (type, payload, ts) triples
+    val rowsWithOffset = env.where(col("event_type").isNotNull)
+      .select(col("event_type"),
+        coalesce(col("value_json"), lit("__null_payload__")),
+        unix_micros(col("timestamp")), col("offset"))
+      .as[(String, String, Long, Long)].collect()
+    val rows = rowsWithOffset.map(r => (r._1, r._2, r._3))
+    val distinctTriples = rows.distinct
+    // the harness genuinely replanted copies: every 3rd offset was sent
+    // twice, so without dedup the emitted totals would exceed the
+    // distinct-triple totals by exactly the planted count
+    assert(rowsWithOffset.count(_._4 % 3 == 0) > 0)
+    val wmMs = rows.map(_._3).max / 1000 - 3600000L
+    val ref = distinctTriples
+      .map { case (t, _, us) => ((us / 1000000 / 21600) * 21600000, t) }
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case ((bucketMs, _), _) => bucketMs + 21600000 <= wmMs }
+      .map { case ((b, t), n) => (b, t, n) }.toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got == ref)
+    // dedup genuinely removed rows: some window holds a %3 offset whose
+    // replay would otherwise double-count
+    assert(got.map(_._3).sum == distinctTriples.count { case (_, _, us) =>
+      (us / 1000000 / 21600) * 21600000 + 21600000 <= wmMs })
+  }
 }
