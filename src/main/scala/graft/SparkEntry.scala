@@ -710,6 +710,59 @@ object SparkEntry {
       graft.streaming.StreamPipeline.streamDedupThenWindow(s,
         Pipeline.envelopeFlat(s, dir))),
 
+    // ---- seasonal anomaly flags on the hourly histogram: per ----------
+    // ---- hour-of-day profile, |z| > 3 decided by EXACT INTEGER --------
+    // ---- cross-multiplication (devsq > 9*var_num — no division, no ----
+    // ---- sqrt, no doubles): the deterministic core of the "unusual ----
+    // ---- count for this hour" alert an ES ML job fits statistically. --
+    // ---- BIGINT holds every product at fixture magnitudes; at 1e9 -----
+    // ---- rows/hour the same comparison runs in DECIMAL(38,0) (the -----
+    // ---- kq52 rails). Profile + join live on the bounded bucket -------
+    // ---- frame, never raw events. -------------------------------------
+    "kq62_anomaly" -> ((s, dir) => {
+      val hourly = Pipeline.envelopeFlat(s, dir)
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hh", hour(col("bucket")))
+      val prof = hourly.groupBy(col("hh"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n")).as("s"),
+          sum(col("n") * col("n")).as("ss"))
+      hourly.join(prof, "hh")
+        .withColumn("dev", col("n") * col("cnt") - col("s"))
+        .withColumn("var_num", col("cnt") * col("ss") - col("s") * col("s"))
+        .withColumn("is_anomaly",
+          col("dev") * col("dev") > lit(9L) * col("var_num"))
+        .select(col("bucket"), col("hh"), col("n"), col("cnt"), col("s"),
+          col("dev"), col("var_num"), col("is_anomaly"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- ES function_score: the query context (clicks worth >= 10) ----
+    // ---- re-ranked by field_value_factor x a LINEAR RECENCY DECAY -----
+    // ---- anchored at the corpus max event time (origin = "now", the ---
+    // ---- kq35 one-row scalar-attach idiom — no collect). decay is -----
+    // ---- exact integer ppm (clamped-positive numerator, floor div), ---
+    // ---- score = cents x decay_ppm — all BIGINT, top-20 is a top-k. ---
+    "kq63_function_score" -> ((s, dir) => {
+      val env = Pipeline.envelopeFlat(s, dir)
+      val origin = env.agg(max(col("timestamp")).as("origin"))
+      val scaleUs = 604800000000L // 7 days
+      env.where(col("event_type") === "click" && col("value") >= 10)
+        .crossJoin(broadcast(origin))
+        .withColumn("age_us",
+          unix_micros(col("origin")) - unix_micros(col("timestamp")))
+        .withColumn("decay_ppm", expr(
+          s"(greatest($scaleUs - age_us, 0L) * 1000000) div $scaleUs"))
+        .withColumn("cents",
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .multiply(lit(100)).cast("long"))
+        .withColumn("score", col("cents") * col("decay_ppm"))
+        .select(col("uid"), col("age_us"), col("cents"), col("decay_ppm"),
+          col("score"))
+        .orderBy(col("score").desc, col("uid"))
+        .limit(20)
+    }),
+
     // ---- Kibana Maps / ES geo surface: geohash_grid cell densities -----
     // ---- (first-principles integer bit-interleave geohash) and ---------
     // ---- geo_bounding_box + geo_distance nearest-k over md5-derived ----
@@ -1412,6 +1465,44 @@ object SparkEntry {
         |SELECT bucket, event_type, n FROM w, m
         |WHERE epoch_ms(bucket) + 21600000 <= epoch_ms(mx) - 3600000
         |ORDER BY bucket, event_type""".stripMargin),
+
+    // kq62: identical integer cross-multiplication; DuckDB's HUGEINT
+    // sums/products cast back to BIGINT
+    "kq62_anomaly" ->
+      (envSql + """, h AS (
+        |  SELECT date_trunc('hour', "timestamp") AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM env GROUP BY 1),
+        |h2 AS (SELECT bucket, n, CAST(hour(bucket) AS INT) AS hh FROM h),
+        |p AS (SELECT hh, CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(sum(n) AS BIGINT) AS s,
+        |        CAST(sum(n * n) AS BIGINT) AS ss
+        |      FROM h2 GROUP BY 1)
+        |SELECT bucket, h2.hh, n, cnt, s,
+        |  CAST(n * cnt - s AS BIGINT) AS dev,
+        |  CAST(cnt * ss - s * s AS BIGINT) AS var_num,
+        |  (n * cnt - s) * (n * cnt - s) > 9 * (cnt * ss - s * s)
+        |    AS is_anomaly
+        |FROM h2 JOIN p ON h2.hh = p.hh
+        |ORDER BY bucket""".stripMargin),
+
+    // kq63: decay numerator clamped positive BEFORE the floor division
+    // so DuckDB `//` and Spark `div` agree
+    "kq63_function_score" ->
+      (envSql + """, m AS (SELECT max("timestamp") AS origin FROM env),
+        |sc AS (
+        |  SELECT uid,
+        |    epoch_us(origin) - epoch_us("timestamp") AS age_us,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM env, m
+        |  WHERE event_type = 'click' AND "value" >= 10)
+        |SELECT uid, age_us, cents,
+        |  CAST(greatest(604800000000 - age_us, 0) * 1000000
+        |       // 604800000000 AS BIGINT) AS decay_ppm,
+        |  CAST(cents * (greatest(604800000000 - age_us, 0) * 1000000
+        |       // 604800000000) AS BIGINT) AS score
+        |FROM sc
+        |ORDER BY score DESC, uid LIMIT 20""".stripMargin),
 
     "kq59_geo_grid" -> graft.query.Geo.geoGridOracle,
 

@@ -611,6 +611,32 @@ object RelQueries {
   }
 
   /**
+   * q38 — UNPIVOT (wide metrics -> long EAV form), the inverse of q17's
+   * PIVOT and the standard step in front of generic metric sinks and
+   * chart layers: the per-flag aggregate frame melts into one
+   * (key, metric, value) row per metric via `Dataset.unpivot` (Spark's
+   * native melt — no UNION ALL re-scan of the aggregate; the oracle
+   * spells out the UNION ALL the operator replaces). All metric values
+   * are exact BIGINTs sharing one type, the unpivot contract. Runs on
+   * the handful-of-groups aggregate, so the melt is free at any scale.
+   */
+  def q38Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec2(col("l_quantity")).multiply(lit(100)).cast("long"))
+          .cast("long").as("sum_qty_cents"),
+        sum(dec2(col("l_extendedprice")).multiply(lit(100)).cast("long"))
+          .cast("long").as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty_cents"), col("sum_price_cents"), col("n_rows")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -883,7 +909,8 @@ object RelQueries {
     "q30_correlated_exists" -> (q30CorrelatedExists _),
     "q31_sequence_funnel" -> (q31SequenceFunnel _),
     "q36_recursive" -> (q36Recursive _),
-    "q37_variant" -> (q37Variant _)
+    "q37_variant" -> (q37Variant _),
+    "q38_unpivot" -> (q38Unpivot _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1284,6 +1311,25 @@ object RelQueries {
         |       AS BIGINT) AS sum_v_cents
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q38: the UNION ALL melt the native unpivot replaces
+    "q38_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, "value" FROM (
+        |  SELECT l_returnflag, 'sum_qty_cents' AS metric,
+        |         sum_qty_cents AS "value" FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_rows', n_rows FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin
   )
 }

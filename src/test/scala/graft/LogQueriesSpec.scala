@@ -408,6 +408,43 @@ class LogQueriesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("seasonal anomaly: the integer z^2 cross-multiplication replays " +
+      "driver-side and both verdicts are populated") {
+    val out = SparkEntry.queries("kq62_anomaly")(spark, sf)
+      .select($"hh", $"n", $"cnt", $"s", $"dev", $"var_num", $"is_anomaly")
+      .as[(Int, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(out.exists(_._7) && out.exists(!_._7))
+    // profile re-derivation: per hour-of-day, cnt/s recompute from the
+    // bucket rows themselves
+    val byHh = out.groupBy(_._1)
+    for ((hh, rows) <- byHh) {
+      assert(rows.forall(_._3 == rows.length), s"cnt at $hh")
+      assert(rows.forall(_._4 == rows.map(_._2).sum), s"s at $hh")
+      val ss = rows.map(r => r._2 * r._2).sum
+      for (r <- rows) {
+        assert(r._5 == r._2 * r._3 - r._4)
+        assert(r._6 == r._3 * ss - r._4 * r._4)
+        assert(r._7 == (r._5 * r._5 > 9 * r._6), s"verdict at $hh")
+      }
+    }
+  }
+
+  test("function_score: linear recency decay times value factor replays " +
+      "driver-side; ranking is the exact integer product") {
+    val out = SparkEntry.queries("kq63_function_score")(spark, sf)
+      .select($"uid", $"age_us", $"cents", $"decay_ppm", $"score")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == 20)
+    val scale = 604800000000L
+    for ((uid, age, cents, ppm, score) <- out) {
+      assert(ppm == math.max(scale - age, 0L) * 1000000L / scale, uid)
+      assert(score == cents * ppm, uid)
+    }
+    // descending by score with uid tiebreak
+    assert(out.sliding(2).forall(p =>
+      p(0)._5 > p(1)._5 || (p(0)._5 == p(1)._5 && p(0)._1 < p(1)._1)))
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()

@@ -191,6 +191,22 @@ class RelQueriesSpec extends SparkSpec {
       .map(_.getString(0)).toSet))
   }
 
+  test("q38 unpivot: the melt is lossless — every wide cell appears as " +
+      "exactly one (key, metric, value) row") {
+    val out = RelQueries.q38Unpivot(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val flags = out.map(_._1).distinct
+    assert(out.length == flags.length * 3)
+    val wide = graft.ingest.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (f <- flags)
+      assert(out.contains((f, "n_rows", wide(f))), f)
+    assert(out.map(_._2).distinct.sorted.toSeq ==
+      Seq("n_rows", "sum_price_cents", "sum_qty_cents"))
+  }
+
   test("q26 funnel matches a driver-side reconstruction for sampled users") {
     val funnel = RelQueries.q26Funnel(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
