@@ -110,6 +110,10 @@ object ExtQueries {
     // exact integer nano-unit rounds, O(E) per iteration.
     "x95_pagerank" -> ((s: SparkSession, d: String) =>
       Similarity.pageRank(s, d)),
+    // x97: IVF+PQ serving path — bucket prune + asymmetric distance
+    // over PQ codes, LUT cells frozen to integer micro-units.
+    "x97_ivfpq_search" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqSearch(s, d)),
     // x96: count-min heavy hitters — per-source segments merged
     // cell-wise, exact top-10 probed, per-probe overestimate exact.
     "x96_cms_topk" -> ((s: SparkSession, d: String) =>
@@ -464,6 +468,47 @@ object ExtQueries {
        |pv AS (SELECT vec_id, $cs, $es FROM fc GROUP BY vec_id)
        |SELECT vec_id, $cOut, round(((e0 + e1) + e2) + e3, 6) AS err
        |FROM pv ORDER BY vec_id""".stripMargin
+  }
+
+  /** x97's oracle: shared cosine-kmeans buckets (IVF) + the x78 PQ
+    * codebook replay, then ADC via an EXPLICIT (query, s, c) LUT join —
+    * the join formulation of the Spark side's inlined CASE; every cell
+    * 6dp-rounded then frozen to integer micro-units, summed as int64. */
+  private lazy val ivfPqSql: String = {
+    s"""WITH $kmeansCtes,
+       |sub AS MATERIALIZED (SELECT vec_id, s,
+       |    list_slice(emb, s * 16 + 1, (s + 1) * 16) AS sub
+       |  FROM e, UNNEST([0, 1, 2, 3]) AS t(s)),
+       |cb0 AS MATERIALIZED (SELECT s, CAST(vec_id AS INT) AS c, sub AS cv
+       |  FROM sub WHERE vec_id < 4),
+       |${pqStepSql(0)},
+       |${pqStepSql(1)},
+       |codes AS MATERIALIZED (SELECT vec_id, s, c FROM (
+       |    SELECT b.vec_id, b.s, cb.c, row_number() OVER (
+       |        PARTITION BY b.vec_id, b.s
+       |        ORDER BY round(${pqDistSql("b.sub", "cb.cv")}, 6), cb.c)
+       |      AS rn
+       |    FROM sub b JOIN cb2 cb ON cb.s = b.s) WHERE rn = 1),
+       |lut AS MATERIALIZED (SELECT q.vec_id AS query_id, cb.s, cb.c,
+       |    CAST(CAST(round(${pqDistSql("q.sub", "cb.cv")}, 6)
+       |         AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS cell
+       |  FROM (SELECT vec_id, s, sub FROM sub WHERE vec_id < 10) q
+       |  JOIN cb2 cb ON cb.s = q.s),
+       |adc AS (SELECT l.query_id, c.vec_id AS cand_id,
+       |    CAST(sum(l.cell) AS BIGINT) AS adc_micro
+       |  FROM codes c JOIN lut l ON l.s = c.s AND l.c = c.c
+       |  GROUP BY 1, 2),
+       |qb AS (SELECT vec_id AS query_id, bucket FROM asg
+       |       WHERE vec_id < 10),
+       |r AS (SELECT a.query_id, qb.bucket, a.cand_id, a.adc_micro,
+       |    row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY a.adc_micro, a.cand_id) AS rn
+       |  FROM adc a
+       |  JOIN qb ON a.query_id = qb.query_id
+       |  JOIN asg ca ON ca.vec_id = a.cand_id AND ca.bucket = qb.bucket
+       |  WHERE a.cand_id <> a.query_id)
+       |SELECT query_id, bucket, cand_id, adc_micro, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
   }
 
   /** One Lloyd assignment CTE against `$cent`. */
@@ -1461,6 +1506,8 @@ object ExtQueries {
     "x95_pagerank" -> pageRankSql,
 
     "x96_cms_topk" -> Sketches.cmsOracle,
+
+    "x97_ivfpq_search" -> ivfPqSql,
 
     // x23: same k-means + assignment, but each query probes its TOP-2
     // buckets (multi-probe recall knob); candidates unioned, exact top-k.

@@ -816,6 +816,67 @@ object Similarity {
   }
 
   /**
+   * x97 — IVF+PQ SEARCH (the serving path of billion-scale ANN, Jégou
+   * et al. 2011): the coarse quantizer (the shared cosine k-means
+   * buckets — x6's IVF) prunes the corpus to the query's cell, and
+   * within it candidates are scored by ASYMMETRIC DISTANCE (ADC): the
+   * query keeps full precision while each candidate is just its 4 PQ
+   * codes (x78's codebooks), so per-candidate cost is 4 lookups into
+   * the query's 16-cell distance table instead of a 64-dim scan.
+   * (Codes here quantize raw subvectors within cells, not residuals —
+   * the IVFFlat-PQ hybrid; residual coding changes the training input,
+   * not this serving shape.)
+   *
+   * Spark shape: candidate codes + IVF bucket come from ONE map-only
+   * scan projection (literal-codebook codegen'd folds — x78's "encode
+   * at scan speed"); queries broadcast; the bucket equi-join IS the
+   * IVF prune; the ADC itself INLINES the per-query LUT as a 4-way
+   * CASE over each code — map-side, no join per subspace. Every LUT
+   * cell is 6dp-rounded then frozen to exact integer micro-units (the
+   * cosMicro discipline), so the ADC sum is int64 — zero tie surface —
+   * and the DuckDB oracle computes the same cells via an explicit
+   * (query, s, c) LUT join over the replayed codebooks.
+   */
+  def ivfPqSearch(spark: SparkSession, dir: String, nCentroids: Int = 8,
+      iterations: Int = 2, subspaces: Int = 4, k: Int = 4,
+      nQueries: Int = 10, topK: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val subDim = 64 / subspaces
+    val centroids = kmeansCentroids(emb, nCentroids, iterations)
+    val books = pqCodebooks(emb, subspaces, k, subDim, iterations)
+    val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
+      centroids)
+    val codeCols = (0 until subspaces).map { s =>
+      val dR = (0 until k).map(c =>
+        round(subDist(col("embedding"), books(s)(c), s * subDim), 6))
+      argminC(dR).cast("long").as(s"c$s")
+    }
+    val cands = emb.select(Seq(col("vec_id").as("cand_id"),
+      nc.getField("bucket").cast("long").as("bucket")) ++ codeCols: _*)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        nc.getField("bucket").cast("long").as("bucket"))
+    val adcTerms = (0 until subspaces).map { s =>
+      val cells = (0 until k).map(c =>
+        (round(subDist(col("q"), books(s)(c), s * subDim), 6)
+          .cast("decimal(12,6)") * 1000000).cast("long"))
+      (1 until k).foldLeft(when(col(s"c$s") === 0, cells(0))) {
+        case (acc, c) => acc.when(col(s"c$s") === c, cells(c))
+      }
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("cand_id"))
+    cands.join(broadcast(queries), "bucket")
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("adc_micro", adcTerms.reduce(_ + _))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .select(col("query_id"), col("bucket"), col("cand_id"),
+        col("adc_micro"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /**
    * x83 — ANN QUALITY EVAL: recall@k of the IVF probe ([[annIvf]])
    * against the exact brute-force kNN ([[knnBrute]]), as a first-class
    * entry. At 100 TB nobody can eyeball whether bucket pruning loses

@@ -1493,6 +1493,43 @@ class ExtSpec extends SparkSpec {
       s"JL mean norm ratio $meanRatio out of band")
   }
 
+  test("x97 ivf+pq: every reported ADC score replays driver-side from " +
+      "the codebooks (codes, LUT cells, integer sum)") {
+    import spark.implicits._
+    val emb = graft.ingest.Tables.load(spark, sf, "embeddings")
+    val books = graft.ext.Similarity.pqCodebooks(emb, 4, 4, 16, 2)
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sub(v: Array[Double], s: Int): Array[Double] =
+      v.slice(s * 16, (s + 1) * 16)
+    def d2(a: Array[Double], b: Seq[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def code(v: Array[Double], s: Int): Int =
+      (0 until 4).map(c => (r6(d2(sub(v, s), books(s)(c))), c)).min._2
+    def micro(x: Double): Long =
+      (BigDecimal(r6(x)).setScale(6) * 1000000).toLongExact
+    val out = graft.ext.Similarity.ivfPqSearch(spark, sf)
+      .select($"query_id", $"cand_id", $"adc_micro", $"rn")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    for ((q, cand, adc, _) <- out) {
+      val want = (0 until 4).map { s =>
+        micro(d2(sub(vecs(q), s), books(s)(code(vecs(cand), s))))
+      }.sum
+      assert(adc == want, s"query $q cand $cand")
+    }
+    // per-query results ascend in (adc, cand)
+    for ((_, rows) <- out.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(r => (r._3, r._2)).sliding(2).forall(p =>
+        p.length < 2 || (p(0)._1 < p(1)._1 ||
+          (p(0)._1 == p(1)._1 && p(0)._2 < p(1)._2))))
+    }
+  }
+
   test("x95 pagerank: the integer power iteration replays driver-side " +
       "from the shared kNN edge list") {
     import spark.implicits._
