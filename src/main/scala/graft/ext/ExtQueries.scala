@@ -114,6 +114,10 @@ object ExtQueries {
     // over PQ codes, LUT cells frozen to integer micro-units.
     "x97_ivfpq_search" -> ((s: SparkSession, d: String) =>
       Similarity.ivfPqSearch(s, d)),
+    // x98: perceptual (aHash) image near-dup pairs over the REAL PPM
+    // codec, banded Manku pigeonhole join == all-pairs truth.
+    "x98_image_phash" -> ((s: SparkSession, d: String) =>
+      Multimodal.imagePhashPairs(s, d)),
     // x96: count-min heavy hitters — per-source segments merged
     // cell-wise, exact top-10 probed, per-probe overestimate exact.
     "x96_cms_topk" -> ((s: SparkSession, d: String) =>
@@ -1508,6 +1512,8 @@ object ExtQueries {
     "x96_cms_topk" -> Sketches.cmsOracle,
 
     "x97_ivfpq_search" -> ivfPqSql,
+
+    "x98_image_phash" -> Multimodal.imagePhashOracle,
 
     // x23: same k-means + assignment, but each query probes its TOP-2
     // buckets (multi-probe recall knob); candidates unioned, exact top-k.

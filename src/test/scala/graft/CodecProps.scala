@@ -109,4 +109,28 @@ object CodecProps extends Properties("mediaCodecs") {
         junk.startsWith("RIFF".getBytes("US-ASCII"))
       ppm && wav
     }
+
+  property("aHash: band bits equal an independent 8x8 grid reference on " +
+      "arbitrary images (integer cell map, cross-multiplied threshold)") =
+    Prop.forAll(genDims.suchThat { case (w, h) => w >= 8 && h >= 8 }
+      .flatMap { case (w, h) => genPixels(w, h).map(px => (w, h, px)) }) {
+      case (w, h, px) =>
+        val (dw, dh, bands) =
+          Multimodal.aHashBands(Multimodal.encodePpm(w, h, px))
+        // reference: accumulate per-cell luma via the same forward map,
+        // then compare means by cross-multiplication
+        val s = Array.fill(64)(0L); val cnt = Array.fill(64)(0L)
+        var tot = 0L
+        for (p <- 0 until w * h; c <- 0 until 3) {
+          val cell = ((p / w) * 8 / h) * 8 + ((p % w) * 8 / w)
+          val v = (px(p * 3 + c) & 0xff).toLong
+          s(cell) += v; cnt(cell) += 1; tot += v
+        }
+        val refBands = Array.fill(4)(0L)
+        for (cell <- 0 until 64)
+          if (s(cell) * (3L * w * h) > tot * cnt(cell))
+            refBands(cell / 16) |= 1L << (cell % 16)
+        dw == w && dh == h && bands.sameElements(refBands) &&
+          cnt.forall(_ > 0) // every grid cell populated for >= 8px sides
+    }
 }
