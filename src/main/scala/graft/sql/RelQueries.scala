@@ -637,6 +637,34 @@ object RelQueries {
   }
 
   /**
+   * q39 — correlated LATERAL subquery ("top-N per outer row" as the SQL
+   * author writes it): each filtered order pulls its two priciest line
+   * items through a correlated ORDER BY ... LIMIT subquery. The point is
+   * the DECORRELATION: Catalyst rewrites the per-row subquery into a
+   * relational plan (join + per-key limit), so no nested re-execution of
+   * the inner query happens per outer row — the naive O(orders x scan)
+   * becomes one co-partitioned join at any scale. Cents stay on the
+   * exact DECIMAL rails; DuckDB runs the identical LATERAL text.
+   */
+  def q39Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q39_orders")
+    Tables.load(spark, dir, "lineitem")
+      .createOrReplaceTempView("q39_lineitem")
+    spark.sql(
+      """SELECT o.o_orderkey, t.l_linenumber, t.price_cents
+        |FROM q39_orders o,
+        |LATERAL (SELECT l_linenumber,
+        |           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                AS BIGINT) AS price_cents
+        |         FROM q39_lineitem l
+        |         WHERE l.l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber
+        |         LIMIT 2) t
+        |WHERE o.o_orderkey % 10 = 0
+        |ORDER BY o.o_orderkey, price_cents DESC, l_linenumber""".stripMargin)
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -910,7 +938,8 @@ object RelQueries {
     "q31_sequence_funnel" -> (q31SequenceFunnel _),
     "q36_recursive" -> (q36Recursive _),
     "q37_variant" -> (q37Variant _),
-    "q38_unpivot" -> (q38Unpivot _)
+    "q38_unpivot" -> (q38Unpivot _),
+    "q39_lateral" -> (q39Lateral _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1330,6 +1359,20 @@ object RelQueries {
         |  SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM w
         |  UNION ALL
         |  SELECT l_returnflag, 'n_rows', n_rows FROM w)
-        |ORDER BY l_returnflag, metric""".stripMargin
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // q39: the identical correlated LATERAL text
+    "q39_lateral" ->
+      """SELECT o.o_orderkey, t.l_linenumber, t.price_cents
+        |FROM orders o,
+        |LATERAL (SELECT l_linenumber,
+        |           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |                AS BIGINT) AS price_cents
+        |         FROM lineitem l
+        |         WHERE l.l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber
+        |         LIMIT 2) t
+        |WHERE o.o_orderkey % 10 = 0
+        |ORDER BY o.o_orderkey, price_cents DESC, l_linenumber""".stripMargin
   )
 }

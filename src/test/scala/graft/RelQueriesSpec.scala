@@ -207,6 +207,27 @@ class RelQueriesSpec extends SparkSpec {
       Seq("n_rows", "sum_price_cents", "sum_qty_cents"))
   }
 
+  test("q39 lateral: per-order top-2 replays driver-side; the correlated " +
+      "subquery decorrelates (no cartesian/nested loop in the plan)") {
+    val df = RelQueries.q39Lateral(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val li = graft.ingest.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(18,2)").multiply(lit(100))
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byOrder = li.groupBy(_._1)
+    for ((ok, rows) <- out.groupBy(_._1)) {
+      val want = byOrder(ok).sortBy(r => (-r._3, r._2)).take(2)
+        .map(r => (r._1, r._2, r._3)).toSeq
+      assert(rows.sortBy(r => (-r._3, r._2)).toSeq == want, s"order $ok")
+      assert(ok % 10 == 0)
+    }
+  }
+
   test("q26 funnel matches a driver-side reconstruction for sampled users") {
     val funnel = RelQueries.q26Funnel(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
