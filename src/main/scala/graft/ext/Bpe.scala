@@ -243,4 +243,133 @@ object Bpe {
        |      FROM documents) d
        |JOIN w$steps w ON d.word = w.word
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  // ------------------- unigram-LM (SentencePiece) tokenizer ------------
+
+  /** Unigram vocab geometry: substring pieces up to this length. */
+  private[ext] val UniMaxPiece = 4
+  /** Multi-char pieces kept (plus ALL single chars for coverage). */
+  private[ext] val UniTopPieces = 16
+  /** DP-chain depth for the oracle (>= the longest fixture word). */
+  private[ext] val UniMaxWord = 12
+
+  /**
+   * x99 — UNIGRAM-LM TOKENIZATION (the SentencePiece family's other
+   * tokenizer, Kudo 2018), completing the tokenizer trio next to x75's
+   * learned BPE and x9's regex baseline: a piece vocabulary (every
+   * corpus character for coverage plus the top-16 weighted substrings
+   * of length 2..4) gets integer nano-nat log-probabilities
+   * (w = scaled9(ln freq) - scaled9(ln total) — each ln rounded THEN
+   * scaled, the x56/x79 schedule), and every word TYPE segments by the
+   * native [[graft.functions.UnigramViterbi]] max-likelihood DP
+   * (ties -> longer last piece — a total integer order).
+   *
+   * Scale shape: the only corpus-sized pass is the word-TYPE count
+   * (x73's explode+agg); candidate-piece counting explodes the BOUNDED
+   * type table (31 types x <=30 substrings here; vocab-bounded always);
+   * the collected vocabulary is ~40 (piece, weight) rows — the k x dim
+   * centroid-sync pattern — inlined into the expression so the
+   * segmentation pass is map-only on the type table. Text is never
+   * re-segmented per occurrence (x76's lesson).
+   */
+  def unigramTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val types = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    // candidate substrings of length 1..4, weighted by type frequency
+    val cand = types.select(col("word"), col("n_occ"),
+      explode(expr(
+        s"""flatten(transform(sequence(1, $UniMaxPiece), l ->
+           |  IF(l <= length(word),
+           |     transform(sequence(1, length(word) - l + 1),
+           |               p -> substring(word, p, l)),
+           |     CAST(array() AS ARRAY<STRING>))))""".stripMargin))
+        .as("piece"))
+    val freq = cand.groupBy(col("piece")).agg(sum(col("n_occ")).as("freq"))
+    val multi = freq.where(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(UniTopPieces)
+    val chosen = freq.where(length(col("piece")) === 1)
+      .unionByName(multi)
+    val total = chosen.agg(sum(col("freq")).as("total"))
+    def scaled9(c: String): String =
+      s"CAST(CAST(round(ln(CAST($c AS DOUBLE)), 9) AS DECIMAL(20,9)) " +
+        "* 1000000000 AS BIGINT)"
+    val vocab = chosen.crossJoin(broadcast(total))
+      .select(col("piece"),
+        (expr(scaled9("freq")) - expr(scaled9("total"))).as("w_nano"))
+      .orderBy(col("piece"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val seg = graft.functions.UnigramViterbi.viterbi(col("word"), vocab)
+    types
+      .withColumn("seg", seg)
+      .select(col("word"), col("n_occ"),
+        col("seg.pieces").as("pieces"),
+        col("seg.n_pieces").as("n_pieces"),
+        col("seg.score_nano").as("score_nano"))
+      .orderBy(col("word"))
+  }
+
+  /** x99's oracle: the vocabulary derivation replayed in SQL, then the
+    * Viterbi DP as a GENERATED chain of MATERIALIZED prefix CTEs (dp_j
+    * from dp_{j-1..j-4}; ties -> longer piece via `k DESC`), finals
+    * unioned per word length. */
+  private[ext] def unigramOracle: String = {
+    val scaled9 = (c: String) =>
+      s"CAST(CAST(round(ln(CAST($c AS DOUBLE)), 9) AS DECIMAL(20,9)) " +
+        "* 1000000000 AS BIGINT)"
+    val dps = (1 to UniMaxWord).map { j =>
+      val legs = (1 to math.min(UniMaxPiece, j)).map { k =>
+        s"""SELECT d.word, d.n_occ, $k AS k,
+           |      d.score + w.w_nano AS score,
+           |      CASE WHEN d.path = '' THEN w.piece
+           |           ELSE d.path || '|' || w.piece END AS path
+           |    FROM dp${j - k} d
+           |    JOIN w ON w.piece = substr(d.word, ${j - k + 1}, $k)
+           |    WHERE length(d.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      s"""dp$j AS MATERIALIZED (
+         |  SELECT word, n_occ, score, path FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word
+         |        ORDER BY score DESC, k DESC) AS rn FROM (
+         |    $legs))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to UniMaxWord).map(j =>
+      s"SELECT word, n_occ, score, path FROM dp$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH types AS (
+       |  SELECT t AS word, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t
+       |        FROM documents)
+       |  WHERE t <> '' GROUP BY 1),
+       |cand AS (SELECT substr(word, p, l) AS piece, n_occ
+       |  FROM types,
+       |       UNNEST(range(1, $UniMaxPiece + 1)) AS tl(l),
+       |       UNNEST(range(1, 13)) AS tp(p)
+       |  WHERE l <= length(word) AND p + l - 1 <= length(word)),
+       |f AS (SELECT piece, CAST(sum(n_occ) AS BIGINT) AS freq
+       |      FROM cand GROUP BY 1),
+       |chosen AS (
+       |  SELECT piece, freq FROM f WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq FROM f WHERE length(piece) >= 2
+       |    ORDER BY freq DESC, piece LIMIT $UniTopPieces)),
+       |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM chosen),
+       |w AS MATERIALIZED (SELECT piece,
+       |    ${scaled9("freq")} - ${scaled9("total")} AS w_nano
+       |  FROM chosen, tot),
+       |dp0 AS (SELECT word, n_occ, CAST(0 AS BIGINT) AS score,
+       |        '' AS path FROM types),
+       |$dps,
+       |fin AS (
+       |  $finals)
+       |SELECT word, n_occ, path AS pieces,
+       |  CAST(length(path) - length(replace(path, '|', '')) + 1 AS INT)
+       |    AS n_pieces,
+       |  CAST(score AS BIGINT) AS score_nano
+       |FROM fin ORDER BY word""".stripMargin
+  }
 }

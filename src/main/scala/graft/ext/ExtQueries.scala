@@ -118,6 +118,10 @@ object ExtQueries {
     // codec, banded Manku pigeonhole join == all-pairs truth.
     "x98_image_phash" -> ((s: SparkSession, d: String) =>
       Multimodal.imagePhashPairs(s, d)),
+    // x99: unigram-LM (SentencePiece-style) Viterbi tokenization —
+    // integer nano-nat piece weights, native max-likelihood DP.
+    "x99_unigram_tokenize" -> ((s: SparkSession, d: String) =>
+      Bpe.unigramTokenize(s, d)),
     // x96: count-min heavy hitters — per-source segments merged
     // cell-wise, exact top-10 probed, per-probe overestimate exact.
     "x96_cms_topk" -> ((s: SparkSession, d: String) =>
@@ -1514,6 +1518,8 @@ object ExtQueries {
     "x97_ivfpq_search" -> ivfPqSql,
 
     "x98_image_phash" -> Multimodal.imagePhashOracle,
+
+    "x99_unigram_tokenize" -> Bpe.unigramOracle,
 
     // x23: same k-means + assignment, but each query probes its TOP-2
     // buckets (multi-probe recall knob); candidates unioned, exact top-k.

@@ -82,6 +82,19 @@ object GraftFunctions {
         constArg("fuzzy_match", "term", "STRING", exprs(1)).toString,
         Some(constArg("fuzzy_match", "distance", "INT", exprs(2))
           .asInstanceOf[Int]))),
+    // vocab arrays are plan-time constants (the bounded corpus-derived
+    // piece table) — `unigram_viterbi(word, array('a',...), array(-3L,...))`
+    "unigram_viterbi" ->
+      (exprs => {
+        val ps = constArg("unigram_viterbi", "pieces", "ARRAY<STRING>",
+          exprs(1)).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        val ws = constArg("unigram_viterbi", "weights", "ARRAY<BIGINT>",
+          exprs(2)).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray().toSeq
+        UnigramViterbi(exprs.head, ps, ws)
+      }),
     "confluent_avro_decode" ->
       (exprs => {
         val schema = constArg("confluent_avro_decode", "schema", "STRING",
