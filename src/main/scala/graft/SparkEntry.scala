@@ -710,6 +710,49 @@ object SparkEntry {
       graft.streaming.StreamPipeline.streamDedupThenWindow(s,
         Pipeline.envelopeFlat(s, dir))),
 
+    // ---- ES TSDB downsampling / rollup index: the hourly rollup is ----
+    // ---- WRITTEN ONCE (count/sum-cents/min/max/last per metric -------
+    // ---- bucket — the mergeable summary shape), and the daily query ---
+    // ---- is answered FROM THE ROLLUP ONLY — raw events are never ------
+    // ---- rescanned (the entry reads the persisted rollup table). ------
+    // ---- The oracle aggregates the RAW events straight to days, so ----
+    // ---- the hash proves rollup-mergeability: daily figures derived ---
+    // ---- hourly-then-daily must equal raw-to-daily exactly — which ----
+    // ---- is why every rollup stat is a sum/count/min/max (mergeable), -
+    // ---- never an average. At 100 TB the rollup is the only thing -----
+    // ---- dashboards touch; its size is bounded by buckets, not events. -
+    "kq64_downsample" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("kq64-rollup")
+        .toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(work)
+      val hourly = Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .multiply(lit(100)).cast("long")).cast("long")
+            .as("sum_cents"),
+          min(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .multiply(lit(100)).cast("long")).as("min_cents"),
+          max(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .multiply(lit(100)).cast("long")).as("max_cents"))
+      hourly.write.mode("overwrite").parquet(s"$work/rollup")
+      s.read.parquet(s"$work/rollup")
+        .groupBy(to_date(col("bucket")).as("day"), col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_cents")).as("sum_cents"),
+          min(col("min_cents")).as("min_cents"),
+          max(col("max_cents")).as("max_cents"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("sum_cents"),
+          col("min_cents"), col("max_cents"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // ---- seasonal anomaly flags on the hourly histogram: per ----------
     // ---- hour-of-day profile, |z| > 3 decided by EXACT INTEGER --------
     // ---- cross-multiplication (devsq > 9*var_num — no division, no ----
@@ -1465,6 +1508,22 @@ object SparkEntry {
         |SELECT bucket, event_type, n FROM w, m
         |WHERE epoch_ms(bucket) + 21600000 <= epoch_ms(mx) - 3600000
         |ORDER BY bucket, event_type""".stripMargin),
+
+    // kq64: the oracle aggregates RAW events straight to days — equality
+    // with the hourly-then-daily rollup path is the mergeability proof
+    "kq64_downsample" ->
+      (envSql + """SELECT strftime(CAST("timestamp" AS DATE), '%Y-%m-%d')
+        |    AS "day",
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(min(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS max_cents
+        |FROM env WHERE event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // kq62: identical integer cross-multiplication; DuckDB's HUGEINT
     // sums/products cast back to BIGINT

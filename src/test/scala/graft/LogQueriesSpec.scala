@@ -445,6 +445,32 @@ class LogQueriesSpec extends SparkSpec {
       p(0)._5 > p(1)._5 || (p(0)._5 == p(1)._5 && p(0)._1 < p(1)._1)))
   }
 
+  test("downsample: daily figures from the hourly rollup equal raw-to-" +
+      "daily directly (mergeability), rollup stays bucket-bounded") {
+    val out = SparkEntry.queries("kq64_downsample")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val raw = Pipeline.envelopeFlat(spark, sf)
+      .where($"event_type".isNotNull)
+      .select(date_format($"timestamp", "yyyy-MM-dd"), $"event_type",
+        $"value".cast("decimal(18,2)").multiply(lit(100)).cast("long"))
+      .as[(String, String, Long)].collect()
+    val byKey = raw.groupBy(r => (r._1, r._2))
+    assert(out.keySet == byKey.keySet)
+    for ((k, rows) <- byKey) {
+      val cents = rows.map(_._3)
+      assert(out(k) == ((cents.length.toLong, cents.sum, cents.min,
+        cents.max)), k)
+    }
+    // the rollup granularity is hours x types — bounded however many
+    // raw events exist
+    val hourlyGroups = Pipeline.envelopeFlat(spark, sf)
+      .where($"event_type".isNotNull)
+      .select(date_trunc("hour", $"timestamp"), $"event_type")
+      .distinct().count()
+    assert(hourlyGroups <= 744L * 6)
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
