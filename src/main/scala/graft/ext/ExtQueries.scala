@@ -122,6 +122,11 @@ object ExtQueries {
     // integer nano-nat piece weights, native max-likelihood DP.
     "x99_unigram_tokenize" -> ((s: SparkSession, d: String) =>
       Bpe.unigramTokenize(s, d)),
+    // x100: token-budget epoch allocation (the pretraining data-recipe
+    // sheet) — temperature weights frozen to micro ints, exact permille
+    // epochs with a 3.0-epoch repeat cap.
+    "x100_token_budget" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenBudget(s, d)),
     // x96: count-min heavy hitters — per-source segments merged
     // cell-wise, exact top-10 probed, per-probe overestimate exact.
     "x96_cms_topk" -> ((s: SparkSession, d: String) =>
@@ -1520,6 +1525,34 @@ object ExtQueries {
     "x98_image_phash" -> Multimodal.imagePhashOracle,
 
     "x99_unigram_tokenize" -> Bpe.unigramOracle,
+
+    // x100: same micro-frozen sqrt weights and floor arithmetic; both
+    // the capped and uncapped epoch legs are fixture-populated (probed)
+    "x100_token_budget" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT source, tokens,
+        |    CAST(CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sqrt_micro
+        |  FROM t),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |    CAST(sum(sqrt_micro) AS BIGINT) AS total_micro FROM s),
+        |a AS (SELECT source, tokens, sqrt_micro,
+        |    CAST((3 * total_tokens * sqrt_micro) // total_micro
+        |      AS BIGINT) AS planned_tokens
+        |  FROM s, tot),
+        |e AS (SELECT source, tokens, sqrt_micro, planned_tokens,
+        |    least((planned_tokens * 1000) // tokens, 3000)
+        |      AS epochs_permille
+        |  FROM a)
+        |SELECT source, tokens, sqrt_micro, planned_tokens,
+        |  CAST(epochs_permille AS BIGINT) AS epochs_permille,
+        |  CAST((tokens * epochs_permille) // 1000 AS BIGINT)
+        |    AS final_tokens
+        |FROM e ORDER BY source""".stripMargin,
 
     // x23: same k-means + assignment, but each query probes its TOP-2
     // buckets (multi-probe recall knob); candidates unioned, exact top-k.

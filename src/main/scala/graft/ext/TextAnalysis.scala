@@ -1669,4 +1669,47 @@ object TextAnalysis {
         col("cum_occ"), col("cov_ppm"))
       .orderBy(col("rank"))
   }
+
+  /**
+   * x100 — TOKEN-BUDGET EPOCH ALLOCATION, the "data recipe" table a
+   * pretraining run is configured from (the Llama-style per-source
+   * epochs sheet): given per-source token counts, a total token budget
+   * (3x the corpus here) splits across sources by temperature-smoothed
+   * weights (τ = 0.5 — x38's sqrt rule, frozen to exact integer
+   * micro-units), and each source's allocation converts to EPOCHS in
+   * exact integer permille, capped at 3.0 epochs (the repeat ceiling
+   * after which curated data degrades — both capped and uncapped legs
+   * are populated at every fixture SF, probed). Every figure after the
+   * one pinned sqrt rounding is integer floor arithmetic — the recipe
+   * reproduces bit-for-bit on any engine, which is exactly what one
+   * wants from the config artifact of a 100 TB training run. One
+   * doc-level map pass + a per-source rollup; the allocation table is
+   * handful-of-rows.
+   */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budgetMult: Int = 3, capPermille: Long = 3000L): DataFrame = {
+    val perSource = Tables.load(spark, dir, "documents")
+      .select(col("source"), expr(
+        "size(filter(split(text, ' '), x -> x <> ''))").cast("long")
+        .as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+      .withColumn("sqrt_micro", expr(
+        "CAST(CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6) " +
+          "AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+      .localCheckpoint()
+    val totals = perSource.agg(sum(col("tokens")).as("total_tokens"),
+      sum(col("sqrt_micro")).as("total_micro"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("planned_tokens", expr(
+        s"($budgetMult * total_tokens * sqrt_micro) div total_micro"))
+      .withColumn("epochs_permille",
+        least(expr("(planned_tokens * 1000) div tokens"),
+          lit(capPermille)))
+      .withColumn("final_tokens",
+        expr("(tokens * epochs_permille) div 1000"))
+      .select(col("source"), col("tokens"), col("sqrt_micro"),
+        col("planned_tokens"), col("epochs_permille"),
+        col("final_tokens"))
+      .orderBy(col("source"))
+  }
 }

@@ -1530,6 +1530,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x100 token budget: the allocation sheet replays driver-side; " +
+      "both capped and uncapped epoch legs are populated") {
+    import spark.implicits._
+    val out = graft.ext.TextAnalysis.tokenBudget(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val toks = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.map(_._2.split(" ").count(_.nonEmpty).toLong).sum).toMap
+    def microSqrt(n: Long): Long =
+      (BigDecimal(math.sqrt(n.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+    val totalTokens = toks.values.sum
+    val totalMicro = toks.values.map(microSqrt).sum
+    for ((src, tokens, sm, planned, permille, fin) <- out) {
+      assert(tokens == toks(src), src)
+      assert(sm == microSqrt(tokens), src)
+      assert(planned == 3 * totalTokens * sm / totalMicro, src)
+      assert(permille == math.min(planned * 1000 / tokens, 3000L), src)
+      assert(fin == tokens * permille / 1000, src)
+    }
+    assert(out.exists(_._5 == 3000L) && out.exists(_._5 < 3000L))
+  }
+
   test("x95 pagerank: the integer power iteration replays driver-side " +
       "from the shared kNN edge list") {
     import spark.implicits._
