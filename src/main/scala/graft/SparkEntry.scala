@@ -753,6 +753,59 @@ object SparkEntry {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // ---- sliding-window UNIQUE USERS (Kibana unique count over a ------
+    // ---- moving 24 h window): exact distinct over sliding windows -----
+    // ---- recounts every window — the scale answer is x94's HLL --------
+    // ---- registers computed ONCE per hourly bucket and MERGED by ------
+    // ---- register-max across the trailing window (a range join of -----
+    // ---- the tiny register table against the broadcast bucket list, ---
+    // ---- never a re-scan of events). The exact leg rides along for ----
+    // ---- comparison — at 100 TB it is the leg you drop. ----------------
+    "kq65_sliding_uniques" -> ((s, dir) => {
+      val env = Pipeline.envelopeFlat(s, dir)
+        .select(date_trunc("hour", col("timestamp")).as("bucket"),
+          col("key"))
+      val regs = env
+        .withColumn("h",
+          conv(substring(md5(concat(lit("uu:"), col("key"))), 1, 8), 16, 10)
+            .cast("long"))
+        .withColumn("j", col("h") % 64)
+        .withColumn("rho", expr(
+          "CASE WHEN h div 64 = 0 THEN 27 " +
+            "ELSE 27 - length(bin(h div 64)) END"))
+        .groupBy(col("bucket"), col("j")).agg(max(col("rho")).as("m"))
+        .localCheckpoint()
+      val buckets = env.select(col("bucket")).distinct()
+        .withColumnRenamed("bucket", "b").localCheckpoint()
+      val merged = broadcast(buckets).join(regs,
+          col("bucket").between(col("b") - expr("INTERVAL 23 HOURS"),
+            col("b")))
+        .groupBy(col("b"), col("j")).agg(max(col("m")).as("m"))
+        .groupBy(col("b"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))"))
+          .as("s_present"), count(lit(1)).as("n_present"))
+        .select(col("b"),
+          (col("s_present") + (lit(64) - col("n_present"))
+            * lit(134217728L)).cast("long").as("s_scaled"),
+          (lit(64) - col("n_present")).cast("long").as("v_zero"))
+      val pairs = env.distinct()
+      val exact = broadcast(buckets).join(pairs,
+          col("bucket").between(col("b") - expr("INTERVAL 23 HOURS"),
+            col("b")))
+        .groupBy(col("b")).agg(countDistinct(col("key")).as("exact_uniques"))
+      merged.join(exact, "b")
+        .withColumn("e_raw",
+          lit(0.709) * lit(4096.0) * lit(134217728.0)
+            / col("s_scaled").cast("double"))
+        .withColumn("hll_est", round(
+          when(col("e_raw") <= lit(160.0) && col("v_zero") > 0,
+            lit(64.0) * log(lit(64.0) / col("v_zero").cast("double")))
+            .otherwise(col("e_raw")), 6))
+        .select(col("b").as("bucket"), col("exact_uniques"),
+          col("v_zero"), col("s_scaled"), col("hll_est"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- seasonal anomaly flags on the hourly histogram: per ----------
     // ---- hour-of-day profile, |z| > 3 decided by EXACT INTEGER --------
     // ---- cross-multiplication (devsq > 9*var_num — no division, no ----
@@ -1508,6 +1561,47 @@ object SparkEntry {
         |SELECT bucket, event_type, n FROM w, m
         |WHERE epoch_ms(bucket) + 21600000 <= epoch_ms(mx) - 3600000
         |ORDER BY bucket, event_type""".stripMargin),
+
+    // kq65: identical register build (x94's 64-register geometry with
+    // the 'uu:' salt), trailing-window register-max merge via the same
+    // range join, estimator formula pinned as in x94
+    "kq65_sliding_uniques" ->
+      (envSql + """, e2 AS (
+        |  SELECT date_trunc('hour', "timestamp") AS bucket, "key"
+        |  FROM env),
+        |r AS (SELECT bucket, h % 64 AS j,
+        |        CASE WHEN h // 64 = 0 THEN 27
+        |             ELSE 27 - length(bin(h // 64)) END AS rho
+        |      FROM (SELECT bucket,
+        |              ('0x' || substr(md5('uu:' || "key"), 1, 8))::BIGINT
+        |                AS h
+        |            FROM e2)),
+        |reg AS (SELECT bucket, j, max(rho) AS m FROM r GROUP BY 1, 2),
+        |bl AS (SELECT DISTINCT bucket AS b FROM e2),
+        |mg AS (SELECT bl.b, reg.j, max(reg.m) AS m
+        |       FROM bl JOIN reg
+        |         ON reg.bucket BETWEEN bl.b - INTERVAL 23 HOURS AND bl.b
+        |       GROUP BY 1, 2),
+        |sk AS (SELECT b,
+        |         CAST(sum(CAST(1 AS BIGINT) << CAST(27 - m AS INT))
+        |              + (64 - count(*)) * 134217728 AS BIGINT)
+        |           AS s_scaled,
+        |         CAST(64 - count(*) AS BIGINT) AS v_zero
+        |       FROM mg GROUP BY 1),
+        |ex AS (SELECT bl.b,
+        |         CAST(count(DISTINCT p."key") AS BIGINT) AS exact_uniques
+        |       FROM bl JOIN (SELECT DISTINCT bucket, "key" FROM e2) p
+        |         ON p.bucket BETWEEN bl.b - INTERVAL 23 HOURS AND bl.b
+        |       GROUP BY 1),
+        |est AS (SELECT sk.b, exact_uniques, v_zero, s_scaled,
+        |          0.709 * 4096.0 * 134217728.0
+        |            / CAST(s_scaled AS DOUBLE) AS e_raw
+        |        FROM sk JOIN ex ON sk.b = ex.b)
+        |SELECT b AS bucket, exact_uniques, v_zero, s_scaled,
+        |  round(CASE WHEN e_raw <= 160.0 AND v_zero > 0
+        |        THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+        |        ELSE e_raw END, 6) AS hll_est
+        |FROM est ORDER BY bucket""".stripMargin),
 
     // kq64: the oracle aggregates RAW events straight to days — equality
     // with the hourly-then-daily rollup path is the mergeability proof

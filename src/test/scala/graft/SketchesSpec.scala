@@ -51,6 +51,36 @@ class SketchesSpec extends SparkSpec {
     assert(ssAll == allM.map(v => 1L << (27 - v)).sum)
   }
 
+  test("sliding uniques: per-bucket merged registers replay from the " +
+      "window's raw users; estimates track exact counts") {
+    val out = SparkEntry.queries("kq65_sliding_uniques")(spark, sf)
+      .select(unix_micros($"bucket"), $"exact_uniques", $"v_zero",
+        $"s_scaled", $"hll_est")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val pairs = Pipeline.envelopeFlat(spark, sf)
+      .select(unix_micros(date_trunc("hour", $"timestamp")), $"key")
+      .distinct().as[(Long, String)].collect()
+    val hourUs = 3600L * 1000000
+    // replay three spread-out buckets fully
+    for ((b, exact, vz, ss, est) <- Seq(out.head,
+        out(out.length / 2), out.last)) {
+      val users = pairs.filter(p =>
+        p._1 >= b - 23 * hourUs && p._1 <= b).map(_._2).distinct
+      assert(exact == users.length)
+      val m = Array.fill(64)(0)
+      for (u <- users) {
+        val h = md5_32(s"uu:$u"); val j = (h % 64).toInt; val w = h / 64
+        val rho = if (w == 0) 27
+          else 27 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > m(j)) m(j) = rho
+      }
+      assert(vz == m.count(_ == 0))
+      assert(ss == m.map(v => 1L << (27 - v)).sum)
+      assert(est > 0.5 * exact && est < 2.0 * exact,
+        s"estimate $est vs exact $exact")
+    }
+  }
+
   test("cms: estimates never undercount, collisions genuinely occur, and " +
       "one probe's four cells replay driver-side") {
     val out = Sketches.cmsHeavyHitters(spark, sf)
