@@ -127,6 +127,10 @@ object ExtQueries {
     // epochs with a 3.0-epoch repeat cap.
     "x100_token_budget" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenBudget(s, d)),
+    // x101: ES multi_match best_fields — per-field BM25 with per-field
+    // statistics, document ranked by its best field.
+    "x101_multi_match" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.multiMatchBestFields(s, d)),
     // x96: count-min heavy hitters — per-source segments merged
     // cell-wise, exact top-10 probed, per-probe overestimate exact.
     "x96_cms_topk" -> ((s: SparkSession, d: String) =>
@@ -1525,6 +1529,43 @@ object ExtQueries {
     "x98_image_phash" -> Multimodal.imagePhashOracle,
 
     "x99_unigram_tokenize" -> Bpe.unigramOracle,
+
+    // x101: both field legs are the pinned x22 BM25 oracle over derived
+    // field relations; best_fields fuses by greatest + doc_id tiebreak
+    "x101_multi_match" -> {
+      val titleRel = "(SELECT doc_id, array_to_string(list_slice(" +
+        "string_split(text, ' '), 1, 5), ' ') AS text FROM documents)"
+      val bodyRel = "(SELECT doc_id, array_to_string(list_slice(" +
+        "string_split(text, ' '), 6, len(string_split(text, ' '))), ' ')" +
+        " AS text FROM documents)"
+      val terms = Seq("spark", "query", "stream")
+      s"""WITH tleg AS (SELECT doc_id, score FROM (
+         |  ${bm25OracleSql(terms, 1 << 20, titleRel)
+               .replace("\n", "\n  ")}) x),
+         |bleg AS (SELECT doc_id, score FROM (
+         |  ${bm25OracleSql(terms, 1 << 20, bodyRel)
+               .replace("\n", "\n  ")}) y),
+         |f AS (SELECT COALESCE(t.doc_id, b.doc_id) AS doc_id,
+         |    t.score AS title_score, b.score AS body_score,
+         |    2 * greatest(
+         |      COALESCE(CAST(CAST(t.score AS DECIMAL(10,6)) * 1000000
+         |        AS BIGINT), 0),
+         |      COALESCE(CAST(CAST(b.score AS DECIMAL(10,6)) * 1000000
+         |        AS BIGINT), 0))
+         |    + least(
+         |      COALESCE(CAST(CAST(t.score AS DECIMAL(10,6)) * 1000000
+         |        AS BIGINT), 0),
+         |      COALESCE(CAST(CAST(b.score AS DECIMAL(10,6)) * 1000000
+         |        AS BIGINT), 0)) AS score_hmicro
+         |  FROM tleg t FULL OUTER JOIN bleg b ON t.doc_id = b.doc_id),
+         |r AS (SELECT doc_id, title_score, body_score,
+         |    CAST(score_hmicro AS BIGINT) AS score_hmicro,
+         |    CAST(row_number() OVER (ORDER BY score_hmicro DESC, doc_id)
+         |      AS INT) AS rank
+         |  FROM f)
+         |SELECT doc_id, title_score, body_score, score_hmicro, rank
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
 
     // x100: same micro-frozen sqrt weights and floor arithmetic; both
     // the capped and uncapped epoch legs are fixture-populated (probed)

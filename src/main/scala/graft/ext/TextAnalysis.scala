@@ -1671,6 +1671,59 @@ object TextAnalysis {
   }
 
   /**
+   * x101 — ES `multi_match` (type `best_fields` with tie_breaker 0.5):
+   * the same query scored independently against TWO fields — a derived
+   * `title` (the document's first 5 tokens) and `body` (the rest) —
+   * combined as ES does: `best + tie_breaker * other`. Per-field
+   * scoring is [[bm25]] verbatim, each field with its OWN df/avgdl
+   * statistics (exactly why ES scores per field and then combines:
+   * term rarity differs per field). Both legs keep EVERY scoring doc
+   * (postings-pruned — only docs matching a query term score at all),
+   * because with a nonzero tie_breaker a per-leg top-k truncation is
+   * NOT lossless; the global top-k happens once, after fusion. Each
+   * leg score freezes once to exact integer micro-units and the fused
+   * score lives in HALF-micro units (2*best + other == best +
+   * 0.5*other up to ordering) — all-integer, zero re-rounding.
+   */
+  def multiMatchBestFields(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "query", "stream"),
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val legK = 1 << 20 // keep all scoring docs per field leg
+    val title = docs.select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, 5), " ").as("text"))
+    val body = docs.select(col("doc_id"), array_join(expr(
+      "slice(split(text, ' '), 6, greatest(size(split(text, ' ')) - 5, 0))"),
+      " ").as("text"))
+    val t = bm25(title, "doc_id", "text", terms, legK)
+      .select(col("doc_id"), col("score").as("title_score"))
+    val b = bm25(body, "doc_id", "text", terms, legK)
+      .select(col("doc_id"), col("score").as("body_score"))
+    // ES best_fields with tie_breaker: score = best + tb * other with
+    // tb = 0.5. Each leg score freezes ONCE to exact integer micro
+    // units (the cosMicro discipline — re-rounding the combined DOUBLE
+    // split a .0000005 tie between engines, caught at sf0.001), and the
+    // combination is kept in HALF-micro units: 2*best + other — an
+    // exact integer, order-equivalent to best + 0.5*other, zero
+    // further tie surface.
+    def micro(c: org.apache.spark.sql.Column) =
+      coalesce((c.cast("decimal(10,6)") * 1000000).cast("long"), lit(0L))
+    val fused = t.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("score_hmicro",
+        lit(2L) * greatest(micro(col("title_score")),
+          micro(col("body_score")))
+          + least(micro(col("title_score")), micro(col("body_score"))))
+      .orderBy(col("score_hmicro").desc, col("doc_id")).limit(k)
+    val w = Window.partitionBy(col("score_hmicro") - col("score_hmicro"))
+      .orderBy(col("score_hmicro").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("title_score"), col("body_score"),
+        col("score_hmicro"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /**
    * x100 — TOKEN-BUDGET EPOCH ALLOCATION, the "data recipe" table a
    * pretraining run is configured from (the Llama-style per-source
    * epochs sheet): given per-source token counts, a total token budget

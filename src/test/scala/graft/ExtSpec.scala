@@ -1530,6 +1530,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x101 multi_match: the best_fields + tie_breaker fusion law holds " +
+      "per row and the second field genuinely contributes") {
+    import spark.implicits._
+    val out = graft.ext.TextAnalysis.multiMatchBestFields(spark, sf)
+      .select($"doc_id",
+        $"title_score", $"body_score", $"score_hmicro", $"rank")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3), r.getInt(4)))
+    assert(out.length == 20)
+    def micro(o: Option[Double]): Long = o.map(v =>
+      (BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLongExact).getOrElse(0L)
+    for ((id, ts, bs, hm, _) <- out) {
+      val (a, b) = (micro(ts), micro(bs))
+      assert(hm == 2 * math.max(a, b) + math.min(a, b), s"doc $id")
+    }
+    // ranks strictly follow (score desc, doc_id)
+    assert(out.sortBy(_._5).sliding(2).forall(p => p.length < 2 ||
+      p(0)._4 > p(1)._4 || (p(0)._4 == p(1)._4 && p(0)._1 < p(1)._1)))
+    // the tie_breaker leg is load-bearing: some page row has both fields
+    assert(out.exists(r => r._2.isDefined && r._3.isDefined))
+  }
+
   test("x100 token budget: the allocation sheet replays driver-side; " +
       "both capped and uncapped epoch legs are populated") {
     import spark.implicits._
