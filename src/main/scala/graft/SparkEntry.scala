@@ -753,6 +753,22 @@ object SparkEntry {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // ---- ES terms_enum API (the index-backed autocomplete behind ------
+    // ---- Kibana's field-value suggestions): distinct values of an -----
+    // ---- analyzed field matching a case-insensitive prefix, first N ---
+    // ---- in index order, with doc counts. One distinct pass over ------
+    // ---- postings + a TakeOrdered top-N — never a global sort. --------
+    "kq66_terms_enum" -> ((s, dir) => {
+      val toks = graft.ingest.Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.AnalyzeTokens.analyze(col("text")))
+            .as("term"))
+        .where(col("term").startsWith("s"))
+        .distinct()
+      toks.groupBy(col("term")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("term")).limit(10)
+    }),
+
     // ---- sliding-window UNIQUE USERS (Kibana unique count over a ------
     // ---- moving 24 h window): exact distinct over sliding windows -----
     // ---- recounts every window — the scale answer is x94's HLL --------
@@ -1561,6 +1577,19 @@ object SparkEntry {
         |SELECT bucket, event_type, n FROM w, m
         |WHERE epoch_ms(bucket) + 21600000 <= epoch_ms(mx) - 3600000
         |ORDER BY bucket, event_type""".stripMargin),
+
+    // kq66: the analyzer's DuckDB rendering (the x22 form), prefix
+    // filter on the analyzed term, distinct postings, index-order top-N
+    "kq66_terms_enum" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t AS term
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(regexp_split_to_array(lower(text),
+        |            '[^a-z0-9]+'), t -> t <> '')) AS t
+        |        FROM documents)
+        |  WHERE t LIKE 's%')
+        |SELECT term, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM toks GROUP BY 1 ORDER BY term LIMIT 10""".stripMargin,
 
     // kq65: identical register build (x94's 64-register geometry with
     // the 'uu:' salt), trailing-window register-max merge via the same

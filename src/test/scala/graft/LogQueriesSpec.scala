@@ -471,6 +471,20 @@ class LogQueriesSpec extends SparkSpec {
     assert(hourlyGroups <= 744L * 6)
   }
 
+  test("terms_enum: prefix-filtered analyzed terms with true doc counts, " +
+      "in index order") {
+    val out = SparkEntry.queries("kq66_terms_enum")(spark, sf)
+      .as[(String, Long)].collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.forall(_._1.startsWith("s")))
+    assert(out.map(_._1).sorted.toSeq == out.map(_._1).toSeq)
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    for ((term, n) <- out)
+      assert(n == docs.count(_._2.toLowerCase
+        .split("[^a-z0-9]+").contains(term)), term)
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
