@@ -103,6 +103,13 @@ object Plans {
     "kq56_stream_cep" -> "CEP pattern alert: transformWithState LIST state, per-user state bounded by rate x (delay + window) via lossless wm - window eviction; alerts fire on arrival so no tail rule",
     "x88_index_merge" -> "index compaction: ONE bucketed rewrite of signature rows (no recompute, no corpus pass); the probe then scans a SINGLE merged bucketed segment instead of one join per segment",
     "x90_semdedup_eval" -> "semdedup eval: blocked exact tau-pairs (truth, sample-sized at scale) joined twice to the broadcast nearest-centroid assignment; one 1-row aggregate",
+    "x94_hll_cardinality" -> "HLL cardinality: one explode + map-side-combinable agg into the 64-register domain per (source, field); the __all__ sketch is a register-max AGG OVER SKETCH ROWS — raw tokens are never re-read for the merge",
+    "x95_pagerank" -> "pagerank: edge build = one within-cluster pair join + bounded top-k window, then 6 rounds of ONE edge join + ONE dst aggregation each (localCheckpoint lineage cuts) — O(E) per round, the CC iteration shape",
+    "x97_ivfpq_search" -> "IVF+PQ: candidate codes + bucket from ONE scan projection (literal-codebook codegen folds); broadcast queries; the bucket equi-join is the IVF prune; ADC is a map-side 4-way CASE per subspace — no join per LUT cell",
+    "x98_image_phash" -> "image phash: per-partition real PPM decode -> 4 band rows per image; candidates via band equi-join (Manku pigeonhole, lossless at Hamming<=3); verification joins hash rows, payloads never shuffle",
+    "x99_unigram_tokenize" -> "unigram tokenize: corpus pass = word-TYPE count; piece counting explodes the BOUNDED type table; vocab is a ~40-row plan-time constant inlined into the native Viterbi — segmentation is map-only on types",
+    "kq65_sliding_uniques" -> "sliding uniques: hourly registers once, then a range join of the TINY register table against the broadcast bucket list + register-max agg — the trailing-24h merge never rescans events",
+    "x101_multi_match" -> "multi_match: two per-field BM25 legs (each its own postings-pruned pass + field stats), full-outer fused in exact half-micro ints; the global top-k happens once after fusion",
     "x92_k_anonymity" -> "k-anonymity: two tiny aggregates above one scan — level-0 counts + a region re-aggregate of only the FAILING groups (bottom-up local recoding), nation dim broadcast",
     "kq57_forget_key" -> "right to erasure: partition-pruned discovery (the key filter reaches the scan), then ONLY the hit partitions rewrite via staged hide-then-swap — erasing one subject costs their partitions, never a table rewrite",
     "x93_stream_index_append" -> "streaming index maintenance: each trigger pays only its own shingle/signature pass + a segment-sized idempotent write; the corpus index is never touched, the probe is the x64 contract")
