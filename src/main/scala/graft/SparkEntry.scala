@@ -753,6 +753,34 @@ object SparkEntry {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // ---- daily COHORT RETENTION (the product-analytics matrix every ---
+    // ---- event store gets asked for): users cohort by their FIRST- ----
+    // ---- SEEN day; for each offset k in 0..6 the cohort's active ------
+    // ---- share on day c+k, as exact integer ppm. Two shuffles total: --
+    // ---- the first-seen aggregate on user, then the (cohort, k) -------
+    // ---- rollup of the distinct (user, day) activity — the activity ---
+    // ---- join is user-keyed and co-partitioned with first-seen. -------
+    "kq67_retention" -> ((s, dir) => {
+      val env = Pipeline.envelopeFlat(s, dir)
+        .select(col("key").as("user"),
+          date_trunc("day", col("timestamp")).as("day"))
+      val firstSeen = env.groupBy(col("user"))
+        .agg(min(col("day")).as("cohort"))
+      val activity = env.distinct()
+      val joined = activity.join(firstSeen, "user")
+        .withColumn("k", expr("datediff(day, cohort)").cast("int"))
+        .where(col("k").between(0, 6))
+      val cells = joined.groupBy(col("cohort"), col("k"))
+        .agg(countDistinct(col("user")).as("n_active"))
+      val sizes = firstSeen.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_users"))
+      cells.join(sizes, "cohort")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          col("n_users"), col("k"), col("n_active"),
+          expr("n_active * 1000000 div n_users").as("retention_ppm"))
+        .orderBy(col("cohort_day"), col("k"))
+    }),
+
     // ---- ES terms_enum API (the index-backed autocomplete behind ------
     // ---- Kibana's field-value suggestions): distinct values of an -----
     // ---- analyzed field matching a case-insensitive prefix, first N ---
@@ -1577,6 +1605,31 @@ object SparkEntry {
         |SELECT bucket, event_type, n FROM w, m
         |WHERE epoch_ms(bucket) + 21600000 <= epoch_ms(mx) - 3600000
         |ORDER BY bucket, event_type""".stripMargin),
+
+    // kq67: day-grain cohorts; k is the exact integer day diff;
+    // retention in exact integer ppm
+    "kq67_retention" ->
+      (envSql + """, e2 AS (
+        |  SELECT "key" AS u, date_trunc('day', "timestamp") AS d
+        |  FROM env),
+        |fs AS (SELECT u, min(d) AS cohort FROM e2 GROUP BY 1),
+        |act AS (SELECT DISTINCT u, d FROM e2),
+        |j AS (SELECT a.u, fs.cohort,
+        |        CAST(date_diff('day', CAST(fs.cohort AS DATE),
+        |          CAST(a.d AS DATE)) AS INT) AS k
+        |      FROM act a JOIN fs ON a.u = fs.u),
+        |cells AS (SELECT cohort, k, CAST(count(DISTINCT u) AS BIGINT)
+        |            AS n_active
+        |          FROM j WHERE k BETWEEN 0 AND 6 GROUP BY 1, 2),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM fs GROUP BY 1)
+        |SELECT strftime(CAST(c.cohort AS DATE), '%Y-%m-%d')
+        |    AS cohort_day,
+        |  sz.n_users, c.k, c.n_active,
+        |  CAST(c.n_active * 1000000 // sz.n_users AS BIGINT)
+        |    AS retention_ppm
+        |FROM cells c JOIN sz ON c.cohort = sz.cohort
+        |ORDER BY cohort_day, c.k""".stripMargin),
 
     // kq66: the analyzer's DuckDB rendering (the x22 form), prefix
     // filter on the analyzed term, distinct postings, index-order top-N

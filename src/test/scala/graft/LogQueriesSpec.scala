@@ -485,6 +485,34 @@ class LogQueriesSpec extends SparkSpec {
         .split("[^a-z0-9]+").contains(term)), term)
   }
 
+  test("cohort retention: the daily matrix replays driver-side from " +
+      "(user, day) activity") {
+    val out = SparkEntry.queries("kq67_retention")(spark, sf)
+      .as[(String, Long, Int, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val act = Pipeline.envelopeFlat(spark, sf)
+      .select($"key", date_format(date_trunc("day", $"timestamp"),
+        "yyyy-MM-dd"))
+      .distinct().as[(String, String)].collect()
+    val first = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohorts = first.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    def dayDiff(a: String, b: String): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(a, fmt), java.time.LocalDate.parse(b, fmt))
+    val cells = act.groupBy(r => (first(r._1), dayDiff(first(r._1), r._2)))
+      .view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    for ((c, nUsers, k, nActive, ppm) <- out) {
+      assert(nUsers == cohorts(c), c)
+      assert(nActive == cells((c, k.toLong)), s"$c k=$k")
+      assert(ppm == nActive * 1000000 / nUsers)
+    }
+    // every (cohort, k<=6) cell with activity is present
+    assert(out.length == cells.keys.count(_._2 <= 6))
+    // retention genuinely decays somewhere (not a constant matrix)
+    assert(out.map(_._5).distinct.length > 1)
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
