@@ -114,6 +114,10 @@ object ExtQueries {
     // over PQ codes, LUT cells frozen to integer micro-units.
     "x97_ivfpq_search" -> ((s: SparkSession, d: String) =>
       Similarity.ivfPqSearch(s, d)),
+    // x102: the PROBE-ONLY side — both quantizer trainings + the
+    // coding pass persist once; queries hit the stored codes table.
+    "x102_ivfpq_probe" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqProbe(s, d)),
     // x98: perceptual (aHash) image near-dup pairs over the REAL PPM
     // codec, banded Manku pigeonhole join == all-pairs truth.
     "x98_image_phash" -> ((s: SparkSession, d: String) =>
@@ -1525,6 +1529,9 @@ object ExtQueries {
     "x96_cms_topk" -> Sketches.cmsOracle,
 
     "x97_ivfpq_search" -> ivfPqSql,
+    // x102: identical result contract to x97 by construction (the
+    // persisted index changes WHERE codes come from, not their values)
+    "x102_ivfpq_probe" -> ivfPqSql,
 
     "x98_image_phash" -> Multimodal.imagePhashOracle,
 

@@ -837,6 +837,35 @@ object Similarity {
    * and the DuckDB oracle computes the same cells via an explicit
    * (query, s, c) LUT join over the replayed codebooks.
    */
+  /** The ADC scoring + per-query top-k shared by x97 (build+search in
+    * one invocation) and x102 (probe of the PERSISTED index): `cands`
+    * carries (cand_id, bucket, c0..cS), `queries` (query_id, q,
+    * bucket); the per-query LUT is inlined as literal-codebook CASE
+    * folds, every cell frozen to exact integer micro-units. */
+  private def adcTopK(cands: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Seq[Double]]], subDim: Int, topK: Int): DataFrame = {
+    val subspaces = books.length
+    val k = books.head.length
+    val adcTerms = (0 until subspaces).map { s =>
+      val cells = (0 until k).map(c =>
+        (round(subDist(col("q"), books(s)(c), s * subDim), 6)
+          .cast("decimal(12,6)") * 1000000).cast("long"))
+      (1 until k).foldLeft(when(col(s"c$s") === 0, cells(0))) {
+        case (acc, c) => acc.when(col(s"c$s") === c, cells(c))
+      }
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("cand_id"))
+    cands.join(broadcast(queries), "bucket")
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("adc_micro", adcTerms.reduce(_ + _))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .select(col("query_id"), col("bucket"), col("cand_id"),
+        col("adc_micro"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   def ivfPqSearch(spark: SparkSession, dir: String, nCentroids: Int = 8,
       iterations: Int = 2, subspaces: Int = 4, k: Int = 4,
       nQueries: Int = 10, topK: Int = 5): DataFrame = {
@@ -856,24 +885,82 @@ object Similarity {
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         nc.getField("bucket").cast("long").as("bucket"))
-    val adcTerms = (0 until subspaces).map { s =>
-      val cells = (0 until k).map(c =>
-        (round(subDist(col("q"), books(s)(c), s * subDim), 6)
-          .cast("decimal(12,6)") * 1000000).cast("long"))
-      (1 until k).foldLeft(when(col(s"c$s") === 0, cells(0))) {
-        case (acc, c) => acc.when(col(s"c$s") === c, cells(c))
-      }
+    adcTopK(cands, queries, books, subDim, topK)
+  }
+
+  /** Builds + persists the IVF+PQ index: the (vec_id, embedding,
+    * bucket, c0..cS) table bucketed on the IVF key, plus the flattened
+    * codebook table. Returns (indexTable, codebookPath). */
+  private def buildIvfPqIndex(spark: SparkSession, dir: String,
+      nCentroids: Int, iterations: Int, subspaces: Int,
+      k: Int): (String, String) = {
+    val suffix = Dedup.indexSuffix(dir)
+    val idxTable = s"graft_ivfpq_index_$suffix"
+    val cbPath =
+      s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_cb_$suffix"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val subDim = 64 / subspaces
+    val centroids = kmeansCentroids(emb, nCentroids, iterations)
+    val books = pqCodebooks(emb, subspaces, k, subDim, iterations)
+    val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
+      centroids)
+    val codeCols = (0 until subspaces).map { s =>
+      val dR = (0 until k).map(c =>
+        round(subDist(col("embedding"), books(s)(c), s * subDim), 6))
+      argminC(dR).cast("long").as(s"c$s")
     }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_micro"), col("cand_id"))
-    cands.join(broadcast(queries), "bucket")
-      .where(col("cand_id") =!= col("query_id"))
-      .withColumn("adc_micro", adcTerms.reduce(_ + _))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= topK)
-      .select(col("query_id"), col("bucket"), col("cand_id"),
-        col("adc_micro"), col("rn"))
-      .orderBy(col("query_id"), col("rn"))
+    graft.sink.BucketedTables.writeBucketed(
+      emb.select(Seq(col("vec_id"), col("embedding"),
+        nc.getField("bucket").cast("long").as("bucket")) ++ codeCols: _*),
+      idxTable, "bucket", 8,
+      path = Some(s"${sys.props("java.io.tmpdir")}/graft_index/$idxTable"))
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.flatMap { case (cv, c) =>
+        cv.zipWithIndex.map { case (v, pos) => (s, c, pos, v) } } }
+      .toDF("s", "c", "pos", "v")
+      .write.mode("overwrite").parquet(cbPath)
+    (idxTable, cbPath)
+  }
+
+  /**
+   * x102 — the PROBE-ONLY side of x97's IVF+PQ (the x62/x63 lifecycle
+   * split applied to the compressed index): the expensive part — BOTH
+   * quantizer trainings (cosine k-means and the per-subspace PQ Lloyd)
+   * plus the corpus coding pass — runs ONCE and persists as a bucketed
+   * (vec_id, bucket, codes) table and a 256-double codebook table. At
+   * query time NOTHING rescans `embeddings` or re-trains: queries pull
+   * their bucket and full-precision vector from the stored index, the
+   * codebooks load as one bounded driver read (the k x dim sync
+   * pattern), and the ADC scan runs against the stored codes. Result
+   * contract identical to [[ivfPqSearch]] — the oracle is shared.
+   */
+  def ivfPqProbe(spark: SparkSession, dir: String, nCentroids: Int = 8,
+      iterations: Int = 2, subspaces: Int = 4, k: Int = 4,
+      nQueries: Int = 10, topK: Int = 5): DataFrame = {
+    val suffix = Dedup.indexSuffix(dir)
+    val idxTable = s"graft_ivfpq_index_$suffix"
+    val cbPath =
+      s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_cb_$suffix"
+    if (!spark.catalog.tableExists(idxTable))
+      buildIvfPqIndex(spark, dir, nCentroids, iterations, subspaces, k)
+    val subDim = 64 / subspaces
+    val books: Seq[Seq[Seq[Double]]] = {
+      val rows = spark.read.parquet(cbPath)
+        .select(col("s"), col("c"), col("pos"), col("v"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          (r.getInt(2), r.getDouble(3))))
+      (0 until subspaces).map(s => (0 until k).map(c =>
+        rows.filter(_._1 == ((s, c))).map(_._2).sortBy(_._1)
+          .map(_._2).toSeq))
+    }
+    val assigned = spark.table(idxTable)
+    val cands = assigned.select(Seq(col("vec_id").as("cand_id"),
+      col("bucket")) ++ (0 until subspaces).map(s => col(s"c$s")): _*)
+    val queries = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("bucket"))
+    adcTopK(cands, queries, books, subDim, topK)
   }
 
   /**

@@ -47,6 +47,20 @@ class IndexReuseSpec extends SparkSpec {
     assert(plan.contains("graft_ivf_index_"), plan)
   }
 
+  test("IVF+PQ probe equals the inline build+search; the probe plan " +
+      "never scans embeddings") {
+    val inline = Similarity.ivfPqSearch(spark, sf).collect().toSeq
+    val probe = Similarity.ivfPqProbe(spark, sf)
+    val probed = probe.collect().toSeq
+    assert(probed == inline)
+    assert(probed.nonEmpty)
+    val plan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("embeddings.parquet"),
+      s"probe plan must read only the stored index:\n$plan")
+    assert(plan.contains("graft_ivfpq_index_"), plan)
+  }
+
   test("IVF segment append: stored-centroid assignment, global top-k " +
       "across segments; planted copies rediscovered at sim 1.0") {
     import org.apache.spark.sql.functions._
