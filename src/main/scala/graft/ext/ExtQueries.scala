@@ -122,6 +122,10 @@ object ExtQueries {
     // codec, banded Manku pigeonhole join == all-pairs truth.
     "x98_image_phash" -> ((s: SparkSession, d: String) =>
       Multimodal.imagePhashPairs(s, d)),
+    // x103: audio near-dup pairs — per-channel 16-window energy
+    // fingerprints over the real WAV chunk walker, 3-band pigeonhole.
+    "x103_audio_fingerprint" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioFingerprintPairs(s, d)),
     // x99: unigram-LM (SentencePiece-style) Viterbi tokenization —
     // integer nano-nat piece weights, native max-likelihood DP.
     "x99_unigram_tokenize" -> ((s: SparkSession, d: String) =>
@@ -1534,6 +1538,8 @@ object ExtQueries {
     "x102_ivfpq_probe" -> ivfPqSql,
 
     "x98_image_phash" -> Multimodal.imagePhashOracle,
+
+    "x103_audio_fingerprint" -> Multimodal.audioFingerprintOracle,
 
     "x99_unigram_tokenize" -> Bpe.unigramOracle,
 

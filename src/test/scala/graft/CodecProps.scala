@@ -110,6 +110,31 @@ object CodecProps extends Properties("mediaCodecs") {
       ppm && wav
     }
 
+  property("WAV fingerprint: window-energy bits equal an independent " +
+      "reference on arbitrary PCM (integer window map, cross-multiply)") =
+    Prop.forAll(for {
+      nch <- Gen.choose(1, 2)
+      frames <- Gen.choose(16, 200)
+      samples <- Gen.listOfN(nch * frames, Gen.choose(-1024, 1023))
+    } yield (nch, frames, samples.toArray)) {
+      case (nch, frames, samples) =>
+        val fps = Multimodal.wavFingerprint(
+          Multimodal.encodeWav(nch, samples))
+        fps.length == nch && fps.forall { case (c, fr, fp) =>
+          val e = Array.fill(16)(0L); val n = Array.fill(16)(0L)
+          var tot = 0L
+          for (s <- 0 until frames) {
+            val v = samples(s * nch + c).toLong
+            val w = s * 16 / frames
+            e(w) += v * v; n(w) += 1; tot += v * v
+          }
+          var ref = 0L
+          for (w <- 0 until 16)
+            if (e(w) * frames > tot * n(w)) ref |= 1L << w
+          fr == frames && fp == ref && n.forall(_ > 0)
+        }
+    }
+
   property("aHash: band bits equal an independent 8x8 grid reference on " +
       "arbitrary images (integer cell map, cross-multiplied threshold)") =
     Prop.forAll(genDims.suchThat { case (w, h) => w >= 8 && h >= 8 }
