@@ -753,6 +753,28 @@ object SparkEntry {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // ---- heartbeat GAP detection (the ops-monitoring dual of q25's ----
+    // ---- sessionize): per user, every silence longer than 12 h --------
+    // ---- between consecutive events — ONE lag window per user key, ----
+    // ---- exact integer microsecond gaps, top-50 by length. The --------
+    // ---- open-ended tail (silence still running at data end) is a -----
+    // ---- live-alert concern (kq49's timer entry), not a batch row. ----
+    "kq68_gap_detection" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("timestamp"), col("offset"))
+      Pipeline.envelopeFlat(s, dir)
+        .select(col("key"), col("timestamp"), col("offset"))
+        .withColumn("prev_ts", lag(col("timestamp"), 1).over(w))
+        .withColumn("gap_us",
+          unix_micros(col("timestamp")) - unix_micros(col("prev_ts")))
+        .where(col("gap_us") > 43200000000L) // 12 h
+        .select(col("key"), col("prev_ts").as("gap_start"),
+          col("timestamp").as("gap_end"), col("gap_us"))
+        .orderBy(col("gap_us").desc, col("key"), col("gap_start"))
+        .limit(50)
+    }),
+
     // ---- daily COHORT RETENTION (the product-analytics matrix every ---
     // ---- event store gets asked for): users cohort by their FIRST- ----
     // ---- SEEN day; for each offset k in 0..6 the cohort's active ------
@@ -1605,6 +1627,20 @@ object SparkEntry {
         |SELECT bucket, event_type, n FROM w, m
         |WHERE epoch_ms(bucket) + 21600000 <= epoch_ms(mx) - 3600000
         |ORDER BY bucket, event_type""".stripMargin),
+
+    // kq68: same lag window; gaps in exact integer microseconds
+    "kq68_gap_detection" ->
+      (envSql + """SELECT "key", gap_start, gap_end, gap_us FROM (
+        |  SELECT "key",
+        |    lag("timestamp") OVER (PARTITION BY "key"
+        |      ORDER BY "timestamp", "offset") AS gap_start,
+        |    "timestamp" AS gap_end,
+        |    epoch_us("timestamp") - epoch_us(lag("timestamp") OVER (
+        |      PARTITION BY "key" ORDER BY "timestamp", "offset"))
+        |      AS gap_us
+        |  FROM env)
+        |WHERE gap_us > 43200000000
+        |ORDER BY gap_us DESC, "key", gap_start LIMIT 50""".stripMargin),
 
     // kq67: day-grain cohorts; k is the exact integer day diff;
     // retention in exact integer ppm

@@ -513,6 +513,29 @@ class LogQueriesSpec extends SparkSpec {
     assert(out.map(_._5).distinct.length > 1)
   }
 
+  test("gap detection: every reported silence replays from the raw " +
+      "per-user timeline; nothing above threshold is missed in top-50") {
+    val out = SparkEntry.queries("kq68_gap_detection")(spark, sf)
+      .select($"key", unix_micros($"gap_start"), unix_micros($"gap_end"),
+        $"gap_us")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.length <= 50)
+    val timeline = Pipeline.envelopeFlat(spark, sf)
+      .select($"key", unix_micros($"timestamp"), $"offset")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(r => (r._2, r._3)).map(_._2).toSeq).toMap
+    val allGaps = (for {
+      (k, ts) <- timeline.toSeq
+      pair <- ts.sliding(2) if pair.length == 2
+      a = pair(0); b = pair(1)
+      if b - a > 43200000000L
+    } yield (k, a, b, b - a))
+      .sortBy(g => (-g._4, g._1, g._2))
+    assert(out.toSeq == allGaps.take(out.length))
+    for ((_, a, b, g) <- out) assert(g == b - a && g > 43200000000L)
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
