@@ -126,6 +126,14 @@ object ExtQueries {
     // fingerprints over the real WAV chunk walker, 3-band pigeonhole.
     "x103_audio_fingerprint" -> ((s: SparkSession, d: String) =>
       Multimodal.audioFingerprintPairs(s, d)),
+    // x104: triangle census per cluster — ordered node-iterator join,
+    // exact integer wedge/closure arithmetic.
+    "x104_triangles" -> ((s: SparkSession, d: String) =>
+      Similarity.triangleCensus(s, d)),
+    // x105: Adamic–Adar link prediction — hub-generated candidate
+    // pairs, 1/ln(deg) contributions frozen to exact integers.
+    "x105_adamic_adar" -> ((s: SparkSession, d: String) =>
+      Similarity.adamicAdar(s, d)),
     // x99: unigram-LM (SentencePiece-style) Viterbi tokenization —
     // integer nano-nat piece weights, native max-likelihood DP.
     "x99_unigram_tokenize" -> ((s: SparkSession, d: String) =>
@@ -616,6 +624,74 @@ object ExtQueries {
        |  pr_nano
        |FROM fin WHERE rank <= 20 ORDER BY rank""".stripMargin
   }
+
+  /** Shared oracle prefix for the graph-analytics entries (x104/x105):
+    * k-means replay → cluster-scoped kNN edges (the x95 knn0 form) →
+    * canonical undirected edge set (a = min, b = max, DISTINCT). */
+  private lazy val undKnnCtes: String =
+    s"""$kmeansCtes,
+       |sc AS MATERIALIZED (SELECT vec_id, emb, bucket FROM asg),
+       |nodes AS MATERIALIZED (SELECT vec_id, bucket FROM sc),
+       |knn0 AS (SELECT src, dst FROM (
+       |    SELECT x.vec_id AS src, y.vec_id AS dst, row_number() OVER (
+       |        PARTITION BY x.vec_id
+       |        ORDER BY round(list_cosine_similarity(x.emb, y.emb), 6) DESC,
+       |                 y.vec_id) AS rn
+       |    FROM sc x JOIN sc y
+       |      ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+       |  WHERE rn <= 4),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |    greatest(src, dst) AS b FROM knn0)""".stripMargin
+
+  /** x104's oracle: per-cluster node/edge/wedge/triangle counts and the
+    * integer-ppm global clustering coefficient, all exact integers. */
+  private lazy val triangleSql: String =
+    s"""WITH $undKnnCtes,
+       |deg AS (SELECT v, count(*) AS deg FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) t
+       |  GROUP BY 1),
+       |wb AS (SELECT n.bucket,
+       |    CAST(SUM(d.deg * (d.deg - 1) // 2) AS BIGINT) AS wedges
+       |  FROM deg d JOIN nodes n ON d.v = n.vec_id GROUP BY 1),
+       |tb AS (SELECT n.bucket, count(*) AS triangles
+       |  FROM und e1
+       |  JOIN und e2 ON e1.a = e2.a AND e2.b > e1.b
+       |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+       |  JOIN nodes n ON e1.a = n.vec_id GROUP BY 1),
+       |eb AS (SELECT n.bucket, count(*) AS n_edges
+       |  FROM und u JOIN nodes n ON u.a = n.vec_id GROUP BY 1),
+       |nb AS (SELECT bucket, count(*) AS n_nodes FROM nodes GROUP BY 1)
+       |SELECT nb.bucket, nb.n_nodes,
+       |  COALESCE(eb.n_edges, 0) AS n_edges,
+       |  COALESCE(wb.wedges, 0) AS wedges,
+       |  COALESCE(tb.triangles, 0) AS triangles,
+       |  CASE WHEN COALESCE(wb.wedges, 0) > 0
+       |       THEN (3000000 * COALESCE(tb.triangles, 0)) // wb.wedges
+       |       ELSE 0 END AS closure_ppm
+       |FROM nb LEFT JOIN eb USING (bucket) LEFT JOIN wb USING (bucket)
+       |LEFT JOIN tb USING (bucket)
+       |ORDER BY bucket""".stripMargin
+
+  /** x105's oracle: hub-generated common-neighbor pairs, adjacency
+    * anti-joined away, contributions 1e18 // ⌊ln(deg)·1e9⌋ — the same
+    * integer freeze as the entry, summed exactly. */
+  private lazy val adamicAdarSql: String =
+    s"""WITH $undKnnCtes,
+       |adj AS MATERIALIZED (SELECT a AS v, b AS n FROM und
+       |  UNION ALL SELECT b AS v, a AS n FROM und),
+       |lnn AS (SELECT v,
+       |    CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1e9) AS BIGINT)
+       |      AS ln_nano
+       |  FROM adj GROUP BY 1),
+       |cand AS (SELECT a1.n AS a, a2.n AS b, a1.v AS z
+       |  FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a2.n > a1.n),
+       |sc0 AS (SELECT c.a, c.b, count(*) AS cn,
+       |    CAST(SUM(1000000000000000000 // l.ln_nano) AS BIGINT) AS aa_nano
+       |  FROM cand c JOIN lnn l ON c.z = l.v GROUP BY 1, 2)
+       |SELECT s.a, s.b, s.cn, s.aa_nano
+       |FROM sc0 s LEFT JOIN und u ON s.a = u.a AND s.b = u.b
+       |WHERE u.a IS NULL
+       |ORDER BY s.aa_nano DESC, s.a, s.b LIMIT 30""".stripMargin
 
   /** x68's oracle: the same stored-centroid k-means replay, with the
     * appended segment and the queries BOTH assigned via the final cent2
@@ -1540,6 +1616,10 @@ object ExtQueries {
     "x98_image_phash" -> Multimodal.imagePhashOracle,
 
     "x103_audio_fingerprint" -> Multimodal.audioFingerprintOracle,
+
+    "x104_triangles" -> triangleSql,
+
+    "x105_adamic_adar" -> adamicAdarSql,
 
     "x99_unigram_tokenize" -> Bpe.unigramOracle,
 

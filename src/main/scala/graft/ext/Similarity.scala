@@ -397,6 +397,124 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** The UNDIRECTED edge set of [[knnGraph]]: each directed kNN edge
+    * canonicalized to (a = min, b = max) and deduplicated — shared by
+    * the x104 triangle census and the x105 Adamic–Adar entries. Both
+    * endpoints of every edge share a cluster by construction. */
+  private def undirectedKnn(spark: SparkSession, dir: String,
+      nCentroids: Int, iterations: Int, k: Int): (DataFrame, DataFrame) = {
+    val (edges, nodes) = knnGraph(spark, dir, nCentroids, iterations, k)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint() // referenced 3x by the triangle join
+    (und, nodes)
+  }
+
+  /**
+   * x104 — TRIANGLE CENSUS over the cluster-scoped kNN similarity
+   * graph: per cluster, the node/edge counts, open-wedge count
+   * (Σ deg·(deg−1)/2), triangle count, and the global clustering
+   * coefficient 3·triangles/wedges in exact integer ppm. Triangles are
+   * the classic graph-quality signal (how clique-like is each
+   * neighborhood) and the standard benchmark for join-based graph
+   * processing.
+   *
+   * Determinism: pure integer arithmetic end to end — counts, the
+   * wedge sum, and a positive floor division for the ppm coefficient
+   * (DuckDB `//` and Spark `div` agree on non-negative operands).
+   *
+   * Scale: the compute-optimal ordered node-iterator formulation — the
+   * undirected edge list is canonicalized (a < b) so each triangle is
+   * counted exactly once by joining e1(a,b) ⋈ e2(a,c>b) on the shared
+   * LOW endpoint, then probing the (b,c) closure edge. All three legs
+   * shuffle on an edge endpoint; the fanout of the wedge join is
+   * Σ deg², bounded by k² per node (k = 4), so the plan is O(E·k) —
+   * no per-node adjacency materialization, no driver state. The edge
+   * list is localCheckpoint'd once (three consumers).
+   */
+  def triangleCensus(spark: SparkSession, dir: String, nCentroids: Int = 8,
+      iterations: Int = 2, k: Int = 4): DataFrame = {
+    val (und, nodes) = undirectedKnn(spark, dir, nCentroids, iterations, k)
+    val buckets = nodes.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val aBucket = nodes.select(col("vec_id").as("a"), col("bucket"))
+    val edgesB = und.join(aBucket, "a")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_edges"))
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = deg
+      .join(nodes.withColumnRenamed("vec_id", "v"), "v")
+      .groupBy(col("bucket"))
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+    val tri = und
+      .join(und.select(col("a").as("a2"), col("b").as("c")),
+        col("a") === col("a2") && col("c") > col("b"))
+      .join(und.select(col("a").as("b3"), col("b").as("c3")),
+        col("b") === col("b3") && col("c") === col("c3"))
+      .join(aBucket, "a")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("triangles"))
+    buckets
+      .join(edgesB, Seq("bucket"), "left")
+      .join(wedges, Seq("bucket"), "left")
+      .join(tri, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("wedges"), lit(0L)).as("wedges"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("closure_ppm",
+        when(col("wedges") > 0,
+          expr("(3000000 * triangles) div wedges")).otherwise(lit(0L)))
+      .orderBy(col("bucket"))
+  }
+
+  /**
+   * x105 — ADAMIC–ADAR link prediction over the same graph: for every
+   * same-cluster NON-adjacent pair with at least one common neighbor,
+   * score AA(a,b) = Σ_z 1/ln(deg z) over common neighbors z — the
+   * classic "which near-duplicate communities are about to merge" /
+   * recommendation signal (Adamic & Adar 2003) — and keep the global
+   * top 30.
+   *
+   * Determinism: ln is bit-identical across engines (x22/x24
+   * precedent); each neighbor's contribution is frozen to integers as
+   * 1e18 div ⌊ln(deg)·1e9⌋ — floor on a positive double, then positive
+   * integer floor-division — so the SUM is exact BIGINT arithmetic in
+   * any order. deg(z) ≥ 2 for any common neighbor, so the divisor is
+   * ≥ ⌊ln 2·1e9⌋ > 0.
+   *
+   * Scale: candidate pairs are generated through the shared hub z
+   * (adjacency exploded both directions, self-joined on z with a < b) —
+   * Σ deg² fanout, k-bounded like x104 — then one hash aggregation on
+   * (a,b) and a broadcast-able anti-join against the edge list drops
+   * already-adjacent pairs. A global top-k window finishes; nothing is
+   * quadratic in the corpus.
+   */
+  def adamicAdar(spark: SparkSession, dir: String, nCentroids: Int = 8,
+      iterations: Int = 2, k: Int = 4, topN: Int = 30): DataFrame = {
+    val (und, _) = undirectedKnn(spark, dir, nCentroids, iterations, k)
+    val adj = und.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("n")))
+    val lnNano = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .select(col("v"),
+        floor(log(col("deg").cast("double")) * lit(1.0e9))
+          .cast("long").as("ln_nano"))
+    val cand = adj.select(col("v").as("z"), col("n").as("a"))
+      .join(adj.select(col("v").as("z2"), col("n").as("b")),
+        col("z") === col("z2") && col("b") > col("a"))
+      .join(lnNano.withColumnRenamed("v", "z"), "z")
+      .select(col("a"), col("b"),
+        expr("cast(1000000000000000000 as bigint) div ln_nano")
+          .as("contrib"))
+    cand.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("contrib")).as("aa_nano"))
+      .join(und, Seq("a", "b"), "left_anti")
+      .orderBy(col("aa_nano").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /**
    * x61 — "index once, query many" for ANN (the IVF counterpart of
    * [[graft.ext.Dedup.dedupIndexReuse]]): the expensive build — Lloyd

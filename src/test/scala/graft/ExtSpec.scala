@@ -1603,4 +1603,48 @@ class ExtSpec extends SparkSpec {
     // the graph is non-trivial: some node concentrates > 2x base mass
     assert(want.head._2 > 2000000000L)
   }
+
+  test("x104/x105: triangle census and adamic-adar replay driver-side " +
+      "from the shared undirected kNN edge list") {
+    import spark.implicits._
+    val (edgeDf, nodeDf) = graft.ext.Similarity.knnGraph(spark, sf, 8, 2, 4)
+    val und = edgeDf.as[(Long, Long)].collect()
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct.toSeq
+    val bucketOf = nodeDf.as[(Long, Long)].collect().toMap
+    val undSet = und.toSet
+    val adj = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = adj.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byA = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var triPerBucket = Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, nbrs) <- byA; b <- nbrs; c <- nbrs if c > b && undSet((b, c)))
+      triPerBucket += bucketOf(a) -> (triPerBucket(bucketOf(a)) + 1L)
+    val wedgePerBucket = deg.toSeq.groupBy { case (v, _) => bucketOf(v) }
+      .view.mapValues(_.map { case (_, d) => d * (d - 1) / 2 }.sum).toMap
+    val got = graft.ext.Similarity.triangleCensus(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    for ((bucket, nNodes, nEdges, wedges, tri, ppm) <- got) {
+      assert(nNodes == bucketOf.values.count(_ == bucket).toLong)
+      assert(nEdges == und.count { case (a, _) => bucketOf(a) == bucket }.toLong)
+      assert(wedges == wedgePerBucket.getOrElse(bucket, 0L))
+      assert(tri == triPerBucket(bucket))
+      assert(ppm == (if (wedges > 0) 3000000L * tri / wedges else 0L))
+    }
+    // the kNN graph actually closes triangles (mutual-neighbor clusters)
+    assert(got.map(_._5).sum > 0)
+
+    val nbrsOf = adj.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lnNano = deg.view
+      .mapValues(d => math.floor(math.log(d.toDouble) * 1e9).toLong).toMap
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((z, ns) <- nbrsOf; a <- ns; b <- ns if b > a && !undSet((a, b))) {
+      val (cn, aa) = scores.getOrElse((a, b), (0L, 0L))
+      scores((a, b)) = (cn + 1L, aa + 1000000000000000000L / lnNano(z))
+    }
+    val want = scores.toSeq.map { case ((a, b), (cn, aa)) => (a, b, cn, aa) }
+      .sortBy { case (a, b, _, aa) => (-aa, a, b) }.take(30)
+    val gotAa = graft.ext.Similarity.adamicAdar(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotAa == want)
+  }
 }
