@@ -775,6 +775,118 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // ---- ES string_stats aggregation (+ its entropy metric): length ---
+    // ---- stats of the props payload per event_type, and the Shannon ---
+    // ---- entropy of the CHARACTER distribution in exact nano-nats: ----
+    // ---- H = ln N − (Σ k·ln k)/N with every ln frozen to -------------
+    // ---- ⌊ln(x)·1e9⌋ and a positive integer floor-division, so the ----
+    // ---- whole metric is BIGINT arithmetic (x105's freeze). Chars -----
+    // ---- explode via sequence+substring — one map-side explode, two ---
+    // ---- hash aggregations; no window, no driver state. ---------------
+    "kq69_string_stats" -> ((s, dir) => {
+      val base = Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull && col("props").isNotNull &&
+          length(col("props")) >= 1)
+        .select(col("event_type"), col("props"))
+      val lens = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_values"),
+          min(length(col("props")).cast("long")).as("min_len"),
+          max(length(col("props")).cast("long")).as("max_len"),
+          sum(length(col("props")).cast("long")).as("total_chars"))
+      val ent = base
+        .withColumn("i", explode(sequence(lit(1), length(col("props")))))
+        .select(col("event_type"), expr("substring(props, i, 1)").as("ch"))
+        .groupBy(col("event_type"), col("ch"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("uniq_chars"),
+          sum(col("k") *
+            floor(log(col("k").cast("double")) * lit(1.0e9)).cast("long"))
+            .as("klnk"))
+      lens.join(ent, "event_type")
+        .select(col("event_type"), col("n_values"), col("min_len"),
+          col("max_len"), col("total_chars"), col("uniq_chars"),
+          (floor(log(col("total_chars").cast("double")) * lit(1.0e9))
+            .cast("long") - expr("klnk div total_chars")).as("entropy_nano"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- ES t_test aggregation (Welch, unpaired): is the daily mean ---
+    // ---- purchase value drifting from the click mean? Values freeze ---
+    // ---- to integer cents (kq52's recipe), every moment is an exact ---
+    // ---- integer (n·sxx − sx² etc.), and t is derived from those ------
+    // ---- integers with the IDENTICAL op sequence in both engines ------
+    // ---- (the ±1-ulp corr precedent) — the cents scale cancels --------
+    // ---- algebraically between numerator and denominator. ONE --------
+    // ---- conditional-aggregation pass per day; no self-join. ----------
+    "kq70_t_test" -> ((s, dir) => {
+      val xc = (col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")
+      def side(t: String, c: org.apache.spark.sql.Column) =
+        when(col("event_type") === t, c)
+      val g = Pipeline.envelopeFlat(s, dir)
+        .where(col("value").isNotNull &&
+          col("event_type").isin("click", "purchase"))
+        .select(date_trunc("day", col("timestamp")).as("day"),
+          col("event_type"), xc.as("xc"))
+        .groupBy(col("day"))
+        .agg(
+          count(side("click", lit(1))).as("n1"),
+          sum(side("click", col("xc"))).as("sx1"),
+          sum(side("click", (col("xc") * col("xc")).cast("decimal(38,0)")))
+            .as("sxx1"),
+          count(side("purchase", lit(1))).as("n2"),
+          sum(side("purchase", col("xc"))).as("sx2"),
+          sum(side("purchase", (col("xc") * col("xc")).cast("decimal(38,0)")))
+            .as("sxx2"))
+      val n1d = col("n1").cast("decimal(38,0)")
+      val n2d = col("n2").cast("decimal(38,0)")
+      g.select(col("day"), col("n1"), col("n2"),
+          (col("sx1").cast("decimal(38,0)") * col("n2") -
+            col("sx2").cast("decimal(38,0)") * col("n1")).cast("long")
+            .as("diff_num"),
+          (n1d * col("sxx1") - col("sx1").cast("decimal(38,0)") * col("sx1"))
+            .cast("long").as("var1_num"),
+          (n2d * col("sxx2") - col("sx2").cast("decimal(38,0)") * col("sx2"))
+            .cast("long").as("var2_num"))
+        .withColumn("t_welch",
+          when(col("n1") > 1 && col("n2") > 1 &&
+              (col("var1_num") > 0 || col("var2_num") > 0),
+            col("diff_num").cast("double") / (col("n1") * col("n2")) /
+              sqrt(col("var1_num").cast("double") /
+                     (col("n1") * col("n1") * (col("n1") - 1)) +
+                   col("var2_num").cast("double") /
+                     (col("n2") * col("n2") * (col("n2") - 1)))))
+        .orderBy(col("day"))
+    }),
+
+    // ---- ES median_absolute_deviation: the robust dispersion metric, --
+    // ---- exact — LOWER-median order statistics (rank ⌈n/2⌉, no --------
+    // ---- interpolation arithmetic, so the emitted values are INPUT ----
+    // ---- doubles, bit-identical across engines), two bounded ----------
+    // ---- windows partitioned by the group key — never a global sort. --
+    "kq71_mad" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byType = Window.partitionBy(col("event_type"))
+      val wv = byType.orderBy(col("value"))
+      val base = Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val med = base
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(byType))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("n"), col("value").as("median"))
+      val wd = Window.partitionBy(col("event_type")).orderBy(col("dev"))
+      base.join(med, "event_type")
+        .withColumn("dev", abs(col("value") - col("median")))
+        .withColumn("rd", row_number().over(wd))
+        .where(col("rd") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("n"), col("median"),
+          col("dev").as("mad"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- daily COHORT RETENTION (the product-analytics matrix every ---
     // ---- event store gets asked for): users cohort by their FIRST- ----
     // ---- SEEN day; for each offset k in 0..6 the cohort's active ------
@@ -1641,6 +1753,100 @@ object SparkEntry {
         |  FROM env)
         |WHERE gap_us > 43200000000
         |ORDER BY gap_us DESC, "key", gap_start LIMIT 50""".stripMargin),
+
+    // kq69: identical character explode (unnest of generate_series) and
+    // the same integer nano-nat freeze of every ln
+    "kq69_string_stats" ->
+      (envSql + """, base AS (
+        |  SELECT event_type, props FROM env
+        |  WHERE event_type IS NOT NULL AND props IS NOT NULL
+        |    AND len(props) >= 1),
+        |lens AS (
+        |  SELECT event_type, count(*) AS n_values,
+        |    min(len(props)) AS min_len, max(len(props)) AS max_len,
+        |    CAST(sum(len(props)) AS BIGINT) AS total_chars
+        |  FROM base GROUP BY 1),
+        |chars AS (
+        |  SELECT event_type, substr(props, i, 1) AS ch FROM (
+        |    SELECT event_type, props,
+        |      unnest(generate_series(1, len(props))) AS i
+        |    FROM base)),
+        |kk AS (SELECT event_type, ch, count(*) AS k
+        |       FROM chars GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT event_type, count(*) AS uniq_chars,
+        |    CAST(SUM(k * CAST(floor(ln(CAST(k AS DOUBLE)) * 1e9) AS BIGINT))
+        |         AS BIGINT) AS klnk
+        |  FROM kk GROUP BY 1)
+        |SELECT l.event_type, l.n_values, l.min_len, l.max_len,
+        |  l.total_chars, e.uniq_chars,
+        |  CAST(floor(ln(CAST(l.total_chars AS DOUBLE)) * 1e9) AS BIGINT)
+        |    - e.klnk // l.total_chars AS entropy_nano
+        |FROM lens l JOIN ent e USING (event_type)
+        |ORDER BY event_type""".stripMargin),
+
+    // kq70: cents freeze + exact integer moments (kq52's recipe); t is
+    // derived with the IDENTICAL op sequence as the Spark side
+    "kq70_t_test" ->
+      (envSql + """, j AS (
+        |  SELECT date_trunc('day', "timestamp") AS "day", event_type,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        |  FROM env
+        |  WHERE "value" IS NOT NULL AND event_type IN ('click', 'purchase')),
+        |g AS (
+        |  SELECT "day",
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN xc END)
+        |         AS BIGINT) AS sx1,
+        |    sum(CASE WHEN event_type = 'click'
+        |             THEN CAST(xc AS HUGEINT) * xc END) AS sxx1,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n2,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN xc END)
+        |         AS BIGINT) AS sx2,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(xc AS HUGEINT) * xc END) AS sxx2
+        |  FROM j GROUP BY 1),
+        |m AS (
+        |  SELECT "day", n1, n2,
+        |    CAST(CAST(sx1 AS HUGEINT) * n2 - CAST(sx2 AS HUGEINT) * n1
+        |         AS BIGINT) AS diff_num,
+        |    CAST(CAST(n1 AS HUGEINT) * sxx1 - CAST(sx1 AS HUGEINT) * sx1
+        |         AS BIGINT) AS var1_num,
+        |    CAST(CAST(n2 AS HUGEINT) * sxx2 - CAST(sx2 AS HUGEINT) * sx2
+        |         AS BIGINT) AS var2_num
+        |  FROM g)
+        |SELECT "day", n1, n2, diff_num, var1_num, var2_num,
+        |  CASE WHEN n1 > 1 AND n2 > 1 AND (var1_num > 0 OR var2_num > 0)
+        |       THEN CAST(diff_num AS DOUBLE) / (n1 * n2) /
+        |            sqrt(CAST(var1_num AS DOUBLE) / (n1 * n1 * (n1 - 1)) +
+        |                 CAST(var2_num AS DOUBLE) / (n2 * n2 * (n2 - 1)))
+        |  END AS t_welch
+        |FROM m ORDER BY "day"""".stripMargin),
+
+    // kq71: lower-median order statistics — rank (n+1)//2 by value, then
+    // by |value − median|; emitted values are INPUT doubles
+    "kq71_mad" ->
+      (envSql + """, base AS (
+        |  SELECT event_type, "value" FROM env
+        |  WHERE event_type IS NOT NULL AND "value" IS NOT NULL),
+        |med AS (
+        |  SELECT event_type, n, "value" AS median FROM (
+        |    SELECT event_type, "value",
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY "value") AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM base)
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT b.event_type, m.n, m.median,
+        |    abs(b."value" - m.median) AS dev
+        |  FROM base b JOIN med m USING (event_type))
+        |SELECT event_type, n, median, dev AS mad FROM (
+        |  SELECT event_type, n, median, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rd
+        |  FROM dev)
+        |WHERE rd = (n + 1) // 2
+        |ORDER BY event_type""".stripMargin),
 
     // kq67: day-grain cohorts; k is the exact integer day diff;
     // retention in exact integer ppm

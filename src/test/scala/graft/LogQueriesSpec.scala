@@ -536,6 +536,67 @@ class LogQueriesSpec extends SparkSpec {
     for ((_, a, b, g) <- out) assert(g == b - a && g > 43200000000L)
   }
 
+  test("kq69/kq70/kq71: string_stats entropy, Welch t, and MAD replay " +
+      "driver-side from the raw envelope") {
+    // kq69: entropy of the char distribution of 'click' props payloads
+    val props = Pipeline.envelopeFlat(spark, sf)
+      .where($"event_type" === "click" && $"props".isNotNull)
+      .select($"props").as[String].collect()
+    val counts = props.flatMap(_.toSeq).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    def lnNano(x: Long) = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val klnk = counts.values.map(k => k * lnNano(k)).sum
+    val wantEntropy = lnNano(total) - klnk / total
+    val gotRow = SparkEntry.queries("kq69_string_stats")(spark, sf)
+      .where($"event_type" === "click")
+      .select($"total_chars", $"uniq_chars", $"entropy_nano")
+      .as[(Long, Long, Long)].head()
+    assert(gotRow == ((total, counts.size.toLong, wantEntropy)))
+
+    // kq70: replay Welch t for the busiest day from the raw cents
+    val byDay = Pipeline.envelopeFlat(spark, sf)
+      .where($"value".isNotNull && $"event_type".isin("click", "purchase"))
+      .select(date_trunc("day", $"timestamp").cast("string").as("d"),
+        $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("xc"))
+      .as[(String, String, Long)].collect().groupBy(_._1)
+    val (day, rows) = byDay.maxBy(_._2.length)
+    val c = rows.filter(_._2 == "click").map(_._3)
+    val p = rows.filter(_._2 == "purchase").map(_._3)
+    val (n1, n2) = (c.length.toLong, p.length.toLong)
+    val (sx1, sx2) = (c.sum, p.sum)
+    val (sxx1, sxx2) = (c.map(x => BigInt(x) * x).sum, p.map(x => BigInt(x) * x).sum)
+    val v1 = (BigInt(n1) * sxx1 - BigInt(sx1) * sx1).toLong
+    val v2 = (BigInt(n2) * sxx2 - BigInt(sx2) * sx2).toLong
+    val diff = (BigInt(sx1) * n2 - BigInt(sx2) * n1).toLong
+    val wantT = diff.toDouble / (n1 * n2) /
+      math.sqrt(v1.toDouble / (n1 * n1 * (n1 - 1)) +
+        v2.toDouble / (n2 * n2 * (n2 - 1)))
+    val gotT = SparkEntry.queries("kq70_t_test")(spark, sf)
+      .where($"day".cast("string") === day)
+      .select($"t_welch").as[Double].head()
+    assert(gotT == wantT)
+
+    // kq71: lower-median MAD replay for every event_type
+    val vals = Pipeline.envelopeFlat(spark, sf)
+      .where($"event_type".isNotNull && $"value".isNotNull)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val got = SparkEntry.queries("kq71_mad")(spark, sf)
+      .select($"event_type", $"n", $"median", $"mad")
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == vals.keys.toSeq.sorted)
+    for ((et, n, med, mad) <- got) {
+      val vs = vals(et)
+      assert(n == vs.length.toLong)
+      val wantMed = vs((vs.length + 1) / 2 - 1)
+      assert(med == wantMed)
+      val devs = vs.map(v => math.abs(v - wantMed)).sorted
+      assert(mad == devs((devs.length + 1) / 2 - 1))
+    }
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
