@@ -664,6 +664,164 @@ object RelQueries {
         |ORDER BY o.o_orderkey, price_cents DESC, l_linenumber""".stripMargin)
   }
 
+  /** 8-bit Morton interleave of two pre-bucketed dims, as a SQL
+    * expression string — the disjoint bit terms sum (= OR). `mkShift`
+    * abstracts the shift syntax (Spark `shiftleft(shiftright(..))`
+    * functions vs DuckDB `<<`/`>>` operators); the arithmetic is
+    * identical. */
+  private def mortonTerms(x: String, y: String,
+      shl: (String, Int) => String, shr: (String, Int) => String): String =
+    (0 until 8).flatMap(i => Seq(
+      shl(s"(${shr(x, i)}) & 1", 2 * i),
+      shl(s"(${shr(y, i)}) & 1", 2 * i + 1))).mkString(" + ")
+
+  /**
+   * q40 — Z-ORDER (Morton-curve) data layout vs a linear sort, measured
+   * by what a min/max-pruning reader would skip: both dims bucket to
+   * 8 bits, the Z-key interleaves them, and each layout's top-6-bits
+   * range partitioning assigns 64 "files"; per file the zone-map
+   * (min/max of each dim) is computed, and for three query boxes
+   * (a quadrant, an x-stripe, a y-stripe) the result reports how many
+   * files each layout's zone maps fail to prune. The point of the
+   * operator: a single-column sort prunes ONLY its own column's
+   * stripes; the Z-order layout bounds BOTH dims per file, so every
+   * box query skips most files — the lakehouse clustering decision in
+   * one measurable plan. Everything is exact integers; file assignment
+   * is CONTENT-based (key-range partitioning on leading bits), so no
+   * global sort/window is needed at any scale — a map-side projection
+   * plus two small aggregations over (file) keys.
+   */
+  def q40Zorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select((col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+    val z = mortonTerms("x", "y",
+      (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+    val tagged = li
+      .withColumn("zfile", expr(s"($z) >> 10"))
+      .withColumn("lfile", expr("shiftright(x, 2)"))
+    val qdf = broadcast(Seq(
+      ("q1_quadrant", 0L, 63L, 0L, 63L),
+      ("q2_x_stripe", 0L, 15L, 0L, 255L),
+      ("q3_y_stripe", 0L, 255L, 0L, 15L))
+      .toDF("query_name", "xlo", "xhi", "ylo", "yhi"))
+    def layoutStats(fileCol: String, layout: String) =
+      tagged.groupBy(col(fileCol).as("file"))
+        .agg(min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .withColumn("layout", lit(layout))
+    val stats = layoutStats("zfile", "zorder")
+      .unionAll(layoutStats("lfile", "linear"))
+    val touched = stats.crossJoin(qdf)
+      .where(col("min_x") <= col("xhi") && col("max_x") >= col("xlo") &&
+        col("min_y") <= col("yhi") && col("max_y") >= col("ylo"))
+      .groupBy(col("layout"), col("query_name"))
+      .agg(count(lit(1)).as("files_touched"))
+    val filesTotal = stats.groupBy(col("layout"))
+      .agg(count(lit(1)).as("files_total"))
+    val rowsSel = li.crossJoin(qdf)
+      .where(col("x").between(col("xlo"), col("xhi")) &&
+        col("y").between(col("ylo"), col("yhi")))
+      .groupBy(col("query_name")).agg(count(lit(1)).as("rows_selected"))
+    touched.join(filesTotal, "layout").join(rowsSel, "query_name")
+      .select(col("layout"), col("query_name"), col("files_total"),
+        col("files_touched"), col("rows_selected"))
+      .orderBy(col("layout"), col("query_name"))
+  }
+
+  /**
+   * q41 — LAST-TOUCH ATTRIBUTION: every purchase is credited to the
+   * user's most recent click within a 7-day lookback, rolled up to the
+   * click's campaign (`props.k`). The classic marketing-analytics ask,
+   * expressed as ONE per-user window — `last(click-touch, ignoreNulls)`
+   * over rows up to the current event carries the latest click struct
+   * along the timeline, so there is no self-join of purchases against
+   * click history (the naive per-purchase subquery) and the plan is a
+   * single shuffle on user_id. Revenue stays on exact DECIMAL-cents
+   * rails. (timestamp, event_id) makes the carry order total, so the
+   * attribution is deterministic under ties.
+   */
+  def q41Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickTouch = when(col("event_type") === "click",
+      struct(unix_micros(col("ts")).as("c_us"),
+        get_json_object(col("props"), "$.k").cast("long").as("campaign")))
+    Tables.load(spark, dir, "events")
+      .withColumn("touch", last(clickTouch, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("touch").isNotNull &&
+        unix_micros(col("ts")) - col("touch.c_us") <= 604800000000L)
+      .groupBy(col("touch.campaign").as("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec2(col("value")).multiply(lit(100)).cast("long")).cast("long")
+          .as("revenue_cents"))
+      .orderBy(col("campaign"))
+  }
+
+  /**
+   * q42 — RFM SEGMENTATION over orders: per customer, recency (days
+   * from their last order to the dataset's last order), frequency
+   * (order count) and monetary (exact cents); each dimension then
+   * scores 1–5 by the deterministic quantile formula
+   * 5 − ((rn−1)·5 div n) over a totally-ordered ranking (metric,
+   * custkey) — the same arithmetic in both engines, none of ntile's
+   * remainder-distribution ambiguity. The result is the 5×5×5 segment
+   * matrix (count + revenue per segment), i.e. "how many champions /
+   * at-risk / hibernating customers". The global rankings are the one
+   * inherently total-order step (a rank IS a global statement) — at
+   * scale they'd ride a range-partitioned sort, here three windows
+   * over the already-aggregated per-customer frame (|customers| ≪
+   * |orders|).
+   */
+  def q42Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(dec2(col("o_totalprice")).multiply(lit(100)).cast("long"))
+          .cast("long").as("monetary_cents"))
+      .withColumn("recency_days",
+        datediff(max(col("last_order")).over(Window.partitionBy()),
+          col("last_order")).cast("long"))
+    val scored = per
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("recency_days"), col("o_custkey"))))
+      .withColumn("r_score", lit(5L) - expr("((rn - 1) * 5) div n"))
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("frequency").desc, col("o_custkey"))))
+      .withColumn("f_score", lit(5L) - expr("((rn - 1) * 5) div n"))
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("monetary_cents").desc, col("o_custkey"))))
+      .withColumn("m_score", lit(5L) - expr("((rn - 1) * 5) div n"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_cents")).as("segment_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /**
+   * q43 — LISTAGG (SQL:2023, new in Spark 4): per region, the
+   * alphabetical roster of its nations — the ordered string
+   * aggregation every report footer wants, WITHIN GROUP making the
+   * concatenation order part of the query contract (DuckDB's
+   * `string_agg(... ORDER BY ...)` is the same operator). Broadcast
+   * dim join; the aggregation state is bounded by group payload.
+   */
+  def q43Listagg(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.load(spark, dir, "nation")
+    val reg = Tables.load(spark, dir, "region")
+    nat.join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        expr("listagg(n_name, ', ') within group (order by n_name)")
+          .as("nations"))
+      .orderBy(col("r_name"))
+  }
+
   /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
@@ -939,7 +1097,11 @@ object RelQueries {
     "q36_recursive" -> (q36Recursive _),
     "q37_variant" -> (q37Variant _),
     "q38_unpivot" -> (q38Unpivot _),
-    "q39_lateral" -> (q39Lateral _)
+    "q39_lateral" -> (q39Lateral _),
+    "q40_zorder" -> (q40Zorder _),
+    "q41_attribution" -> (q41Attribution _),
+    "q42_rfm" -> (q42Rfm _),
+    "q43_listagg" -> (q43Listagg _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1373,6 +1535,97 @@ object RelQueries {
         |         ORDER BY l_extendedprice DESC, l_linenumber
         |         LIMIT 2) t
         |WHERE o.o_orderkey % 10 = 0
-        |ORDER BY o.o_orderkey, price_cents DESC, l_linenumber""".stripMargin
+        |ORDER BY o.o_orderkey, price_cents DESC, l_linenumber""".stripMargin,
+
+    // q40: identical Morton bit-interleave via DuckDB's native operators
+    "q40_zorder" -> {
+      val zd = mortonTerms("x", "y",
+        (e, n) => s"(($e) << $n)", (e, n) => s"$e >> $n")
+      s"""WITH li AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+         |            FROM lineitem),
+         |t AS (SELECT x, y, ($zd) >> 10 AS zfile, x >> 2 AS lfile FROM li),
+         |stats AS (
+         |  SELECT 'zorder' AS layout, zfile AS f, min(x) AS min_x,
+         |    max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |  FROM t GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'linear', lfile, min(x), max(x), min(y), max(y)
+         |  FROM t GROUP BY 2),
+         |q(query_name, xlo, xhi, ylo, yhi) AS (VALUES
+         |  ('q1_quadrant', 0, 63, 0, 63),
+         |  ('q2_x_stripe', 0, 15, 0, 255),
+         |  ('q3_y_stripe', 0, 255, 0, 15)),
+         |touched AS (
+         |  SELECT s.layout, q.query_name, count(*) AS files_touched
+         |  FROM stats s, q
+         |  WHERE s.min_x <= q.xhi AND s.max_x >= q.xlo
+         |    AND s.min_y <= q.yhi AND s.max_y >= q.ylo
+         |  GROUP BY 1, 2),
+         |ft AS (SELECT layout, count(*) AS files_total FROM stats
+         |       GROUP BY 1),
+         |rs AS (SELECT q.query_name, count(*) AS rows_selected
+         |       FROM li, q
+         |       WHERE li.x BETWEEN q.xlo AND q.xhi
+         |         AND li.y BETWEEN q.ylo AND q.yhi
+         |       GROUP BY 1)
+         |SELECT t.layout, t.query_name, ft.files_total, t.files_touched,
+         |  rs.rows_selected
+         |FROM touched t JOIN ft USING (layout) JOIN rs USING (query_name)
+         |ORDER BY layout, query_name""".stripMargin
+    },
+
+    // q41: the same per-user carry window (last_value IGNORE NULLS)
+    "q41_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, ts, "value",
+        |    last_value(CASE WHEN event_type = 'click' THEN
+        |        struct_pack(c_us := epoch_us(ts),
+        |          campaign := CAST(json_extract_string(props, '$.k')
+        |                           AS BIGINT))
+        |      END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+        |  FROM events)
+        |SELECT touch.campaign AS campaign, count(*) AS n_purchases,
+        |  CAST(sum(CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS revenue_cents
+        |FROM t
+        |WHERE event_type = 'purchase' AND touch IS NOT NULL
+        |  AND epoch_us(ts) - touch.c_us <= 604800000000
+        |GROUP BY 1 ORDER BY campaign""".stripMargin,
+
+    // q42: identical quantile formula 5 − ((rn−1)·5 // n) over the same
+    // totally-ordered rankings
+    "q42_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |r AS (SELECT p.*,
+        |    CAST(date_diff('day', CAST(p.last_order AS DATE),
+        |                   CAST(m.mx AS DATE)) AS BIGINT) AS recency_days
+        |  FROM per p, mx m),
+        |sc AS (SELECT *, count(*) OVER () AS n,
+        |    row_number() OVER (ORDER BY recency_days, o_custkey) AS rn_r,
+        |    row_number() OVER (ORDER BY frequency DESC, o_custkey) AS rn_f,
+        |    row_number() OVER (ORDER BY monetary_cents DESC, o_custkey)
+        |      AS rn_m
+        |  FROM r)
+        |SELECT 5 - ((rn_r - 1) * 5) // n AS r_score,
+        |  5 - ((rn_f - 1) * 5) // n AS f_score,
+        |  5 - ((rn_m - 1) * 5) // n AS m_score,
+        |  count(*) AS n_customers,
+        |  CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // q43: DuckDB's ordered string_agg is the same SQL:2023 operator
+    "q43_listagg" ->
+      """SELECT r.r_name, count(*) AS n_nations,
+        |  string_agg(n.n_name, ', ' ORDER BY n.n_name) AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin
   )
 }

@@ -252,4 +252,82 @@ class RelQueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q40 zorder: Z-layout bounds pruning on BOTH dims; the linear " +
+      "layout only prunes its own sort column") {
+    import spark.implicits._
+    val rows = RelQueries.q40Zorder(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(rows.size == 6)
+    // rows_selected is layout-independent
+    for (q <- Seq("q1_quadrant", "q2_x_stripe", "q3_y_stripe"))
+      assert(rows(("zorder", q))._3 == rows(("linear", q))._3)
+    // the y-stripe is the killer: linear (sorted by x) prunes nothing,
+    // zorder bounds y per file (8 of 64 in the uniform-fill limit)
+    val linY = rows(("linear", "q3_y_stripe"))._2
+    val zY = rows(("zorder", "q3_y_stripe"))._2
+    assert(linY >= 32 && zY <= 16 && zY < linY, s"linear=$linY zorder=$zY")
+    // and zorder stays bounded on every box (≤ 16 of 64 files)
+    for (q <- Seq("q1_quadrant", "q2_x_stripe", "q3_y_stripe"))
+      assert(rows(("zorder", q))._2 <= 16)
+  }
+
+  test("q41 attribution: replays the naive per-purchase lookback " +
+      "driver-side") {
+    import spark.implicits._
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type", get_json_object($"props", "$.k").cast("long"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Long, String, Long, Long)].collect()
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for ((_, rows) <- ev.groupBy(_._1)) {
+      val tl = rows.sortBy(r => (r._3, r._2))
+      var lastClick: Option[(Long, Long)] = None // (us, campaign)
+      for ((_, _, us, et, k, cents) <- tl) {
+        if (et == "click") lastClick = Some((us, k))
+        if (et == "purchase") lastClick match {
+          case Some((cus, camp)) if us - cus <= 604800000000L =>
+            val (n, s) = want.getOrElse(camp, (0L, 0L))
+            want(camp) = (n + 1L, s + cents)
+          case _ =>
+        }
+      }
+    }
+    val got = RelQueries.q41Attribution(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want.toMap)
+  }
+
+  test("q42 rfm: segment counts cover every customer; extreme " +
+      "customers land in score 5") {
+    import spark.implicits._
+    val seg = RelQueries.q42Rfm(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nCustomers = graft.ingest.Tables.load(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(seg.map(_._4).sum == nCustomers)
+    for ((r, f, m, _, _) <- seg)
+      assert(Seq(r, f, m).forall(s => s >= 1 && s <= 5))
+    // the top-monetary customer's segment must carry m_score 5
+    assert(seg.filter(_._3 == 5L).map(_._4).sum >= nCustomers / 5 - 1)
+  }
+
+  test("q43 listagg: ordered roster equals the sorted nation list") {
+    import spark.implicits._
+    val want = graft.ingest.Tables.load(spark, sf, "nation")
+      .join(graft.ingest.Tables.load(spark, sf, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select($"r_name", $"n_name").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.mkString(", ")).toMap
+    val got = RelQueries.q43Listagg(spark, sf)
+      .as[(String, Long, String)].collect()
+    assert(got.map(_._1).toSeq == want.keys.toSeq.sorted)
+    for ((r, n, roster) <- got) {
+      assert(roster == want(r))
+      assert(n == roster.split(", ").length.toLong)
+    }
+  }
 }
