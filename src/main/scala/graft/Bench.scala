@@ -93,7 +93,8 @@ object Bench {
     "kq67_retention", "x102_ivfpq_probe", "x103_audio_fingerprint",
     "kq68_gap_detection", "x104_triangles", "x105_adamic_adar",
     "kq69_string_stats", "kq70_t_test", "kq71_mad",
-    "q40_zorder", "q41_attribution", "q42_rfm", "q43_listagg")
+    "q40_zorder", "q41_attribution", "q42_rfm", "q43_listagg",
+    "x106_bloom_decontaminate")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -285,6 +285,10 @@ object ExtQueries {
       TextAnalysis.repetitionSignals(s, d)),
     "x31_contamination" -> ((s: SparkSession, d: String) =>
       TextAnalysis.contamination(s, d)),
+    // x106: fixed-memory Bloom variant of x31 — k=2 md5-derived bits of
+    // 2^20, no false negatives, measured false positives.
+    "x106_bloom_decontaminate" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bloomDecontaminate(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -2096,6 +2100,47 @@ object ExtQueries {
         |FROM sp LEFT JOIN test ON sp.h = test.h
         |WHERE sp.source <> 'src9'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x106: the same span builder as x31; bit positions are the two md5
+    // 32-bit halves (BIGINT-element hex fold) mod 2^20 in both engines
+    "x106_bloom_decontaminate" -> {
+      def hex8(start: Int): String =
+        s"""list_reduce(list_transform(
+           |        string_split(substr(h, $start, 8), ''),
+           |        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+           |      (a, b) -> a * 16 + b) % 1048576""".stripMargin
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |sp AS (SELECT doc_id, source,
+         |         md5(array_to_string(
+         |           toks[CAST(i AS INT) : CAST(i + 7 AS INT)], ' ')) AS h
+         |       FROM (SELECT doc_id, source, toks,
+         |               unnest(range(1, len(toks) - 6)) AS i
+         |             FROM t WHERE len(toks) >= 8)),
+         |test AS MATERIALIZED (SELECT DISTINCT h FROM sp
+         |                      WHERE source = 'src9'),
+         |tp AS (SELECT h, ${hex8(1)} AS p1, ${hex8(9)} AS p2 FROM test),
+         |bits AS MATERIALIZED (SELECT DISTINCT p FROM (
+         |    SELECT p1 AS p FROM tp UNION ALL SELECT p2 FROM tp) u),
+         |probe AS (SELECT DISTINCT doc_id, h FROM sp
+         |          WHERE source <> 'src9'),
+         |pp AS (SELECT doc_id, h, ${hex8(1)} AS p1, ${hex8(9)} AS p2
+         |       FROM probe)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+         |  CAST(sum(CASE WHEN test.h IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS exact_hits,
+         |  CAST(sum(CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+         |                THEN 1 ELSE 0 END) -
+         |       sum(CASE WHEN test.h IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS false_positives
+         |FROM pp
+         |LEFT JOIN bits b1 ON pp.p1 = b1.p
+         |LEFT JOIN bits b2 ON pp.p2 = b2.p
+         |LEFT JOIN test ON pp.h = test.h
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // x28: DuckDB list slicing toks[a:b] is 1-based inclusive, matching
     // Spark's slice(toks, a, len); md5(varchar) == md5(string as binary).

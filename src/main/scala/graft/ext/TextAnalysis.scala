@@ -929,6 +929,64 @@ object TextAnalysis {
   }
 
   /**
+   * x106 — BLOOM-FILTER decontamination probe: the fixed-memory variant
+   * of [[contamination]]'s exact broadcast join, with its error measured.
+   * The benchmark set's 8-gram hashes populate a k = 2, m = 2²⁰-bit
+   * Bloom filter (bit positions are the two md5 32-bit halves mod m —
+   * fully deterministic, no seed); every training-doc span probes both
+   * bits. The result reports, per doc, the Bloom verdicts NEXT TO the
+   * exact ones — bloom_hits ⊇ exact_hits always (no false negatives, the
+   * Bloom guarantee, pinned in ExtSpec) and `false_positives` is the
+   * measured cost of the compression (n ≈ |bench|·2 bits set of 2²⁰).
+   *
+   * Scale story: the exact join ships the full benchmark span set to
+   * every executor and grows with the benchmark; the Bloom filter is a
+   * FIXED 128 KiB broadcast no matter how many benchmarks feed it — the
+   * shape that lets a 100 TB curation pass screen against every eval
+   * suite at once, exact-verifying only the flagged survivors (q33's
+   * runtime bloom join is the same idea applied by Catalyst itself).
+   * Here the bit set is a relational DISTINCT-positions table (≤ m rows
+   * of one int) consumed via two broadcast membership joins — the
+   * degenerate-but-exact DataFrame encoding of the bitmap.
+   */
+  def bloomDecontaminate(spark: SparkSession, dir: String,
+      testSource: String = "src9", n: Int = 8,
+      mBits: Long = 1048576L): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val spans = docs.select(col("doc_id"), col("source"),
+      explode(when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          md5(concat_ws(" ", slice(toks, i, lit(n))).cast("binary"))))
+        .otherwise(array().cast("array<string>"))).as("h"))
+    def withPos(df: DataFrame): DataFrame = df
+      .withColumn("p1",
+        expr(s"cast(conv(substring(h, 1, 8), 16, 10) as bigint) % $mBits"))
+      .withColumn("p2",
+        expr(s"cast(conv(substring(h, 9, 8), 16, 10) as bigint) % $mBits"))
+    val test = spans.where(col("source") === testSource)
+      .select(col("h")).distinct()
+    val bloomBits = withPos(test)
+      .select(explode(array(col("p1"), col("p2"))).as("p")).distinct()
+    val probe = withPos(spans.where(col("source") =!= testSource)
+      .select(col("doc_id"), col("h")).distinct())
+    probe
+      .join(broadcast(bloomBits.withColumnRenamed("p", "p1")
+        .withColumn("hit1", lit(1))), Seq("p1"), "left")
+      .join(broadcast(bloomBits.withColumnRenamed("p", "p2")
+        .withColumn("hit2", lit(1))), Seq("p2"), "left")
+      .join(broadcast(test.withColumn("exact_hit", lit(1L))),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("hit1") === 1 && col("hit2") === 1, 1L).otherwise(0L))
+          .as("bloom_hits"),
+        sum(coalesce(col("exact_hit"), lit(0L))).as("exact_hits"))
+      .withColumn("false_positives", col("bloom_hits") - col("exact_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * x44 — ES `more_like_this`: rank the corpus by similarity to a QUERY
    * DOCUMENT. The query doc's most distinctive terms (top `nTerms` by
    * the x15 TF-IDF score) become the search terms, and every other doc

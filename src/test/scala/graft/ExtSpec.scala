@@ -1604,6 +1604,21 @@ class ExtSpec extends SparkSpec {
     assert(want.head._2 > 2000000000L)
   }
 
+  test("x106 bloom decontamination: no false negatives, planted " +
+      "contamination found, FP rate bounded") {
+    val df = graft.ext.TextAnalysis.bloomDecontaminate(spark, sf)
+    // the Bloom guarantee: every exact hit is also a Bloom hit
+    assert(df.where(col("bloom_hits") < col("exact_hits")).count() == 0)
+    val agg = df.agg(sum("n_spans"), sum("bloom_hits"), sum("exact_hits"))
+      .head()
+    val (nSpans, bloom, exact) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    assert(exact > 0)
+    // k=2 of m=2^20 with a small benchmark: clean-span FP rate << 1%
+    assert((bloom - exact).toDouble / (nSpans - exact) < 0.01,
+      s"fp=${bloom - exact} of ${nSpans - exact}")
+  }
+
   test("x104/x105: triangle census and adamic-adar replay driver-side " +
       "from the shared undirected kNN edge list") {
     import spark.implicits._
