@@ -887,6 +887,72 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- LINEAR-INTERPOLATION gap fill (Kibana's fitting: 'linear', ---
+    // ---- the step past kq17's zero-fill): per event_type, every -------
+    // ---- missing hourly bucket inside the series' span gets -----------
+    // ---- prev + (next−prev)·(i−pi)/(ni−pi), carried in exact ----------
+    // ---- integer MICRO-counts with positive floor-divisions only ------
+    // ---- (the sign split keeps Spark div == DuckDB //). The spine -----
+    // ---- generates per group from its own min/max (sequence + ---------
+    // ---- explode, map-side); neighbors come from two IGNORE-NULLS -----
+    // ---- carry windows per group key — no self-join of the series -----
+    // ---- against itself. ----------------------------------------------
+    "kq72_interpolate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val spine = counts.groupBy(col("event_type"))
+        .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"),
+            expr("interval 1 hour"))).as("bucket"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("hi"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(counts, Seq("event_type", "bucket"), "left")
+        .withColumn("hi", expr("unix_micros(bucket) div 3600000000"))
+        .withColumn("pn", last(col("n"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(when(col("n").isNotNull, col("hi")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nn", first(col("n"), ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(when(col("n").isNotNull, col("hi")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("interp_micro",
+          when(col("n").isNotNull, col("n") * 1000000L)
+            .otherwise(col("pn") * 1000000L +
+              when(col("nn") >= col("pn"),
+                expr("((nn - pn) * (hi - ph) * 1000000) div (nh - ph)"))
+                .otherwise(
+                  -expr("((pn - nn) * (hi - ph) * 1000000) div (nh - ph)"))))
+        .withColumn("interpolated", col("n").isNull)
+        .select(col("event_type"), col("bucket"), col("n"),
+          col("interp_micro"), col("interpolated"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- ES diversified_sampler + terms: the "what's in a fair --------
+    // ---- sample" aggregation — at most 2 hits per key (the diversity --
+    // ---- cap, a bounded per-key window), then the top-100 by the ------
+    // ---- Discover sort tuple (a top-k, never a global sort), then -----
+    // ---- the terms agg over that sample. ------------------------------
+    "kq73_diversified_sampler" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = Window.partitionBy(col("key"))
+        .orderBy(col("timestamp").desc, col("offset").desc, col("uid"))
+      Pipeline.envelopeFlat(s, dir)
+        .withColumn("rk", row_number().over(wk))
+        .where(col("rk") <= 2)
+        .orderBy(col("timestamp").desc, col("offset").desc, col("uid"))
+        .limit(100)
+        .where(col("event_type").isNotNull)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- daily COHORT RETENTION (the product-analytics matrix every ---
     // ---- event store gets asked for): users cohort by their FIRST- ----
     // ---- SEEN day; for each offset k in 0..6 the cohort's active ------
@@ -1753,6 +1819,60 @@ object SparkEntry {
         |  FROM env)
         |WHERE gap_us > 43200000000
         |ORDER BY gap_us DESC, "key", gap_start LIMIT 50""".stripMargin),
+
+    // kq72: identical spine + IGNORE-NULLS carry windows; the sign split
+    // keeps every floor-division positive
+    "kq72_interpolate" ->
+      (envSql + """, counts AS (
+        |  SELECT event_type, date_trunc('hour', "timestamp") AS bucket,
+        |         count(*) AS n
+        |  FROM env WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx,
+        |    INTERVAL 1 HOUR)) AS bucket
+        |  FROM (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+        |        FROM counts GROUP BY 1)),
+        |j AS (
+        |  SELECT s.event_type, s.bucket, c.n,
+        |    epoch_us(s.bucket) // 3600000000 AS hi
+        |  FROM spine s LEFT JOIN counts c
+        |    ON s.event_type = c.event_type AND s.bucket = c.bucket),
+        |w AS (
+        |  SELECT *,
+        |    last_value(n IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn,
+        |    last_value(CASE WHEN n IS NOT NULL THEN hi END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(n IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hi
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nn,
+        |    first_value(CASE WHEN n IS NOT NULL THEN hi END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hi
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, bucket, n,
+        |  CASE WHEN n IS NOT NULL THEN n * 1000000
+        |       WHEN nn >= pn THEN pn * 1000000 +
+        |         ((nn - pn) * (hi - ph) * 1000000) // (nh - ph)
+        |       ELSE pn * 1000000 -
+        |         ((pn - nn) * (hi - ph) * 1000000) // (nh - ph)
+        |  END AS interp_micro,
+        |  n IS NULL AS interpolated
+        |FROM w ORDER BY event_type, bucket""".stripMargin),
+
+    // kq73: the same diversity cap, top-k tuple, and terms rollup
+    "kq73_diversified_sampler" ->
+      (envSql + """SELECT event_type, count(*) AS n FROM (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY "key"
+        |      ORDER BY "timestamp" DESC, "offset" DESC, uid) AS rk
+        |    FROM env) t
+        |  WHERE rk <= 2
+        |  ORDER BY "timestamp" DESC, "offset" DESC, uid LIMIT 100)
+        |WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
 
     // kq69: identical character explode (unnest of generate_series) and
     // the same integer nano-nat freeze of every ln

@@ -597,6 +597,50 @@ class LogQueriesSpec extends SparkSpec {
     }
   }
 
+  test("kq72/kq73: linear interpolation and the diversified sample " +
+      "replay driver-side") {
+    // kq72: replay the per-type interpolation from the known buckets
+    val rows = SparkEntry.queries("kq72_interpolate")(spark, sf)
+      .select($"event_type",
+        expr("unix_micros(bucket) div 3600000000"),
+        $"n", $"interp_micro", $"interpolated")
+      .as[(String, Long, Option[Long], Long, Boolean)].collect()
+    assert(rows.exists(_._5), "no gaps at this SF — nothing interpolated")
+    for ((et, tl) <- rows.groupBy(_._1)) {
+      val known = tl.collect { case (_, hi, Some(n), _, _) => hi -> n }.toMap
+      for ((_, hi, n, micro, interp) <- tl) n match {
+        case Some(v) =>
+          assert(!interp && micro == v * 1000000L)
+        case None =>
+          assert(interp, s"$et@$hi")
+          val ph = known.keys.filter(_ < hi).max
+          val nh = known.keys.filter(_ > hi).min
+          val (pn, nn) = (known(ph), known(nh))
+          val want =
+            if (nn >= pn) pn * 1000000L + ((nn - pn) * (hi - ph) * 1000000L) / (nh - ph)
+            else pn * 1000000L - ((pn - nn) * (hi - ph) * 1000000L) / (nh - ph)
+          assert(micro == want, s"$et@$hi")
+          val lo = math.min(pn, nn) * 1000000L
+          val hi2 = math.max(pn, nn) * 1000000L
+          assert(micro >= lo && micro <= hi2)
+      }
+    }
+
+    // kq73: rebuild the diversity-capped top-100 sample and its terms
+    val env = Pipeline.envelopeFlat(spark, sf)
+      .select($"key", unix_micros($"timestamp"), $"offset", $"uid",
+        $"event_type")
+      .as[(String, Long, Long, String, Option[String])].collect()
+    val capped = env.groupBy(_._1).values.flatMap(
+      _.sortBy(r => (-r._2, -r._3, r._4)).take(2))
+    val sample = capped.toSeq.sortBy(r => (-r._2, -r._3, r._4)).take(100)
+    val want = sample.flatMap(_._5).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("kq73_diversified_sampler")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
