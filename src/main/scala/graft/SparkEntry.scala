@@ -197,6 +197,13 @@ object SparkEntry {
       graft.streaming.StreamPipeline.keyStatsBatch(s,
         Pipeline.envelope(s, dir), Pipeline.ValueJsonField)),
 
+    // ---- Spark 4 state-store data source: the streaming checkpoint ----
+    // ---- read back as a TABLE and hash-checked against the batch ------
+    // ---- aggregate — the ops audit of what the job believes. ----------
+    "kq74_state_audit" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.stateAuditBatch(s,
+        Pipeline.envelopeFlat(s, dir))),
+
     // ---- Kibana `rare_terms` aggregation: the least-frequent keys in ----
     // ---- the changelog (long-tail keys surface config errors / orphan ---
     // ---- producers). (doc_count, key) is a total order, so the LIMIT ----
@@ -1819,6 +1826,16 @@ object SparkEntry {
         |  FROM env)
         |WHERE gap_us > 43200000000
         |ORDER BY gap_us DESC, "key", gap_start LIMIT 50""".stripMargin),
+
+    // kq74: the state rows ARE the left side; the oracle is the plain
+    // batch aggregate the state must equal
+    "kq74_state_audit" ->
+      (envSql + """SELECT "key", count(*) AS n,
+        |  CAST(sum(CASE WHEN "value" IS NOT NULL
+        |                THEN CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |                          AS BIGINT)
+        |                ELSE 0 END) AS BIGINT) AS cents
+        |FROM env GROUP BY 1 ORDER BY "key"""".stripMargin),
 
     // kq72: identical spine + IGNORE-NULLS carry windows; the sign split
     // keeps every floor-division positive

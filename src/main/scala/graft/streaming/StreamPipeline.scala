@@ -247,6 +247,57 @@ object StreamPipeline {
   }
 
   /**
+   * kq74 — STATE STORE AUDIT via Spark 4's `statestore` batch data
+   * source: the streaming job's CHECKPOINT becomes a queryable table.
+   * A per-key streaming aggregation (count + exact cents sum) runs to
+   * completion (`Trigger.AvailableNow`, Update mode, noop sink — the
+   * emissions are deliberately thrown away), and the result is read
+   * back FROM THE STATE FILES themselves:
+   * `spark.read.format("statestore").load(<ckpt>)`. What the oracle
+   * then hash-checks is the operator's internal state against the
+   * batch-SQL aggregate — the ops question ("is the state store
+   * healthy / what does the job believe right now?") answered without
+   * touching the running query, and the strongest possible proof that
+   * the streaming aggregation state is EXACTLY the batch answer.
+   *
+   * Scale: the state source reads one partition per state-store shard
+   * (parallel, no driver funnel); the audit is a scan-and-sort of
+   * |keys| rows, independent of the event volume that built the state.
+   */
+  def stateAuditBatch(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame): DataFrame = withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("kq74-state").toString
+    envFlat.write.mode("overwrite").parquet(s"$work/in")
+    val stream = spark.readStream.schema(envFlat.schema).parquet(s"$work/in")
+    try {
+      val cents = (col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")
+      val q = stream
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value").isNotNull, cents).otherwise(0L)).as("cents"))
+        .writeStream.format("noop")
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      // the state value struct carries the AGG BUFFER fields, named by
+      // function ("count", "sum"), not by the output aliases
+      val state = spark.read.format("statestore").load(s"$work/ckpt")
+        .select(col("key.key").as("key"),
+          col("value.count").as("n"), col("value.sum").as("cents"))
+      val out = java.nio.file.Files.createTempDirectory("kq74-out").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+      state.write.mode("overwrite").parquet(out.toString)
+      spark.read.parquet(out.toString).orderBy(col("key"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /**
    * Driver-visible streaming threshold alert (kq42): the ES
    * Watcher/Kibana alerting rule "count per bucket exceeds the norm"
    * evaluated over a FLOWING changelog. The envelope replays as a stream

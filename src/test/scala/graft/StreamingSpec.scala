@@ -524,4 +524,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._3).sum == distinctTriples.count { case (_, _, us) =>
       (us / 1000000 / 21600) * 21600000 + 21600000 <= wmMs })
   }
+
+  test("state-store audit (kq74): the checkpoint read back as a table " +
+      "equals the batch aggregate, key for key") {
+    import spark.implicits._
+    val envFlat = Pipeline.envelopeFlat(spark, sf)
+    val got = graft.streaming.StreamPipeline.stateAuditBatch(spark, envFlat)
+      .as[(String, Long, Long)].collect().toSeq
+    val want = envFlat
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value").isNotNull,
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").cast("long")).otherwise(0L)).as("cents"))
+      .orderBy(col("key"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum == envFlat.count())
+  }
 }
