@@ -95,7 +95,8 @@ object Bench {
     "kq69_string_stats", "kq70_t_test", "kq71_mad",
     "q40_zorder", "q41_attribution", "q42_rfm", "q43_listagg",
     "x106_bloom_decontaminate", "kq72_interpolate",
-    "kq73_diversified_sampler", "kq74_state_audit")
+    "kq73_diversified_sampler", "kq74_state_audit",
+    "kq75_counter_rate", "x107_curriculum", "x108_ddsketch")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

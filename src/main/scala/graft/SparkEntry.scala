@@ -894,6 +894,38 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- Prometheus-style COUNTER RATE with reset detection (PromQL ---
+    // ---- increase()): each key's running cents total wraps at 2e5 -----
+    // ---- (the planted counter resets); per consecutive sample pair ----
+    // ---- the increase is cur−prev, or cur after a reset (counter ------
+    // ---- restarted from 0), summed per hour with the reset count ------
+    // ---- next to it. Two windows on the SAME key partitioning (one ----
+    // ---- shuffle), exact integer cents end to end. --------------------
+    "kq75_counter_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = Window.partitionBy(col("key"))
+        .orderBy(col("timestamp"), col("offset"))
+      val cents = when(col("value").isNotNull,
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long")).otherwise(0L)
+      Pipeline.envelopeFlat(s, dir)
+        .withColumn("counter",
+          sum(cents).over(wk.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)) % 200000L)
+        .withColumn("prev", lag(col("counter"), 1).over(wk))
+        .withColumn("delta",
+          when(col("prev").isNull, lit(0L))
+            .when(col("counter") >= col("prev"),
+              col("counter") - col("prev"))
+            .otherwise(col("counter")))
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("delta")).as("increase_cents"),
+          sum(when(col("counter") < col("prev"), 1L).otherwise(0L))
+            .as("n_resets"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- LINEAR-INTERPOLATION gap fill (Kibana's fitting: 'linear', ---
     // ---- the step past kq17's zero-fill): per event_type, every -------
     // ---- missing hourly bucket inside the series' span gets -----------
@@ -1836,6 +1868,31 @@ object SparkEntry {
         |                          AS BIGINT)
         |                ELSE 0 END) AS BIGINT) AS cents
         |FROM env GROUP BY 1 ORDER BY "key"""".stripMargin),
+
+    // kq75: identical wrap-at-2e5 counter and reset-aware deltas
+    "kq75_counter_rate" ->
+      (envSql + """, c AS (
+        |  SELECT "key", "timestamp", "offset",
+        |    sum(CASE WHEN "value" IS NOT NULL
+        |             THEN CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |                       AS BIGINT)
+        |             ELSE 0 END) OVER w % 200000 AS counter
+        |  FROM env
+        |  WINDOW w AS (PARTITION BY "key" ORDER BY "timestamp", "offset"
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT "timestamp", counter,
+        |    lag(counter) OVER (PARTITION BY "key"
+        |      ORDER BY "timestamp", "offset") AS prev
+        |  FROM c)
+        |SELECT date_trunc('hour', "timestamp") AS bucket,
+        |  count(*) AS n_samples,
+        |  CAST(sum(CASE WHEN prev IS NULL THEN 0
+        |                WHEN counter >= prev THEN counter - prev
+        |                ELSE counter END) AS BIGINT) AS increase_cents,
+        |  CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_resets
+        |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin),
 
     // kq72: identical spine + IGNORE-NULLS carry windows; the sign split
     // keeps every floor-division positive

@@ -289,6 +289,14 @@ object ExtQueries {
     // 2^20, no false negatives, measured false positives.
     "x106_bloom_decontaminate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bloomDecontaminate(s, d)),
+    // x107: easiest-first stratified curriculum — per-source stage
+    // window + round-robin top-k, never a global corpus sort.
+    "x107_curriculum" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.curriculum(s, d)),
+    // x108: DDSketch mergeable quantiles — log-bucket counts, shard
+    // segments merged bucket-wise, integer rank read-off.
+    "x108_ddsketch" -> ((s: SparkSession, d: String) =>
+      Sketches.ddSketchQuantiles(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -1624,6 +1632,21 @@ object ExtQueries {
     "x104_triangles" -> triangleSql,
 
     "x105_adamic_adar" -> adamicAdarSql,
+
+    // x107: identical per-source stage window + round-robin top-200
+    "x107_curriculum" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS difficulty
+        |  FROM documents),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY difficulty, doc_id) AS stage FROM d),
+        |t AS (SELECT * FROM s ORDER BY stage, source, doc_id LIMIT 200)
+        |SELECT CAST(row_number() OVER (ORDER BY stage, source, doc_id)
+        |         AS INT) AS position,
+        |  doc_id, source, CAST(stage AS INT) AS stage, difficulty
+        |FROM t ORDER BY position""".stripMargin,
+
+    "x108_ddsketch" -> Sketches.ddSketchOracle,
 
     "x99_unigram_tokenize" -> Bpe.unigramOracle,
 

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Tables
@@ -247,4 +248,105 @@ object Sketches {
        |       token, n_occ, CAST(cms_est AS BIGINT) AS cms_est,
        |       CAST(cms_est - n_occ AS BIGINT) AS overcount
        |FROM est ORDER BY rank""".stripMargin
+
+  /** ⌊ln(1.02)·1e9⌋ — the frozen log-gamma of the x108 sketch
+    * (γ = 1.02 ⇒ ~1 % relative value error). */
+  private val LgNano: Long = math.floor(math.log(1.02) * 1e9).toLong
+
+  /**
+   * x108 — DDSKETCH-style MERGEABLE QUANTILE sketch (Masson et al.,
+   * VLDB 2019), completing the mergeable-sketch family next to the
+   * x94 HLL and x96 CMS: values map to log-spaced buckets
+   * b = ⌈ln(x)/ln γ⌉ (γ = 1.02), per-shard segment sketches are just
+   * (bucket → count) maps, and MERGE is bucket-wise addition — the
+   * property that lets a 100 TB scan keep per-partition sketches of a
+   * few hundred ints and combine them associatively, where exact
+   * quantiles need a global sort. The quantile read-off — the smallest
+   * bucket whose cumulative count reaches ⌈q·n/100⌉ — is EXACT in
+   * bucket space (the bucket function is monotone), so the oracle
+   * hash-checks it; the γ-bounded value reconstruction is the only
+   * approximation, and the entry emits the exact order statistic next
+   * to the sketch bucket so the bound is visible.
+   *
+   * Determinism: ln frozen to ⌊ln(x)·1e9⌋ and a positive ceiling
+   * division by ⌊ln γ·1e9⌋ — all integer; ranks are integer ceilings.
+   * The deliberate shard → merge detour (doc_id % 4 segments) is the
+   * mergeability demonstration, pinned equal to the direct sketch in
+   * SketchesSpec.
+   */
+  def ddSketchQuantiles(spark: SparkSession, dir: String,
+      qs: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val bucketed = docs.select(col("source"), col("doc_id"), col("n_chars"),
+      expr(s"(cast(floor(ln(cast(n_chars as double)) * 1e9) as bigint)" +
+        s" + $LgNano - 1) div $LgNano").as("bucket"),
+      (col("doc_id") % 4).as("shard"))
+    val segs = bucketed.groupBy(col("source"), col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = segs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val bySrc = Window.partitionBy(col("source"))
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(bySrc.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(bySrc))
+    val qdf = broadcast(qs.toDF("q"))
+    val sk = cum.crossJoin(qdf)
+      .withColumn("rank", expr("(q * n + 99) div 100"))
+      .where(col("cum") >= col("rank"))
+      .groupBy(col("source"), col("q"), col("n"), col("rank"))
+      .agg(min(col("bucket")).as("bucket"))
+    val exact = docs
+      .withColumn("rn", row_number().over(
+        bySrc.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .crossJoin(qdf)
+      .where(col("rn") === expr("(q * n + 99) div 100"))
+      .select(col("source"), col("q"), col("n_chars").as("exact_value"))
+    val nb = merged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_buckets"))
+    sk.join(exact, Seq("source", "q")).join(nb, "source")
+      .select(col("source"), col("q"), col("n"), col("rank"),
+        col("bucket"), col("exact_value"), col("n_buckets"))
+      .orderBy(col("source"), col("q"))
+  }
+
+  /** x108's oracle: identical integer bucket function, shard → merge
+    * detour, cumulative read-off, and exact order-statistic leg. */
+  def ddSketchOracle: String =
+    s"""WITH b AS (SELECT source, doc_id, n_chars,
+       |    (CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e9) AS BIGINT)
+       |     + $LgNano - 1) // $LgNano AS bucket,
+       |    doc_id % 4 AS shard
+       |  FROM documents),
+       |segs AS (SELECT source, shard, bucket, count(*) AS cnt
+       |         FROM b GROUP BY 1, 2, 3),
+       |m AS (SELECT source, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+       |      FROM segs GROUP BY 1, 2),
+       |c AS (SELECT *,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM m),
+       |q(q) AS (VALUES (50), (95), (99)),
+       |sk AS (SELECT source, q, n, (q * n + 99) // 100 AS "rank",
+       |         min(bucket) AS bucket
+       |       FROM c, q WHERE cum >= (q * n + 99) // 100
+       |       GROUP BY 1, 2, 3, 4),
+       |e0 AS (SELECT source, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY n_chars, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY source) AS n
+       |       FROM documents),
+       |ex AS (SELECT e.source, q.q, e.n_chars AS exact_value
+       |       FROM e0 e, q WHERE e.rn = (q.q * e.n + 99) // 100),
+       |nb AS (SELECT source, count(*) AS n_buckets FROM m GROUP BY 1)
+       |SELECT s.source, s.q, s.n, s."rank", s.bucket, ex.exact_value,
+       |  nb.n_buckets
+       |FROM sk s
+       |JOIN ex ON s.source = ex.source AND s.q = ex.q
+       |JOIN nb ON s.source = nb.source
+       |ORDER BY s.source, s.q""".stripMargin
 }

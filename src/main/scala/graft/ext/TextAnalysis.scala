@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Tables
@@ -926,6 +927,38 @@ object TextAnalysis {
       .withColumn("contamination",
         round(col("n_hit").cast("double") / col("n_spans"), 6))
       .orderBy(col("doc_id"))
+  }
+
+  /**
+   * x107 — CURRICULUM ORDERING: the easiest-first training order
+   * (Bengio et al. 2009) with per-source stratification — each source
+   * ranks its docs by difficulty (token count, ties by doc_id), and
+   * the global curriculum round-robins the strata by (stage, source):
+   * every source contributes its k-th-easiest doc before any source
+   * contributes its (k+1)-th, so no stratum is exhausted early and the
+   * mixture stays balanced through the ramp. The entry emits the first
+   * 200 curriculum positions.
+   *
+   * Scale: the per-source stage is a bounded group-keyed window; the
+   * global cut is a TOP-K on the computable key (stage, source,
+   * doc_id) — never a global sort of the corpus — and the final
+   * position numbering runs on the 200 surviving rows.
+   */
+  def curriculum(spark: SparkSession, dir: String,
+      topN: Int = 200): DataFrame = {
+    val ws = Window.partitionBy(col("source"))
+      .orderBy(col("difficulty"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("difficulty"))
+      .withColumn("stage", row_number().over(ws))
+      .orderBy(col("stage"), col("source"), col("doc_id"))
+      .limit(topN)
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("stage"), col("source"), col("doc_id"))))
+      .select(col("position"), col("doc_id"), col("source"), col("stage"),
+        col("difficulty"))
+      .orderBy(col("position"))
   }
 
   /**

@@ -1604,6 +1604,29 @@ class ExtSpec extends SparkSpec {
     assert(want.head._2 > 2000000000L)
   }
 
+  test("x107 curriculum: round-robin stratified easiest-first order " +
+      "replays driver-side") {
+    import spark.implicits._
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long")).as[(Long, String, Long)]
+      .collect()
+    val staged = docs.groupBy(_._2).values.flatMap { grp =>
+      grp.sortBy(d => (d._3, d._1)).zipWithIndex
+        .map { case ((id, src, diff), i) => (i + 1, src, id, diff) }
+    }.toSeq
+    val want = staged.sortBy { case (st, src, id, _) => (st, src, id) }
+      .take(200).zipWithIndex
+      .map { case ((st, src, id, diff), i) => (i + 1, id, src, st, diff) }
+    val got = graft.ext.TextAnalysis.curriculum(spark, sf)
+      .as[(Int, Long, String, Int, Long)].collect().toSeq
+    assert(got == want)
+    // every source contributes its stage-k docs before any stage-k+1
+    val perSourceStages = got.groupBy(_._3).view.mapValues(_.map(_._4))
+    for ((_, stages) <- perSourceStages)
+      assert(stages == stages.sorted)
+  }
+
   test("x106 bloom decontamination: no false negatives, planted " +
       "contamination found, FP rate bounded") {
     val df = graft.ext.TextAnalysis.bloomDecontaminate(spark, sf)

@@ -641,6 +641,40 @@ class LogQueriesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("kq75 counter rate: replays the wrap-at-2e5 counter and " +
+      "reset-aware deltas driver-side") {
+    val samples = Pipeline.envelopeFlat(spark, sf)
+      .select($"key", unix_micros($"timestamp"), $"offset",
+        coalesce(($"value".cast("decimal(18,2)") * 100).cast("long"),
+          lit(0L)))
+      .as[(String, Long, Long, Long)].collect()
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    for ((_, tl) <- samples.groupBy(_._1)) {
+      var run = 0L; var prev = Option.empty[Long]
+      for ((_, us, _, cents) <- tl.sortBy(r => (r._2, r._3))) {
+        run += cents
+        val counter = run % 200000L
+        val delta = prev match {
+          case None => 0L
+          case Some(p) if counter >= p => counter - p
+          case Some(_) => counter
+        }
+        val reset = prev.exists(counter < _)
+        val hour = us / 3600000000L
+        val (n, inc, r) = want.getOrElse(hour, (0L, 0L, 0L))
+        want(hour) = (n + 1, inc + delta, r + (if (reset) 1L else 0L))
+        prev = Some(counter)
+      }
+    }
+    val got = SparkEntry.queries("kq75_counter_rate")(spark, sf)
+      .select(expr("unix_micros(bucket) div 3600000000"), $"n_samples",
+        $"increase_cents", $"n_resets")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want.toMap)
+    assert(got.values.map(_._3).sum > 0, "no resets planted at this SF")
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()

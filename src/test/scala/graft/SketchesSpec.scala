@@ -103,4 +103,38 @@ class SketchesSpec extends SparkSpec {
     }.min
     assert(est == top._3, top._1)
   }
+
+  test("ddsketch: the bucket read-off is the exact order statistic's " +
+      "bucket, the merge law holds, and the sketch is tiny") {
+    import spark.implicits._
+    def bucketOf(x: Long): Long = {
+      val lg = math.floor(math.log(1.02) * 1e9).toLong
+      (math.floor(math.log(x.toDouble) * 1e9).toLong + lg - 1) / lg
+    }
+    val rows = graft.ext.Sketches.ddSketchQuantiles(spark, sf)
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((_, _, n, rank, bucket, exact, nBuckets) <- rows) {
+      // the sketch quantile is exact in bucket space: the answered
+      // bucket IS the bucket of the rank-th order statistic
+      assert(bucket == bucketOf(exact))
+      assert(rank >= 1 && rank <= n)
+      // the memory story: a few dozen buckets summarize the group
+      assert(nBuckets < n || n < 64, s"$nBuckets buckets for $n values")
+    }
+    // merge law: shard-segmented sketches summed bucket-wise equal the
+    // direct sketch (replayed driver-side from raw values)
+    val vals = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val direct = vals.groupBy(_._1).view
+      .mapValues(_.map(v => bucketOf(v._2)).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap).toMap
+    for ((src, q, n, rank, bucket, _, _) <- rows if q == 99) {
+      val sketch = direct(src)
+      assert(n == sketch.values.sum)
+      val cum = sketch.toSeq.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, c), (b, k)) => (b, c + k) }.drop(1)
+      assert(cum.find(_._2 >= rank).map(_._1).contains(bucket))
+    }
+  }
 }
