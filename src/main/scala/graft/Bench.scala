@@ -96,7 +96,8 @@ object Bench {
     "q40_zorder", "q41_attribution", "q42_rfm", "q43_listagg",
     "x106_bloom_decontaminate", "kq72_interpolate",
     "kq73_diversified_sampler", "kq74_state_audit",
-    "kq75_counter_rate", "x107_curriculum", "x108_ddsketch")
+    "kq75_counter_rate", "x107_curriculum", "x108_ddsketch",
+    "kq76_histogram_quantile", "kq77_boxplot", "x109_exact_substr")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

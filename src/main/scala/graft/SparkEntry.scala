@@ -926,6 +926,94 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- PromQL histogram_quantile(): le-bucketed cumulative ----------
+    // ---- histograms per (event_type, day), then the φ-quantile --------
+    // ---- read-off — lowest bucket whose cumulative count reaches ------
+    // ---- φ·n, linear interpolation INSIDE the bucket carried in -------
+    // ---- exact integer micro-cents (the chosen-bucket condition -------
+    // ---- keeps the numerator positive, so Spark div == DuckDB //); ----
+    // ---- the +Inf bucket clamps to the highest finite bound, the ------
+    // ---- PromQL convention. One shuffle on the group key; the ---------
+    // ---- cumulative window runs over ≤ 6 bucket rows per group. -------
+    "kq76_histogram_quantile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val inf = 99999L
+      val cents = (col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")
+      val le = when(cents <= 1000L, 1000L).when(cents <= 2500L, 2500L)
+        .when(cents <= 5000L, 5000L).when(cents <= 10000L, 10000L)
+        .when(cents <= 20000L, 20000L).otherwise(lit(inf))
+      val byG = Window.partitionBy(col("event_type"), col("day"))
+      val counts = Pipeline.envelopeFlat(s, dir)
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          date_trunc("day", col("timestamp")).as("day"), le.as("le"))
+        .groupBy(col("event_type"), col("day"), col("le"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("cum", sum(col("cnt")).over(byG.orderBy(col("le"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("lo",
+          coalesce(lag(col("le"), 1).over(byG.orderBy(col("le"))), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(byG))
+        .withColumn("phi", explode(array(lit(50), lit(90), lit(99))))
+        .where(col("cum") * 100 >= col("phi") * col("n") &&
+          (col("cum") - col("cnt")) * 100 < col("phi") * col("n"))
+        .select(col("event_type"), col("day"), col("phi"),
+          col("n").as("n_samples"),
+          when(col("le") === inf, lit(20000L * 1000000L))
+            .otherwise(expr("lo * 1000000 + ((le - lo) * " +
+              "(phi * n - (cum - cnt) * 100) * 1000000) div (100 * cnt)"))
+            .as("q_micro_cents"))
+        .orderBy(col("event_type"), col("day"), col("phi"))
+    }),
+
+    // ---- ES boxplot aggregation, exact: quartiles as LOWER-median -----
+    // ---- order statistics (kq71's recipe — every emitted value is -----
+    // ---- an INPUT double), Tukey 1.5·IQR fences computed in exact -----
+    // ---- integer HALF-CENTS (2·q1 − 3·IQR), whiskers = extreme --------
+    // ---- in-fence values, outlier count beside them. Two shuffles -----
+    // ---- on the same (event_type, day) key — rank window, then the ----
+    // ---- fence re-aggregation. ----------------------------------------
+    "kq77_boxplot" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byG = Window.partitionBy(col("event_type"), col("day"))
+      val base = Pipeline.envelopeFlat(s, dir)
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          date_trunc("day", col("timestamp")).as("day"), col("value"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").cast("long").as("cents"))
+      val quart = base
+        .withColumn("rn", row_number().over(byG.orderBy(col("value"))))
+        .withColumn("n", count(lit(1)).over(byG))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 3) div 4"), col("value")))
+            .as("q1"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("value")))
+            .as("median"),
+          max(when(col("rn") === expr("(3 * n + 3) div 4"), col("value")))
+            .as("q3"),
+          max(when(col("rn") === expr("(n + 3) div 4"), col("cents")))
+            .as("q1c"),
+          max(when(col("rn") === expr("(3 * n + 3) div 4"), col("cents")))
+            .as("q3c"))
+      base.join(quart, Seq("event_type", "day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("n")).as("n_samples"),
+          max(col("q1")).as("q1"), max(col("median")).as("median"),
+          max(col("q3")).as("q3"),
+          min(when(col("cents") * 2 >= expr("2 * q1c - 3 * (q3c - q1c)"),
+            col("value"))).as("whisker_lo"),
+          max(when(col("cents") * 2 <= expr("2 * q3c + 3 * (q3c - q1c)"),
+            col("value"))).as("whisker_hi"),
+          sum(when(col("cents") * 2 < expr("2 * q1c - 3 * (q3c - q1c)") ||
+                   col("cents") * 2 > expr("2 * q3c + 3 * (q3c - q1c)"),
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ---- LINEAR-INTERPOLATION gap fill (Kibana's fitting: 'linear', ---
     // ---- the step past kq17's zero-fill): per event_type, every -------
     // ---- missing hourly bucket inside the series' span gets -----------
@@ -1893,6 +1981,75 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN counter < prev THEN 1 ELSE 0 END)
         |       AS BIGINT) AS n_resets
         |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // kq76: identical le buckets, cumulative window, chosen-bucket
+    // predicate, and positive-numerator integer interpolation
+    "kq76_histogram_quantile" ->
+      (envSql + """, v AS (
+        |  SELECT event_type, date_trunc('day', "timestamp") AS day,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM env WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT event_type, day,
+    |    CAST(CASE WHEN cents <= 1000 THEN 1000
+        |         WHEN cents <= 2500 THEN 2500 WHEN cents <= 5000 THEN 5000
+        |         WHEN cents <= 10000 THEN 10000
+        |         WHEN cents <= 20000 THEN 20000 ELSE 99999 END
+        |         AS BIGINT) AS le,
+        |    count(*) AS cnt
+        |  FROM v GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type, day ORDER BY le
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COALESCE(lag(le) OVER (PARTITION BY event_type, day
+        |      ORDER BY le), 0) AS lo,
+        |    sum(cnt) OVER (PARTITION BY event_type, day) AS n
+        |  FROM c),
+        |p AS (SELECT w.*, phi
+        |      FROM w, (SELECT unnest([50, 90, 99]) AS phi) ph)
+        |SELECT event_type, day, phi, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN le = 99999 THEN CAST(20000000000 AS BIGINT)
+        |       ELSE lo * 1000000 + ((le - lo) *
+        |            (phi * n - (cum - cnt) * 100) * 1000000)
+        |            // (100 * cnt) END AS BIGINT) AS q_micro_cents
+        |FROM p
+        |WHERE cum * 100 >= phi * n AND (cum - cnt) * 100 < phi * n
+        |ORDER BY event_type, day, phi""".stripMargin),
+
+    // kq77: identical lower-median ranks and half-cent Tukey fences;
+    // every emitted double is an input value
+    "kq77_boxplot" ->
+      (envSql + """, v AS (
+        |  SELECT event_type, date_trunc('day', "timestamp") AS day,
+        |    "value",
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM env WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY "value") AS rn,
+        |    count(*) OVER (PARTITION BY event_type, day) AS n
+        |  FROM v),
+        |q AS (
+        |  SELECT event_type, day, max(n) AS n,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN "value" END) AS q1,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN "value" END) AS median,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN "value" END) AS q3,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1c,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3c
+        |  FROM r GROUP BY 1, 2)
+        |SELECT v.event_type, v.day, CAST(max(q.n) AS BIGINT) AS n_samples,
+        |  max(q.q1) AS q1, max(q.median) AS median, max(q.q3) AS q3,
+        |  min(CASE WHEN v.cents * 2 >= 2 * q.q1c - 3 * (q.q3c - q.q1c)
+        |           THEN v."value" END) AS whisker_lo,
+        |  max(CASE WHEN v.cents * 2 <= 2 * q.q3c + 3 * (q.q3c - q.q1c)
+        |           THEN v."value" END) AS whisker_hi,
+        |  CAST(sum(CASE WHEN v.cents * 2 < 2 * q.q1c - 3 * (q.q3c - q.q1c)
+        |             OR v.cents * 2 > 2 * q.q3c + 3 * (q.q3c - q.q1c)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM v JOIN q ON v.event_type = q.event_type AND v.day = q.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // kq72: identical spine + IGNORE-NULLS carry windows; the sign split
     // keeps every floor-division positive

@@ -1001,4 +1001,74 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /**
+   * x109 — EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better"): excise every maximal
+   * token region covered by a `k`-token substring that occurs more than
+   * once in the corpus. Distinct from [[spanDupStats]]/[[spanExcise]]
+   * (x28/x39), which tile NON-overlapping spans at fixed offsets: here
+   * the k-grams SLIDE over every token offset, so duplicated text is
+   * caught at ANY alignment, and overlapping/contiguous duplicated
+   * grams are merged into maximal islands before excision — the Spark
+   * re-expression of the paper's suffix-array scan as a hash-grouped
+   * plan. Excision policy is C4-style (drop ALL occurrences); the
+   * paper's keep-one variant is a WHERE-clause choice on the same plan.
+   *
+   * Plan shape: one posexplode (n_tokens rows per doc), one md5-keyed
+   * occurrence count (uniform keys, skew-free), a join back, a per-doc
+   * interval-merge window (island id = running count of gap-starts —
+   * the classic overlap merge), and a coverage-filtered rebuild whose
+   * per-row state is the doc's own island list. Every shuffle key is
+   * the gram hash or doc_id, so the job is linear in corpus tokens —
+   * the 100 TB shape (the gram-count table is the only big
+   * intermediate, exactly as in the paper's distributed variant).
+   */
+  def exactSubstrExcise(spark: SparkSession, dir: String,
+      k: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val toksC = split(col("text"), " ")
+    val base = docs.select(col("doc_id"), toksC.as("toks"),
+      size(toksC).cast("long").as("n_tokens"))
+    val grams = base.select(col("doc_id"),
+      posexplode(when(col("n_tokens") >= k,
+        transform(sequence(lit(0), (col("n_tokens") - k).cast("int")), i =>
+          md5(concat_ws(" ", slice(col("toks"), i + 1, lit(k)))
+            .cast("binary"))))
+        .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "s", "gram_md5")
+    val dupGrams = grams.groupBy(col("gram_md5"))
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2)
+      .select(col("gram_md5"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val islands = grams.join(dupGrams, "gram_md5")
+      .select(col("doc_id"), col("s"))
+      .withColumn("prev_max_e", max(col("s") + k).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("i_s"), max(col("s") + k).as("i_e"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_e") - col("i_s")).as("dup_tokens"),
+        // struct order inside the list is irrelevant: it only feeds the
+        // order-insensitive coverage test below
+        collect_list(struct(col("i_s"), col("i_e"))).as("ivs"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        concat_ws(" ",
+          when(col("ivs").isNull, col("toks"))
+            .otherwise(filter(col("toks"), (_, p) =>
+              !exists(col("ivs"), iv =>
+                p >= iv("i_s") && p < iv("i_e"))))).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
 }

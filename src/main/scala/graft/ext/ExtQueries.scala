@@ -297,6 +297,10 @@ object ExtQueries {
     // segments merged bucket-wise, integer rank read-off.
     "x108_ddsketch" -> ((s: SparkSession, d: String) =>
       Sketches.ddSketchQuantiles(s, d)),
+    // x109: ExactSubstr dedup — SLIDING k-gram duplicates merged into
+    // maximal islands and excised (x28/x39 tile fixed offsets).
+    "x109_exact_substr" -> ((s: SparkSession, d: String) =>
+      Dedup.exactSubstrExcise(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -2164,6 +2168,58 @@ object ExtQueries {
          |LEFT JOIN test ON pp.h = test.h
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // x109: identical sliding grams, dup filter, interval-merge windows
+    // and ordered rebuild; DuckDB's 1-based inclusive list slice mirrors
+    // Spark's slice(toks, s+1, k). Docs with every token excised get ''
+    // via the COALESCE (their rebuild group is empty).
+    "x109_exact_substr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+        |      FROM t),
+        |g AS (SELECT doc_id, s,
+        |        md5(array_to_string(
+        |          toks[CAST(s + 1 AS INT) : CAST(s + 12 AS INT)], ' ')) AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(range(CASE WHEN len(toks) >= 12
+        |                                THEN CAST(len(toks) - 11 AS BIGINT)
+        |                                ELSE 0 END)) AS s
+        |            FROM b)),
+        |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |st AS (SELECT doc_id, s FROM g JOIN d USING (h)),
+        |i0 AS (SELECT doc_id, s,
+        |         max(s + 12) OVER (PARTITION BY doc_id ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |       FROM st),
+        |i1 AS (SELECT doc_id, s,
+        |         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS island
+        |       FROM i0),
+        |iv AS (SELECT doc_id, island, min(s) AS i_s, max(s + 12) AS i_e
+        |       FROM i1 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |         CAST(sum(i_e - i_s) AS BIGINT) AS dup_tokens
+        |       FROM iv GROUP BY 1),
+        |pos AS (SELECT doc_id, s AS p, toks[CAST(s + 1 AS INT)] AS tok
+        |        FROM (SELECT doc_id, toks,
+        |                unnest(range(CAST(len(toks) AS BIGINT))) AS s
+        |              FROM b)),
+        |kept AS (SELECT pos.doc_id, pos.p, pos.tok
+        |         FROM pos LEFT JOIN iv ON pos.doc_id = iv.doc_id
+        |           AND pos.p >= iv.i_s AND pos.p < iv.i_e
+        |         WHERE iv.island IS NULL),
+        |rec AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS kept_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CAST(COALESCE(pd.n_islands, 0) AS BIGINT) AS n_islands,
+        |  CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  COALESCE(rec.kept_text, '') AS kept_text
+        |FROM b LEFT JOIN pd USING (doc_id)
+        |LEFT JOIN rec ON b.doc_id = rec.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // x28: DuckDB list slicing toks[a:b] is 1-based inclusive, matching
     // Spark's slice(toks, a, len); md5(varchar) == md5(string as binary).

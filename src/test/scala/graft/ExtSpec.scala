@@ -1685,4 +1685,39 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(gotAa == want)
   }
+
+  test("x109 exact-substring excision equals the brute-force sliding " +
+      "k-gram dup scan with merged islands") {
+    val k = 12
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ts) <- toks; i <- 0 to ts.length - k) {
+      val g = ts.slice(i, i + k).mkString(" ")
+      occ(g) = occ.getOrElse(g, 0) + 1
+    }
+    val want = toks.map { case (id, ts) =>
+      val starts = (0 to ts.length - k)
+        .filter(i => occ(ts.slice(i, i + k).mkString(" ")) >= 2)
+      var ivs = List.empty[(Int, Int)]
+      for (s <- starts) ivs = ivs match {
+        case (a, b) :: rest if s <= b => (a, math.max(b, s + k)) :: rest
+        case _ => (s, s + k) :: ivs
+      }
+      val merged = ivs.reverse
+      val kept = ts.zipWithIndex.collect {
+        case (t, p) if !merged.exists(iv => p >= iv._1 && p < iv._2) => t
+      }.mkString(" ")
+      id -> ((ts.length.toLong, merged.size.toLong,
+        merged.map { case (a, b) => (b - a).toLong }.sum, kept))
+    }
+    val got = Dedup.exactSubstrExcise(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._3 > 0), "no duplicated substrings at this SF")
+    // islands really merge: some doc has fewer islands than dup starts
+    assert(got.values.exists(v => v._2 >= 1 && v._3 > k))
+  }
 }

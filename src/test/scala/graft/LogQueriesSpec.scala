@@ -675,6 +675,78 @@ class LogQueriesSpec extends SparkSpec {
     assert(got.values.map(_._3).sum > 0, "no resets planted at this SF")
   }
 
+  test("kq76 histogram_quantile: replays the cumulative-bucket walk and " +
+      "integer interpolation driver-side") {
+    val rows = Pipeline.envelopeFlat(spark, sf)
+      .where($"value".isNotNull && $"event_type".isNotNull)
+      .select($"event_type", date_trunc("day", $"timestamp").cast("string"),
+        ($"value".cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+          .cast("long"))
+      .as[(String, String, Long)].collect()
+    val les = Seq(1000L, 2500L, 5000L, 10000L, 20000L, 99999L)
+    def leOf(c: Long): Long = les.find(l => c <= l || l == 99999L).get
+    val want = rows.groupBy(r => (r._1, r._2)).flatMap { case ((et, day), rs) =>
+      val byLe = rs.groupBy(r => leOf(r._3)).view.mapValues(_.size.toLong).toMap
+      val n = rs.size.toLong
+      val present = les.filter(byLe.contains)
+      Seq(50, 90, 99).map { phi =>
+        var cum = 0L; var prevLe = 0L; var res = 0L; var done = false
+        for (le <- present if !done) {
+          val cnt = byLe(le); val cumPrev = cum; cum += cnt
+          if (cum * 100 >= phi * n && cumPrev * 100 < phi * n) {
+            res = if (le == 99999L) 20000L * 1000000L
+            else prevLe * 1000000L +
+              ((le - prevLe) * (phi * n - cumPrev * 100) * 1000000L) /
+                (100L * cnt)
+            done = true
+          }
+          prevLe = le
+        }
+        (et, day, phi) -> ((n, res))
+      }
+    }
+    val got = SparkEntry.queries("kq76_histogram_quantile")(spark, sf)
+      .select($"event_type", $"day".cast("string"), $"phi", $"n_samples",
+        $"q_micro_cents")
+      .as[(String, String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    assert(got == want.toMap)
+    assert(got.nonEmpty)
+  }
+
+  test("kq77 boxplot: quartiles are order statistics (emitted values are " +
+      "inputs) and whiskers respect the half-cent Tukey fences") {
+    val rows = Pipeline.envelopeFlat(spark, sf)
+      .where($"value".isNotNull && $"event_type".isNotNull)
+      .select($"event_type", date_trunc("day", $"timestamp").cast("string"),
+        $"value",
+        ($"value".cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+          .cast("long"))
+      .as[(String, String, Double, Long)].collect()
+    val want = rows.groupBy(r => (r._1, r._2)).map { case (g, rs) =>
+      val vals = rs.map(r => (r._3, r._4)).sortBy(_._1).toIndexedSeq
+      val n = vals.size
+      def at(r: Int) = vals(r - 1)
+      val (q1, q1c) = at((n + 3) / 4)
+      val (med, _) = at((n + 1) / 2)
+      val (q3, q3c) = at((3 * n + 3) / 4)
+      val loF = 2 * q1c - 3 * (q3c - q1c)
+      val hiF = 2 * q3c + 3 * (q3c - q1c)
+      val in = vals.filter(v => v._2 * 2 >= loF && v._2 * 2 <= hiF)
+      g -> ((n.toLong, q1, med, q3, in.head._1, in.last._1,
+        vals.count(v => v._2 * 2 < loF || v._2 * 2 > hiF).toLong))
+    }
+    val got = SparkEntry.queries("kq77_boxplot")(spark, sf)
+      .select($"event_type", $"day".cast("string"), $"n_samples", $"q1",
+        $"median", $"q3", $"whisker_lo", $"whisker_hi", $"n_outliers")
+      .as[(String, String, Long, Double, Double, Double, Double, Double,
+        Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8, r._9)))
+      .toMap
+    assert(got == want.toMap)
+    assert(got.values.exists(_._7 > 0), "no outliers at this SF")
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
