@@ -1014,6 +1014,93 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // ---- ES frequent_item_sets: market-basket mining over per-user ----
+    // ---- event-type baskets. 1/2/3-itemsets at 10 % user support, -----
+    // ---- candidates generated by ORDERED self-joins (et1 < et2 < ------
+    // ---- et3 — each set counted once) with the Apriori prune: ---------
+    // ---- baskets are restricted to frequent-1 items before any --------
+    // ---- pairing, so candidate fanout is bounded by the (small) -------
+    // ---- frequent vocabulary, not the raw one; the user count is a ----
+    // ---- broadcast 1-row scalar. Support emitted exact (count + -------
+    // ---- floor-div ppm). ----------------------------------------------
+    "kq78_frequent_itemsets" -> ((s, dir) => {
+      val baskets = Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .select(col("key"), col("event_type").as("et")).distinct()
+      val nU = baskets.select(countDistinct(col("key")).as("n_users"))
+      val i1 = baskets.groupBy(col("et"))
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nU))
+        .where(col("support") * 10 >= col("n_users"))
+      val fb = baskets.join(broadcast(i1.select(col("et"))), Seq("et"))
+        .select(col("key"), col("et"))
+      val p2 = fb.as("a").join(fb.as("b"),
+          col("a.key") === col("b.key") && col("a.et") < col("b.et"))
+        .groupBy(col("a.et").as("et1"), col("b.et").as("et2"))
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nU))
+        .where(col("support") * 10 >= col("n_users"))
+      val p3 = fb.as("a").join(fb.as("b"),
+          col("a.key") === col("b.key") && col("a.et") < col("b.et"))
+        .join(fb.as("c"),
+          col("a.key") === col("c.key") && col("b.et") < col("c.et"))
+        .groupBy(col("a.et").as("et1"), col("b.et").as("et2"),
+          col("c.et").as("et3"))
+        .agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nU))
+        .where(col("support") * 10 >= col("n_users"))
+      i1.select(lit(1).as("set_size"), col("et").as("items"),
+          col("support"), col("n_users"))
+        .unionByName(p2.select(lit(2).as("set_size"),
+          concat_ws("+", col("et1"), col("et2")).as("items"),
+          col("support"), col("n_users")))
+        .unionByName(p3.select(lit(3).as("set_size"),
+          concat_ws("+", col("et1"), col("et2"), col("et3")).as("items"),
+          col("support"), col("n_users")))
+        .select(col("set_size"), col("items"), col("support"),
+          expr("support * 1000000 div n_users").as("support_ppm"))
+        .orderBy(col("set_size"), col("support").desc, col("items"))
+    }),
+
+    // ---- ES change_point detection (CUSUM): per event_type hourly -----
+    // ---- count series, the change point is the bucket maximizing ------
+    // ---- |cusum| — computed EXACTLY as |m·prefix_k − k·S| (the --------
+    // ---- mean-centered cusum scaled by the bucket count m, so no ------
+    // ---- division ever happens), earliest bucket on ties. Left/right --
+    // ---- segment sums and the shift direction ride along as exact -----
+    // ---- integers. One shuffle on event_type; the window runs over ----
+    // ---- the series' own buckets. -------------------------------------
+    "kq79_change_point" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byT = Window.partitionBy(col("event_type"))
+      val wOrd = byT.orderBy(col("bucket"))
+      val counts = Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("k", row_number().over(wOrd).cast("long"))
+        .withColumn("p", sum(col("cnt")).over(wOrd.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("m", count(lit(1)).over(byT))
+        .withColumn("total", sum(col("cnt")).over(byT))
+        .where(col("k") < col("m"))
+        .withColumn("stat",
+          abs(col("m") * col("p") - col("k") * col("total")))
+        .withColumn("pick", row_number().over(
+          byT.orderBy(col("stat").desc, col("bucket"))))
+        .where(col("pick") === 1)
+        .select(col("event_type"), col("bucket").as("cp_bucket"),
+          col("k").as("k_before"), col("m").as("m_buckets"),
+          col("stat").as("cusum_stat"), col("p").as("left_sum"),
+          (col("total") - col("p")).as("right_sum"),
+          signum((col("total") - col("p")) * col("k") -
+            col("p") * (col("m") - col("k"))).cast("long")
+            .as("direction"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- LINEAR-INTERPOLATION gap fill (Kibana's fitting: 'linear', ---
     // ---- the step past kq17's zero-fill): per event_type, every -------
     // ---- missing hourly bucket inside the series' span gets -----------
@@ -2050,6 +2137,71 @@ object SparkEntry {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM v JOIN q ON v.event_type = q.event_type AND v.day = q.day
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // kq78: identical ordered self-joins over the frequent-item-pruned
+    // baskets; support floor-div ppm
+    "kq78_frequent_itemsets" ->
+      (envSql + """, b AS (
+        |  SELECT DISTINCT "key", event_type AS et FROM env
+        |  WHERE event_type IS NOT NULL),
+        |nu AS (SELECT count(DISTINCT "key") AS n_users FROM b),
+        |i1 AS (SELECT et, count(*) AS support FROM b GROUP BY 1),
+        |f1 AS (SELECT i1.*, nu.n_users FROM i1, nu
+        |       WHERE support * 10 >= n_users),
+        |fb AS (SELECT b.* FROM b JOIN f1 ON b.et = f1.et),
+        |p2 AS (SELECT a.et AS et1, c.et AS et2, count(*) AS support
+        |       FROM fb a JOIN fb c ON a."key" = c."key" AND a.et < c.et
+        |       GROUP BY 1, 2),
+        |f2 AS (SELECT p2.*, nu.n_users FROM p2, nu
+        |       WHERE support * 10 >= n_users),
+        |p3 AS (SELECT a.et AS et1, c.et AS et2, d.et AS et3,
+        |         count(*) AS support
+        |       FROM fb a JOIN fb c ON a."key" = c."key" AND a.et < c.et
+        |                 JOIN fb d ON a."key" = d."key" AND c.et < d.et
+        |       GROUP BY 1, 2, 3),
+        |f3 AS (SELECT p3.*, nu.n_users FROM p3, nu
+        |       WHERE support * 10 >= n_users),
+        |un AS (
+        |  SELECT 1 AS set_size, et AS items, support, n_users FROM f1
+        |  UNION ALL
+        |  SELECT 2, et1 || '+' || et2, support, n_users FROM f2
+        |  UNION ALL
+        |  SELECT 3, et1 || '+' || et2 || '+' || et3, support, n_users
+        |  FROM f3)
+        |SELECT set_size, items, CAST(support AS BIGINT) AS support,
+        |  CAST(support * 1000000 // n_users AS BIGINT) AS support_ppm
+        |FROM un ORDER BY set_size, support DESC, items""".stripMargin),
+
+    // kq79: identical division-free |m·prefix − k·S| cusum statistic,
+    // earliest bucket on ties
+    "kq79_change_point" ->
+      (envSql + """, c AS (
+        |  SELECT event_type, date_trunc('hour', "timestamp") AS bucket,
+        |    count(*) AS cnt
+        |  FROM env WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY bucket) AS k,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    count(*) OVER (PARTITION BY event_type) AS m,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM c),
+        |s AS (SELECT *, abs(m * p - k * total) AS stat
+        |      FROM w WHERE k < m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY stat DESC, bucket) AS pick
+        |      FROM s)
+        |SELECT event_type, bucket AS cp_bucket,
+        |  CAST(k AS BIGINT) AS k_before, CAST(m AS BIGINT) AS m_buckets,
+        |  CAST(stat AS BIGINT) AS cusum_stat,
+        |  CAST(p AS BIGINT) AS left_sum,
+        |  CAST(total - p AS BIGINT) AS right_sum,
+        |  CAST(CASE WHEN (total - p) * k - p * (m - k) > 0 THEN 1
+        |            WHEN (total - p) * k - p * (m - k) < 0 THEN -1
+        |            ELSE 0 END AS BIGINT) AS direction
+        |FROM r WHERE pick = 1 ORDER BY event_type""".stripMargin),
 
     // kq72: identical spine + IGNORE-NULLS carry windows; the sign split
     // keeps every floor-division positive

@@ -823,6 +823,37 @@ object RelQueries {
   }
 
   /**
+   * q44 — SCD TYPE-2 dimension build from a changelog: each customer's
+   * order-status history collapses to CHANGE rows (status differs from
+   * the previous one in (o_orderdate, o_orderkey) order) and each
+   * change becomes a dimension version with a [valid_from, valid_to)
+   * validity interval and an is_current flag — the lakehouse
+   * slowly-changing-dimension pattern. Two windows over the SAME
+   * per-customer ordering (change detection, then interval assembly on
+   * the filtered set); one shuffle on the dimension key, no self-joins,
+   * and per-key state is bounded by that key's own history — the shape
+   * that survives a 100 TB changelog.
+   */
+  def q44Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val wk = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(wk))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .withColumn("version", row_number().over(wk).cast("long"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(wk))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_custkey"), col("version"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -1101,7 +1132,8 @@ object RelQueries {
     "q40_zorder" -> (q40Zorder _),
     "q41_attribution" -> (q41Attribution _),
     "q42_rfm" -> (q42Rfm _),
-    "q43_listagg" -> (q43Listagg _)
+    "q43_listagg" -> (q43Listagg _),
+    "q44_scd2" -> (q44Scd2 _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1626,6 +1658,26 @@ object RelQueries {
       """SELECT r.r_name, count(*) AS n_nations,
         |  string_agg(n.n_name, ', ' ORDER BY n.n_name) AS nations
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY 1 ORDER BY r_name""".stripMargin
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
+
+    // q44: identical change-detection lag and interval lead over the
+    // same (o_orderdate, o_orderkey) per-customer ordering
+    "q44_scd2" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |ch AS (SELECT * FROM c
+        |       WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS version,
+        |  o_orderstatus AS status, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM ch ORDER BY o_custkey, version""".stripMargin
   )
 }

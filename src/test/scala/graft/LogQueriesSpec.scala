@@ -747,6 +747,62 @@ class LogQueriesSpec extends SparkSpec {
     assert(got.values.exists(_._7 > 0), "no outliers at this SF")
   }
 
+  test("kq78 frequent_item_sets: supports equal the brute-force basket " +
+      "scan at every set size") {
+    val baskets = Pipeline.envelopeFlat(spark, sf)
+      .where($"event_type".isNotNull)
+      .select($"key", $"event_type").distinct()
+      .as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = baskets.size.toLong
+    val supports = scala.collection.mutable.Map.empty[Seq[String], Long]
+    for ((_, items) <- baskets; sz <- 1 to 3;
+         combo <- items.toSeq.sorted.combinations(sz))
+      supports(combo) = supports.getOrElse(combo, 0L) + 1L
+    val want = supports.collect {
+      case (combo, sup) if sup * 10 >= n =>
+        (combo.length, combo.mkString("+")) -> ((sup, sup * 1000000L / n))
+    }.toMap
+    // frequent supersets only from frequent subsets (anti-monotonicity
+    // makes the frequent-1 prune lossless)
+    val got = SparkEntry.queries("kq78_frequent_itemsets")(spark, sf)
+      .as[(Int, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == want)
+    assert(got.keys.exists(_._1 == 3), "no frequent triple at this SF")
+  }
+
+  test("kq79 change_point: the division-free cusum argmax matches the " +
+      "driver-side scan") {
+    val counts = Pipeline.envelopeFlat(spark, sf)
+      .where($"event_type".isNotNull)
+      .groupBy($"event_type", date_trunc("hour", $"timestamp").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"event_type", $"b".cast("string"), $"cnt")
+      .as[(String, String, Long)].collect()
+    val want = counts.groupBy(_._1).collect { case (et, rs) if rs.length > 1 =>
+      val series = rs.sortBy(_._2)
+      val m = series.length.toLong
+      val total = series.map(_._3).sum
+      var p = 0L
+      val cands = series.dropRight(1).zipWithIndex.map { case ((_, b, c), i) =>
+        p += c
+        (b, i + 1L, p, (m * p - (i + 1L) * total).abs)
+      }
+      val best = cands.minBy(c => (-c._4, c._1))
+      et -> ((best._1, best._2, m, best._4, best._3, total - best._3,
+        ((total - best._3) * best._2 - best._3 * (m - best._2)).sign))
+    }
+    val got = SparkEntry.queries("kq79_change_point")(spark, sf)
+      .select($"event_type", $"cp_bucket".cast("string"), $"k_before",
+        $"m_buckets", $"cusum_stat", $"left_sum", $"right_sum",
+        $"direction")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(got == want.toMap)
+    assert(got.nonEmpty)
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()

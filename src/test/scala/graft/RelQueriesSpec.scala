@@ -330,4 +330,26 @@ class RelQueriesSpec extends SparkSpec {
       assert(n == roster.split(", ").length.toLong)
     }
   }
+
+  test("q44 scd2: versions chain per customer — intervals abut, exactly " +
+      "one current version, no consecutive equal statuses") {
+    import spark.implicits._
+    val rows = RelQueries.q44Scd2(spark, sf)
+      .select($"o_custkey", $"version", $"status",
+        $"valid_from".cast("string"), $"valid_to".cast("string"),
+        $"is_current")
+      .as[(Long, Long, String, String, Option[String], Boolean)].collect()
+    val byKey = rows.groupBy(_._1)
+    for ((_, vs) <- byKey) {
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to vs.length.toLong))
+      // each version's valid_to equals the next version's valid_from
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray))
+        { assert(a._5.contains(b._4)); assert(a._3 != b._3) }
+      assert(sorted.count(_._6) == 1)
+      assert(sorted.last._6 && sorted.last._5.isEmpty)
+    }
+    // change compression is real: some customer has > 2 versions
+    assert(byKey.values.exists(_.length > 2))
+  }
 }
