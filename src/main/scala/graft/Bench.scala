@@ -98,7 +98,9 @@ object Bench {
     "kq73_diversified_sampler", "kq74_state_audit",
     "kq75_counter_rate", "x107_curriculum", "x108_ddsketch",
     "kq76_histogram_quantile", "kq77_boxplot", "x109_exact_substr",
-    "kq78_frequent_itemsets", "kq79_change_point", "q44_scd2")
+    "kq78_frequent_itemsets", "kq79_change_point", "q44_scd2",
+    "kq80_moving_median", "kq81_variable_width_histogram",
+    "kq82_geo_centroid")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -1101,6 +1101,71 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- ES moving_percentiles (pipeline agg): trailing-7-bucket ------
+    // ---- MEDIAN of the hourly count series per event_type — the -------
+    // ---- lower-median order statistic of the window's own values ------
+    // ---- (sorted window array, integer index), so every emitted -------
+    // ---- figure is an input count: exact across engines with no -------
+    // ---- interpolation arithmetic. The window list is bounded by ------
+    // ---- the frame (7), map-side shape identical to kq51's ------------
+    // ---- moving_fn. ----------------------------------------------------
+    "kq80_moving_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-6, Window.currentRow)
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("win", sort_array(collect_list(col("cnt")).over(w)))
+        .select(col("event_type"), col("bucket"), col("cnt"),
+          size(col("win")).cast("long").as("win_n"),
+          expr("element_at(win, CAST((size(win) + 1) div 2 AS INT))")
+            .as("moving_median"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- ES variable_width_histogram: value-adaptive buckets per ------
+    // ---- event_type — the 4 LARGEST GAPS between adjacent distinct ----
+    // ---- cent values split the axis into up to 5 clusters (the --------
+    // ---- deterministic re-expression of ES's streaming 1-D ------------
+    // ---- clusterer; ties broken toward the smaller value). Two --------
+    // ---- windows over the small distinct-value domain, then the -------
+    // ---- events re-aggregate by (type, bucket) — the raw stream is ----
+    // ---- touched exactly twice, both map-side-combinable. -------------
+    "kq81_variable_width_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byT = Window.partitionBy(col("event_type"))
+      val cents = (col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")
+      val vals = Pipeline.envelopeFlat(s, dir)
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), cents.as("cents"))
+      val distinctVals = vals.distinct()
+        .withColumn("gap",
+          col("cents") - lag(col("cents"), 1).over(byT.orderBy(col("cents"))))
+        .withColumn("grank", row_number().over(
+          byT.orderBy(col("gap").desc_nulls_last, col("cents"))))
+        .withColumn("boundary",
+          when(col("gap").isNotNull && col("grank") <= 4, 1L).otherwise(0L))
+        .withColumn("bucket", sum(col("boundary")).over(
+          byT.orderBy(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_type"), col("cents"), col("bucket"))
+      vals.join(distinctVals, Seq("event_type", "cents"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- ES geo_centroid + geo_bounds per geohash cell (Kibana's ------
+    // ---- map markers and envelopes) — exact integer micro-degree ------
+    // ---- centroids via sign-split truncating division. ----------------
+    "kq82_geo_centroid" -> ((s, dir) =>
+      graft.query.Geo.geoCentroidBounds(s, dir)),
+
     // ---- LINEAR-INTERPOLATION gap fill (Kibana's fitting: 'linear', ---
     // ---- the step past kq17's zero-fill): per event_type, every -------
     // ---- missing hourly bucket inside the series' span gets -----------
@@ -2202,6 +2267,54 @@ object SparkEntry {
         |            WHEN (total - p) * k - p * (m - k) < 0 THEN -1
         |            ELSE 0 END AS BIGINT) AS direction
         |FROM r WHERE pick = 1 ORDER BY event_type""".stripMargin),
+
+    // kq80: DuckDB's windowed list() carries the trailing frame; the
+    // lower-median index is the same integer expression
+    "kq80_moving_median" ->
+      (envSql + """, c AS (
+        |  SELECT event_type, date_trunc('hour', "timestamp") AS bucket,
+        |    count(*) AS cnt
+        |  FROM env WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bucket, cnt,
+        |    list_sort(list(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY bucket
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM c)
+        |SELECT event_type, bucket, cnt,
+        |  CAST(len(win) AS BIGINT) AS win_n,
+        |  win[CAST((len(win) + 1) // 2 AS INT)] AS moving_median
+        |FROM w ORDER BY event_type, bucket""".stripMargin),
+
+    // kq81: identical gap ranking (DESC NULLS LAST, smaller value wins
+    // ties) and boundary prefix-sum bucketing
+    "kq81_variable_width_histogram" ->
+      (envSql + """, v AS (
+        |  SELECT event_type,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM env WHERE "value" IS NOT NULL AND event_type IS NOT NULL),
+        |d AS (SELECT DISTINCT event_type, cents FROM v),
+        |g AS (
+        |  SELECT *, cents - lag(cents) OVER (PARTITION BY event_type
+        |    ORDER BY cents) AS gap
+        |  FROM d),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gap DESC NULLS LAST, cents) AS grank
+        |  FROM g),
+        |b AS (
+        |  SELECT event_type, cents,
+        |    sum(CASE WHEN gap IS NOT NULL AND grank <= 4 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY cents
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bucket
+        |  FROM r)
+        |SELECT v.event_type, CAST(b.bucket AS BIGINT) AS bucket,
+        |  count(*) AS n_events,
+        |  min(v.cents) AS min_cents, max(v.cents) AS max_cents
+        |FROM v JOIN b ON v.event_type = b.event_type AND v.cents = b.cents
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "kq82_geo_centroid" -> graft.query.Geo.geoCentroidBoundsOracle,
 
     // kq72: identical spine + IGNORE-NULLS carry windows; the sign split
     // keeps every floor-division positive

@@ -163,4 +163,50 @@ object Geo {
        |WHERE lat_u BETWEEN $LatLo AND $LatHi
        |  AND lon_u BETWEEN $LonLo AND $LonHi
        |ORDER BY d2, c_custkey LIMIT 10""".stripMargin
+
+  /** Truncate-toward-zero integer division both engines agree on: the
+    * numerator is sign-split so each floor-division sees a POSITIVE
+    * numerator (Spark `div` and DuckDB `//` differ on negatives). */
+  private def tzDiv(num: String, den: String, duck: Boolean): String = {
+    val d = div(duck)
+    s"(CASE WHEN $num >= 0 THEN ($num) $d ($den) " +
+      s"ELSE -((-($num)) $d ($den)) END)"
+  }
+
+  /** kq82 — ES `geo_centroid` + `geo_bounds` per geohash cell: the two
+    * map-layer metric aggregations Kibana draws cell markers and
+    * envelopes from. Centroids are exact integer micro-degrees
+    * (sign-split truncating division, so both engines agree on
+    * southern/western cells); bounds are min/max integers. One
+    * map-side-combinable aggregation into the bounded cell domain —
+    * the same 100 TB shape as kq59's density grid. Top-20 cells by
+    * population with the geohash tiebreak. */
+  def geoCentroidBounds(spark: SparkSession, dir: String): DataFrame =
+    withGeohash(geoPoints(spark, dir))
+      .groupBy(col("geohash4"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("lat_u")).as("slat"), sum(col("lon_u")).as("slon"),
+        min(col("lat_u")).as("lat_min"), max(col("lat_u")).as("lat_max"),
+        min(col("lon_u")).as("lon_min"), max(col("lon_u")).as("lon_max"))
+      .select(col("geohash4"), col("n_customers"),
+        expr(tzDiv("slat", "n_customers", duck = false)).as("cent_lat_u"),
+        expr(tzDiv("slon", "n_customers", duck = false)).as("cent_lon_u"),
+        col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"))
+      .orderBy(col("n_customers").desc, col("geohash4"))
+      .limit(20)
+
+  def geoCentroidBoundsOracle: String =
+    s"""WITH $geoCte,
+       |agg AS (
+       |  SELECT geohash4, CAST(count(*) AS BIGINT) AS n_customers,
+       |    CAST(sum(lat_u) AS BIGINT) AS slat,
+       |    CAST(sum(lon_u) AS BIGINT) AS slon,
+       |    min(lat_u) AS lat_min, max(lat_u) AS lat_max,
+       |    min(lon_u) AS lon_min, max(lon_u) AS lon_max
+       |  FROM hashed GROUP BY 1)
+       |SELECT geohash4, n_customers,
+       |  ${tzDiv("slat", "n_customers", duck = true)} AS cent_lat_u,
+       |  ${tzDiv("slon", "n_customers", duck = true)} AS cent_lon_u,
+       |  lat_min, lat_max, lon_min, lon_max
+       |FROM agg ORDER BY n_customers DESC, geohash4 LIMIT 20""".stripMargin
 }

@@ -803,6 +803,85 @@ class LogQueriesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("kq80 moving_percentiles: the trailing-7 lower median replays " +
+      "driver-side and every emitted value is a window member") {
+    val counts = Pipeline.envelopeFlat(spark, sf)
+      .where($"event_type".isNotNull)
+      .groupBy($"event_type", date_trunc("hour", $"timestamp").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"event_type", $"b".cast("string"), $"cnt")
+      .as[(String, String, Long)].collect()
+    val want = counts.groupBy(_._1).flatMap { case (et, rs) =>
+      val series = rs.sortBy(_._2)
+      series.indices.map { i =>
+        val win = series.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+        (et, series(i)._2) ->
+          ((series(i)._3, win.length.toLong, win((win.length - 1) / 2)))
+      }
+    }
+    val got = SparkEntry.queries("kq80_moving_median")(spark, sf)
+      .select($"event_type", $"bucket".cast("string"), $"cnt", $"win_n",
+        $"moving_median")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == want.toMap)
+    // the window really fills to 7 somewhere
+    assert(got.values.exists(_._2 == 7L))
+  }
+
+  test("kq81 variable_width_histogram: buckets split at the 4 largest " +
+      "gaps, cover every event, and never overlap") {
+    val got = SparkEntry.queries("kq81_variable_width_histogram")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val rows = Pipeline.envelopeFlat(spark, sf)
+      .where($"event_type".isNotNull && $"value".isNotNull)
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+          .cast("long"))
+      .as[(String, Long)].collect()
+    for ((et, rs) <- rows.groupBy(_._1)) {
+      val cents = rs.map(_._2)
+      val distinct = cents.distinct.sorted
+      val gaps = distinct.sliding(2).collect { case Array(a, b) =>
+        (b - a, b) }.toSeq
+      val boundaries = gaps.sortBy { case (g, v) => (-g, v) }.take(4)
+        .map(_._2).toSet
+      val wantBuckets = distinct.map(v => v ->
+        distinct.count(b => boundaries.contains(b) && b <= v).toLong).toMap
+      val g = got.filter(_._1 == et).sortBy(_._2)
+      assert(g.map(_._3).sum == cents.length.toLong)
+      assert(g.map(_._2).toSeq == g.map(_._2).toSeq.sorted)
+      for (Array(a, b) <- g.sliding(2).map(_.toArray))
+        assert(a._5 < b._4, s"$et buckets overlap")
+      for ((_, bucket, _, mn, mx) <- g) {
+        assert(mn <= mx)
+        assert(wantBuckets(mn) == bucket && wantBuckets(mx) == bucket)
+      }
+      assert(g.length == math.min(5, distinct.length))
+    }
+  }
+
+  test("kq82 geo_centroid/bounds: centroids replay with sign-split " +
+      "truncating division and sit inside their bounds") {
+    val pts = graft.query.Geo.pointsWithGeohash(spark, sf)
+      .select($"geohash4", $"lat_u", $"lon_u")
+      .as[(String, Long, Long)].collect()
+    def tz(n: Long, d: Long): Long = if (n >= 0) n / d else -((-n) / d)
+    val want = pts.groupBy(_._1).map { case (gh, ps) =>
+      gh -> ((ps.length.toLong,
+        tz(ps.map(_._2).sum, ps.length), tz(ps.map(_._3).sum, ps.length),
+        ps.map(_._2).min, ps.map(_._2).max,
+        ps.map(_._3).min, ps.map(_._3).max))
+    }
+    val got = SparkEntry.queries("kq82_geo_centroid")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == math.min(20, want.size))
+    for ((gh, n, cla, clo, lmn, lmx, omn, omx) <- got) {
+      assert(want(gh) == ((n, cla, clo, lmn, lmx, omn, omx)))
+      assert(cla >= lmn && cla <= lmx && clo >= omn && clo <= omx)
+    }
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()
