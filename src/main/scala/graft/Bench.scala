@@ -100,7 +100,8 @@ object Bench {
     "kq76_histogram_quantile", "kq77_boxplot", "x109_exact_substr",
     "kq78_frequent_itemsets", "kq79_change_point", "q44_scd2",
     "kq80_moving_median", "kq81_variable_width_histogram",
-    "kq82_geo_centroid")
+    "kq82_geo_centroid", "kq83_stream_map_state", "q45_temporal_join",
+    "q46_incremental_agg")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -204,6 +204,14 @@ object SparkEntry {
       graft.streaming.StreamPipeline.stateAuditBatch(s,
         Pipeline.envelopeFlat(s, dir))),
 
+    // ---- transformWithState MAP STATE (the remaining state ------------
+    // ---- primitive after kq23's value state, kq49's timers, kq56's ----
+    // ---- list state): per-key event_type→count map, point-updated -----
+    // ---- per arrival; fixpoint == the batch group-by. -----------------
+    "kq83_stream_map_state" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.mapStateCountsBatch(s,
+        Pipeline.envelopeFlat(s, dir))),
+
     // ---- Kibana `rare_terms` aggregation: the least-frequent keys in ----
     // ---- the changelog (long-tail keys surface config errors / orphan ---
     // ---- producers). (doc_count, key) is a total order, so the LIMIT ----
@@ -1487,6 +1495,12 @@ object SparkEntry {
         |  max("offset") AS last_offset,
         |  arg_max(value_json, "offset") AS last_value
         |FROM env GROUP BY 1, 2 ORDER BY topic, "key"""".stripMargin),
+
+    // kq83: the map-state fixpoint is the plain per-(key, type) count
+    "kq83_stream_map_state" ->
+      (envSql + """SELECT "key", event_type, count(*) AS n
+        |FROM env WHERE event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY "key", event_type""".stripMargin),
 
     "kq13_rare_terms" ->
       (envSql + """SELECT "key", count(*) AS doc_count

@@ -854,6 +854,79 @@ object RelQueries {
   }
 
   /**
+   * q45 — TEMPORAL (point-in-time) JOIN against the [[q44Scd2]]
+   * dimension: every lineitem ship event looks up the customer's
+   * order-status VERSION valid at l_shipdate (valid_from ≤ d <
+   * valid_to, the current version open-ended) — the fact-to-SCD2
+   * lookup every warehouse runs. Plan: equi-join lineitem→orders on
+   * the order key for the customer key, then an equi-join on the
+   * dimension key with the validity range as a post-join filter —
+   * per-key version lists are short (a key's own change history), so
+   * fanout is bounded; no interval index needed. Version 1's validity
+   * is open at the START — the SCD convention for the initial state
+   * (it covers everything before the first recorded change; the
+   * fixture has ship dates preceding their customer's first order
+   * date, which would otherwise dangle) — so every event matches
+   * exactly one version, and the spec asserts row conservation.
+   */
+  def q45TemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"),
+        col("l_extendedprice"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dim = q44Scd2(spark, dir)
+    val fact = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    fact.join(dim,
+        fact("o_custkey") === dim("o_custkey") &&
+          (col("version") === 1L ||
+            col("l_shipdate") >= col("valid_from")) &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .groupBy(col("status"), col("is_current"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("price_cents"))
+      .orderBy(col("status"), col("is_current"))
+  }
+
+  /**
+   * q46 — INCREMENTAL VIEW MAINTENANCE by associative merge: the
+   * running per-priority order aggregate is maintained as
+   * (stored base) ⊕ (new delta) instead of recomputed — base covers
+   * everything before the last month boundary, delta the tail, and the
+   * merge is plain addition because count/decimal-cent-sum are
+   * associative and commutative. The DuckDB oracle is the FULL
+   * one-shot recompute, so the hash check IS the merge-equals-
+   * recompute theorem. (Here both legs scan the fixture — in
+   * production the base leg is the stored aggregate; the merge plan is
+   * what this entry pins.) The cutoff is a broadcast 1-row scalar;
+   * both legs are map-side-combinable aggregations on the same key.
+   */
+  def q46IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val cutoff = orders
+      .agg(date_trunc("month", max(col("o_orderdate"))).as("cut"))
+    val withCut = orders.crossJoin(broadcast(cutoff))
+    def leg(pred: Column, phase: String): DataFrame =
+      withCut.where(pred)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+        .withColumn("phase", lit(phase))
+    leg(col("o_orderdate") < col("cut"), "base")
+      .unionByName(leg(col("o_orderdate") >= col("cut"), "delta"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(col("phase") === "base", col("n")).otherwise(0L))
+          .as("base_n"),
+        sum(when(col("phase") === "delta", col("n")).otherwise(0L))
+          .as("delta_n"),
+        sum(col("n")).as("n_orders"), sum(col("cents")).as("cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -1133,7 +1206,9 @@ object RelQueries {
     "q41_attribution" -> (q41Attribution _),
     "q42_rfm" -> (q42Rfm _),
     "q43_listagg" -> (q43Listagg _),
-    "q44_scd2" -> (q44Scd2 _)
+    "q44_scd2" -> (q44Scd2 _),
+    "q45_temporal_join" -> (q45TemporalJoin _),
+    "q46_incremental_agg" -> (q46IncrementalAgg _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1678,6 +1753,57 @@ object RelQueries {
         |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
-        |FROM ch ORDER BY o_custkey, version""".stripMargin
+        |FROM ch ORDER BY o_custkey, version""".stripMargin,
+
+    // q45: the q44 dimension rebuilt inline, then the identical
+    // equi-join + validity-range lookup
+    "q45_temporal_join" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |ch AS (SELECT * FROM c
+        |       WHERE prev IS NULL OR prev <> o_orderstatus),
+        |dim AS (
+        |  SELECT o_custkey, o_orderstatus AS status,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS version,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM ch),
+        |f AS (
+        |  SELECT l.l_shipdate, l.l_quantity, l.l_extendedprice,
+        |         o.o_custkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT d.status, d.valid_to IS NULL AS is_current,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM f JOIN dim d ON f.o_custkey = d.o_custkey
+        |  AND (d.version = 1 OR f.l_shipdate >= d.valid_from)
+        |  AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q46: the oracle is the one-shot recompute — hash equality IS the
+    // merge-equals-recompute proof; the base/delta split replays the
+    // same month-boundary cutoff
+    "q46_incremental_agg" ->
+      """WITH cut AS (
+        |  SELECT date_trunc('month', max(o_orderdate)) AS cut
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderdate < cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS base_n,
+        |  CAST(sum(CASE WHEN o_orderdate >= cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS delta_n,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders, cut
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

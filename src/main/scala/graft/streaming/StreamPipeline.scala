@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.transform.Transforms
 
@@ -234,6 +234,107 @@ object StreamPipeline {
       org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
       fixpoint.write.mode("overwrite").parquet(out.toString)
       spark.read.parquet(out.toString).orderBy(col("topic"), col("key"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.catalog.dropTempView(sinkName)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /** Input row for the kq83 map-state counter. */
+  case class KeyType(key: String, event_type: String)
+  /** Per-(key, event_type) running count — kq83's emission. */
+  case class TypeCount(key: String, event_type: String, n: Long)
+
+  /**
+   * [[StatefulProcessor]] backing [[mapStateCountsBatch]] (kq83): per
+   * changelog key one `MapState[event_type → count]` — the
+   * transformWithState primitive kq23 (ValueState), kq49 (event-time
+   * timers) and kq56 (ListState) don't touch. MapState matters at
+   * scale because sub-keys are point-read/point-written against the
+   * RocksDB store: a user with 10^4 event types updates ONE entry per
+   * arrival, where a ValueState[Map] would deserialize and rewrite the
+   * whole map every time. Emits the updated (key, type, count) rows of
+   * each trigger (Update mode); counts only grow, so the stream's
+   * fixpoint per (key, type) is the max emission — which is exactly
+   * the batch `count(*)` group-by, the oracle.
+   */
+  class TypeCountProcessor
+      extends StatefulProcessor[String, KeyType, TypeCount] {
+    @transient private var st: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("perType",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyType],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.Map.empty[String, Long]
+      for (r <- rows) {
+        val base = touched.getOrElse(r.event_type,
+          if (st.containsKey(r.event_type)) st.getValue(r.event_type)
+          else 0L)
+        touched(r.event_type) = base + 1L
+      }
+      for ((et, n) <- touched) st.updateValue(et, n)
+      touched.iterator.map { case (et, n) => TypeCount(key, et, n) }
+    }
+  }
+
+  /**
+   * kq83 — MAP STATE per-key counters via `transformWithState`: the
+   * envelope replayed as a stream (file source, `Trigger.AvailableNow`,
+   * RocksDB provider) through [[TypeCountProcessor]]; the final
+   * per-(key, event_type) counts are returned as a batch frame and
+   * hash-checked against the plain group-by — same contract pattern as
+   * kq23, exercising the remaining state primitive. Tombstoned rows
+   * (null event_type) are filtered before keying, so the state domain
+   * is (live keys × observed types).
+   */
+  def mapStateCountsBatch(spark: org.apache.spark.sql.SparkSession,
+      env: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("kq83-tws").toString
+    val in = env.where(col("event_type").isNotNull)
+      .select(col("key"), col("event_type"))
+    in.write.mode("overwrite").parquet(s"$work/in")
+    val stream = spark.readStream.schema(in.schema).parquet(s"$work/in")
+    val sinkName = s"kq83_tws_${System.nanoTime()}"
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val q = stream.as[KeyType]
+        .groupByKey(_.key)
+        .transformWithState(new TypeCountProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF()
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("key"), col("event_type"))
+        .orderBy(col("n").desc)
+      val fixpoint = spark.table(sinkName)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("key"), col("event_type"), col("n"))
+      val out = java.nio.file.Files.createTempDirectory("kq83-out").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+      fixpoint.write.mode("overwrite").parquet(out.toString)
+      spark.read.parquet(out.toString)
+        .orderBy(col("key"), col("event_type"))
     } finally {
       prev match {
         case Some(p) => spark.conf.set(

@@ -352,4 +352,36 @@ class RelQueriesSpec extends SparkSpec {
     // change compression is real: some customer has > 2 versions
     assert(byKey.values.exists(_.length > 2))
   }
+
+  test("q45 temporal join: every lineitem resolves exactly one version " +
+      "(row conservation) and current/closed versions both match") {
+    import spark.implicits._
+    val got = RelQueries.q45TemporalJoin(spark, sf)
+      .select($"status", $"is_current", $"n_items")
+      .as[(String, Boolean, Long)].collect()
+    val nLi = graft.ingest.Tables.load(spark, sf, "lineitem").count()
+    assert(got.map(_._3).sum == nLi)
+    assert(got.exists(_._2) && got.exists(!_._2))
+  }
+
+  test("q46 incremental agg: base + delta merge reconciles with the " +
+      "one-shot recompute and the delta is non-trivial") {
+    import spark.implicits._
+    val got = RelQueries.q46IncrementalAgg(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val direct = graft.ingest.Tables.load(spark, sf, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((prio, baseN, deltaN, n, cents) <- got) {
+      assert(baseN + deltaN == n)
+      assert(direct(prio) == ((n, cents)))
+      assert(baseN > 0, s"empty base at $prio")
+    }
+    // the tail month really contributes somewhere
+    assert(got.map(_._3).sum > 0)
+  }
 }

@@ -542,4 +542,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got.map(_._2).sum == envFlat.count())
   }
+
+  test("map state (kq83): the per-(key, type) fixpoint equals the batch " +
+      "group-by and covers every non-tombstone row") {
+    import spark.implicits._
+    val envFlat = Pipeline.envelopeFlat(spark, sf)
+    val got = graft.streaming.StreamPipeline
+      .mapStateCountsBatch(spark, envFlat)
+      .as[(String, String, Long)].collect().toSeq
+    val want = envFlat.where(col("event_type").isNotNull)
+      .groupBy(col("key"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("key"), col("event_type"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.map(_._3).sum ==
+      envFlat.where(col("event_type").isNotNull).count())
+    // the map is genuinely multi-entry: some key has several types
+    assert(got.groupBy(_._1).values.exists(_.size > 1))
+  }
 }
