@@ -101,7 +101,7 @@ object Bench {
     "kq78_frequent_itemsets", "kq79_change_point", "q44_scd2",
     "kq80_moving_median", "kq81_variable_width_histogram",
     "kq82_geo_centroid", "kq83_stream_map_state", "q45_temporal_join",
-    "q46_incremental_agg")
+    "q46_incremental_agg", "kq84_random_sampler", "q47_sql_udf")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

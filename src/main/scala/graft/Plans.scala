@@ -112,7 +112,13 @@ object Plans {
     "x101_multi_match" -> "multi_match: two per-field BM25 legs (each its own postings-pruned pass + field stats), full-outer fused in exact half-micro ints; the global top-k happens once after fusion",
     "x92_k_anonymity" -> "k-anonymity: two tiny aggregates above one scan — level-0 counts + a region re-aggregate of only the FAILING groups (bottom-up local recoding), nation dim broadcast",
     "kq57_forget_key" -> "right to erasure: partition-pruned discovery (the key filter reaches the scan), then ONLY the hit partitions rewrite via staged hide-then-swap — erasing one subject costs their partitions, never a table rewrite",
-    "x93_stream_index_append" -> "streaming index maintenance: each trigger pays only its own shingle/signature pass + a segment-sized idempotent write; the corpus index is never touched, the probe is the x64 contract")
+    "x93_stream_index_append" -> "streaming index maintenance: each trigger pays only its own shingle/signature pass + a segment-sized idempotent write; the corpus index is never touched, the probe is the x64 contract",
+    "x109_exact_substr" -> "ExactSubstr dedup: ONE posexplode + md5-keyed occurrence agg (uniform keys) + join back; island merge is a per-doc window pair; the rebuild filters the doc's own token array against its island list — linear in corpus tokens, no all-pairs",
+    "kq78_frequent_itemsets" -> "frequent_item_sets: ordered self-joins over the frequent-1-pruned basket table; the user count is a broadcast 1-row scalar attached to every support filter",
+    "q44_scd2" -> "SCD2 build: change-detect lag + interval lead share ONE per-customer shuffle; per-key state is the key's own history",
+    "q45_temporal_join" -> "temporal SCD2 lookup: orderkey equi-join for the customer key, then a custkey equi-join with the validity range as a post-join filter — per-key version fanout bounded by change history",
+    "q46_incremental_agg" -> "incremental view maintenance: base and delta are map-side-combinable aggs on the same key merged by addition; the cutoff is a broadcast 1-row scalar",
+    "kq81_variable_width_histogram" -> "variable_width_histogram: gap ranking + boundary prefix-sum run over the DISTINCT-value domain; the raw stream is touched twice, both map-side-combinable")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

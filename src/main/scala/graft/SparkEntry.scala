@@ -1174,6 +1174,25 @@ object SparkEntry {
     "kq82_geo_centroid" -> ((s, dir) =>
       graft.query.Geo.geoCentroidBounds(s, dir)),
 
+    // ---- ES random_sampler aggregation (8.x): deterministic 1/8 -------
+    // ---- hash-probability sampling with the scaled estimate NEXT ------
+    // ---- TO the exact count, so the sampling error is part of the -----
+    // ---- contract. At 100 TB this agg exists precisely so a dashboard -
+    // ---- can read 1/p of the index; the md5 sampler makes the ---------
+    // ---- "random" subset reproducible across engines and runs. --------
+    "kq84_random_sampler" -> ((s, dir) => {
+      val sampled =
+        expr("conv(substring(md5(uid), 1, 8), 16, 10)").cast("long") % 8 === 0
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .withColumn("s", sampled)
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("s"), 1L).otherwise(0L)).as("sampled_n"),
+          (sum(when(col("s"), 1L).otherwise(0L)) * 8).as("est_n"),
+          count(lit(1)).as("exact_n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- LINEAR-INTERPOLATION gap fill (Kibana's fitting: 'linear', ---
     // ---- the step past kq17's zero-fill): per event_type, every -------
     // ---- missing hourly bucket inside the series' span gets -----------
@@ -2329,6 +2348,22 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "kq82_geo_centroid" -> graft.query.Geo.geoCentroidBoundsOracle,
+
+    // kq84: the documented md5-hex -> integer fold matches Spark's
+    // conv(substring(md5, 1, 8), 16, 10)
+    "kq84_random_sampler" ->
+      (envSql + """, sm AS (
+        |  SELECT event_type,
+        |    list_reduce(list_transform(
+        |      string_split(substr(md5(uid), 1, 8), ''),
+        |      c -> instr('0123456789abcdef', c) - 1),
+        |      (a, b) -> a * 16 + b) % 8 = 0 AS s
+        |  FROM env WHERE event_type IS NOT NULL)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS sampled_n,
+        |  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) * 8 AS BIGINT) AS est_n,
+        |  count(*) AS exact_n
+        |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // kq72: identical spine + IGNORE-NULLS carry windows; the sign split
     // keeps every floor-division positive

@@ -927,6 +927,34 @@ object RelQueries {
   }
 
   /**
+   * q47 — Spark 4 SQL-language surface in one query: a declarative
+   * SQL UDF (`CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN expr` —
+   * inlined by Catalyst into the plan, so it codegens like the
+   * hand-written expression and pushes through the optimizer, unlike a
+   * black-box Scala UDF), a NAMED PARAMETER marker (`:status`, bound
+   * via `spark.sql(text, args)` — the injection-safe API), and a
+   * LATERAL COLUMN ALIAS (`cents div n` referencing two aliases
+   * defined in the same SELECT list). The aggregation itself is the
+   * exact-cents discipline via the UDF body.
+   */
+  def q47SqlUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q47_orders")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION order_cents(p DOUBLE)
+        |RETURNS BIGINT
+        |RETURN CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT)""".stripMargin)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(order_cents(o_totalprice)) AS cents,
+        |  cents div n AS avg_cents
+        |FROM q47_orders
+        |WHERE o_orderstatus = :status
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("status" -> "F"))
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -1208,7 +1236,8 @@ object RelQueries {
     "q43_listagg" -> (q43Listagg _),
     "q44_scd2" -> (q44Scd2 _),
     "q45_temporal_join" -> (q45TemporalJoin _),
-    "q46_incremental_agg" -> (q46IncrementalAgg _)
+    "q46_incremental_agg" -> (q46IncrementalAgg _),
+    "q47_sql_udf" -> (q47SqlUdf _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1804,6 +1833,16 @@ object RelQueries {
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
         |    AS BIGINT)) AS BIGINT) AS cents
         |FROM orders, cut
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q47: the UDF body and the lateral alias inlined literally
+    "q47_sql_udf" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) // count(*) AS avg_cents
+        |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -125,4 +125,45 @@ class JoinOptSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
     }
   }
+
+  test("window group limit: a pure per-key top-k rank filter compiles " +
+      "to WindowGroupLimit; an added whole-group window correctly " +
+      "disables it") {
+    // Spark 3.5+ rewrites rank()/row_number() <= k filters into a
+    // WindowGroupLimitExec that drops all but k rows per group BEFORE
+    // the window sort — the difference between sorting every event and
+    // sorting k per key at 100 TB. collect() the exact frame (the
+    // SkewSpec discipline), then assert on its final plan. kq54/kq16
+    // also emit per-group totals (count over the whole partition), and
+    // that second window NEEDS every row — the optimizer must NOT prune
+    // there; both directions are pinned.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("timestamp").desc, col("offset").desc)
+    val base = Pipeline.envelopeFlat(spark, sf)
+      .where(col("event_type").isNotNull)
+    val topk = base
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("offset"))
+    topk.collect()
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"WindowGroupLimit missing from the pure top-k plan:\n$plan")
+
+    val withTotal = base
+      .withColumn("rk", row_number().over(w))
+      .withColumn("total", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .where(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("total"))
+    val rows = withTotal.collect()
+    assert(!withTotal.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      "pruning must be disabled when a whole-group window rides along")
+    // and the totals prove every row survived to the count window
+    val wantTotals = base.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(2)).toMap == wantTotals)
+  }
 }
