@@ -101,7 +101,11 @@ object Bench {
     "kq78_frequent_itemsets", "kq79_change_point", "q44_scd2",
     "kq80_moving_median", "kq81_variable_width_histogram",
     "kq82_geo_centroid", "kq83_stream_map_state", "q45_temporal_join",
-    "q46_incremental_agg", "kq84_random_sampler", "q47_sql_udf")
+    "q46_incremental_agg", "kq84_random_sampler", "q47_sql_udf",
+    "kq85_top_metrics", "kq86_multi_terms", "kq87_cumulative_cardinality",
+    "kq88_serial_diff", "kq89_scripted_metric", "q48_pivot",
+    "q49_dq_audit", "x110_gopher_rules", "x111_kmv_theta",
+    "x112_semantic_pack")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -1416,6 +1416,107 @@ object SparkEntry {
     "kq59_geo_grid" -> ((s, dir) => graft.query.Geo.geoGrid(s, dir)),
     "kq60_geo_distance" -> ((s, dir) => graft.query.Geo.geoDistance(s, dir)),
 
+    // ---- ES top_metrics: the metric VALUE AT the latest sort tuple ----
+    // ---- per bucket (not an aggregate of it) — "what was the last -----
+    // ---- reading" per event_type. A per-key top-1 window on the -------
+    // ---- Discover sort (timestamp DESC, offset DESC): the rank --------
+    // ---- filter is a WindowGroupLimit, so each group is pruned to -----
+    // ---- one row BEFORE the sort — never a global order-by. -----------
+    "kq85_top_metrics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("timestamp").desc, col("offset").desc)
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("timestamp").as("last_ts"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").cast("long").as("last_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- ES multi_terms: compound-key terms agg — top buckets of ------
+    // ---- the (event_type, key) PAIR ranked by doc count (unlike -------
+    // ---- kq33's composite agg, which pages the same pairs in key ------
+    // ---- order). One hash aggregation + TakeOrderedAndProject; the ----
+    // ---- deterministic tie-break is the compound key itself. ----------
+    "kq86_multi_terms" -> ((s, dir) =>
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .groupBy(col("event_type"), col("key").as("ukey"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum((col("value").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").cast("long")).as("sum_cents"))
+        .orderBy(col("doc_count").desc, col("event_type"), col("ukey"))
+        .limit(10)),
+
+    // ---- ES cumulative_cardinality pipeline agg: running distinct -----
+    // ---- users per day. The scalable re-expression is the FIRST-SEEN --
+    // ---- trick: distinct-so-far(day) == sum of users whose min(day) ---
+    // ---- is <= day, so one per-user aggregate + a prefix sum over -----
+    // ---- the bounded day domain replaces any per-bucket distinct ------
+    // ---- union — the exact shape a 100 TB retention dashboard needs. --
+    // ---- The unpartitioned window reads <= 31 post-agg rows. ----------
+    "kq87_cumulative_cardinality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val env = Pipeline.envelopeFlat(s, dir)
+      val newUsers = env.groupBy(col("key"))
+        .agg(min(date_trunc("day", col("timestamp"))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("new_users"))
+      val days = env
+        .select(date_trunc("day", col("timestamp")).as("bucket")).distinct()
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(newUsers, Seq("bucket"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- ES serial_diff pipeline agg: seasonal differencing of the ----
+    // ---- hourly count series at period 24 (day-over-day deltas), ------
+    // ---- plus the second-order difference (the "acceleration" TSVB ----
+    // ---- panel). kq27 is the lag-1 pair; this is the PERIOD-k form. ---
+    // ---- Integer counts through integer lags — drift-free; the --------
+    // ---- unpartitioned window reads the <= 744-row post-agg series. ---
+    "kq88_serial_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("bucket"))
+      Pipeline.envelopeFlat(s, dir)
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("diff24", col("n") - lag(col("n"), 24).over(w))
+        .withColumn("accel",
+          col("n") - lit(2L) * lag(col("n"), 1).over(w)
+            + lag(col("n"), 2).over(w))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- ES scripted_metric agg, re-expressed declaratively: MAX ------
+    // ---- DRAWDOWN of the value series per event_type (largest drop ----
+    // ---- from a running peak, in exact integer cents) — the classic ---
+    // ---- "needs a script" metric because it depends on arrival --------
+    // ---- ORDER, not the value multiset. One shuffle on the group ------
+    // ---- key; the running peak is a linear per-key window — state -----
+    // ---- is one long per key, never the series. -----------------------
+    "kq89_scripted_metric" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("timestamp"), col("offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .withColumn("cents", (col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long"))
+        .withColumn("peak", max(col("cents")).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("peak") - col("cents")).as("max_drawdown_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -2692,6 +2793,68 @@ object SparkEntry {
         |            / sqrt(CAST(vary_num AS DOUBLE))
         |  END AS corr
         |FROM m ORDER BY event_type""".stripMargin),
+
+    // kq85: same top-1 window on the Discover sort tuple; the triple
+    // cents cast is the kq81 recipe
+    "kq85_top_metrics" ->
+      (envSql + """SELECT event_type, "timestamp" AS last_ts, last_cents
+        |FROM (
+        |  SELECT event_type, "timestamp",
+        |    CAST(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |         AS DECIMAL(18,0)) AS BIGINT) AS last_cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY "timestamp" DESC, "offset" DESC) AS rn
+        |  FROM env WHERE event_type IS NOT NULL)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin),
+
+    // kq86: sum(BIGINT) -> HUGEINT in DuckDB, cast back
+    "kq86_multi_terms" ->
+      (envSql + """SELECT event_type, "key" AS ukey, count(*) AS doc_count,
+        |  CAST(sum(CAST(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |       AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM env WHERE event_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY doc_count DESC, event_type, ukey LIMIT 10""".stripMargin),
+
+    // kq87: identical first-seen + prefix-sum shape
+    "kq87_cumulative_cardinality" ->
+      (envSql + """, fs AS (
+        |  SELECT "key", min(date_trunc('day', "timestamp")) AS bucket
+        |  FROM env GROUP BY 1),
+        |nu AS (SELECT bucket, count(*) AS new_users FROM fs GROUP BY 1),
+        |d AS (SELECT DISTINCT date_trunc('day', "timestamp") AS bucket
+        |      FROM env)
+        |SELECT d.bucket, COALESCE(nu.new_users, 0) AS new_users,
+        |  CAST(sum(COALESCE(nu.new_users, 0)) OVER (ORDER BY d.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM d LEFT JOIN nu USING (bucket) ORDER BY d.bucket""".stripMargin),
+
+    // kq88: row-position lags over the hourly series, all integer
+    "kq88_serial_diff" ->
+      (envSql + """, h AS (
+        |  SELECT date_trunc('hour', "timestamp") AS bucket, count(*) AS n
+        |  FROM env GROUP BY 1)
+        |SELECT bucket, n,
+        |  n - lag(n, 24) OVER (ORDER BY bucket) AS diff24,
+        |  n - 2 * lag(n, 1) OVER (ORDER BY bucket)
+        |    + lag(n, 2) OVER (ORDER BY bucket) AS accel
+        |FROM h ORDER BY bucket""".stripMargin),
+
+    // kq89: running peak then max(peak - cents), exact integer cents
+    "kq89_scripted_metric" ->
+      (envSql + """, c AS (
+        |  SELECT event_type,
+        |    CAST(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |         AS DECIMAL(18,0)) AS BIGINT) AS cents,
+        |    max(CAST(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |         AS DECIMAL(18,0)) AS BIGINT)) OVER (
+        |      PARTITION BY event_type ORDER BY "timestamp", "offset"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM env WHERE event_type IS NOT NULL)
+        |SELECT event_type, count(*) AS n_events,
+        |  max(peak - cents) AS max_drawdown_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

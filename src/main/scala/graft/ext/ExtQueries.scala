@@ -301,6 +301,18 @@ object ExtQueries {
     // maximal islands and excised (x28/x39 tile fixed offsets).
     "x109_exact_substr" -> ((s: SparkSession, d: String) =>
       Dedup.exactSubstrExcise(s, d)),
+    // x110: the Gopher quality rule battery — exact-integer metrics
+    // per rule plus the composed keep decision.
+    "x110_gopher_rules" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.gopherRules(s, d)),
+    // x111: KMV/theta sketch set ops — the mergeable distinct sketch
+    // that, unlike HLL (x94), supports intersection.
+    "x111_kmv_theta" -> ((s: SparkSession, d: String) =>
+      Sketches.kmvThetaSetOps(s, d)),
+    // x112: in-context-pretraining packing — cluster members ordered
+    // centroid-outward, packed with the x55 boundary convention.
+    "x112_semantic_pack" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticPack(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -2220,6 +2232,106 @@ object ExtQueries {
         |FROM b LEFT JOIN pd USING (doc_id)
         |LEFT JOIN rec ON b.doc_id = rec.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // x110: same per-doc scalars, bigram top-count, and the x109
+    // interval-merge windows at gram length 3 (doc-scoped duplicates);
+    // every metric an exact integer, keep a BOOLEAN of integer gates.
+    "x110_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(length(text) AS BIGINT)
+        |          - (CAST(len(toks) AS BIGINT) - 1) AS char_sum,
+        |        CAST(len(list_filter(toks, x -> x IN
+        |          ('the','a','of','and','to','in','is'))) AS BIGINT)
+        |          AS stop_n
+        |      FROM t),
+        |g2 AS (SELECT doc_id,
+        |         toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+        |           AS gram
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |             FROM t)),
+        |c2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
+        |         CAST(sum(c) AS BIGINT) AS n_grams
+        |       FROM (SELECT doc_id, gram, count(*) AS c FROM g2
+        |             GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, s,
+        |         md5(array_to_string(
+        |           toks[CAST(s + 1 AS INT) : CAST(s + 3 AS INT)], ' ')) AS h
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(CASE WHEN len(toks) >= 3
+        |                                 THEN CAST(len(toks) - 2 AS BIGINT)
+        |                                 ELSE 0 END)) AS s
+        |             FROM t)),
+        |d3 AS (SELECT doc_id, s FROM (
+        |         SELECT doc_id, s,
+        |           count(*) OVER (PARTITION BY doc_id, h) AS occ
+        |         FROM g3) WHERE occ >= 2),
+        |i0 AS (SELECT doc_id, s,
+        |         max(s + 3) OVER (PARTITION BY doc_id ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |       FROM d3),
+        |i1 AS (SELECT doc_id, s,
+        |         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS island
+        |       FROM i0),
+        |cov AS (SELECT doc_id, CAST(sum(i_e - i_s) AS BIGINT)
+        |          AS dup3_tokens
+        |        FROM (SELECT doc_id, island, min(s) AS i_s,
+        |                max(s + 3) AS i_e
+        |              FROM i1 GROUP BY 1, 2) GROUP BY 1),
+        |m AS (SELECT b.doc_id, b.n_words,
+        |        (b.char_sum * 1000) // b.n_words AS mean_wlen_milli,
+        |        b.stop_n,
+        |        CASE WHEN c2.n_grams > 0
+        |             THEN (c2.top_c * 1000000) // c2.n_grams
+        |             ELSE 0 END AS top2_ppm,
+        |        (COALESCE(cov.dup3_tokens, 0) * 1000000) // b.n_words
+        |          AS dup3_ppm
+        |      FROM b LEFT JOIN c2 USING (doc_id)
+        |      LEFT JOIN cov USING (doc_id))
+        |SELECT doc_id, n_words, mean_wlen_milli, stop_n, top2_ppm,
+        |  dup3_ppm,
+        |  n_words BETWEEN 30 AND 100000
+        |    AND mean_wlen_milli BETWEEN 3000 AND 10000
+        |    AND stop_n >= 2 AND top2_ppm <= 200000
+        |    AND dup3_ppm <= 180000 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // x111: the md5 15-hex fold, direct k-min windows (the Spark side's
+    // salted two-phase is output-identical), HUGEINT // for the scaled
+    // estimates.
+    "x111_kmv_theta" -> Sketches.kmvThetaOracle,
+
+    // x112: the x37 centroid/cohesion SQL verbatim + the x55 packing
+    // windows keyed by (cohesion DESC, vec_id).
+    "x112_semantic_pack" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |m AS (SELECT label, pos,
+        |    CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS m
+        |  FROM (SELECT label, unnest(emb) AS val,
+        |          generate_subscripts(emb, 1) AS pos FROM e)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT label, list(m ORDER BY pos) AS centroid
+        |      FROM m GROUP BY 1),
+        |coh AS (SELECT vec_id, label,
+        |    round(list_cosine_similarity(e.emb, c.centroid), 6) AS cohesion
+        |  FROM e JOIN c USING (label)),
+        |d AS (SELECT doc_id AS vec_id,
+        |        CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        |      FROM documents),
+        |j AS (SELECT coh.label, coh.vec_id, coh.cohesion, d.est_tokens,
+        |        COALESCE(CAST(sum(est_tokens) OVER (
+        |          PARTITION BY label ORDER BY cohesion DESC, coh.vec_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS BIGINT), 0) AS cum_before
+        |      FROM coh JOIN d USING (vec_id))
+        |SELECT label, cum_before // 512 AS context_id, vec_id, cohesion,
+        |  est_tokens, cum_before % 512 AS offset_in_context
+        |FROM j ORDER BY label, context_id, offset_in_context""".stripMargin,
 
     // x28: DuckDB list slicing toks[a:b] is 1-based inclusive, matching
     // Spark's slice(toks, a, len); md5(varchar) == md5(string as binary).

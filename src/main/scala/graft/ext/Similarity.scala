@@ -738,6 +738,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /**
+   * x112 — SEMANTIC PACKING (the in-context-pretraining recipe, Shi et
+   * al. 2023: related documents placed in the SAME context window so
+   * the model sees coherent long-range structure, instead of the
+   * doc_id-order packing of x55): within each embedding cluster
+   * (`label`), documents are ordered centroid-outward — by their
+   * [[embedCohesion]] cosine to the cluster centroid, descending — and
+   * greedily concatenated into fixed-capacity contexts with the exact
+   * x55 boundary convention (`cum_before div capacity`, so a doc
+   * straddling a boundary starts the carry into the next context).
+   *
+   * Cross-engine determinism: the ordering key is the 6dp-ROUNDED
+   * cohesion (the x37-proven bit-identical value) with vec_id as the
+   * tie-break, and every packing quantity is an exact integer.
+   *
+   * Scale shape: [[embedCohesion]]'s one bounded (label×pos) shuffle +
+   * broadcast centroid join, one doc-table equi-join on the id, and ONE
+   * per-label window pair — the cluster is the shard key, so packing
+   * parallelizes across labels exactly like x55 across md5 shards; no
+   * global sort, nothing quadratic.
+   */
+  def semanticPack(spark: SparkSession, dir: String,
+      capacity: Int = 512): DataFrame = {
+    val coh = embedCohesion(spark, dir)
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"),
+        TextAnalysis.estTokensOf(col("text")).as("est_tokens"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cohesion").desc, col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    coh.join(toks, "vec_id")
+      .withColumn("cum_before",
+        coalesce(sum(col("est_tokens")).over(w), lit(0L)))
+      .select(col("label"), expr(s"cum_before div $capacity")
+          .as("context_id"),
+        col("vec_id"), col("cohesion"), col("est_tokens"),
+        (col("cum_before") % capacity).as("offset_in_context"))
+      .orderBy(col("label"), col("context_id"), col("offset_in_context"))
+  }
+
   /** IVF-bucketed ANN: k-means centroids ([[kmeansCentroids]], 2 Lloyd
     * iterations seeded from `vec_id < nCentroids`), zero-shuffle
     * per-row assignment, probe only the query's bucket. */

@@ -349,4 +349,176 @@ object Sketches {
        |JOIN ex ON s.source = ex.source AND s.q = ex.q
        |JOIN nb ON s.source = nb.source
        |ORDER BY s.source, s.q""".stripMargin
+
+  /** KMV hash domain: 15 md5 hex chars = 60 bits, exactly representable
+    * in BIGINT on both engines (the kq84 md5-fold recipe widened from 8
+    * to 15 chars). */
+  private val KmvDom = 1152921504606846976L // 2^60
+  private val KmvK = 64
+
+  /**
+   * x111 — KMV / THETA-SKETCH SET OPERATIONS (Beyer et al. 2007; the
+   * Apache DataSketches theta family): bounded-memory distinct-count
+   * sketches that — unlike HLL (x94) — support INTERSECTION, the
+   * "users who clicked AND purchased" question a marketing dashboard
+   * asks of 100 TB of events. Each scope's sketch is its k = 64
+   * smallest distinct 60-bit hashes; estimates are exact integer
+   * arithmetic: n < k reads off exactly, otherwise (k−1)·2^60 div h_k;
+   * A∪B merges the two k-min SETS (never the raw data) and re-truncates;
+   * A∩B counts common sketch hashes below θ = min(θ_A, θ_B) scaled by
+   * 2^60 div θ — every estimate lands beside its exact count so the
+   * sketch error is part of the contract (the sf0.001 fixture's handful
+   * of qualifying users exercises the exact small-set branch, the
+   * larger SFs the estimator).
+   *
+   * Scale shape: ONE distinct on (scope, hash) is the only corpus-sized
+   * shuffle; the k-min selection is two-phase (per-salt top-k — the
+   * per-executor sketch — then a global merge over ≤ 32·k rows), so no
+   * single partition ever sees more than the salt's own candidates.
+   * Everything after is k-sized: broadcast scalar frames, no collect.
+   */
+  def kmvThetaSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val k = KmvK
+    val (typeA, typeB) = ("click", "purchase")
+    // membership is HIGH-VALUE activity per channel — on this fixture a
+    // bare event_type filter makes every scope the same 100%-active user
+    // set; the >= 150 gate yields genuinely different sets (sf0.01:
+    // |A| 75, |B| 67, |A∩B| 31), so intersection/union estimates are
+    // exercised on real overlap structure
+    val ev = Tables.load(spark, dir, "events")
+      .where(col("event_type").isin(typeA, typeB) && col("value") >= 150)
+    val hashed = ev.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val wSalt = Window.partitionBy(col("event_type"), col("salt"))
+      .orderBy(col("h"))
+    val wType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val kmin = hashed
+      .withColumn("salt", pmod(col("h"), lit(32)))
+      .withColumn("rn1", row_number().over(wSalt))
+      .where(col("rn1") <= k)
+      .withColumn("rn", row_number().over(wType))
+      .where(col("rn") <= k)
+      .select(col("event_type"), col("h"))
+    val wide = kmin.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("hk"))
+      .agg(
+        coalesce(max(when(col("event_type") === typeA, col("n_sk"))), lit(0L))
+          .as("na"),
+        max(when(col("event_type") === typeA, col("hk"))).as("hka"),
+        coalesce(max(when(col("event_type") === typeB, col("n_sk"))), lit(0L))
+          .as("nb"),
+        max(when(col("event_type") === typeB, col("hk"))).as("hkb"))
+    // union-of-sketches: merge the two k-min SETS and re-truncate — the
+    // mergeability proof; the unpartitioned window reads <= 2k rows
+    val uStats = kmin.select(col("h")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+      .where(col("rn") <= k)
+      .agg(count(lit(1)).as("nu"), max(col("h")).as("hku"))
+    val common = kmin.where(col("event_type") === typeA).select(col("h"))
+      .join(kmin.where(col("event_type") === typeB).select(col("h")), "h")
+    val commonCnt = common.crossJoin(broadcast(wide))
+      .where(col("h") <
+          when(col("na") < k, lit(KmvDom)).otherwise(col("hka")) &&
+        col("h") < when(col("nb") < k, lit(KmvDom)).otherwise(col("hkb")))
+      .agg(count(lit(1)).as("ci_cnt"))
+    val exact = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        max(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+      .agg(sum(col("a")).as("exact_a"), sum(col("b")).as("exact_b"),
+        sum(col("a") * col("b")).as("exact_i"),
+        count(lit(1)).as("exact_u"))
+    val one = wide.crossJoin(uStats).crossJoin(commonCnt).crossJoin(exact)
+      .withColumn("ta", when(col("na") < k, lit(KmvDom)).otherwise(col("hka")))
+      .withColumn("tb", when(col("nb") < k, lit(KmvDom)).otherwise(col("hkb")))
+      .withColumn("est_a", when(col("na") < k, col("na")).otherwise(
+        expr(s"CAST((${k - 1} * CAST($KmvDom AS DECIMAL(38,0))) div hka" +
+          " AS BIGINT)")))
+      .withColumn("est_b", when(col("nb") < k, col("nb")).otherwise(
+        expr(s"CAST((${k - 1} * CAST($KmvDom AS DECIMAL(38,0))) div hkb" +
+          " AS BIGINT)")))
+      .withColumn("est_u", when(col("nu") < k, col("nu")).otherwise(
+        expr(s"CAST((${k - 1} * CAST($KmvDom AS DECIMAL(38,0))) div hku" +
+          " AS BIGINT)")))
+      .withColumn("est_i",
+        when(least(col("ta"), col("tb")) === KmvDom, col("ci_cnt"))
+          .otherwise(expr(s"CAST((CAST(ci_cnt AS DECIMAL(38,0)) * $KmvDom)" +
+            " div least(ta, tb) AS BIGINT)")))
+    one.select(expr(
+        s"""stack(4,
+           |  '$typeA', est_a, exact_a,
+           |  '$typeB', est_b, exact_b,
+           |  'intersection', est_i, exact_i,
+           |  'union', est_u, exact_u) AS (scope, est_n, exact_n)"""
+          .stripMargin))
+      .orderBy(col("scope"))
+  }
+
+  def kmvThetaOracle: String =
+    s"""WITH ev AS (
+      |  SELECT DISTINCT event_type,
+      |    list_reduce(list_transform(
+      |      string_split(substr(md5(CAST(user_id AS VARCHAR)), 1, 15), ''),
+      |      c -> instr('0123456789abcdef', c) - 1),
+      |      (a, b) -> a * 16 + b) AS h
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase') AND "value" >= 150),
+      |km AS (SELECT event_type, h FROM (
+      |    SELECT event_type, h,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |    FROM ev) WHERE rn <= $KmvK),
+      |wide AS (SELECT
+      |    COALESCE(max(CASE WHEN event_type = 'click' THEN n_sk END), 0)
+      |      AS na,
+      |    max(CASE WHEN event_type = 'click' THEN hk END) AS hka,
+      |    COALESCE(max(CASE WHEN event_type = 'purchase' THEN n_sk END), 0)
+      |      AS nb,
+      |    max(CASE WHEN event_type = 'purchase' THEN hk END) AS hkb
+      |  FROM (SELECT event_type, count(*) AS n_sk, max(h) AS hk
+      |        FROM km GROUP BY 1)),
+      |us AS (SELECT count(*) AS nu, max(h) AS hku FROM (
+      |    SELECT h FROM (
+      |      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      |      FROM (SELECT DISTINCT h FROM km)) WHERE rn <= $KmvK)),
+      |cm AS (SELECT count(*) AS ci_cnt
+      |  FROM (SELECT h FROM km WHERE event_type = 'click') a
+      |  JOIN (SELECT h FROM km WHERE event_type = 'purchase') b USING (h),
+      |  wide
+      |  WHERE h < (CASE WHEN na < $KmvK THEN $KmvDom ELSE hka END)
+      |    AND h < (CASE WHEN nb < $KmvK THEN $KmvDom ELSE hkb END)),
+      |fl AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase') AND "value" >= 150
+      |  GROUP BY 1),
+      |ex AS (SELECT CAST(sum(a) AS BIGINT) AS exact_a,
+      |    CAST(sum(b) AS BIGINT) AS exact_b,
+      |    CAST(sum(a * b) AS BIGINT) AS exact_i,
+      |    count(*) AS exact_u FROM fl),
+      |one AS (SELECT *,
+      |    CASE WHEN na < $KmvK THEN $KmvDom ELSE hka END AS ta,
+      |    CASE WHEN nb < $KmvK THEN $KmvDom ELSE hkb END AS tb
+      |  FROM wide, us, cm, ex),
+      |fin AS (SELECT
+      |    CASE WHEN na < $KmvK THEN CAST(na AS BIGINT)
+      |         ELSE CAST((${KmvK - 1} * CAST($KmvDom AS HUGEINT)) // hka
+      |              AS BIGINT) END AS est_a,
+      |    CASE WHEN nb < $KmvK THEN CAST(nb AS BIGINT)
+      |         ELSE CAST((${KmvK - 1} * CAST($KmvDom AS HUGEINT)) // hkb
+      |              AS BIGINT) END AS est_b,
+      |    CASE WHEN nu < $KmvK THEN CAST(nu AS BIGINT)
+      |         ELSE CAST((${KmvK - 1} * CAST($KmvDom AS HUGEINT)) // hku
+      |              AS BIGINT) END AS est_u,
+      |    CASE WHEN least(ta, tb) = $KmvDom THEN CAST(ci_cnt AS BIGINT)
+      |         ELSE CAST((CAST(ci_cnt AS HUGEINT) * $KmvDom)
+      |              // least(ta, tb) AS BIGINT) END AS est_i,
+      |    exact_a, exact_b, exact_i, exact_u
+      |  FROM one)
+      |SELECT 'click' AS scope, est_a AS est_n, exact_a AS exact_n FROM fin
+      |UNION ALL SELECT 'purchase', est_b, exact_b FROM fin
+      |UNION ALL SELECT 'intersection', est_i, exact_i FROM fin
+      |UNION ALL SELECT 'union', est_u, exact_u FROM fin
+      |ORDER BY scope""".stripMargin
 }

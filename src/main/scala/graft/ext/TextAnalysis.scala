@@ -894,6 +894,81 @@ object TextAnalysis {
   }
 
   /**
+   * x110 — the GOPHER QUALITY RULE BATTERY (Rae et al. 2021, table A1;
+   * the same battery ships in NeMo-Curator/DataTrove): every rule as an
+   * EXACT-INTEGER metric plus the composed keep decision, per document.
+   * Word-count bounds, mean word length (milli-chars), minimum stopword
+   * hits, top-bigram token fraction (ppm), and duplicate-3-gram token
+   * COVERAGE (ppm) — coverage, not occurrence-sum: overlapping
+   * duplicated grams are interval-merged ([[graft.ext.Dedup
+   * .exactSubstrExcise]]'s island window, here per-doc), so a token is
+   * counted once however many duplicated grams cross it. Thresholds are
+   * rescaled to the fixture corpus (30-word minimum vs the paper's 50;
+   * the ratios keep the paper's values) and are explicit parameters.
+   *
+   * Scale shape: the per-doc scalars are map-only (one native
+   * [[graft.functions.BigramStats]] pass — no explode for the bigram
+   * rule); the 3-gram coverage explodes once and shuffles twice, on
+   * (doc_id, gram) then doc_id — both uniform keys, linear in corpus
+   * tokens. Nothing is quadratic and no rule needs a second corpus
+   * read.
+   */
+  def gopherRules(spark: SparkSession, dir: String,
+      minWords: Long = 30L, maxWords: Long = 100000L,
+      minWlenMilli: Long = 3000L, maxWlenMilli: Long = 10000L,
+      minStop: Long = 2L, maxTop2Ppm: Long = 200000L,
+      maxDup3Ppm: Long = 180000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val toksC = split(col("text"), " ")
+    val st = graft.functions.BigramStats.bigramStats(col("text"))
+    val prepared = docs.select(col("doc_id"), toksC.as("toks"),
+        size(toksC).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("text_len"), st.as("st"),
+        size(filter(toksC, t => t.isInCollection(stopwords))).cast("long")
+          .as("stop_n"))
+      .withColumn("char_sum", col("text_len") - (col("n_words") - 1L))
+    val grams = prepared.select(col("doc_id"),
+      posexplode(when(col("n_words") >= 3,
+        transform(sequence(lit(0), (col("n_words") - 3).cast("int")), i =>
+          md5(concat_ws(" ", slice(col("toks"), i + 1, lit(3)))
+            .cast("binary"))))
+        .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "s", "gram")
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val covered = grams
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"), col("gram"))))
+      .where(col("occ") >= 2)
+      .withColumn("prev_max_e", max(col("s") + 3).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("i_s"), max(col("s") + 3).as("i_e"))
+      .groupBy(col("doc_id"))
+      .agg(sum((col("i_e") - col("i_s")).cast("long")).as("dup3_tokens"))
+    prepared.join(covered, Seq("doc_id"), "left")
+      .withColumn("dup3_tokens", coalesce(col("dup3_tokens"), lit(0L)))
+      .select(col("doc_id"), col("n_words"),
+        expr("(char_sum * 1000) div n_words").as("mean_wlen_milli"),
+        col("stop_n"),
+        when(col("st.n_grams") > 0,
+          expr("(CAST(st.top_c AS BIGINT) * 1000000) div st.n_grams"))
+          .otherwise(0L).as("top2_ppm"),
+        expr("(dup3_tokens * 1000000) div n_words").as("dup3_ppm"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_wlen_milli").between(minWlenMilli, maxWlenMilli) &&
+          col("stop_n") >= minStop && col("top2_ppm") <= maxTop2Ppm &&
+          col("dup3_ppm") <= maxDup3Ppm)
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * CONTAMINATION check — the benchmark-decontamination step every
    * training-data pipeline runs before a model sees the corpus (GPT-3
    * appendix C; PaLM §6): for each training document, the fraction of its

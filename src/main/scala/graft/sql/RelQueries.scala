@@ -955,6 +955,85 @@ object RelQueries {
   }
 
   /**
+   * q48 — PIVOT: order revenue cents by priority pivoted across order
+   * years (the spreadsheet/cross-tab surface; q38 is the inverse
+   * UNPIVOT). The pivot value list is EXPLICIT, so Spark plans ONE
+   * map-side-combinable hash aggregation with a conditional-sum per
+   * column — with an inferred list it would first run a distinct scan
+   * of the pivot column. Absent cells coalesce to 0 so the schema is
+   * total. One shuffle on the 5-row priority key; everything is exact
+   * integer cents.
+   */
+  def q48Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val years = Seq(1995, 1996, 1997, 1998, 1999, 2000, 2001)
+    val cents = (dec2(col("o_totalprice")) * 100)
+      .cast(DecimalType(18, 0)).cast("long")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"), year(col("o_orderdate")).as("yr"),
+        cents.as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("yr", years.map(_.asInstanceOf[Any]))
+      .agg(sum(col("cents")))
+      .select(col("o_orderpriority") +: years.map(y =>
+        coalesce(col(s"`$y`"), lit(0L)).as(s"y$y")): _*)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /**
+   * q49 — DATA-QUALITY AUDIT (the Deequ-style constraint suite a
+   * lakehouse runs on every ingest batch): primary-key uniqueness,
+   * referential integrity both directions, completeness, and a value
+   * range — each check one row of (table, check, violation metric,
+   * pass). Every metric is an aggregate or an anti-join count on its
+   * own table — nothing quadratic, nothing driver-side; at 100 TB each
+   * check is one linear pass (the orphan checks are shuffle anti-joins
+   * on the key, exactly the shape a constraint engine emits). The pass
+   * thresholds are part of the contract (zero tolerance except the
+   * documented tombstone null budget on the changelog's value column).
+   */
+  def q49DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    def check(tbl: String, chk: String, frame: DataFrame): DataFrame =
+      frame.select(lit(tbl).as("tbl"), lit(chk).as("chk"),
+        col("metric").cast("long").as("metric"), col("pass"))
+    val pkUnique = check("orders", "pk_unique", orders
+      .agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("metric"))
+      .withColumn("pass", col("metric") === 0L))
+    val fkCustomer = check("orders", "fk_customer", orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("metric"))
+      .withColumn("pass", col("metric") === 0L))
+    val fkOrders = check("lineitem", "fk_orders", lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("metric"))
+      .withColumn("pass", col("metric") === 0L))
+    val nameComplete = check("customer", "name_complete", customer
+      .agg(sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("metric"))
+      .withColumn("pass", col("metric") === 0L))
+    val qtyRange = check("lineitem", "qty_range", lineitem
+      .agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("metric"))
+      .withColumn("pass", col("metric") === 0L))
+    // the CHANGELOG's value nulls are the tombstone contract (1 in 50
+    // envelope rows) — the budget is <= 2.5% of rows, so the check
+    // passes by design and would catch a producer regression doubling
+    // the tombstone rate. The raw events table has no nulls at all;
+    // the envelope is where the deletion semantics live.
+    val valueBudget = check("changelog", "value_null_budget",
+      graft.Pipeline.envelopeFlat(spark, dir)
+        .agg(sum(when(col("value").isNull, 1L).otherwise(0L)).as("metric"),
+          count(lit(1)).as("n"))
+        .withColumn("pass", col("metric") * 40L <= col("n")))
+    pkUnique.unionAll(fkCustomer).unionAll(fkOrders)
+      .unionAll(nameComplete).unionAll(qtyRange).unionAll(valueBudget)
+      .orderBy(col("tbl"), col("chk"))
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -1237,7 +1316,9 @@ object RelQueries {
     "q44_scd2" -> (q44Scd2 _),
     "q45_temporal_join" -> (q45TemporalJoin _),
     "q46_incremental_agg" -> (q46IncrementalAgg _),
-    "q47_sql_udf" -> (q47SqlUdf _)
+    "q47_sql_udf" -> (q47SqlUdf _),
+    "q48_pivot" -> (q48Pivot _),
+    "q49_dq_audit" -> (q49DqAudit _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1843,6 +1924,61 @@ object RelQueries {
         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
         |    AS BIGINT)) AS BIGINT) // count(*) AS avg_cents
         |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q48: conditional sums mirror the explicit pivot value list;
+    // sum(BIGINT) -> HUGEINT cast back, absent cells to 0
+    "q48_pivot" -> {
+      val cols = Seq(1995, 1996, 1997, 1998, 1999, 2000, 2001).map(y =>
+        s"""  COALESCE(CAST(sum(CASE WHEN yr = $y THEN cents END)
+           |    AS BIGINT), 0) AS y$y""".stripMargin).mkString(",\n")
+      s"""WITH o AS (
+        |  SELECT o_orderpriority, year(o_orderdate) AS yr,
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |$cols
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // q49: anti-joins as NOT EXISTS; every metric BIGINT, pass BOOLEAN
+    "q49_dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'orders' AS tbl, 'pk_unique' AS chk,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS metric,
+        |    count(*) - count(DISTINCT o_orderkey) = 0 AS pass
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'fk_customer', CAST(count(*) AS BIGINT),
+        |    count(*) = 0
+        |  FROM orders o WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem', 'fk_orders', CAST(count(*) AS BIGINT),
+        |    count(*) = 0
+        |  FROM lineitem l WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'customer', 'name_complete',
+        |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem', 'qty_range',
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |         THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |        THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  -- the envelope nulls value on tombstones (event_id % 50 = 0)
+        |  SELECT 'changelog', 'value_null_budget',
+        |    CAST(sum(CASE WHEN event_id % 50 = 0 OR "value" IS NULL
+        |         THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN event_id % 50 = 0 OR "value" IS NULL
+        |        THEN 1 ELSE 0 END) * 40 <= count(*)
+        |  FROM events)
+        |ORDER BY tbl, chk""".stripMargin
   )
 }

@@ -1720,4 +1720,65 @@ class ExtSpec extends SparkSpec {
     // islands really merge: some doc has fewer islands than dup starts
     assert(got.values.exists(v => v._2 >= 1 && v._3 > k))
   }
+
+  test("x110 gopher rules match a driver-side recompute of every metric " +
+      "and the battery actually splits the corpus") {
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val want = docs.map { case (id, t) =>
+      val ts = t.split(" ", -1)
+      val n = ts.length.toLong
+      val meanW = ts.map(_.length.toLong).sum * 1000 / n
+      val stopN = ts.count(stop).toLong
+      val bigrams = ts.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      val top2 =
+        if (bigrams.isEmpty) 0L
+        else bigrams.groupBy(identity).values.map(_.size).max.toLong *
+          1000000 / bigrams.size
+      val tri = ts.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toVector
+      val cnt = tri.groupBy(identity).view.mapValues(_.size).toMap
+      val starts = tri.zipWithIndex.collect {
+        case (g, i) if cnt(g) >= 2 => i
+      }
+      var ivs = List.empty[(Int, Int)]
+      for (s <- starts) ivs = ivs match {
+        case (a, b) :: rest if s <= b => (a, math.max(b, s + 3)) :: rest
+        case _ => (s, s + 3) :: ivs
+      }
+      val dup3 = ivs.map { case (a, b) => (b - a).toLong }.sum * 1000000 / n
+      val keep = n >= 30 && n <= 100000 && meanW >= 3000 &&
+        meanW <= 10000 && stopN >= 2 && top2 <= 200000 && dup3 <= 180000
+      id -> ((n, meanW, stopN, top2, dup3, keep))
+    }.toMap
+    val got = TextAnalysis.gopherRules(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._6) && got.values.exists(!_._6),
+      "the battery must both keep and drop at this SF")
+  }
+
+  test("x112 semantic pack: centroid-outward order within label and the " +
+      "exact x55 boundary convention, every doc packed once") {
+    val rows = Similarity.semanticPack(spark, sf)
+      .as[(Int, Long, Long, Double, Long, Long)].collect()
+    assert(rows.length == 500 && rows.map(_._3).distinct.length == 500)
+    for ((_, rs0) <- rows.groupBy(_._1)) {
+      val rs = rs0.sortBy(r => (r._2, r._6))
+      // pack order is cohesion-descending, vec_id tie-broken
+      assert(rs.sliding(2).filter(_.length == 2).forall(p =>
+        p(0)._4 > p(1)._4 || (p(0)._4 == p(1)._4 && p(0)._3 < p(1)._3)))
+      // x55 boundary convention: context = cum div 512, offset = cum mod
+      var cum = 0L
+      for (r <- rs) {
+        assert(r._2 == cum / 512 && r._6 == cum % 512, r.toString)
+        cum += r._5
+      }
+    }
+    // the packing is genuinely multi-context per label
+    assert(rows.groupBy(_._1).values.exists(_.map(_._2).distinct.length > 1))
+  }
 }

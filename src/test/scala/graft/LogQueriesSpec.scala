@@ -882,6 +882,39 @@ class LogQueriesSpec extends SparkSpec {
     }
   }
 
+  test("kq85 top_metrics: the per-type top-1 prunes via WindowGroupLimit " +
+      "and matches the brute-force latest reading") {
+    val df = SparkEntry.queries("kq85_top_metrics")(spark, sf)
+    val rows = df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    val raw = Pipeline.envelopeFlat(spark, sf)
+      .where($"event_type".isNotNull)
+      .select($"event_type", $"timestamp", $"offset",
+        ($"value".cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+          .cast("long"))
+      .as[(String, java.sql.Timestamp, Long, Long)].collect()
+    val want = raw.groupBy(_._1).view
+      .mapValues(_.maxBy(r => (us(r._2), r._3))).toMap
+    assert(rows.length == want.size)
+    for (r <- rows) {
+      val w = want(r.getString(0))
+      assert(r.getTimestamp(1) == w._2 && r.getLong(2) == w._4)
+    }
+  }
+
+  test("kq87 cumulative cardinality: monotone, ends at the total " +
+      "distinct-user count, new_users sums to the same") {
+    val rows = SparkEntry.queries("kq87_cumulative_cardinality")(spark, sf)
+      .select($"new_users", $"cum_users").as[(Long, Long)].collect()
+    val total = Pipeline.envelopeFlat(spark, sf)
+      .select(countDistinct($"key")).as[Long].head()
+    assert(rows.last._2 == total && rows.map(_._1).sum == total)
+    assert(rows.scanLeft(0L)(_ + _._1).drop(1).sameElements(rows.map(_._2)))
+  }
+
   test("latest-state view: one row per key, the max offset one") {
     val latest = LogQueries.latestStatePerKey(env)
     val keys = latest.groupBy($"key").count().where($"count" > 1).count()

@@ -384,4 +384,39 @@ class RelQueriesSpec extends SparkSpec {
     // the tail month really contributes somewhere
     assert(got.map(_._3).sum > 0)
   }
+
+  test("q48 pivot: five priority rows whose year columns reconcile with " +
+      "the direct per-priority revenue total") {
+    import spark.implicits._
+    val rows = RelQueries.q48Pivot(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    val direct = graft.ingest.Tables.load(spark, sf, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(sum(($"o_totalprice".cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).as("cents"))
+      .as[(String, Long)].collect().toMap
+    for (r <- rows) {
+      val total = r._2 + r._3 + r._4 + r._5 + r._6 + r._7 + r._8
+      assert(total == direct(r._1), r._1)
+    }
+    // the cross-tab is genuinely two-dimensional: no all-zero column
+    assert((2 to 8).forall(i =>
+      rows.exists(_.productElement(i - 1).asInstanceOf[Long] > 0L)))
+  }
+
+  test("q49 dq audit: all six constraint checks pass on the fixtures and " +
+      "the tombstone budget is the only nonzero metric") {
+    import spark.implicits._
+    val rows = RelQueries.q49DqAudit(spark, sf)
+      .as[(String, String, Long, Boolean)].collect()
+    assert(rows.length == 6 && rows.forall(_._4))
+    val (nonzero, zero) = rows.partition(_._3 > 0)
+    assert(zero.length == 5)
+    assert(nonzero.map(r => (r._1, r._2)) ===
+      Array(("changelog", "value_null_budget")))
+    val nTombstones = graft.ingest.Tables.load(spark, sf, "events")
+      .where($"event_id" % 50 === 0).count()
+    assert(nonzero.head._3 == nTombstones)
+  }
 }

@@ -137,4 +137,30 @@ class SketchesSpec extends SparkSpec {
       assert(cum.find(_._2 >= rank).map(_._1).contains(bucket))
     }
   }
+
+  test("x111 kmv theta: small-set branch reads off exactly, exact " +
+      "columns match a direct recount and obey inclusion-exclusion") {
+    val rows = Sketches.kmvThetaSetOps(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.keySet ==
+      Set("click", "purchase", "intersection", "union"))
+    // at sf0.001 every qualifying set is far below k = 64, so the
+    // sketch IS the set and every estimate must be exact
+    for ((s, (est, exact)) <- rows) assert(est == exact, s)
+    // inclusion-exclusion on the exact legs
+    assert(rows("click")._2 + rows("purchase")._2 ==
+      rows("intersection")._2 + rows("union")._2)
+    // direct recount of the membership definition
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+      .where($"event_type".isin("click", "purchase") && $"value" >= 150)
+      .select($"event_type", $"user_id").as[(String, Long)].collect()
+    val a = ev.collect { case ("click", u) => u }.toSet
+    val b = ev.collect { case ("purchase", u) => u }.toSet
+    assert(a.nonEmpty && b.nonEmpty && (a != b),
+      "degenerate fixture: membership sets must differ")
+    assert(rows("click")._2 == a.size && rows("purchase")._2 == b.size)
+    assert(rows("intersection")._2 == (a & b).size)
+    assert(rows("union")._2 == (a | b).size)
+  }
 }
