@@ -105,7 +105,8 @@ object Bench {
     "kq85_top_metrics", "kq86_multi_terms", "kq87_cumulative_cardinality",
     "kq88_serial_diff", "kq89_scripted_metric", "q48_pivot",
     "q49_dq_audit", "x110_gopher_rules", "x111_kmv_theta",
-    "x112_semantic_pack")
+    "x112_semantic_pack", "kq90_bucket_pipeline", "q50_merge",
+    "q51_ordered_set", "x113_triplet_mining", "x114_silhouette")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -1517,6 +1517,34 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- ES second-order pipeline aggs in one request: ----------------
+    // ---- bucket_selector (drop hourly buckets under half the peak ----
+    // ---- count — a RELATIVE gate, so it stays selective at every -----
+    // ---- SF), normalize (count as ppm of the peak), and bucket_sort --
+    // ---- with from/size pagination (skip 2, take 10 by revenue). -----
+    // ---- The peak is a broadcast 1-row scalar (kq35's idiom); the ----
+    // ---- rank window reads the <= 744-row post-agg series. kq37 is ---
+    // ---- the bucket_script sibling; this is the selector/sort pair. --
+    "kq90_bucket_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .groupBy(date_trunc("hour", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").cast("long")).as("sum_cents"))
+      val mx = hourly.agg(max(col("n")).as("max_n"))
+      hourly.crossJoin(broadcast(mx))
+        .where(col("n") * 2 >= col("max_n"))
+        .withColumn("n_ppm", expr("(n * 1000000) div max_n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("sum_cents").desc, col("bucket"))))
+        .where(col("rank") > 2 && col("rank") <= 12)
+        .select(col("bucket"), col("n"), col("sum_cents"), col("n_ppm"),
+          col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -2855,6 +2883,24 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_events,
         |  max(peak - cents) AS max_drawdown_cents
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // kq90: same relative selector, ppm normalize, and rank pagination
+    "kq90_bucket_pipeline" ->
+      (envSql + """, h AS (
+        |  SELECT date_trunc('hour', "timestamp") AS bucket, count(*) AS n,
+        |    CAST(sum(CAST(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |         AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM env WHERE event_type IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(n) AS max_n FROM h),
+        |sel AS (SELECT bucket, n, sum_cents,
+        |    (n * 1000000) // max_n AS n_ppm
+        |  FROM h, mx WHERE n * 2 >= max_n),
+        |rk AS (SELECT *,
+        |    row_number() OVER (ORDER BY sum_cents DESC, bucket) AS "rank"
+        |  FROM sel)
+        |SELECT bucket, n, sum_cents, n_ppm, CAST("rank" AS INT) AS "rank"
+        |FROM rk WHERE "rank" > 2 AND "rank" <= 12
+        |ORDER BY "rank"""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -313,6 +313,14 @@ object ExtQueries {
     // centroid-outward, packed with the x55 boundary convention.
     "x112_semantic_pack" -> ((s: SparkSession, d: String) =>
       Similarity.semanticPack(s, d)),
+    // x113: contrastive triplets — hardest positive + hardest negative
+    // per anchor from one broadcast-sample scan, integer-micro margins.
+    "x113_triplet_mining" -> ((s: SparkSession, d: String) =>
+      Similarity.tripletMining(s, d)),
+    // x114: centroid silhouette — map-only distances to the broadcast
+    // centroid table, signed micro-sum per label.
+    "x114_silhouette" -> ((s: SparkSession, d: String) =>
+      Similarity.silhouette(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -2332,6 +2340,69 @@ object ExtQueries {
         |SELECT label, cum_before // 512 AS context_id, vec_id, cohesion,
         |  est_tokens, cum_before % 512 AS offset_in_context
         |FROM j ORDER BY label, context_id, offset_in_context""".stripMargin,
+
+    // x113: list_cosine_similarity on DOUBLE[] (the x37 contract), one
+    // (anchor, same?) rank window, micro-int margin per the x101 rule
+    "x113_triplet_mining" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS anchor_id, label AS a_label, emb AS qv
+        |      FROM e WHERE vec_id < 50),
+        |sc AS (SELECT q.anchor_id, q.a_label, c.vec_id AS cand_id,
+        |         c.label AS c_label,
+        |         round(list_cosine_similarity(q.qv, c.emb), 6) AS sim,
+        |         c.label = q.a_label AS same
+        |       FROM e c, q WHERE c.vec_id <> q.anchor_id),
+        |top AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+        |      ORDER BY sim DESC, cand_id) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |pos AS (SELECT anchor_id, a_label, cand_id AS pos_id,
+        |          sim AS pos_sim
+        |        FROM top WHERE same),
+        |neg AS (SELECT anchor_id, cand_id AS neg_id, c_label AS neg_label,
+        |          sim AS neg_sim
+        |        FROM top WHERE NOT same)
+        |SELECT p.anchor_id, p.a_label, p.pos_id, p.pos_sim, n.neg_id,
+        |  n.neg_label, n.neg_sim,
+        |  CAST(CAST(pos_sim AS DECIMAL(10,6)) * 1000000 AS BIGINT)
+        |    - CAST(CAST(neg_sim AS DECIMAL(10,6)) * 1000000 AS BIGINT)
+        |    AS margin_micro
+        |FROM pos p JOIN neg n USING (anchor_id)
+        |ORDER BY anchor_id""".stripMargin,
+
+    // x114: the x37 decimal centroid means; distances fold with
+    // list_reduce in Spark's exact left-to-right association (0 + x1
+    // == x1, so the no-init fold matches); signed micro-sum, so no
+    // floor division of a possibly-negative quantity anywhere
+    "x114_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |m AS (SELECT label, pos,
+        |    CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS m
+        |  FROM (SELECT label, unnest(emb) AS val,
+        |          generate_subscripts(emb, 1) AS pos FROM e)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+        |      FROM m GROUP BY 1),
+        |d AS (SELECT vec_id, label, c_label,
+        |    sqrt(list_reduce(list_transform(
+        |      generate_series(1, len(emb)),
+        |      i -> (emb[i] - centroid[i]) * (emb[i] - centroid[i])),
+        |      (a, b) -> a + b)) AS dist
+        |  FROM e, c),
+        |ab AS (SELECT vec_id, label,
+        |    min(CASE WHEN c_label = label THEN dist END) AS a,
+        |    min(CASE WHEN c_label <> label THEN dist END) AS b
+        |  FROM d GROUP BY 1, 2),
+        |s AS (SELECT vec_id, label,
+        |        round((b - a) / greatest(a, b), 6) AS sil
+        |      FROM ab)
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(CAST(CAST(sil AS DECIMAL(10,6)) * 1000000 AS BIGINT))
+        |       AS BIGINT) AS sum_sil_micro,
+        |  min(sil) AS min_sil, max(sil) AS max_sil
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // x28: DuckDB list slicing toks[a:b] is 1-based inclusive, matching
     // Spark's slice(toks, a, len); md5(varchar) == md5(string as binary).

@@ -719,15 +719,7 @@ object Similarity {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("emb"))
-    val means = e.select(col("label"),
-        posexplode(col("emb")).as(Seq("pos", "val")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("val").cast("decimal(38,15)")).cast("double")
-        / count(lit(1))).as("m"))
-    val cents = means.groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        _.getField("m")).as("centroid"))
+    val cents = labelCentroids(e)
     val dot = aggregate(zip_with(col("emb"), col("centroid"),
       (x, y) => x * y), lit(0d), (acc, v) => acc + v)
     val na = aggregate(col("emb"), lit(0d), (acc, v) => acc + v * v)
@@ -759,6 +751,114 @@ object Similarity {
    * parallelizes across labels exactly like x55 across md5 shards; no
    * global sort, nothing quadratic.
    */
+  /** Per-label element-wise DECIMAL-exact centroid means (the k-means
+    * oracle contract): one posexplode aggregation keyed by (label, pos)
+    * — cardinality labels×dim regardless of corpus size. Shared by
+    * [[embedCohesion]]/[[semanticPack]] and [[silhouette]]. */
+  private def labelCentroids(e: DataFrame): DataFrame = {
+    val means = e.select(col("label"),
+        posexplode(col("emb")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("val").cast("decimal(38,15)")).cast("double")
+        / count(lit(1))).as("m"))
+    means.groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        _.getField("m")).as("centroid"))
+  }
+
+  /**
+   * x114 — centroid-based SILHOUETTE (the simplified silhouette of
+   * Hartigan / the sklearn "silhouette via centroids" shortcut): per
+   * vector, a = euclidean distance to its OWN label centroid, b = the
+   * distance to the NEAREST OTHER centroid, s = (b−a)/max(a,b); per
+   * label the report is n, the exact-integer micro-sum of the
+   * 6dp-rounded s (signed — s < 0 flags vectors closer to a foreign
+   * centroid, so no floor-division of a possibly-negative mean), and
+   * the min/max s. This is the cluster-quality audit a curation
+   * pipeline runs on its semdedup/IVF clustering (x71/x6): sagging
+   * silhouette = drifting or over-merged clusters.
+   *
+   * Scale shape: the centroid table is labels×dim and BROADCAST; the
+   * per-vector work is one map-only pass over k centroids (never a
+   * vector-vector pair), and the rollup is a label-keyed aggregate —
+   * the full-silhouette O(n²) pairwise form is exactly what this
+   * re-expression avoids at 100 TB. Cross-engine: distances are the
+   * same left-to-right double fold as the x37 cosine (the DuckDB
+   * oracle folds with list_reduce in identical association order).
+   */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+    val cents = labelCentroids(e)
+      .select(col("label").as("c_label"), col("centroid"))
+    val dist = sqrt(aggregate(zip_with(col("emb"), col("centroid"),
+      (x, y) => (x - y) * (x - y)), lit(0d), (acc, v) => acc + v))
+    val ab = e.crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("c_label") === col("label"), col("dist"))).as("a"),
+        min(when(col("c_label") =!= col("label"), col("dist"))).as("b"))
+    ab.withColumn("sil",
+        round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("sil").cast("decimal(10,6)") * 1000000).cast("long"))
+          .as("sum_sil_micro"),
+        min(col("sil")).as("min_sil"), max(col("sil")).as("max_sil"))
+      .orderBy(col("label"))
+  }
+
+  /**
+   * x113 — TRIPLET MINING for contrastive embedding training: for each
+   * anchor of a query sample, the hardest POSITIVE (most-similar
+   * same-label vector — [[knnBrute]]'s top-1 restricted to the label)
+   * and the hardest NEGATIVE (most-similar different-label vector —
+   * [[hardNegatives]]' top-1) from ONE broadcast-queries corpus scan:
+   * the (anchor, positive, negative) rows with their margin are exactly
+   * the batch a triplet-loss trainer consumes, and small margins mark
+   * the pairs worth mining more of. The margin obeys the x101 rule:
+   * each 6dp-rounded cosine is frozen to integer MICRO units and the
+   * margin is their integer difference — never a re-rounded double.
+   *
+   * Scale shape: one corpus scan × broadcast sample (the x83
+   * sample-sized-at-scale contract), both branches ranked by a single
+   * (anchor, same-label?) window whose per-group state is one row; at
+   * 100 TB the corpus side swaps to the IVF bucket probe unchanged.
+   */
+  def tripletMining(spark: SparkSession, dir: String,
+      nQueries: Int = 50): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("q"),
+        col("label").as("a_label"))
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c"), col("label").as("c_label"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .where(col("cand_id") =!= col("anchor_id"))
+      .withColumn("sim", round(cosine(col("q"), col("c")), 6))
+      .withColumn("same", col("c_label") === col("a_label"))
+    val w = Window.partitionBy(col("anchor_id"), col("same"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    val top = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    val pos = top.where(col("same"))
+      .select(col("anchor_id"), col("a_label"),
+        col("cand_id").as("pos_id"), col("sim").as("pos_sim"))
+    val neg = top.where(!col("same"))
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        col("c_label").as("neg_label"), col("sim").as("neg_sim"))
+    pos.join(neg, "anchor_id")
+      .withColumn("margin_micro",
+        (col("pos_sim").cast("decimal(10,6)") * 1000000).cast("long")
+          - (col("neg_sim").cast("decimal(10,6)") * 1000000).cast("long"))
+      .select(col("anchor_id"), col("a_label"), col("pos_id"),
+        col("pos_sim"), col("neg_id"), col("neg_label"), col("neg_sim"),
+        col("margin_micro"))
+      .orderBy(col("anchor_id"))
+  }
+
   def semanticPack(spark: SparkSession, dir: String,
       capacity: Int = 512): DataFrame = {
     val coh = embedCohesion(spark, dir)

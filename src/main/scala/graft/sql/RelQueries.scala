@@ -1034,6 +1034,84 @@ object RelQueries {
   }
 
   /**
+   * q50 — MERGE (upsert) applied as ONE full-outer join: a CDC batch
+   * (the 2001 order tail, aggregated per (customer, priority)) merges
+   * into the target dimension (the same grain before the cutoff) with
+   * the three MERGE INTO verdicts materialized per key — `update`
+   * (matched: counters add), `insert` (source-only), `keep`
+   * (target-only, untouched). The (custkey, priority) grain is what
+   * makes all three actions non-empty on this data: a customer rarely
+   * covers every priority before the cutoff, so the tail genuinely
+   * inserts new keys. This is the Delta/Iceberg MERGE shape without a
+   * table format: at 100 TB the full-outer join is one co-partitioned
+   * shuffle pair on the merge key, and the action column is exactly
+   * what a storage layer would use to route row writes. q46 is the
+   * aggregate-level sibling (associative re-aggregation); this is the
+   * KEYED row-action form.
+   */
+  def q50Merge(spark: SparkSession, dir: String,
+      cutoff: String = "2001-01-01"): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cents = (dec2(col("o_totalprice")) * 100)
+      .cast(DecimalType(18, 0)).cast("long")
+    def side(pred: Column, np: String, cp: String): DataFrame = orders
+      .where(pred)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as(np), sum(cents).as(cp))
+    val target = side(col("o_orderdate") < cutoff, "t_n", "t_cents")
+    val source = side(col("o_orderdate") >= cutoff, "s_n", "s_cents")
+    target.join(source, Seq("o_custkey", "o_orderpriority"), "full_outer")
+      .select(col("o_custkey"), col("o_orderpriority"),
+        when(col("s_n").isNull, "keep")
+          .when(col("t_n").isNull, "insert")
+          .otherwise("update").as("action"),
+        (coalesce(col("t_n"), lit(0L)) + coalesce(col("s_n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("t_cents"), lit(0L))
+          + coalesce(col("s_cents"), lit(0L))).as("cents"))
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
+  /**
+   * q51 — ORDERED-SET AGGREGATES + the FILTER clause (SQL:2016, Spark
+   * 4 SQL surface): per return flag, PERCENTILE_CONT at 0.25/0.5/0.75
+   * WITHIN GROUP over exact integer cents, and FILTER (WHERE …)
+   * aggregates for the heavy-quantity slice — expressed in SQL text
+   * because the syntax IS the surface (the q47 pattern). Quantile
+   * determinism: the chosen quantiles make pos = q·(n−1) have an
+   * exactly-representable fraction ∈ {0, ¼, ½, ¾}, so the interpolated
+   * value is exact in double ARITHMETIC-ORDER-INDEPENDENTLY — any
+   * correct formula gives the bit-identical result (q = 0.95 would
+   * not: its binary fraction makes ceil/floor of n·q engine-fragile;
+   * percentile_disc index conventions also differ across engines, so
+   * the disc form is deliberately absent). One hash aggregate + a
+   * per-group sort inside the percentile buffer; at scale this is the
+   * classic single-shuffle ordered-set plan.
+   */
+  def q51OrderedSet(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .createOrReplaceTempView("q51_lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS p25_cents,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS p50_cents,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS p75_cents,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    FILTER (WHERE l_quantity > 25) AS heavy_cents
+        |FROM q51_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -1318,7 +1396,9 @@ object RelQueries {
     "q46_incremental_agg" -> (q46IncrementalAgg _),
     "q47_sql_udf" -> (q47SqlUdf _),
     "q48_pivot" -> (q48Pivot _),
-    "q49_dq_audit" -> (q49DqAudit _)
+    "q49_dq_audit" -> (q49DqAudit _),
+    "q50_merge" -> ((s: SparkSession, d: String) => q50Merge(s, d)),
+    "q51_ordered_set" -> (q51OrderedSet _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1979,6 +2059,49 @@ object RelQueries {
         |    sum(CASE WHEN event_id % 50 = 0 OR "value" IS NULL
         |        THEN 1 ELSE 0 END) * 40 <= count(*)
         |  FROM events)
-        |ORDER BY tbl, chk""".stripMargin
+        |ORDER BY tbl, chk""".stripMargin,
+
+    // q50: identical per-side aggregates + FULL OUTER JOIN on the merge
+    // key; sum(BIGINT) -> HUGEINT cast back
+    "q50_merge" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate,
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS cents
+        |  FROM orders),
+        |t AS (SELECT o_custkey, o_orderpriority, count(*) AS t_n,
+        |        CAST(sum(cents) AS BIGINT) AS t_cents
+        |      FROM o WHERE o_orderdate < DATE '2001-01-01' GROUP BY 1, 2),
+        |s AS (SELECT o_custkey, o_orderpriority, count(*) AS s_n,
+        |        CAST(sum(cents) AS BIGINT) AS s_cents
+        |      FROM o WHERE o_orderdate >= DATE '2001-01-01' GROUP BY 1, 2)
+        |SELECT o_custkey, o_orderpriority,
+        |  CASE WHEN s_n IS NULL THEN 'keep'
+        |       WHEN t_n IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  COALESCE(t_n, 0) + COALESCE(s_n, 0) AS n_orders,
+        |  COALESCE(t_cents, 0) + COALESCE(s_cents, 0) AS cents
+        |FROM t FULL OUTER JOIN s USING (o_custkey, o_orderpriority)
+        |ORDER BY o_custkey, o_orderpriority""".stripMargin,
+
+    // q51: DuckDB quantile_cont uses the same pos = q*(n-1) linear
+    // interpolation; at these exact-fraction quantiles over integer
+    // cents the double result is exact, so formula order cannot drift
+    "q51_ordered_set" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT), 0.25) AS p25_cents,
+        |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT), 0.5) AS p50_cents,
+        |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT), 0.75) AS p75_cents,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) FILTER (WHERE l_quantity > 25) AS BIGINT)
+        |    AS heavy_cents
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

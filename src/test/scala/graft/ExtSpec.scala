@@ -1781,4 +1781,41 @@ class ExtSpec extends SparkSpec {
     // the packing is genuinely multi-context per label
     assert(rows.groupBy(_._1).values.exists(_.map(_._2).distinct.length > 1))
   }
+
+  test("x113 triplets: labels obey the pos/neg contract, margins are " +
+      "the frozen micro difference, every anchor mined") {
+    val labels = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = Similarity.tripletMining(spark, sf)
+      .as[(Long, Int, Long, Double, Long, Int, Double, Long)].collect()
+    assert(rows.length == 50 && rows.map(_._1).distinct.length == 50)
+    for ((a, aLab, posId, posSim, negId, negLab, negSim, margin) <- rows) {
+      assert(labels(a) == aLab && labels(posId) == aLab)
+      assert(labels(negId) == negLab && negLab != aLab)
+      assert(posId != a && negId != a)
+      def micro(d: Double): Long =
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toLongExact
+      assert(margin == micro(posSim) - micro(negSim))
+    }
+    // hard negatives are genuinely hard on random-ish clusters: some
+    // margins are small or negative, and some positive
+    assert(rows.exists(_._8 > 0))
+  }
+
+  test("x114 silhouette: every label reported once, micro-sums bounded " +
+      "by n x the extrema, distances genuinely two-sided") {
+    val rows = Similarity.silhouette(spark, sf)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    val nLabels = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select(countDistinct($"label")).as[Long].head()
+    assert(rows.length == nLabels)
+    assert(rows.map(_._2).sum == 500)
+    for ((_, n, sumMicro, mn, mx) <- rows) {
+      assert(mn <= mx)
+      assert(sumMicro >= (BigDecimal(mn) * 1000000).toLong * n - n)
+      assert(sumMicro <= (BigDecimal(mx) * 1000000).toLong * n + n)
+      assert(mn >= -1.0 && mx <= 1.0)
+    }
+  }
 }

@@ -419,4 +419,63 @@ class RelQueriesSpec extends SparkSpec {
       .where($"event_id" % 50 === 0).count()
     assert(nonzero.head._3 == nTombstones)
   }
+
+  test("q50 merge: all three MERGE actions fire, per-key totals " +
+      "reconcile with the unsplit aggregate") {
+    import spark.implicits._
+    val rows = RelQueries.q50Merge(spark, sf)
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(Set("keep", "insert", "update").subsetOf(rows.map(_._3).toSet),
+      rows.map(_._3).distinct.mkString(","))
+    // keys unique; post-merge state equals the cutoff-free aggregate
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    val direct = graft.ingest.Tables.load(spark, sf, "orders")
+      .groupBy($"o_custkey", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(($"o_totalprice".cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long")).as("cents"))
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(rows.length == direct.size)
+    for ((ck, pr, _, n, cents) <- rows)
+      assert(direct((ck, pr)) == ((n, cents)), s"$ck/$pr")
+    // insert rows carry only source-side history
+    val tail = graft.ingest.Tables.load(spark, sf, "orders")
+      .where($"o_orderdate" >= "2001-01-01")
+      .groupBy($"o_custkey", $"o_orderpriority").count()
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((ck, pr, a, n, _) <- rows if a == "insert")
+      assert(tail((ck, pr)) == n)
+  }
+
+  test("q51 ordered-set: percentile_cont replays driver-side from the " +
+      "sorted cents and the FILTER legs match direct slices") {
+    import spark.implicits._
+    val rows = RelQueries.q51OrderedSet(spark, sf)
+      .as[(String, Long, Double, Double, Double, Long, Long)].collect()
+    val li = graft.ingest.Tables.load(spark, sf, "lineitem")
+      .select($"l_returnflag",
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"),
+        $"l_quantity".cast("double"))
+      .as[(String, Long, Double)].collect()
+    val byFlag = li.groupBy(_._1)
+    assert(rows.length == byFlag.size)
+    def pct(sorted: Array[Long], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (frac == 0) sorted(lo).toDouble
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * frac
+    }
+    for ((flag, n, p25, p50, p75, nh, hc) <- rows) {
+      val grp = byFlag(flag)
+      val sorted = grp.map(_._2).sorted
+      assert(n == grp.length)
+      assert(p25 == pct(sorted, 0.25) && p50 == pct(sorted, 0.5) &&
+        p75 == pct(sorted, 0.75), flag)
+      val heavy = grp.filter(_._3 > 25)
+      assert(nh == heavy.length && hc == heavy.map(_._2).sum, flag)
+    }
+  }
 }
