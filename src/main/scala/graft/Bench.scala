@@ -106,7 +106,9 @@ object Bench {
     "kq88_serial_diff", "kq89_scripted_metric", "q48_pivot",
     "q49_dq_audit", "x110_gopher_rules", "x111_kmv_theta",
     "x112_semantic_pack", "kq90_bucket_pipeline", "q50_merge",
-    "q51_ordered_set", "x113_triplet_mining", "x114_silhouette")
+    "q51_ordered_set", "x113_triplet_mining", "x114_silhouette",
+    "kq91_rate", "kq92_boxplot", "q52_qualify",
+    "x115_tokenizer_fertility", "x116_length_bins")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

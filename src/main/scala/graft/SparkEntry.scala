@@ -1545,6 +1545,50 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- ES rate agg inside a date_histogram: counts and revenue ------
+    // ---- per DAY bucket re-expressed per WEEK (ES rescales by ---------
+    // ---- unit/bucket = 7; an exact integer multiply, so the oracle ----
+    // ---- hashes bit-for-bit and the sign of the revenue never meets ---
+    // ---- a floor-division). Grouped by event_type too — the shuffle ---
+    // ---- key is (type, day), partial-aggregated map-side; the post- ---
+    // ---- agg series is |types| x |days|, tiny at any corpus scale. ----
+    "kq91_rate" -> ((s, dir) => {
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("timestamp")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").cast("long")).as("cents"))
+        .withColumn("n_per_week", col("n") * 7)
+        .withColumn("cents_per_week", col("cents") * 7)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- ES boxplot agg: five-number summary + IQR per event_type -----
+    // ---- on exact integer cents. percentile at the quarter fractions --
+    // ---- interpolates to exact quarter-cents (q51's determinism -------
+    // ---- argument: frac in {1/4,1/2,3/4} x integer data points is -----
+    // ---- formula-order-independent and FP-representable), so the ------
+    // ---- doubles — and the iqr subtraction — hash across engines. -----
+    // ---- One shuffle on event_type; Spark's exact percentile sorts ----
+    // ---- per group, the scale path swaps in approx_percentile. --------
+    "kq92_boxplot" -> ((s, dir) => {
+      Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .withColumn("cents", (col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"),
+          expr("percentile(cents, 0.25)").as("p25_cents"),
+          expr("percentile(cents, 0.5)").as("p50_cents"),
+          expr("percentile(cents, 0.75)").as("p75_cents"),
+          max(col("cents")).as("max_cents"))
+        .withColumn("iqr_cents", col("p75_cents") - col("p25_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -2901,6 +2945,36 @@ object SparkEntry {
         |SELECT bucket, n, sum_cents, n_ppm, CAST("rank" AS INT) AS "rank"
         |FROM rk WHERE "rank" > 2 AND "rank" <= 12
         |ORDER BY "rank"""".stripMargin),
+
+    // kq91: day-bucket counts/revenue rescaled per week (x7, exact)
+    "kq91_rate" ->
+      (envSql + """SELECT event_type,
+        |  date_trunc('day', "timestamp") AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |       AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS cents,
+        |  count(*) * 7 AS n_per_week,
+        |  CAST(sum(CAST(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |       AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) * 7 AS cents_per_week
+        |FROM env WHERE event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // kq92: five-number summary + IQR on exact integer cents; the
+    // quarter-fraction interpolations are FP-exact in both engines
+    "kq92_boxplot" ->
+      (envSql + """, c AS (
+        |  SELECT event_type,
+        |    CAST(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |         AS DECIMAL(18,0)) AS BIGINT) AS cents
+        |  FROM env WHERE event_type IS NOT NULL)
+        |SELECT event_type, count(*) AS n,
+        |  min(cents) AS min_cents,
+        |  quantile_cont(cents, 0.25) AS p25_cents,
+        |  quantile_cont(cents, 0.5) AS p50_cents,
+        |  quantile_cont(cents, 0.75) AS p75_cents,
+        |  max(cents) AS max_cents,
+        |  quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25)
+        |    AS iqr_cents
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -321,6 +321,14 @@ object ExtQueries {
     // centroid table, signed micro-sum per label.
     "x114_silhouette" -> ((s: SparkSession, d: String) =>
       Similarity.silhouette(s, d)),
+    // x115: tokens-per-10k-chars by language — the multilingual token
+    // budget table; exact sums + positive floor-div, never an average.
+    "x115_tokenizer_fertility" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenizerFertility(s, d)),
+    // x116: fixed-width token-length bins with padding-waste basis
+    // points — the bucketed-batching audit, pure integer arithmetic.
+    "x116_length_bins" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.lengthBins(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -2403,6 +2411,34 @@ object ExtQueries {
         |       AS BIGINT) AS sum_sil_micro,
         |  min(sil) AS min_sil, max(sil) AS max_sil
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x115: len() counts chars like Spark's length(); integer sums and
+    // a positive floor-div (// floors, div truncates — same on >= 0)
+    "x115_tokenizer_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) * 10000
+        |    // CAST(sum(length(text)) AS BIGINT) AS tok_per_10k_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // x116: same greatest(t,1) floor keeps every floor-div numerator
+    // non-negative (Spark div truncates, DuckDB // floors)
+    "x116_length_bins" ->
+      """WITH t AS (SELECT greatest(CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT), 1) AS toks
+        |  FROM documents),
+        |b AS (SELECT ((toks - 1) // 16 + 1) * 16 AS bin_hi, toks FROM t),
+        |g AS (SELECT bin_hi, count(*) AS n_docs,
+        |        CAST(sum(toks) AS BIGINT) AS sum_tokens
+        |      FROM b GROUP BY 1)
+        |SELECT bin_hi, n_docs, sum_tokens,
+        |  bin_hi * n_docs AS padded_tokens,
+        |  ((bin_hi * n_docs - sum_tokens) * 10000) // (bin_hi * n_docs)
+        |    AS waste_bp
+        |FROM g ORDER BY bin_hi""".stripMargin,
 
     // x28: DuckDB list slicing toks[a:b] is 1-based inclusive, matching
     // Spark's slice(toks, a, len); md5(varchar) == md5(string as binary).

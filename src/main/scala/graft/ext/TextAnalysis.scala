@@ -164,6 +164,64 @@ object TextAnalysis {
   }
 
   /**
+   * Tokenizer fertility by language — the multilingual-pretraining
+   * budget table: how many BPE-ish tokens a language costs per unit of
+   * text. High-fertility languages are over-charged by a shared
+   * tokenizer (each char yields more tokens), which skews any
+   * token-budgeted mixture; this is the diagnostic that drives
+   * per-language sampling corrections. Exact integers only: token and
+   * char SUMS per language plus fertility as tokens-per-10k-chars by
+   * positive floor-division (the x56 rule — never a rounded average).
+   * One map-side-combined shuffle on `lang` (dozens of keys; partial
+   * aggregation absorbs the skew of dominant languages), linear scans
+   * of `text` in the tokenizer regex.
+   */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tokens"),
+        sum(col("chars")).as("chars"))
+      .withColumn("tok_per_10k_chars",
+        expr("(tokens * 10000) div chars"))
+      .orderBy(col("lang"))
+  }
+
+  /**
+   * Length-binned batching audit — the seq2seq batch-shaping table:
+   * documents bucketed into fixed-width token-length bins (the padded
+   * sequence length a bucketed batcher would allocate; 16 tokens here
+   * so the synthetic 10-99-token fixtures spread across ~6 bins — a
+   * production tokenizer swaps in 128/256), with the padding waste
+   * each bin pays. Pure positive-integer arithmetic:
+   * `bin_hi = ((t-1) div W + 1) * W` with `t` floored at 1 (an
+   * empty doc tokenizes to 0 and a NEGATIVE floor-div numerator splits
+   * engines: Spark `div` truncates toward zero, DuckDB `//` floors),
+   * padded = bin_hi * n_docs, waste in basis points by floor-div of a
+   * positive numerator. Map-only binning then one tiny shuffle on the
+   * bin key — the output is |bins| rows regardless of corpus size.
+   */
+  def lengthBins(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .select(greatest(
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long"),
+        lit(1L)).as("toks"))
+      .withColumn("bin_hi", expr("((toks - 1) div 16 + 1) * 16"))
+      .groupBy(col("bin_hi"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("bin_hi") * col("n_docs"))
+      .withColumn("waste_bp",
+        expr("((padded_tokens - sum_tokens) * 10000) div padded_tokens"))
+      .orderBy(col("bin_hi"))
+  }
+
+  /**
    * TF-IDF keyword extraction: top-3 terms per document by
    * tf · ln(N/df), deterministic tiebreak on the term. The classic
    * two-aggregation shape: term frequencies shuffle on (doc, term),

@@ -24,6 +24,13 @@ object BucketedTables {
       .bucketBy(numBuckets, bucketCol)
     val w = path.fold(w0)(p => w0.option("path", p))
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+    // An overwrite of an external-path table can leave the session's
+    // FileStatusCache holding the PREVIOUS part-file listing for `path`
+    // (the drop+recreate makes a new InMemoryFileIndex over the same
+    // path key), so a later `spark.table(table)` read fails with
+    // FILE_NOT_EXIST on the replaced files. Refresh both keys.
+    df.sparkSession.catalog.refreshTable(table)
+    path.foreach(df.sparkSession.catalog.refreshByPath)
   }
 
   /** Join two same-bucketed tables on their bucket key. */

@@ -1112,6 +1112,29 @@ object RelQueries {
   }
 
   /**
+   * q52 — QUALIFY-style windowed row filter: the single highest-value
+   * order per customer, the "greatest-n-per-group" idiom every
+   * warehouse dialect grew dedicated syntax for (DuckDB/Snowflake/BQ
+   * `QUALIFY`, which the oracle uses verbatim). Spark expresses it as
+   * row_number + filter — and the optimizer's WindowGroupLimit rewrite
+   * (pinned for the generic shape in RelQueriesSpec's q45 sibling)
+   * turns the rank-then-drop into a per-partition top-1 that never
+   * materializes the losing rows, so at 100 TB the shuffle carries one
+   * row per customer out of each map partition, not the whole orders
+   * table. Tie-break on o_orderkey keeps the winner unique.
+   */
+  def q52Qualify(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").as("best_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -1398,7 +1421,8 @@ object RelQueries {
     "q48_pivot" -> (q48Pivot _),
     "q49_dq_audit" -> (q49DqAudit _),
     "q50_merge" -> ((s: SparkSession, d: String) => q50Merge(s, d)),
-    "q51_ordered_set" -> (q51OrderedSet _)
+    "q51_ordered_set" -> (q51OrderedSet _),
+    "q52_qualify" -> (q52Qualify _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2102,6 +2126,14 @@ object RelQueries {
         |    AS heavy_cents
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // q52: DuckDB's native QUALIFY — same winner by the same tie-break
+    "q52_qualify" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice AS best_price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin
   )
 }

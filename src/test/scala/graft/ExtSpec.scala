@@ -1818,4 +1818,41 @@ class ExtSpec extends SparkSpec {
       assert(mn >= -1.0 && mx <= 1.0)
     }
   }
+
+  test("x115 fertility: per-language sums replay from the per-doc " +
+      "tokenizer, floor-div fertility, every language present") {
+    val rows = TextAnalysis.tokenizerFertility(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+    val byLang = docs.groupBy(_._1)
+    assert(rows.length == byLang.size)
+    val tokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]".r
+    for ((lang, nDocs, toks, chars, fert) <- rows) {
+      val grp = byLang(lang)
+      assert(nDocs == grp.length)
+      assert(toks == grp.map(d => tokRe.findAllIn(d._2).length.toLong).sum)
+      assert(chars == grp.map(_._2.length.toLong).sum)
+      assert(fert == toks * 10000 / chars, lang)
+    }
+  }
+
+  test("x116 length bins: bins tile the corpus, every doc inside its " +
+      "bin's half-open range, waste reconciles") {
+    val rows = TextAnalysis.lengthBins(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length >= 3, s"fixture spread too narrow: ${rows.length}")
+    assert(rows.map(_._2).sum == 500)
+    val tokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]".r
+    val toks = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"text").as[String].collect()
+      .map(t => math.max(tokRe.findAllIn(t).length.toLong, 1L))
+    for ((binHi, nDocs, sumTok, padded, waste) <- rows) {
+      assert(binHi % 16 == 0 && binHi >= 16)
+      val inBin = toks.filter(t => t > binHi - 16 && t <= binHi)
+      assert(inBin.length == nDocs && inBin.sum == sumTok, binHi)
+      assert(padded == binHi * nDocs)
+      assert(waste == (padded - sumTok) * 10000 / padded)
+    }
+  }
 }

@@ -478,4 +478,21 @@ class RelQueriesSpec extends SparkSpec {
       assert(nh == heavy.length && hc == heavy.map(_._2).sum, flag)
     }
   }
+
+  test("q52 qualify: one row per ordering customer, and it is the " +
+      "(price desc, orderkey) argmax of that customer's orders") {
+    import spark.implicits._
+    val rows = RelQueries.q52Qualify(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val orders = graft.ingest.Tables.load(spark, sf, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect()
+    val byCust = orders.groupBy(_._1)
+    assert(rows.length == byCust.size)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    for ((ck, ok, price) <- rows) {
+      val best = byCust(ck).minBy(o => (-o._3, o._2))
+      assert((ok, price) == ((best._2, best._3)), ck)
+    }
+  }
 }
