@@ -108,7 +108,9 @@ object Bench {
     "x112_semantic_pack", "kq90_bucket_pipeline", "q50_merge",
     "q51_ordered_set", "x113_triplet_mining", "x114_silhouette",
     "kq91_rate", "kq92_boxplot", "q52_qualify",
-    "x115_tokenizer_fertility", "x116_length_bins")
+    "x115_tokenizer_fertility", "x116_length_bins", "kq93_rescore",
+    "q53_bitmap_distinct", "q54_nullsafe_join", "x117_winnowing",
+    "x118_matryoshka", "x119_scene_cuts", "x120_kcore")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -1589,6 +1589,50 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- ES rescore: two-phase ranking — a CHEAP first-pass score ------
+    // ---- (single-term count) selects the top-50, then only the --------
+    // ---- window_size=20 head pays the expensive secondary scorer ------
+    // ---- (overlapping phrase count); the window re-sorts by -----------
+    // ---- query_weight*fp + rescore_weight*sec and rows below the ------
+    // ---- window keep their first-pass order — exactly ES's contract. --
+    // ---- At 100 TB the first pass is the only corpus scan; the --------
+    // ---- rescorer touches 20 rows. All-integer scores, doc_id ---------
+    // ---- tie-breaks; the sequence() upper bound is guarded (a 1-token -
+    // ---- doc would make sequence(1,0) DESCEND and crash under ANSI). --
+    "kq93_rescore" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val fp = size(filter(toks, t => t === "merge")).cast("long")
+      // CASE is the guard (lazily evaluated): a 1-token doc would make
+      // sequence(1, 0) DESCEND and index out of bounds under ANSI — the
+      // x56 trap. Inside the branch i runs 1..size-1, so toks[i-1] and
+      // toks[i] (0-based) are always in bounds.
+      val sec = expr(
+        """CASE WHEN size(split(text, ' ')) >= 2 THEN
+          |  aggregate(sequence(1, size(split(text, ' ')) - 1), 0L,
+          |    (acc, i) -> acc + IF(split(text, ' ')[i - 1] = 'merge' AND
+          |                         split(text, ' ')[i] = 'slow', 1L, 0L))
+          |ELSE 0L END""".stripMargin)
+      // distributed top-k (TakeOrderedAndProject), NOT a global window
+      // over the corpus — the window below ranks only the 50 survivors
+      val first50 = graft.ingest.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), fp.as("fp"), sec.as("sec0"))
+        .orderBy(col("fp").desc, col("doc_id")).limit(50)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("fp").desc, col("doc_id"))))
+      first50
+        .withColumn("sec", when(col("rn") <= 20, col("sec0")))
+        .withColumn("combined",
+          when(col("rn") <= 20, col("fp") + lit(2L) * col("sec0")))
+        .withColumn("final_rank", row_number().over(Window.orderBy(
+          when(col("rn") <= 20, 0).otherwise(1),
+          when(col("rn") <= 20, col("combined")).otherwise(col("fp")).desc,
+          col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("fp"), col("sec"), col("combined"),
+          col("final_rank"))
+        .orderBy(col("final_rank"))
+    }),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -2975,6 +3019,37 @@ object SparkEntry {
         |  quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25)
         |    AS iqr_cents
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // kq93: DuckDB range(a, b) is end-exclusive and empty when b <= a,
+    // so short docs need no guard; 1-based list indexing mirrors the
+    // Spark 0-based form shifted by one. Window rows re-sort by
+    // fp + 2*sec; rows 21-50 keep first-pass order (score = fp there).
+    "kq93_rescore" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t = 'merge')) AS BIGINT) AS fp,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      range(1, len(string_split(text, ' '))),
+        |      i -> CASE WHEN string_split(text, ' ')[i] = 'merge' AND
+        |                     string_split(text, ' ')[i + 1] = 'slow'
+        |                THEN 1 ELSE 0 END)), 0) AS BIGINT) AS sec0
+        |  FROM documents),
+        |f50 AS (
+        |  SELECT *, row_number() OVER (ORDER BY fp DESC, doc_id) AS rn
+        |  FROM sc QUALIFY rn <= 50),
+        |fin AS (
+        |  SELECT doc_id, fp,
+        |    CASE WHEN rn <= 20 THEN sec0 END AS sec,
+        |    CASE WHEN rn <= 20 THEN fp + 2 * sec0 END AS combined,
+        |    row_number() OVER (ORDER BY
+        |      CASE WHEN rn <= 20 THEN 0 ELSE 1 END,
+        |      CASE WHEN rn <= 20 THEN fp + 2 * sec0 ELSE fp END DESC,
+        |      doc_id) AS final_rank
+        |  FROM f50)
+        |SELECT doc_id, fp, sec, combined, CAST(final_rank AS BIGINT)
+        |  AS final_rank
+        |FROM fin ORDER BY final_rank""".stripMargin,
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -1071,4 +1071,41 @@ object Dedup {
                 p >= iv("i_s") && p < iv("i_e"))))).as("kept_text"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * x117 — WINNOWING OVERLAP DETECTION (Schleimer/Wilkerson/Aiken's MOSS
+   * fingerprints, [[graft.functions.Winnow]]): hash every word k-gram,
+   * slide a w-window over the hash stream and keep each window's min.
+   * Selection is position-synchronized — any shared token run of length
+   * ≥ w+k−1 between two documents yields at least one SHARED selected
+   * fingerprint — so counting shared fingerprints per pair finds LOCAL
+   * overlap (quoted passages, boilerplate blocks) that whole-document
+   * MinHash (x3, global resemblance) and exact-substring islands (x109,
+   * within-corpus spans) frame differently. Plan shape is the LSH
+   * standard: a map-only native fingerprint pass (~2/(w+1) of grams
+   * survive), one shuffle of (doc, fingerprint) on the fingerprint, and
+   * a self-join whose fan-out is bounded exactly like MOSS bounds it —
+   * fingerprints occurring in more than `maxDf` documents are dropped
+   * as boilerplate (they'd contribute quadratic pairs and no signal; at
+   * 100 TB this cap is what keeps the join linear in true overlap).
+   */
+  def winnowingPairs(spark: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4, minShared: Int = 3, maxDf: Int = 50): DataFrame = {
+    val fps = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.winnow(col("text"), k, w))
+          .as("fph"))
+    val rare = fps.groupBy(col("fph"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select(col("fph"))
+    val kept = fps.join(rare, "fph")
+    kept.as("a").join(kept.as("b"),
+        col("a.fph") === col("b.fph") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy(col("d1"), col("d2"))
+  }
 }

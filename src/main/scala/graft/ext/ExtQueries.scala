@@ -329,6 +329,22 @@ object ExtQueries {
     // points — the bucketed-batching audit, pure integer arithmetic.
     "x116_length_bins" -> ((s: SparkSession, d: String) =>
       TextAnalysis.lengthBins(s, d)),
+    // x119: scene-cut detection — per-video lag window over the x82
+    // walker's exact frame sums; brightness-delta > threshold = cut.
+    "x119_scene_cuts" -> ((s: SparkSession, d: String) =>
+      Multimodal.sceneCuts(s, d)),
+    // x120: k-core decomposition — bounded degree-peel over the
+    // cluster-scoped undirected kNN graph, fixed 8-round contract.
+    "x120_kcore" -> ((s: SparkSession, d: String) =>
+      Similarity.kCore(s, d)),
+    // x117: MOSS winnowing fingerprints — shared window-min k-gram
+    // hashes per doc pair, boilerplate fingerprints df-capped like MOSS.
+    "x117_winnowing" -> ((s: SparkSession, d: String) =>
+      Dedup.winnowingPairs(s, d)),
+    // x118: matryoshka dimension-truncation recall — top-k under 64/32/16
+    // prefix dims vs the full-dim truth set, exact integer ppm.
+    "x118_matryoshka" -> ((s: SparkSession, d: String) =>
+      Similarity.matryoshkaRecall(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -715,6 +731,36 @@ object ExtQueries {
        |FROM nb LEFT JOIN eb USING (bucket) LEFT JOIN wb USING (bucket)
        |LEFT JOIN tb USING (bucket)
        |ORDER BY bucket""".stripMargin
+
+  /** x120's oracle: the x13 threshold graph (6dp cosine >= 0.3,
+    * DOUBLE[] casts), then 12 generated MATERIALIZED peel rounds
+    * (alive_t = nodes with >= 3 alive neighbors in alive_{t-1}) — the
+    * x95 fixed-round-contract shape. */
+  private lazy val kCoreSql: String = {
+    val rounds = 12
+    val roundCtes = (1 to rounds).map { t =>
+      s"""al$t AS MATERIALIZED (SELECT e.u AS vec_id
+         |  FROM eboth e
+         |  JOIN al${t - 1} x ON e.u = x.vec_id
+         |  JOIN al${t - 1} y ON e.v = y.vec_id
+         |  GROUP BY e.u HAVING count(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |und AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3),
+       |eboth AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b AS u, a AS v FROM und),
+       |al0 AS MATERIALIZED (SELECT DISTINCT u AS vec_id FROM eboth),
+       |$roundCtes,
+       |cd AS (SELECT e.u AS vec_id, CAST(count(*) AS BIGINT) AS core_deg
+       |  FROM eboth e
+       |  JOIN al$rounds x ON e.u = x.vec_id
+       |  JOIN al$rounds y ON e.v = y.vec_id
+       |  GROUP BY e.u)
+       |SELECT vec_id, core_deg FROM cd ORDER BY vec_id""".stripMargin
+  }
 
   /** x105's oracle: hub-generated common-neighbor pairs, adjacency
     * anti-joined away, contributions 1e18 // ⌊ln(deg)·1e9⌋ — the same
@@ -1664,6 +1710,7 @@ object ExtQueries {
     "x104_triangles" -> triangleSql,
 
     "x105_adamic_adar" -> adamicAdarSql,
+    "x120_kcore" -> kCoreSql,
 
     // x107: identical per-source stage window + round-robin top-200
     "x107_curriculum" ->
@@ -2439,6 +2486,82 @@ object ExtQueries {
         |  ((bin_hi * n_docs - sum_tokens) * 10000) // (bin_hi * n_docs)
         |    AS waste_bp
         |FROM g ORDER BY bin_hi""".stripMargin,
+
+    // x119: the x82 closed form at stride 1 → per-frame totals, then
+    // the same lag window; frame 0's delta/is_cut stay NULL
+    "x119_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |    8 + (doc_id // 9) % 9 AS h, 4 + doc_id % 5 AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(range(nf)) AS fi FROM d),
+        |px AS (SELECT doc_id, w, h, fi,
+        |    unnest(range(w * h * 3)) AS i FROM f),
+        |t AS (SELECT doc_id, fi,
+        |    CAST(sum((doc_id * 131 + fi * 17 + i * 29) % 256) AS BIGINT)
+        |      AS total
+        |  FROM px GROUP BY doc_id, fi),
+        |lg AS (SELECT doc_id, fi, total,
+        |    abs(total - lag(total, 1) OVER (PARTITION BY doc_id
+        |      ORDER BY fi)) AS delta
+        |  FROM t)
+        |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  total, delta,
+        |  CASE WHEN delta IS NULL THEN NULL
+        |       WHEN delta > 200 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS is_cut
+        |FROM lg ORDER BY media_id, frame_idx""".stripMargin,
+
+    // x117: the md5-hex→int instr-fold recipe (x10 family) hashes each
+    // k-gram; window mins via 1-based clamped list slices. `f`/`kf` are
+    // multiply referenced → AS MATERIALIZED (the x75 CTE-inlining rule).
+    "x117_winnowing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |h AS (SELECT doc_id, list_transform(
+        |        list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |          i -> array_to_string(toks[i:i+2], ' ')),
+        |        s -> list_reduce(list_transform(
+        |          string_split(substr(md5(s), 1, 8), ''),
+        |          c -> instr('0123456789abcdef', c) - 1),
+        |          (a, b) -> a * 16 + b)) AS hs
+        |      FROM t),
+        |sel AS (SELECT doc_id, list_distinct(list_transform(
+        |          range(1, greatest(len(hs) - 3, 1) + 1),
+        |          i -> list_min(hs[i:i+3]))) AS fps
+        |        FROM h WHERE len(hs) > 0),
+        |f AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fph FROM sel),
+        |r AS (SELECT fph FROM f GROUP BY fph HAVING count(*) <= 50),
+        |kf AS MATERIALIZED (SELECT f.* FROM f JOIN r USING (fph))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+        |FROM kf a JOIN kf b ON a.fph = b.fph AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY d1, d2""".stripMargin,
+
+    // x118: DuckDB emb[1:L] is 1-based inclusive (= Spark slice(emb,1,L));
+    // the DOUBLE[] casts keep list_cosine_similarity in double math,
+    // bit-identical to the native cosine on the float prefix.
+    "x118_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |lv AS (SELECT unnest([64, 32, 16]) AS level),
+         |sc AS (
+         |  SELECT l.level, q.query_id, e.vec_id AS cand_id,
+         |    round(list_cosine_similarity(
+         |      CAST(q.qv[1:l.level] AS DOUBLE[]),
+         |      CAST(e.embedding[1:l.level] AS DOUBLE[])), 6) AS sim
+         |  FROM embeddings e, q, lv l WHERE e.vec_id <> q.query_id),
+         |tk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id, level
+         |    ORDER BY sim DESC, cand_id) AS rn
+         |  FROM sc QUALIFY rn <= 5),
+         |tr AS (SELECT query_id, cand_id FROM tk WHERE level = 64)
+         |SELECT t.query_id, t.level,
+         |  CAST(count(f.cand_id) AS BIGINT) AS n_hit,
+         |  CAST(count(f.cand_id) AS BIGINT) * 1000000 // 5 AS recall_ppm
+         |FROM tk t LEFT JOIN tr f
+         |  ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+         |GROUP BY t.query_id, t.level
+         |ORDER BY t.query_id, t.level""".stripMargin,
 
     // x28: DuckDB list slicing toks[a:b] is 1-based inclusive, matching
     // Spark's slice(toks, a, len); md5(varchar) == md5(string as binary).

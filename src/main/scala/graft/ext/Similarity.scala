@@ -516,6 +516,46 @@ object Similarity {
   }
 
   /**
+   * x120 — K-CORE DECOMPOSITION (bounded peel) over the
+   * similarity-THRESHOLD graph (edges = pairs with 6dp cosine ≥ τ, the
+   * x13 near-dup graph — NOT the kNN graph, whose min-degree-k floor
+   * makes every k-core trivially all-or-empty): iteratively remove
+   * every node whose degree among SURVIVING nodes is below `coreK`;
+   * what remains is the `coreK`-core — the standard density filter for
+   * community structure and the graph-side analog of the quality
+   * filters (a 3-core node has ≥ 3 neighbors that themselves survive:
+   * genuinely dense similarity structure, not a chain or a pendant).
+   * The peel is the x21/x26 iteration shape — each round ONE
+   * endpoint-keyed semi-join pair + ONE degree aggregation, O(E) per
+   * round, `localCheckpoint` lineage cuts, no driver state. The round
+   * count is FIXED (part of the result contract, like x95's 6 pagerank
+   * rounds) so the oracle replays identically; ExtSpec asserts the
+   * peel has actually converged by then on the fixtures (probed: 10 /
+   * 8 / 0 rounds at the three SFs). At 100 TB each round's joins
+   * shuffle only the (shrinking) alive set, and the peel converges in
+   * O(log n)-ish rounds on real graphs.
+   */
+  def kCore(spark: SparkSession, dir: String, threshold: Double = 0.30,
+      coreK: Int = 3, rounds: Int = 12): DataFrame = {
+    val und = embedNearDupPairs(spark, dir, threshold)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    val both = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    def aliveDeg(alive: DataFrame): DataFrame = both
+      .join(alive.select(col("vec_id").as("u")), "u")
+      .join(alive.select(col("vec_id").as("v")), "v")
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    var alive = both.select(col("u").as("vec_id")).distinct()
+    for (_ <- 1 to rounds)
+      alive = aliveDeg(alive).where(col("deg") >= coreK)
+        .select(col("u").as("vec_id")).localCheckpoint()
+    aliveDeg(alive)
+      .select(col("u").as("vec_id"), col("deg").as("core_deg"))
+      .orderBy(col("vec_id"))
+  }
+
+  /**
    * x61 — "index once, query many" for ANN (the IVF counterpart of
    * [[graft.ext.Dedup.dedupIndexReuse]]): the expensive build — Lloyd
    * iterations (driver-synced k×dim centroids) plus the full-corpus
@@ -1247,6 +1287,51 @@ object Similarity {
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
       .orderBy(col("query_id"))
+  }
+
+  /**
+   * x118 — MATRYOSHKA TRUNCATION AUDIT, the dimension-axis member of
+   * the approximation-eval family (x83 measures the INDEX's loss, x90
+   * the cluster-scoping loss, x27 the int8-precision loss): MRL-style
+   * embeddings promise that the FIRST d/2 or d/4 coordinates alone
+   * rank nearly as well as the full vector, and storage/bandwidth at
+   * 100 TB scale is linear in the kept prefix — so this is the table
+   * that decides how many dimensions the serving index actually
+   * stores. For each query, exact top-k under the full 64 dims is the
+   * truth set; top-k under prefix lengths 64/32/16 is scored against
+   * it as exact integer recall ppm. One corpus×queries×levels scan
+   * (queries and levels broadcast — the corpus side is read ONCE per
+   * level with no shuffle before the per-query top-k), and the
+   * truncation is `slice()` on the stored vector: no re-embedding, no
+   * second copy of the corpus.
+   */
+  def matryoshkaRecall(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val levels = spark.range(1).select(
+      explode(array(lit(64), lit(32), lit(16))).as("level"))
+    val scored = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c"))
+      .crossJoin(broadcast(queries))
+      .crossJoin(broadcast(levels))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(
+        slice(col("q"), lit(1), col("level")),
+        slice(col("c"), lit(1), col("level"))), 6))
+    val w = Window.partitionBy(col("query_id"), col("level"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    val topk = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("level"), col("cand_id"))
+    val truth = topk.where(col("level") === 64)
+      .select(col("query_id"), col("cand_id")).withColumn("hit", lit(1L))
+    topk.join(truth, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"), col("level"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr(s"n_hit * 1000000 div $k"))
+      .orderBy(col("query_id"), col("level"))
   }
 
   /**

@@ -1135,6 +1135,76 @@ object RelQueries {
   }
 
   /**
+   * q53 — BITMAP-BACKED EXACT DISTINCT COUNTS: `count(distinct key)` is
+   * the one aggregate that does NOT pre-aggregate — partial counts from
+   * two partitions can't be added. Spark's bitmap functions
+   * (`bitmap_bit_position`/`bitmap_construct_agg`/`bitmap_or_agg`/
+   * `bitmap_count`) fix that by materializing the distinct SET as
+   * fixed-width bitmaps keyed by `bitmap_bucket_number` (4096 bits per
+   * bucket): per-group bitmaps OR together losslessly, so a 100 TB
+   * deployment computes fine-grained bitmaps ONCE and answers every
+   * rollup distinct-count from the bitmap table without rescanning the
+   * fact. Here: exact distinct parts per (returnflag, linestatus) from
+   * the fine bitmaps, then the per-flag distinct REAGGREGATED from the
+   * same bitmaps via `bitmap_or_agg` — never touching lineitem again —
+   * alongside the naive sum of per-status distincts to show the overlap
+   * the OR removes. Oracle: DuckDB plain `count(DISTINCT)` at both
+   * grains, proving the bitmap path is exact.
+   */
+  def q53BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val fine = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        expr("bitmap_bucket_number(l_partkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+        .as("bm"))
+    val byStatus = fine.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(expr("bitmap_count(bm)")).as("distinct_parts"))
+    // rollup to flag from the BITMAPS (no fact rescan): OR per bucket,
+    // then count
+    val byFlag = fine.groupBy(col("l_returnflag"), col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("bitmap_count(bm)")).as("flag_distinct"))
+    byStatus.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_statuses"),
+        sum(col("distinct_parts")).as("sum_status_distinct"))
+      .join(byFlag, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_statuses"),
+        col("sum_status_distinct"), col("flag_distinct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /**
+   * q54 — NULL-SAFE EQUI-JOIN (`<=>` / `IS NOT DISTINCT FROM`): standard
+   * SQL equality drops NULL keys from BOTH sides of a join (NULL = NULL
+   * is not true), but dedup ledgers, SCD change detection and
+   * sessionization over optional attributes all need the NULL bucket to
+   * MATCH ITSELF. Spark's `<=>` stays a plain hash join — null-safe
+   * equality is still hashable (NULL gets one hash bucket), so the plan
+   * is identical to an equi-join at any scale: no fallback to
+   * nested-loop like a general non-equi predicate would force. The
+   * derived key sends ~30 % of rows to the NULL bucket — the skew a real
+   * optional attribute has; at 100 TB that bucket is the salting
+   * candidate (q24), exactly because null-safe equality keeps it.
+   */
+  def q54NullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("k",
+        when(col("l_partkey") % 10 < 3, lit(null).cast("long"))
+          .otherwise(col("l_partkey") % 10))
+    val dim = li.where(col("l_orderkey") % 2 === 1)
+      .groupBy(col("k"))
+      .agg(sum((col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)").cast("long")).as("dim_qty_cents"))
+    val probe = li.where(col("l_orderkey") % 2 === 0)
+    probe.as("p").join(dim.as("d"), col("p.k") <=> col("d.k"))
+      .groupBy(col("p.k").as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("d.dim_qty_cents")).as("dim_qty_cents"))
+      .orderBy(col("key").asc_nulls_first)
+  }
+
+  /**
    * q34 — DYNAMIC PARTITION PRUNING over a date-partitioned fact: the
    * lakehouse layout (fact partitioned by day on disk, a calendar dim
    * filtered on an attribute) where the partition keys to read are only
@@ -1422,7 +1492,9 @@ object RelQueries {
     "q49_dq_audit" -> (q49DqAudit _),
     "q50_merge" -> ((s: SparkSession, d: String) => q50Merge(s, d)),
     "q51_ordered_set" -> (q51OrderedSet _),
-    "q52_qualify" -> (q52Qualify _)
+    "q52_qualify" -> (q52Qualify _),
+    "q53_bitmap_distinct" -> (q53BitmapDistinct _),
+    "q54_nullsafe_join" -> (q54NullsafeJoin _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2134,6 +2206,39 @@ object RelQueries {
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) = 1
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // q53: plain count(DISTINCT) at both grains — the bitmap path must
+    // reproduce it exactly (sum(count) -> HUGEINT, cast to BIGINT)
+    "q53_bitmap_distinct" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    count(DISTINCT l_partkey) AS distinct_parts
+        |  FROM lineitem GROUP BY 1, 2),
+        |f AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS flag_distinct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s.l_returnflag, count(*) AS n_statuses,
+        |  CAST(sum(s.distinct_parts) AS BIGINT) AS sum_status_distinct,
+        |  CAST(first(f.flag_distinct) AS BIGINT) AS flag_distinct
+        |FROM s JOIN f USING (l_returnflag)
+        |GROUP BY s.l_returnflag ORDER BY s.l_returnflag""".stripMargin,
+
+    // q54: IS NOT DISTINCT FROM — DuckDB's null-safe equality; NULLS
+    // FIRST matches Spark's asc default
+    "q54_nullsafe_join" ->
+      """WITH li AS (
+        |  SELECT *, CASE WHEN l_partkey % 10 < 3 THEN NULL
+        |                 ELSE l_partkey % 10 END AS k
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT k, CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |       * 100 AS DECIMAL(18,0)) AS BIGINT)) AS BIGINT) AS dim_qty_cents
+        |  FROM li WHERE l_orderkey % 2 = 1 GROUP BY k)
+        |SELECT p.k AS "key", count(*) AS n_rows,
+        |  first(dim.dim_qty_cents) AS dim_qty_cents
+        |FROM li p JOIN dim ON p.k IS NOT DISTINCT FROM dim.k
+        |WHERE p.l_orderkey % 2 = 0
+        |GROUP BY p.k ORDER BY p.k NULLS FIRST""".stripMargin
   )
 }

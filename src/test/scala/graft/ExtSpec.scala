@@ -1837,6 +1837,151 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x117 winnowing: pairs replay a brute per-doc winnow (df cap and " +
+      "threshold included), and a planted shared run guarantees a " +
+      "shared fingerprint") {
+    import java.security.MessageDigest
+    def winnow(text: String, k: Int, w: Int): Set[Long] = {
+      val toks = text.split(" ", -1)
+      val n = toks.length - k + 1
+      if (n <= 0) return Set.empty
+      val md = MessageDigest.getInstance("MD5")
+      val hs = Array.tabulate(n) { i =>
+        val d = md.digest(toks.slice(i, i + k).mkString(" ")
+          .getBytes("UTF-8"))
+        md.reset()
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      (0 until math.max(n - w + 1, 1))
+        .map(s => hs.slice(s, math.min(s + w, n)).min).toSet
+    }
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val sel = docs.map { case (id, t) => id -> winnow(t, 3, 4) }.toMap
+    val dfreq = sel.values.flatten.toSeq.groupBy(identity)
+      .map { case (h, o) => h -> o.size }
+    val expected = (for {
+      (a, sa) <- sel.toSeq
+      (b, sb) <- sel.toSeq
+      if a < b
+      shared = (sa.filter(dfreq(_) <= 50) intersect
+        sb.filter(dfreq(_) <= 50)).size
+      if shared >= 3
+    } yield (a, b, shared.toLong)).sortBy(p => (p._1, p._2))
+    val got = Dedup.winnowingPairs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the winnowing guarantee: docs sharing >= w+k-1 = 6 consecutive
+    // tokens share at least one selected fingerprint
+    val run = "alpha beta gamma delta epsilon zeta"
+    val a = winnow(s"one two $run three four five six seven", 3, 4)
+    val b = winnow(s"nine ten eleven twelve $run thirteen", 3, 4)
+    assert((a intersect b).nonEmpty)
+  }
+
+  test("x118 matryoshka: level-64 recall is exactly 1e6 and every " +
+      "(query, level) row replays from a brute double fold") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def cos(a: Array[Float], b: Array[Float], l: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < l) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    def r6(d: Double): Double =
+      new JBD(d).setScale(6, RoundingMode.HALF_UP).doubleValue
+    val emb = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val qs = emb.filter(_._1 < 10)
+    def topk(q: (Long, Array[Float]), l: Int): Set[Long] =
+      emb.filter(_._1 != q._1)
+        .map { case (id, v) => (id, r6(cos(q._2, v, l))) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    val rows = Similarity.matryoshkaRecall(spark, sf)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(rows.length == 30)
+    for ((qid, level, nHit, ppm) <- rows) {
+      val full = topk(qs.find(_._1 == qid).get, 64)
+      val lvl = topk(qs.find(_._1 == qid).get, level)
+      assert(nHit == (lvl intersect full).size.toLong, s"$qid/$level")
+      assert(ppm == nHit * 1000000L / 5)
+      if (level == 64) assert(ppm == 1000000L)
+    }
+  }
+
+  test("kq93 rescore: exactly the top-20 first-pass docs are rescored " +
+      "and re-sorted by fp + 2*sec; rows 21-50 keep first-pass order") {
+    val out = graft.SparkEntry.queries("kq93_rescore")(spark, sf)
+      .as[(Long, Long, Option[Long], Option[Long], Long)].collect()
+    assert(out.length == 50)
+    assert(out.map(_._5).toSeq == (1L to 50L))
+    val (win, rest) = out.partition(_._3.isDefined)
+    assert(win.length == 20 && rest.length == 30)
+    // the rescore window comes first and is sorted by (combined, doc_id)
+    assert(out.take(20).forall(_._3.isDefined))
+    assert(win.sortBy(r => (-r._4.get, r._1)).toSeq == win.toSeq)
+    assert(rest.sortBy(r => (-r._2, r._1)).toSeq == rest.toSeq)
+    // window membership = top-20 of the 50 by first-pass order
+    val top20 = out.sortBy(r => (-r._2, r._1)).take(20).map(_._1).toSet
+    assert(win.map(_._1).toSet == top20)
+    win.foreach(r => assert(r._4.get == r._2 + 2 * r._3.get))
+  }
+
+  test("x119 scene cuts: per-video lag deltas replay from the x82 " +
+      "closed form; frame 0 is NULL; cuts are exactly delta > 200") {
+    val rows = Multimodal.sceneCuts(spark, sf)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    def dims(id: Long) = ((8 + id % 9).toInt, (8 + (id / 9) % 9).toInt)
+    def total(id: Long, f: Int): Long = {
+      val (w, h) = dims(id)
+      (0L until w.toLong * h * 3)
+        .map(i => (id * 131 + f * 17 + i * 29) % 256).sum
+    }
+    val byMedia = rows.groupBy(_._1)
+    for ((id, frames) <- byMedia) {
+      val sorted = frames.sortBy(_._2)
+      assert(sorted.length == 4 + id % 5)
+      assert(sorted.head._4.isEmpty && sorted.head._5.isEmpty)
+      for (Array(p, c) <- sorted.sliding(2)) {
+        assert(c._3 == total(id, c._2.toInt))
+        assert(c._4.contains(math.abs(c._3 - p._3)))
+        assert(c._5.contains(if (c._4.get > 200) 1L else 0L))
+      }
+    }
+    // non-degenerate: the fixture has both cuts and non-cuts
+    val flags = rows.flatMap(_._5)
+    assert(flags.contains(1L) && flags.contains(0L))
+  }
+
+  test("x120 k-core: the fixed-round peel has CONVERGED on the fixture " +
+      "and equals the brute fixpoint 3-core of the threshold graph") {
+    val edges = Similarity.embedNearDupPairs(spark, sf, threshold = 0.30)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Long]]
+    for ((a, b) <- edges) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    var alive = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val drop = alive.filter(u => adj(u).count(alive) < 3)
+      changed = drop.nonEmpty
+      alive = alive -- drop
+    }
+    val expected = alive.toSeq.sorted
+      .map(u => (u, adj(u).count(alive).toLong))
+    val got = Similarity.kCore(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < adj.size) // a real, partial core
+    assert(got.forall(_._2 >= 3))
+  }
+
   test("x116 length bins: bins tile the corpus, every doc inside its " +
       "bin's half-open range, waste reconciles") {
     val rows = TextAnalysis.lengthBins(spark, sf)

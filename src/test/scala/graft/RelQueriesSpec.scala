@@ -479,6 +479,53 @@ class RelQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q53 bitmap distinct: the bitmap path reproduces brute distinct " +
+      "counts at both grains, and the flag rollup never rescans") {
+    import spark.implicits._
+    val rows = RelQueries.q53BitmapDistinct(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val li = graft.ingest.Tables.load(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_linestatus", $"l_partkey")
+      .as[(String, String, Long)].collect()
+    val byFlag = li.groupBy(_._1)
+    assert(rows.length == byFlag.size)
+    for ((flag, nStatuses, sumStatus, flagDistinct) <- rows) {
+      val grp = byFlag(flag)
+      val statuses = grp.groupBy(_._2)
+      assert(nStatuses == statuses.size.toLong)
+      assert(sumStatus ==
+        statuses.values.map(_.map(_._3).distinct.size.toLong).sum)
+      assert(flagDistinct == grp.map(_._3).distinct.size.toLong, flag)
+      // the whole point of the bitmap layout: statuses overlap in parts,
+      // so the naive sum exceeds the true rollup
+      assert(sumStatus >= flagDistinct)
+    }
+  }
+
+  test("q54 null-safe join: the NULL bucket matches itself and every " +
+      "group replays from a brute split") {
+    val rows = RelQueries.q54NullsafeJoin(spark, sf).collect()
+    val li = graft.ingest.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def key(p: Long): Option[Long] =
+      if (p % 10 < 3) None else Some(p % 10)
+    val dim = li.filter(_._1 % 2 == 1).groupBy(t => key(t._2))
+      .map { case (k, g) => k -> g.map(_._3).sum }
+    val probe = li.filter(_._1 % 2 == 0).groupBy(t => key(t._2))
+      .map { case (k, g) => k -> g.size.toLong }
+    assert(rows.length == probe.size)
+    // NULLS FIRST: row 0 is the NULL bucket, and it DID join
+    assert(rows.head.isNullAt(0))
+    for (r <- rows) {
+      val k = if (r.isNullAt(0)) None else Some(r.getLong(0))
+      assert(r.getLong(1) == probe(k), s"n_rows $k")
+      assert(r.getLong(2) == dim(k), s"dim_qty_cents $k")
+    }
+  }
+
   test("q52 qualify: one row per ordering customer, and it is the " +
       "(price desc, orderkey) argmax of that customer's orders") {
     import spark.implicits._
