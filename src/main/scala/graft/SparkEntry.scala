@@ -536,6 +536,14 @@ object SparkEntry {
       graft.streaming.StreamPipeline.windowAlertWatermarked(s,
         Pipeline.envelopeFlat(s, dir))),
 
+    // ---- streaming windowed TOP-K via transformWithState: MapState -----
+    // ---- per open window + an event-time timer at the window end; ------
+    // ---- the timer ranks and emits only the top-3 — the "Top N over ----
+    // ---- time" viz as one bounded-state operator ------------------------
+    "kq94_stream_topk" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.windowTopk(s,
+        Pipeline.envelopeFlat(s, dir))),
+
     // ---- kq43's PRODUCTION sibling: dropDuplicatesWithinWatermark — ----
     // ---- dedup state EVICTED as the watermark advances -----------------
     "kq45_stream_dedup_wm" -> ((s, dir) =>
@@ -1633,6 +1641,39 @@ object SparkEntry {
         .orderBy(col("final_rank"))
     }),
 
+    // ---- EQL "sequence by user [signup][click][purchase] until --------
+    // ---- [error]": the q31 greedy earliest-completion MIN cascade, ----
+    // ---- then the UNTIL rule — an abort event strictly inside ---------
+    // ---- (t1, t3) kills the in-flight match (Elastic EQL's until ------
+    // ---- semantics). The abort check is one range semi-join against ---
+    // ---- the tiny per-user error-time table — no per-user sorting, ----
+    // ---- no window state; every leg is a user-keyed partial-agg -------
+    // ---- shuffle, the q31 scale shape. ---------------------------------
+    "kq95_eql_until" -> ((s, dir) => {
+      val ev = graft.ingest.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+        .where(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+        .where(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val chains = s1.join(s2, "user_id").join(s3, "user_id")
+      val errs = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("us").as("e_us"))
+      val aborted = chains.join(errs, Seq("user_id"))
+        .where(col("e_us") > col("t1") && col("e_us") < col("t3"))
+        .select(col("user_id")).distinct()
+        .withColumn("ab", lit(1L))
+      chains.join(aborted, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          coalesce(col("ab"), lit(0L)).as("aborted"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- the spark.sql text surface over a registered changelog view -----
     "kq9_sql_surface" -> ((s, dir) => {
       Pipeline.envelopeFlat(s, dir).createOrReplaceTempView("changelog")
@@ -2149,6 +2190,25 @@ object SparkEntry {
         |SELECT bucket, event_type, n FROM w, m
         |WHERE epoch_ms(bucket) + 21600000 <= epoch_ms(mx) - 3600000
         |ORDER BY bucket, event_type""".stripMargin),
+
+    // kq94: kq44's closed-window tail rule (win_end <= wm, timers fire
+    // at == wm), then the batch top-3 per closed window with the
+    // (count DESC, type ASC) tie-break
+    "kq94_stream_topk" ->
+      (envSql + """, w AS (
+        |  SELECT (CAST(floor(epoch("timestamp")) AS BIGINT) // 21600)
+        |           * 21600000 AS win_ms,
+        |         event_type, count(*) AS n
+        |  FROM env WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT epoch_ms(max("timestamp")) AS mx FROM env
+        |      WHERE event_type IS NOT NULL),
+        |r AS (SELECT win_ms, event_type, n, CAST(row_number() OVER (
+        |        PARTITION BY win_ms ORDER BY n DESC, event_type)
+        |      AS BIGINT) AS "rank"
+        |  FROM w, m WHERE win_ms + 21600000 <= mx - 3600000)
+        |SELECT make_timestamp(win_ms * 1000) AS bucket, "rank",
+        |  event_type, n
+        |FROM r WHERE "rank" <= 3 ORDER BY bucket, "rank"""".stripMargin),
 
     // kq45: single-batch AvailableNow replay makes within-watermark dedup
     // equal exact dedup, so kq43's oracle replays unchanged.
@@ -3050,6 +3110,27 @@ object SparkEntry {
         |SELECT doc_id, fp, sec, combined, CAST(final_rank AS BIGINT)
         |  AS final_rank
         |FROM fin ORDER BY final_rank""".stripMargin,
+
+    // kq95: the q31 MIN cascade + the until rule as an EXISTS over the
+    // strictly-open (t1, t3) interval
+    "kq95_eql_until" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        |c AS (SELECT user_id, t1, t2, t3
+        |      FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id))
+        |SELECT user_id, t1, t2, t3,
+        |  CASE WHEN EXISTS (SELECT 1 FROM e
+        |                    WHERE e.user_id = c.user_id
+        |                      AND e.event_type = 'error'
+        |                      AND e.us > c.t1 AND e.us < c.t3)
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS aborted
+        |FROM c ORDER BY user_id""".stripMargin,
 
     "kq9_sql_surface" ->
       (envSql + """SELECT event_type, count(*) AS n,

@@ -1305,4 +1305,141 @@ object StreamPipeline {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }
+
+  case class WinEvt(win_ms: Long, event_type: String)
+  case class TopkOut(win_ms: Long, rank: Long, event_type: String, n: Long)
+
+  /**
+   * [[StatefulProcessor]] backing [[windowTopk]] (kq94): keyed by the
+   * TUMBLING WINDOW START, one `MapState[event_type → count]` per open
+   * window plus one event-time timer at the window end. Arrivals do
+   * point-updates against the map (the kq83 argument: never
+   * rewrite-the-whole-map); when the watermark passes the window end
+   * the timer fires ONCE, ranks the map, emits only the top-k rows and
+   * clears the state — the windowed-aggregate emission discipline
+   * (kq44) with a rank no streaming aggregate can express in Append
+   * mode. State per open window is |distinct types in window| entries,
+   * horizon-bounded like kq44's.
+   */
+  class WindowTopkProcessor(windowMs: Long, k: Int)
+      extends StatefulProcessor[Long, WinEvt, TopkOut] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var armed: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Boolean]("armed",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[WinEvt],
+        timerValues: TimerValues): Iterator[TopkOut] = {
+      val touched = scala.collection.mutable.Map.empty[String, Long]
+      for (r <- rows) {
+        val base = touched.getOrElse(r.event_type,
+          if (counts.containsKey(r.event_type))
+            counts.getValue(r.event_type)
+          else 0L)
+        touched(r.event_type) = base + 1L
+      }
+      for ((et, n) <- touched) counts.updateValue(et, n)
+      if (!Option(armed.get()).exists(identity)) {
+        getHandle.registerTimer(key + windowMs)
+        armed.update(true)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TopkOut] = {
+      val all = counts.iterator().toArray
+      counts.clear()
+      armed.clear()
+      all.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex.map {
+        case ((t, n), i) => TopkOut(key, (i + 1).toLong, t, n)
+      }.iterator
+    }
+  }
+
+  /**
+   * kq94 — STREAMING WINDOWED TOP-K ("Top N over time", the most-used
+   * Kibana TSVB visualization) as ONE streaming operator: per 6 h
+   * tumbling window, the top-3 event types by count, emitted
+   * exactly-once when the watermark closes the window. Append-mode
+   * streaming aggregation cannot rank WITHIN the emitted window (no
+   * window functions over a streaming aggregate), so this is
+   * transformWithState keyed by the window start — see
+   * [[WindowTopkProcessor]].
+   *
+   * Determinism on a finite AvailableNow replay: event-time timers
+   * fire iff `expiry <= watermark` (the kq49 pinned boundary; wm =
+   * floor-to-ms(max event time) − delay over the FILTERED stream), so
+   * the emitted set is exactly the windows with
+   * `win_end_ms <= wm_ms` — kq44's tail rule — each contributing its
+   * batch top-3 with (count DESC, type ASC) tie-break. The open tail
+   * window is absent BY SEMANTICS. At 100 TB: state is one map entry
+   * per (open window, type) + one timer per open window, shuffled once
+   * on the window key; the emitted stream is k rows per window however
+   * large the input.
+   */
+  def windowTopk(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame, windowMs: Long = 21600000L, k: Int = 3,
+      delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("kq94-topk").toString
+    val in = envFlat.where(col("event_type").isNotNull)
+      .select(col("timestamp"), col("event_type"))
+    in.write.mode("overwrite").parquet(s"$work/in")
+    val out = java.nio.file.Files.createTempDirectory("kq94-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream.schema(in.schema).parquet(s"$work/in")
+        .withWatermark("timestamp", delay)
+        .select(col("timestamp"), // keeps the event-time/watermark column
+          expr(s"(unix_micros(timestamp) div ${windowMs * 1000L})" +
+            s" * $windowMs").as("win_ms"),
+          col("event_type"))
+        .as[WinEvt]
+        .groupByKey(_.win_ms)
+        .transformWithState(new WindowTopkProcessor(windowMs, k),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("win_ms",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))
+      spark.read.schema(schema).parquet(out.toString)
+        .select(expr("timestamp_micros(win_ms * 1000)").as("bucket"),
+          col("rank"), col("event_type"), col("n"))
+        .orderBy(col("bucket"), col("rank"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
 }

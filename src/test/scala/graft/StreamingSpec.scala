@@ -393,6 +393,52 @@ class StreamingSpec extends SparkSpec {
     // user 99 (the live tail) never fires — its horizon is open
   }
 
+  test("windowed top-k (kq94): ties break on type, the == wm window " +
+      "FIRES, the sub-ms-early watermark does not, tail absent") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def run(maxTs: String): Seq[(Long, String, Long)] =
+      StreamPipeline.windowTopk(spark,
+        Seq(("a", "2024-01-01 00:10:00"), ("a", "2024-01-01 01:00:00"),
+          ("b", "2024-01-01 02:00:00"), ("b", "2024-01-01 03:00:00"),
+          ("c", "2024-01-01 04:00:00"), ("d", "2024-01-01 05:00:00"),
+          ("z", maxTs))
+          .map { case (et, ts) => (et, t(ts)) }
+          .toDF("event_type", "timestamp"))
+        .select(col("rank"), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSeq
+    // wm = 06:00:00.000 == window [00:00, 06:00) end → timer FIRES;
+    // a/b tie (2 each) breaks a first; c/d tie (1 each) keeps only c
+    assert(run("2024-01-01 07:00:00") ==
+      Seq((1L, "a", 2L), (2L, "b", 2L), (3L, "c", 1L)))
+    // wm a millisecond short of the window end → nothing fires
+    assert(run("2024-01-01 06:59:59.999") == Seq.empty)
+  }
+
+  test("windowed top-k (kq94): streamed fixture emissions equal the " +
+      "batch top-3 of every closed window") {
+    val env = graft.Pipeline.envelopeFlat(spark, sf)
+      .where(col("event_type").isNotNull)
+    val streamed = StreamPipeline.windowTopk(spark, env).collect()
+    val wmMs =
+      env.agg(max(unix_millis(col("timestamp")))).head().getLong(0) -
+        3600000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_ms")).orderBy(col("n").desc, col("event_type"))
+    val batch = env
+      .withColumn("win_ms",
+        expr("(unix_micros(timestamp) div 21600000000) * 21600000"))
+      .groupBy(col("win_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("win_ms") + 21600000L <= wmMs)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(expr("timestamp_micros(win_ms * 1000)").as("bucket"),
+        col("rank"), col("event_type"), col("n"))
+      .orderBy(col("bucket"), col("rank")).collect()
+    assert(streamed.sameElements(batch))
+    assert(streamed.nonEmpty)
+  }
+
   test("inactivity watch: streamed fixture emissions equal the batch " +
       "last-seen + horizon <= watermark predicate, counts exact") {
     val ev = graft.ingest.Tables.load(spark, sf, "events")
