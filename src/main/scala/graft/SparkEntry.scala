@@ -1641,6 +1641,52 @@ object SparkEntry {
         .orderBy(col("final_rank"))
     }),
 
+    // ---- ES terms-agg DISTRIBUTED ERROR BOUNDS: each shard (the -------
+    // ---- envelope's Kafka partition) reports only its local top-2 -----
+    // ---- types (shard_size), the coordinator sums what was reported, --
+    // ---- and a term MISSING from a shard's report could hide up to ----
+    // ---- that shard's LAST reported count there — summed, that is -----
+    // ---- ES's doc_count_error_upper_bound. The exact global count -----
+    // ---- (which a single-pass distributed top-N cannot know) is -------
+    // ---- computed alongside as the audit: merged <= exact <= merged ---
+    // ---- + err for every candidate. This is WHY approximate terms -----
+    // ---- aggs ship error bounds at scale: the merge is one tiny -------
+    // ---- all-reported union, never a global re-count. -------------------
+    "kq96_terms_shard_error" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val env = Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+        .select(col("partition").as("shard"), col("event_type"))
+      val perShard = env.groupBy(col("shard"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("n").desc, col("event_type"))
+      val reported = perShard
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 2)
+        .localCheckpoint()
+      val lastPer = reported.groupBy(col("shard"))
+        .agg(min(col("n")).as("last_n"))
+      val merged = reported.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("merged_n"))
+      val err = merged.select(col("event_type")).crossJoin(lastPer)
+        .join(reported.select(col("shard"), col("event_type"),
+          lit(1L).as("rep")), Seq("shard", "event_type"), "left")
+        .where(col("rep").isNull)
+        .groupBy(col("event_type"))
+        .agg(sum(col("last_n")).as("err_ub"))
+      val exact = env.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_n"))
+      merged.join(err, Seq("event_type"), "left")
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("merged_n"),
+          coalesce(col("err_ub"), lit(0L)).as("err_ub"), col("exact_n"),
+          when(col("exact_n") >= col("merged_n") &&
+            col("exact_n") <= col("merged_n") +
+              coalesce(col("err_ub"), lit(0L)), 1L).otherwise(0L)
+            .as("bounded"))
+        .orderBy(col("merged_n").desc, col("event_type"))
+    }),
+
     // ---- EQL "sequence by user [signup][click][purchase] until --------
     // ---- [error]": the q31 greedy earliest-completion MIN cascade, ----
     // ---- then the UNTIL rule — an abort event strictly inside ---------
@@ -3110,6 +3156,36 @@ object SparkEntry {
         |SELECT doc_id, fp, sec, combined, CAST(final_rank AS BIGINT)
         |  AS final_rank
         |FROM fin ORDER BY final_rank""".stripMargin,
+
+    // kq96: shard = envelope partition; per-shard top-2, coordinator
+    // merge, err = sum of last-reported counts of non-reporting shards
+    "kq96_terms_shard_error" ->
+      (envSql + """, e AS (SELECT "partition" AS shard, event_type
+        |  FROM env WHERE event_type IS NOT NULL),
+        |ps AS (SELECT shard, event_type, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |rep AS (SELECT * FROM (
+        |    SELECT shard, event_type, n, row_number() OVER (
+        |      PARTITION BY shard ORDER BY n DESC, event_type) AS rk
+        |    FROM ps) WHERE rk <= 2),
+        |lastn AS (SELECT shard, min(n) AS last_n FROM rep GROUP BY 1),
+        |mg AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS merged_n
+        |  FROM rep GROUP BY 1),
+        |er AS (SELECT c.event_type, CAST(sum(l.last_n) AS BIGINT) AS err_ub
+        |  FROM (SELECT DISTINCT event_type FROM mg) c
+        |  CROSS JOIN lastn l
+        |  LEFT JOIN rep r ON r.shard = l.shard
+        |    AND r.event_type = c.event_type
+        |  WHERE r.shard IS NULL GROUP BY 1),
+        |ex AS (SELECT event_type, count(*) AS exact_n FROM e GROUP BY 1)
+        |SELECT mg.event_type, mg.merged_n,
+        |  COALESCE(er.err_ub, 0) AS err_ub, ex.exact_n,
+        |  CASE WHEN ex.exact_n >= mg.merged_n AND
+        |            ex.exact_n <= mg.merged_n + COALESCE(er.err_ub, 0)
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bounded
+        |FROM mg LEFT JOIN er USING (event_type)
+        |JOIN ex USING (event_type)
+        |ORDER BY mg.merged_n DESC, mg.event_type""".stripMargin),
 
     // kq95: the q31 MIN cascade + the until rule as an EXISTS over the
     // strictly-open (t1, t3) interval

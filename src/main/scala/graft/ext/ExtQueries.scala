@@ -337,6 +337,10 @@ object ExtQueries {
     // cluster-scoped undirected kNN graph, fixed 8-round contract.
     "x120_kcore" -> ((s: SparkSession, d: String) =>
       Similarity.kCore(s, d)),
+    // x121: l-diversity audit — distinct sensitive bands and the largest
+    // single-value block per quasi-identifier group (x92's gap).
+    "x121_l_diversity" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.lDiversity(s, d)),
     // x117: MOSS winnowing fingerprints — shared window-min k-gram
     // hashes per doc pair, boilerplate fingerprints df-capped like MOSS.
     "x117_winnowing" -> ((s: SparkSession, d: String) =>
@@ -2486,6 +2490,30 @@ object ExtQueries {
         |  ((bin_hi * n_docs - sum_tokens) * 10000) // (bin_hi * n_docs)
         |    AS waste_bp
         |FROM g ORDER BY bin_hi""".stripMargin,
+
+    // x121: same exact-double band edges; count(DISTINCT) + the largest
+    // single-band block per (segment, nation) group
+    "x121_l_diversity" ->
+      """WITH s AS (SELECT c_mktsegment, c_nationkey,
+        |    CASE WHEN c_acctbal < 0 THEN 'debt'
+        |         WHEN c_acctbal < 5000 THEN 'low'
+        |         ELSE 'high' END AS sens
+        |  FROM customer),
+        |g AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(count(*) AS BIGINT) AS n_custs,
+        |    CAST(count(DISTINCT sens) AS BIGINT) AS n_sens
+        |  FROM s GROUP BY 1, 2),
+        |b AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(max(block) AS BIGINT) AS max_block
+        |  FROM (SELECT c_mktsegment, c_nationkey, sens,
+        |          count(*) AS block FROM s GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2)
+        |SELECT g.c_mktsegment, g.c_nationkey, g.n_custs, g.n_sens,
+        |  b.max_block,
+        |  CASE WHEN g.n_sens >= 2 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS l_diverse
+        |FROM g JOIN b USING (c_mktsegment, c_nationkey)
+        |ORDER BY g.c_mktsegment, g.c_nationkey""".stripMargin,
 
     // x119: the x82 closed form at stride 1 → per-frame totals, then
     // the same lag window; frame 0's delta/is_cut stay NULL

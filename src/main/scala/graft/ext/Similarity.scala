@@ -547,9 +547,22 @@ object Similarity {
       .join(alive.select(col("vec_id").as("v")), "v")
       .groupBy(col("u")).agg(count(lit(1)).as("deg"))
     var alive = both.select(col("u").as("vec_id")).distinct()
-    for (_ <- 1 to rounds)
+      .localCheckpoint()
+    // early exit preserves the fixed-round contract exactly: the peel
+    // only ever REMOVES nodes, so an unchanged count proves the
+    // fixpoint — every remaining round would be a no-op (the oracle's
+    // full 12 rounds produce the identical set). At sf0.1 the graph is
+    // already its own 3-core and this saves 11 redundant join rounds.
+    var prev = -1L
+    var n = alive.count()
+    var r = 0
+    while (r < rounds && n != prev) {
       alive = aliveDeg(alive).where(col("deg") >= coreK)
         .select(col("u").as("vec_id")).localCheckpoint()
+      prev = n
+      n = alive.count()
+      r += 1
+    }
     aliveDeg(alive)
       .select(col("u").as("vec_id"), col("deg").as("core_deg"))
       .orderBy(col("vec_id"))

@@ -688,6 +688,47 @@ object TextAnalysis {
       .orderBy(col("c_mktsegment"), col("c_nationkey"))
   }
 
+  /**
+   * x121 — L-DIVERSITY audit (Machanavajjhala et al. 2007), the gap
+   * k-anonymity (x92) leaves open: a group can be large enough to
+   * release yet have every member share the same SENSITIVE value —
+   * group size protects identity, not the attribute. Per
+   * quasi-identifier group (mktsegment, nation) over the released
+   * x92-style microdata, count DISTINCT sensitive values (the account
+   * balance bucketed to coarse bands — sign and magnitude, the
+   * attribute a release would leak) and the size of the largest
+   * single-value block; the group passes distinct-l-diversity iff it
+   * has ≥ l distinct sensitive values. All exact integers (counts,
+   * distinct counts, a max) — one group-by with a distinct aggregate,
+   * partial-aggregated map-side like any other; at 100 TB the
+   * sensitive domain is tiny so the distinct count never blows up
+   * the hash table.
+   */
+  def lDiversity(spark: SparkSession, dir: String, l: Int = 2)
+      : DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      // sensitive bands: negative / low / high balance — integer cents
+      // thresholds so the band edges are exact
+      .withColumn("sens",
+        when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise(lit("high")))
+    cust.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        countDistinct(col("sens")).as("n_sens"))
+      .join(
+        cust.groupBy(col("c_mktsegment"), col("c_nationkey"), col("sens"))
+          .agg(count(lit(1)).as("block"))
+          .groupBy(col("c_mktsegment"), col("c_nationkey"))
+          .agg(max(col("block")).as("max_block")),
+        Seq("c_mktsegment", "c_nationkey"))
+      .withColumn("l_diverse",
+        when(col("n_sens") >= l, 1L).otherwise(0L))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("n_custs"),
+        col("n_sens"), col("max_block"), col("l_diverse"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }
+
   def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val bucket = conv(substring(md5(col("doc_id").cast("string")
