@@ -1982,6 +1982,46 @@ class ExtSpec extends SparkSpec {
     assert(got.forall(_._2 >= 3))
   }
 
+  test("kq93 rescore survives off-fixture corpora: empty and 1-token " +
+      "docs (the x56 descending-sequence ANSI trap) score sec = 0") {
+    val work = java.nio.file.Files.createTempDirectory("kq93-edge")
+    try {
+      val docs = (0L until 60L).map { i =>
+        val text = i % 4 match {
+          case 0 => ""                       // 1 empty token
+          case 1 => "merge"                  // 1 token
+          case 2 => "merge slow"             // exactly one phrase hit
+          case _ => "merge a merge slow b"   // fp 2, sec 1
+        }
+        (i, text, "en", "src0", text.length.toLong)
+      }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$work/documents.parquet")
+      val out = graft.SparkEntry.queries("kq93_rescore")(spark,
+        work.toString)
+        .as[(Long, Long, Option[Long], Option[Long], Long)].collect()
+      assert(out.length == 50)
+      // fp: case 3 -> 2, cases 1/2 -> 1, case 0 -> 0; the top-20 window
+      // is the 15 case-3 docs + 5 of the fp=1 docs by doc_id
+      val byDoc = docs.map(d => d._1 -> d._2).toMap
+      def phraseCount(t: String): Long = {
+        val toks = t.split(" ", -1)
+        (0 until toks.length - 1)
+          .count(i => toks(i) == "merge" && toks(i + 1) == "slow").toLong
+      }
+      for ((id, fp, sec, comb, _) <- out) {
+        val t = byDoc(id)
+        assert(fp == t.split(" ", -1).count(_ == "merge").toLong, id)
+        sec.foreach { sc =>
+          assert(sc == phraseCount(t), id)
+          assert(comb.contains(fp + 2 * sc))
+        }
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+    }
+  }
+
   test("x116 length bins: bins tile the corpus, every doc inside its " +
       "bin's half-open range, waste reconciles") {
     val rows = TextAnalysis.lengthBins(spark, sf)
