@@ -118,7 +118,13 @@ object Plans {
     "q44_scd2" -> "SCD2 build: change-detect lag + interval lead share ONE per-customer shuffle; per-key state is the key's own history",
     "q45_temporal_join" -> "temporal SCD2 lookup: orderkey equi-join for the customer key, then a custkey equi-join with the validity range as a post-join filter — per-key version fanout bounded by change history",
     "q46_incremental_agg" -> "incremental view maintenance: base and delta are map-side-combinable aggs on the same key merged by addition; the cutoff is a broadcast 1-row scalar",
-    "kq81_variable_width_histogram" -> "variable_width_histogram: gap ranking + boundary prefix-sum run over the DISTINCT-value domain; the raw stream is touched twice, both map-side-combinable")
+    "kq81_variable_width_histogram" -> "variable_width_histogram: gap ranking + boundary prefix-sum run over the DISTINCT-value domain; the raw stream is touched twice, both map-side-combinable",
+    "kq93_rescore" -> "rescore: first pass is a distributed top-k (TakeOrderedAndProject), never a corpus-wide window; the secondary scorer and both rank windows run on the 50 survivor rows",
+    "q53_bitmap_distinct" -> "bitmap distinct: fine bitmaps built in one fact pass; the flag rollup re-aggregates BITMAPS (bitmap_or_agg) — no second lineitem scan in the plan",
+    "q54_nullsafe_join" -> "null-safe join: <=> plans as a plain shuffled hash/SMJ equi-join (NULL hashes to one bucket) — no BNLJ/CartesianProduct fallback",
+    "x117_winnowing" -> "winnowing: native winnow_3_4 in the scan stage (map-only fingerprints), df-cap semi-join prunes boilerplate BEFORE the pair join; the only shuffles are on the fingerprint key",
+    "x120_kcore" -> "k-core: threshold-graph build (blocked equi-join) + per-round ONE endpoint semi-join pair and ONE degree agg over the shrinking alive set, localCheckpoint lineage cuts, count()-based early exit at the fixpoint",
+    "kq96_terms_shard_error" -> "terms shard error: per-shard bounded top-2 window, then every merge/error/exact leg aggregates the TINY reported table; the only full-data passes are the per-shard count and the exact audit count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1091,10 +1091,14 @@ object Dedup {
    */
   def winnowingPairs(spark: SparkSession, dir: String, k: Int = 3,
       w: Int = 4, minShared: Int = 3, maxDf: Int = 50): DataFrame = {
+    // materialize the fingerprint table once: three consumers (the df
+    // cap and both pair-join sides) would otherwise each re-run the
+    // winnow scan over the corpus
     val fps = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         explode(graft.functions.Winnow.winnow(col("text"), k, w))
           .as("fph"))
+      .localCheckpoint()
     val rare = fps.groupBy(col("fph"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)

@@ -1152,11 +1152,16 @@ object RelQueries {
    * grains, proving the bitmap path is exact.
    */
   def q53BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint = "persist the bitmap table": ONE fact pass
+    // builds the fine bitmaps; both grains aggregate the (small)
+    // materialized bitmap rows — without it each consumer would
+    // rescan lineitem, defeating the whole point
     val fine = Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"),
         expr("bitmap_bucket_number(l_partkey)").as("bucket"))
       .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
         .as("bm"))
+      .localCheckpoint()
     val byStatus = fine.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(expr("bitmap_count(bm)")).as("distinct_parts"))
     // rollup to flag from the BITMAPS (no fact rescan): OR per bucket,
