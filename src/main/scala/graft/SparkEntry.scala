@@ -1641,6 +1641,38 @@ object SparkEntry {
         .orderBy(col("final_rank"))
     }),
 
+    // ---- ES Watcher THROTTLE_PERIOD: an alert stream (error events ----
+    // ---- per user) where, after an alert FIRES, further alerts for ----
+    // ---- the same key are suppressed until `period` has passed SINCE --
+    // ---- THE LAST FIRED one — the greedy rule every alerting system ---
+    // ---- ships. Inherently SEQUENTIAL per key (each decision depends --
+    // ---- on the previous EMISSION, not the previous row — no window ---
+    // ---- frame expresses it), so it runs as flatMapSortedGroups: ------
+    // ---- parallel across keys, one O(1)-state pass within a key — -----
+    // ---- the documented last-resort case, used because the semantics --
+    // ---- genuinely require it. The DuckDB oracle replays the same -----
+    // ---- fold with list_reduce. ------------------------------------------
+    "kq97_alert_throttle" -> ((s, dir) => {
+      import s.implicits._
+      val periodUs = 21600000000L // 6 h
+      graft.ingest.Tables.load(s, dir, "events")
+        .where(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("us")) { (uid, it) =>
+          var last = Long.MinValue
+          it.flatMap { case (_, us) =>
+            if (last == Long.MinValue || us >= last + periodUs) {
+              last = us
+              Some((uid, us))
+            } else None
+          }
+        }
+        .toDF("user_id", "emitted_us")
+        .orderBy(col("user_id"), col("emitted_us"))
+    }),
+
     // ---- ES terms-agg DISTRIBUTED ERROR BOUNDS: each shard (the -------
     // ---- envelope's Kafka partition) reports only its local top-2 -----
     // ---- types (shard_size), the coordinator sums what was reported, --
@@ -3156,6 +3188,28 @@ object SparkEntry {
         |SELECT doc_id, fp, sec, combined, CAST(final_rank AS BIGINT)
         |  AS final_rank
         |FROM fin ORDER BY final_rank""".stripMargin,
+
+    // kq97: the greedy chain as a recursive CTE — each emission is the
+    // MIN event >= previous emission + period, per user. (A list_reduce
+    // fold was tried first and REJECTED: DuckDB 1.0's grouped
+    // list_reduce leaks accumulator state across rows — user A's
+    // emissions contaminated user B's. Aggregating `er` inside the
+    // recursive term's LATERAL is legal; only aggregates over the
+    // recursive relation itself are restricted.)
+    "kq97_alert_throttle" ->
+      """WITH RECURSIVE er AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'error'),
+        |em AS (
+        |  SELECT user_id, min(us) AS us FROM er GROUP BY user_id
+        |  UNION ALL
+        |  SELECT n.user_id, n.us FROM em
+        |  JOIN LATERAL (SELECT e.user_id, min(e.us) AS us FROM er e
+        |                WHERE e.user_id = em.user_id
+        |                  AND e.us >= em.us + 21600000000
+        |                GROUP BY e.user_id) n ON true)
+        |SELECT user_id, us AS emitted_us FROM em
+        |ORDER BY user_id, emitted_us""".stripMargin,
 
     // kq96: shard = envelope partition; per-shard top-2, coordinator
     // merge, err = sum of last-reported counts of non-reporting shards

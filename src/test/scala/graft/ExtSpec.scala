@@ -2022,6 +2022,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("kq97 alert throttle: emissions replay the greedy per-user fold " +
+      "(first alert, then first >= last emitted + period)") {
+    val got = graft.SparkEntry.queries("kq97_alert_throttle")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val errs = graft.ingest.Tables.load(spark, sf, "events")
+      .where(col("event_type") === "error")
+      .select($"user_id", unix_micros($"ts")).as[(Long, Long)].collect()
+    val period = 21600000000L
+    val expected = errs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      var last = Long.MinValue
+      rows.map(_._2).sorted.flatMap { us =>
+        if (last == Long.MinValue || us >= last + period) {
+          last = us; Some((u, us))
+        } else None
+      }
+    }.sorted
+    assert(got == expected)
+    // throttling genuinely suppresses (fewer emissions than alerts)
+    assert(got.size < errs.length && got.nonEmpty)
+  }
+
   test("x116 length bins: bins tile the corpus, every doc inside its " +
       "bin's half-open range, waste reconciles") {
     val rows = TextAnalysis.lengthBins(spark, sf)
