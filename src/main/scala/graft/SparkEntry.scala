@@ -1641,6 +1641,30 @@ object SparkEntry {
         .orderBy(col("final_rank"))
     }),
 
+    // ---- POINT-IN-TIME state (offset time travel): the compacted- ------
+    // ---- changelog replay discipline — latest state per key AS OF an ---
+    // ---- offset cutoff (here max offset div 2, data-derived and --------
+    // ---- deterministic), joined to the CURRENT latest to flag which ----
+    // ---- keys changed after the cutoff. Same bounded per-key window ----
+    // ---- as kq6 run over the offset-filtered replay; the filter --------
+    // ---- pushes to the scan so time travel reads only the prefix. ------
+    "kq98_pit_state" -> ((s, dir) => {
+      val env = Pipeline.envelope(s, dir)
+      val cutoff = env.agg(expr("max(offset) div 2").as("cut")) // 1 row
+      val pit = graft.query.LogQueries.latestStatePerKey(
+          env.crossJoin(broadcast(cutoff)).where(col("offset") <= col("cut")))
+        .select(col("key"), col("topic"), col("offset").as("pit_offset"),
+          col("timestamp").as("pit_ts"))
+      val cur = graft.query.LogQueries.latestStatePerKey(env)
+        .select(col("key"), col("topic"), col("offset").as("cur_offset"))
+      pit.join(cur, Seq("key", "topic"))
+        .withColumn("changed_after",
+          when(col("cur_offset") > col("pit_offset"), 1L).otherwise(0L))
+        .select(col("key"), col("topic"), col("pit_offset"), col("pit_ts"),
+          col("cur_offset"), col("changed_after"))
+        .orderBy(col("topic"), col("key"))
+    }),
+
     // ---- ES Watcher THROTTLE_PERIOD: an alert stream (error events ----
     // ---- per user) where, after an alert FIRES, further alerts for ----
     // ---- the same key are suppressed until `period` has passed SINCE --
@@ -3188,6 +3212,25 @@ object SparkEntry {
         |SELECT doc_id, fp, sec, combined, CAST(final_rank AS BIGINT)
         |  AS final_rank
         |FROM fin ORDER BY final_rank""".stripMargin,
+
+    // kq98: same kq6 latest-per-key window over the offset-prefix
+    // replay; the current head joins back to flag post-cutoff drift
+    "kq98_pit_state" ->
+      (envSql + """, cut AS (SELECT max("offset") // 2 AS cut FROM env),
+        |pit AS (SELECT * FROM (
+        |    SELECT env.*, row_number() OVER (PARTITION BY topic, "key"
+        |      ORDER BY "timestamp" DESC, "offset" DESC) AS rn
+        |    FROM env, cut WHERE "offset" <= cut) WHERE rn = 1),
+        |cur AS (SELECT * FROM (
+        |    SELECT env.*, row_number() OVER (PARTITION BY topic, "key"
+        |      ORDER BY "timestamp" DESC, "offset" DESC) AS rn
+        |    FROM env) WHERE rn = 1)
+        |SELECT p."key", p.topic, p."offset" AS pit_offset,
+        |  p."timestamp" AS pit_ts, c."offset" AS cur_offset,
+        |  CASE WHEN c."offset" > p."offset" THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS changed_after
+        |FROM pit p JOIN cur c ON p."key" = c."key" AND p.topic = c.topic
+        |ORDER BY p.topic, p."key"""".stripMargin),
 
     // kq97: the greedy chain as a recursive CTE — each emission is the
     // MIN event >= previous emission + period, per user. (A list_reduce

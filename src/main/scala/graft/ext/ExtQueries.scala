@@ -341,6 +341,10 @@ object ExtQueries {
     // single-value block per quasi-identifier group (x92's gap).
     "x121_l_diversity" -> ((s: SparkSession, d: String) =>
       TextAnalysis.lDiversity(s, d)),
+    // x122: per-source unigram entropy in exact nano-nats + type-token
+    // ratio permille — the diversity panel of the dataset card.
+    "x122_unigram_entropy" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.unigramEntropy(s, d)),
     // x117: MOSS winnowing fingerprints — shared window-min k-gram
     // hashes per doc pair, boilerplate fingerprints df-capped like MOSS.
     "x117_winnowing" -> ((s: SparkSession, d: String) =>
@@ -2514,6 +2518,25 @@ object ExtQueries {
         |       ELSE CAST(0 AS BIGINT) END AS l_diverse
         |FROM g JOIN b USING (c_mktsegment, c_nationkey)
         |ORDER BY g.c_mktsegment, g.c_nationkey""".stripMargin,
+
+    // x122: H·n = Σ c·(ln n − ln c), every ln frozen to 9dp nano-nats
+    // (ln agrees bit-for-bit; sums exact; positive floor-divisions)
+    "x122_unigram_entropy" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT source, token, count(*) AS c FROM t GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |        count(*) AS vocab FROM c GROUP BY 1),
+        |j AS (SELECT c.source, c.c, s.n, s.vocab,
+        |    CAST(CAST(round(ln(CAST(s.n AS DOUBLE)), 9) AS DECIMAL(20,9))
+        |         * 1000000000 AS BIGINT)
+        |  - CAST(CAST(round(ln(CAST(c.c AS DOUBLE)), 9) AS DECIMAL(20,9))
+        |         * 1000000000 AS BIGINT) AS dn
+        |  FROM c JOIN s USING (source))
+        |SELECT source, first(n) AS n_tokens, first(vocab) AS vocab,
+        |  CAST(sum(c * dn) AS BIGINT) // first(n) AS entropy_nano,
+        |  (first(vocab) * 1000) // first(n) AS ttr_permille
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // x119: the x82 closed form at stride 1 → per-frame totals, then
     // the same lag window; frame 0's delta/is_cut stay NULL

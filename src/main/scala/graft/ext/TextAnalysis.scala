@@ -729,6 +729,39 @@ object TextAnalysis {
       .orderBy(col("c_mktsegment"), col("c_nationkey"))
   }
 
+  /**
+   * x122 — CORPUS DIVERSITY: per-source unigram Shannon entropy in
+   * exact integer nano-nats plus the type-token ratio in permille —
+   * the diversity panel of a dataset card (x85 counts and dups; this
+   * measures how REPETITIVE a source's token distribution is, the
+   * signal that separates boilerplate-heavy crawl slices from diverse
+   * text). Exactness: H·n = Σ c_t·(ln n − ln c_t) with each ln frozen
+   * to the x56 nano-nat schedule, summed as exact longs and
+   * floor-divided by the positive n — never a floating average. One
+   * explode + two map-side-combinable aggregations; the totals table
+   * (|sources| rows) broadcasts back onto the per-token counts.
+   */
+  def unigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"))
+    counts.join(broadcast(totals), "source")
+      .withColumn("contrib",
+        col("c") * (lnNano(col("n")) - lnNano(col("c"))))
+      .groupBy(col("source"))
+      .agg(first(col("n")).as("n_tokens"),
+        first(col("vocab")).as("vocab"),
+        sum(col("contrib")).as("hsum"))
+      .withColumn("entropy_nano", expr("hsum div n_tokens"))
+      .withColumn("ttr_permille", expr("(vocab * 1000) div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("entropy_nano"), col("ttr_permille"))
+      .orderBy(col("source"))
+  }
+
   def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val bucket = conv(substring(md5(col("doc_id").cast("string")

@@ -2043,6 +2043,51 @@ class ExtSpec extends SparkSpec {
     assert(got.size < errs.length && got.nonEmpty)
   }
 
+  test("x122 unigram entropy: nano-nat entropy and TTR replay from a " +
+      "brute count + 9dp ln freeze") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def ln9(x: Long): Long = JBD.valueOf(math.log(x.toDouble))
+      .setScale(9, RoundingMode.HALF_UP).movePointRight(9).longValueExact
+    val rows = TextAnalysis.unigramEntropy(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val toks = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+    val bySrc = toks.groupBy(_._1)
+    assert(rows.length == bySrc.size)
+    for ((src, n, vocab, ent, ttr) <- rows) {
+      val counts = bySrc(src).groupBy(_._2).map(_._2.size.toLong)
+      val nn = counts.sum
+      assert(n == nn && vocab == counts.size.toLong)
+      val hsum = counts.map(c => c * (ln9(nn) - ln9(c))).sum
+      assert(ent == hsum / nn, src)
+      assert(ttr == vocab * 1000 / nn)
+      assert(ent >= 0)
+    }
+  }
+
+  test("kq98 point-in-time state: the as-of head replays per key and " +
+      "post-cutoff drift is flagged on both sides") {
+    val rows = graft.SparkEntry.queries("kq98_pit_state")(spark, sf)
+      .select($"key", $"pit_offset", $"cur_offset", $"changed_after")
+      .as[(String, Long, Long, Long)].collect()
+    val env = graft.Pipeline.envelopeFlat(spark, sf)
+      .select($"key", $"offset", unix_micros($"timestamp"))
+      .as[(String, Long, Long)].collect()
+    val cut = env.map(_._2).max / 2
+    val byKey = env.groupBy(_._1)
+    val expectKeys = byKey.filter(_._2.exists(_._2 <= cut)).keySet
+    assert(rows.map(_._1).toSet == expectKeys)
+    for ((k, pit, cur, changed) <- rows) {
+      val g = byKey(k)
+      assert(pit == g.filter(_._2 <= cut).maxBy(r => (r._3, r._2))._2)
+      assert(cur == g.maxBy(r => (r._3, r._2))._2)
+      assert(changed == (if (cur > pit) 1L else 0L))
+    }
+    assert(rows.exists(_._4 == 1L) && rows.exists(_._4 == 0L) ||
+      rows.forall(_._4 == 1L)) // fixture: most keys keep moving
+  }
+
   test("x116 length bins: bins tile the corpus, every doc inside its " +
       "bin's half-open range, waste reconciles") {
     val rows = TextAnalysis.lengthBins(spark, sf)
