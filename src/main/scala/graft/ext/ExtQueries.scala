@@ -345,6 +345,14 @@ object ExtQueries {
     // ratio permille — the diversity panel of the dataset card.
     "x122_unigram_entropy" -> ((s: SparkSession, d: String) =>
       TextAnalysis.unigramEntropy(s, d)),
+    // x123: fill-in-the-middle — md5-seeded (prefix, middle, suffix)
+    // cuts re-emitted in PSM sentinel order; map-only, pack-composable.
+    "x123_fim_split" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.fimSplit(s, d)),
+    // x124: T5 span corruption — md5-seeded non-overlapping 3-token
+    // spans, sentinel input + sentinel-keyed target, map-only.
+    "x124_span_corruption" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.spanCorruption(s, d)),
     // x117: MOSS winnowing fingerprints — shared window-min k-gram
     // hashes per doc pair, boilerplate fingerprints df-capped like MOSS.
     "x117_winnowing" -> ((s: SparkSession, d: String) =>
@@ -2518,6 +2526,86 @@ object ExtQueries {
         |       ELSE CAST(0 AS BIGINT) END AS l_diverse
         |FROM g JOIN b USING (c_mktsegment, c_nationkey)
         |ORDER BY g.c_mktsegment, g.c_nationkey""".stripMargin,
+
+    // x123: the md5-32 instr-fold per salt seeds both cuts; 1-based
+    // inclusive slices, concat_ws keeps empty middles (both engines)
+    "x123_fim_split" -> {
+      def h(salt: String): String =
+        s"""list_reduce(list_transform(
+           |        string_split(substr(md5(concat(
+           |          CAST(doc_id AS VARCHAR), '$salt')), 1, 8), ''),
+           |        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+           |      (a, b) -> a * 16 + b)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |      FROM t),
+         |cuts AS (SELECT doc_id, toks, n,
+         |    1 + (${h(":fim-a")} % (n - 1)) AS ha,
+         |    1 + (${h(":fim-b")} % (n - 1)) AS hb
+         |  FROM d WHERE n >= 3),
+         |f AS (SELECT doc_id, toks, n, least(ha, hb) AS c1,
+         |        greatest(ha, hb) AS c2 FROM cuts)
+         |SELECT d.doc_id, d.n AS n_tokens, f.c1, f.c2,
+         |  CASE WHEN d.n >= 3 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS fim_applied,
+         |  CASE WHEN d.n >= 3 THEN concat(
+         |      '<PRE> ', array_to_string(d.toks[1:f.c1], ' '),
+         |      ' <SUF> ', array_to_string(d.toks[f.c2+1:d.n], ' '),
+         |      ' <MID>',
+         |      CASE WHEN f.c2 = f.c1 THEN ''
+         |           ELSE concat(' ',
+         |             array_to_string(d.toks[f.c1+1:f.c2], ' ')) END)
+         |    ELSE array_to_string(d.toks, ' ') END AS psm_text
+         |FROM d LEFT JOIN f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // x124: same md5-32 seeding per (doc, span); segment bounds by
+    // floor-div; every token decision replayed with 1-based slicing
+    "x124_span_corruption" -> {
+      val h = """list_reduce(list_transform(
+                |        string_split(substr(md5(concat(
+                |          CAST(doc_id AS VARCHAR), ':span-',
+                |          CAST(j AS VARCHAR))), 1, 8), ''),
+                |        c -> CAST(instr('0123456789abcdef', c) - 1
+                |          AS BIGINT)),
+                |      (a, b) -> a * 16 + b)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |d AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n
+         |      FROM t),
+         |e AS (SELECT *, CASE WHEN n >= 10
+         |        THEN greatest(1, (n * 15) // 300) ELSE 0 END AS s
+         |      FROM d),
+         |spn AS (SELECT *, CASE WHEN n >= 10 THEN
+         |    list_transform(range(0, s), j -> {
+         |      'j': j,
+         |      'st': (j * n) // s + ($h
+         |        % (((j + 1) * n) // s - (j * n) // s - 2))})
+         |  ELSE CAST([] AS STRUCT(j BIGINT, st BIGINT)[]) END AS spans
+         |  FROM e)
+         |SELECT doc_id, n AS n_tokens, CAST(s AS BIGINT) AS n_spans,
+         |  CAST(s * 3 AS BIGINT) AS corrupted_tokens,
+         |  CASE WHEN n >= 10 THEN
+         |    array_to_string(flatten(list_transform(range(0, n), p ->
+         |      CASE
+         |        WHEN len(list_filter(spans, sp -> sp.st = p)) > 0
+         |        THEN [concat('<X_', CAST(
+         |          list_filter(spans, sp -> sp.st = p)[1].j AS VARCHAR),
+         |          '>')]
+         |        WHEN len(list_filter(spans,
+         |          sp -> p > sp.st AND p < sp.st + 3)) > 0
+         |        THEN CAST([] AS VARCHAR[])
+         |        ELSE [toks[p + 1]] END)), ' ')
+         |  ELSE text END AS input_text,
+         |  CASE WHEN n >= 10 THEN
+         |    array_to_string(flatten(list_transform(spans, sp -> [
+         |      concat('<X_', CAST(sp.j AS VARCHAR), '>'),
+         |      toks[sp.st + 1], toks[sp.st + 2], toks[sp.st + 3]])), ' ')
+         |  ELSE '' END AS target_text
+         |FROM spn ORDER BY doc_id""".stripMargin
+    },
 
     // x122: H·n = Σ c·(ln n − ln c), every ln frozen to 9dp nano-nats
     // (ln agrees bit-for-bit; sums exact; positive floor-divisions)

@@ -762,6 +762,114 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /**
+   * x123 — FILL-IN-THE-MIDDLE (FIM) transformation (Bavarian et al.
+   * 2022): each document is split at two hash-derived token cuts into
+   * (prefix, middle, suffix) and re-emitted in PSM order — prefix,
+   * suffix, then middle behind sentinel tokens — so a causal LM learns
+   * infilling from plain next-token prediction. The cuts are
+   * md5-seeded from the doc id (reproducible on any partitioning, no
+   * RNG state — the q19/x36 hash-sampling discipline); degenerate cuts
+   * (c1 = c2) legally yield an empty middle. Map-only: one pass, no
+   * shuffle before the output sort; at 100 TB this composes with the
+   * pack stage (x55) unchanged. Docs under 3 tokens pass through
+   * untransformed (fim_applied = 0) — the production rate knob.
+   */
+  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    def cutHash(salt: String): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(salt))), 1, 8), 16, 10).cast("long")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val eligible = col("n") >= 3
+    val a = lit(1L) + pmod(cutHash(":fim-a"), col("n") - 1)
+    val b = lit(1L) + pmod(cutHash(":fim-b"), col("n") - 1)
+    docs
+      .withColumn("c1", when(eligible, least(a, b)))
+      .withColumn("c2", when(eligible, greatest(a, b)))
+      .withColumn("fim_applied", when(eligible, 1L).otherwise(0L))
+      // explicit concat, not concat_ws: an EMPTY middle must yield
+      // "...<MID>" with no trailing separator — Spark's concat_ws keeps
+      // empty-string elements while DuckDB's drops them, so the two
+      // would disagree exactly on degenerate (c1 = c2) cuts
+      .withColumn("psm_text", when(eligible, {
+        val mid = concat_ws(" ",
+          slice(col("toks"), (col("c1") + 1).cast("int"),
+            (col("c2") - col("c1")).cast("int")))
+        concat(lit("<PRE> "),
+          concat_ws(" ", slice(col("toks"), lit(1), col("c1").cast("int"))),
+          lit(" <SUF> "),
+          concat_ws(" ", slice(col("toks"), (col("c2") + 1).cast("int"),
+            (col("n") - col("c2")).cast("int"))),
+          lit(" <MID>"),
+          when(col("c2") === col("c1"), lit(""))
+            .otherwise(concat(lit(" "), mid)))
+      }).otherwise(concat_ws(" ", col("toks"))))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("c1"),
+        col("c2"), col("fim_applied"), col("psm_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * x124 — T5-STYLE SPAN CORRUPTION (Raffel et al. 2020): ~15 % of each
+   * document's tokens are masked in length-3 spans, each span replaced
+   * by a numbered sentinel in the INPUT and emitted after its sentinel
+   * in the TARGET — the denoising objective's data transform as a
+   * deterministic map-only pass. Span placement is md5-seeded per
+   * (doc, span) with one span per equal segment, so spans never
+   * overlap, the output is reproducible on any partitioning, and the
+   * DuckDB oracle replays every token decision exactly (pure integer
+   * arithmetic: segment bounds by floor-div, offsets by mod). Docs
+   * under 10 tokens pass through (applied = 0). The per-token lambda
+   * work is linear in doc length; at 100 TB the same transform drops
+   * into the native-expression tier if profiling demands (the x117
+   * winnow precedent) — semantics are pinned here either way.
+   */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("s", expr(
+        "CASE WHEN n >= 10 THEN greatest(1L, (n * 15) div 300) " +
+          "ELSE 0L END"))
+      .withColumn("spans", expr(
+        """CASE WHEN n >= 10 THEN
+          |  transform(sequence(0L, s - 1), j -> named_struct(
+          |    'j', j,
+          |    'st', (j * n) div s + pmod(
+          |      CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
+          |        ':span-', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT),
+          |      ((j + 1) * n) div s - (j * n) div s - 2)))
+          |ELSE CAST(array() AS ARRAY<STRUCT<j: BIGINT, st: BIGINT>>) END
+          |""".stripMargin))
+      .withColumn("input_text", expr(
+        """CASE WHEN n >= 10 THEN
+          |  concat_ws(' ', flatten(transform(sequence(0L, n - 1), p ->
+          |    CASE
+          |      WHEN size(filter(spans, sp -> sp.st = p)) > 0
+          |      THEN array(concat('<X_',
+          |        CAST(filter(spans, sp -> sp.st = p)[0].j AS STRING), '>'))
+          |      WHEN size(filter(spans,
+          |        sp -> p > sp.st AND p < sp.st + 3)) > 0
+          |      THEN CAST(array() AS ARRAY<STRING>)
+          |      ELSE array(toks[CAST(p AS INT)]) END)))
+          |ELSE text END""".stripMargin))
+      .withColumn("target_text", expr(
+        """CASE WHEN n >= 10 THEN
+          |  concat_ws(' ', flatten(transform(spans, sp -> array(
+          |    concat('<X_', CAST(sp.j AS STRING), '>'),
+          |    toks[CAST(sp.st AS INT)],
+          |    toks[CAST(sp.st + 1 AS INT)],
+          |    toks[CAST(sp.st + 2 AS INT)]))))
+          |ELSE '' END""".stripMargin))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("s").as("n_spans"), (col("s") * 3).as("corrupted_tokens"),
+        col("input_text"), col("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val bucket = conv(substring(md5(col("doc_id").cast("string")

@@ -2088,6 +2088,65 @@ class ExtSpec extends SparkSpec {
       rows.forall(_._4 == 1L)) // fixture: most keys keep moving
   }
 
+  test("x123 FIM: PSM reassembly is lossless — prefix+middle+suffix " +
+      "rebuilds every document; cuts in range; short docs pass through") {
+    val rows = TextAnalysis.fimSplit(spark, sf)
+      .as[(Long, Long, Option[Long], Option[Long], Long, String)].collect()
+    val orig = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    for ((id, n, c1, c2, applied, psm) <- rows) {
+      if (applied == 0L) {
+        assert(n < 3 && psm == orig(id))
+      } else {
+        assert(c1.get >= 1 && c1.get <= c2.get && c2.get <= n - 1)
+        val m = "<PRE> (.*) <SUF> (.*) <MID>( (.*))?".r
+        psm match {
+          case m(pre, suf, _, mid) =>
+            val middle = Option(mid).getOrElse("")
+            val rebuilt = (pre.split(" ") ++
+              (if (middle.isEmpty) Array.empty[String]
+               else middle.split(" ")) ++ suf.split(" ")).mkString(" ")
+            assert(rebuilt == orig(id), id)
+            assert(pre.split(" ").length == c1.get)
+          case _ => fail(s"bad PSM shape for $id: $psm")
+        }
+      }
+    }
+    assert(rows.count(_._5 == 1L) == rows.length ||
+      rows.exists(_._5 == 1L)) // fixture docs are all >= 3 tokens
+  }
+
+  test("x124 span corruption: substituting each target span back for " +
+      "its sentinel rebuilds the original document exactly") {
+    val rows = TextAnalysis.spanCorruption(spark, sf)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    val orig = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    for ((id, n, nSpans, corrupted, input, target) <- rows) {
+      if (nSpans == 0L) {
+        assert(n < 10 && input == orig(id) && target.isEmpty)
+      } else {
+        assert(corrupted == nSpans * 3)
+        // parse the target into sentinel -> 3-token span
+        val sent = "<X_(\\d+)>".r
+        val parts = sent.split(target).map(_.trim).filter(_.nonEmpty)
+        val ids = sent.findAllMatchIn(target).map(_.group(1)).toSeq
+        assert(ids == (0L until nSpans).map(_.toString))
+        assert(parts.length == nSpans &&
+          parts.forall(_.split(" ").length == 3))
+        val subst = ids.zip(parts).toMap
+        val rebuilt = input.split(" ").flatMap { tok =>
+          sent.findFirstMatchIn(tok) match {
+            case Some(mm) => subst(mm.group(1)).split(" ")
+            case None => Array(tok)
+          }
+        }.mkString(" ")
+        assert(rebuilt == orig(id), id)
+      }
+    }
+    assert(rows.exists(_._3 > 1L)) // multi-span docs occur
+  }
+
   test("x116 length bins: bins tile the corpus, every doc inside its " +
       "bin's half-open range, waste reconciles") {
     val rows = TextAnalysis.lengthBins(spark, sf)
