@@ -391,6 +391,38 @@ object RelQueries {
   }
 
   /**
+   * q55 — AS-OF JOIN WITH STALENESS TOLERANCE, the feature-store
+   * contract q22 lacks: a match is only valid if the looked-up row is
+   * at most `tol` old (a trade priced against a quote from last week
+   * is worse than no quote; a feature older than the freshness SLA
+   * must read as missing, not silently stale). Same single
+   * window-pass as-of core as q22 — the tolerance is a post-window
+   * CASE, costing nothing — with a three-way `match_state`
+   * (fresh/stale/none) so the freshness SLA is auditable in the same
+   * pass that enforces it. At 100 TB identical physics to q22: one
+   * shuffle + sort per key, no inequality-join fanout.
+   */
+  def q55AsofTolerance(spark: SparkSession, dir: String,
+      tolUs: Long = 172800000000L): DataFrame = { // 48 h
+    val ev = Tables.load(spark, dir, "events")
+    val isSig = col("event_type") === "signup"
+    val signups = ev.where(isSig).select(col("user_id"),
+      col("event_id").as("sig_id"), col("ts").as("sig_ts"))
+    val others = ev.where(!isSig).select(col("event_id"), col("user_id"),
+      col("ts"), col("event_type"))
+    TimeJoins.asof(others, signups, "user_id", "ts", "sig_ts")
+      .withColumn("age_us",
+        unix_micros(col("ts")) - unix_micros(col("asof.sig_ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("age_us") <= tolUs, col("asof.sig_id")).as("sig_id"),
+        when(col("age_us") <= tolUs, col("age_us")).as("age_us"),
+        when(col("age_us").isNull, "none")
+          .when(col("age_us") > tolUs, "stale")
+          .otherwise(lit("fresh")).as("match_state"))
+      .orderBy(col("event_id"))
+  }
+
+  /**
    * RANGE (interval) JOIN, bucketized — "blast radius": for every `error`
    * event, how many events (and distinct users) occurred in the 5 minutes
    * strictly before it. A time-range join has no equi-key, so the naive
@@ -1499,7 +1531,9 @@ object RelQueries {
     "q51_ordered_set" -> (q51OrderedSet _),
     "q52_qualify" -> (q52Qualify _),
     "q53_bitmap_distinct" -> (q53BitmapDistinct _),
-    "q54_nullsafe_join" -> (q54NullsafeJoin _)
+    "q54_nullsafe_join" -> (q54NullsafeJoin _),
+    "q55_asof_tolerance" -> ((s: SparkSession, d: String) =>
+      q55AsofTolerance(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2244,6 +2278,33 @@ object RelQueries {
         |  first(dim.dim_qty_cents) AS dim_qty_cents
         |FROM li p JOIN dim ON p.k IS NOT DISTINCT FROM dim.k
         |WHERE p.l_orderkey % 2 = 0
-        |GROUP BY p.k ORDER BY p.k NULLS FIRST""".stripMargin
+        |GROUP BY p.k ORDER BY p.k NULLS FIRST""".stripMargin,
+
+    // q55: q22's window form + the staleness CASE; 48 h tolerance
+    "q55_asof_tolerance" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN event_type = 'signup' THEN event_id END AS sid,
+        |    CASE WHEN event_type = 'signup' THEN ts END AS sts,
+        |    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS is_sig
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(sid IGNORE NULLS) OVER w_asof AS sig_id0,
+        |    last_value(sts IGNORE NULLS) OVER w_asof AS sig_ts0
+        |  FROM tagged
+        |  WINDOW w_asof AS (PARTITION BY user_id
+        |    ORDER BY ts, is_sig DESC, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT event_id, user_id, ts,
+        |        epoch_us(ts) - epoch_us(sig_ts0) AS age0, sig_id0
+        |      FROM w WHERE event_type <> 'signup')
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN age0 <= 172800000000 THEN sig_id0 END AS sig_id,
+        |  CASE WHEN age0 <= 172800000000 THEN age0 END AS age_us,
+        |  CASE WHEN age0 IS NULL THEN 'none'
+        |       WHEN age0 > 172800000000 THEN 'stale'
+        |       ELSE 'fresh' END AS match_state
+        |FROM a ORDER BY event_id""".stripMargin
   )
 }

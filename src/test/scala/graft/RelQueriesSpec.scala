@@ -526,6 +526,37 @@ class RelQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q55 asof tolerance: every event replays the brute latest-signup " +
+      "lookup with the 48h staleness gate; all three states occur") {
+    import spark.implicits._
+    val rows = RelQueries.q55AsofTolerance(spark, sf)
+      .select(col("event_id"), col("sig_id"), col("age_us"),
+        col("match_state"))
+      .as[(Long, Option[Long], Option[Long], String)].collect()
+    val ev = graft.ingest.Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val sigs = ev.filter(_._4 == "signup").groupBy(_._2)
+    val tol = 172800000000L
+    for ((eid, sigId, age, state) <- rows) {
+      val e = ev.find(_._1 == eid).get
+      val prior = sigs.getOrElse(e._2, Array.empty[(Long, Long, Long, String)])
+        .filter(s => s._3 < e._3 || (s._3 == e._3))
+      if (prior.isEmpty) {
+        assert(state == "none" && sigId.isEmpty && age.isEmpty, eid)
+      } else {
+        val best = prior.maxBy(s => (s._3, s._1))
+        val a = e._3 - best._3
+        if (a <= tol)
+          assert(state == "fresh" && sigId.contains(best._1) &&
+            age.contains(a), eid)
+        else assert(state == "stale" && sigId.isEmpty && age.isEmpty, eid)
+      }
+    }
+    assert(Set("fresh", "stale", "none").subsetOf(
+      rows.map(_._4).toSet))
+  }
+
   test("q52 qualify: one row per ordering customer, and it is the " +
       "(price desc, orderkey) argmax of that customer's orders") {
     import spark.implicits._
