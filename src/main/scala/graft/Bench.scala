@@ -113,7 +113,8 @@ object Bench {
     "x118_matryoshka", "x119_scene_cuts", "x120_kcore",
     "kq94_stream_topk", "kq95_eql_until", "kq96_terms_shard_error",
     "x121_l_diversity", "kq97_alert_throttle", "x122_unigram_entropy",
-    "kq98_pit_state", "x123_fim_split", "x124_span_corruption", "q55_asof_tolerance")
+    "kq98_pit_state", "x123_fim_split", "x124_span_corruption", "q55_asof_tolerance",
+    "kq99_geo_line")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

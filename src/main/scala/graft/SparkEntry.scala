@@ -1182,6 +1182,11 @@ object SparkEntry {
     "kq82_geo_centroid" -> ((s, dir) =>
       graft.query.Geo.geoCentroidBounds(s, dir)),
 
+    // ---- ES geo_line: per-user movement track — first-k points in ------
+    // ---- (ts, event_id) order joined into a LINESTRING string; the -----
+    // ---- per-track size bound is the bounded window top-k ---------------
+    "kq99_geo_line" -> ((s, dir) => graft.query.Geo.geoLine(s, dir)),
+
     // ---- ES random_sampler aggregation (8.x): deterministic 1/8 -------
     // ---- hash-probability sampling with the scaled estimate NEXT ------
     // ---- TO the exact count, so the sampling error is part of the -----
@@ -2727,6 +2732,9 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "kq82_geo_centroid" -> graft.query.Geo.geoCentroidBoundsOracle,
+
+    // kq99: string_agg ORDER BY rn == Spark's array_sort(struct(rn, pt))
+    "kq99_geo_line" -> graft.query.Geo.geoLineOracle,
 
     // kq84: the documented md5-hex -> integer fold matches Spark's
     // conv(substring(md5, 1, 8), 16, 10)

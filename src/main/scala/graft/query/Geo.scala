@@ -209,4 +209,52 @@ object Geo {
        |  ${tzDiv("slon", "n_customers", duck = true)} AS cent_lon_u,
        |  lat_min, lat_max, lon_min, lon_max
        |FROM agg ORDER BY n_customers DESC, geohash4 LIMIT 20""".stripMargin
+
+  /** kq99 — ES `geo_line`: per track key (user), the first `k` points
+    * in (ts, event_id) order joined into a LINESTRING-style
+    * "lon lat;lon lat;…" string, plus the kept/total point counts —
+    * Kibana Maps' track layer. Event points derive from the pinned
+    * md5-32 closed form over the EVENT id ('lat:'/'lon:' salts: a
+    * movement track, not the per-customer home point). The track
+    * assembles from `array_sort(struct(rn, pt))` — collect order is
+    * never relied on — and the per-user truncation is the bounded
+    * window top-k, so state per track is k points at any scale,
+    * exactly ES's `size` bound. */
+  def geoLine(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("lat_u", expr(latSql("event_id", duck = false)))
+      .withColumn("lon_u", expr(lonSql("event_id", duck = false)))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("n_events",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .where(col("rn") <= k)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        first(col("n_events")).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("rn"),
+            concat_ws(" ", col("lon_u"), col("lat_u")).as("pt")))),
+          x => x.getField("pt")), ";").as("track"))
+      .orderBy(col("user_id"))
+  }
+
+  def geoLineOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts,
+       |    ${latSql("event_id", duck = true)} AS lat_u,
+       |    ${lonSql("event_id", duck = true)} AS lon_u
+       |  FROM events),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS rn,
+       |      count(*) OVER (PARTITION BY user_id) AS n_events
+       |      FROM e)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(first(n_events) AS BIGINT) AS n_events,
+       |  string_agg(concat(lon_u, ' ', lat_u), ';' ORDER BY rn) AS track
+       |FROM r WHERE rn <= 5 GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
 }
