@@ -1646,6 +1646,41 @@ object SparkEntry {
         .orderBy(col("final_rank"))
     }),
 
+    // ---- TIERED ROLLUP QUERY (hot raw + cold downsample), the TSDB -----
+    // ---- storage split ES/Prometheus ship: buckets older than the ------
+    // ---- boundary-ALIGNED cutoff (max ts floored to the 6 h grid -------
+    // ---- minus 28 windows) are answered from the STORED rollup ---------
+    // ---- (materialized once — the kq64 downsample, localCheckpoint -----
+    // ---- standing in for the rollup table); only the hot week ----------
+    // ---- touches raw rows. Alignment guarantees no bucket straddles ----
+    // ---- tiers, so the union is the exact full-range series — the ------
+    // ---- audit a rollup migration must pass. At 100 TB the cold read ---
+    // ---- is |buckets| rows instead of raw events: the whole point. -----
+    "kq100_tiered_rollup" -> ((s, dir) => {
+      val env = Pipeline.envelopeFlat(s, dir)
+        .where(col("event_type").isNotNull)
+      val cut = env.agg(expr(
+        "(unix_micros(max(timestamp)) div 21600000000) * 21600000000" +
+          " - 28 * 21600000000").as("cut_us")) // 1 row
+      val bucketed = env.crossJoin(broadcast(cut))
+        .withColumn("bucket_us", expr(
+          "(unix_micros(timestamp) div 21600000000) * 21600000000"))
+        .withColumn("cents", (col("value").cast("decimal(18,2)") * 100)
+          .cast("decimal(18,0)").cast("long"))
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("bucket_us"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val hot = agg(bucketed.where(col("bucket_us") >= col("cut_us")))
+        .withColumn("tier", lit("raw"))
+      val rollup = agg(bucketed.where(col("bucket_us") < col("cut_us")))
+        .localCheckpoint() // the stored rollup table
+        .withColumn("tier", lit("rollup"))
+      hot.unionByName(rollup)
+        .select(col("bucket_us"), col("event_type"), col("n"),
+          col("cents"), col("tier"))
+        .orderBy(col("bucket_us"), col("event_type"))
+    }),
+
     // ---- POINT-IN-TIME state (offset time travel): the compacted- ------
     // ---- changelog replay discipline — latest state per key AS OF an ---
     // ---- offset cutoff (here max offset div 2, data-derived and --------
@@ -3220,6 +3255,29 @@ object SparkEntry {
         |SELECT doc_id, fp, sec, combined, CAST(final_rank AS BIGINT)
         |  AS final_rank
         |FROM fin ORDER BY final_rank""".stripMargin,
+
+    // kq100: boundary-aligned cutoff → disjoint tiers; both tiers are
+    // the same 6 h aggregate, tagged by which storage answered them
+    "kq100_tiered_rollup" ->
+      (envSql + """, c AS (
+        |  SELECT (epoch_us(max("timestamp")) // 21600000000)
+        |    * 21600000000 - 28 * 21600000000 AS cut_us
+        |  FROM env WHERE event_type IS NOT NULL),
+        |b AS (
+        |  SELECT (epoch_us("timestamp") // 21600000000) * 21600000000
+        |      AS bucket_us,
+        |    event_type,
+        |    CAST(CAST(CAST("value" AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0)) AS BIGINT) AS cents
+        |  FROM env WHERE event_type IS NOT NULL),
+        |g AS (
+        |  SELECT bucket_us, event_type, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM b GROUP BY 1, 2)
+        |SELECT bucket_us, event_type, n, cents,
+        |  CASE WHEN bucket_us >= c.cut_us THEN 'raw' ELSE 'rollup' END
+        |    AS tier
+        |FROM g, c ORDER BY bucket_us, event_type""".stripMargin),
 
     // kq98: same kq6 latest-per-key window over the offset-prefix
     // replay; the current head joins back to flag post-cutoff drift

@@ -353,6 +353,10 @@ object ExtQueries {
     // spans, sentinel input + sentinel-keyed target, map-only.
     "x124_span_corruption" -> ((s: SparkSession, d: String) =>
       TextAnalysis.spanCorruption(s, d)),
+    // x125: VAD-style energy segmentation — 16-frame window mean-square
+    // over the real WAV decode, islands of active windows.
+    "x125_audio_segments" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioSegments(s, d)),
     // x117: MOSS winnowing fingerprints — shared window-min k-gram
     // hashes per doc pair, boilerplate fingerprints df-capped like MOSS.
     "x117_winnowing" -> ((s: SparkSession, d: String) =>
@@ -2625,6 +2629,36 @@ object ExtQueries {
         |  CAST(sum(c * dn) AS BIGINT) // first(n) AS entropy_nano,
         |  (first(vocab) * 1000) // first(n) AS ttr_permille
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // x125: per-sample closed-form replay ((id*7 + s*13 + c*31) % 2048
+    // − 1024 squared), fixed 16-frame windows, q25-style islands
+    "x125_audio_segments" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS nch,
+        |    64 + doc_id % 97 AS ns FROM documents),
+        |w AS (SELECT doc_id, nch, ns,
+        |    unnest(range((ns + 15) // 16)) AS win FROM d),
+        |fr AS (SELECT doc_id, nch, win,
+        |    unnest(range(win * 16, least(win * 16 + 16, ns))) AS s
+        |  FROM w),
+        |sm AS (SELECT doc_id, win, s, unnest(range(nch)) AS c FROM fr),
+        |en AS (SELECT doc_id, win,
+        |    CAST(sum(((doc_id * 7 + s * 13 + c * 31) % 2048 - 1024)
+        |           * ((doc_id * 7 + s * 13 + c * 31) % 2048 - 1024))
+        |      AS BIGINT) AS energy,
+        |    CAST(count(*) AS BIGINT) AS n_samples
+        |  FROM sm GROUP BY 1, 2),
+        |act AS (SELECT * FROM en WHERE energy // n_samples > 349525),
+        |mk AS (SELECT *, CASE WHEN win - lag(win) OVER (
+        |        PARTITION BY doc_id ORDER BY win) = 1 THEN 0 ELSE 1 END
+        |      AS new_seg FROM act),
+        |sg AS (SELECT *, CAST(sum(new_seg) OVER (PARTITION BY doc_id
+        |        ORDER BY win ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+        |      FROM mk)
+        |SELECT doc_id AS media_id, seg, min(win) AS win_start,
+        |  max(win) AS win_end, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(energy) AS BIGINT) AS energy_sum
+        |FROM sg GROUP BY 1, 2
+        |ORDER BY media_id, win_start""".stripMargin,
 
     // x119: the x82 closed form at stride 1 → per-frame totals, then
     // the same lag window; frame 0's delta/is_cut stay NULL

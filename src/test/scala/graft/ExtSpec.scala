@@ -2147,6 +2147,54 @@ class ExtSpec extends SparkSpec {
     assert(rows.exists(_._3 > 1L)) // multi-span docs occur
   }
 
+  test("x125 audio segments: every segment replays from a brute decode " +
+      "(fixed windows, msq threshold, maximal runs)") {
+    val got = Multimodal.audioSegments(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val expected = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect().sorted.toSeq.flatMap { id =>
+      val wavB = Multimodal.syntheticWav(id)
+      val wins = Multimodal.wavWindowEnergies(wavB, 16)
+      val active = wins.filter { case (_, n, e) => e / n > 349525L }
+      // maximal runs of consecutive window indices
+      val segs = active.foldLeft(List.empty[List[(Int, Long, Long)]]) {
+        case (acc, w) => acc match {
+          case head :: tail if head.head._1 == w._1 - 1 =>
+            (w :: head) :: tail
+          case _ => List(w) :: acc
+        }
+      }.reverse.map(_.reverse)
+      segs.zipWithIndex.map { case (ws, i) =>
+        (id, (i + 1).toLong, ws.head._1.toLong, ws.last._1.toLong,
+          ws.size.toLong, ws.map(_._3).sum)
+      }
+    }
+    assert(got == expected)
+    assert(got.exists(_._5 > 1L)) // multi-window segments occur
+  }
+
+  test("kq100 tiered rollup: tiers are disjoint on the aligned cutoff " +
+      "and the union equals the single-tier series") {
+    val rows = graft.SparkEntry.queries("kq100_tiered_rollup")(spark, sf)
+      .as[(Long, String, Long, Long, String)].collect()
+    val cut = rows.filter(_._5 == "raw").map(_._1).min
+    assert(cut % 21600000000L == 0)
+    assert(rows.filter(_._5 == "rollup").forall(_._1 < cut))
+    assert(rows.filter(_._5 == "raw").forall(_._1 >= cut))
+    // the union is the plain one-tier aggregate
+    val env = graft.Pipeline.envelopeFlat(spark, sf)
+      .where(col("event_type").isNotNull)
+      .select(expr("(unix_micros(timestamp) div 21600000000)" +
+        " * 21600000000").as("b"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .as[(Long, String, Long)].collect()
+    val brute = env.groupBy(r => (r._1, r._2)).map { case ((b, t), g) =>
+      (b, t, g.size.toLong, g.map(_._3).sum)
+    }.toSet
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSet == brute)
+    assert(rows.exists(_._5 == "rollup") && rows.exists(_._5 == "raw"))
+  }
+
   test("x116 length bins: bins tile the corpus, every doc inside its " +
       "bin's half-open range, waste reconciles") {
     val rows = TextAnalysis.lengthBins(spark, sf)
