@@ -423,6 +423,66 @@ object RelQueries {
   }
 
   /**
+   * q56 — ERROR-TOLERANT INGEST via TRY_CAST: parsing a dirty string
+   * column (every 7th row planted as 'N/A', the real-world CSV/log
+   * blend) where plain CAST would abort the whole job under ANSI mode;
+   * `try_cast` turns each bad cell into NULL so the pipeline keeps the
+   * good rows and COUNTS the bad ones — the per-column parse-failure
+   * ledger (q49's DQ audit applied at the cast boundary). All exact
+   * integers: parsed/failed counts and the decimal-frozen cent sum of
+   * the parses. Map-side-combinable single aggregation.
+   */
+  def q56TryCast(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("raw",
+        when(col("l_partkey") % 7 === 0, lit("N/A"))
+          .otherwise(col("l_quantity").cast("string")))
+      .withColumn("parsed", expr("try_cast(raw AS DECIMAL(18,2))"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("parsed")).as("n_parsed"),
+        sum(when(col("parsed").isNull, 1L).otherwise(0L)).as("n_failed"),
+        sum((col("parsed") * 100).cast("decimal(18,0)").cast("long"))
+          .as("parsed_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /**
+   * q57 — THE `NOT IN` NULL TRAP, audited: `x NOT IN (subquery)` is
+   * three-valued — one NULL in the subquery makes EVERY row's
+   * predicate UNKNOWN and the result EMPTY, while `NOT EXISTS` with an
+   * equality correlate treats NULL as simply non-matching. Engines
+   * MUST honor both semantics; this entry runs the two forms against a
+   * subquery list containing a planted NULL and reports the counts
+   * side by side (0 vs the real anti-join count) plus the NULL-free
+   * `NOT IN` count proving the forms agree once the NULL is filtered.
+   * Catalyst plans the NOT IN as a null-aware anti join — single
+   * shuffle, no fallback — which is exactly what the audit certifies.
+   */
+  def q57NotInTrap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q57_orders")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("q57_customer")
+    // the subquery: customers in segment BUILDING, plus one planted NULL
+    spark.sql(
+      """WITH keys AS (
+        |  SELECT c_custkey AS k FROM q57_customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL SELECT CAST(NULL AS BIGINT)),
+        |keys_clean AS (SELECT k FROM keys WHERE k IS NOT NULL)
+        |SELECT
+        |  (SELECT count(*) FROM q57_orders
+        |   WHERE o_custkey NOT IN (SELECT k FROM keys)) AS not_in_with_null,
+        |  (SELECT count(*) FROM q57_orders
+        |   WHERE o_custkey NOT IN (SELECT k FROM keys_clean))
+        |    AS not_in_clean,
+        |  (SELECT count(*) FROM q57_orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM keys x
+        |                     WHERE x.k = o.o_custkey)) AS not_exists,
+        |  (SELECT count(*) FROM q57_orders) AS n_orders""".stripMargin)
+  }
+
+  /**
    * RANGE (interval) JOIN, bucketized — "blast radius": for every `error`
    * event, how many events (and distinct users) occurred in the 5 minutes
    * strictly before it. A time-range join has no equi-key, so the naive
@@ -1533,7 +1593,9 @@ object RelQueries {
     "q53_bitmap_distinct" -> (q53BitmapDistinct _),
     "q54_nullsafe_join" -> (q54NullsafeJoin _),
     "q55_asof_tolerance" -> ((s: SparkSession, d: String) =>
-      q55AsofTolerance(s, d))
+      q55AsofTolerance(s, d)),
+    "q56_try_cast" -> (q56TryCast _),
+    "q57_not_in_trap" -> (q57NotInTrap _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2305,6 +2367,41 @@ object RelQueries {
         |  CASE WHEN age0 IS NULL THEN 'none'
         |       WHEN age0 > 172800000000 THEN 'stale'
         |       ELSE 'fresh' END AS match_state
-        |FROM a ORDER BY event_id""".stripMargin
+        |FROM a ORDER BY event_id""".stripMargin,
+
+    // q56: DuckDB TRY_CAST has identical semantics; counts + the
+    // decimal-frozen cent sum of the successful parses
+    "q56_try_cast" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    TRY_CAST(CASE WHEN l_partkey % 7 = 0 THEN 'N/A'
+        |                  ELSE CAST(l_quantity AS VARCHAR) END
+        |      AS DECIMAL(18,2)) AS parsed
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  count(parsed) AS n_parsed,
+        |  CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_failed,
+        |  CAST(sum(CAST(parsed * 100 AS BIGINT)) AS BIGINT)
+        |    AS parsed_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q57: both engines implement the standard three-valued NOT IN
+    "q57_not_in_trap" ->
+      """WITH keys AS (
+        |  SELECT c_custkey AS k FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL SELECT CAST(NULL AS BIGINT)),
+        |keys_clean AS (SELECT k FROM keys WHERE k IS NOT NULL)
+        |SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT k FROM keys)) AS not_in_with_null,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT k FROM keys_clean))
+        |    AS not_in_clean,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM keys x
+        |                     WHERE x.k = o.o_custkey)) AS not_exists,
+        |  (SELECT count(*) FROM orders) AS n_orders""".stripMargin
   )
 }

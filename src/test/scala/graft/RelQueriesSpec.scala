@@ -557,6 +557,29 @@ class RelQueriesSpec extends SparkSpec {
       rows.map(_._4).toSet))
   }
 
+  test("q56 try_cast: failures are exactly the planted N/A rows and " +
+      "the parsed sum replays; q57: the NOT IN null trap holds") {
+    import spark.implicits._
+    val rows = RelQueries.q56TryCast(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val li = graft.ingest.Tables.load(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_partkey", $"l_quantity")
+      .as[(String, Long, Double)].collect()
+    for ((flag, n, parsed, failed, cents) <- rows) {
+      val grp = li.filter(_._1 == flag)
+      assert(n == grp.length)
+      assert(failed == grp.count(_._2 % 7 == 0))
+      assert(parsed == n - failed)
+      assert(cents == grp.filter(_._2 % 7 != 0)
+        .map(r => math.round(r._3 * 100)).sum)
+    }
+    val t = RelQueries.q57NotInTrap(spark, sf)
+      .as[(Long, Long, Long, Long)].head()
+    assert(t._1 == 0L)            // NOT IN with a NULL: always empty
+    assert(t._2 == t._3)          // clean NOT IN == NOT EXISTS
+    assert(t._3 > 0 && t._3 < t._4)
+  }
+
   test("q52 qualify: one row per ordering customer, and it is the " +
       "(price desc, orderkey) argmax of that customer's orders") {
     import spark.implicits._
