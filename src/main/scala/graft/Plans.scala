@@ -124,7 +124,12 @@ object Plans {
     "q54_nullsafe_join" -> "null-safe join: <=> plans as a plain shuffled hash/SMJ equi-join (NULL hashes to one bucket) — no BNLJ/CartesianProduct fallback",
     "x117_winnowing" -> "winnowing: native winnow_3_4 in the scan stage (map-only fingerprints), df-cap semi-join prunes boilerplate BEFORE the pair join; the only shuffles are on the fingerprint key",
     "x120_kcore" -> "k-core: threshold-graph build (blocked equi-join) + per-round ONE endpoint semi-join pair and ONE degree agg over the shrinking alive set, localCheckpoint lineage cuts, count()-based early exit at the fixpoint",
-    "kq96_terms_shard_error" -> "terms shard error: per-shard bounded top-2 window, then every merge/error/exact leg aggregates the TINY reported table; the only full-data passes are the per-shard count and the exact audit count")
+    "kq96_terms_shard_error" -> "terms shard error: per-shard bounded top-2 window, then every merge/error/exact leg aggregates the TINY reported table; the only full-data passes are the per-shard count and the exact audit count",
+    "kq97_alert_throttle" -> "alert throttle: one user-keyed exchange into flatMapSortedGroups (sort pushed into the shuffle), O(1) state per key — the inherently-sequential-per-key greedy as its minimal plan",
+    "kq100_tiered_rollup" -> "tiered rollup: the cold tier reads the materialized rollup (localCheckpoint scan), the hot tier aggregates only the boundary-aligned final week; the union is two small agg legs, never a second raw pass for the cold range",
+    "x125_audio_segments" -> "audio VAD: per-partition WAV decode emits only (media, window) energy rows; the island merge windows over media_id — payload bytes never shuffle",
+    "q55_asof_tolerance" -> "as-of with tolerance: identical single user_id shuffle + window as q22; the staleness gate is a post-window CASE, zero extra exchanges",
+    "q57_not_in_trap" -> "NOT IN null audit: Catalyst plans the three-valued form as a null-aware anti join (ExistenceJoin/NAAJ), the clean form as a plain anti join — both single-shuffle, no BNLJ")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
