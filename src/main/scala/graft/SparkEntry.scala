@@ -544,6 +544,15 @@ object SparkEntry {
       graft.streaming.StreamPipeline.windowTopk(s,
         Pipeline.envelopeFlat(s, dir))),
 
+    // ---- CHECKPOINT RESTART: kq44's aggregation driven as TWO ----------
+    // ---- AvailableNow runs sharing one checkpoint (input split at ------
+    // ---- the median event time) — offsets and window state resume, ----
+    // ---- nothing reprocessed, nothing double-emitted; the union of ----
+    // ---- both runs equals kq44's batch tail rule on the FULL input -----
+    "kq101_incremental_restart" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.incrementalRestart(s,
+        Pipeline.envelopeFlat(s, dir))),
+
     // ---- kq43's PRODUCTION sibling: dropDuplicatesWithinWatermark — ----
     // ---- dedup state EVICTED as the watermark advances -----------------
     "kq45_stream_dedup_wm" -> ((s, dir) =>
@@ -2351,6 +2360,21 @@ object SparkEntry {
         |SELECT make_timestamp(win_ms * 1000) AS bucket, "rank",
         |  event_type, n
         |FROM r WHERE "rank" <= 3 ORDER BY bucket, "rank"""".stripMargin),
+
+    // kq101: exactly-once across the restart == kq44's tail rule over
+    // the FULL input (run-1-closed windows are complete because every
+    // half-2 event is newer than run 1's watermark)
+    "kq101_incremental_restart" ->
+      (envSql + """, w AS (
+        |  SELECT make_timestamp((CAST(floor(epoch("timestamp")) AS BIGINT)
+        |           // 21600) * 21600 * 1000000) AS bucket,
+        |         event_type, count(*) AS n
+        |  FROM env WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT max("timestamp") AS mx FROM env
+        |      WHERE event_type IS NOT NULL)
+        |SELECT bucket, event_type, n FROM w, m
+        |WHERE epoch_ms(bucket) + 21600000 <= epoch_ms(mx) - 3600000
+        |ORDER BY bucket, event_type""".stripMargin),
 
     // kq45: single-batch AvailableNow replay makes within-watermark dedup
     // equal exact dedup, so kq43's oracle replays unchanged.

@@ -1306,6 +1306,72 @@ object StreamPipeline {
     }
   }
 
+  /**
+   * kq101 — INCREMENTAL RESTART (checkpoint recovery): the kq44
+   * watermarked tumbling aggregation driven as TWO `AvailableNow` runs
+   * sharing ONE checkpoint — exactly how production Spark pipelines do
+   * scheduled incremental processing and how they recover from a
+   * crash: run 1 sees only the older half of the input (split at the
+   * median event time), terminates, and a SECOND query starts from the
+   * same checkpoint to process only the newly-arrived half; window
+   * state and source offsets resume from the checkpoint, nothing is
+   * reprocessed and nothing is double-emitted.
+   *
+   * Determinism: run 1's watermark is `floor_ms(max ts of half 1) −
+   * delay`, strictly below the median, and every window it closes ends
+   * before that — so no half-2 event (all ≥ median) can belong to an
+   * already-closed window and run-1 emissions are COMPLETE. The union
+   * of both runs' emissions is therefore exactly kq44's batch tail
+   * rule on the FULL input — the oracle is kq44's, proving
+   * exactly-once across the restart.
+   */
+  def incrementalRestart(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame, delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    val work =
+      java.nio.file.Files.createTempDirectory("kq101-restart").toString
+    val out = java.nio.file.Files.createTempDirectory("kq101-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    val in = envFlat.where(col("event_type").isNotNull)
+      .select(col("timestamp"), col("event_type"))
+    val medianUs = in.select(expr(
+      "percentile_approx(unix_micros(timestamp), 0.5, 10000)"))
+      .head().getLong(0)
+    try {
+      def run(half: DataFrame, tag: String): Unit = {
+        half.write.mode("overwrite").parquet(s"$work/in/$tag")
+        val q = spark.readStream.schema(in.schema)
+          .parquet(s"$work/in/*") // both halves; offsets skip the done one
+          .withWatermark("timestamp", delay)
+          .groupBy(window(col("timestamp"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("bucket"), col("event_type"),
+            col("n"))
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", s"$work/ckpt") // SHARED
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run(in.where(unix_micros(col("timestamp")) < medianUs), "half1")
+      run(in.where(unix_micros(col("timestamp")) >= medianUs), "half2")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))
+      spark.read.schema(schema).parquet(out.toString)
+        .orderBy(col("bucket"), col("event_type"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   case class WinEvt(win_ms: Long, event_type: String)
   case class TopkOut(win_ms: Long, rank: Long, event_type: String, n: Long)
 

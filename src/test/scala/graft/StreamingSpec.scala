@@ -439,6 +439,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("incremental restart (kq101): the two-run checkpointed emission " +
+      "equals the single-run kq44 emission exactly — nothing " +
+      "reprocessed, nothing double-emitted") {
+    val env = graft.Pipeline.envelopeFlat(spark, sf)
+    val restarted = StreamPipeline.incrementalRestart(spark, env).collect()
+    val single = StreamPipeline.windowAlertWatermarked(spark, env).collect()
+    assert(restarted.sameElements(single))
+    assert(restarted.nonEmpty)
+  }
+
   test("inactivity watch: streamed fixture emissions equal the batch " +
       "last-seen + horizon <= watermark predicate, counts exact") {
     val ev = graft.ingest.Tables.load(spark, sf, "events")
