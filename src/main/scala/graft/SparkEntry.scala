@@ -2793,7 +2793,7 @@ object SparkEntry {
     "kq82_geo_centroid" -> graft.query.Geo.geoCentroidBoundsOracle,
 
     // kq99: string_agg ORDER BY rn == Spark's array_sort(struct(rn, pt))
-    "kq99_geo_line" -> graft.query.Geo.geoLineOracle,
+    "kq99_geo_line" -> graft.query.Geo.geoLineOracle(),
 
     // kq84: the documented md5-hex -> integer fold matches Spark's
     // conv(substring(md5, 1, 8), 16, 10)

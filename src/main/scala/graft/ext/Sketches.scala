@@ -172,7 +172,7 @@ object Sketches {
        |        ELSE e_raw END, 6) AS hll_est
        |FROM e ORDER BY field, source""".stripMargin
 
-  /** CMS geometry: d = 4 salted hash rows, w = 256 columns. */
+  /** CMS geometry: d = 4 salted hash rows, w = 16 columns. */
   private val D = 4
   private val W = 16
 

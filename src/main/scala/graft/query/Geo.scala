@@ -242,7 +242,8 @@ object Geo {
       .orderBy(col("user_id"))
   }
 
-  def geoLineOracle: String =
+  /** Oracle for [[geoLine]] — k interpolated so both sides always agree. */
+  def geoLineOracle(k: Int = 5): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, ts,
        |    ${latSql("event_id", duck = true)} AS lat_u,
@@ -255,6 +256,6 @@ object Geo {
        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
        |  CAST(first(n_events) AS BIGINT) AS n_events,
        |  string_agg(concat(lon_u, ' ', lat_u), ';' ORDER BY rn) AS track
-       |FROM r WHERE rn <= 5 GROUP BY user_id
+       |FROM r WHERE rn <= $k GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 }

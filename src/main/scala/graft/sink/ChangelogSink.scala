@@ -117,15 +117,40 @@ object ChangelogSink {
   /**
    * RIGHT TO ERASURE (GDPR art. 17 / CCPA deletion): remove every record
    * with `key` from the changelog by rewriting ONLY the (topic, date)
-   * partitions that contain it. Discovery is one PARTITION-PRUNED scan
-   * (the key filter reaches the parquet scan; the hit list is partition
-   * METADATA — bounded driver state like the centroid sync); each
-   * affected partition then rewrites through the same snapshot-read +
-   * staged-write + hide-then-swap discipline as [[compactPartition]],
-   * so a crash mid-swap rolls back and a RETRY is a no-op (no key rows
-   * remain → nothing rewrites). Untouched partitions are never read,
-   * listed, or renamed — at 100 TB erasing one subject costs the few
-   * partitions they actually appear in, not a table rewrite.
+   * partitions that contain it, in a CONSTANT number of Spark jobs no
+   * matter how many partitions the subject touches:
+   *
+   *  1. discovery — ONE scan with the key filter pushed to parquet
+   *     (dictionary/bloom pruning skips most row groups); yields the hit
+   *     list + per-partition delete counts (bounded driver metadata);
+   *  2. audit — ONE partition-pruned aggregate over the hit partitions
+   *     for rows_before (untouched partitions are never even listed);
+   *  3. rewrite — ONE job writing the kept rows of ALL hit partitions to
+   *     a dot-prefixed staging dir, `partitionBy(topic, date)` (reading
+   *     while writing elsewhere is safe — no input file is touched);
+   *  4. commit — per hit partition, the same hide-originals → move-staged
+   *     → delete-hidden swap as [[compactPartition]]: O(#files) METADATA
+   *     renames on the driver, zero further Spark jobs. A partition whose
+   *     rows were ALL the subject's stages no output and its directory is
+   *     simply removed.
+   *
+   * This is dynamic-partition-overwrite SEMANTICS (only partitions present
+   * in the output — plus fully-erased ones — change) implemented with the
+   * explicit swap, for two reasons: Spark's path-based writer refuses an
+   * overwrite of a path in its own input (UNSUPPORTED_OVERWRITE.PATH,
+   * regardless of `partitionOverwriteMode=dynamic` — verified on 4.1.2),
+   * and its dynamic committer deletes matching partition directories at
+   * commit with no hide/rollback phase. Atomicity trade-off: the swap is
+   * atomic PER PARTITION (a reader never sees a partition missing or
+   * duplicated rows; a crash mid-swap rolls that partition back) but NOT
+   * across partitions — a crash between partition commits leaves some
+   * partitions erased and some not. That is the same commit granularity
+   * Spark's own dynamic overwrite has, and erasure is idempotent: a RETRY
+   * re-discovers only the partitions still holding the key and finishes
+   * the job (a fully-erased table returns an empty audit, no-op).
+   * Concurrent appends to a HIT partition between snapshot and swap are
+   * not supported (same rule as [[compactPartition]]); appends to other
+   * partitions are safe.
    *
    * Returns the audit frame (topic, date, rows_before, rows_deleted,
    * rows_after) — the erasure receipt a compliance pipeline stores.
@@ -133,6 +158,16 @@ object ChangelogSink {
   def forgetKey(spark: SparkSession, path: String, key: String)
       : DataFrame = {
     import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("topic", StringType), StructField("date", StringType),
+      StructField("rows_before", LongType),
+      StructField("rows_deleted", LongType),
+      StructField("rows_after", LongType)))
+    def auditFrame(rows: Seq[(String, String, Long, Long, Long)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)), 1),
+        schema)
     // the partition column is DateType — cast to string BEFORE collect:
     // decoding java.sql.Date rows needs JVM --add-opens flags a plain
     // `java -cp` launch (the bench harness) doesn't pass, and the audit
@@ -143,26 +178,44 @@ object ChangelogSink {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2))
+    if (hits.isEmpty) return auditFrame(Nil)
+    // exact hit predicate over the PARTITION columns only — the file
+    // index evaluates it against partition values, so non-hit partitions
+    // are pruned before any file is listed or read
+    val hitPred = hits.map { case (t, d, _) =>
+      col("topic") === t && col("date") === to_date(lit(d))
+    }.reduce(_ || _)
+    val pruned = read(spark, path).where(hitPred)
+    val before = pruned
+      .groupBy(col("topic"), col("date").cast("string").as("date"))
+      .agg(count(lit(1)).as("n_before"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // ONE staged write of every hit partition's kept rows; natural input
+    // partitioning (no repartition(1)) keeps the rewrite fully parallel
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path, s".forget-${System.nanoTime()}")
+    pruned.where(col("key") =!= key || col("key").isNull)
+      .write.partitionBy("topic", "date")
+      .mode("overwrite").parquet(staging.toString)
+    def renameOrThrow(src: Path, dst: Path, what: String): Unit =
+      if (!fs.rename(src, dst)) throw new IllegalStateException(
+        s"forgetKey: $what rename failed: $src -> $dst")
     val audit = hits.map { case (topic, date, nDel) =>
+      val b = before((topic, date))
       val part = new Path(s"$path/topic=$topic/date=$date")
-      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val files = fs.listStatus(part)
+      val originals = fs.listStatus(part)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      val snapshot = spark.read.parquet(
-        files.map(_.getPath.toString).toIndexedSeq: _*)
-      val before = snapshot.count()
-      val kept = snapshot.where(col("key") =!= key || col("key").isNull)
-      val tmp = new Path(path, s".forget-$topic-$date-${System.nanoTime()}")
-      kept.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      val staged = fs.listStatus(tmp)
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      def renameOrThrow(src: Path, dst: Path, what: String): Unit =
-        if (!fs.rename(src, dst)) throw new IllegalStateException(
-          s"forgetKey: $what rename failed: $src -> $dst")
+      val stagedPart = new Path(staging, s"topic=$topic/date=$date")
+      val staged =
+        if (b == nDel) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(stagedPart)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       val hidden = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
       val moved = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
       try {
-        files.foreach { f =>
+        originals.foreach { f =>
           val h = new Path(part, s".forgetting-${f.getPath.getName}")
           renameOrThrow(f.getPath, h, "hide-original")
           hidden += ((f.getPath, h))
@@ -173,24 +226,17 @@ object ChangelogSink {
           moved += ((f.getPath, dst))
         }
         hidden.foreach { case (_, h) => fs.delete(h, false) }
-        fs.delete(tmp, true)
+        if (b == nDel) fs.delete(part, true) // fully erased: drop the dir
       } catch {
         case e: Throwable =>
           moved.foreach { case (src, dst) => fs.rename(dst, src) }
           hidden.foreach { case (orig, h) => fs.rename(h, orig) }
           throw e
       }
-      (topic, date, before, nDel, before - nDel)
+      (topic, date, b, nDel, b - nDel)
     }
-    val schema = StructType(Seq(
-      StructField("topic", StringType), StructField("date", StringType),
-      StructField("rows_before", LongType),
-      StructField("rows_deleted", LongType),
-      StructField("rows_after", LongType)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(audit.toIndexedSeq.map(t =>
-        org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)), 1),
-      schema)
+    fs.delete(staging, true)
+    auditFrame(audit.toIndexedSeq)
   }
 
   def compactPartition(spark: SparkSession, path: String, topic: String,

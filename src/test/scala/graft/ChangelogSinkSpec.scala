@@ -272,4 +272,57 @@ class ChangelogSinkSpec extends SparkSpec {
     assert(ChangelogSink.forgetKey(spark, dir, "13").count() == 0)
     assert(ChangelogSink.read(spark, dir).count() == after.count())
   }
+
+  test("forgetKey: constant Spark-job count regardless of hit-partition " +
+      "count, and a fully-erased partition's directory is removed") {
+    val dir = Files.createTempDirectory("changelog-forget-jobs").toString
+    // subject 'S' spread over MANY partitions (8 topics x 4 dates = 32),
+    // one partition holding ONLY the subject's rows
+    val rows = for {
+      t <- 0 until 8; d <- 1 to 4; i <- 0 until 3
+      k = if (t == 0 && d == 1) "S" // topic0/day1 is 100% the subject
+          else if (i == 0) "S" else s"other-$i"
+    } yield (s"topic$t", s"k$i-u$t-$d-$i", k,
+      java.sql.Timestamp.valueOf(f"2024-03-0$d 12:00:0$i"))
+    val env = rows.toDF("topic", "uid", "key", "timestamp")
+    ChangelogSink.append(env, dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val audit = try {
+      val a = ChangelogSink.forgetKey(spark, dir, "S").collect()
+      // listener events are async: wait until the count is stable
+      var last = -1
+      var stableFor = 0
+      while (stableFor < 4) { // 4 x 250ms with no new events
+        Thread.sleep(250)
+        if (jobs.get() == last) stableFor += 1
+        else { last = jobs.get(); stableFor = 0 }
+      }
+      a
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // 32 hit partitions, but erasure is discovery + before-count + one
+    // staged write + the audit collect — NOT a job per partition (the
+    // round-11 flag). AQE runs each shuffle stage as its own job, so the
+    // two aggregating collects are 2 jobs each; bound at 10 (< 32) with
+    // headroom, the point being CONSTANT in partition count.
+    assert(jobs.get() <= 10, s"forgetKey ran ${jobs.get()} jobs for 32 " +
+      "hit partitions — the per-partition driver loop is back")
+    assert(audit.length == 32)
+    // the all-subject partition is GONE (not an empty dir / stale files)
+    assert(!new java.io.File(s"$dir/topic=topic0/date=2024-03-01").exists())
+    val full = audit.find(r => r.getString(0) == "topic0" &&
+      r.getString(1) == "2024-03-01").get
+    assert(full.getAs[Long]("rows_after") == 0L)
+    // everyone else intact, subject gone everywhere
+    val after = ChangelogSink.read(spark, dir)
+    assert(after.where($"key" === "S").count() == 0)
+    assert(after.count() == rows.count(_._3 != "S"))
+    // retry is a no-op even with the dropped directory
+    assert(ChangelogSink.forgetKey(spark, dir, "S").count() == 0)
+  }
 }
