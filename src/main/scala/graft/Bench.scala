@@ -89,7 +89,8 @@ object Bench {
     "kq62_anomaly", "kq63_function_score", "q38_unpivot",
     "x97_ivfpq_search", "x98_image_phash", "q39_lateral",
     "x99_unigram_tokenize", "kq64_downsample", "x100_token_budget",
-    "kq65_sliding_uniques", "x101_multi_match", "kq66_terms_enum",
+    "kq65_sliding_uniques", "kq102_sliding_uniques_serve",
+    "x101_multi_match", "kq66_terms_enum",
     "kq67_retention", "x102_ivfpq_probe", "x103_audio_fingerprint",
     "kq68_gap_detection", "x104_triangles", "x105_adamic_adar",
     "kq69_string_stats", "kq70_t_test", "kq71_mad",

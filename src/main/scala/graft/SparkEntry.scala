@@ -1325,14 +1325,12 @@ object SparkEntry {
         .orderBy(col("term")).limit(10)
     }),
 
-    // ---- sliding-window UNIQUE USERS (Kibana unique count over a ------
-    // ---- moving 24 h window): exact distinct over sliding windows -----
-    // ---- recounts every window — the scale answer is x94's HLL --------
-    // ---- registers computed ONCE per hourly bucket and MERGED by ------
-    // ---- register-max across the trailing window (a range join of -----
-    // ---- the tiny register table against the broadcast bucket list, ---
-    // ---- never a re-scan of events). The exact leg rides along for ----
-    // ---- comparison — at 100 TB it is the leg you drop. ----------------
+    // ---- sliding-window UNIQUE USERS — EVAL entry (x83's split): ------
+    // ---- exact distinct over sliding windows recounts every window, ---
+    // ---- so this entry exists to GRADE the HLL estimate against the ---
+    // ---- exact count (`exact_uniques` is the eval target, never a -----
+    // ---- serving column). The serving path is kq102, whose plan -------
+    // ---- never touches the 24x-expanded distinct-pairs join. ----------
     "kq65_sliding_uniques" -> ((s, dir) => {
       val env = Pipeline.envelopeFlat(s, dir)
         .select(date_trunc("hour", col("timestamp")).as("bucket"),
@@ -1375,6 +1373,57 @@ object SparkEntry {
             .otherwise(col("e_raw")), 6))
         .select(col("b").as("bucket"), col("exact_uniques"),
           col("v_zero"), col("s_scaled"), col("hll_est"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- sliding-window UNIQUE USERS — SERVING entry (round-11 -------
+    // ---- verdict): the dashboard path. x94's 64-register HLL built ----
+    // ---- ONCE per hourly bucket from events (one pass, map-side -------
+    // ---- combinable), then merged by register-max across the trailing -
+    // ---- 24 h via a range join of the TINY register table (64 rows ----
+    // ---- per bucket) against the broadcast bucket list. Events are ----
+    // ---- scanned exactly once; no distinct, no per-window re-count, ---
+    // ---- no exact leg anywhere in the plan — at 100 TB the post-scan --
+    // ---- work is O(buckets x 64), independent of cardinality. ---------
+    "kq102_sliding_uniques_serve" -> ((s, dir) => {
+      val env = Pipeline.envelopeFlat(s, dir)
+        .select(date_trunc("hour", col("timestamp")).as("bucket"),
+          col("key"))
+      val regs = env
+        .withColumn("h",
+          conv(substring(md5(concat(lit("uu:"), col("key"))), 1, 8), 16, 10)
+            .cast("long"))
+        .withColumn("j", col("h") % 64)
+        .withColumn("rho", expr(
+          "CASE WHEN h div 64 = 0 THEN 27 " +
+            "ELSE 27 - length(bin(h div 64)) END"))
+        .groupBy(col("bucket"), col("j")).agg(max(col("rho")).as("m"))
+        .localCheckpoint()
+      // bucket list from the REGISTER table (buckets x 64 rows), not a
+      // second events scan — serving reads events exactly once
+      val buckets = regs.select(col("bucket")).distinct()
+        .withColumnRenamed("bucket", "b")
+      val merged = broadcast(buckets).join(regs,
+          col("bucket").between(col("b") - expr("INTERVAL 23 HOURS"),
+            col("b")))
+        .groupBy(col("b"), col("j")).agg(max(col("m")).as("m"))
+        .groupBy(col("b"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))"))
+          .as("s_present"), count(lit(1)).as("n_present"))
+        .select(col("b"),
+          (col("s_present") + (lit(64) - col("n_present"))
+            * lit(134217728L)).cast("long").as("s_scaled"),
+          (lit(64) - col("n_present")).cast("long").as("v_zero"))
+      merged
+        .withColumn("e_raw",
+          lit(0.709) * lit(4096.0) * lit(134217728.0)
+            / col("s_scaled").cast("double"))
+        .withColumn("hll_est", round(
+          when(col("e_raw") <= lit(160.0) && col("v_zero") > 0,
+            lit(64.0) * log(lit(64.0) / col("v_zero").cast("double")))
+            .otherwise(col("e_raw")), 6))
+        .select(col("b").as("bucket"), col("v_zero"), col("s_scaled"),
+          col("hll_est"))
         .orderBy(col("bucket"))
     }),
 
@@ -3033,6 +3082,41 @@ object SparkEntry {
         |            / CAST(s_scaled AS DOUBLE) AS e_raw
         |        FROM sk JOIN ex ON sk.b = ex.b)
         |SELECT b AS bucket, exact_uniques, v_zero, s_scaled,
+        |  round(CASE WHEN e_raw <= 160.0 AND v_zero > 0
+        |        THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+        |        ELSE e_raw END, 6) AS hll_est
+        |FROM est ORDER BY bucket""".stripMargin),
+
+    // kq102: kq65's register chain with NO exact leg — the serving
+    // contract is estimate-only (the oracle re-derives the same HLL)
+    "kq102_sliding_uniques_serve" ->
+      (envSql + """, e2 AS (
+        |  SELECT date_trunc('hour', "timestamp") AS bucket, "key"
+        |  FROM env),
+        |r AS (SELECT bucket, h % 64 AS j,
+        |        CASE WHEN h // 64 = 0 THEN 27
+        |             ELSE 27 - length(bin(h // 64)) END AS rho
+        |      FROM (SELECT bucket,
+        |              ('0x' || substr(md5('uu:' || "key"), 1, 8))::BIGINT
+        |                AS h
+        |            FROM e2)),
+        |reg AS (SELECT bucket, j, max(rho) AS m FROM r GROUP BY 1, 2),
+        |bl AS (SELECT DISTINCT bucket AS b FROM reg),
+        |mg AS (SELECT bl.b, reg.j, max(reg.m) AS m
+        |       FROM bl JOIN reg
+        |         ON reg.bucket BETWEEN bl.b - INTERVAL 23 HOURS AND bl.b
+        |       GROUP BY 1, 2),
+        |sk AS (SELECT b,
+        |         CAST(sum(CAST(1 AS BIGINT) << CAST(27 - m AS INT))
+        |              + (64 - count(*)) * 134217728 AS BIGINT)
+        |           AS s_scaled,
+        |         CAST(64 - count(*) AS BIGINT) AS v_zero
+        |       FROM mg GROUP BY 1),
+        |est AS (SELECT b, v_zero, s_scaled,
+        |          0.709 * 4096.0 * 134217728.0
+        |            / CAST(s_scaled AS DOUBLE) AS e_raw
+        |        FROM sk)
+        |SELECT b AS bucket, v_zero, s_scaled,
         |  round(CASE WHEN e_raw <= 160.0 AND v_zero > 0
         |        THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
         |        ELSE e_raw END, 6) AS hll_est
