@@ -214,6 +214,96 @@ class AvroPipelineSpec extends SparkSpec {
     assert(viaDynamic.length == 20)
   }
 
+  test("HttpSchemaResolver: REST resolution against a live in-process " +
+      "registry matches StaticSchemaRegistry on the two-version evolution " +
+      "topic; per-executor cache amortizes; 404 is a loud unknown-id error") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val schemasById = Map(1 -> AvroIngest.EventV1, 2 -> AvroIngest.EventV2)
+    // the Confluent protocol surface the resolver speaks:
+    // GET /schemas/ids/{id} -> 200 {"schema": "<json-escaped avsc>"} | 404
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        requests.incrementAndGet()
+        val IdPath = "/schemas/ids/(-?\\d+)".r
+        val (code, body) = ex.getRequestURI.getPath match {
+          case p if p.startsWith("/broken") => (500, "boom")
+          case IdPath(id) => schemasById.get(id.toInt) match {
+            case Some(s) =>
+              val node = mapper.createObjectNode()
+              node.put("schema", s)
+              (200, mapper.writeValueAsString(node))
+            case None =>
+              (404, """{"error_code":40403,"message":"Schema not found"}""")
+          }
+          case "/broken" => (500, "boom")
+          case _ => (404, "{}")
+        }
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type",
+          "application/vnd.schemaregistry.v1+json")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val rest = graft.ingest.HttpSchemaResolver(base)
+      val ev = graft.ingest.Tables.load(spark, sf, "events")
+        .where($"event_id" < 40)
+      val framed = ev.select($"event_id",
+        when(pmod($"event_id", lit(2)) === 0,
+          graft.ingest.ConfluentAvroEncode.encode(
+            struct($"event_type", $"value"), AvroIngest.EventV1, 1))
+          .otherwise(graft.ingest.ConfluentAvroEncode.encode(
+            struct($"event_type", $"value", $"props"),
+            AvroIngest.EventV2, 2))
+          .as("framed"))
+      def decoded(r: graft.ingest.SchemaResolver) = framed
+        .select($"event_id", ConfluentAvro.decodeStruct(
+          $"framed", r, AvroIngest.EventV2).as("v"))
+        .select($"event_id", $"v.event_type", $"v.value", $"v.props")
+        .orderBy($"event_id").collect()
+      val viaRest = decoded(rest)
+      val viaStatic = decoded(graft.ingest.StaticSchemaRegistry(schemasById))
+      assert(viaRest.sameElements(viaStatic))
+      assert(viaRest.length == 40)
+      // the id cache held: ~2 fetches per deserialized resolver instance
+      // (one per task at worst), never one per ROW
+      assert(requests.get() >= 2 && requests.get() < viaRest.length,
+        s"${requests.get()} registry calls for ${viaRest.length} rows — " +
+          "per-executor schema cache is not holding")
+      // strict multi-schema dispatch: an id the registry 404s is a LOUD
+      // config error naming the id, not silent fallback
+      val before = requests.get()
+      val badFrame = framed.limit(1).select(
+        concat(expr("X'0000000063'"), // magic + id=99
+          expr("substring(framed, 6, 1000000)")).as("framed"))
+      val err = intercept[Exception] {
+        badFrame.select(ConfluentAvro.decodeStruct(
+          $"framed", rest, AvroIngest.EventV2)).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++
+          messages(t.getCause)
+      assert(messages(err).exists(_.contains("99")))
+      // a broken registry (HTTP 500) fails the task loudly too
+      val broken = graft.ingest.HttpSchemaResolver(base + "/broken")
+      val err2 = intercept[Exception] {
+        framed.limit(1).select(ConfluentAvro.decodeStruct(
+          $"framed", broken, AvroIngest.EventV2)).collect()
+      }
+      assert(messages(err2).exists(m =>
+        m.contains("500") || m.contains("registry")))
+      assert(requests.get() > before) // both error paths actually hit HTTP
+    } finally server.stop(0)
+  }
+
   test("timestamp-millis encode floors pre-epoch sub-ms values (no drift)") {
     import graft.ingest.ConfluentAvroEncode
     val s = """{"type":"record","name":"T","fields":[
