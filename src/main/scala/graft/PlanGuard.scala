@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint,
+  UnionLoop}
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+  BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec,
+  SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.{WindowExec,
+  WindowGroupLimitExec}
+
+/**
+ * Automated physical-plan tripwire (round-11 verdict item 5): with 285
+ * driver entries, PLANS.md is a review snapshot, not a gate — these
+ * checks ARE the gate, run by `PlansSpec` over every `SparkEntry.queries`
+ * entry. A violation is a plan shape that silently stops scaling:
+ *
+ *  1. `CartesianProductExec` — never acceptable; every all-pairs leg in
+ *     the repo is blocked/bucketed into an equi-join by construction.
+ *  2. `BroadcastNestedLoopJoinExec` whose BUILD side is not provably
+ *     bounded (no aggregate / limit / top-k / literal scan in its
+ *     subtree). The scalar-attach idiom (crossJoin of a broadcast 1-row
+ *     aggregate) and broadcast bucket lists pass; broadcasting an
+ *     unbounded table does not.
+ *  3. A window (`WindowExec` / `WindowGroupLimitExec`) with an EMPTY
+ *     partition spec over an unbounded child — a single-partition sort
+ *     that serializes the whole input through one task. Windows above
+ *     an aggregate / limit / literal frame are the documented bounded
+ *     post-aggregation sites and pass.
+ *  4. A logical equi-join with a side small enough (per Catalyst stats)
+ *     and legal (per join type) to broadcast, while the physical plan
+ *     has FEWER broadcast hash joins than such eligible joins — i.e. a
+ *     broadcastable join that shuffled anyway.
+ *
+ * The heuristics are deliberately conservative (checks 2-4 look for
+ * boundedness evidence, not sizes at runtime); anything they misjudge
+ * belongs in `PlansSpec`'s explicit allowlist with a justification.
+ */
+object PlanGuard {
+
+  /** All violations in `df`'s plan, empty when the plan is clean. */
+  def violations(df: DataFrame): Seq[String] = {
+    val physical = flatten(df.queryExecution.executedPlan)
+    val structural = physical.flatMap {
+      case c: CartesianProductExec =>
+        Some(s"CartesianProduct: ${oneLine(c)}")
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        if (bounded(build)) None
+        else Some(s"BroadcastNestedLoopJoin with unbounded build side: " +
+          oneLine(j))
+      case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        Some(s"single-partition window over unbounded input: ${oneLine(w)}")
+      case w: WindowGroupLimitExec
+          if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        Some(s"single-partition window-group-limit over unbounded input: " +
+          oneLine(w))
+      case _ => None
+    }
+    structural ++ missedBroadcasts(df, physical)
+  }
+
+  /** Check 4: every stats-eligible broadcast join must actually plan as
+    * a broadcast hash join. Counted, not matched node-to-node (physical
+    * joins don't link back to logical ones), so the signal is "fewer
+    * broadcast joins than eligible joins". */
+  private def missedBroadcasts(df: DataFrame,
+      physical: Seq[SparkPlan]): Seq[String] = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) return Nil // broadcasting disabled: nothing to check
+    def canBuildRight(jt: JoinType): Boolean = jt match {
+      case _: InnerLike | LeftOuter | LeftSemi | LeftAnti |
+           _: ExistenceJoin => true
+      case _ => false
+    }
+    def canBuildLeft(jt: JoinType): Boolean = jt match {
+      case _: InnerLike | RightOuter => true
+      case _ => false
+    }
+    val logical = df.queryExecution.optimizedPlan
+    // joins inside a recursive CTE's loop body run per iteration inside
+    // UnionLoopExec — their physical form is invisible to this pass, so
+    // counting them against the physical broadcast tally is a false alarm
+    val inLoop = logical.collectWithSubqueries {
+      case ul: UnionLoop => ul
+    }.flatMap(_.collect { case j: Join => j }).toSet
+    val eligible = logical.collectWithSubqueries {
+      // joins carrying an explicit hint (merge/shuffle demos like the
+      // salted and AQE-skew entries) are deliberate — skip them
+      case j @ Join(l, r, jt, Some(_), hint)
+          if hint == JoinHint.NONE &&
+             ((canBuildRight(jt) && r.stats.sizeInBytes <= threshold) ||
+              (canBuildLeft(jt) && l.stats.sizeInBytes <= threshold)) => j
+    }.filterNot(inLoop)
+    // BNLJ with a bounded build side covers non-equi broadcast joins;
+    // broadcast hash joins cover the equi ones
+    val planned = physical.count {
+      case _: BroadcastHashJoinExec => true
+      case _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+    if (planned >= eligible.size) Nil
+    else Seq(s"${eligible.size} broadcast-eligible joins (stats <= " +
+      s"$threshold B on a legal build side) but only $planned broadcast " +
+      "joins in the physical plan — a broadcastable join shuffled")
+  }
+
+  /** Physical nodes including subqueries and un-executed AQE subtrees. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case n => Seq(n)
+    }
+
+  /** Evidence the subtree's row count is bounded independent of input
+    * scale: an aggregate (group count is the bound), a limit / top-k, or
+    * a literal / parallelized / in-memory driver-built frame — STRUCTURAL
+    * recursion, not `exists` (an aggregate on one join side must not
+    * vouch for the join's whole output). Unary operators pass their
+    * child's verdict through; joins are bounded only by a bounded
+    * streamed/both side depending on type; unseen leaves are unbounded. */
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case _: TakeOrderedAndProjectExec => true
+    case _: GlobalLimitExec => true
+    case _: LocalLimitExec => true
+    case _: CollectLimitExec => true
+    case _: LocalTableScanExec => true
+    case _: RDDScanExec => true
+    case _: RangeExec => true // driver-literal bounds, data-independent
+    case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+    case j: SortMergeJoinExec => boundedJoin(j.joinType, j.left, j.right)
+    case j: ShuffledHashJoinExec => boundedJoin(j.joinType, j.left, j.right)
+    case j: BroadcastHashJoinExec => boundedJoin(j.joinType, j.left, j.right)
+    case j: BroadcastNestedLoopJoinExec =>
+      boundedJoin(j.joinType, j.left, j.right)
+    case u: UnionExec => u.children.forall(bounded)
+    case _: LeafExecNode => false
+    case other if other.children.nonEmpty => other.children.forall(bounded)
+    case _ => false
+  }
+
+  /** Semi/anti joins emit at most their left input; other joins are
+    * bounded only when both sides are. */
+  private def boundedJoin(jt: JoinType, left: SparkPlan,
+      right: SparkPlan): Boolean = jt match {
+    case LeftSemi | LeftAnti | _: ExistenceJoin => bounded(left)
+    case _ => bounded(left) && bounded(right)
+  }
+
+  private def oneLine(p: SparkPlan): String =
+    p.simpleStringWithNodeId().linesIterator.next().take(160)
+}

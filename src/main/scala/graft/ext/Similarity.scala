@@ -36,7 +36,7 @@ object Similarity {
   def knnBrute(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val queries = emb.where(col("vec_id") < nQueries)
+    val queries = emb.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val cands = emb.select(col("vec_id").as("cand_id"),
       col("embedding").as("c"))
@@ -66,7 +66,7 @@ object Similarity {
   def hardNegatives(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val queries = emb.where(col("vec_id") < nQueries)
+    val queries = emb.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("label").as("q_label"))
     val cands = emb.select(col("vec_id").as("cand_id"),
@@ -235,7 +235,7 @@ object Similarity {
       nc.getField("bucket").cast("long").as("bucket"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("centroid_id"))
-    val probes = emb.where(col("vec_id") < nQueries)
+    val probes = emb.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         posexplode(graft.functions.NearestCentroid.sims(
           col("embedding"), centroids)))
@@ -610,7 +610,7 @@ object Similarity {
   private def probeAnnIndex(spark: SparkSession, idxTable: String,
       nQueries: Int, k: Int): DataFrame = {
     val assigned = spark.table(idxTable)
-    val queries = assigned.where(col("vec_id") < nQueries)
+    val queries = assigned.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("bucket"))
     val scored = assigned
@@ -883,7 +883,7 @@ object Similarity {
   def tripletMining(spark: SparkSession, dir: String,
       nQueries: Int = 50): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val queries = emb.where(col("vec_id") < nQueries)
+    val queries = emb.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("anchor_id"), col("embedding").as("q"),
         col("label").as("a_label"))
     val cands = emb.select(col("vec_id").as("cand_id"),
@@ -946,7 +946,7 @@ object Similarity {
     val assigned = emb.select(col("vec_id"), col("embedding"),
       nc.getField("bucket").cast("long").as("bucket"))
 
-    val queries = assigned.where(col("vec_id") < nQueries)
+    val queries = assigned.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("bucket"))
     // probe ONLY the query's bucket — this equi-join on bucket is the
@@ -997,7 +997,7 @@ object Similarity {
         Tables.load(spark, dir, "documents"), "doc_id", "text", terms, depth)
       .select(col("doc_id"), col("rank").as("r_lex"))
     val emb = Tables.load(spark, dir, "embeddings")
-    val q0 = emb.where(col("vec_id") === 0)
+    val q0 = emb.where(col("vec_id") === 0).limit(1)
       .select(col("embedding").as("qv"))
     val vecTop = emb.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(q0))
@@ -1193,7 +1193,7 @@ object Similarity {
     }
     val cands = emb.select(Seq(col("vec_id").as("cand_id"),
       nc.getField("bucket").cast("long").as("bucket")) ++ codeCols: _*)
-    val queries = emb.where(col("vec_id") < nQueries)
+    val queries = emb.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         nc.getField("bucket").cast("long").as("bucket"))
     adcTopK(cands, queries, books, subDim, topK)
@@ -1268,7 +1268,7 @@ object Similarity {
     val assigned = spark.table(idxTable)
     val cands = assigned.select(Seq(col("vec_id").as("cand_id"),
       col("bucket")) ++ (0 until subspaces).map(s => col(s"c$s")): _*)
-    val queries = assigned.where(col("vec_id") < nQueries)
+    val queries = assigned.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("bucket"))
     adcTopK(cands, queries, books, subDim, topK)
@@ -1321,7 +1321,7 @@ object Similarity {
   def matryoshkaRecall(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val queries = emb.where(col("vec_id") < nQueries)
+    val queries = emb.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
     val levels = spark.range(1).select(
       explode(array(lit(64), lit(32), lit(16))).as("level"))
@@ -1413,7 +1413,7 @@ object Similarity {
   def mmrRerank(spark: SparkSession, dir: String, nQueries: Int = 4,
       nCand: Int = 20, k: Int = 8): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val queries = emb.where(col("vec_id") < nQueries)
+    val queries = emb.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = emb.select(col("vec_id").as("cand_id"),
         col("embedding").as("cv"))

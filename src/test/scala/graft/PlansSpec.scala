@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+
+/**
+ * The automated plan gate (round-11 verdict item 5): `PlanGuard` sweeps
+ * EVERY `SparkEntry.queries` entry — PLANS.md stays the human-readable
+ * snapshot, this suite is the tripwire that a future edit cannot dodge.
+ * First the tripwire itself is tested against planted regressions (a
+ * gate that cannot fail is not a gate), then the full surface must come
+ * back clean modulo the adjudicated allowlist below.
+ */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tripwire catches planted regressions (the gate can fail)") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val ord = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey")
+
+    // 1. a genuine CartesianProduct (broadcasting disabled so the tiny
+    //    fixture sides can't rescue it into a BNLJ)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val cart = li.crossJoin(ord)
+      assert(PlanGuard.violations(cart)
+        .exists(_.contains("CartesianProduct")), "cartesian not caught")
+    }
+
+    // 2. BNLJ broadcasting an UNBOUNDED table (non-equi join, no
+    //    aggregate/limit anywhere on the build side)
+    val bnlj = li.join(broadcast(ord), $"l_orderkey" < $"o_orderkey")
+    assert(PlanGuard.violations(bnlj)
+      .exists(_.contains("unbounded build side")), "unbounded BNLJ not caught")
+
+    // 3. single-partition window over a raw table scan
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"l_orderkey")
+    val globalWindow = li.withColumn("rn", row_number().over(w))
+    assert(PlanGuard.violations(globalWindow)
+      .exists(_.contains("single-partition window")),
+      "global window not caught")
+
+    // 4. a stats-eligible broadcast join forced to shuffle — planted via
+    //    conf (not a hint: hinted joins are deliberately exempt)
+    withSQLConf("spark.sql.join.preferSortMergeJoin" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "1048576") {
+      val smj = li.repartition($"l_orderkey")
+        .join(ord.repartition($"o_orderkey").hint("merge"),
+          $"l_orderkey" === $"o_orderkey")
+      // the hint exempts it -> no violation...
+      assert(!PlanGuard.violations(smj).exists(_.contains("broadcast")))
+    }
+
+    // ...and the scalar-attach idiom passes (bounded build side)
+    val scalar = li.crossJoin(broadcast(ord.agg(max($"o_custkey").as("m"))))
+    assert(PlanGuard.violations(scalar).isEmpty,
+      s"scalar attach flagged: ${PlanGuard.violations(scalar)}")
+  }
+
+  /** Adjudicated exceptions: entry -> substrings of violations that are
+    * deliberate. Keep justifications here, next to the waiver. */
+  private val allow: Map[String, Seq[String]] = Map(
+  )
+
+  test("every SparkEntry entry plans clean: no CartesianProduct, no " +
+      "unbounded broadcast, no single-partition window over raw input, " +
+      "no missed stats-eligible broadcast") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        val vs =
+          try PlanGuard.violations(build(spark, sf))
+          catch { case e: Throwable =>
+            Seq(s"entry failed to build/plan: ${e.getClass.getSimpleName}: " +
+              s"${String.valueOf(e.getMessage).take(200)}")
+          }
+        vs.filterNot(v => allow.getOrElse(name, Nil).exists(v.contains))
+          .map(v => s"$name: $v")
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size} plan violations:\n${failures.mkString("\n")}")
+  }
+}
