@@ -127,6 +127,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional arg: comma-separated entry names to bench instead of the
+    // headline list (scaling probes over subsets, e.g. the sf1 probe)
+    val picked = args.headOption.map(_.split(",").toSeq.map(_.trim)
+      .filter(_.nonEmpty)).getOrElse(headline)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -167,10 +171,10 @@ object Bench {
       // contention window can't own all their extra samples either
       val extra = if (pass < 2) ccFamily.toList else Nil
       val order = new scala.util.Random(42L + pass)
-        .shuffle(headline ++ extra)
+        .shuffle(picked ++ extra.filter(picked.contains))
       order.foreach(n => samples(n) ::= run(n))
     }
-    val results = headline.map { n =>
+    val results = picked.map { n =>
       val ok = samples(n).filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }

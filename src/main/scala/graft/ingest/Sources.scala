@@ -23,8 +23,19 @@ object Sources {
 
   /**
    * Batch Kafka source (requires the spark-sql-kafka connector on the
-   * cluster classpath; not exercised in this container). Values arrive as
-   * binary and are decoded per-topic by [[graft.ingest.ConfluentAvro]].
+   * cluster classpath). Values arrive as binary and are decoded per-topic
+   * by [[graft.ingest.ConfluentAvro]].
+   *
+   * NOT exercised end-to-end in this container, and cannot be: the
+   * zero-egress sandbox ships neither the spark-sql-kafka connector jar
+   * nor kafka-clients/kafka-server (checked: no kafka artifact under
+   * /opt/spark/jars or the coursier cache), so even an in-JVM embedded
+   * broker is unbuildable here. The contract is covered from both ends
+   * instead: kq22_wire_path round-trips real Confluent framing
+   * (magic+id+avro binary, tombstones) through encode→decode→SMT, and
+   * every downstream operator consumes the exact column set the Kafka
+   * source emits. On a real cluster this function is the only line that
+   * changes.
    */
   def kafka(spark: SparkSession, bootstrap: String, topics: String): DataFrame =
     spark.read
