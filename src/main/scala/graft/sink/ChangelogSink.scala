@@ -123,11 +123,14 @@ object ChangelogSink {
    *  1. discovery — ONE scan with the key filter pushed to parquet
    *     (dictionary/bloom pruning skips most row groups); yields the hit
    *     list + per-partition delete counts (bounded driver metadata);
-   *  2. audit — ONE partition-pruned aggregate over the hit partitions
-   *     for rows_before (untouched partitions are never even listed);
-   *  3. rewrite — ONE job writing the kept rows of ALL hit partitions to
-   *     a dot-prefixed staging dir, `partitionBy(topic, date)` (reading
-   *     while writing elsewhere is safe — no input file is touched);
+   *  2. rewrite — ONE job writing the kept rows of ALL hit partitions
+   *     (partition-pruned read — untouched partitions are never even
+   *     listed) to a dot-prefixed staging dir, `partitionBy(topic,
+   *     date)`; reading while writing elsewhere is safe, no input file
+   *     is touched;
+   *  3. audit — rows_after comes from the STAGED parquet FOOTERS
+   *     (record counts are free metadata; O(#files) driver reads, no
+   *     third data pass) and rows_before = rows_after + rows_deleted;
    *  4. commit — per hit partition, the same hide-originals → move-staged
    *     → delete-hidden swap as [[compactPartition]]: O(#files) METADATA
    *     renames on the driver, zero further Spark jobs. A partition whose
@@ -186,11 +189,6 @@ object ChangelogSink {
       col("topic") === t && col("date") === to_date(lit(d))
     }.reduce(_ || _)
     val pruned = read(spark, path).where(hitPred)
-    val before = pruned
-      .groupBy(col("topic"), col("date").cast("string").as("date"))
-      .agg(count(lit(1)).as("n_before"))
-      .collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     // ONE staged write of every hit partition's kept rows; natural input
     // partitioning (no repartition(1)) keeps the rewrite fully parallel
     val fs = new Path(path)
@@ -202,16 +200,25 @@ object ChangelogSink {
     def renameOrThrow(src: Path, dst: Path, what: String): Unit =
       if (!fs.rename(src, dst)) throw new IllegalStateException(
         s"forgetKey: $what rename failed: $src -> $dst")
+    // parquet footers carry exact record counts — the audit's rows_after
+    // is a metadata read per staged file, never a third data pass
+    def footerRows(f: org.apache.hadoop.fs.FileStatus): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(f, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
     val audit = hits.map { case (topic, date, nDel) =>
-      val b = before((topic, date))
       val part = new Path(s"$path/topic=$topic/date=$date")
       val originals = fs.listStatus(part)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       val stagedPart = new Path(staging, s"topic=$topic/date=$date")
       val staged =
-        if (b == nDel) Array.empty[org.apache.hadoop.fs.FileStatus]
+        if (!fs.exists(stagedPart)) Array.empty[org.apache.hadoop.fs.FileStatus]
         else fs.listStatus(stagedPart)
           .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      val after = staged.map(footerRows).sum
+      val b = after + nDel
       val hidden = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
       val moved = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
       try {
