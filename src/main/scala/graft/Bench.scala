@@ -45,7 +45,8 @@ object Bench {
     "x10_fingerprint", "x13_dedup_embed", "x15_tfidf",
     "x19_simhash_pairs", "x20_dedup_embed_lsh", "x21_dup_clusters",
     "x22_bm25_search", "x23_ann_multiprobe", "x24_unigram_logprob",
-    "kq10_schema_evolution", "q22_asof_join", "q23_range_join",
+    "kq10_schema_evolution", "kq103_registry_decode",
+    "q22_asof_join", "q23_range_join",
     "q24_salted_join", "q25_sessionize", "q26_funnel",
     "x26_dup_clusters_stars", "x27_embed_quantize", "x28_span_dedup",
     "x29_significant_terms", "x30_repetition", "x31_contamination",

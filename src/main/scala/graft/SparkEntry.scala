@@ -189,6 +189,12 @@ object SparkEntry {
       graft.ingest.AvroIngest.wirePathEnvelope(s, dir)
         .orderBy(col("offset"))),
 
+    // ---- kq10's evolution decode resolved over a LIVE REST registry ----
+    // ---- (in-process Confluent-protocol stub + HttpSchemaResolver): ----
+    // ---- identical output to the static-map decode proves the seam -----
+    "kq103_registry_decode" -> ((s, dir) =>
+      graft.ingest.AvroIngest.registryDemo(s, dir)),
+
     // ---- Spark 4 transformWithState, driver-visible: the envelope ------
     // ---- replayed as a stream (AvailableNow, RocksDB state store) ------
     // ---- through the typed StatefulProcessor; final per-key state ------
@@ -1957,6 +1963,13 @@ object SparkEntry {
     // v1-written records (even event_id) surface the reader default for
     // the field added in v2 — DuckDB reconstructs that from the raw table
     "kq10_schema_evolution" ->
+      """SELECT event_id, event_type, "value",
+        |  CASE WHEN event_id % 2 = 0 THEN 'n/a' ELSE props END AS props
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // kq103 decodes THROUGH the live REST registry; the contract is
+    // byte-identical output to kq10's static-map decode
+    "kq103_registry_decode" ->
       """SELECT event_id, event_type, "value",
         |  CASE WHEN event_id % 2 = 0 THEN 'n/a' ELSE props END AS props
         |FROM events ORDER BY event_id""".stripMargin,

@@ -133,4 +133,67 @@ object AvroIngest {
         col("v.props").as("props"))
       .orderBy(col("event_id"))
   }
+
+  /**
+   * [[evolutionDemo]] through a LIVE REST registry (kq103): an
+   * in-process HTTP server speaks the Confluent protocol
+   * (`GET /schemas/ids/{id}` → `{"schema": ...}`) and every task
+   * resolves writer schemas over the wire via [[HttpSchemaResolver]] —
+   * the production resolution path, driver-checked against the same
+   * oracle as the static-map decode (identical output is the proof the
+   * REST seam is transparent). The result is materialized
+   * (localCheckpoint) while the registry is up, then the server stops —
+   * the per-executor schema cache means the whole decode costs
+   * O(#schemas x #resolver instances) HTTP calls, never O(rows).
+   */
+  def registryDemo(spark: SparkSession, dir: String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemas = Map(1 -> EventV1, 2 -> EventV2)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/",
+      new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val id = ex.getRequestURI.getPath.stripPrefix("/schemas/ids/")
+          val (code, body) = schemas.get(id.toIntOption.getOrElse(-1)) match {
+            case Some(s) =>
+              val node = mapper.createObjectNode()
+              node.put("schema", s)
+              (200, mapper.writeValueAsString(node))
+            case None =>
+              (404, """{"error_code":40403,"message":"Schema not found"}""")
+          }
+          val bytes = body.getBytes("UTF-8")
+          ex.getResponseHeaders.set("Content-Type",
+            "application/vnd.schemaregistry.v1+json")
+          ex.sendResponseHeaders(code, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
+    server.start()
+    try {
+      val resolver = HttpSchemaResolver(
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      val ev = Tables.load(spark, dir, "events")
+      val framed = ev.select(col("event_id"),
+        when(pmod(col("event_id"), lit(2)) === 0,
+          ConfluentAvroEncode.encode(
+            struct(col("event_type"), col("value")), EventV1, 1))
+          .otherwise(ConfluentAvroEncode.encode(
+            struct(col("event_type"), col("value"), col("props")),
+            EventV2, 2))
+          .as("framed"))
+      val decoded = framed
+        .select(col("event_id"),
+          ConfluentAvro.decodeStruct(col("framed"), resolver, EventV2)
+            .as("v"))
+        .select(col("event_id"),
+          col("v.event_type").as("event_type"),
+          col("v.value").as("value"),
+          col("v.props").as("props"))
+        .localCheckpoint() // materialize while the registry is live
+      decoded.orderBy(col("event_id"))
+    } finally server.stop(0)
+  }
 }
