@@ -84,6 +84,7 @@ object Bench {
     "kq54_collapse", "kq55_percolate", "x80_mmr", "x81_random_projection",
     "x82_video_frames", "x83_ann_recall", "x84_rank_eval", "x85_dataset_card", "x86_dedup_eval", "q35_aqe_bhj", "x87_tokenizer_eval", "kq56_stream_cep", "x88_index_merge", "x89_terms_set", "x90_semdedup_eval",
     "x91_dp_release", "x92_k_anonymity", "kq57_forget_key",
+    "kq104_forget_batch",
     "x93_stream_index_append", "kq58_moving_model", "q36_recursive",
     "q37_variant", "x94_hll_cardinality", "x96_cms_topk", "x95_pagerank",
     "kq59_geo_grid", "kq60_geo_distance", "kq61_stream_chain",

@@ -741,6 +741,18 @@ object SparkEntry {
         .orderBy(col("topic"), col("date"))
     }),
 
+    // ---- BATCH right to erasure: a whole subject batch erased with ----
+    // ---- ONE discovery scan + ONE staged rewrite (not a job loop ------
+    // ---- per subject); per-subject receipts with partition totals -----
+    "kq104_forget_batch" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("kq104-sink").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(work)
+      val sink = new java.io.File(work, "log").toString
+      graft.sink.ChangelogSink.append(Pipeline.envelopeFlat(s, dir), sink)
+      graft.sink.ChangelogSink.forgetKeys(s, sink, Seq("7", "13", "21"))
+        .orderBy(col("key"), col("topic"), col("date"))
+    }),
+
     // ---- chained stateful streaming: watermarked dedup feeding a -------
     // ---- watermarked tumbling window in ONE query — replayed copies ----
     // ---- must collapse before the window counts them -------------------
@@ -2068,6 +2080,28 @@ object SparkEntry {
         |FROM env GROUP BY 1, 2
         |HAVING sum(CASE WHEN "key" = '13' THEN 1 ELSE 0 END) > 0
         |ORDER BY topic, "date"""".stripMargin),
+
+    // kq104: per-(subject, partition) delete counts + the partition's
+    // own before/after totals restricted to partitions any subject hits
+    "kq104_forget_batch" ->
+      (envSql + """, d AS (
+        |  SELECT "key", topic,
+        |    strftime(CAST("timestamp" AS DATE), '%Y-%m-%d') AS "date",
+        |    CAST(count(*) AS BIGINT) AS rows_deleted
+        |  FROM env WHERE "key" IN ('7', '13', '21') GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT topic,
+        |    strftime(CAST("timestamp" AS DATE), '%Y-%m-%d') AS "date",
+        |    CAST(count(*) AS BIGINT) AS part_rows_before,
+        |    CAST(count(*) - sum(CASE WHEN "key" IN ('7', '13', '21')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS part_rows_after
+        |  FROM env GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN "key" IN ('7', '13', '21') THEN 1 ELSE 0
+        |    END) > 0)
+        |SELECT d."key", d.topic, d."date", d.rows_deleted,
+        |  p.part_rows_before, p.part_rows_after
+        |FROM d JOIN p ON d.topic = p.topic AND d."date" = p."date"
+        |ORDER BY d."key", d.topic, d."date"""".stripMargin),
 
     "kq54_collapse" ->
       (envSql + """SELECT "key", uid, "timestamp", "offset", event_type,

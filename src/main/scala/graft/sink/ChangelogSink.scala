@@ -161,27 +161,74 @@ object ChangelogSink {
   def forgetKey(spark: SparkSession, path: String, key: String)
       : DataFrame = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("topic", StringType), StructField("date", StringType),
-      StructField("rows_before", LongType),
-      StructField("rows_deleted", LongType),
-      StructField("rows_after", LongType)))
-    def auditFrame(rows: Seq[(String, String, Long, Long, Long)]) =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq.map(t =>
-          org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)), 1),
-        schema)
+    val (partAudit, _) = eraseKeys(spark, path, Seq(key))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(partAudit.toIndexedSeq.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)), 1),
+      StructType(Seq(
+        StructField("topic", StringType), StructField("date", StringType),
+        StructField("rows_before", LongType),
+        StructField("rows_deleted", LongType),
+        StructField("rows_after", LongType))))
+  }
+
+  /**
+   * BATCH right to erasure: GDPR/CCPA requests arrive in batches, and
+   * looping [[forgetKey]] re-scans and re-rewrites shared partitions once
+   * PER SUBJECT. This erases every subject in `keys` with the SAME
+   * constant job count as one subject — one pushed-`IN`-filter discovery
+   * scan, one staged rewrite of the union of hit partitions, footer-based
+   * audit, per-partition swap — so a thousand-subject batch costs one
+   * subject's jobs plus proportionally more rewritten partitions.
+   *
+   * Returns per-subject receipts: (key, topic, date, rows_deleted,
+   * part_rows_before, part_rows_after) — one row per (subject, hit
+   * partition), with the partition's totals alongside for the audit trail.
+   */
+  def forgetKeys(spark: SparkSession, path: String, keys: Seq[String])
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val (partAudit, keyHits) = eraseKeys(spark, path, keys)
+    val partTotals = partAudit.map(t => ((t._1, t._2), (t._3, t._5))).toMap
+    val rows = keyHits.map { case (key, topic, date, nDel) =>
+      val (before, after) = partTotals((topic, date))
+      org.apache.spark.sql.Row(key, topic, date, nDel, before, after)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("key", StringType), StructField("topic", StringType),
+        StructField("date", StringType),
+        StructField("rows_deleted", LongType),
+        StructField("part_rows_before", LongType),
+        StructField("part_rows_after", LongType))))
+  }
+
+  /** Shared erasure core (see [[forgetKey]] for the full protocol and
+    * atomicity notes). Returns (per-partition audit sorted by (topic,
+    * date), per-(key, partition) delete counts sorted by (key, topic,
+    * date)). */
+  private def eraseKeys(spark: SparkSession, path: String,
+      keys: Seq[String])
+      : (Seq[(String, String, Long, Long, Long)],
+         Seq[(String, String, String, Long)]) = {
+    require(keys.nonEmpty, "eraseKeys needs at least one key")
     // the partition column is DateType — cast to string BEFORE collect:
     // decoding java.sql.Date rows needs JVM --add-opens flags a plain
     // `java -cp` launch (the bench harness) doesn't pass, and the audit
     // wants the partition-dir spelling anyway
-    val hits = read(spark, path).where(col("key") === key)
-      .groupBy(col("topic"), col("date").cast("string").as("date"))
+    val keyHits = read(spark, path).where(col("key").isin(keys: _*))
+      .groupBy(col("key"), col("topic"),
+        col("date").cast("string").as("date"))
       .agg(count(lit(1)).as("n_del"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      .sortBy(t => (t._1, t._2))
-    if (hits.isEmpty) return auditFrame(Nil)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    if (keyHits.isEmpty) return (Nil, Nil)
+    val hits = keyHits.groupBy(t => (t._2, t._3))
+      .map { case ((t, d), rows) => (t, d, rows.map(_._4).sum) }
+      .toSeq.sortBy(t => (t._1, t._2))
     // exact hit predicate over the PARTITION columns only — the file
     // index evaluates it against partition values, so non-hit partitions
     // are pruned before any file is listed or read
@@ -190,16 +237,18 @@ object ChangelogSink {
     }.reduce(_ || _)
     val pruned = read(spark, path).where(hitPred)
     // ONE staged write of every hit partition's kept rows; natural input
-    // partitioning (no repartition(1)) keeps the rewrite fully parallel
+    // partitioning (no repartition(1)) keeps the rewrite fully parallel.
+    // NULL keys are never a subject: isin() is null for them, so keep on
+    // coalesce(..., false)
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path, s".forget-${System.nanoTime()}")
-    pruned.where(col("key") =!= key || col("key").isNull)
+    pruned.where(!coalesce(col("key").isin(keys: _*), lit(false)))
       .write.partitionBy("topic", "date")
       .mode("overwrite").parquet(staging.toString)
     def renameOrThrow(src: Path, dst: Path, what: String): Unit =
       if (!fs.rename(src, dst)) throw new IllegalStateException(
-        s"forgetKey: $what rename failed: $src -> $dst")
+        s"forgetKeys: $what rename failed: $src -> $dst")
     // parquet footers carry exact record counts — the audit's rows_after
     // is a metadata read per staged file, never a third data pass
     def footerRows(f: org.apache.hadoop.fs.FileStatus): Long = {
@@ -243,7 +292,7 @@ object ChangelogSink {
       (topic, date, b, nDel, b - nDel)
     }
     fs.delete(staging, true)
-    auditFrame(audit.toIndexedSeq)
+    (audit, keyHits.toIndexedSeq)
   }
 
   def compactPartition(spark: SparkSession, path: String, topic: String,
@@ -335,31 +384,51 @@ object ChangelogSink {
    *
    * Idempotent: a second sweep with the same arguments is a no-op.
    * Returns (droppedPartitions, compactedPartitions).
+   *
+   * Fragmented partitions compact CONCURRENTLY (`maxConcurrent` driver
+   * threads, each submitting its own Spark job — partitions are
+   * independent, so the only rule, no concurrent compaction of the SAME
+   * partition, is preserved by construction). A nightly sweep over a
+   * 100 TB table with thousands of fragmented partitions is otherwise
+   * serialized at one small rewrite job at a time; concurrent submission
+   * keeps the cluster full while each unit of work stays bounded. A
+   * failed partition aborts the sweep (its own rollback already ran; the
+   * sweep is idempotent, so re-running finishes the rest).
    */
   def rollIfNeeded(spark: SparkSession, path: String, cutoff: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      maxConcurrent: Int = 4): (Int, Int) = {
     val dropped = dropPartitionsBefore(spark, path, cutoff)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var compacted = 0
-    if (fs.exists(root)) {
-      for (topicDir <- fs.listStatus(root)
-             if topicDir.isDirectory && topicDir.getPath.getName.startsWith("topic=");
-           dateDir <- fs.listStatus(topicDir.getPath)
-             if dateDir.isDirectory && dateDir.getPath.getName.startsWith("date=")) {
-        val files = fs.listStatus(dateDir.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        val nOut = math.max(1,
-          math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
-        if (files.length > 1 && nOut < files.length) {
-          compactPartition(spark, path,
-            topicDir.getPath.getName.stripPrefix("topic="),
-            dateDir.getPath.getName.stripPrefix("date="), targetBytes)
-          compacted += 1
+    if (!fs.exists(root)) return (dropped, 0)
+    val candidates = for {
+      topicDir <- fs.listStatus(root).toSeq
+      if topicDir.isDirectory && topicDir.getPath.getName.startsWith("topic=")
+      dateDir <- fs.listStatus(topicDir.getPath).toSeq
+      if dateDir.isDirectory && dateDir.getPath.getName.startsWith("date=")
+      files = fs.listStatus(dateDir.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      nOut = math.max(1,
+        math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+      if files.length > 1 && nOut < files.length
+    } yield (topicDir.getPath.getName.stripPrefix("topic="),
+      dateDir.getPath.getName.stripPrefix("date="))
+    if (candidates.isEmpty) return (dropped, 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrent, candidates.size)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val done = scala.concurrent.Future.traverse(candidates) {
+        case (topic, date) => scala.concurrent.Future {
+          compactPartition(spark, path, topic, date, targetBytes)
         }
       }
-    }
-    (dropped, compacted)
+      scala.concurrent.Await.result(done,
+        scala.concurrent.duration.Duration.Inf)
+      (dropped, candidates.size)
+    } finally pool.shutdown()
   }
 
   def dropPartitionsBefore(spark: SparkSession, path: String, cutoff: String): Int = {

@@ -325,4 +325,36 @@ class ChangelogSinkSpec extends SparkSpec {
     // retry is a no-op even with the dropped directory
     assert(ChangelogSink.forgetKey(spark, dir, "S").count() == 0)
   }
+
+  test("forgetKeys: a subject batch erases in one pass — per-subject " +
+      "receipts, shared partitions rewritten once, null keys survive") {
+    val dir = Files.createTempDirectory("changelog-forget-batch").toString
+    val env = Pipeline.envelopeFlat(spark, sf)
+    ChangelogSink.append(env, dir)
+    val before = ChangelogSink.read(spark, dir)
+    val beforeN = before.count()
+    val subjects = Seq("7", "13", "21")
+    val expectDel = before.where($"key".isin(subjects: _*)).count()
+    val nullsBefore = before.where($"key".isNull).count()
+    val receipts = ChangelogSink.forgetKeys(spark, dir, subjects).collect()
+    // one receipt row per (subject, hit partition); per-partition totals
+    // consistent on every row of that partition
+    assert(receipts.map(_.getString(0)).toSet.subsetOf(subjects.toSet))
+    assert(receipts.map(_.getAs[Long]("rows_deleted")).sum == expectDel)
+    receipts.groupBy(r => (r.getString(1), r.getString(2))).foreach {
+      case (_, rows) =>
+        assert(rows.map(r => (r.getAs[Long]("part_rows_before"),
+          r.getAs[Long]("part_rows_after"))).toSet.size == 1)
+        val del = rows.map(_.getAs[Long]("rows_deleted")).sum
+        assert(rows.head.getAs[Long]("part_rows_before") - del ==
+          rows.head.getAs[Long]("part_rows_after"))
+    }
+    val after = ChangelogSink.read(spark, dir)
+    assert(after.where($"key".isin(subjects: _*)).count() == 0)
+    assert(after.count() == beforeN - expectDel)
+    // NULL keys are never a subject (isin() is null for them)
+    assert(after.where($"key".isNull).count() == nullsBefore)
+    // retry: empty receipts, no change
+    assert(ChangelogSink.forgetKeys(spark, dir, subjects).count() == 0)
+  }
 }
