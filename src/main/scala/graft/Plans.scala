@@ -111,7 +111,10 @@ object Plans {
     "kq65_sliding_uniques" -> "sliding uniques: hourly registers once, then a range join of the TINY register table against the broadcast bucket list + register-max agg — the trailing-24h merge never rescans events",
     "x101_multi_match" -> "multi_match: two per-field BM25 legs (each its own postings-pruned pass + field stats), full-outer fused in exact half-micro ints; the global top-k happens once after fusion",
     "x92_k_anonymity" -> "k-anonymity: two tiny aggregates above one scan — level-0 counts + a region re-aggregate of only the FAILING groups (bottom-up local recoding), nation dim broadcast",
-    "kq57_forget_key" -> "right to erasure: partition-pruned discovery (the key filter reaches the scan), then ONLY the hit partitions rewrite via staged hide-then-swap — erasing one subject costs their partitions, never a table rewrite",
+    "kq57_forget_key" -> "right to erasure: pushed-filter discovery + ONE staged rewrite of all hit partitions (constant Spark jobs; audit from staged parquet footers) + metadata-only swap — erasing one subject costs their partitions, never a table rewrite or a job per partition",
+    "kq104_forget_batch" -> "batch erasure: N subjects share the ONE discovery scan (IN filter pushed) and the ONE staged rewrite of the union of hit partitions — receipts per (subject, partition), job count independent of batch size",
+    "kq102_sliding_uniques_serve" -> "sliding uniques SERVING path: one events pass builds hourly HLL registers; the trailing-24h merge range-joins the tiny register table against a register-derived bucket list — no distinct, no pairs expansion anywhere in the plan",
+    "kq103_registry_decode" -> "registry decode: per-task REST schema resolution folds into the same map-only decode stage as the static-map plan (the resolver is executor-cached config, invisible to the plan shape)",
     "x93_stream_index_append" -> "streaming index maintenance: each trigger pays only its own shingle/signature pass + a segment-sized idempotent write; the corpus index is never touched, the probe is the x64 contract",
     "x109_exact_substr" -> "ExactSubstr dedup: ONE posexplode + md5-keyed occurrence agg (uniform keys) + join back; island merge is a per-doc window pair; the rebuild filters the doc's own token array against its island list — linear in corpus tokens, no all-pairs",
     "kq78_frequent_itemsets" -> "frequent_item_sets: ordered self-joins over the frequent-1-pruned basket table; the user count is a broadcast 1-row scalar attached to every support filter",
@@ -154,6 +157,11 @@ object Plans {
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("```\n")
+      // belt to PlansSpec's gate: the snapshot regen also refuses to
+      // write a violating plan into the review artifact
+      val vs = PlanGuard.violations(df)
+      if (vs.nonEmpty) sys.error(s"PlanGuard violations in $name:\n" +
+        vs.mkString("\n"))
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"[plans] wrote PLANS.md (${picks.size} plans)")
