@@ -15,12 +15,26 @@ import graft.sink.ChangelogSink
 class FlakyRenameFs extends RawLocalFileSystem {
   override def getScheme: String = "flaky"
   override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  /** True only for the SWAP moves out of a committed staging dir — not
+    * Spark's own committer renames, whose sources live under a
+    * `_temporary` ancestor inside the same staging tree. */
+  private def underStaging(p: HPath): Boolean = {
+    var cur = p.getParent
+    while (cur != null) {
+      val n = cur.getName
+      if (n == "_temporary") return false
+      if (n.startsWith(".compact-") || n.startsWith(".forget-")) return true
+      cur = cur.getParent
+    }
+    false
+  }
   override def rename(src: HPath, dst: HPath): Boolean =
-    if (FlakyRenameFs.failHides && dst.getName.startsWith(".compacting-"))
+    if (FlakyRenameFs.failHides &&
+        (dst.getName.startsWith(".compacting-") ||
+          dst.getName.startsWith(".forgetting-")))
       false
     else if (FlakyRenameFs.failMovesAfter >= 0 &&
-        dst.getName.startsWith("part-") &&
-        src.getParent.getName.startsWith(".compact-") &&
+        dst.getName.startsWith("part-") && underStaging(src) &&
         FlakyRenameFs.movesSeen.getAndIncrement() >=
           FlakyRenameFs.failMovesAfter)
       false
@@ -356,5 +370,47 @@ class ChangelogSinkSpec extends SparkSpec {
     assert(after.where($"key".isNull).count() == nullsBefore)
     // retry: empty receipts, no change
     assert(ChangelogSink.forgetKeys(spark, dir, subjects).count() == 0)
+  }
+
+  test("erasure failure mid-swap: the failing partition rolls back " +
+      "(no loss, no duplicates, per-partition atomicity), retry " +
+      "finishes the erasure") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    val dir = "flaky:" +
+      Files.createTempDirectory("forget-crash").toString
+    val env = Pipeline.envelopeFlat(spark, sf)
+    ChangelogSink.append(env, dir)
+    val original = ChangelogSink.read(spark, dir)
+      .drop("date").collect().toSet
+    val subjectRows = original.filter(r => r.getAs[String]("key") == "13")
+    assert(subjectRows.nonEmpty)
+
+    // fail the SECOND staged move overall: some partitions commit, one
+    // rolls back mid-move — the per-partition atomicity window
+    FlakyRenameFs.movesSeen.set(0)
+    FlakyRenameFs.failMovesAfter = 1
+    try {
+      val e = intercept[IllegalStateException](
+        ChangelogSink.forgetKey(spark, dir, "13"))
+      assert(e.getMessage.contains("move-staged"), e.getMessage)
+    } finally FlakyRenameFs.failMovesAfter = -1
+
+    val mid = ChangelogSink.read(spark, dir).drop("date").collect().toSeq
+    // NO duplicates (a bad rollback would leave original + staged copy)
+    assert(mid.size == mid.toSet.size)
+    // every surviving row is an original row…
+    assert(mid.toSet.subsetOf(original))
+    // …and nothing non-subject was lost anywhere
+    assert((original -- subjectRows).subsetOf(mid.toSet))
+    // committed-then-failed is legal: only subject rows may be missing
+    assert((original -- mid.toSet).subsetOf(subjectRows))
+
+    // retry (clean fs) erases the remainder; receipts only for the
+    // partitions that still held the subject
+    val retryAudit = ChangelogSink.forgetKey(spark, dir, "13").collect()
+    assert(retryAudit.nonEmpty)
+    val fin = ChangelogSink.read(spark, dir).drop("date").collect().toSet
+    assert(fin == original -- subjectRows)
   }
 }
