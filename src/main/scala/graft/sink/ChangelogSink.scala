@@ -246,6 +246,27 @@ object ChangelogSink {
     pruned.where(!coalesce(col("key").isin(keys: _*), lit(false)))
       .write.partitionBy("topic", "date")
       .mode("overwrite").parquet(staging.toString)
+    // MANIFEST before any swap: the hit-partition list + every staged
+    // file name. A hard crash (process kill, no in-process rollback) can
+    // strand partitions mid-swap; [[recoverErasure]] replays the commit
+    // deterministically from this manifest. Its presence also marks the
+    // staged write as COMPLETE (it is written strictly after the write
+    // job returns) — a staging dir without one is discardable debris.
+    locally {
+      val out = fs.create(new Path(staging, ManifestName), true)
+      try {
+        hits.foreach { case (t, d, _) =>
+          out.write(s"P topic=$t/date=$d\n".getBytes("UTF-8")) }
+        hits.foreach { case (t, d, _) =>
+          val sp = new Path(staging, s"topic=$t/date=$d")
+          if (fs.exists(sp))
+            fs.listStatus(sp)
+              .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+              .foreach(f => out.write(
+                s"F topic=$t/date=$d/${f.getPath.getName}\n".getBytes("UTF-8")))
+        }
+      } finally out.close()
+    }
     def renameOrThrow(src: Path, dst: Path, what: String): Unit =
       if (!fs.rename(src, dst)) throw new IllegalStateException(
         s"forgetKeys: $what rename failed: $src -> $dst")
@@ -293,6 +314,102 @@ object ChangelogSink {
     }
     fs.delete(staging, true)
     (audit, keyHits.toIndexedSeq)
+  }
+
+  private val ManifestName = "_MANIFEST"
+
+  /**
+   * HARD-CRASH RECOVERY for the erasure swap. The in-process rollback in
+   * [[forgetKeys]] handles rename FAILURES; a process kill mid-swap
+   * handles nothing — it can strand a partition with its originals
+   * hidden (dot-prefixed, invisible to readers) and the staged kept rows
+   * only partially moved in. Readers see a partition missing rows until
+   * someone repairs it, and a blind erasure RETRY cannot: the subject's
+   * rows are hidden, so discovery no longer finds them.
+   *
+   * Recovery is a deterministic ROLL-FORWARD replay of the commit from
+   * the staging manifest ([[forgetKeys]] writes it strictly after the
+   * staged write succeeds, before any swap): for every manifest
+   * partition — visible files NOT in the staged set are un-hidden
+   * originals (the swap hides ALL originals before moving anything, so
+   * their presence means the move phase never started there): hide and
+   * drop them; staged files still in staging move in; hidden originals
+   * delete; a partition with no staged files was fully erased and its
+   * directory drops. A staging dir WITHOUT a manifest means the staged
+   * write itself died: nothing was ever hidden or moved, so it is
+   * deleted outright (roll-back). Idempotent — a second run (or a crash
+   * mid-recovery, then a third) finds strictly less debris.
+   *
+   * MUST NOT run concurrently with a live erasure on the same table
+   * (same exclusivity rule as the swap itself). Returns
+   * (rolledForwardStagingDirs, discardedStagingDirs).
+   */
+  def recoverErasure(spark: SparkSession, path: String): (Int, Int) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0, 0)
+    val stagings = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(".forget-"))
+    var (forward, discarded) = (0, 0)
+    stagings.foreach { st =>
+      val staging = st.getPath
+      val manifest = new Path(staging, ManifestName)
+      if (!fs.exists(manifest)) {
+        fs.delete(staging, true) // write died pre-manifest: pure debris
+        discarded += 1
+      } else {
+        val lines = {
+          val in = fs.open(manifest)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toVector
+          finally in.close()
+        }
+        val parts = lines.collect { case l if l.startsWith("P ") =>
+          l.stripPrefix("P ") }
+        val stagedByPart = lines.collect { case l if l.startsWith("F ") =>
+          val rel = l.stripPrefix("F ")
+          val cut = rel.lastIndexOf('/')
+          (rel.take(cut), rel.drop(cut + 1))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        def renameOrThrow(src: Path, dst: Path, what: String): Unit =
+          if (!fs.rename(src, dst)) throw new IllegalStateException(
+            s"recoverErasure: $what rename failed: $src -> $dst")
+        parts.foreach { rel =>
+          val part = new Path(path, rel)
+          val stagedNames = stagedByPart.getOrElse(rel, Set.empty)
+          if (fs.exists(part)) {
+            // originals still visible = the move phase never started
+            // here (hide-all strictly precedes move): finish hiding them
+            fs.listStatus(part)
+              .filter(f => f.isFile &&
+                f.getPath.getName.endsWith(".parquet") &&
+                !f.getPath.getName.startsWith(".") &&
+                !stagedNames.contains(f.getPath.getName))
+              .foreach { f =>
+                renameOrThrow(f.getPath,
+                  new Path(part, s".forgetting-${f.getPath.getName}"),
+                  "hide-original")
+              }
+            // move in whatever staged files have not landed yet
+            stagedNames.foreach { name =>
+              val src = new Path(staging, s"$rel/$name")
+              val dst = new Path(part, name)
+              if (fs.exists(src) && !fs.exists(dst))
+                renameOrThrow(src, dst, "move-staged")
+            }
+            // drop the hidden originals; drop the dir if fully erased
+            fs.listStatus(part)
+              .filter(f => f.isFile &&
+                f.getPath.getName.startsWith(".forgetting-"))
+              .foreach(f => fs.delete(f.getPath, false))
+            if (stagedNames.isEmpty) fs.delete(part, true)
+          }
+        }
+        fs.delete(staging, true)
+        forward += 1
+      }
+    }
+    (forward, discarded)
   }
 
   def compactPartition(spark: SparkSession, path: String, topic: String,

@@ -413,4 +413,82 @@ class ChangelogSinkSpec extends SparkSpec {
     val fin = ChangelogSink.read(spark, dir).drop("date").collect().toSet
     assert(fin == original -- subjectRows)
   }
+
+  test("recoverErasure: HARD crash mid-swap (process kill, no rollback) " +
+      "rolls forward from the manifest — hidden originals dropped, " +
+      "staged rows landed, fully-erased partition removed; a " +
+      "manifest-less staging dir is discarded") {
+    val dir = Files.createTempDirectory("forget-hard-crash").toString
+    // 3 topics x 2 dates; subject 'S' everywhere; topicF/day1 is ALL 'S'
+    val rows = for {
+      t <- Seq("topicA", "topicB", "topicF"); d <- 1 to 2; i <- 0 until 4
+      k = if (t == "topicF" && d == 1) "S"
+          else if (i == 0) "S" else s"u$i"
+    } yield (t, s"$t-$d-$i", k,
+      java.sql.Timestamp.valueOf(f"2024-04-0$d 08:00:0$i"))
+    import spark.implicits._
+    ChangelogSink.append(rows.toDF("topic", "uid", "key", "timestamp"), dir)
+    val original = ChangelogSink.read(spark, dir)
+      .drop("date").collect().toSet
+    val expected = original.filter(_.getAs[String]("key") != "S")
+
+    // ---- reproduce the protocol state at the instant of a kill ----
+    // staged write of kept rows (hit partitions = all six), + manifest
+    val staging = new java.io.File(dir, ".forget-424242")
+    ChangelogSink.read(spark, dir).where($"key" =!= "S")
+      .write.partitionBy("topic", "date").parquet(staging.toString)
+    val partsRel = for (t <- Seq("topicA", "topicB", "topicF"); d <- 1 to 2)
+      yield s"topic=$t/date=2024-04-0$d"
+    val manifest = new StringBuilder
+    partsRel.foreach(p => manifest.append(s"P $p\n"))
+    val stagedFiles = partsRel.flatMap { p =>
+      Option(new java.io.File(staging, p).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("part-"))
+        .map(f => (p, f.getName))
+    }
+    stagedFiles.foreach { case (p, n) => manifest.append(s"F $p/$n\n") }
+    java.nio.file.Files.writeString(
+      new java.io.File(staging, "_MANIFEST").toPath, manifest.toString)
+    def partDir(rel: String) = new java.io.File(dir, rel)
+    def hideAll(rel: String): Unit =
+      partDir(rel).listFiles().filter(_.getName.endsWith(".parquet"))
+        .filterNot(_.getName.startsWith("."))
+        .foreach(f => assert(f.renameTo(
+          new java.io.File(f.getParent, s".forgetting-${f.getName}"))))
+    // partition 1 (topicA/day1): killed MID-MOVE — all hidden, first
+    // staged file moved in, the rest still in staging
+    hideAll(partsRel.head)
+    val (p1, f1) = stagedFiles.find(_._1 == partsRel.head).get
+    assert(new java.io.File(staging, s"$p1/$f1")
+      .renameTo(new java.io.File(partDir(p1), f1)))
+    // partition 2 (topicA/day2): killed MID-HIDE — one original hidden
+    val someOrig = partDir(partsRel(1)).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).head
+    assert(someOrig.renameTo(new java.io.File(
+      someOrig.getParent, s".forgetting-${someOrig.getName}")))
+    // fully-erased partition (topicF/day1): killed after hide-all
+    hideAll("topic=topicF/date=2024-04-01")
+    // remaining partitions: swap never reached (originals untouched)
+    // plus one DEAD staging dir whose write never finished (no manifest)
+    val dead = new java.io.File(dir, ".forget-111")
+    dead.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dead, "part-junk.parquet").toPath, "junk")
+
+    val (forward, discardedN) = ChangelogSink.recoverErasure(spark, dir)
+    assert(forward == 1 && discardedN == 1)
+    // the table is exactly the erased table — no loss, no dupes, no S
+    val after = ChangelogSink.read(spark, dir).drop("date").collect().toSeq
+    assert(after.size == after.toSet.size)
+    assert(after.toSet == expected)
+    // fully-erased partition directory is gone; no debris anywhere
+    assert(!partDir("topic=topicF/date=2024-04-01").exists())
+    assert(!staging.exists() && !dead.exists())
+    partsRel.filterNot(_ == "topic=topicF/date=2024-04-01").foreach { p =>
+      assert(!partDir(p).listFiles().exists(_.getName.startsWith(".forgetting-")))
+    }
+    // idempotent: nothing left to recover
+    assert(ChangelogSink.recoverErasure(spark, dir) == ((0, 0)))
+  }
 }
