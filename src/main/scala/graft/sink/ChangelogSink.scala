@@ -246,27 +246,27 @@ object ChangelogSink {
     pruned.where(!coalesce(col("key").isin(keys: _*), lit(false)))
       .write.partitionBy("topic", "date")
       .mode("overwrite").parquet(staging.toString)
-    // MANIFEST before any swap: the hit-partition list + every staged
-    // file name. A hard crash (process kill, no in-process rollback) can
-    // strand partitions mid-swap; [[recoverErasure]] replays the commit
+    // MANIFEST before any swap: staged layout, the hit-partition list,
+    // the ORIGINAL (snapshot) file names and every staged file name. A
+    // hard crash (process kill, no in-process rollback) can strand
+    // partitions mid-swap; [[recoverStaging]] replays the commit
     // deterministically from this manifest. Its presence also marks the
     // staged write as COMPLETE (it is written strictly after the write
     // job returns) — a staging dir without one is discardable debris.
-    locally {
-      val out = fs.create(new Path(staging, ManifestName), true)
-      try {
-        hits.foreach { case (t, d, _) =>
-          out.write(s"P topic=$t/date=$d\n".getBytes("UTF-8")) }
-        hits.foreach { case (t, d, _) =>
-          val sp = new Path(staging, s"topic=$t/date=$d")
-          if (fs.exists(sp))
-            fs.listStatus(sp)
-              .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-              .foreach(f => out.write(
-                s"F topic=$t/date=$d/${f.getPath.getName}\n".getBytes("UTF-8")))
-        }
-      } finally out.close()
-    }
+    writeManifest(fs, staging, nested = true,
+      hits.map { case (t, d, _) =>
+        val rel = s"topic=$t/date=$d"
+        val originals = fs.listStatus(new Path(path, rel))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName).toSeq
+        val sp = new Path(staging, rel)
+        val stagedNames =
+          if (!fs.exists(sp)) Nil
+          else fs.listStatus(sp)
+            .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+            .map(_.getPath.getName).toSeq
+        (rel, originals, stagedNames)
+      })
     def renameOrThrow(src: Path, dst: Path, what: String): Unit =
       if (!fs.rename(src, dst)) throw new IllegalStateException(
         s"forgetKeys: $what rename failed: $src -> $dst")
@@ -318,41 +318,72 @@ object ChangelogSink {
 
   private val ManifestName = "_MANIFEST"
 
+  /** Manifest written into a staging dir strictly AFTER its write job
+    * succeeds and strictly BEFORE any swap rename. Line format:
+    * `L nested|flat` (staged files under partition subdirs or at the
+    * staging root), `P <partRel>`, `O <partRel>/<origName>` (the swap's
+    * SNAPSHOT — recovery must never touch files appended after it),
+    * `F <partRel>/<stagedName>`. */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path, nested: Boolean,
+      parts: Seq[(String, Seq[String], Seq[String])]): Unit = {
+    val out = fs.create(new Path(staging, ManifestName), true)
+    try {
+      out.write(s"L ${if (nested) "nested" else "flat"}\n".getBytes("UTF-8"))
+      parts.foreach { case (rel, _, _) =>
+        out.write(s"P $rel\n".getBytes("UTF-8")) }
+      parts.foreach { case (rel, origs, _) =>
+        origs.foreach(n => out.write(s"O $rel/$n\n".getBytes("UTF-8"))) }
+      parts.foreach { case (rel, _, staged) =>
+        staged.foreach(n => out.write(s"F $rel/$n\n".getBytes("UTF-8"))) }
+    } finally out.close()
+  }
+
   /**
-   * HARD-CRASH RECOVERY for the erasure swap. The in-process rollback in
-   * [[forgetKeys]] handles rename FAILURES; a process kill mid-swap
-   * handles nothing — it can strand a partition with its originals
-   * hidden (dot-prefixed, invisible to readers) and the staged kept rows
-   * only partially moved in. Readers see a partition missing rows until
-   * someone repairs it, and a blind erasure RETRY cannot: the subject's
-   * rows are hidden, so discovery no longer finds them.
+   * HARD-CRASH RECOVERY for the staged swaps (erasure `.forget-*` and
+   * compaction `.compact-*`). The in-process rollback handles rename
+   * FAILURES; a process kill mid-swap handles nothing — it can strand a
+   * partition with its snapshot originals hidden (dot-prefixed,
+   * invisible to readers) and the staged files only partially moved in.
+   * Readers see missing rows until someone repairs it, and a blind
+   * erasure RETRY cannot: the subject's rows are hidden from discovery.
    *
    * Recovery is a deterministic ROLL-FORWARD replay of the commit from
-   * the staging manifest ([[forgetKeys]] writes it strictly after the
-   * staged write succeeds, before any swap): for every manifest
-   * partition — visible files NOT in the staged set are un-hidden
-   * originals (the swap hides ALL originals before moving anything, so
-   * their presence means the move phase never started there): hide and
-   * drop them; staged files still in staging move in; hidden originals
-   * delete; a partition with no staged files was fully erased and its
-   * directory drops. A staging dir WITHOUT a manifest means the staged
-   * write itself died: nothing was ever hidden or moved, so it is
-   * deleted outright (roll-back). Idempotent — a second run (or a crash
-   * mid-recovery, then a third) finds strictly less debris.
+   * the staging manifest, per manifest partition:
    *
-   * MUST NOT run concurrently with a live erasure on the same table
-   * (same exclusivity rule as the swap itself). Returns
-   * (rolledForwardStagingDirs, discardedStagingDirs).
+   *  - still-visible manifest ORIGINALS mean the move phase never
+   *    started there (hide-all strictly precedes move): hide and drop
+   *    them; files NOT in the manifest (appended after the snapshot)
+   *    are never touched — the compaction append-safety rule survives
+   *    the crash;
+   *  - staged files still in staging move in; hidden originals delete;
+   *    an erasure partition with no staged files was fully erased and
+   *    its directory drops (unless post-snapshot appends landed there);
+   *  - a partition with NO evidence of this swap (no manifest original
+   *    visible or hidden, no staged file landed) was REWRITTEN by a
+   *    later operation — rolling forward would resurrect stale rows, so
+   *    it is skipped;
+   *  - a staging dir WITHOUT a manifest means the staged write itself
+   *    died: nothing was ever hidden or moved, delete it outright.
+   *
+   * Idempotent — a second run (or a crash mid-recovery, then a third)
+   * finds strictly less debris. MUST NOT run concurrently with a live
+   * erasure/compaction on the same table (the swap's own exclusivity
+   * rule). Returns (rolledForwardStagingDirs, discardedStagingDirs).
    */
-  def recoverErasure(spark: SparkSession, path: String): (Int, Int) = {
+  def recoverStaging(spark: SparkSession, path: String): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0, 0)
     val stagings = fs.listStatus(root).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith(".forget-"))
+      s.isDirectory && (s.getPath.getName.startsWith(".forget-") ||
+        s.getPath.getName.startsWith(".compact-")))
     var (forward, discarded) = (0, 0)
     stagings.foreach { st =>
       val staging = st.getPath
+      val hidePrefix =
+        if (staging.getName.startsWith(".forget-")) ".forgetting-"
+        else ".compacting-"
       val manifest = new Path(staging, ManifestName)
       if (!fs.exists(manifest)) {
         fs.delete(staging, true) // write died pre-manifest: pure debris
@@ -364,45 +395,56 @@ object ChangelogSink {
             .getLines().toVector
           finally in.close()
         }
+        val nested = !lines.headOption.contains("L flat")
+        def byPart(prefix: String): Map[String, Set[String]] =
+          lines.collect { case l if l.startsWith(prefix) =>
+            val rel = l.stripPrefix(prefix)
+            val cut = rel.lastIndexOf('/')
+            (rel.take(cut), rel.drop(cut + 1))
+          }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
         val parts = lines.collect { case l if l.startsWith("P ") =>
           l.stripPrefix("P ") }
-        val stagedByPart = lines.collect { case l if l.startsWith("F ") =>
-          val rel = l.stripPrefix("F ")
-          val cut = rel.lastIndexOf('/')
-          (rel.take(cut), rel.drop(cut + 1))
-        }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val stagedByPart = byPart("F ")
+        val origByPart = byPart("O ")
         def renameOrThrow(src: Path, dst: Path, what: String): Unit =
           if (!fs.rename(src, dst)) throw new IllegalStateException(
-            s"recoverErasure: $what rename failed: $src -> $dst")
+            s"recoverStaging: $what rename failed: $src -> $dst")
         parts.foreach { rel =>
           val part = new Path(path, rel)
           val stagedNames = stagedByPart.getOrElse(rel, Set.empty)
+          val origNames = origByPart.getOrElse(rel, Set.empty)
           if (fs.exists(part)) {
-            // originals still visible = the move phase never started
-            // here (hide-all strictly precedes move): finish hiding them
-            fs.listStatus(part)
-              .filter(f => f.isFile &&
-                f.getPath.getName.endsWith(".parquet") &&
-                !f.getPath.getName.startsWith(".") &&
-                !stagedNames.contains(f.getPath.getName))
-              .foreach { f =>
-                renameOrThrow(f.getPath,
-                  new Path(part, s".forgetting-${f.getPath.getName}"),
-                  "hide-original")
+            val names = fs.listStatus(part).filter(_.isFile)
+              .map(_.getPath.getName).toSet
+            val evidence =
+              names.exists(n => origNames.contains(n) ||
+                origNames.contains(n.stripPrefix(hidePrefix)) &&
+                  n.startsWith(hidePrefix)) ||
+              names.exists(stagedNames.contains)
+            if (evidence) {
+              // visible manifest originals = move phase never started
+              // here: finish hiding them (post-snapshot appends are NOT
+              // in the manifest and are never touched)
+              names.filter(origNames.contains).foreach { n =>
+                renameOrThrow(new Path(part, n),
+                  new Path(part, s"$hidePrefix$n"), "hide-original")
               }
-            // move in whatever staged files have not landed yet
-            stagedNames.foreach { name =>
-              val src = new Path(staging, s"$rel/$name")
-              val dst = new Path(part, name)
-              if (fs.exists(src) && !fs.exists(dst))
-                renameOrThrow(src, dst, "move-staged")
+              // move in whatever staged files have not landed yet
+              stagedNames.foreach { name =>
+                val src =
+                  if (nested) new Path(staging, s"$rel/$name")
+                  else new Path(staging, name)
+                val dst = new Path(part, name)
+                if (fs.exists(src) && !fs.exists(dst))
+                  renameOrThrow(src, dst, "move-staged")
+              }
+              // drop the hidden originals; drop a fully-erased dir
+              fs.listStatus(part)
+                .filter(f => f.isFile &&
+                  f.getPath.getName.startsWith(hidePrefix))
+                .foreach(f => fs.delete(f.getPath, false))
+              if (fs.listStatus(part).isEmpty) fs.delete(part, true)
             }
-            // drop the hidden originals; drop the dir if fully erased
-            fs.listStatus(part)
-              .filter(f => f.isFile &&
-                f.getPath.getName.startsWith(".forgetting-"))
-              .foreach(f => fs.delete(f.getPath, false))
-            if (stagedNames.isEmpty) fs.delete(part, true)
           }
         }
         fs.delete(staging, true)
@@ -434,6 +476,12 @@ object ChangelogSink {
     df.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
     val staged = fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    // manifest before any swap — [[recoverStaging]] can replay this
+    // commit after a hard crash; O = the snapshot only, so files
+    // appended after the listing stay untouched even through recovery
+    writeManifest(fs, tmp, nested = false, Seq((s"topic=$topic/date=$date",
+      files.map(_.getPath.getName).toSeq,
+      staged.map(_.getPath.getName).toSeq)))
     def renameOrThrow(src: Path, dst: Path, what: String): Unit =
       if (!fs.rename(src, dst)) throw new IllegalStateException(
         s"compactPartition: $what rename failed: $src -> $dst " +

@@ -414,7 +414,7 @@ class ChangelogSinkSpec extends SparkSpec {
     assert(fin == original -- subjectRows)
   }
 
-  test("recoverErasure: HARD crash mid-swap (process kill, no rollback) " +
+  test("recoverStaging: HARD crash mid-swap (process kill, no rollback) " +
       "rolls forward from the manifest — hidden originals dropped, " +
       "staged rows landed, fully-erased partition removed; a " +
       "manifest-less staging dir is discarded") {
@@ -439,8 +439,14 @@ class ChangelogSinkSpec extends SparkSpec {
       .write.partitionBy("topic", "date").parquet(staging.toString)
     val partsRel = for (t <- Seq("topicA", "topicB", "topicF"); d <- 1 to 2)
       yield s"topic=$t/date=2024-04-0$d"
-    val manifest = new StringBuilder
+    val manifest = new StringBuilder("L nested\n")
     partsRel.foreach(p => manifest.append(s"P $p\n"))
+    partsRel.foreach { p =>
+      new java.io.File(dir, p).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+        .foreach(f => manifest.append(s"O $p/${f.getName}\n"))
+    }
     val stagedFiles = partsRel.flatMap { p =>
       Option(new java.io.File(staging, p).listFiles()).toSeq.flatten
         .filter(f => f.getName.startsWith("part-"))
@@ -476,7 +482,7 @@ class ChangelogSinkSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       new java.io.File(dead, "part-junk.parquet").toPath, "junk")
 
-    val (forward, discardedN) = ChangelogSink.recoverErasure(spark, dir)
+    val (forward, discardedN) = ChangelogSink.recoverStaging(spark, dir)
     assert(forward == 1 && discardedN == 1)
     // the table is exactly the erased table — no loss, no dupes, no S
     val after = ChangelogSink.read(spark, dir).drop("date").collect().toSeq
@@ -489,6 +495,61 @@ class ChangelogSinkSpec extends SparkSpec {
       assert(!partDir(p).listFiles().exists(_.getName.startsWith(".forgetting-")))
     }
     // idempotent: nothing left to recover
-    assert(ChangelogSink.recoverErasure(spark, dir) == ((0, 0)))
+    assert(ChangelogSink.recoverStaging(spark, dir) == ((0, 0)))
+  }
+
+  test("recoverStaging: a compaction killed post-hide rolls forward, " +
+      "and a file appended AFTER the snapshot survives recovery") {
+    val dir = Files.createTempDirectory("compact-hard-crash").toString
+    val base = (0 until 6).map(i => ("t1", s"c-$i", s"k$i",
+      java.sql.Timestamp.valueOf(f"2024-05-01 09:00:0$i")))
+    import spark.implicits._
+    // three appends -> >= 3 small files in the partition
+    (1 to 3).foreach { r =>
+      ChangelogSink.append(base.map { case (t, u, k, ts) =>
+        (t, s"$u-$r", k, ts) }.toDF("topic", "uid", "key", "timestamp"),
+        dir)
+    }
+    val rel = "topic=t1/date=2024-05-01"
+    val part = new java.io.File(dir, rel)
+    val originals = part.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).map(_.getName)
+    assert(originals.length >= 3)
+    val snapshotRows = ChangelogSink.read(spark, dir)
+      .drop("date").collect().toSet
+    // staged compacted output + flat manifest, exactly as the protocol
+    val staging = new java.io.File(dir, ".compact-t1-2024-05-01-77")
+    ChangelogSink.read(spark, dir).drop("topic", "date").repartition(1)
+      .write.parquet(staging.toString)
+    val stagedNames = staging.listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    val m = new StringBuilder("L flat\n").append(s"P $rel\n")
+    originals.foreach(n => m.append(s"O $rel/$n\n"))
+    stagedNames.foreach(n => m.append(s"F $rel/$n\n"))
+    java.nio.file.Files.writeString(
+      new java.io.File(staging, "_MANIFEST").toPath, m.toString)
+    // kill point: ALL snapshot originals hidden, nothing moved yet
+    originals.foreach { n =>
+      assert(new java.io.File(part, n).renameTo(
+        new java.io.File(part, s".compacting-$n")))
+    }
+    // a concurrent append lands AFTER the snapshot (and the crash)
+    val extra = Seq(("t1", "late-1", "kX",
+      java.sql.Timestamp.valueOf("2024-05-01 09:00:59")))
+    ChangelogSink.append(
+      extra.toDF("topic", "uid", "key", "timestamp"), dir)
+
+    assert(ChangelogSink.recoverStaging(spark, dir) == ((1, 0)))
+    val after = ChangelogSink.read(spark, dir).drop("date").collect().toSet
+    // compaction is content-neutral; the late append survives intact
+    assert(after.size == snapshotRows.size + 1)
+    assert(snapshotRows.subsetOf(after))
+    assert(after.exists(_.getAs[String]("uid") == "late-1"))
+    // file layout: the compacted file(s) + the late append, no debris
+    val names = part.listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith(".compacting-")))
+    assert(stagedNames.forall(names.contains))
+    assert(!staging.exists())
   }
 }
