@@ -498,6 +498,47 @@ class ChangelogSinkSpec extends SparkSpec {
     assert(ChangelogSink.recoverStaging(spark, dir) == ((0, 0)))
   }
 
+  test("forgetKeys property: for random tables (null keys, absent " +
+      "subjects, subject-only partitions) the result is EXACTLY the " +
+      "anti-filter and receipts are exactly the per-subject counts") {
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 6) {
+      val dir = Files.createTempDirectory(s"forget-prop-$round").toString
+      val keyPool = (0 until rnd.between(3, 9)).map(i => s"k$i")
+      val rows = (0 until rnd.between(20, 120)).map { i =>
+        val k = if (rnd.nextInt(10) == 0) null
+                else keyPool(rnd.nextInt(keyPool.size))
+        (s"t${rnd.nextInt(3)}", s"u$round-$i", k,
+          java.sql.Timestamp.valueOf(
+            f"2024-06-${1 + rnd.nextInt(3)}%02d 10:00:${rnd.nextInt(60)}%02d"))
+      }
+      import spark.implicits._
+      ChangelogSink.append(
+        rows.toDF("topic", "uid", "key", "timestamp"), dir)
+      // subjects: random subset of the pool + one key that never occurs
+      val subjects = rnd.shuffle(keyPool).take(rnd.between(1, 4)) :+ "ghost"
+      val receipts = ChangelogSink.forgetKeys(spark, dir, subjects)
+        .collect()
+      val expectDel = rows.filter(r => r._3 != null &&
+        subjects.contains(r._3))
+      assert(receipts.map(_.getAs[Long]("rows_deleted")).sum ==
+        expectDel.size, s"round $round: receipt sum mismatch")
+      // per (key, topic, date) exact counts
+      val got = receipts.map(r => ((r.getString(0), r.getString(1),
+        r.getString(2)), r.getAs[Long]("rows_deleted"))).toMap
+      val want = expectDel.groupBy(r =>
+        (r._3, r._1, r._4.toLocalDateTime.toLocalDate.toString))
+        .view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"round $round: receipts $got != $want")
+      val after = ChangelogSink.read(spark, dir)
+        .select($"uid").as[String].collect().toSet
+      val wantAfter = rows.filterNot(r => r._3 != null &&
+        subjects.contains(r._3)).map(_._2).toSet
+      assert(after == wantAfter, s"round $round: surviving rows differ")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("recoverStaging: a compaction killed post-hide rolls forward, " +
       "and a file appended AFTER the snapshot survives recovery") {
     val dir = Files.createTempDirectory("compact-hard-crash").toString
