@@ -1063,8 +1063,29 @@ object StreamPipeline {
       val floorUs = timerValues.getCurrentWatermarkInMs() * 1000L - windowUs
       val keep = all.filter(_ >= floorUs)
       st.clear()
-      if (keep.nonEmpty) st.put(keep)
+      if (keep.nonEmpty) {
+        st.put(keep)
+        // CHURN EVICTION (round 12, caught by the state plateau probe):
+        // input-driven pruning alone leaks state for users who simply
+        // stop producing — their list is never visited again. Arm a
+        // purge timer just past the last entry's eviction line; the
+        // +1 ms covers the µs->ms floor. Re-arming registers a fresh
+        // (key, expiry) timer per batch rather than tracking/deleting
+        // the old one — at most one live timer per batch that touched
+        // the key, each a no-op once the list is already clear.
+        getHandle.registerTimer(
+          math.floorDiv(keep.max, 1000L) + windowUs / 1000L + 1L)
+      }
       alerts.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CepAlert] = {
+      val floorUs = timerValues.getCurrentWatermarkInMs() * 1000L - windowUs
+      val keep = st.get().toArray.filter(_ >= floorUs)
+      st.clear()
+      if (keep.nonEmpty) st.put(keep) // late re-arm already exists
+      Iterator.empty
     }
   }
 

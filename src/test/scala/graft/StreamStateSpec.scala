@@ -152,6 +152,39 @@ class StreamStateSpec extends SparkSpec {
     assertPlateau(snaps, cap = 55, cumulative = 120, "session windows")
   }
 
+  test("transformWithState LIST state plateaus (kq56 family): a user " +
+      "who stops producing is purged by the churn timer, not leaked") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")) {
+      val in = MemoryStream[Evt]
+      val alerts = in.toDF()
+        .withWatermark("ts", "1 hour")
+        .withColumn("us", unix_micros($"ts"))
+        .select($"user_id", $"ts", $"us")
+        .as[StreamPipeline.UserEvt]
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new StreamPipeline.PatternAlertProcessor(3600000000L, 3), // 1h
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = alerts.toDF().writeStream.format("memory")
+        .queryName("ss_list").outputMode(OutputMode.Append()).start()
+      // 8 slices, 6h apart, 20 FRESH users x 3 clicks within 10 min —
+      // every user alerts once, then never produces again: without the
+      // churn timer their 3-entry lists leak forever (the round-12 bug)
+      val slices = (0 until 8).map { i =>
+        (0 until 20).flatMap { u =>
+          (0 until 3).map(j => Evt(i * 1000L + u, "click", at(i * 6, j)))
+        }
+      }
+      val snaps = profile(in, q, slices)
+      // live lists <= 20 users (+ a pre-eviction slice + timer rows);
+      // cumulative 160 user lists (480 entries) over the run
+      assertPlateau(snaps, cap = 70, cumulative = 160, "list state")
+      assert(spark.table("ss_list").count() == 8 * 20) // one alert each
+    }
+  }
+
   test("transformWithState timer state plateaus (kq49 family): the " +
       "store holds only users whose inactivity timer has not fired") {
     withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
