@@ -301,6 +301,21 @@ class AvroPipelineSpec extends SparkSpec {
       assert(messages(err2).exists(m =>
         m.contains("500") || m.contains("registry")))
       assert(requests.get() > before) // both error paths actually hit HTTP
+      // negative-cache bound: misses stop hitting the registry once
+      // cached, and past the cap the miss set CLEARS (re-resolution
+      // possible, memory bounded) rather than growing forever
+      val small = graft.ingest.HttpSchemaResolver(base, maxNegativeCache = 3)
+      val base3 = requests.get()
+      (900 to 902).foreach(id => assert(small.resolve(id).isEmpty))
+      assert(requests.get() == base3 + 3)
+      (900 to 902).foreach(id => assert(small.resolve(id).isEmpty))
+      assert(requests.get() == base3 + 3) // cached misses: no new calls
+      assert(small.resolve(903).isEmpty)  // 4th miss: set was full ->
+      assert(small.resolve(900).isEmpty)  // cleared -> 900 re-fetches
+      assert(requests.get() == base3 + 5)
+      // a late registration is therefore pickable-up after the clear:
+      // ids are answered from the live map each call
+      assert(small.resolve(1).contains(AvroIngest.EventV1))
     } finally server.stop(0)
   }
 
