@@ -113,7 +113,7 @@ object Bench {
     "kq91_rate", "kq92_boxplot", "q52_qualify",
     "x115_tokenizer_fertility", "x116_length_bins", "kq93_rescore",
     "q53_bitmap_distinct", "q54_nullsafe_join", "x117_winnowing",
-    "x118_matryoshka", "x119_scene_cuts", "x120_kcore",
+    "x118_matryoshka", "x119_scene_cuts", "x120_kcore", "x126_cdc_blocks",
     "kq94_stream_topk", "kq95_eql_until", "kq96_terms_shard_error",
     "x121_l_diversity", "kq97_alert_throttle", "x122_unigram_entropy",
     "kq98_pit_state", "x123_fim_split", "x124_span_corruption", "q55_asof_tolerance",

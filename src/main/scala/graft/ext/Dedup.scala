@@ -1112,4 +1112,70 @@ object Dedup {
       .where(col("shared") >= minShared)
       .orderBy(col("d1"), col("d2"))
   }
+
+  /**
+   * x126 — CONTENT-DEFINED CHUNKING block dedup (the LBFS/FastCDC
+   * primitive: Muthitacharoen et al., SOSP'01; Xia et al., ATC'16):
+   * block boundaries derive from CONTENT, not offsets, so an insertion
+   * shifts at most the block it lands in — the property fixed-offset
+   * tiling (x28's span grid) lacks and the reason storage dedup and
+   * block-level corpus dedup use CDC. A position i (gram..len) is a cut
+   * iff the md5 of the `gram`-char window ENDING at i has a zero final
+   * nibble (hash % 16 == 0 -> expected 16-char blocks); blocks run
+   * cut-to-cut with a forced tail at len, block identity is the md5 of
+   * the block text, and a block is DUPLICATED when >= 2 distinct docs
+   * contain it (first in-region boundary re-synchronizes shared text,
+   * so shared substrings align into identical blocks regardless of
+   * their offsets).
+   *
+   * Plan shape: ONE map-only position explode computes boundary
+   * predicates in codegen (builtin md5 — the 100 TB upgrade path is a
+   * native rolling-hash expression, the x117 Winnow pattern), a per-doc
+   * collect_set builds the cut list, block reconstruction is a map-only
+   * transform+explode with the text column present (no second scan),
+   * and the only shuffles are the uniform-md5 block-hash aggregate and
+   * the per-doc rollup — never all-pairs, never a self-join.
+   * Exact-integer outputs; ppm by positive-numerator floor division.
+   */
+  def cdcBlocks(spark: SparkSession, dir: String, gram: Int = 8)
+      : DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+    // boundary scan; sequence() guarded against the descending trap
+    val cuts = docs.where(col("len") >= gram)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(gram.toLong), col("len"))).as("i"))
+      .where(substring(md5(expr(
+        s"substring(text, CAST(i AS INT) - ${gram - 1}, $gram)")),
+        32, 1) === "0")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("i"))).as("cuts"))
+    val blocks = docs.join(cuts, Seq("doc_id"), "left")
+      // array_union keeps sorted order here (cuts ascending, len >= all)
+      .withColumn("cuts2", array_union(
+        coalesce(col("cuts"), expr("CAST(array() AS ARRAY<BIGINT>)")),
+        array(col("len"))))
+      .select(col("doc_id"), col("len"), col("text"),
+        explode(expr(
+          """transform(cuts2, (c, j) -> struct(
+            |  CASE WHEN j = 0 THEN CAST(0 AS BIGINT) ELSE cuts2[j - 1]
+            |    END AS s, c AS e))""".stripMargin)).as("sp"))
+      .select(col("doc_id"), col("len"),
+        (col("sp.e") - col("sp.s")).as("blen"),
+        md5(expr("substring(text, CAST(sp.s + 1 AS INT), " +
+          "CAST(sp.e - sp.s AS INT))")).as("bh"))
+    val freq = blocks.groupBy(col("bh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_b"))
+    blocks.join(freq, "bh")
+      .groupBy(col("doc_id"), col("len"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("n_docs_b") >= 2, 1L).otherwise(0L)).as("dup_blocks"),
+        sum(when(col("n_docs_b") >= 2, col("blen")).otherwise(0L))
+          .as("dup_chars"))
+      .select(col("doc_id"), col("n_blocks"), col("dup_blocks"),
+        col("dup_chars"),
+        expr("(dup_chars * 1000000L) div len").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
 }

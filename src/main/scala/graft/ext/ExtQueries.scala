@@ -361,6 +361,11 @@ object ExtQueries {
     // hashes per doc pair, boilerplate fingerprints df-capped like MOSS.
     "x117_winnowing" -> ((s: SparkSession, d: String) =>
       Dedup.winnowingPairs(s, d)),
+    // x126: content-defined chunking (LBFS/FastCDC) block dedup —
+    // content-derived cut points, md5 block identity, cross-doc dup
+    // coverage in exact integers.
+    "x126_cdc_blocks" -> ((s: SparkSession, d: String) =>
+      Dedup.cdcBlocks(s, d)),
     // x118: matryoshka dimension-truncation recall — top-k under 64/32/16
     // prefix dims vs the full-dim truth set, exact integer ppm.
     "x118_matryoshka" -> ((s: SparkSession, d: String) =>
@@ -2709,6 +2714,58 @@ object ExtQueries {
         |FROM kf a JOIN kf b ON a.fph = b.fph AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY d1, d2""".stripMargin,
+
+    // x126: identical boundary rule (zero final md5 nibble of the
+    // 8-char window ending at i), identical cut list (|| [len],
+    // deduped, sorted) and md5-hex block identity; ppm by positive
+    // floor division so // and div agree. Lengths cast to BIGINT to
+    // match Spark's long len.
+    "x126_cdc_blocks" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             CAST(length(text) AS BIGINT) AS len
+        |           FROM documents),
+        |c AS (SELECT doc_id, i
+        |      FROM (SELECT doc_id, text,
+        |              unnest(range(8, len + 1)) AS i
+        |            FROM d WHERE len >= 8)
+        |      WHERE substr(md5(substr(text, CAST(i - 7 AS INT), 8)),
+        |        32, 1) = '0'),
+        |cl AS (SELECT doc_id, list_sort(list(i)) AS cuts
+        |       FROM c GROUP BY 1),
+        |w AS (SELECT d.doc_id, d.text, d.len,
+        |        list_sort(list_distinct(
+        |          COALESCE(cl.cuts, CAST([] AS BIGINT[])) || [d.len]))
+        |          AS cuts2
+        |      FROM d LEFT JOIN cl USING (doc_id)),
+        |b AS (SELECT doc_id, len,
+        |        cuts2[CAST(j AS INT)]
+        |          - (CASE WHEN j = 1 THEN 0
+        |                  ELSE cuts2[CAST(j - 1 AS INT)] END) AS blen,
+        |        md5(substr(text,
+        |          CAST((CASE WHEN j = 1 THEN 0
+        |                     ELSE cuts2[CAST(j - 1 AS INT)] END) + 1
+        |            AS INT),
+        |          CAST(cuts2[CAST(j AS INT)]
+        |            - (CASE WHEN j = 1 THEN 0
+        |                    ELSE cuts2[CAST(j - 1 AS INT)] END)
+        |            AS INT))) AS bh
+        |      FROM (SELECT doc_id, text, len, cuts2,
+        |              unnest(range(1, CAST(len(cuts2) + 1 AS BIGINT)))
+        |                AS j
+        |            FROM w)),
+        |f AS (SELECT bh, count(DISTINCT doc_id) AS n_docs_b
+        |      FROM b GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN n_docs_b >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dup_blocks,
+        |  CAST(sum(CASE WHEN n_docs_b >= 2 THEN blen ELSE 0 END)
+        |    AS BIGINT) AS dup_chars,
+        |  CAST(sum(CASE WHEN n_docs_b >= 2 THEN blen ELSE 0 END)
+        |    * 1000000 // any_value(len) AS BIGINT) AS dup_ppm
+        |FROM b JOIN f USING (bh)
+        |GROUP BY b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // x118: DuckDB emb[1:L] is 1-based inclusive (= Spark slice(emb,1,L));
     // the DOUBLE[] casts keep list_cosine_similarity in double math,
