@@ -1175,7 +1175,9 @@ object Dedup {
           .as("dup_chars"))
       .select(col("doc_id"), col("n_blocks"), col("dup_blocks"),
         col("dup_chars"),
-        expr("(dup_chars * 1000000L) div len").as("dup_ppm"))
+        // greatest(len, 1): a zero-length doc divides by zero under
+        // ANSI; its dup_chars is necessarily 0 so the ppm stays exact
+        expr("(dup_chars * 1000000L) div greatest(len, 1L)").as("dup_ppm"))
       .orderBy(col("doc_id"))
   }
 }

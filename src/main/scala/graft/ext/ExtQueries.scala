@@ -2762,7 +2762,7 @@ object ExtQueries {
         |  CAST(sum(CASE WHEN n_docs_b >= 2 THEN blen ELSE 0 END)
         |    AS BIGINT) AS dup_chars,
         |  CAST(sum(CASE WHEN n_docs_b >= 2 THEN blen ELSE 0 END)
-        |    * 1000000 // any_value(len) AS BIGINT) AS dup_ppm
+        |    * 1000000 // greatest(any_value(len), 1) AS BIGINT) AS dup_ppm
         |FROM b JOIN f USING (bh)
         |GROUP BY b.doc_id
         |ORDER BY b.doc_id""".stripMargin,

@@ -151,9 +151,12 @@ object ChangelogSink {
    * Spark's own dynamic overwrite has, and erasure is idempotent: a RETRY
    * re-discovers only the partitions still holding the key and finishes
    * the job (a fully-erased table returns an empty audit, no-op).
-   * Concurrent appends to a HIT partition between snapshot and swap are
-   * not supported (same rule as [[compactPartition]]); appends to other
-   * partitions are safe.
+   * Concurrent appends to a HIT partition are pinned out by the same
+   * snapshot rule as [[compactPartition]]: the rewrite reads and the
+   * swap hides EXACTLY the files listed before the rewrite, so a file
+   * appended mid-erasure is neither lost nor duplicated — but its rows
+   * are not erased by THIS call (a retry re-discovers them). Appends to
+   * other partitions are always safe.
    *
    * Returns the audit frame (topic, date, rows_before, rows_deleted,
    * rows_after) — the erasure receipt a compliance pipeline stores.
@@ -229,21 +232,34 @@ object ChangelogSink {
     val hits = keyHits.groupBy(t => (t._2, t._3))
       .map { case ((t, d), rows) => (t, d, rows.map(_._4).sum) }
       .toSeq.sortBy(t => (t._1, t._2))
-    // exact hit predicate over the PARTITION columns only — the file
-    // index evaluates it against partition values, so non-hit partitions
-    // are pruned before any file is listed or read
-    val hitPred = hits.map { case (t, d, _) =>
-      col("topic") === t && col("date") === to_date(lit(d))
-    }.reduce(_ || _)
-    val pruned = read(spark, path).where(hitPred)
-    // ONE staged write of every hit partition's kept rows; natural input
-    // partitioning (no repartition(1)) keeps the rewrite fully parallel.
-    // NULL keys are never a subject: isin() is null for them, so keep on
-    // coalesce(..., false)
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pin the SNAPSHOT once, before the rewrite reads anything — the
+    // same append-safety pattern as [[compactPartition]]: the rewrite
+    // reads exactly these files and the swap hides/deletes exactly these
+    // files, so a file appended to a hit partition after this listing is
+    // neither lost (it is never hidden) nor duplicated (it is never
+    // read). Its rows are simply NOT erased — concurrent appends during
+    // erasure remain unsupported, but the failure mode is now visible
+    // non-erasure (a retry re-discovers the key), never silent loss.
+    val snapshot: Map[(String, String),
+        Seq[org.apache.hadoop.fs.FileStatus]] =
+      hits.map { case (t, d, _) =>
+        (t, d) -> fs.listStatus(new Path(path, s"topic=$t/date=$d"))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .toSeq
+      }.toMap
+    val snapshotFiles = hits.flatMap { case (t, d, _) =>
+      snapshot((t, d)).map(_.getPath.toString) }
     val staging = new Path(path, s".forget-${System.nanoTime()}")
-    pruned.where(!coalesce(col("key").isin(keys: _*), lit(false)))
+    // ONE staged write of the snapshot files' kept rows; basePath
+    // restores the (topic, date) partition columns from the directory
+    // names. Natural input partitioning (no repartition(1)) keeps the
+    // rewrite fully parallel. NULL keys are never a subject: isin() is
+    // null for them, so keep on coalesce(..., false)
+    spark.read.option("basePath", path)
+      .parquet(snapshotFiles: _*)
+      .where(!coalesce(col("key").isin(keys: _*), lit(false)))
       .write.partitionBy("topic", "date")
       .mode("overwrite").parquet(staging.toString)
     // MANIFEST before any swap: staged layout, the hit-partition list,
@@ -256,16 +272,13 @@ object ChangelogSink {
     writeManifest(fs, staging, nested = true,
       hits.map { case (t, d, _) =>
         val rel = s"topic=$t/date=$d"
-        val originals = fs.listStatus(new Path(path, rel))
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.getName).toSeq
         val sp = new Path(staging, rel)
         val stagedNames =
           if (!fs.exists(sp)) Nil
           else fs.listStatus(sp)
             .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
             .map(_.getPath.getName).toSeq
-        (rel, originals, stagedNames)
+        (rel, snapshot((t, d)).map(_.getPath.getName), stagedNames)
       })
     def renameOrThrow(src: Path, dst: Path, what: String): Unit =
       if (!fs.rename(src, dst)) throw new IllegalStateException(
@@ -280,8 +293,7 @@ object ChangelogSink {
     }
     val audit = hits.map { case (topic, date, nDel) =>
       val part = new Path(s"$path/topic=$topic/date=$date")
-      val originals = fs.listStatus(part)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val originals = snapshot((topic, date))
       val stagedPart = new Path(staging, s"topic=$topic/date=$date")
       val staged =
         if (!fs.exists(stagedPart)) Array.empty[org.apache.hadoop.fs.FileStatus]
@@ -303,7 +315,10 @@ object ChangelogSink {
           moved += ((f.getPath, dst))
         }
         hidden.foreach { case (_, h) => fs.delete(h, false) }
-        if (b == nDel) fs.delete(part, true) // fully erased: drop the dir
+        // fully erased AND nothing landed after the snapshot: drop the
+        // dir (a post-snapshot append keeps the partition alive)
+        if (b == nDel && fs.listStatus(part).isEmpty)
+          fs.delete(part, true)
       } catch {
         case e: Throwable =>
           moved.foreach { case (src, dst) => fs.rename(dst, src) }
@@ -582,6 +597,7 @@ object ChangelogSink {
     if (candidates.isEmpty) return (dropped, 0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(maxConcurrent, candidates.size)))
+      .asInstanceOf[java.util.concurrent.ThreadPoolExecutor]
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -593,7 +609,19 @@ object ChangelogSink {
       scala.concurrent.Await.result(done,
         scala.concurrent.duration.Duration.Inf)
       (dropped, candidates.size)
-    } finally pool.shutdown()
+    } finally {
+      // Await.result rethrows on the FIRST failed compaction while
+      // sibling swaps may still be mid-flight on pool threads (and more
+      // queued). Control must not return — to a retry, or to
+      // recoverStaging — while a live swap runs, so: drop the queued
+      // units (each is independent; the idempotent re-run picks them
+      // up), then WAIT for in-flight compactions to finish their own
+      // commit-or-rollback. On the success path all futures are done and
+      // this is instant.
+      pool.getQueue.clear()
+      pool.shutdown()
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+    }
   }
 
   def dropPartitionsBefore(spark: SparkSession, path: String, cutoff: String): Int = {

@@ -29,7 +29,16 @@ class FlakyRenameFs extends RawLocalFileSystem {
     false
   }
   override def rename(src: HPath, dst: HPath): Boolean =
-    if (FlakyRenameFs.failHides &&
+    if (FlakyRenameFs.onFirstHide != null &&
+        dst.getName.startsWith(".forgetting-")) {
+      // fire the concurrent-append injection ONCE, strictly between the
+      // erasure's snapshot listing and its first swap rename, then let
+      // the rename proceed normally
+      val cb = FlakyRenameFs.onFirstHide
+      FlakyRenameFs.onFirstHide = null
+      cb(this, src)
+      super.rename(src, dst)
+    } else if (FlakyRenameFs.failHides &&
         (dst.getName.startsWith(".compacting-") ||
           dst.getName.startsWith(".forgetting-")))
       false
@@ -45,6 +54,11 @@ object FlakyRenameFs {
   @volatile var failHides = false
   @volatile var failMovesAfter = -1 // -1 = off; N = fail the (N+1)th move
   val movesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Runs once, just before the first hide-original rename of an
+    * erasure swap — the window where a concurrent append can land
+    * between the snapshot listing and the swap. Receives (fs, src of
+    * the hide rename). */
+  @volatile var onFirstHide: (RawLocalFileSystem, HPath) => Unit = null
 }
 
 class ChangelogSinkSpec extends SparkSpec {
@@ -412,6 +426,55 @@ class ChangelogSinkSpec extends SparkSpec {
     assert(retryAudit.nonEmpty)
     val fin = ChangelogSink.read(spark, dir).drop("date").collect().toSet
     assert(fin == original -- subjectRows)
+  }
+
+  test("erasure pins the file snapshot: a file appended to a hit " +
+      "partition between snapshot and swap SURVIVES (visible " +
+      "non-erasure, never silent loss), and a retry erases its rows") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    val dir = "flaky:" +
+      Files.createTempDirectory("forget-append").toString
+    val env = Pipeline.envelopeFlat(spark, sf)
+    ChangelogSink.append(env, dir)
+    val before = ChangelogSink.read(spark, dir)
+    val beforeCount = before.count()
+    val subj13 = before.where($"key" === "13").count()
+    assert(subj13 > 0)
+
+    // inject a concurrent append: just before the first hide rename,
+    // copy the to-be-hidden file back in under a fresh part- name —
+    // exactly a file that landed AFTER the erasure's snapshot listing
+    @volatile var appended: HPath = null
+    FlakyRenameFs.onFirstHide = (fs, src) => {
+      val dst = new HPath(src.getParent, "part-post-append.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+      appended = dst
+    }
+    try ChangelogSink.forgetKey(spark, dir, "13").collect()
+    finally FlakyRenameFs.onFirstHide = null
+    assert(appended != null, "hook never fired")
+
+    // the appended file was neither read nor swapped: still on disk
+    val fs = appended.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(appended), "post-snapshot append was LOST by the swap")
+    val copy = spark.read.parquet(appended.toString)
+    val copyCount = copy.count()
+    val copy13 = copy.where($"key" === "13").count()
+    assert(copy13 > 0) // the hit file held subject rows by construction
+
+    // visible non-erasure: exactly the copy's subject rows remain
+    val mid = ChangelogSink.read(spark, dir)
+    assert(mid.where($"key" === "13").count() == copy13)
+    assert(mid.count() == beforeCount - subj13 + copyCount)
+
+    // retry re-discovers the surviving rows and finishes the job
+    val retry = ChangelogSink.forgetKey(spark, dir, "13").collect()
+    assert(retry.nonEmpty)
+    val fin = ChangelogSink.read(spark, dir)
+    assert(fin.where($"key" === "13").count() == 0)
+    assert(fin.count() == beforeCount - subj13 + copyCount - copy13)
   }
 
   test("recoverStaging: HARD crash mid-swap (process kill, no rollback) " +
