@@ -1180,4 +1180,68 @@ object Dedup {
         expr("(dup_chars * 1000000L) div greatest(len, 1L)").as("dup_ppm"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * x127 — CORPUS-LEVEL LINE DEDUP (boilerplate removal; CCNet §4.1 /
+   * RefinedWeb line-wise filtering): hash every line, count the DISTINCT
+   * documents each line appears in, drop lines shared by >= `minDocs`
+   * docs (headers, footers, nav chrome — the boilerplate that dominates
+   * crawl data), and reassemble each document's surviving lines IN
+   * ORDER. This removes a LINE from every doc — the granularity none of
+   * the doc-level (x1–x4), block-level (x126) or substring (x109)
+   * dedups express.
+   *
+   * The fixture corpus is single-line, so the entry derives a
+   * deterministic lined corpus first (the closed-form-fixture trick,
+   * cf. the synthetic URLs of x128): a per-source header line
+   * (boilerplate shared by every doc of that source), the doc's own
+   * tokens in `chunk`-token body lines, and a corpus-wide footer line.
+   *
+   * Plan shape at 100 TB: ONE posexplode (map-side), a line-frequency
+   * aggregate keyed on md5(line) — the HASH travels through the
+   * shuffle, never the line text twice — a hash-keyed join back, and a
+   * per-doc reassembly aggregate. No pair join anywhere; the frequency
+   * table is itself partial-aggregated map-side. Exact-integer metrics.
+   */
+  def lineDedup(spark: SparkSession, dir: String, chunk: Int = 10,
+      minDocs: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val lined = docs.select(col("doc_id"),
+      expr(
+        s"""concat(
+           |  array(concat('== ', source, ' header ==')),
+           |  transform(
+           |    sequence(0L, CAST(ceil(size(split(text, ' ')) / ${chunk}.0)
+           |      AS BIGINT) - 1L),
+           |    i -> array_join(slice(split(text, ' '),
+           |      CAST(i * $chunk + 1 AS INT), $chunk), ' ')),
+           |  array('-- standard license footer --'))""".stripMargin)
+        .as("lines"))
+    lineDedupOn(lined, minDocs)
+  }
+
+  /** Core of [[lineDedup]] over an already-lined corpus — (doc_id,
+    * lines: array&lt;string&gt;) in. Split out so specs can plant
+    * boilerplate corpora directly. */
+  def lineDedupOn(lined: DataFrame, minDocs: Int): DataFrame = {
+    val exploded = lined
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val freq = exploded.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("line_docs"))
+    exploded.join(freq, "lh")
+      .withColumn("rm", col("line_docs") >= minDocs)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("lines_removed"),
+        sum(when(col("rm"), length(col("line"))).otherwise(0L))
+          .as("chars_removed"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT rm THEN " +
+            "struct(pos, line) END)), s -> s.line)"), "\n")
+          .as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
 }

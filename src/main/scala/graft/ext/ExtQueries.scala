@@ -366,6 +366,11 @@ object ExtQueries {
     // coverage in exact integers.
     "x126_cdc_blocks" -> ((s: SparkSession, d: String) =>
       Dedup.cdcBlocks(s, d)),
+    // x127: corpus-level line dedup (CCNet/RefinedWeb boilerplate
+    // removal) — lines shared by >= 3 docs drop, docs reassemble in
+    // order with exact removed-line/char counts.
+    "x127_line_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.lineDedup(s, d)),
     // x118: matryoshka dimension-truncation recall — top-k under 64/32/16
     // prefix dims vs the full-dim truth set, exact integer ppm.
     "x118_matryoshka" -> ((s: SparkSession, d: String) =>
@@ -2766,6 +2771,43 @@ object ExtQueries {
         |FROM b JOIN f USING (bh)
         |GROUP BY b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // x127: identical lined-corpus construction (per-source header,
+    // 10-token body chunks via 1-based inclusive list slicing = Spark
+    // slice, corpus footer), identical >= 3-distinct-docs drop rule on
+    // md5(line). COALESCE(array_to_string(...), '') because an
+    // all-removed doc must reassemble to '' — DuckDB's FILTERed list
+    // is NULL on zero rows AND array_to_string([]) is itself NULL,
+    // while Spark's collect_list is never null (REAL at sf0.1: doc 100
+    // is pure boilerplate); BIGINT casts for the HUGEINT sums.
+    "x127_line_dedup" ->
+      """WITH l AS (SELECT doc_id,
+        |    ['== ' || source || ' header =='] ||
+        |    list_transform(
+        |      range(0, CAST(ceil(len(string_split(text, ' ')) / 10.0)
+        |        AS BIGINT)),
+        |      i -> array_to_string(string_split(text, ' ')
+        |        [CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' '))
+        |    || ['-- standard license footer --'] AS lines
+        |  FROM documents),
+        |e AS (SELECT doc_id, i AS pos, lines[CAST(i AS INT)] AS line
+        |      FROM (SELECT doc_id, lines,
+        |              unnest(range(1, len(lines) + 1)) AS i
+        |            FROM l)),
+        |f AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS line_docs
+        |      FROM e GROUP BY 1)
+        |SELECT e.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN line_docs >= 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS lines_removed,
+        |  CAST(sum(CASE WHEN line_docs >= 3 THEN length(line) ELSE 0 END)
+        |    AS BIGINT) AS chars_removed,
+        |  COALESCE(array_to_string(
+        |    list(line ORDER BY pos) FILTER (WHERE line_docs < 3),
+        |    chr(10)), '') AS text_clean
+        |FROM e JOIN f ON md5(e.line) = f.lh
+        |GROUP BY e.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
 
     // x118: DuckDB emb[1:L] is 1-based inclusive (= Spark slice(emb,1,L));
     // the DOUBLE[] casts keep list_cosine_similarity in double math,

@@ -15,6 +15,36 @@ class ExtSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("line dedup: planted boilerplate drops from every doc, body " +
+      "lines survive IN ORDER, an all-boilerplate doc reassembles to " +
+      "'' with exact removed counts") {
+    val hdr = "== nav ==";
+    val ftr = "(c) 2024 corp"
+    val lined = Seq(
+      (1L, Seq(hdr, "alpha beta", "gamma delta", ftr)),
+      (2L, Seq(hdr, "gamma delta", "epsilon", ftr)),
+      (3L, Seq(hdr, "zeta", "alpha beta", ftr)),
+      (4L, Seq(hdr, ftr)) // pure boilerplate
+    ).toDF("doc_id", "lines")
+    val out = Dedup.lineDedupOn(lined, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // hdr+ftr in 4 docs -> removed; "gamma delta"/"alpha beta" in only
+    // 2 -> kept; reassembly preserves original line order
+    assert(out(1L) == ((4L, 2L, (hdr.length + ftr.length).toLong,
+      "alpha beta\ngamma delta")))
+    assert(out(2L) == ((4L, 2L, (hdr.length + ftr.length).toLong,
+      "gamma delta\nepsilon")))
+    assert(out(3L)._4 == "zeta\nalpha beta") // order: zeta FIRST
+    assert(out(4L) == ((2L, 2L, (hdr.length + ftr.length).toLong, "")))
+    // threshold boundary: minDocs = 2 also removes the 2-doc body lines
+    val strict = Dedup.lineDedupOn(lined, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(strict(1L) == "")
+    assert(strict(2L) == "epsilon")
+    assert(strict(3L) == "zeta")
+  }
+
   test("ngram jaccard pairs: ordered, thresholded, symmetric-free") {
     val p = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.1)
     assert(p.where(col("d1") >= col("d2")).count() == 0)
