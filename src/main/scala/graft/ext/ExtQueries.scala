@@ -371,6 +371,11 @@ object ExtQueries {
     // order with exact removed-line/char counts.
     "x127_line_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.lineDedup(s, d)),
+    // x128: URL canonicalization + RefinedWeb per-domain quota — docs
+    // ranked inside their registered domain by md5(canonical url),
+    // capped at 5 per domain.
+    "x128_domain_cap" -> ((s: SparkSession, d: String) =>
+      UrlOps.domainCap(s, d)),
     // x118: matryoshka dimension-truncation recall — top-k under 64/32/16
     // prefix dims vs the full-dim truth set, exact integer ppm.
     "x118_matryoshka" -> ((s: SparkSession, d: String) =>
@@ -2808,6 +2813,77 @@ object ExtQueries {
         |FROM e JOIN f ON md5(e.line) = f.lh
         |GROUP BY e.doc_id
         |ORDER BY e.doc_id""".stripMargin,
+
+    // x128: identical synthetic-URL recipe and canonicalization chain
+    // (split_part = substring_index on always-present separators,
+    // starts_with = Spark startswith, list slice [-2:] = Spark
+    // slice(-2,2)); row_number is BIGINT in DuckDB and the Spark side
+    // casts to match.
+    "x128_domain_cap" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+        |    || '://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+        |         WHEN doc_id % 3 = 1 THEN 'cdn.Assets.' ELSE '' END
+        |    || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.COM' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ':80'
+        |         WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END
+        |    || '/Docs/' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&id=' ||
+        |      CAST(doc_id AS VARCHAR) || '&ref=x&utm_campaign=z'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END
+        |      AS url
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    lower(split_part(split_part(url, '#', 1), '://', 1))
+        |      AS scheme,
+        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+        |  FROM d),
+        |r AS (SELECT doc_id, scheme,
+        |    split_part(rest, '/', 1) AS hostport,
+        |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        |  FROM q),
+        |s AS (SELECT doc_id, scheme, pathq,
+        |    CASE WHEN starts_with(lower(split_part(hostport, ':', 1)),
+        |        'www.')
+        |      THEN substr(lower(split_part(hostport, ':', 1)), 5)
+        |      ELSE lower(split_part(hostport, ':', 1)) END AS host,
+        |    CASE WHEN contains(hostport, ':')
+        |      THEN split_part(hostport, ':', 2) ELSE '' END AS port
+        |  FROM r),
+        |t AS (SELECT doc_id, scheme, host,
+        |    CASE WHEN port <> '' AND NOT
+        |        ((scheme = 'http' AND port = '80') OR
+        |         (scheme = 'https' AND port = '443'))
+        |      THEN ':' || port ELSE '' END AS portpart,
+        |    CASE WHEN regexp_replace(split_part(pathq, '?', 1),
+        |        '/+$', '') = '' THEN '/'
+        |      ELSE regexp_replace(split_part(pathq, '?', 1), '/+$', '')
+        |      END AS path,
+        |    array_to_string(list_filter(string_split(
+        |      CASE WHEN contains(pathq, '?')
+        |        THEN split_part(pathq, '?', 2) ELSE '' END, '&'),
+        |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref=')
+        |        OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
+        |        OR x = '')), '&') AS q2
+        |  FROM s),
+        |u AS (SELECT doc_id,
+        |    scheme || '://' || host || portpart || path ||
+        |      CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END
+        |      AS url_canonical,
+        |    array_to_string((string_split(host, '.'))[-2:], '.')
+        |      AS domain
+        |  FROM t)
+        |SELECT doc_id, url_canonical, domain, n_docs_domain,
+        |  domain_rank, domain_rank <= 5 AS kept
+        |FROM (SELECT doc_id, url_canonical, domain,
+        |        count(*) OVER (PARTITION BY domain) AS n_docs_domain,
+        |        row_number() OVER (PARTITION BY domain
+        |          ORDER BY md5(url_canonical), doc_id) AS domain_rank
+        |      FROM u)
+        |ORDER BY doc_id""".stripMargin,
 
     // x118: DuckDB emb[1:L] is 1-based inclusive (= Spark slice(emb,1,L));
     // the DOUBLE[] casts keep list_cosine_similarity in double math,

@@ -45,6 +45,64 @@ class ExtSpec extends SparkSpec {
     assert(strict(3L) == "zeta")
   }
 
+  test("url canonicalization: case, www, default ports, trailing " +
+      "slashes, fragments, tracking params — each rule pinned; domain " +
+      "cap keeps exactly maxPerDomain by the deterministic hash rank") {
+    val cases = Seq(
+      // lowercase scheme+host, strip www., keep path case
+      ("HTTPS://WWW.Example.COM/A/B", "https://example.com/A/B"),
+      // default ports drop per scheme...
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("https://a.com:443/x", "https://a.com/x"),
+      // ...non-default ports survive, including cross-scheme defaults
+      ("http://a.com:443/x", "http://a.com:443/x"),
+      ("https://a.com:8443/x", "https://a.com:8443/x"),
+      // trailing slashes drop; bare host canonicalizes to root /
+      ("https://a.com/x///", "https://a.com/x"),
+      ("https://a.com", "https://a.com/"),
+      ("https://a.com//", "https://a.com/"),
+      // fragment drops, even with empty path
+      ("https://a.com/x#frag", "https://a.com/x"),
+      ("https://a.com#frag", "https://a.com/"),
+      // tracking params drop, survivors keep order, emptied ? drops
+      ("https://a.com/x?utm_source=s&id=7&ref=r&p=2",
+        "https://a.com/x?id=7&p=2"),
+      ("https://a.com/x?utm_source=s&gclid=g&fbclid=f",
+        "https://a.com/x"),
+      // non-tracking param named like a prefix survives (refresh != ref=)
+      ("https://a.com/x?refresh=1", "https://a.com/x?refresh=1"),
+      // subdomains other than www survive; only www strips
+      ("https://cdn.assets.B.com/y/", "https://cdn.assets.b.com/y"))
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalize($in)") }
+    // registered domain: last two labels of the canonical host
+    val doms = Seq("https://cdn.assets.b.com/y", "https://a.com/",
+        "http://a.com:443/x").toDF("u")
+      .select(UrlOps.registeredDomain(col("u")).as("d"))
+      .as[String].collect().toSeq
+    assert(doms == Seq("b.com", "a.com", "a.com"))
+
+    // cap enforcement on the fixture entry: kept == rank <= 5, exactly
+    // min(5, n) kept per domain, rank is a permutation of 1..n
+    val out = UrlOps.domainCap(spark, sf, maxPerDomain = 5)
+    val byDomain = out.groupBy($"domain").agg(
+      count(lit(1)).as("n"),
+      sum(when($"kept", 1L).otherwise(0L)).as("nk"),
+      max($"domain_rank").as("maxr"),
+      countDistinct($"domain_rank").as("dr")).collect()
+    assert(byDomain.nonEmpty)
+    byDomain.foreach { r =>
+      val (n, nk, maxr, dr) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(nk == math.min(5L, n), s"domain ${r.getString(0)}")
+      assert(maxr == n && dr == n) // ranks are exactly 1..n
+    }
+    assert(out.where($"kept" =!= ($"domain_rank" <= 5)).count() == 0)
+  }
+
   test("ngram jaccard pairs: ordered, thresholded, symmetric-free") {
     val p = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.1)
     assert(p.where(col("d1") >= col("d2")).count() == 0)
