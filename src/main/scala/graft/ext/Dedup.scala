@@ -1128,34 +1128,32 @@ object Dedup {
    * so shared substrings align into identical blocks regardless of
    * their offsets).
    *
-   * Plan shape: ONE map-only position explode computes boundary
-   * predicates in codegen (builtin md5 — the 100 TB upgrade path is a
-   * native rolling-hash expression, the x117 Winnow pattern), a per-doc
-   * collect_set builds the cut list, block reconstruction is a map-only
-   * transform+explode with the text column present (no second scan),
-   * and the only shuffles are the uniform-md5 block-hash aggregate and
-   * the per-doc rollup — never all-pairs, never a self-join.
-   * Exact-integer outputs; ppm by positive-numerator floor division.
+   * Boundary rule: position i is a cut iff the Rabin-Karp polynomial
+   * hash of the `gram`-char window ending at i is divisible by 16
+   * (expected 16-char blocks) — computed by the native
+   * [[graft.functions.CdcCuts]] expression in ONE rolling pass per
+   * document (one multiply-add per character; the original per-position
+   * md5 explode paid one md5 PER CHARACTER and a cut-list shuffle +
+   * join — that whole leg is now a map-side projection).
+   *
+   * Plan shape: cut lists are a map-side native projection, block
+   * reconstruction is a map-only transform+explode with the text column
+   * present (no second scan), and the only shuffles are the block-hash
+   * aggregate and the per-doc rollup — never all-pairs, never a
+   * self-join. Exact-integer outputs; ppm by positive-numerator floor
+   * division.
    */
   def cdcBlocks(spark: SparkSession, dir: String, gram: Int = 8)
       : DataFrame = {
+    import graft.functions.CdcCuts.cdcCuts
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("len"))
-    // boundary scan; sequence() guarded against the descending trap
-    val cuts = docs.where(col("len") >= gram)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(gram.toLong), col("len"))).as("i"))
-      .where(substring(md5(expr(
-        s"substring(text, CAST(i AS INT) - ${gram - 1}, $gram)")),
-        32, 1) === "0")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("i"))).as("cuts"))
-    val blocks = docs.join(cuts, Seq("doc_id"), "left")
-      // array_union keeps sorted order here (cuts ascending, len >= all)
-      .withColumn("cuts2", array_union(
-        coalesce(col("cuts"), expr("CAST(array() AS ARRAY<BIGINT>)")),
-        array(col("len"))))
+    val blocks = docs
+      // native one-pass boundary scan; ascending positions, so the
+      // array_union with the forced tail at len keeps sorted order
+      .withColumn("cuts", cdcCuts(col("text"), gram, 16))
+      .withColumn("cuts2", array_union(col("cuts"), array(col("len"))))
       .select(col("doc_id"), col("len"), col("text"),
         explode(expr(
           """transform(cuts2, (c, j) -> struct(

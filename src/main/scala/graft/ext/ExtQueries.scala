@@ -2725,11 +2725,14 @@ object ExtQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY d1, d2""".stripMargin,
 
-    // x126: identical boundary rule (zero final md5 nibble of the
-    // 8-char window ending at i), identical cut list (|| [len],
-    // deduped, sorted) and md5-hex block identity; ppm by positive
-    // floor division so // and div agree. Lengths cast to BIGINT to
-    // match Spark's long len.
+    // x126: identical boundary rule (Rabin-Karp hash of the 8-char
+    // window ending at i, B=257 M=1e9+7, divisible by 16 — the native
+    // CdcCuts rule, reproduced per-position; BIGINT casts because
+    // DuckDB INT multiplication overflows, weights are B^j mod M for
+    // the char j back from i), identical cut list (|| [len], deduped,
+    // sorted) and md5-hex block identity; ppm by positive floor
+    // division so // and div agree. Lengths cast to BIGINT to match
+    // Spark's long len.
     "x126_cdc_blocks" ->
       """WITH d AS (SELECT doc_id, text,
         |             CAST(length(text) AS BIGINT) AS len
@@ -2738,8 +2741,23 @@ object ExtQueries {
         |      FROM (SELECT doc_id, text,
         |              unnest(range(8, len + 1)) AS i
         |            FROM d WHERE len >= 8)
-        |      WHERE substr(md5(substr(text, CAST(i - 7 AS INT), 8)),
-        |        32, 1) = '0'),
+        |      WHERE (
+        |          CAST(ascii(substr(text, CAST(i - 7 AS INT), 1))
+        |            AS BIGINT) * 13163680
+        |        + CAST(ascii(substr(text, CAST(i - 6 AS INT), 1))
+        |            AS BIGINT) * 805498697
+        |        + CAST(ascii(substr(text, CAST(i - 5 AS INT), 1))
+        |            AS BIGINT) * 154885210
+        |        + CAST(ascii(substr(text, CAST(i - 4 AS INT), 1))
+        |            AS BIGINT) * 362470373
+        |        + CAST(ascii(substr(text, CAST(i - 3 AS INT), 1))
+        |            AS BIGINT) * 16974593
+        |        + CAST(ascii(substr(text, CAST(i - 2 AS INT), 1))
+        |            AS BIGINT) * 66049
+        |        + CAST(ascii(substr(text, CAST(i - 1 AS INT), 1))
+        |            AS BIGINT) * 257
+        |        + CAST(ascii(substr(text, CAST(i AS INT), 1))
+        |            AS BIGINT)) % 1000000007 % 16 = 0),
         |cl AS (SELECT doc_id, list_sort(list(i)) AS cuts
         |       FROM c GROUP BY 1),
         |w AS (SELECT d.doc_id, d.text, d.len,

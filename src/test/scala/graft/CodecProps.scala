@@ -158,4 +158,50 @@ object CodecProps extends Properties("mediaCodecs") {
         dw == w && dh == h && bands.sameElements(refBands) &&
           cnt.forall(_ > 0) // every grid cell populated for >= 8px sides
     }
+
+  // ---- CdcCuts: the native rolling-hash boundary scan --------------
+
+  /** Independent reference: DIRECT per-position polynomial sum (no
+    * rolling update, no ring buffer) over the codepoint array — the
+    * declarative boundary scan the native one-pass must equal. */
+  private def refCdcCuts(s: String, w: Int, div: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    val M = 1000000007L; val B = 257L
+    val pw = Array.iterate(1L, w)(p => p * B % M) // pw(j) = B^j mod M
+    (w to cps.length).flatMap { i =>
+      var h = 0L
+      var j = 0
+      while (j < w) { h = (h + cps(i - 1 - j) * pw(j)) % M; j += 1 }
+      if (h % div == 0) Some(i.toLong) else None
+    }
+  }
+
+  // full Unicode incl. supplementary planes (surrogate range excluded)
+  private val genCodepoint: Gen[Int] = Gen.frequency(
+    8 -> Gen.choose(32, 126),
+    2 -> Gen.choose(0x80, 0xD7FF),
+    1 -> Gen.choose(0x10000, 0x10FFFF))
+  private val genText: Gen[String] =
+    Gen.listOf(genCodepoint).map(cps =>
+      new String(cps.toArray, 0, cps.length))
+
+  property("cdcCuts: native one-pass rolling hash equals the direct " +
+      "per-position polynomial on arbitrary Unicode text (positions in " +
+      "codepoints), cuts ascending within [w, len]") =
+    Prop.forAll(genText, Gen.choose(1, 12), Gen.choose(1, 32)) {
+      (s, w, div) =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.unsafe.types.UTF8String
+        val got = graft.functions.CdcCuts(
+            Literal(UTF8String.fromString(s),
+              org.apache.spark.sql.types.StringType), w, div)
+          .eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray().toSeq
+        val ref = refCdcCuts(s, w, div)
+        val nCp = s.codePoints().count()
+        got == ref &&
+          got.forall(i => i >= w && i <= nCp) &&
+          got.sliding(2).forall(p => p.length < 2 || p(0) < p(1))
+    }
 }
