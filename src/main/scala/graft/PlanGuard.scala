@@ -36,6 +36,15 @@ import org.apache.spark.sql.execution.window.{WindowExec,
  *     and legal (per join type) to broadcast, while the physical plan
  *     has FEWER broadcast hash joins than such eligible joins — i.e. a
  *     broadcastable join that shuffled anyway.
+ *  5. An UNPRUNED partitioned scan: a `FileSourceScanExec` over a
+ *     partitioned table with EMPTY `partitionFilters`, while some
+ *     filter in the plan references one of that scan's partition
+ *     columns — the query constrains topic/date but the constraint
+ *     never reached the file index, so every partition is listed and
+ *     read. The classic 100 TB killer: correct at fixture scale,
+ *     reads the whole table in production. (A partitioned scan with
+ *     no partition-column filter anywhere is a deliberate full scan
+ *     and passes.)
  *
  * The heuristics are deliberately conservative (checks 2-4 look for
  * boundedness evidence, not sizes at runtime); anything they misjudge
@@ -65,7 +74,37 @@ object PlanGuard {
           oneLine(w))
       case _ => None
     }
-    structural ++ missedBroadcasts(df, physical)
+    structural ++ missedBroadcasts(df, physical) ++
+      unprunedPartitionedScans(physical)
+  }
+
+  /** Check 5: a partitioned file scan with no partition filters, while a
+    * filter elsewhere in the plan references its partition columns (by
+    * exprId, so only THIS scan's attributes count). Catalyst pushes
+    * adjacent deterministic partition predicates itself; what this
+    * catches is the predicate stranded above a plan barrier (a window or
+    * aggregate it cannot cross) — the filter still runs, every file is
+    * still read. */
+  private def unprunedPartitionedScans(
+      physical: Seq[SparkPlan]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    val filterRefs = physical.collect { case f: FilterExec =>
+      f.condition.references
+    }.foldLeft(AttributeSet.empty)(_ ++ _)
+    if (filterRefs.isEmpty) return Nil
+    physical.flatMap {
+      case scan: FileSourceScanExec
+          if scan.relation.partitionSchema.nonEmpty &&
+            scan.partitionFilters.isEmpty =>
+        val partNames = scan.relation.partitionSchema.fieldNames.toSet
+        val hit = scan.output.filter(a =>
+          partNames.contains(a.name) && filterRefs.contains(a))
+        if (hit.isEmpty) None
+        else Some("unpruned partitioned scan: filter on partition " +
+          s"column(s) ${hit.map(_.name).mkString(", ")} never reached " +
+          s"the file index as a partition filter: ${oneLine(scan)}")
+      case _ => None
+    }
   }
 
   /** Check 4: every stats-eligible broadcast join must actually plan as

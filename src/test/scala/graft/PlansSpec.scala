@@ -57,6 +57,33 @@ class PlansSpec extends SparkSpec {
     val scalar = li.crossJoin(broadcast(ord.agg(max($"o_custkey").as("m"))))
     assert(PlanGuard.violations(scalar).isEmpty,
       s"scalar attach flagged: ${PlanGuard.violations(scalar)}")
+
+    // 5. unpruned partitioned scan: the topic predicate stranded ABOVE
+    //    a window partitioned by a different column cannot push through
+    //    to the file index — every partition is read, then filtered
+    val dir = java.nio.file.Files
+      .createTempDirectory("planguard-prune").toString + "/t"
+    li.limit(50).select($"l_orderkey".as("k"),
+        ($"l_orderkey" % 3).cast("string").as("topic"), $"l_quantity")
+      .write.partitionBy("topic").parquet(dir)
+    val part = spark.read.parquet(dir)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"l_quantity")
+    val stranded = part.withColumn("rn", row_number().over(wk))
+      .where($"topic" === "1")
+    assert(PlanGuard.violations(stranded)
+      .exists(_.contains("unpruned partitioned scan")),
+      "stranded partition predicate not caught")
+    // control 1: the adjacent predicate pushes to the file index
+    val prunedScan = part.where($"topic" === "1")
+      .withColumn("rn", row_number().over(wk))
+    assert(!PlanGuard.violations(prunedScan)
+      .exists(_.contains("unpruned")),
+      "pruned scan falsely flagged")
+    // control 2: a full scan with no partition predicate is deliberate
+    val full = part.groupBy($"topic").agg(sum($"l_quantity"))
+    assert(!PlanGuard.violations(full).exists(_.contains("unpruned")),
+      "full scan falsely flagged")
   }
 
   /** Adjudicated exceptions: entry -> substrings of violations that are
