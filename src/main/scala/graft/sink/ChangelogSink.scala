@@ -24,6 +24,45 @@ object ChangelogSink {
   private[sink] val log =
     org.slf4j.LoggerFactory.getLogger(ChangelogSink.getClass)
 
+  /**
+   * The COMMIT PRIMITIVE every staged swap (compaction, erasure,
+   * recovery) is built on, and the one place its filesystem assumption
+   * lives: `rename` must be an ATOMIC, O(1) METADATA operation — true on
+   * HDFS and POSIX filesystems, where the hide/move/delete protocol then
+   * gives per-partition atomicity (a reader never observes missing or
+   * duplicated rows, crash recovery replays deterministically from the
+   * manifest).
+   *
+   * On an OBJECT STORE (S3/GCS via their Hadoop connectors) rename is
+   * COPY-THEN-DELETE: O(bytes), and a crash between the copy and the
+   * delete leaves BOTH names visible. The swap protocol degrades
+   * deterministically rather than silently (spec'd in
+   * ChangelogSinkSpec's object-store cases):
+   *
+   *  - crash window on a MOVE-STAGED rename (staged file copied into the
+   *    partition, staging copy not yet deleted): [[recoverStaging]]
+   *    CONVERGES — the move is skipped because the destination exists
+   *    (object PUTs are atomic, so dst-exists means fully copied),
+   *    hidden originals drop, rows land exactly once;
+   *  - crash window on a HIDE-ORIGINAL rename (dot-copy landed, visible
+   *    original not yet deleted): recovery REFUSES LOUDLY — re-hiding
+   *    hits an existing destination and [[renameOrThrow]] throws before
+   *    anything is deleted, because finishing the hide would require
+   *    trusting the copy, which POSIX (partial-copy) semantics cannot
+   *    guarantee. No row is lost; an operator resolves the pair.
+   *
+   * Deployments on object stores should prefer the store's native
+   * conditional-put/compose primitives behind this seam (or a
+   * manifest-committed table format); the swap logic above it is
+   * unchanged.
+   */
+  private[sink] object CommitOps {
+    def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem, src: Path,
+        dst: Path, what: String, op: String): Unit =
+      if (!fs.rename(src, dst)) throw new IllegalStateException(
+        s"$op: $what rename failed: $src -> $dst")
+  }
+
   /** Append an envelope frame to the partitioned changelog table. */
   def append(env: DataFrame, path: String): Unit =
     env.withColumn("date", to_date(col("timestamp")))
@@ -281,8 +320,7 @@ object ChangelogSink {
         (rel, snapshot((t, d)).map(_.getPath.getName), stagedNames)
       })
     def renameOrThrow(src: Path, dst: Path, what: String): Unit =
-      if (!fs.rename(src, dst)) throw new IllegalStateException(
-        s"forgetKeys: $what rename failed: $src -> $dst")
+      CommitOps.renameOrThrow(fs, src, dst, what, "forgetKeys")
     // parquet footers carry exact record counts — the audit's rows_after
     // is a metadata read per staged file, never a third data pass
     def footerRows(f: org.apache.hadoop.fs.FileStatus): Long = {
@@ -422,8 +460,7 @@ object ChangelogSink {
         val stagedByPart = byPart("F ")
         val origByPart = byPart("O ")
         def renameOrThrow(src: Path, dst: Path, what: String): Unit =
-          if (!fs.rename(src, dst)) throw new IllegalStateException(
-            s"recoverStaging: $what rename failed: $src -> $dst")
+          CommitOps.renameOrThrow(fs, src, dst, what, "recoverStaging")
         parts.foreach { rel =>
           val part = new Path(path, rel)
           val stagedNames = stagedByPart.getOrElse(rel, Set.empty)
@@ -498,9 +535,8 @@ object ChangelogSink {
       files.map(_.getPath.getName).toSeq,
       staged.map(_.getPath.getName).toSeq)))
     def renameOrThrow(src: Path, dst: Path, what: String): Unit =
-      if (!fs.rename(src, dst)) throw new IllegalStateException(
-        s"compactPartition: $what rename failed: $src -> $dst " +
-          s"(staged output left intact at $tmp)")
+      CommitOps.renameOrThrow(fs, src, dst,
+        s"$what (staged output left intact at $tmp)", "compactPartition")
     // phase 1: hide originals (reversible, readers skip dot-files);
     // phase 2: move staged files in. Any failure rolls the partition back
     // to EXACTLY its pre-swap state — staged files already moved in are

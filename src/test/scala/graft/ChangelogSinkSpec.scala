@@ -50,6 +50,23 @@ class FlakyRenameFs extends RawLocalFileSystem {
     else super.rename(src, dst)
 }
 
+/** OBJECT-STORE rename semantics (S3A/GCS connector model): rename is
+  * copy-then-delete — O(bytes), non-atomic — and NEVER overwrites an
+  * existing destination (returns false, like the connectors). Used to
+  * prove the staged swaps' documented degradation on object stores
+  * (ChangelogSink.CommitOps): converge where destination-exists implies
+  * fully-copied, refuse loudly where finishing would require trusting an
+  * unverifiable copy. */
+class ObjectStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "objstore"
+  override def getUri: java.net.URI = java.net.URI.create("objstore:///")
+  override def rename(src: HPath, dst: HPath): Boolean = {
+    if (exists(dst)) return false
+    org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst,
+      true /* delete source */, getConf)
+  }
+}
+
 object FlakyRenameFs {
   @volatile var failHides = false
   @volatile var failMovesAfter = -1 // -1 = off; N = fail the (N+1)th move
@@ -475,6 +492,101 @@ class ChangelogSinkSpec extends SparkSpec {
     val fin = ChangelogSink.read(spark, dir)
     assert(fin.where($"key" === "13").count() == 0)
     assert(fin.count() == beforeCount - subj13 + copyCount - copy13)
+  }
+
+  test("object-store rename (copy-then-delete, no overwrite): recovery " +
+      "CONVERGES from a crash in the move-staged window (dst exists = " +
+      "fully copied) and REFUSES LOUDLY from a crash in the hide window " +
+      "(finishing would trust an unverifiable copy); repair converges") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.objstore.impl", classOf[ObjectStoreFs].getName)
+    import spark.implicits._
+    def mkTable(tag: String): (String, Set[org.apache.spark.sql.Row]) = {
+      val dir = Files.createTempDirectory(s"objstore-$tag").toString
+      for (b <- 0 until 3) // three appends -> three files, one partition
+        ChangelogSink.append(Seq((s"T", s"u$b-1", s"k$b",
+            java.sql.Timestamp.valueOf("2024-05-01 10:00:00")),
+          (s"T", s"u$b-2", s"k$b",
+            java.sql.Timestamp.valueOf("2024-05-01 11:00:00")))
+          .toDF("topic", "uid", "key", "timestamp"), dir)
+      (dir, ChangelogSink.read(spark, dir).drop("date").collect().toSet)
+    }
+    val rel = "topic=T/date=2024-05-01"
+    def origFiles(dir: String) = new java.io.File(dir, rel).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("."))
+    // hand-build a committed compaction staging (flat layout + manifest)
+    def mkStaging(dir: String, nOut: Int): (java.io.File, Seq[String]) = {
+      val staging = new java.io.File(dir, s".compact-T-2024-05-01-7")
+      val tmp = Files.createTempDirectory("objstore-stg").toString + "/o"
+      spark.read.parquet(origFiles(dir).map(_.getPath).toIndexedSeq: _*)
+        .repartition(nOut).write.parquet(tmp)
+      staging.mkdirs()
+      val staged = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).toSeq
+        .map { f =>
+          val t = new java.io.File(staging, f.getName)
+          java.nio.file.Files.copy(f.toPath, t.toPath); f.getName
+        }
+      val m = new StringBuilder("L flat\n").append(s"P $rel\n")
+      origFiles(dir).foreach(f => m.append(s"O $rel/${f.getName}\n"))
+      staged.foreach(n => m.append(s"F $rel/$n\n"))
+      java.nio.file.Files.writeString(
+        new java.io.File(staging, "_MANIFEST").toPath, m.toString)
+      (staging, staged)
+    }
+
+    // -- state A: crash in the MOVE-STAGED window -----------------------
+    val (dirA, contentA) = mkTable("a")
+    val (stagingA, stagedA) = mkStaging(dirA, 2)
+    assert(stagedA.size == 2)
+    origFiles(dirA).foreach { f => // hide phase completed
+      assert(f.renameTo(new java.io.File(f.getParent,
+        s".compacting-${f.getName}")))
+    }
+    // first staged file: copy landed in the partition, staging copy NOT
+    // yet deleted (the non-atomic window); second never moved
+    java.nio.file.Files.copy(
+      new java.io.File(stagingA, stagedA.head).toPath,
+      new java.io.File(s"$dirA/$rel", stagedA.head).toPath)
+    val (fwd, disc) =
+      ChangelogSink.recoverStaging(spark, "objstore:" + dirA)
+    assert(fwd == 1 && disc == 0)
+    // content assertions read via file: — the recovery ran entirely
+    // through the objstore scheme above; parquet DATA reads through the
+    // bare test FS are not checksum-coordinated and can be flaky, and
+    // prod data reads never go through the swap's commit fs anyway
+    val afterA = ChangelogSink.read(spark, dirA)
+      .drop("date").collect().toSeq
+    assert(afterA.size == afterA.toSet.size) // exactly once
+    assert(afterA.toSet == contentA) // nothing lost
+    assert(!stagingA.exists())
+    assert(!new java.io.File(s"$dirA/$rel").listFiles()
+      .exists(_.getName.startsWith(".compacting-")))
+
+    // -- state B: crash in the HIDE window ------------------------------
+    val (dirB, contentB) = mkTable("b")
+    val (stagingB, _) = mkStaging(dirB, 1)
+    val orig0 = origFiles(dirB).head
+    java.nio.file.Files.copy(orig0.toPath, // dot-copy landed, original
+      new java.io.File(orig0.getParent,    // not yet deleted
+        s".compacting-${orig0.getName}").toPath)
+    val e = intercept[IllegalStateException](
+      ChangelogSink.recoverStaging(spark, "objstore:" + dirB))
+    assert(e.getMessage.contains("hide-original"), e.getMessage)
+    // refused BEFORE deleting anything: the table reads intact
+    assert(ChangelogSink.read(spark, dirB)
+      .drop("date").collect().toSet == contentB)
+    assert(stagingB.exists())
+    // operator repair: drop the ambiguous dot-copy -> recovery converges
+    assert(new java.io.File(orig0.getParent,
+      s".compacting-${orig0.getName}").delete())
+    assert(ChangelogSink.recoverStaging(spark, "objstore:" + dirB)
+      == ((1, 0)))
+    val afterB = ChangelogSink.read(spark, dirB)
+      .drop("date").collect().toSeq
+    assert(afterB.size == afterB.toSet.size && afterB.toSet == contentB)
+    assert(!stagingB.exists())
   }
 
   test("recoverStaging: HARD crash mid-swap (process kill, no rollback) " +
