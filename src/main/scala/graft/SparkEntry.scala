@@ -1445,6 +1445,16 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- kq102's STREAMING half (round-12 verdict item 7): the same ---
+    // ---- per-bucket HLL registers accrued INCREMENTALLY via -----------
+    // ---- transformWithState map state (point-updates, watermark -------
+    // ---- eviction at bucket close), merged by the identical trailing --
+    // ---- 24 h register-max fold. Update-mode emission fixpoint == -----
+    // ---- batch registers, so the oracle is kq102's, unchanged. --------
+    "kq105_sliding_uniques_stream" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.slidingUniquesStream(
+        s, Pipeline.envelopeFlat(s, dir))),
+
     // ---- seasonal anomaly flags on the hourly histogram: per ----------
     // ---- hour-of-day profile, |z| > 3 decided by EXACT INTEGER --------
     // ---- cross-multiplication (devsq > 9*var_num — no division, no ----
@@ -3137,6 +3147,43 @@ object SparkEntry {
     // kq102: kq65's register chain with NO exact leg — the serving
     // contract is estimate-only (the oracle re-derives the same HLL)
     "kq102_sliding_uniques_serve" ->
+      (envSql + """, e2 AS (
+        |  SELECT date_trunc('hour', "timestamp") AS bucket, "key"
+        |  FROM env),
+        |r AS (SELECT bucket, h % 64 AS j,
+        |        CASE WHEN h // 64 = 0 THEN 27
+        |             ELSE 27 - length(bin(h // 64)) END AS rho
+        |      FROM (SELECT bucket,
+        |              ('0x' || substr(md5('uu:' || "key"), 1, 8))::BIGINT
+        |                AS h
+        |            FROM e2)),
+        |reg AS (SELECT bucket, j, max(rho) AS m FROM r GROUP BY 1, 2),
+        |bl AS (SELECT DISTINCT bucket AS b FROM reg),
+        |mg AS (SELECT bl.b, reg.j, max(reg.m) AS m
+        |       FROM bl JOIN reg
+        |         ON reg.bucket BETWEEN bl.b - INTERVAL 23 HOURS AND bl.b
+        |       GROUP BY 1, 2),
+        |sk AS (SELECT b,
+        |         CAST(sum(CAST(1 AS BIGINT) << CAST(27 - m AS INT))
+        |              + (64 - count(*)) * 134217728 AS BIGINT)
+        |           AS s_scaled,
+        |         CAST(64 - count(*) AS BIGINT) AS v_zero
+        |       FROM mg GROUP BY 1),
+        |est AS (SELECT b, v_zero, s_scaled,
+        |          0.709 * 4096.0 * 134217728.0
+        |            / CAST(s_scaled AS DOUBLE) AS e_raw
+        |        FROM sk)
+        |SELECT b AS bucket, v_zero, s_scaled,
+        |  round(CASE WHEN e_raw <= 160.0 AND v_zero > 0
+        |        THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+        |        ELSE e_raw END, 6) AS hll_est
+        |FROM est ORDER BY bucket""".stripMargin),
+
+    // kq105: the streamed registers' Update-mode fixpoint equals the
+    // batch registers (values only grow; every increase emits), so the
+    // streaming serving path replays to exactly kq102's estimate —
+    // the identical oracle
+    "kq105_sliding_uniques_stream" ->
       (envSql + """, e2 AS (
         |  SELECT date_trunc('hour', "timestamp") AS bucket, "key"
         |  FROM env),

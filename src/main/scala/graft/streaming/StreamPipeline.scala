@@ -1529,4 +1529,181 @@ object StreamPipeline {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
   }
+
+  case class RegEvt(bucket_ms: Long, ts: java.sql.Timestamp, j: Int,
+    rho: Int)
+  case class RegOut(bucket_ms: Long, j: Int, m: Int)
+
+  /**
+   * [[StatefulProcessor]] backing [[slidingUniquesStream]] (kq105):
+   * keyed by the HOURLY BUCKET, one `MapState[register j -> max rho]`
+   * per open bucket — the INCREMENTAL form of kq102's per-bucket HLL
+   * registers. Each arrival point-updates at most one of 64 entries
+   * (the kq83 argument: never rewrite the whole sketch; a
+   * ValueState[Array] would). Emission is Update-mode: a register row
+   * (bucket, j, m) is emitted exactly when its stored max INCREASES, so
+   * the per-(bucket, j) max over all emissions is the final register —
+   * which is exactly the batch `max(rho) GROUP BY bucket, j`, giving
+   * kq102's oracle unchanged.
+   *
+   * State is BOUNDED by an event-time timer at the bucket's end: once
+   * the watermark passes `bucket + 1 h` no event of this bucket can
+   * still arrive (any such row has ts < bucket end <= wm and is dropped
+   * by the framework before the processor sees it), so clearing the map
+   * is lossless — live state is <= 64 entries x (open buckets within
+   * the watermark delay + 1 h), independent of stream length. Re-arming
+   * registers the same (key, expiry) each batch that touches the
+   * bucket; post-eviction duplicates fire on empty state as no-ops.
+   */
+  class SlidingRegProcessor
+      extends StatefulProcessor[Long, RegEvt, RegOut] {
+    @transient private var regs: MapState[Int, Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getMapState[Int, Int]("regs",
+        Encoders.scalaInt, Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RegEvt],
+        timerValues: TimerValues): Iterator[RegOut] = {
+      val upd = scala.collection.mutable.Map.empty[Int, Int]
+      for (r <- rows) {
+        val cur = upd.getOrElse(r.j,
+          if (regs.containsKey(r.j)) regs.getValue(r.j) else Int.MinValue)
+        if (r.rho > cur) upd(r.j) = r.rho
+      }
+      for ((j, m) <- upd) regs.updateValue(j, m)
+      getHandle.registerTimer(key + 3600000L) // evict at bucket close
+      upd.iterator.map { case (j, m) => RegOut(key, j, m) }
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[RegOut] = {
+      regs.clear()
+      Iterator.empty
+    }
+  }
+
+  /**
+   * kq105 — STREAMING SLIDING-WINDOW UNIQUE USERS, the serving path's
+   * streaming half (round-12 verdict item 7): kq102 rebuilds the
+   * per-bucket HLL registers from a batch events scan; here the
+   * registers accrue INCREMENTALLY as events arrive, via
+   * [[SlidingRegProcessor]] map state, and the trailing-24 h merge
+   * stays the same O(buckets x 64) register-max fold — so the dashboard
+   * estimate is continuously maintainable with per-bucket state bounded
+   * by watermark eviction, and events are never re-scanned.
+   *
+   * Replay contract (the kq46/kq50 pattern): the fixture replays as
+   * FOUR time-ordered files under `maxFilesPerTrigger=1` (state and
+   * eviction genuinely cross micro-batches); the Update-mode emission
+   * fixpoint equals the batch registers (see the processor doc), so the
+   * downstream merge + estimate reproduce kq102's result row-for-row —
+   * the DuckDB oracle is kq102's, unchanged.
+   *
+   * At 100 TB: arrivals shuffle once on the bucket key; state is 64
+   * point-updatable entries per open bucket; the merge reads the tiny
+   * register stream, never events.
+   */
+  def slidingUniquesStream(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame, delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("kq105-uniq").toString
+    val ev = envFlat
+      .select(col("timestamp"),
+        expr("(unix_micros(date_trunc('hour', timestamp)) div 1000)")
+          .as("bucket_ms"),
+        conv(substring(md5(concat(lit("uu:"), col("key"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .select(col("timestamp").as("ts"), col("bucket_ms"),
+        (col("h") % 64).cast("int").as("j"),
+        expr("CAST(CASE WHEN h div 64 = 0 THEN 27 " +
+          "ELSE 27 - length(bin(h div 64)) END AS INT)").as("rho"))
+    // four time-ordered slices -> four consecutive micro-batches
+    val Array(mn, mx) = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts"))))
+      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
+    val step = math.max((mx - mn) / 4 + 1, 1L)
+    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
+    for (i <- 0 until 4) {
+      val slice = ev.where(unix_micros(col("ts")) >= mn + i * step &&
+        unix_micros(col("ts")) < mn + (i + 1) * step)
+      val tmp = s"$work/slice$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val sinkName = s"kq105_uniq_${System.nanoTime()}"
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .withWatermark("ts", delay)
+        .as[RegEvt]
+        .groupByKey(_.bucket_ms)
+        .transformWithState(new SlidingRegProcessor,
+          TimeMode.EventTime(), OutputMode.Update())
+        .toDF()
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      // emission fixpoint = final registers (values only ever increase)
+      val regsDf = spark.table(sinkName)
+        .groupBy(col("bucket_ms"), col("j")).agg(max(col("m")).as("m"))
+        .select(expr("timestamp_micros(bucket_ms * 1000)").as("bucket"),
+          col("j"), col("m"))
+      val outDir = java.nio.file.Files
+        .createTempDirectory("kq105-out").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(outDir)
+      regsDf.write.mode("overwrite").parquet(outDir.toString)
+      val regs = spark.read.parquet(outDir.toString)
+      // kq102's serving merge, verbatim: bucket list from the register
+      // table, trailing-24 h register-max, bias-corrected estimate
+      val buckets = regs.select(col("bucket")).distinct()
+        .withColumnRenamed("bucket", "b")
+      val merged = broadcast(buckets).join(regs,
+          col("bucket").between(col("b") - expr("INTERVAL 23 HOURS"),
+            col("b")))
+        .groupBy(col("b"), col("j")).agg(max(col("m")).as("m"))
+        .groupBy(col("b"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))"))
+          .as("s_present"), count(lit(1)).as("n_present"))
+        .select(col("b"),
+          (col("s_present") + (lit(64) - col("n_present"))
+            * lit(134217728L)).cast("long").as("s_scaled"),
+          (lit(64) - col("n_present")).cast("long").as("v_zero"))
+      merged
+        .withColumn("e_raw",
+          lit(0.709) * lit(4096.0) * lit(134217728.0)
+            / col("s_scaled").cast("double"))
+        .withColumn("hll_est", round(
+          when(col("e_raw") <= lit(160.0) && col("v_zero") > 0,
+            lit(64.0) * log(lit(64.0) / col("v_zero").cast("double")))
+            .otherwise(col("e_raw")), 6))
+        .select(col("b").as("bucket"), col("v_zero"), col("s_scaled"),
+          col("hll_est"))
+        .orderBy(col("bucket"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
 }

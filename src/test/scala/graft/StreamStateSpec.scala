@@ -185,6 +185,53 @@ class StreamStateSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MAP state plateaus (kq105 family): closed " +
+      "buckets' HLL registers are evicted at bucket close, and the " +
+      "emission fixpoint equals the batch register maxima") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")) {
+      val in = MemoryStream[Evt]
+      val regs = in.toDF()
+        .withWatermark("ts", "1 hour")
+        .select(
+          expr("(unix_micros(date_trunc('hour', ts)) div 1000)")
+            .as("bucket_ms"),
+          $"ts",
+          ($"user_id" % 64).cast("int").as("j"),
+          (lit(1) + ($"user_id" % 9)).cast("int").as("rho"))
+        .as[StreamPipeline.RegEvt]
+        .groupByKey(_.bucket_ms)
+        .transformWithState(new StreamPipeline.SlidingRegProcessor,
+          TimeMode.EventTime(), OutputMode.Update())
+      val q = regs.toDF().writeStream.format("memory")
+        .queryName("ss_map").outputMode(OutputMode.Update()).start()
+      // 8 slices, 6h apart; each fills 2 hourly buckets x 64 registers
+      // (two rho values per register — the second, larger one must emit
+      // incrementally). Buckets close (wm >= end) long before the next
+      // slice, so register maps must turn over completely.
+      val slices = (0 until 8).map { i =>
+        for (h <- 0 until 2; j <- 0 until 64; r <- 0 until 2)
+          yield Evt(j.toLong + r * 64L, "a", at(i * 6 + h, r * 9))
+      }
+      val snaps = profile(in, q, slices)
+      // live map entries <= 2 buckets x 64, + one un-evicted slice of
+      // slack + timer rows -> cap 400; cumulative 8x2x64 = 1024 entries
+      assertPlateau(snaps, cap = 400, cumulative = 1024, "map state")
+      // fixpoint == batch maxima for every (bucket, register)
+      val fix = spark.table("ss_map")
+        .groupBy($"bucket_ms", $"j").agg(max($"m").as("m"))
+        .as[(Long, Int, Int)].collect().toSet
+      val batch = slices.flatten.groupBy(e =>
+          ((e.ts.getTime / 3600000L) * 3600000L, (e.user_id % 64).toInt))
+        .map { case ((b, j), es) =>
+          (b, j, es.map(e => (1 + e.user_id % 9).toInt).max) }.toSet
+      assert(fix == batch,
+        s"fixpoint != batch registers: ${(fix -- batch).take(3)} vs " +
+          s"${(batch -- fix).take(3)}")
+    }
+  }
+
   test("transformWithState timer state plateaus (kq49 family): the " +
       "store holds only users whose inactivity timer has not fired") {
     withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
