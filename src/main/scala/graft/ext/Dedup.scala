@@ -952,17 +952,48 @@ object Dedup {
    */
   def simhashHammingPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val nBlocks = maxHamming + 1
-    // blocks must cover ALL 32 bits or the pigeonhole guarantee silently
-    // breaks (bits outside every block can differ without being seen):
-    // when 32 % nBlocks != 0 the remainder is spread one bit each over
-    // the first blocks (e.g. maxHamming=4 → widths 7,7,6,6,6)
-    val baseW = 32 / nBlocks; val rem = 32 % nBlocks
-    val widths = (0 until nBlocks).map(b => baseW + (if (b < rem) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
     val docs = Tables.load(spark, dir, "documents")
     val sigs = docs.select(col("doc_id"),
       graft.functions.SimHash32.simhash32(col("text")).as("simhash"))
+    hammingBandPairs(sigs, bits = 32, maxHamming = maxHamming)
+  }
+
+  /**
+   * x129 — 60-BIT SHINGLE-FINGERPRINT near-dup pairs, the SCALE PATH of
+   * the simhash family (Manku/Jain/Sarma WWW'07's actual production
+   * design: wide fingerprints over SHINGLE features, tight Hamming
+   * radius). The round-13 sf1 probe measured WHY x19 alone doesn't
+   * scale: its per-pair cost is constant (0.87x/pair), but 32-bit
+   * signatures over unigram SETS concentrate on a small-vocab corpus,
+   * so Hamming <= 3 qualifies ~12% of ALL doc pairs at sf0.1 and the
+   * OUTPUT grows quadratically (1.57M -> 169M pairs for 10x docs).
+   * Word-3-gram shingles decorrelate the features and 60 bits
+   * de-saturate the space, so qualifying pairs are the genuinely
+   * near-identical docs — output stays near-dup-sized however the
+   * corpus grows. 60 bits (15 md5 hex chars) rather than 64 so the
+   * signature parses into a SIGNED BIGINT in both engines with no
+   * unsigned-overflow edge; Hamming <= 3 via the same 4-block
+   * pigeonhole equi-join as x19, on the signature space.
+   */
+  def simhash64Pairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.SimHashShingle.simhashShingle60(col("text"), 3)
+        .as("simhash"))
+    hammingBandPairs(sigs, bits = 60, maxHamming = maxHamming)
+  }
+
+  /** Shared Manku pigeonhole banding over a (doc_id, simhash) frame —
+    * see [[simhashHammingPairs]] for the full derivation. `bits` is the
+    * signature width; blocks cover all bits (remainder spread one bit
+    * each over the first blocks) so the pigeonhole guarantee holds. */
+  private def hammingBandPairs(sigs: DataFrame, bits: Int,
+      maxHamming: Int): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val baseW = bits / nBlocks; val rem = bits % nBlocks
+    val widths = (0 until nBlocks).map(b => baseW + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val distinctSigs = sigs.select(col("simhash")).distinct()
     val blockStructs = array((0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),

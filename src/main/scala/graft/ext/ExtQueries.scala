@@ -376,6 +376,12 @@ object ExtQueries {
     // capped at 5 per domain.
     "x128_domain_cap" -> ((s: SparkSession, d: String) =>
       UrlOps.domainCap(s, d)),
+    // x129: 60-bit shingle-fingerprint near-dup pairs (Manku's
+    // production design) — x19's scale path: wide signature + shingle
+    // features keep the output near-dup-sized (the sf1 probe measured
+    // unigram-32 emitting ~12% of ALL pairs).
+    "x129_simhash64_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.simhash64Pairs(s, d)),
     // x118: matryoshka dimension-truncation recall — top-k under 64/32/16
     // prefix dims vs the full-dim truth set, exact integer ppm.
     "x118_matryoshka" -> ((s: SparkSession, d: String) =>
@@ -1989,6 +1995,42 @@ object ExtQueries {
         |  FROM sig, (SELECT unnest(range(4)) AS blk) b),
         |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
         |    l.simhash AS s1, r.simhash AS s2
+        |  FROM blocks l JOIN blocks r
+        |    ON l.blk = r.blk AND l.blk_val = r.blk_val
+        |       AND l.doc_id < r.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
+
+    // x129: identical shingle features (3-token windows, whole text
+    // when < 3 tokens), 15-hex-char (60-bit) md5 fingerprint so BIGINT
+    // never sees unsigned overflow, identical 4x15-bit pigeonhole.
+    // Equal-signature pairs come out of the SAME candidate join here
+    // (doc-level banding), matching the operator's signature-space
+    // split of hamming-0 into the self-pairing leg.
+    "x129_simhash64_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(toks) >= 3
+        |           THEN list_transform(range(1, len(toks) - 1),
+        |             i -> array_to_string(toks[i:i+2], ' '))
+        |           ELSE [array_to_string(toks, ' ')] END)) AS s
+        |       FROM t),
+        |th AS (SELECT doc_id,
+        |         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+        |bits AS (SELECT doc_id, b.bt, ((h >> bt) & 1) * 2 - 1 AS sgn
+        |         FROM th, (SELECT unnest(range(60)) AS bt) b),
+        |w AS (SELECT doc_id, bt, sum(sgn) AS wt FROM bits GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN wt > 0 THEN (1::BIGINT << bt) ELSE 0 END)
+        |       AS BIGINT) AS sh60
+        |  FROM w GROUP BY 1),
+        |blocks AS (SELECT doc_id, sh60, b.blk,
+        |    (sh60 >> CAST(blk * 15 AS INT)) & 32767 AS blk_val
+        |  FROM sig, (SELECT unnest(range(4)) AS blk) b),
+        |cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+        |    l.sh60 AS s1, r.sh60 AS s2
         |  FROM blocks l JOIN blocks r
         |    ON l.blk = r.blk AND l.blk_val = r.blk_val
         |       AND l.doc_id < r.doc_id)

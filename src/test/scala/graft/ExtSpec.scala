@@ -281,6 +281,39 @@ class ExtSpec extends SparkSpec {
     assert(brute.except(banded).count() == 0)
   }
 
+  test("shingle-fingerprint pairs (x129): 60-bit banding is EXACT for " +
+      "hamming <= 3, exact-duplicate texts pair at hamming 0, and the " +
+      "wide signature de-saturates (far fewer pairs than unigram-32)") {
+    val banded = Dedup.simhash64Pairs(spark, sf)
+      .select(col("d1"), col("d2"), col("hamming"))
+    val sigs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.SimHashShingle.simhashShingle60(col("text"), 3)
+          .as("sh"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+      .where(col("hamming") <= 3)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("hamming"))
+    assert(banded.except(brute).count() == 0)
+    assert(brute.except(banded).count() == 0)
+    // identical texts share every shingle -> identical signature
+    val dupTexts = graft.ingest.Tables.load(spark, sf, "documents")
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(array_min(col("ids")).as("d1"), array_max(col("ids")).as("d2"))
+    val zero = banded.where(col("hamming") === 0)
+      .select(col("d1"), col("d2"))
+    assert(dupTexts.except(zero).count() == 0)
+    // de-saturation: the 60-bit shingle predicate emits a small
+    // fraction of the 32-bit unigram one's pairs on the same corpus
+    val n32 = Dedup.simhashHammingPairs(spark, sf).count()
+    val n60 = banded.count()
+    assert(n60 * 10 < n32, s"shingle-60 $n60 vs unigram-32 $n32")
+  }
+
   test("blocked embedding near-dup: identical to brute-force all-pairs") {
     val blocked = Similarity.embedNearDupPairs(spark, sf)
       .select(col("d1"), col("d2"), col("sim"))

@@ -79,5 +79,36 @@ li = pd.DataFrame({
 })
 li.to_parquet(f"{OUT}/lineitem.parquet", index=False)
 
+# documents: 50k rows (10x sf0.1) for the BANDING DEDUP family
+# (x3 minhash-LSH / x19 simhash / x117 winnowing / x126 CDC blocks),
+# whose candidate-pair growth is data-dependent (band collisions) —
+# the round-12 verdict's one unprobed family. Same shape as the driver
+# fixtures: 30-word vocab (drives natural shingle collisions), uniform
+# 10..100 token lengths, 5-lang/20-source mix, and ~5% of docs arranged
+# as near-dup pairs (clone + 2 'dup'-token edits, the fixtures' own
+# planted-pair pattern).
+N_DOC = 50_000
+VOCAB = np.array([
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch"])
+doc_lens = rng.integers(10, 101, N_DOC)
+texts = [" ".join(rng.choice(VOCAB, n)) for n in doc_lens]
+for i in range(0, N_DOC // 20, 2):  # 5% of docs = near-dup pairs
+    toks = texts[i].split(" ")
+    for p in rng.choice(len(toks), size=min(2, len(toks)), replace=False):
+        toks[p] = "dup"
+    texts[i + 1] = " ".join(toks)
+doc = pd.DataFrame({
+    "doc_id": np.arange(N_DOC, dtype=np.int64),
+    "text": texts,
+    "lang": rng.choice(["en", "de", "fr", "zh", "es"], N_DOC,
+                       p=[0.4, 0.15, 0.15, 0.15, 0.15]),
+    "source": [f"src{s}" for s in rng.integers(0, 20, N_DOC)],
+})
+doc["n_chars"] = doc["text"].str.len().astype(np.int64)
+doc.to_parquet(f"{OUT}/documents.parquet", index=False)
+
 print(json.dumps({"out": OUT, "events": N_EV, "embeddings": N_EMB,
-                  "lineitem": N_LI}))
+                  "lineitem": N_LI, "documents": N_DOC}))
