@@ -118,7 +118,9 @@ object Bench {
     "x121_l_diversity", "kq97_alert_throttle", "x122_unigram_entropy",
     "kq98_pit_state", "x123_fim_split", "x124_span_corruption", "q55_asof_tolerance",
     "kq99_geo_line", "x125_audio_segments", "kq100_tiered_rollup", "q56_try_cast",
-    "q57_not_in_trap", "kq101_incremental_restart")
+    "q57_not_in_trap", "kq101_incremental_restart",
+    "x127_line_dedup", "x128_domain_cap", "x129_simhash64_pairs",
+    "kq105_sliding_uniques_stream")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two
