@@ -54,7 +54,11 @@ object UrlOps {
     val noFrag = substring_index(url, "#", 1)
     val scheme = lower(substring_index(noFrag, "://", 1))
     val rest = substring_index(noFrag, "://", -1)
-    val hostport = substring_index(rest, "/", 1)
+    // the authority ends at the FIRST of '/' or '?' — a query with no
+    // path ("http://h.io:8080?q=1") must not leak into the host/port
+    // (found by the seeded-random idempotence sweep, not the fixtures:
+    // every synthetic fixture URL carries a path)
+    val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
     val pathq = rest.substr(length(hostport) + lit(1), length(rest))
     val hostRaw = lower(substring_index(hostport, ":", 1))
     val host = when(hostRaw.startsWith("www."),
@@ -85,9 +89,9 @@ object UrlOps {
     * (the public-suffix list is a deployment lookup table; the 2-label
     * rule is the fixture-complete core). */
   def registeredDomain(canonicalUrl: Column): Column = {
-    val host = substring_index(
+    val host = substring_index(substring_index(
       substring_index(substring_index(canonicalUrl, "://", -1), "/", 1),
-      ":", 1)
+      "?", 1), ":", 1)
     array_join(slice(split(host, "[.]"), -2, 2), ".")
   }
 

@@ -71,6 +71,10 @@ class ExtSpec extends SparkSpec {
         "https://a.com/x"),
       // non-tracking param named like a prefix survives (refresh != ref=)
       ("https://a.com/x?refresh=1", "https://a.com/x?refresh=1"),
+      // query with NO path: the '?' must not leak into host/port
+      // (the bug the seeded-random idempotence sweep below caught)
+      ("https://a.com?utm_source=s&id=7", "https://a.com/?id=7"),
+      ("HTTP://a.com:8080?q=1", "http://a.com:8080/?q=1"),
       // subdomains other than www survive; only www strips
       ("https://cdn.assets.B.com/y/", "https://cdn.assets.b.com/y"))
     val got = cases.map(_._1).toDF("url")
@@ -84,6 +88,59 @@ class ExtSpec extends SparkSpec {
       .select(UrlOps.registeredDomain(col("u")).as("d"))
       .as[String].collect().toSeq
     assert(doms == Seq("b.com", "a.com", "a.com"))
+
+    // IDEMPOTENCE on 500 seeded-random URLs (the classic canonicalizer
+    // bug class: a second pass must be a fixpoint — e.g. stripping
+    // 'www.' again, or re-dropping a port, must change nothing) plus
+    // the normal-form invariants on every canonical output
+    val rnd = new scala.util.Random(13)
+    def seg(n: Int) = Seq.fill(n)(
+      ('a' + rnd.nextInt(26)).toChar.toString +
+        (if (rnd.nextBoolean()) ('A' + rnd.nextInt(26)).toChar else
+          ('0' + rnd.nextInt(10)).toChar)).mkString("")
+    val randomUrls = (0 until 500).map { _ =>
+      val scheme = Seq("http", "HTTP", "https", "HTTPS")(rnd.nextInt(4))
+      val sub = Seq("", "www.", "WWW.", "cdn.", s"${seg(2)}.a.")(rnd.nextInt(5))
+      val host = s"$sub${seg(3)}.${Seq("com", "ORG", "io")(rnd.nextInt(3))}"
+      val port = Seq("", ":80", ":443", ":8080")(rnd.nextInt(4))
+      val path = (0 until rnd.nextInt(3)).map(_ => "/" + seg(3)).mkString +
+        "/" * rnd.nextInt(3)
+      val params = (0 until rnd.nextInt(4)).map(_ =>
+        Seq(s"utm_${seg(2)}=1", s"ref=${seg(2)}", s"id=${seg(2)}",
+          s"q=${seg(3)}")(rnd.nextInt(4)))
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = if (rnd.nextBoolean()) s"#${seg(3)}" else ""
+      s"$scheme://$host$port$path$q$frag"
+    }
+    val canon = randomUrls.toDF("url")
+      .select(col("url"), UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .select(col("url"), col("c"),
+        UrlOps.canonicalizeUrl(col("c")).as("cc"),
+        UrlOps.registeredDomain(col("c")).as("dom"))
+      .collect()
+    canon.foreach { r =>
+      val (u, c, cc, dom) = (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))
+      assert(cc == c, s"not idempotent: $u -> $c -> $cc")
+      val rest = c.split("://", 2)(1)
+      val hostport = rest.takeWhile(_ != '/')
+      assert(c.split("://", 2)(0).forall(ch => ch.isLower),
+        s"scheme case: $c")
+      assert(hostport.takeWhile(_ != ':').forall(ch =>
+        !ch.isLetter || ch.isLower), s"host case: $c")
+      assert(!hostport.startsWith("www."), s"www survived: $u -> $c")
+      assert(!c.endsWith(":80") && !hostport.endsWith(":80") ||
+        !c.startsWith("http://"), s"default port survived: $c")
+      assert(!c.contains("#"), s"fragment survived: $c")
+      assert(!c.contains("utm_") && !c.contains("ref="),
+        s"tracking param survived: $u -> $c")
+      val pathPart = rest.drop(hostport.length).takeWhile(_ != '?')
+      assert(pathPart == "/" || !pathPart.endsWith("/"),
+        s"trailing slash survived: $u -> $c")
+      assert(!c.endsWith("?"), s"empty query survived: $c")
+      assert(dom.count(_ == '.') == 1 &&
+        hostport.takeWhile(_ != ':').endsWith(dom), s"domain $dom of $c")
+    }
 
     // cap enforcement on the fixture entry: kept == rank <= 5, exactly
     // min(5, n) kept per domain, rank is a permutation of 1..n
