@@ -185,6 +185,37 @@ object CodecProps extends Properties("mediaCodecs") {
     Gen.listOf(genCodepoint).map(cps =>
       new String(cps.toArray, 0, cps.length))
 
+  property("simhashShingle60: native signature equals an independent " +
+      "reference (hex-string parse + BigInt bit tests) on arbitrary " +
+      "text and shingle widths; empty weights tie to 0") =
+    Prop.forAll(genText, Gen.choose(1, 5)) { (s, k) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val got = graft.functions.SimHashShingle(
+          Literal(UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType), k)
+        .eval(null).asInstanceOf[Long]
+      // reference: features via sliding(), hash via the md5 HEX STRING
+      // (15 chars parsed with parseLong) — a different path than the
+      // implementation's byte assembly + >>> 4
+      val toks = s.split(" ", -1).toSeq
+      val feats =
+        (if (toks.length < k) Seq(s)
+         else toks.sliding(k).map(_.mkString(" ")).toSeq).distinct
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val w = new Array[Int](60)
+      feats.foreach { f =>
+        val hex = md.digest(f.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        for (i <- 0 until 60)
+          w(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+      }
+      val ref = (0 until 60).foldLeft(0L)((acc, i) =>
+        if (w(i) > 0) acc | (1L << i) else acc)
+      got == ref
+    }
+
   property("cdcCuts: native one-pass rolling hash equals the direct " +
       "per-position polynomial on arbitrary Unicode text (positions in " +
       "codepoints), cuts ascending within [w, len]") =

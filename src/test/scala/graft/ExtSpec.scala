@@ -45,6 +45,38 @@ class ExtSpec extends SparkSpec {
     assert(strict(3L) == "zeta")
   }
 
+  test("line dedup random sweep: 40 seeded corpora-rows vs an " +
+      "independent Scala reference — frequency rule, reassembly order, " +
+      "exact counts, all-removed and no-collision extremes included") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 0 until 3) {
+      val minDocs = 2 + round // 2, 3, 4
+      val pool = (0 until 12).map(i => s"pool line $i " + "x" * (i % 5))
+      val docs = (0L until 40L).map { id =>
+        val n = 1 + rnd.nextInt(9)
+        val lines = (0 until n).map { _ =>
+          if (rnd.nextInt(10) < 7) pool(rnd.nextInt(pool.length))
+          else s"unique $id ${rnd.nextInt(1000)} ${rnd.nextInt(1000)}"
+        }
+        (id, lines)
+      }
+      // independent reference in plain Scala
+      val freq = docs.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val want = docs.map { case (id, ls) =>
+        val rm = ls.filter(l => freq(l) >= minDocs)
+        (id, ls.size.toLong, rm.size.toLong,
+          rm.map(_.length.toLong).sum,
+          ls.filter(l => freq(l) < minDocs).mkString("\n"))
+      }.toSet
+      val got = Dedup.lineDedupOn(docs.toDF("doc_id", "lines"), minDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+      assert(got == want, s"minDocs=$minDocs: " +
+        s"${(got -- want).take(2)} vs ${(want -- got).take(2)}")
+    }
+  }
+
   test("url canonicalization: case, www, default ports, trailing " +
       "slashes, fragments, tracking params — each rule pinned; domain " +
       "cap keeps exactly maxPerDomain by the deterministic hash rank") {
