@@ -120,7 +120,7 @@ object Bench {
     "kq99_geo_line", "x125_audio_segments", "kq100_tiered_rollup", "q56_try_cast",
     "q57_not_in_trap", "kq101_incremental_restart",
     "x127_line_dedup", "x128_domain_cap", "x129_simhash64_pairs",
-    "kq105_sliding_uniques_stream")
+    "kq105_sliding_uniques_stream", "x130_leakage_split")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -1034,6 +1034,41 @@ object Dedup {
   }
 
   /**
+   * x130 — LEAKAGE-AWARE TRAIN/VAL/TEST SPLIT: x67's deterministic hash
+   * split applied to the NEAR-DUP CLUSTER, not the document. Per-doc
+   * hash splitting (x67) lets a training document's near-duplicate land
+   * in test — the evaluation-leakage failure Lee et al. 2022 §5 measure
+   * (test perplexity silently inflated by train-set near-dups) and the
+   * reason code/LLM corpus builds (The Stack, StarCoder) split AFTER
+   * clustering. Here the split key is the cluster id (the MinHash-LSH
+   * connected component of [[dupClusters]], singleton docs are their
+   * own cluster), so every near-dup cluster lands ATOMICALLY in one
+   * split; the bucket recipe is x67's (first 8 md5 hex digits mod 1000;
+   * <960 train, <980 val, else test), stable under corpus growth and
+   * identical across engines.
+   *
+   * Scale shape: the cluster pass is x21's (banded pair generation +
+   * O(log n) label rounds — the hard part, measured at-most-linear in
+   * the sf1 probe); the split itself is a map-side projection on the
+   * label table plus one tiny window for cluster_size. Output is the
+   * per-doc assignment a corpus build joins back to the data.
+   */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val bucket = conv(
+      substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    clusters
+      .withColumn("bucket", bucket)
+      .withColumn("part", when(col("bucket") < 960, "train")
+        .when(col("bucket") < 980, "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("bucket"), col("part"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * x109 — EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
    * Training Data Makes Language Models Better"): excise every maximal
    * token region covered by a `k`-token substring that occurs more than

@@ -382,6 +382,11 @@ object ExtQueries {
     // unigram-32 emitting ~12% of ALL pairs).
     "x129_simhash64_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.simhash64Pairs(s, d)),
+    // x130: leakage-aware split — x67's hash split keyed on the
+    // near-dup CLUSTER, so a train doc's near-duplicate can never land
+    // in test (Lee et al. 2022 §5).
+    "x130_leakage_split" -> ((s: SparkSession, d: String) =>
+      Dedup.leakageSplit(s, d)),
     // x118: matryoshka dimension-truncation recall — top-k under 64/32/16
     // prefix dims vs the full-dim truth set, exact integer ppm.
     "x118_matryoshka" -> ((s: SparkSession, d: String) =>
@@ -2241,6 +2246,35 @@ object ExtQueries {
          |          ORDER BY score DESC, doc_id DESC) AS rn
          |      FROM lab JOIN q USING (doc_id))
          |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // x130: x34's recursive-CTE cluster labels, then x67's md5-fold
+    // bucket recipe applied to the CLUSTER id (as VARCHAR, matching
+    // Spark's cast-to-string md5 input).
+    "x130_leakage_split" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${minhashPairsSql()}),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS d, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT re.d, e.dst AS r FROM reach re JOIN edges e ON re.r = e.src),
+         |lab AS (SELECT d AS doc_id, min(r) AS cluster_id
+         |        FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+         |         AS cluster_size
+         |       FROM lab GROUP BY 1),
+         |b AS (SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+         |        CAST(list_reduce(list_transform(
+         |          string_split(substr(
+         |            md5(CAST(lab.cluster_id AS VARCHAR)), 1, 8), ''),
+         |          c -> instr('0123456789abcdef', c) - 1),
+         |          (a, b) -> a * 16 + b) % 1000 AS BIGINT) AS bucket
+         |      FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id)
+         |SELECT doc_id, cluster_id, cluster_size, bucket,
+         |  CASE WHEN bucket < 960 THEN 'train'
+         |       WHEN bucket < 980 THEN 'val' ELSE 'test' END AS part
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // x33: shingles are distinct per doc, so count(*) per shingle IS the
     // document frequency on both engines.

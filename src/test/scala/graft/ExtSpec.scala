@@ -45,6 +45,37 @@ class ExtSpec extends SparkSpec {
     assert(strict(3L) == "zeta")
   }
 
+  test("leakage split: every near-dup cluster lands atomically in one " +
+      "split; the per-doc rule WOULD straddle at least one cluster " +
+      "(the leakage x130 exists to prevent); buckets follow x67's " +
+      "recipe on the cluster id") {
+    val out = Dedup.leakageSplit(spark, sf)
+    // atomicity: one (bucket, part) per cluster
+    assert(out.groupBy($"cluster_id")
+      .agg(countDistinct($"part").as("p"), countDistinct($"bucket").as("b"))
+      .where($"p" =!= 1 || $"b" =!= 1).count() == 0)
+    // the bucket is exactly x67's md5 fold on the CLUSTER id
+    val recheck = out.withColumn("want",
+      conv(substring(md5($"cluster_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000)
+    assert(recheck.where($"bucket" =!= $"want").count() == 0)
+    assert(out.where($"part" === "train" && $"bucket" >= 960).count() == 0)
+    assert(out.where($"part" === "test" && $"bucket" < 980).count() == 0)
+    // contrast: on this corpus the per-doc rule assigns differing
+    // buckets inside at least one multi-doc cluster — real leakage
+    val docBucket = conv(substring(md5($"doc_id".cast("string")), 1, 8),
+      16, 10).cast("long") % 1000
+    val straddled = out.where($"cluster_size" >= 2)
+      .withColumn("db", docBucket)
+      .groupBy($"cluster_id")
+      .agg(countDistinct(when($"db" < 960, "train")
+        .when($"db" < 980, "val").otherwise("test")).as("parts"))
+      .where($"parts" >= 2).count()
+    assert(straddled > 0,
+      "fixture has no cluster the per-doc split would straddle — " +
+        "the contrast assertion is vacuous")
+  }
+
   test("line dedup random sweep: 40 seeded corpora-rows vs an " +
       "independent Scala reference — frequency rule, reassembly order, " +
       "exact counts, all-removed and no-collision extremes included") {
