@@ -399,6 +399,21 @@ class ExtSpec extends SparkSpec {
         col("hamming"))
     assert(banded.except(brute).count() == 0)
     assert(brute.except(banded).count() == 0)
+    // remainder widths: maxHamming = 4 -> 5 blocks over 32 bits (7,7,6,
+    // 6,6) — the one code path the default (8,8,8,8) never exercises;
+    // a block that silently missed its spread bit would break the
+    // pigeonhole guarantee exactly here
+    val banded4 = Dedup.simhashHammingPairs(spark, sf, maxHamming = 4)
+      .select(col("d1"), col("d2"), col("hamming"))
+    val brute4 = sigs.as("a").crossJoin(sigs.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .where(col("hamming") <= 4)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("hamming"))
+    assert(banded4.except(brute4).count() == 0)
+    assert(brute4.except(banded4).count() == 0)
   }
 
   test("shingle-fingerprint pairs (x129): 60-bit banding is EXACT for " +
