@@ -214,7 +214,14 @@ class StreamStateSpec extends SparkSpec {
         for (h <- 0 until 2; j <- 0 until 64; r <- 0 until 2)
           yield Evt(j.toLong + r * 64L, "a", at(i * 6 + h, r * 9))
       }
-      val snaps = profile(in, q, slices)
+      // LOSSLESSNESS BOUNDARY, other side: after the watermark passed
+      // hour 0's bucket end (state long evicted), a late row for that
+      // bucket carrying a LARGER rho (user 512: j=0, rho=9 vs the
+      // bucket's real max 2) must be framework-dropped BEFORE the
+      // processor — if it reached a cleared map it would resurrect the
+      // register at 9 and the fixpoint assert below would catch it
+      val lateRow = Seq(Evt(512L, "a", at(0)))
+      val snaps = profile(in, q, slices :+ lateRow)
       // live map entries <= 2 buckets x 64, + one un-evicted slice of
       // slack + timer rows -> cap 400; cumulative 8x2x64 = 1024 entries
       assertPlateau(snaps, cap = 400, cumulative = 1024, "map state")
