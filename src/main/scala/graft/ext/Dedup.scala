@@ -949,6 +949,15 @@ object Dedup {
    * blocks with ~6M-row candidate dedup and one over a few hundred
    * signatures — the same collapse a production 64-bit fingerprint table
    * exhibits (far fewer distinct fingerprints than pages).
+   *
+   * SCALE ADJUDICATION (round-13 sf1 probe, BENCH_CURVE): the operator's
+   * per-emitted-pair cost is constant (0.87x/pair at 10x docs), but the
+   * 32-bit UNIGRAM predicate itself saturates on a small-vocab corpus —
+   * Hamming <= 3 qualifies ~12% of ALL doc pairs at sf0.1 and the output
+   * grows quadratically (1.57M -> 169M pairs). This entry is therefore
+   * the unigram-32 eval/compat form; the production-scale path is
+   * [[simhash64Pairs]] (x129: 60-bit fingerprints over word-3-gram
+   * shingles, output stays near-dup-sized at the same probe).
    */
   def simhashHammingPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
