@@ -1600,6 +1600,15 @@ object StreamPipeline {
    * downstream merge + estimate reproduce kq102's result row-for-row —
    * the DuckDB oracle is kq102's, unchanged.
    *
+   * Update-mode-with-fixpoint was chosen over the Append-on-close
+   * alternative (emit final registers from the eviction timer, kq94's
+   * discipline) deliberately: a serving dashboard wants the CURRENT
+   * bucket's estimate refreshed as events arrive, not withheld until
+   * the watermark closes it, and the fixpoint contract covers EVERY
+   * bucket on a finite replay where Append-on-close would drop the open
+   * tail (kq44's tail rule) and weaken the oracle to a boundary-ruled
+   * subset.
+   *
    * At 100 TB: arrivals shuffle once on the bucket key; state is 64
    * point-updatable entries per open bucket; the merge reads the tiny
    * register stream, never events.
