@@ -285,7 +285,13 @@ object ChangelogSink {
         Seq[org.apache.hadoop.fs.FileStatus]] =
       hits.map { case (t, d, _) =>
         (t, d) -> fs.listStatus(new Path(path, s"topic=$t/date=$d"))
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          // dot-files are NOT data: a crash mid-swap leaves hidden
+          // .forgetting-*/.compacting-*.parquet leftovers, and feeding
+          // one to spark.read as an EXPLICIT path (hidden-file filtering
+          // of explicit roots is version-dependent) while the swap later
+          // hides/deletes it could drop rows that were never rewritten
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")
+            && !f.getPath.getName.startsWith("."))
           .toSeq
       }.toMap
     val snapshotFiles = hits.flatMap { case (t, d, _) =>
@@ -512,7 +518,12 @@ object ChangelogSink {
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(part)) return 0
     val files = fs.listStatus(part)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      // exclude crash-leftover dot-hidden files (.compacting-*.parquet):
+      // they are pre-swap originals, not data to re-compact — run
+      // recoverStaging first; reading one explicitly here would
+      // duplicate its rows into the compacted output
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")
+        && !f.getPath.getName.startsWith("."))
     if (files.length <= 1) return files.length
     val nOut = math.max(1,
       math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
@@ -624,7 +635,8 @@ object ChangelogSink {
       dateDir <- fs.listStatus(topicDir.getPath).toSeq
       if dateDir.isDirectory && dateDir.getPath.getName.startsWith("date=")
       files = fs.listStatus(dateDir.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")
+          && !f.getPath.getName.startsWith("."))
       nOut = math.max(1,
         math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
       if files.length > 1 && nOut < files.length

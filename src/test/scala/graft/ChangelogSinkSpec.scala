@@ -494,6 +494,55 @@ class ChangelogSinkSpec extends SparkSpec {
     assert(fin.count() == beforeCount - subj13 + copyCount - copy13)
   }
 
+  test("crash-leftover dot-hidden files are data to NEITHER erasure nor " +
+      "compaction: never read (no silent drop / no duplicate rows), " +
+      "never swapped, byte-identical after both ops") {
+    val dir = Files.createTempDirectory("dotfile-leftover").toString
+    val env = Pipeline.envelopeFlat(spark, sf)
+    ChangelogSink.append(env, dir)
+    ChangelogSink.append(env, dir) // second file per partition → compactable
+    val before = ChangelogSink.read(spark, dir)
+    val beforeCount = before.count()
+    val subj = before.where($"key" === "13").count()
+    assert(subj > 0)
+    // plant what a mid-swap kill leaves: a dot-hidden copy of a real
+    // data file in a partition the subject hits. If a listing fed it to
+    // spark.read as an explicit path and the swap then hid/deleted it,
+    // its rows would vanish without ever being rewritten.
+    val hitDate = before.where($"key" === "13")
+      .select($"date".cast("string")).orderBy($"date").as[String].head()
+    val part = new java.io.File(s"$dir/topic=events/date=$hitDate")
+    val dataFile = part.listFiles().filter(f => f.isFile &&
+      f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+    // the leftover's original is GONE (that's what a post-hide crash
+    // leaves) — its name must not collide with any live file's hide
+    // target, or the checked rename rightly refuses
+    val ghost = new java.io.File(part,
+      ".forgetting-part-r13-ghost.c000.snappy.parquet")
+    java.nio.file.Files.copy(dataFile.toPath, ghost.toPath)
+    val ghostLen = ghost.length()
+    val ghostMod = ghost.lastModified()
+
+    ChangelogSink.forgetKeys(spark, dir, Seq("13")).collect()
+    assert(ghost.exists(), "erasure swallowed the crash leftover")
+    assert(ghost.length() == ghostLen && ghost.lastModified() == ghostMod,
+      "erasure rewrote the crash leftover")
+    val after = ChangelogSink.read(spark, dir)
+    assert(after.where($"key" === "13").count() == 0)
+    assert(after.count() == beforeCount - subj,
+      "ghost rows leaked into (or vanished from) the erased table")
+
+    // compaction over the same partition: the ghost's rows must not
+    // duplicate into the compacted output, and the ghost survives
+    val visible = spark.read.parquet(part.toString).count()
+    ChangelogSink.compactPartition(spark, dir, "events", hitDate)
+    assert(ghost.exists() && ghost.length() == ghostLen &&
+      ghost.lastModified() == ghostMod,
+      "compaction touched the crash leftover")
+    assert(spark.read.parquet(part.toString).count() == visible,
+      "compaction duplicated the ghost's rows")
+  }
+
   test("object-store rename (copy-then-delete, no overwrite): recovery " +
       "CONVERGES from a crash in the move-staged window (dst exists = " +
       "fully copied) and REFUSES LOUDLY from a crash in the hide window " +
