@@ -372,8 +372,9 @@ object ExtQueries {
     "x127_line_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.lineDedup(s, d)),
     // x128: URL canonicalization + RefinedWeb per-domain quota — docs
-    // ranked inside their registered domain by md5(canonical url),
-    // capped at 5 per domain.
+    // ranked inside their PUBLIC-SUFFIX-AWARE registered domain by
+    // md5(canonical url), capped at 5 per domain via the mega-domain-
+    // safe two-phase rank (no window ever sorts a whole domain).
     "x128_domain_cap" -> ((s: SparkSession, d: String) =>
       UrlOps.domainCap(s, d)),
     // x129: 60-bit shingle-fingerprint near-dup pairs (Manku's
@@ -2910,20 +2911,32 @@ object ExtQueries {
 
     // x128: identical synthetic-URL recipe and canonicalization chain
     // (split_part = substring_index on always-present separators,
-    // starts_with = Spark startswith, list slice [-2:] = Spark
-    // slice(-2,2)); row_number is BIGINT in DuckDB and the Spark side
-    // casts to match.
+    // starts_with = Spark startswith); the hostport cut takes the FIRST
+    // of '/' or '?' on BOTH sides (doc_id % 11 plants a no-path URL with
+    // a query); the registered-domain CASE chain is GENERATED from
+    // UrlOps.publicSuffixes so the two engines share one suffix table,
+    // and its last-2-labels fallback clamps to the whole host for
+    // single-label hosts (doc_id % 13 plants 'Intranet') exactly like
+    // the Spark side's size-guard; row_number is BIGINT in DuckDB and
+    // the Spark side casts to match.
     "x128_domain_cap" ->
-      """WITH d AS (SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
         |    || '://' ||
-        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
-        |         WHEN doc_id % 3 = 1 THEN 'cdn.Assets.' ELSE '' END
-        |    || source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.COM' ||
+        |    CASE WHEN doc_id % 13 = 0 THEN 'Intranet'
+        |      ELSE CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+        |           WHEN doc_id % 3 = 1 THEN 'cdn.Assets.' ELSE '' END
+        |      || source || '-' || CAST(doc_id % 3 AS VARCHAR) ||
+        |      CASE WHEN doc_id % 5 = 0 THEN '.COM'
+        |           WHEN doc_id % 5 = 1 THEN '.CO.UK'
+        |           WHEN doc_id % 5 = 2 THEN '.GitHub.IO'
+        |           WHEN doc_id % 5 = 3 THEN '.COM.AU'
+        |           ELSE '.ORG' END END ||
         |    CASE WHEN doc_id % 2 = 0 THEN ':80'
-        |         WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END
-        |    || '/Docs/' || CAST(doc_id AS VARCHAR) ||
-        |    CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '' END ||
+        |         WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ''
+        |      ELSE '/Docs/' || CAST(doc_id AS VARCHAR) ||
+        |        CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '' END END ||
         |    CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&id=' ||
         |      CAST(doc_id AS VARCHAR) || '&ref=x&utm_campaign=z'
         |      ELSE '' END ||
@@ -2936,8 +2949,9 @@ object ExtQueries {
         |    split_part(split_part(url, '#', 1), '://', 2) AS rest
         |  FROM d),
         |r AS (SELECT doc_id, scheme,
-        |    split_part(rest, '/', 1) AS hostport,
-        |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        |    split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
+        |    substr(rest, length(split_part(split_part(rest, '/', 1),
+        |      '?', 1)) + 1) AS pathq
         |  FROM q),
         |s AS (SELECT doc_id, scheme, pathq,
         |    CASE WHEN starts_with(lower(split_part(hostport, ':', 1)),
@@ -2953,8 +2967,8 @@ object ExtQueries {
         |         (scheme = 'https' AND port = '443'))
         |      THEN ':' || port ELSE '' END AS portpart,
         |    CASE WHEN regexp_replace(split_part(pathq, '?', 1),
-        |        '/+$', '') = '' THEN '/'
-        |      ELSE regexp_replace(split_part(pathq, '?', 1), '/+$', '')
+        |        '/+$$', '') = '' THEN '/'
+        |      ELSE regexp_replace(split_part(pathq, '?', 1), '/+$$', '')
         |      END AS path,
         |    array_to_string(list_filter(string_split(
         |      CASE WHEN contains(pathq, '?')
@@ -2967,16 +2981,18 @@ object ExtQueries {
         |    scheme || '://' || host || portpart || path ||
         |      CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END
         |      AS url_canonical,
-        |    array_to_string((string_split(host, '.'))[-2:], '.')
-        |      AS domain
-        |  FROM t)
-        |SELECT doc_id, url_canonical, domain, n_docs_domain,
-        |  domain_rank, domain_rank <= 5 AS kept
+        |    host, string_split(host, '.') AS labels
+        |  FROM t),
+        |v AS (SELECT doc_id, url_canonical,
+        |    ${UrlOps.registeredDomainSqlDuck("host", "labels")} AS domain
+        |  FROM u)
+        |SELECT doc_id, url_canonical, domain, n_docs_domain, domain_rank
         |FROM (SELECT doc_id, url_canonical, domain,
         |        count(*) OVER (PARTITION BY domain) AS n_docs_domain,
         |        row_number() OVER (PARTITION BY domain
         |          ORDER BY md5(url_canonical), doc_id) AS domain_rank
-        |      FROM u)
+        |      FROM v)
+        |WHERE domain_rank <= 5
         |ORDER BY doc_id""".stripMargin,
 
     // x118: DuckDB emb[1:L] is 1-based inclusive (= Spark slice(emb,1,L));

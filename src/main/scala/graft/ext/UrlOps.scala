@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Tables
@@ -22,29 +23,67 @@ import graft.ingest.Tables
  *  - tracking query params drop (`utm_*`, `ref`, `fbclid`, `gclid`);
  *    surviving params keep their order; an emptied query drops its `?`.
  *
+ * The registered domain is public-suffix aware: hosts under a 2-level
+ * public suffix (`foo.co.uk`, `user.github.io`) key one label deeper
+ * than plain TLDs, via a longest-matching-suffix lookup over a small
+ * broadcast PSL subset ([[publicSuffixes]] — a deployment swaps in the
+ * full publicsuffix.org table through the same rule). Without this,
+ * every `.uk` site merges into ONE `co.uk` quota bucket — the first
+ * real crawl corpus hits it.
+ *
  * The quota is enforced with a deterministic hash rank — `md5` of the
  * canonical URL — so the kept sample is stable across runs and clusters,
  * not first-N-in-scan-order (which at 100 TB is whatever the split
- * planner felt like). Plan shape: everything is map-side string work in
- * one projection; the only shuffle is the per-domain window (hash
- * partitioned BY DOMAIN — parallel across domains, the top-k inside a
- * domain never leaves one partition). Heavy-tailed mega-domains at
- * 100 TB: the window sorts that domain's rows on one executor — if one
- * domain exceeds a partition, pre-filter with an approximate per-domain
- * count and a hash-prefix pre-cut before ranking (documented upgrade,
- * same result).
+ * planner felt like). OUTPUT CONTRACT: the kept rows (the capped corpus)
+ * plus each row's exact rank and its domain's exact total count. Dropped
+ * rows carry no rank on purpose: an exact rank for EVERY row of a domain
+ * is information-theoretically a full per-domain sort — exactly the
+ * unbounded-partition hotspot this operator must avoid at 100 TB.
+ *
+ * Plan shape (the mega-domain-safe two-phase rank): the canonical URL,
+ * domain and salt are one map-side projection; phase 1 ranks inside
+ * (domain, salt) slices — a heavy-tailed mega-domain splits across
+ * [[saltBuckets]] partitions, so no single sort ever sees more than
+ * ~1/saltBuckets of it — and keeps each slice's top `cap`; phase 2 ranks
+ * the surviving ≤ saltBuckets×cap rows per domain. Any row in the domain
+ * top-cap is in its slice's top-cap (it has fewer smaller md5s in its
+ * slice than in the whole domain), so the result is PROVABLY identical
+ * to the unbounded single-window rank — pinned against the reference
+ * implementation on a planted mega-domain corpus in ExtSpec. The exact
+ * domain total rides along for free: each slice's rank-1 row (which
+ * always survives phase 1) carries its slice's row count, and phase 2
+ * sums them — no separate count aggregate, no unbounded
+ * `count().over(domain)`. One full shuffle (by domain+salt), one
+ * cap-sized shuffle (by domain), zero joins.
  *
  * Fixtures lack a url column, so [[domainCap]] derives a deterministic
  * synthetic URL from (source, doc_id) — the same closed-form-fixture
  * trick as x127's lined corpus — exercising every canonicalization
  * branch: mixed-case scheme/host, `www.`/`cdn.Assets.` subdomains,
  * default and non-default ports, double trailing slashes, tracking and
- * non-tracking params, fragments.
+ * non-tracking params, fragments, 2-level public suffixes, a
+ * single-label intranet host, and a no-path URL whose query must not
+ * leak into the host.
  */
 object UrlOps {
 
   private val trackingPrefixes =
     Seq("utm_", "ref=", "fbclid=", "gclid=")
+
+  /** 2-level entries of the public suffix list (publicsuffix.org) that
+    * real crawls hit first; the registered-domain rule is
+    * longest-matching-suffix, so a deployment swaps in the full table
+    * without touching the rule. Kept tiny here: it ships as literals
+    * inside one codegen'd CASE chain (the broadcast-lookup shape for a
+    * list this size). */
+  private[ext] val publicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au",
+    "co.jp", "co.nz", "co.in", "com.br", "github.io", "blogspot.com")
+
+  /** Suffixes ordered for longest-match-first evaluation (more labels
+    * beat fewer; ties alphabetical for determinism). */
+  private def orderedSuffixes: Seq[String] =
+    publicSuffixes.sortBy(s => (-s.count(_ == '.'), s))
 
   /** Canonical form of `url` per the rules above. Pure Column
     * composition — codegen'd builtins except the param filter (a
@@ -57,7 +96,8 @@ object UrlOps {
     // the authority ends at the FIRST of '/' or '?' — a query with no
     // path ("http://h.io:8080?q=1") must not leak into the host/port
     // (found by the seeded-random idempotence sweep, not the fixtures:
-    // every synthetic fixture URL carries a path)
+    // every synthetic fixture URL used to carry a path; doc_id % 11
+    // now plants the case)
     val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
     val pathq = rest.substr(length(hostport) + lit(1), length(rest))
     val hostRaw = lower(substring_index(hostport, ":", 1))
@@ -85,51 +125,128 @@ object UrlOps {
         .otherwise(lit("")))
   }
 
-  /** Registered domain of a CANONICAL url: the last two host labels
-    * (the public-suffix list is a deployment lookup table; the 2-label
-    * rule is the fixture-complete core). */
+  /** Registered domain of a CANONICAL url, public-suffix aware: the
+    * longest matching [[publicSuffixes]] entry plus one more label;
+    * a host that IS a public suffix keys as itself; otherwise the last
+    * two labels, clamped to the whole host for single-label hosts
+    * (`intranet`). */
   def registeredDomain(canonicalUrl: Column): Column = {
     val host = substring_index(substring_index(
       substring_index(substring_index(canonicalUrl, "://", -1), "/", 1),
       "?", 1), ":", 1)
-    array_join(slice(split(host, "[.]"), -2, 2), ".")
+    val labels = split(host, "[.]")
+    // default rule: last 2 labels, clamped (slice(-2,2) on a 1-element
+    // array is EMPTY in Spark where DuckDB's [-2:] clamps — the
+    // cross-engine divergence the clamp removes)
+    val base = when(size(labels) <= 2, host)
+      .otherwise(array_join(slice(labels, -2, 2), "."))
+    val chain = orderedSuffixes.foldLeft(Option.empty[Column]) {
+      (acc, sfx) =>
+        val n = sfx.count(_ == '.') + 1 // labels in the suffix
+        val hit = host === sfx || host.endsWith("." + sfx)
+        // endsWith(".sfx") implies >= n+1 labels, so the slice is full
+        val v = when(host === sfx, host)
+          .otherwise(array_join(slice(labels, -(n + 1), n + 1), "."))
+        Some(acc.fold(when(hit, v))(_.when(hit, v)))
+    }
+    chain.get.otherwise(base)
+  }
+
+  /** The registered-domain rule as DuckDB SQL over a host expression —
+    * generated from the SAME [[publicSuffixes]] list as the Column
+    * implementation so the two can never drift. `labelsExpr` must be
+    * `string_split(host, '.')`. */
+  def registeredDomainSqlDuck(hostExpr: String,
+      labelsExpr: String): String = {
+    val arms = orderedSuffixes.flatMap { sfx =>
+      val n = sfx.count(_ == '.') + 1
+      Seq(
+        s"WHEN $hostExpr = '$sfx' THEN $hostExpr",
+        s"WHEN ends_with($hostExpr, '.$sfx') THEN " +
+          s"array_to_string($labelsExpr[-${n + 1}:], '.')")
+    }
+    (s"CASE ${arms.mkString(" ")} " +
+      s"ELSE CASE WHEN len($labelsExpr) <= 2 THEN $hostExpr " +
+      s"ELSE array_to_string($labelsExpr[-2:], '.') END END")
   }
 
   /** Deterministic synthetic raw URL for a fixture doc — every
-    * canonicalization branch reachable. */
+    * canonicalization + registered-domain branch reachable. */
   private def syntheticUrl: Column = expr(
     """concat(
       |  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
-      |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
-      |       WHEN doc_id % 3 = 1 THEN 'cdn.Assets.' ELSE '' END,
-      |  source, '-', CAST(doc_id % 3 AS STRING), '.COM',
+      |  CASE WHEN doc_id % 13 = 0 THEN 'Intranet'
+      |    ELSE concat(
+      |      CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+      |           WHEN doc_id % 3 = 1 THEN 'cdn.Assets.' ELSE '' END,
+      |      source, '-', CAST(doc_id % 3 AS STRING),
+      |      CASE WHEN doc_id % 5 = 0 THEN '.COM'
+      |           WHEN doc_id % 5 = 1 THEN '.CO.UK'
+      |           WHEN doc_id % 5 = 2 THEN '.GitHub.IO'
+      |           WHEN doc_id % 5 = 3 THEN '.COM.AU'
+      |           ELSE '.ORG' END) END,
       |  CASE WHEN doc_id % 2 = 0 THEN ':80'
       |       WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END,
-      |  '/Docs/', CAST(doc_id AS STRING),
-      |  CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '' END,
+      |  CASE WHEN doc_id % 11 = 0 THEN ''
+      |    ELSE concat('/Docs/', CAST(doc_id AS STRING),
+      |      CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '' END) END,
       |  CASE WHEN doc_id % 2 = 1 THEN concat('?utm_source=feed&id=',
       |    CAST(doc_id AS STRING), '&ref=x&utm_campaign=z') ELSE '' END,
       |  CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END)"""
       .stripMargin)
 
-  /** x128 driver entry: canonicalize, extract registered domain, rank
-    * docs per domain by md5(canonical url), cap at `maxPerDomain`. */
-  def domainCap(spark: SparkSession, dir: String, maxPerDomain: Int = 5)
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"))
-      .withColumn("url_canonical", canonicalizeUrl(syntheticUrl))
-      .withColumn("domain", registeredDomain(col("url_canonical")))
+  /** The mega-domain-safe cap over a prepared (doc_id, url_canonical,
+    * domain) frame — the two-phase rank documented on the object.
+    * Exposed for the ExtSpec identity pin against
+    * [[capDomainsUnbounded]]. */
+  private[graft] def capDomains(docs: DataFrame, maxPerDomain: Int,
+      saltBuckets: Int): DataFrame = {
+    val order = Seq(md5(col("url_canonical")), col("doc_id"))
+    val sliceW = Window.partitionBy(col("domain"), col("salt"))
+    val salted = docs
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
+      .withColumn("slice_rank", row_number().over(
+        sliceW.orderBy(order: _*)))
+      .withColumn("slice_n", count(lit(1)).over(sliceW))
+      .where(col("slice_rank") <= maxPerDomain)
+    val domW = Window.partitionBy(col("domain"))
+    salted
+      .withColumn("n_docs_domain",
+        sum(when(col("slice_rank") === 1, col("slice_n"))).over(domW))
+      .withColumn("domain_rank",
+        row_number().over(domW.orderBy(order: _*)).cast("long"))
+      .where(col("domain_rank") <= maxPerDomain)
+      .select(col("doc_id"), col("url_canonical"), col("domain"),
+        col("n_docs_domain"), col("domain_rank"))
+  }
+
+  /** The reference single-window rank — O(domain) sort on one executor,
+    * correct but NOT mega-domain-safe; exists only as the ExtSpec
+    * identity oracle for [[capDomains]]. */
+  private[graft] def capDomainsUnbounded(docs: DataFrame,
+      maxPerDomain: Int): DataFrame = {
     val w = Window.partitionBy(col("domain"))
     docs
       .withColumn("n_docs_domain", count(lit(1)).over(w))
       .withColumn("domain_rank", row_number().over(
           w.orderBy(md5(col("url_canonical")), col("doc_id")))
         .cast("long"))
-      .withColumn("kept", col("domain_rank") <= maxPerDomain)
+      .where(col("domain_rank") <= maxPerDomain)
       .select(col("doc_id"), col("url_canonical"), col("domain"),
-        col("n_docs_domain"), col("domain_rank"), col("kept"))
+        col("n_docs_domain"), col("domain_rank"))
+  }
+
+  /** x128 driver entry: canonicalize, extract the registered domain,
+    * keep each domain's `maxPerDomain` docs by md5(canonical url) rank
+    * via the bounded two-phase window. */
+  def domainCap(spark: SparkSession, dir: String, maxPerDomain: Int = 5,
+      saltBuckets: Int = 32): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("url_canonical", canonicalizeUrl(syntheticUrl))
+      .withColumn("domain", registeredDomain(col("url_canonical")))
+      .select(col("doc_id"), col("url_canonical"), col("domain"))
+    capDomains(docs, maxPerDomain, saltBuckets)
       .orderBy(col("doc_id"))
   }
 }

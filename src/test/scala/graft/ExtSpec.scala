@@ -145,12 +145,26 @@ class ExtSpec extends SparkSpec {
       .as[String].collect().toSeq
     got.zip(cases).foreach { case (g, (in, want)) =>
       assert(g == want, s"canonicalize($in)") }
-    // registered domain: last two labels of the canonical host
-    val doms = Seq("https://cdn.assets.b.com/y", "https://a.com/",
-        "http://a.com:443/x").toDF("u")
+    // registered domain: public-suffix aware — a 2-level PSL suffix
+    // keys one label deeper; a host that IS a suffix keys as itself;
+    // otherwise last two labels, clamped for single-label hosts
+    val domCases = Seq(
+      ("https://cdn.assets.b.com/y", "b.com"),   // no PSL match: last 2
+      ("https://a.com/", "a.com"),
+      ("http://a.com:443/x", "a.com"),
+      ("https://foo.co.uk/x", "foo.co.uk"),      // exact-suffix + 1
+      ("https://deep.sub.foo.co.uk/x", "foo.co.uk"), // longer host
+      ("https://user.github.io/p", "user.github.io"),
+      ("https://b.blogspot.com/p", "b.blogspot.com"),
+      ("https://co.uk/", "co.uk"),               // host IS the suffix
+      ("https://myco.uk/", "myco.uk"),           // NOT '.co.uk' (no dot)
+      ("http://intranet/x", "intranet"),         // single label: clamp
+      ("http://intranet:8080/x", "intranet"))
+    val doms = domCases.map(_._1).toDF("u")
       .select(UrlOps.registeredDomain(col("u")).as("d"))
       .as[String].collect().toSeq
-    assert(doms == Seq("b.com", "a.com", "a.com"))
+    doms.zip(domCases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"registeredDomain($in)") }
 
     // IDEMPOTENCE on 500 seeded-random URLs (the classic canonicalizer
     // bug class: a second pass must be a fixpoint — e.g. stripping
@@ -205,22 +219,68 @@ class ExtSpec extends SparkSpec {
         hostport.takeWhile(_ != ':').endsWith(dom), s"domain $dom of $c")
     }
 
-    // cap enforcement on the fixture entry: kept == rank <= 5, exactly
-    // min(5, n) kept per domain, rank is a permutation of 1..n
+    // cap enforcement on the fixture entry: output is the KEPT set —
+    // exactly min(5, domain total) rows per domain, ranks a permutation
+    // of 1..kept, and the domain totals add back up to the corpus size
     val out = UrlOps.domainCap(spark, sf, maxPerDomain = 5)
     val byDomain = out.groupBy($"domain").agg(
       count(lit(1)).as("n"),
-      sum(when($"kept", 1L).otherwise(0L)).as("nk"),
       max($"domain_rank").as("maxr"),
-      countDistinct($"domain_rank").as("dr")).collect()
+      countDistinct($"domain_rank").as("dr"),
+      countDistinct($"n_docs_domain").as("nd"),
+      max($"n_docs_domain").as("total")).collect()
     assert(byDomain.nonEmpty)
     byDomain.foreach { r =>
-      val (n, nk, maxr, dr) = (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))
-      assert(nk == math.min(5L, n), s"domain ${r.getString(0)}")
-      assert(maxr == n && dr == n) // ranks are exactly 1..n
+      val (n, maxr, dr, nd, total) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nd == 1, s"domain ${r.getString(0)}: inconsistent totals")
+      assert(n == math.min(5L, total), s"domain ${r.getString(0)}")
+      assert(maxr == n && dr == n, s"domain ${r.getString(0)}: ranks")
     }
-    assert(out.where($"kept" =!= ($"domain_rank" <= 5)).count() == 0)
+    val corpus = graft.ingest.Tables.load(spark, sf, "documents").count()
+    assert(byDomain.map(_.getLong(5)).sum == corpus,
+      "per-domain totals must partition the corpus")
+  }
+
+  test("domain cap two-phase rank: provably identical to the unbounded " +
+      "single-window reference on a planted mega-domain corpus, for " +
+      "every salt count — and the domain-rank window's input is the " +
+      "slice-filtered (pre-cut) frame, never the raw corpus") {
+    // one mega-domain (80% of rows), a mid domain, and a long tail of
+    // singletons — the heavy-tailed crawl shape the operator exists for
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 2000L).map { i =>
+      val dom = if (i % 10 < 8) "mega.com"
+        else if (i % 10 == 8) s"mid-${i % 30}.co.uk"
+        else s"tail-$i.org"
+      (i, s"https://$dom/p/${rnd.nextInt(100000)}", dom)
+    }
+    val docs = rows.toDF("doc_id", "url_canonical", "domain")
+    val want = UrlOps.capDomainsUnbounded(docs, maxPerDomain = 5)
+      .collect().map(_.toSeq).toSet
+    for (saltBuckets <- Seq(1, 7, 32)) {
+      val got = UrlOps.capDomains(docs, maxPerDomain = 5, saltBuckets)
+      assert(got.collect().map(_.toSeq).toSet == want,
+        s"saltBuckets=$saltBuckets diverged from the unbounded rank")
+    }
+    // plan pin: the Window partitioned by domain ALONE sits above a
+    // Filter on slice_rank (the pre-cut), so its per-partition sort
+    // input is O(saltBuckets x cap) per domain by construction
+    val plan = UrlOps.capDomains(docs, 5, 32).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    val domWindows = plan.collect {
+      case w: LWindow if w.partitionSpec.size == 1 &&
+        w.partitionSpec.head.references.map(_.name).toSeq == Seq("domain") => w
+    }
+    assert(domWindows.nonEmpty, "domain-only window not found")
+    domWindows.foreach { w =>
+      val precut = w.child.collectFirst {
+        case f: Filter if f.condition.references
+          .map(_.name).exists(_ == "slice_rank") => f
+      }
+      assert(precut.nonEmpty,
+        "domain-rank window input is NOT the pre-cut frame:\n" + w)
+    }
   }
 
   test("ngram jaccard pairs: ordered, thresholded, symmetric-free") {
