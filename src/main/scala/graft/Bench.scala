@@ -120,7 +120,24 @@ object Bench {
     "kq99_geo_line", "x125_audio_segments", "kq100_tiered_rollup", "q56_try_cast",
     "q57_not_in_trap", "kq101_incremental_restart",
     "x127_line_dedup", "x128_domain_cap", "x129_simhash64_pairs",
-    "kq105_sliding_uniques_stream", "x130_leakage_split")
+    "kq105_sliding_uniques_stream", "x130_leakage_split",
+    // round-14 completeness: EVERY driver entry is benched — the 37
+    // early-round primitives that predated the headline list (a
+    // regression there was invisible; "no silent caps" applies to the
+    // harness too) plus the new kq106. kq23/kq106 each run a real
+    // multi-batch streaming replay; their cost is the fixed harness
+    // band, not data volume.
+    "kq3_search_key_topic", "kq4_search_field", "kq4b_search_json",
+    "kq5_tombstones", "kq9_sql_surface", "kq11_hist_breakdown",
+    "kq12_trend", "kq18_kql", "kq19_numeric_hist", "kq20_composite_after",
+    "kq23_stream_key_stats", "kq26_kql_exists",
+    "q2_topk", "q6_setops", "q7_string", "q8_datetime", "q9_math",
+    "q10_distinct_having", "q11_rollup", "q12_semi", "q13_anti",
+    "q14_array", "q15_map", "q16_typed_agg", "q17_pivot", "q18_cube",
+    "q19_hash_sample", "q20_sketch", "q21_stats", "q30_correlated_exists",
+    "x7_langid", "x9_tokens", "x11_media_meta", "x14_media_frames",
+    "x16_anonymize", "x17_mixture", "x18_langid_ngram",
+    "kq106_percolate_stream")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -91,6 +91,7 @@ object Plans {
     "kq52_matrix_stats" -> "matrix_stats: ONE partial+final hash aggregate carrying all five exact DECIMAL joint moments; numerators and correlation are projections above it",
     "kq54_collapse" -> "field collapse: per-key top-1 is a bounded window partitioned on the data-driven key (one key shuffle, never a global sort); the collapsed page itself is a TakeOrderedAndProject top-k",
     "kq55_percolate" -> "percolate: ONE scan computes every stored query's verdict as an array of structs — explode + filter, map-only; no join, no shuffle, cost is one pass regardless of registry size",
+    "kq106_percolate_stream" -> "streaming percolator: kq55's map-only verdict array per micro-batch (stateless, no state store), then kq97's greedy throttle per stored query — cross-batch state is ONE chain-tail timestamp per query on the driver, per-batch chain distributed via flatMapSortedGroups over alert-sized groups",
     "x80_mmr" -> "MMR re-rank: ONE corpus-sized relevance pass (broadcast queries), then every greedy round operates on the bounded nQueries x nCand page — localCheckpoint keeps lineage flat across the k rounds",
     "x81_random_projection" -> "JL random projection: ONE native RademacherSketch loop per row (map-only, scan-speed) — the 64-column declarative fold exceeds janino's 64KB method limit and drops to interpreted; sketch + norm audit in a single pass",
     "x82_video_frames" -> "video frame sampling: per-partition PPM-stream walk (header-parsed boundaries), skipped frames never pixel-walked; zero shuffle before the output sort, payloads never reach the driver",

@@ -1455,6 +1455,22 @@ object SparkEntry {
       graft.streaming.StreamPipeline.slidingUniquesStream(
         s, Pipeline.envelopeFlat(s, dir))),
 
+    // ---- STREAMING percolator (the ES Watcher shape): kq55's stored ---
+    // ---- KQL registry matched continuously — map-only verdict array ---
+    // ---- per micro-batch, kq97's greedy per-query alert throttle ------
+    // ---- across batches (state = ONE chain-tail timestamp per stored --
+    // ---- query). Streamed == the batch match-then-chain, which is the -
+    // ---- oracle. -------------------------------------------------------
+    "kq106_percolate_stream" -> ((s, dir) => {
+      val stored: Seq[(Int, org.apache.spark.sql.Column)] = Seq(
+        1 -> LogQueries.kql("event_type:click AND value >= 50"),
+        2 -> LogQueries.kql("event_type:p*"),
+        3 -> LogQueries.kql("\"TOMBSTONE\""),
+        4 -> LogQueries.kql("value < 10 OR event_type:signup"))
+      graft.streaming.StreamPipeline.percolateStream(s,
+        Pipeline.envelopeFlat(s, dir), stored)
+    }),
+
     // ---- seasonal anomaly flags on the hourly histogram: per ----------
     // ---- hour-of-day profile, |z| > 3 decided by EXACT INTEGER --------
     // ---- cross-multiplication (devsq > 9*var_num — no division, no ----
@@ -3215,6 +3231,40 @@ object SparkEntry {
         |        THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
         |        ELSE e_raw END, 6) AS hll_est
         |FROM est ORDER BY bucket""".stripMargin),
+
+    // kq106: streamed percolation+throttle == batch match-then-chain.
+    // The match legs are kq55's hand-translated KQL forms; the greedy
+    // per-query chain is kq97's recursive CTE (min match >= previous
+    // emission + period). m is MATERIALIZED: the recursive term's
+    // LATERAL references it every round (the x75 BPE-oracle lesson).
+    "kq106_percolate_stream" ->
+      (envSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, m AS MATERIALIZED (
+        |  SELECT 1 AS query_id, epoch_us("timestamp") AS us FROM env
+        |  WHERE event_type = 'click' AND "value" >= 50
+        |  UNION ALL
+        |  SELECT 2, epoch_us("timestamp") FROM env
+        |  WHERE event_type LIKE 'p%'
+        |  UNION ALL
+        |  SELECT 3, epoch_us("timestamp") FROM env
+        |  WHERE list_contains(
+        |          list_filter(regexp_split_to_array(lower(value_json),
+        |                                            '[^a-z0-9]+'),
+        |                      t -> t <> ''), 'tombstone')
+        |  UNION ALL
+        |  SELECT 4, epoch_us("timestamp") FROM env
+        |  WHERE "value" < 10 OR event_type = 'signup'),
+        |em AS (
+        |  SELECT query_id, min(us) AS us FROM m GROUP BY query_id
+        |  UNION ALL
+        |  SELECT n.query_id, n.us FROM em
+        |  JOIN LATERAL (SELECT e.query_id, min(e.us) AS us FROM m e
+        |                WHERE e.query_id = em.query_id
+        |                  AND e.us >= em.us + 21600000000
+        |                GROUP BY e.query_id) n ON true)
+        |SELECT CAST(query_id AS INT) AS query_id, us AS emitted_us
+        |FROM em
+        |ORDER BY query_id, emitted_us""".stripMargin),
 
     // kq64: the oracle aggregates RAW events straight to days — equality
     // with the hourly-then-daily rollup path is the mergeability proof

@@ -1613,6 +1613,123 @@ object StreamPipeline {
    * point-updatable entries per open bucket; the merge reads the tiny
    * register stream, never events.
    */
+  /**
+   * kq106 — STREAMING PERCOLATOR (the ES Watcher / alerting shape):
+   * kq55's reverse search run CONTINUOUSLY — every stored KQL query is
+   * compiled at plan time to a Catalyst predicate and evaluated against
+   * each incoming record as one map-only verdict array (no join, no
+   * state store), and each stored query's match stream is then
+   * throttled with kq97's greedy emission rule: an alert fires only if
+   * the match is >= `periodUs` after the query's PREVIOUS fired alert
+   * (event time). Percolation is stateless and embarrassingly parallel;
+   * the only cross-batch state is ONE timestamp per stored query — the
+   * chain tail — carried on the driver (bounded by the registry size,
+   * the same bounded-sync discipline as the k-means codebooks). Within
+   * a batch the chain runs DISTRIBUTED per query via
+   * flatMapSortedGroups seeded from the carried tail.
+   *
+   * Replay determinism: the fixture envelope splits into four STRICT
+   * event-time slices (equal timestamps can never straddle a batch
+   * boundary), one micro-batch each, so the per-batch greedy chains
+   * compose to exactly the global batch chain — which is the DuckDB
+   * oracle (kq97's recursive-CTE shape keyed by query_id over the
+   * kq55 UNION-ALL match legs). No watermark is involved, so no
+   * emission-boundary rule applies (the kq50 stateless precedent).
+   *
+   * At 100 TB/day: percolation cost is one scan regardless of registry
+   * size, the throttle state is O(#stored queries), and the per-batch
+   * sort is per-query matches only — alerts, not the corpus.
+   * `onBatch` is a test hook: (batchId, nMatches) per micro-batch.
+   */
+  def percolateStream(spark: org.apache.spark.sql.SparkSession,
+      envFlat: DataFrame,
+      stored: Seq[(Int, org.apache.spark.sql.Column)],
+      periodUs: Long = 21600000000L,
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame =
+    withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("kq106-perc").toString
+    val ev = envFlat.select(col("uid"), col("timestamp"),
+      col("event_type"), col("value"), col("value_json"))
+    // four STRICT time slices -> four consecutive micro-batches; a tie
+    // timestamp always lands in exactly one slice
+    val Array(mn, mx) = ev.agg(min(unix_micros(col("timestamp"))),
+        max(unix_micros(col("timestamp"))))
+      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
+    val step = math.max((mx - mn) / 4 + 1, 1L)
+    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
+    for (i <- 0 until 4) {
+      val slice = ev.where(
+        unix_micros(col("timestamp")) >= mn + i * step &&
+        unix_micros(col("timestamp")) < mn + (i + 1) * step)
+      val tmp = s"$work/slice$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val verdicts = array(stored.map { case (id, p) =>
+      struct(lit(id).as("query_id"), p.as("hit")) }: _*)
+    val lastUs = scala.collection.mutable.Map[Int, Long]()
+    val outDir = java.nio.file.Files
+      .createTempDirectory("kq106-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(outDir)
+    try {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .select(unix_micros(col("timestamp")).as("us"),
+          explode(verdicts).as("m"))
+        .where(col("m.hit"))
+        .select(col("m.query_id").as("query_id"), col("us"))
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          // seed each query's chain from the carried tail; the chain
+          // itself runs distributed, per query
+          val seed = lastUs.toMap
+          val em = batch.as[(Int, Long)]
+            .groupByKey(_._1)
+            .flatMapSortedGroups(col("us")) { (qid, it) =>
+              var last = seed.getOrElse(qid, Long.MinValue)
+              it.flatMap { case (_, us) =>
+                if (last == Long.MinValue || us >= last + periodUs) {
+                  last = us
+                  Some((qid, us))
+                } else None
+              }
+            }
+            .toDF("query_id", "emitted_us")
+          em.coalesce(1).write.mode("append").parquet(outDir.toString)
+          // bounded driver sync: one chain-tail row per stored query
+          val written = spark.read.schema(
+              "query_id INT, emitted_us BIGINT")
+            .parquet(outDir.toString) // re-read: em would recompute
+          onBatch(batchId, batch.count())
+          written.groupBy(col("query_id"))
+            .agg(max(col("emitted_us")).as("mx"))
+            .as[(Int, Long)].collect()
+            .foreach { case (k, v) =>
+              lastUs(k) = math.max(lastUs.getOrElse(k, Long.MinValue), v)
+            }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      spark.read.schema("query_id INT, emitted_us BIGINT")
+        .parquet(outDir.toString)
+        .orderBy(col("query_id"), col("emitted_us"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   def slidingUniquesStream(spark: org.apache.spark.sql.SparkSession,
       envFlat: DataFrame, delay: String = "1 hour"): DataFrame =
     withStreamingPartitions(spark, 8) {

@@ -617,4 +617,38 @@ class StreamingSpec extends SparkSpec {
     // the map is genuinely multi-entry: some key has several types
     assert(got.groupBy(_._1).values.exists(_.size > 1))
   }
+
+  test("streaming percolator (kq106): per-micro-batch match sets pinned, " +
+      "the cross-batch throttle chain equals the global greedy chain, " +
+      "and an exact last+period tie straddling a batch boundary EMITS") {
+    val base = 1700000000000000L // us
+    def us(s: Long) = s * 1000000L + base
+    // (eid, seconds, type, value) — slices cut at (39e6/4+1)-wide steps:
+    // batch0 = {0,5}, batch1 = {10,12,19}, batch2 = {21,25}, batch3 = {39}
+    val evs = Seq(
+      (1L, 0L, "a", 1.0),  // q1: chain start -> emit          (batch 0)
+      (2L, 5L, "a", 1.0),  // q1: 5 < 0+10 -> skip             (batch 0)
+      (3L, 10L, "a", 1.0), // q1: EXACT tie 10 == 0+10 -> EMIT (batch 1,
+                           //     seeded from batch 0's carried tail)
+      (4L, 12L, "b", 9.0), // q2: chain start -> emit          (batch 1)
+      (5L, 19L, "a", 1.0), // q1: 19 < 20 -> skip              (batch 1)
+      (6L, 21L, "a", 1.0), // q1: 21 >= 20 -> emit             (batch 2)
+      (7L, 25L, "b", 9.0), // q2: 25 >= 22 -> emit             (batch 2)
+      (8L, 39L, "a", 1.0)) // q1: 39 >= 31 -> emit             (batch 3)
+    val env = evs.toDF("eid", "s", "event_type", "value")
+      .select(concat(lit("u"), col("eid")).as("uid"),
+        expr(s"timestamp_micros(s * 1000000 + ${base}L)").as("timestamp"),
+        col("event_type"), col("value"), lit("{}").as("value_json"))
+    val batches = scala.collection.mutable.Buffer[(Long, Long)]()
+    val got = StreamPipeline.percolateStream(spark, env,
+        Seq(1 -> (col("event_type") === "a"), 2 -> (col("value") >= 5)),
+        periodUs = 10000000L,
+        onBatch = (id, n) => batches.synchronized { batches += ((id, n)) })
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // four micro-batches, each with exactly its slice's match count
+    assert(batches.sortBy(_._1).toSeq == Seq((0L, 2L), (1L, 3L),
+      (2L, 2L), (3L, 1L)), s"per-batch match sets: $batches")
+    assert(got == Seq((1, us(0)), (1, us(10)), (1, us(21)), (1, us(39)),
+      (2, us(12)), (2, us(25))))
+  }
 }
