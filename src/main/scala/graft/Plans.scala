@@ -106,7 +106,8 @@ object Plans {
     "x90_semdedup_eval" -> "semdedup eval: blocked exact tau-pairs (truth, sample-sized at scale) joined twice to the broadcast nearest-centroid assignment; one 1-row aggregate",
     "x94_hll_cardinality" -> "HLL cardinality: one explode + map-side-combinable agg into the 64-register domain per (source, field); the __all__ sketch is a register-max AGG OVER SKETCH ROWS — raw tokens are never re-read for the merge",
     "x95_pagerank" -> "pagerank: edge build = one within-cluster pair join + bounded top-k window, then 6 rounds of ONE edge join + ONE dst aggregation each (localCheckpoint lineage cuts) — O(E) per round, the CC iteration shape",
-    "x97_ivfpq_search" -> "IVF+PQ: candidate codes + bucket from ONE scan projection (literal-codebook codegen folds); broadcast queries; the bucket equi-join is the IVF prune; ADC is a map-side 4-way CASE per subspace — no join per LUT cell",
+    "x97_ivfpq_search" -> "IVF+PQ: candidate codes + bucket from ONE scan projection (literal-codebook codegen folds); broadcast queries carry their PRECOMPUTED 16-cell LUT array; the bucket equi-join is the IVF prune; per-candidate ADC = 4 element_at + adds in codegen",
+    "x131_ivfpq_serve" -> "IVF+PQ out-of-corpus serving: NO embeddings scan, no training — stored codes table + broadcast unseen queries (bucket assigned by zero-shuffle nearest_centroid over the persisted centroids); LUT-array ADC as x97",
     "x98_image_phash" -> "image phash: per-partition real PPM decode -> 4 band rows per image; candidates via band equi-join (Manku pigeonhole, lossless at Hamming<=3); verification joins hash rows, payloads never shuffle",
     "x99_unigram_tokenize" -> "unigram tokenize: corpus pass = word-TYPE count; piece counting explodes the BOUNDED type table; vocab is a ~40-row plan-time constant inlined into the native Viterbi — segmentation is map-only on types",
     "kq65_sliding_uniques" -> "sliding uniques: hourly registers once, then a range join of the TINY register table against the broadcast bucket list + register-max agg — the trailing-24h merge never rescans events",

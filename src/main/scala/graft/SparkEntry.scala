@@ -1530,6 +1530,9 @@ object SparkEntry {
     // ---- micro-degree points — all-integer, trig-free ------------------
     "kq59_geo_grid" -> ((s, dir) => graft.query.Geo.geoGrid(s, dir)),
     "kq60_geo_distance" -> ((s, dir) => graft.query.Geo.geoDistance(s, dir)),
+    // kq107: geotile_grid — slippy z/x/y tiles; Mercator y-boundaries are
+    // driver-computed literals shared by both engines (trig-free rows)
+    "kq107_geotile_grid" -> ((s, dir) => graft.query.Geo.geotileGrid(s, dir)),
 
     // ---- ES top_metrics: the metric VALUE AT the latest sort tuple ----
     // ---- per bucket (not an aggregate of it) — "what was the last -----
@@ -3323,6 +3326,8 @@ object SparkEntry {
     "kq59_geo_grid" -> graft.query.Geo.geoGridOracle,
 
     "kq60_geo_distance" -> graft.query.Geo.geoDistanceOracle,
+
+    "kq107_geotile_grid" -> graft.query.Geo.geotileGridOracle,
 
     // kq53: the exactly-once contract IS the oracle — an idempotent
     // replayed commit leaves the cross-batch rollup equal to the plain

@@ -118,6 +118,10 @@ object ExtQueries {
     // coding pass persist once; queries hit the stored codes table.
     "x102_ivfpq_probe" -> ((s: SparkSession, d: String) =>
       Similarity.ivfPqProbe(s, d)),
+    // x131: OUT-OF-CORPUS serving — unseen query vectors assigned via
+    // the PERSISTED coarse centroids, ADC over the stored codes only.
+    "x131_ivfpq_serve" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfPqServe(s, d)),
     // x98: perceptual (aHash) image near-dup pairs over the REAL PPM
     // codec, banded Manku pigeonhole join == all-pairs truth.
     "x98_image_phash" -> ((s: SparkSession, d: String) =>
@@ -647,6 +651,62 @@ object ExtQueries {
        |  JOIN qb ON a.query_id = qb.query_id
        |  JOIN asg ca ON ca.vec_id = a.cand_id AND ca.bucket = qb.bucket
        |  WHERE a.cand_id <> a.query_id)
+       |SELECT query_id, bucket, cand_id, adc_micro, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** x131's oracle: the x97 replay (kmeans buckets + PQ codebooks +
+    * corpus codes), but the QUERIES are the element-wise means of stored
+    * pairs (2i, 2i+1) — vectors the corpus does not contain — assigned to
+    * their IVF cell against the replayed cent2 (the Spark side assigns
+    * against the PERSISTED centroids; equality proves persisted ==
+    * trained). The mean is one double add + exact halving per element,
+    * bit-matching Spark's zip_with fold over double casts. No
+    * self-exclusion: an unseen query owns none of the candidates. */
+  private lazy val ivfPqServeSql: String = {
+    s"""WITH $kmeansCtes,
+       |sub AS MATERIALIZED (SELECT vec_id, s,
+       |    list_slice(emb, s * 16 + 1, (s + 1) * 16) AS sub
+       |  FROM e, UNNEST([0, 1, 2, 3]) AS t(s)),
+       |cb0 AS MATERIALIZED (SELECT s, CAST(vec_id AS INT) AS c, sub AS cv
+       |  FROM sub WHERE vec_id < 4),
+       |${pqStepSql(0)},
+       |${pqStepSql(1)},
+       |codes AS MATERIALIZED (SELECT vec_id, s, c FROM (
+       |    SELECT b.vec_id, b.s, cb.c, row_number() OVER (
+       |        PARTITION BY b.vec_id, b.s
+       |        ORDER BY round(${pqDistSql("b.sub", "cb.cv")}, 6), cb.c)
+       |      AS rn
+       |    FROM sub b JOIN cb2 cb ON cb.s = b.s) WHERE rn = 1),
+       |qv AS MATERIALIZED (SELECT CAST(a.vec_id // 2 AS BIGINT)
+       |      AS query_id,
+       |    list_transform(range(1, 65),
+       |      i -> (a.emb[i] + b.emb[i]) / 2) AS qemb
+       |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+       |  WHERE a.vec_id % 2 = 0 AND a.vec_id < 20),
+       |qb AS (SELECT query_id, bucket FROM (
+       |    SELECT q.query_id, c.centroid_id AS bucket, row_number() OVER (
+       |        PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qemb, c.cv), 6) DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM qv q, cent2 c) WHERE rn = 1),
+       |qsub AS (SELECT query_id, s,
+       |    list_slice(qemb, s * 16 + 1, (s + 1) * 16) AS sub
+       |  FROM qv, UNNEST([0, 1, 2, 3]) AS t(s)),
+       |lut AS MATERIALIZED (SELECT q.query_id, cb.s, cb.c,
+       |    CAST(CAST(round(${pqDistSql("q.sub", "cb.cv")}, 6)
+       |         AS DECIMAL(12,6)) * 1000000 AS BIGINT) AS cell
+       |  FROM qsub q JOIN cb2 cb ON cb.s = q.s),
+       |adc AS (SELECT l.query_id, c.vec_id AS cand_id,
+       |    CAST(sum(l.cell) AS BIGINT) AS adc_micro
+       |  FROM codes c JOIN lut l ON l.s = c.s AND l.c = c.c
+       |  GROUP BY 1, 2),
+       |r AS (SELECT a.query_id, qb.bucket, a.cand_id, a.adc_micro,
+       |    row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY a.adc_micro, a.cand_id) AS rn
+       |  FROM adc a
+       |  JOIN qb ON a.query_id = qb.query_id
+       |  JOIN asg ca ON ca.vec_id = a.cand_id AND ca.bucket = qb.bucket)
        |SELECT query_id, bucket, cand_id, adc_micro, CAST(rn AS INT) AS rn
        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
   }
@@ -1749,6 +1809,7 @@ object ExtQueries {
     // x102: identical result contract to x97 by construction (the
     // persisted index changes WHERE codes come from, not their values)
     "x102_ivfpq_probe" -> ivfPqSql,
+    "x131_ivfpq_serve" -> ivfPqServeSql,
 
     "x98_image_phash" -> Multimodal.imagePhashOracle,
 

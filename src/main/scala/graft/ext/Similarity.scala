@@ -188,7 +188,7 @@ object Similarity {
    * sync pattern as Spark ML's own KMeans); each iteration is one
    * map-only assignment pass + one (bucket, dim)-keyed aggregation.
    */
-  private[ext] def kmeansCentroids(emb: DataFrame, k: Int,
+  private[graft] def kmeansCentroids(emb: DataFrame, k: Int,
       iterations: Int): Seq[Seq[Double]] = {
     var centroids: Seq[Seq[Double]] = emb.where(col("vec_id") < k)
       .orderBy(col("vec_id")).select(col("embedding"))
@@ -1140,36 +1140,48 @@ object Similarity {
    *
    * Spark shape: candidate codes + IVF bucket come from ONE map-only
    * scan projection (literal-codebook codegen'd folds — x78's "encode
-   * at scan speed"); queries broadcast; the bucket equi-join IS the
-   * IVF prune; the ADC itself INLINES the per-query LUT as a 4-way
-   * CASE over each code — map-side, no join per subspace. Every LUT
-   * cell is 6dp-rounded then frozen to exact integer micro-units (the
-   * cosMicro discipline), so the ADC sum is int64 — zero tie surface —
-   * and the DuckDB oracle computes the same cells via an explicit
-   * (query, s, c) LUT join over the replayed codebooks.
+   * at scan speed"); queries broadcast carrying their PRECOMPUTED
+   * 16-cell LUT as an array column (computed once per query — textbook
+   * ADC); the bucket equi-join IS the IVF prune; the per-candidate ADC
+   * is 4 `element_at` lookups + adds inside whole-stage codegen. Every
+   * LUT cell is 6dp-rounded then frozen to exact integer micro-units
+   * (the cosMicro discipline), so the ADC sum is int64 — zero tie
+   * surface — and the DuckDB oracle computes the same cells via an
+   * explicit (query, s, c) LUT join over the replayed codebooks.
    */
   /** The ADC scoring + per-query top-k shared by x97 (build+search in
-    * one invocation) and x102 (probe of the PERSISTED index): `cands`
-    * carries (cand_id, bucket, c0..cS), `queries` (query_id, q,
-    * bucket); the per-query LUT is inlined as literal-codebook CASE
-    * folds, every cell frozen to exact integer micro-units. */
+    * one invocation), x102 (probe of the PERSISTED index) and x131
+    * (out-of-corpus serving): `cands` carries (cand_id, bucket,
+    * c0..cS), `queries` (query_id, q, bucket). The per-query distance
+    * LUT — every cell 6dp-rounded then frozen to integer micro-units —
+    * is computed ONCE per query as an S×k array column on the
+    * broadcast-sized query frame (textbook ADC), so the per-candidate
+    * work is S `element_at` lookups + adds inside whole-stage codegen.
+    * (The previous form inlined the literal-codebook subDist folds as
+    * CASE branches in the per-candidate projection: it re-derived a
+    * 16-dim distance per candidate row AND blew janino's 64 KB method
+    * limit, dropping the whole probe stage to interpreted execution.) */
   private def adcTopK(cands: DataFrame, queries: DataFrame,
-      books: Seq[Seq[Seq[Double]]], subDim: Int, topK: Int): DataFrame = {
+      books: Seq[Seq[Seq[Double]]], subDim: Int, topK: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val subspaces = books.length
     val k = books.head.length
-    val adcTerms = (0 until subspaces).map { s =>
-      val cells = (0 until k).map(c =>
+    // cell (s, c) lives at 1-based index s*k + c + 1
+    val lutCells = (0 until subspaces).flatMap { s =>
+      (0 until k).map(c =>
         (round(subDist(col("q"), books(s)(c), s * subDim), 6)
           .cast("decimal(12,6)") * 1000000).cast("long"))
-      (1 until k).foldLeft(when(col(s"c$s") === 0, cells(0))) {
-        case (acc, c) => acc.when(col(s"c$s") === c, cells(c))
-      }
     }
+    val qWithLut = queries.withColumn("lut", array(lutCells: _*))
+    val adc = (0 until subspaces).map(s =>
+        element_at(col("lut"), (col(s"c$s").cast("int") + lit(s * k + 1))))
+      .reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_micro"), col("cand_id"))
-    cands.join(broadcast(queries), "bucket")
-      .where(col("cand_id") =!= col("query_id"))
-      .withColumn("adc_micro", adcTerms.reduce(_ + _))
+    cands.join(broadcast(qWithLut), "bucket")
+      .where(if (excludeSelf) col("cand_id") =!= col("query_id")
+             else lit(true))
+      .withColumn("adc_micro", adc)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= topK)
       .select(col("query_id"), col("bucket"), col("cand_id"),
@@ -1200,8 +1212,10 @@ object Similarity {
   }
 
   /** Builds + persists the IVF+PQ index: the (vec_id, embedding,
-    * bucket, c0..cS) table bucketed on the IVF key, plus the flattened
-    * codebook table. Returns (indexTable, codebookPath). */
+    * bucket, c0..cS) table bucketed on the IVF key, the flattened
+    * codebook table, AND the coarse centroids — the piece a serving
+    * deployment needs to assign vectors it has never seen (x131).
+    * Returns (indexTable, codebookPath). */
   private def buildIvfPqIndex(spark: SparkSession, dir: String,
       nCentroids: Int, iterations: Int, subspaces: Int,
       k: Int): (String, String) = {
@@ -1209,6 +1223,8 @@ object Similarity {
     val idxTable = s"graft_ivfpq_index_$suffix"
     val cbPath =
       s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_cb_$suffix"
+    val ctPath =
+      s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_ct_$suffix"
     val emb = Tables.load(spark, dir, "embeddings")
     val subDim = 64 / subspaces
     val centroids = kmeansCentroids(emb, nCentroids, iterations)
@@ -1231,6 +1247,10 @@ object Similarity {
         cv.zipWithIndex.map { case (v, pos) => (s, c, pos, v) } } }
       .toDF("s", "c", "pos", "v")
       .write.mode("overwrite").parquet(cbPath)
+    centroids.zipWithIndex.flatMap { case (cv, b) =>
+      cv.zipWithIndex.map { case (v, pos) => (b, pos, v) } }
+      .toDF("centroid_id", "pos", "v")
+      .write.mode("overwrite").parquet(ctPath)
     (idxTable, cbPath)
   }
 
@@ -1256,15 +1276,7 @@ object Similarity {
     if (!spark.catalog.tableExists(idxTable))
       buildIvfPqIndex(spark, dir, nCentroids, iterations, subspaces, k)
     val subDim = 64 / subspaces
-    val books: Seq[Seq[Seq[Double]]] = {
-      val rows = spark.read.parquet(cbPath)
-        .select(col("s"), col("c"), col("pos"), col("v"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)),
-          (r.getInt(2), r.getDouble(3))))
-      (0 until subspaces).map(s => (0 until k).map(c =>
-        rows.filter(_._1 == ((s, c))).map(_._2).sortBy(_._1)
-          .map(_._2).toSeq))
-    }
+    val books = loadCodebooks(spark, cbPath, subspaces, k)
     val assigned = spark.table(idxTable)
     val cands = assigned.select(Seq(col("vec_id").as("cand_id"),
       col("bucket")) ++ (0 until subspaces).map(s => col(s"c$s")): _*)
@@ -1272,6 +1284,80 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         col("bucket"))
     adcTopK(cands, queries, books, subDim, topK)
+  }
+
+  /** Reads the flattened PQ codebook parquet back into the in-memory
+    * `books(s)(c)` shape — one bounded driver read (256 doubles). */
+  private def loadCodebooks(spark: SparkSession, cbPath: String,
+      subspaces: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(cbPath)
+      .select(col("s"), col("c"), col("pos"), col("v"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getInt(2), r.getDouble(3))))
+    (0 until subspaces).map(s => (0 until k).map(c =>
+      rows.filter(_._1 == ((s, c))).map(_._2).sortBy(_._1)
+        .map(_._2).toSeq))
+  }
+
+  /**
+   * x131 — IVF+PQ SERVING for OUT-OF-CORPUS queries, the piece that
+   * makes the persisted index a real serving artifact: x102 proves the
+   * stored codes answer queries drawn FROM the corpus (their coarse
+   * bucket rides on the stored row), but a deployed ANN service is
+   * probed with vectors the index has never seen. This entry persists
+   * the COARSE CENTROIDS alongside the codes and codebooks
+   * ([[buildIvfPqIndex]]), then serves synthetic unseen queries — the
+   * element-wise mean of stored pairs (2i, 2i+1), which equals no
+   * stored vector — by (1) assigning each to its IVF cell with the
+   * zero-shuffle [[graft.functions.NearestCentroid]] scan over the
+   * RELOADED centroids, and (2) ADC-scoring the cell's stored codes
+   * exactly as x97/x102. Nothing rescans `embeddings`, nothing
+   * retrains: the three persisted artifacts (centroids, codebooks,
+   * coded corpus) are sufficient — which is the operational definition
+   * of an index. No self-exclusion: an unseen query owns none of the
+   * candidates.
+   *
+   * Cross-engine determinism: the query mean is one double add + an
+   * exact halving per element (floats are exact in double, so Spark's
+   * `(x + y) / 2` fold bit-matches DuckDB's `(a[i] + b[i]) / 2` over
+   * `DOUBLE[]` casts); bucket assignment and every ADC LUT cell then
+   * follow the established 6dp-round → integer-micro discipline.
+   */
+  def ivfPqServe(spark: SparkSession, dir: String, nCentroids: Int = 8,
+      iterations: Int = 2, subspaces: Int = 4, k: Int = 4,
+      nQueries: Int = 10, topK: Int = 5): DataFrame = {
+    val suffix = Dedup.indexSuffix(dir)
+    val idxTable = s"graft_ivfpq_index_$suffix"
+    val cbPath =
+      s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_cb_$suffix"
+    val ctPath =
+      s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_ct_$suffix"
+    if (!spark.catalog.tableExists(idxTable))
+      buildIvfPqIndex(spark, dir, nCentroids, iterations, subspaces, k)
+    val subDim = 64 / subspaces
+    val books = loadCodebooks(spark, cbPath, subspaces, k)
+    val centroids: Seq[Seq[Double]] = spark.read.parquet(ctPath)
+      .select(col("centroid_id"), col("pos"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val assigned = spark.table(idxTable)
+    val cands = assigned.select(Seq(col("vec_id").as("cand_id"),
+      col("bucket")) ++ (0 until subspaces).map(s => col(s"c$s")): _*)
+    // unseen query vectors: mean of stored pairs (2i, 2i+1), i < nQueries
+    val a = assigned.where(col("vec_id") < 2 * nQueries &&
+        col("vec_id") % 2 === 0)
+      .select(expr("vec_id DIV 2").as("query_id"), col("embedding").as("ea"))
+    val b = assigned.where(col("vec_id") < 2 * nQueries &&
+        col("vec_id") % 2 === 1)
+      .select(expr("vec_id DIV 2").as("query_id"), col("embedding").as("eb"))
+    val queries = a.join(b, "query_id")
+      .withColumn("q", zip_with(col("ea"), col("eb"),
+        (x, y) => (x.cast("double") + y.cast("double")) / lit(2)))
+      .withColumn("bucket", graft.functions.NearestCentroid
+        .nearest(col("q"), centroids).getField("bucket").cast("long"))
+      .select(col("query_id"), col("q"), col("bucket"))
+    adcTopK(cands, queries, books, subDim, topK, excludeSelf = false)
   }
 
   /**

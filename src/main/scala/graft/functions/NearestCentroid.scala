@@ -36,6 +36,13 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     centroids.map(_.toArray).toArray
   @transient private lazy val centroidNorms: Array[Double] =
     matrix.map(c => math.sqrt(c.map(x => x * x).sum))
+  // accepts both array<float> (the stored corpus dtype) and array<double>
+  // (derived query vectors, e.g. x131's averaged out-of-corpus probes) —
+  // floats are exact in double, so the accumulation is identical
+  @transient private lazy val floatElems: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
@@ -49,7 +56,8 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
         var dot = 0.0; var na = 0.0
         var i = 0
         while (i < n) {
-          val v = vec.getFloat(i).toDouble
+          val v = if (floatElems) vec.getFloat(i).toDouble
+                  else vec.getDouble(i)
           dot += v * cent(i); na += v * v
           i += 1
         }

@@ -132,6 +132,77 @@ object Geo {
        |FROM hashed GROUP BY 1
        |ORDER BY n_customers DESC, geohash4 LIMIT 15""".stripMargin
 
+  // ---- kq107: ES geotile_grid — slippy-map z/x/y Web-Mercator tiles ----
+
+  private val Zoom = 6
+  private val NTiles = 1 << Zoom
+
+  /** Web-Mercator y-tile boundary latitudes at [[Zoom]], integer
+    * micro-degrees, k = 1 .. 2^z − 1: lat_k = atan(sinh(π(1 − 2k/2^z))).
+    * The trig runs ONCE here on the driver; BOTH engines receive the
+    * identical literals, so tile assignment is exact integer comparison —
+    * no cross-engine libm, the package's trig-free discipline applied to
+    * the one projection that genuinely needs transcendentals. */
+  private[graft] val YBounds: Seq[Long] = (1 until NTiles).map { k =>
+    math.round(math.toDegrees(
+      math.atan(math.sinh(math.Pi * (1.0 - 2.0 * k / NTiles)))) * 1e6)
+  }
+
+  /** x tile: pure integer floor division; lon = +180° lands on tile 2^z
+    * and clamps back to 2^z − 1 (the antimeridian seam). */
+  private def txSql(duck: Boolean): String =
+    s"least(((lon_u + 180000000) * $NTiles) ${div(duck)} 360000000, " +
+      s"${NTiles - 1})"
+
+  /** y tile = how many Mercator boundaries lie at-or-above the point
+    * (count of B_k ≥ lat): 0 for the arctic cap above B_1 and 2^z − 1
+    * for the antarctic cap below B_{2^z−1} — ES's ±85.05° pole clamp
+    * falls out of the count with no special case. A lat exactly ON a
+    * boundary counts it, matching floor() of the continuous tile
+    * coordinate. Engine-shared SQL: plain CASE sums. */
+  private def tySql: String =
+    YBounds.map(b => s"(CASE WHEN lat_u <= $b THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Attaches tx/ty/tile ("z/x/y") to any frame with lat_u/lon_u
+    * micro-degree columns (spec replay surface for the clamp pins). */
+  private[graft] def withGeotile(points: DataFrame): DataFrame =
+    points
+      .withColumn("tx", expr(txSql(duck = false)).cast("long"))
+      .withColumn("ty", expr(tySql).cast("long"))
+      .withColumn("tile", concat_ws("/", lit(Zoom.toString),
+        col("tx").cast("string"), col("ty").cast("string")))
+
+  private[graft] def pointsWithGeotile(spark: SparkSession,
+      dir: String): DataFrame = withGeotile(geoPoints(spark, dir))
+
+  /** kq107 — ES `geotile_grid`: the Kibana Maps bucket agg that keys
+    * cells by slippy-map tiles ("z/x/y", Web Mercator) instead of
+    * geohashes — the layer the map actually renders at a given zoom.
+    * Same 100 TB shape as kq59: one map-side-combinable aggregation
+    * into the bounded tile domain (≤ 4^z cells), top-20 by density. */
+  def geotileGrid(spark: SparkSession, dir: String): DataFrame =
+    withGeotile(geoPoints(spark, dir))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2)).multiply(lit(100))
+          .cast("long")).cast("long").as("sum_bal_cents"))
+      .orderBy(col("n_customers").desc, col("tile"))
+      .limit(20)
+
+  def geotileGridOracle: String =
+    s"""WITH $geoCte,
+       |tiles AS (
+       |  SELECT *, CAST($Zoom AS VARCHAR) || '/' ||
+       |    CAST(${txSql(duck = true)} AS VARCHAR) || '/' ||
+       |    CAST($tySql AS VARCHAR) AS tile
+       |  FROM geo)
+       |SELECT tile, CAST(count(*) AS BIGINT) AS n_customers,
+       |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |       AS BIGINT) AS sum_bal_cents
+       |FROM tiles GROUP BY 1
+       |ORDER BY n_customers DESC, tile LIMIT 20""".stripMargin
+
   /** The demo viewport (micro-degrees) and query point (Paris). */
   private val LatLo = 10000000L
   private val LatHi = 60000000L

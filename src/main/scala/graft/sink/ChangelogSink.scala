@@ -54,13 +54,47 @@ object ChangelogSink {
    * Deployments on object stores should prefer the store's native
    * conditional-put/compose primitives behind this seam (or a
    * manifest-committed table format); the swap logic above it is
-   * unchanged.
+   * unchanged. With CONDITIONAL-PUT semantics (S3 `PutObject` with
+   * If-None-Match, GCS `ifGenerationMatch=0` — a PUT either lands the
+   * whole object or nothing, and never overwrites) the store itself
+   * guarantees any VISIBLE destination object is COMPLETE, so the
+   * hide-window refusal above becomes unnecessary: [[recoverStaging]]
+   * with `conditionalPut = true` finishes a dst-exists hide by deleting
+   * the source ([[CommitOps.renameOrFinish]]) and BOTH crash windows
+   * converge. Posture by store:
+   *
+   * | store                  | rename            | recovery posture      |
+   * |------------------------|-------------------|-----------------------|
+   * | HDFS / POSIX           | atomic metadata   | default: both windows |
+   * |                        |                   | converge              |
+   * | S3A/GCS connector      | copy-then-delete  | default: move window  |
+   * | (plain rename)         | (partial visible) | converges, hide       |
+   * |                        |                   | window refuses loudly |
+   * | conditional-put        | copy-if-absent,   | `conditionalPut=true`:|
+   * | (If-None-Match /       | visible = whole   | both windows converge |
+   * | generation-match)      | object            |                       |
    */
   private[sink] object CommitOps {
     def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem, src: Path,
         dst: Path, what: String, op: String): Unit =
       if (!fs.rename(src, dst)) throw new IllegalStateException(
         s"$op: $what rename failed: $src -> $dst")
+
+    /** Conditional-put posture: a failed rename whose DESTINATION
+      * EXISTS is finished by deleting the source — sound ONLY when the
+      * store's PUT is atomic-if-absent (a partial upload never becomes
+      * a visible object), which is exactly what S3 If-None-Match / GCS
+      * generation-match preconditions provide. Under POSIX or plain
+      * copy-then-delete connectors a visible destination can be a
+      * PARTIAL copy: use [[renameOrThrow]] there. A failure with no
+      * destination (transient fault) still throws. */
+    def renameOrFinish(fs: org.apache.hadoop.fs.FileSystem, src: Path,
+        dst: Path, what: String, op: String): Unit =
+      if (!fs.rename(src, dst)) {
+        if (fs.exists(dst)) fs.delete(src, false)
+        else throw new IllegalStateException(
+          s"$op: $what rename failed with no destination: $src -> $dst")
+      }
   }
 
   /** Append an envelope frame to the partitioned changelog table. */
@@ -429,8 +463,16 @@ object ChangelogSink {
    * finds strictly less debris. MUST NOT run concurrently with a live
    * erasure/compaction on the same table (the swap's own exclusivity
    * rule). Returns (rolledForwardStagingDirs, discardedStagingDirs).
+   *
+   * `conditionalPut = true` declares the store's atomic PUT-if-absent
+   * contract (see [[CommitOps]]'s posture table): a hide-rename that
+   * fails because its dot-copy already EXISTS is then FINISHED (the
+   * visible original deleted) instead of refused — the store, not the
+   * copier, vouches that the visible copy is complete. Leave false on
+   * POSIX and plain copy-then-delete connectors.
    */
-  def recoverStaging(spark: SparkSession, path: String): (Int, Int) = {
+  def recoverStaging(spark: SparkSession, path: String,
+      conditionalPut: Boolean = false): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0, 0)
@@ -466,7 +508,9 @@ object ChangelogSink {
         val stagedByPart = byPart("F ")
         val origByPart = byPart("O ")
         def renameOrThrow(src: Path, dst: Path, what: String): Unit =
-          CommitOps.renameOrThrow(fs, src, dst, what, "recoverStaging")
+          if (conditionalPut)
+            CommitOps.renameOrFinish(fs, src, dst, what, "recoverStaging")
+          else CommitOps.renameOrThrow(fs, src, dst, what, "recoverStaging")
         parts.foreach { rel =>
           val part = new Path(path, rel)
           val stagedNames = stagedByPart.getOrElse(rel, Set.empty)

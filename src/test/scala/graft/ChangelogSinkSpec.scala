@@ -648,6 +648,87 @@ class ChangelogSinkSpec extends SparkSpec {
     assert(!stagingB.exists())
   }
 
+  test("conditional-put commit posture: the hide-window crash that the " +
+      "default posture refuses CONVERGES (visible dst = complete object " +
+      "by the store's PUT-if-absent contract); the move window still " +
+      "converges; nothing lost, exactly once") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.objstore.impl", classOf[ObjectStoreFs].getName)
+    import spark.implicits._
+    def mkTable(tag: String): (String, Set[org.apache.spark.sql.Row]) = {
+      val dir = Files.createTempDirectory(s"condput-$tag").toString
+      for (b <- 0 until 3)
+        ChangelogSink.append(Seq((s"T", s"u$b-1", s"k$b",
+            java.sql.Timestamp.valueOf("2024-05-01 10:00:00")),
+          (s"T", s"u$b-2", s"k$b",
+            java.sql.Timestamp.valueOf("2024-05-01 11:00:00")))
+          .toDF("topic", "uid", "key", "timestamp"), dir)
+      (dir, ChangelogSink.read(spark, dir).drop("date").collect().toSet)
+    }
+    val rel = "topic=T/date=2024-05-01"
+    def origFiles(dir: String) = new java.io.File(dir, rel).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("."))
+    def mkStaging(dir: String, nOut: Int): (java.io.File, Seq[String]) = {
+      val staging = new java.io.File(dir, s".compact-T-2024-05-01-7")
+      val tmp = Files.createTempDirectory("condput-stg").toString + "/o"
+      spark.read.parquet(origFiles(dir).map(_.getPath).toIndexedSeq: _*)
+        .repartition(nOut).write.parquet(tmp)
+      staging.mkdirs()
+      val staged = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).toSeq
+        .map { f =>
+          val t = new java.io.File(staging, f.getName)
+          java.nio.file.Files.copy(f.toPath, t.toPath); f.getName
+        }
+      val m = new StringBuilder("L flat\n").append(s"P $rel\n")
+      origFiles(dir).foreach(f => m.append(s"O $rel/${f.getName}\n"))
+      staged.foreach(n => m.append(s"F $rel/$n\n"))
+      java.nio.file.Files.writeString(
+        new java.io.File(staging, "_MANIFEST").toPath, m.toString)
+      (staging, staged)
+    }
+
+    // hide-window crash: ONE original has a complete dot-copy AND is
+    // still visible — the exact pair the default posture refuses on
+    val (dir, content) = mkTable("hide")
+    val (staging, _) = mkStaging(dir, 1)
+    val orig0 = origFiles(dir).head
+    java.nio.file.Files.copy(orig0.toPath,
+      new java.io.File(orig0.getParent,
+        s".compacting-${orig0.getName}").toPath)
+    // default posture still refuses (the contract did not silently move)
+    val e = intercept[IllegalStateException](
+      ChangelogSink.recoverStaging(spark, "objstore:" + dir))
+    assert(e.getMessage.contains("hide-original"), e.getMessage)
+    // conditional-put posture converges from the SAME state
+    assert(ChangelogSink.recoverStaging(spark, "objstore:" + dir,
+      conditionalPut = true) == ((1, 0)))
+    val after = ChangelogSink.read(spark, dir).drop("date").collect().toSeq
+    assert(after.size == after.toSet.size) // exactly once
+    assert(after.toSet == content)         // nothing lost
+    assert(!staging.exists())
+    assert(!new java.io.File(s"$dir/$rel").listFiles()
+      .exists(_.getName.startsWith(".compacting-")))
+
+    // move-window crash converges under conditional-put too (same
+    // outcome as the default posture's convergence case)
+    val (dirM, contentM) = mkTable("move")
+    val (stagingM, stagedM) = mkStaging(dirM, 2)
+    origFiles(dirM).foreach { f =>
+      assert(f.renameTo(new java.io.File(f.getParent,
+        s".compacting-${f.getName}")))
+    }
+    java.nio.file.Files.copy(
+      new java.io.File(stagingM, stagedM.head).toPath,
+      new java.io.File(s"$dirM/$rel", stagedM.head).toPath)
+    assert(ChangelogSink.recoverStaging(spark, "objstore:" + dirM,
+      conditionalPut = true) == ((1, 0)))
+    val afterM = ChangelogSink.read(spark, dirM).drop("date").collect().toSeq
+    assert(afterM.size == afterM.toSet.size && afterM.toSet == contentM)
+    assert(!stagingM.exists())
+  }
+
   test("recoverStaging: HARD crash mid-swap (process kill, no rollback) " +
       "rolls forward from the manifest — hidden originals dropped, " +
       "staged rows landed, fully-erased partition removed; a " +

@@ -61,6 +61,60 @@ class IndexReuseSpec extends SparkSpec {
     assert(plan.contains("graft_ivfpq_index_"), plan)
   }
 
+  test("IVF+PQ out-of-corpus serving: unseen queries assigned via the " +
+      "persisted centroids; plan reads only stored artifacts") {
+    import org.apache.spark.sql.functions._
+    val serve = Similarity.ivfPqServe(spark, sf)
+    val rows = serve.collect().toSeq
+    // 10 queries x top-5, ranks dense from 1
+    assert(rows.map(_.getLong(0)).distinct.sorted == (0L until 10L))
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(4)).sorted == (1 to 5)) }
+    // the derived query vectors are genuinely out-of-corpus: the mean of
+    // two DISTINCT stored vectors equals neither (nor any other vector)
+    val emb = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+    val stored = emb.map(_._2).toSet
+    val qvecs = (0 until 10).map { i =>
+      val a = emb(2 * i)._2; val b = emb(2 * i + 1)._2
+      i.toLong -> a.zip(b).map { case (x, y) => (x + y) / 2 }
+    }
+    qvecs.foreach { case (i, q) =>
+      assert(!stored.contains(q), s"query $i collides with a stored vector") }
+    // persisted == trained: each query's bucket equals the argmax-cosine
+    // assignment against FRESHLY trained centroids (independent replay of
+    // the NearestCentroid math: 6dp HALF_UP, lower-index ties)
+    val cents = Similarity.kmeansCentroids(emb2df(emb), 8, 2)
+    def cos6(v: Seq[Double], c: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var i = 0
+      while (i < v.length) { dot += v(i) * c(i); na += v(i) * v(i); i += 1 }
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      new java.math.BigDecimal(java.lang.Double.toString(
+          dot / math.sqrt(na) / nc))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val gotBuckets = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    qvecs.foreach { case (i, q) =>
+      val sims = cents.map(c => cos6(q, c))
+      val want = sims.indexOf(sims.max).toLong
+      assert(gotBuckets(i) == want,
+        s"query $i: served bucket ${gotBuckets(i)} != trained argmax $want")
+    }
+    // serving reads ONLY the persisted index artifacts
+    val plan = serve.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("embeddings.parquet"),
+      s"serve plan must not rescan the corpus:\n$plan")
+    assert(plan.contains("graft_ivfpq_index_"), plan)
+  }
+
+  private def emb2df(rows: Array[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+  }
+
   test("IVF segment append: stored-centroid assignment, global top-k " +
       "across segments; planted copies rediscovered at sim 1.0") {
     import org.apache.spark.sql.functions._

@@ -408,6 +408,54 @@ class LogQueriesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("geotile: tile assignment matches the standard Web-Mercator " +
+      "formula; antimeridian and pole clamps pinned") {
+    val b1 = graft.query.Geo.YBounds.head     // top boundary (~+84.55°)
+    val bLast = graft.query.Geo.YBounds.last  // bottom boundary (~-84.55°)
+    // planted knife-edges: (lat_u, lon_u) -> expected (tx, ty)
+    val edges = Seq(
+      (90000000L, 180000000L, 63L, 0L),  // north pole; antimeridian east
+      (90000000L, -180000000L, 0L, 0L),  // antimeridian west
+      (-90000000L, 0L, 32L, 63L),        // south pole clamp
+      (0L, 0L, 32L, 32L),                // equator exactly ON boundary 32
+      (b1, 179999999L, 63L, 1L),         // exactly ON the top boundary
+      (b1 + 1, 0L, 32L, 0L),             // 1 µdeg above: arctic cap
+      (bLast, 0L, 32L, 63L),             // exactly ON the bottom boundary
+      (86000000L, 0L, 32L, 0L))          // beyond the ±85.05° limit: clamp
+    val planted = graft.query.Geo.withGeotile(
+        edges.map(e => (e._1, e._2)).toDF("lat_u", "lon_u"))
+      .select($"lat_u", $"lon_u", $"tx", $"ty", $"tile")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    for ((la, lo, tx, ty) <- edges) {
+      assert(planted((la, lo)) == ((tx, ty, s"6/$tx/$ty")),
+        s"edge ($la, $lo): got ${planted((la, lo))}, want ($tx, $ty)")
+    }
+    // fixture sweep vs an INDEPENDENT double-math reference (the textbook
+    // asinh-form slippy formula + clamp). The boundary literals are
+    // rounded to the nearest µdeg, so the two can differ only for a lat
+    // exactly equal to a literal — those edges are pinned above.
+    def stdTy(latU: Long): Long = {
+      val latRad = math.toRadians(latU / 1e6)
+      val y = (1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad))
+        / math.Pi) / 2.0 * 64
+      math.max(0L, math.min(63L, math.floor(y).toLong))
+    }
+    val bounds = graft.query.Geo.YBounds.toSet
+    val pts = graft.query.Geo.pointsWithGeotile(spark, sf)
+      .select($"lat_u", $"lon_u", $"tx", $"ty")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(pts.nonEmpty)
+    for ((la, lo, tx, ty) <- pts) {
+      assert(tx == math.min(63L, (lo + 180000000L) * 64 / 360000000L),
+        s"tx at lon $lo")
+      if (!bounds.contains(la))
+        assert(ty == stdTy(la), s"ty at lat $la")
+    }
+    // the fixture genuinely exercises both polar clamps at this sf
+    assert(pts.exists(_._4 == 0L) && pts.exists(_._4 == 63L))
+  }
+
   test("seasonal anomaly: the integer z^2 cross-multiplication replays " +
       "driver-side and both verdicts are populated") {
     val out = SparkEntry.queries("kq62_anomaly")(spark, sf)
