@@ -1524,6 +1524,29 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- ES ip_prefix: bucket source addresses by /16 network — the ---
+    // ---- network-telemetry agg (Kibana's "group by subnet"). IPv4s ----
+    // ---- derive from the pinned md5-32 closed form over user_id (the --
+    // ---- kq59 derived-fixture discipline); the prefix key is pure -----
+    // ---- integer shift/mask math, so every bucket is exact and --------
+    // ---- cross-engine. One map-side projection + an agg into the ------
+    // ---- bounded /16 domain; n_users is the per-bucket distinct. ------
+    "kq108_ip_prefix" -> ((s, dir) => {
+      graft.ingest.Tables.load(s, dir, "events")
+        .withColumn("ip_u32", expr("CAST(conv(substring(md5(concat(" +
+          "'ip:', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("prefix16", concat(
+          shiftright(col("ip_u32"), 24).cast("string"), lit("."),
+          (shiftright(col("ip_u32"), 16) % 256).cast("string"),
+          lit(".0.0/16")))
+        .groupBy(col("prefix16"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ip_u32")).as("ip_min"), max(col("ip_u32")).as("ip_max"))
+        .orderBy(col("n_events").desc, col("prefix16"))
+        .limit(20)
+    }),
+
     // ---- Kibana Maps / ES geo surface: geohash_grid cell densities -----
     // ---- (first-principles integer bit-interleave geohash) and ---------
     // ---- geo_bounding_box + geo_distance nearest-k over md5-derived ----
@@ -3328,6 +3351,20 @@ object SparkEntry {
     "kq60_geo_distance" -> graft.query.Geo.geoDistanceOracle,
 
     "kq107_geotile_grid" -> graft.query.Geo.geotileGridOracle,
+
+    "kq108_ip_prefix" ->
+      """WITH ips AS (
+        |  SELECT user_id,
+        |    ('0x' || substr(md5('ip:' || CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS ip_u32
+        |  FROM events)
+        |SELECT CAST(ip_u32 >> 24 AS VARCHAR) || '.' ||
+        |    CAST((ip_u32 >> 16) % 256 AS VARCHAR) || '.0.0/16' AS prefix16,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  min(ip_u32) AS ip_min, max(ip_u32) AS ip_max
+        |FROM ips GROUP BY 1
+        |ORDER BY n_events DESC, prefix16 LIMIT 20""".stripMargin,
 
     // kq53: the exactly-once contract IS the oracle — an idempotent
     // replayed commit leaves the cross-batch rollup equal to the plain

@@ -431,6 +431,10 @@ object ExtQueries {
       TextAnalysis.weightedSample(s, d)),
     "x37_embed_cohesion" -> ((s: SparkSession, d: String) =>
       Similarity.embedCohesion(s, d)),
+    // x132: UniMax language sampling — epoch-capped water-filling over
+    // the language histogram (ascending), md5-rank selection per lang.
+    "x132_unimax_mixture" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.unimaxMixture(s, d)),
     "x38_temperature_mixture" -> ((s: SparkSession, d: String) =>
       TextAnalysis.temperatureMixture(s, d)),
     "x39_span_excise" -> ((s: SparkSession, d: String) =>
@@ -2207,6 +2211,44 @@ object ExtQueries {
         |SELECT r.doc_id, r.source, r.rk, q.quota
         |FROM r JOIN q USING (source)
         |WHERE rk <= quota ORDER BY source, rk""".stripMargin,
+
+    // x132: the UniMax water-fill replayed as a recursive CTE over the
+    // ascending language table (one state row per step: remaining budget
+    // after each language's min(n·epochs, remaining // langs_left) grant);
+    // all BIGINT floor divisions of non-negative numerators, selection is
+    // x38's md5-rank window. Base CTEs MATERIALIZED (multi-referenced
+    // from the recursive term — the x75 inlining lesson).
+    "x132_unimax_mixture" ->
+      """WITH RECURSIVE counts AS MATERIALIZED (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |ordered AS MATERIALIZED (
+        |  SELECT lang, n_docs,
+        |    CAST(row_number() OVER (ORDER BY n_docs, lang) AS BIGINT) AS i
+        |  FROM counts),
+        |k AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k
+        |                   FROM counts),
+        |alloc AS (
+        |  SELECT CAST(0 AS BIGINT) AS i,
+        |    (SELECT CAST(sum(n_docs) * 80 // 100 AS BIGINT) FROM counts)
+        |      AS remaining,
+        |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS quota
+        |  UNION ALL
+        |  SELECT o.i,
+        |    a.remaining - LEAST(o.n_docs * 1,
+        |                        a.remaining // ((SELECT k FROM k) - a.i)),
+        |    o.lang,
+        |    LEAST(o.n_docs * 1,
+        |          a.remaining // ((SELECT k FROM k) - a.i))
+        |  FROM alloc a JOIN ordered o ON o.i = a.i + 1),
+        |r AS (SELECT doc_id, lang, CAST(row_number() OVER (
+        |        PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+        |        AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.rk, a.quota
+        |FROM r JOIN alloc a ON a.lang = r.lang
+        |WHERE r.rk <= a.quota ORDER BY r.lang, r.rk""".stripMargin,
 
     // x37: DECIMAL-exact element-wise centroid means (the kmStepSql
     // contract) + list_cosine_similarity on DOUBLE[]

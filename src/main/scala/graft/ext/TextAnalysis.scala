@@ -1082,6 +1082,58 @@ object TextAnalysis {
   }
 
   /**
+   * x132 — UNIMAX language sampling (Chung et al., ICLR 2023 §3): the
+   * epoch-capped WATER-FILLING allocator that replaced temperature
+   * sampling (x38) in large multilingual pretraining mixes. Languages
+   * are processed in ASCENDING corpus-size order; each receives
+   * `min(n_docs × maxEpochs, floor(remaining_budget / remaining_langs))`
+   * and the unused surplus of small languages redistributes to larger
+   * ones — so no language is repeated past the epoch cap (the
+   * overfitting temperature sampling can't bound) and small languages
+   * are kept whole whenever the fair share allows. All integer: budget
+   * is a percent of the corpus, every step a floor division of a
+   * non-negative numerator, so both engines replay the fold exactly
+   * (the oracle runs it as a recursive CTE over the language table).
+   *
+   * Scale shape: the fold runs over the LANGUAGE HISTOGRAM (a driver
+   * sync of one tiny aggregate — the x6 centroid-sync pattern; language
+   * counts are ~dozens of rows at any corpus size); selection within a
+   * language is the deterministic md5 rank window (x38's
+   * reproducibility story), quota table broadcast back.
+   */
+  def unimaxMixture(spark: SparkSession, dir: String,
+      budgetPct: Int = 80, maxEpochs: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val quotas = unimaxQuotas(counts, budgetPct, maxEpochs)
+    import spark.implicits._
+    val qdf = quotas.toSeq.toDF("lang", "n_docs", "quota")
+    val rk = row_number().over(Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rk", rk)
+      .join(broadcast(qdf.select(col("lang"), col("quota"))), "lang")
+      .where(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rk"), col("quota"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Independent replay of the [[unimaxMixture]] allocator for specs:
+    * (lang, n_docs, quota) in ascending processing order. */
+  private[graft] def unimaxQuotas(counts: Seq[(String, Long)],
+      budgetPct: Int, maxEpochs: Int): Seq[(String, Long, Long)] = {
+    var remaining = counts.map(_._2).sum * budgetPct / 100
+    var left = counts.length.toLong
+    counts.sortBy { case (l, n) => (n, l) }.map { case (lang, n) =>
+      val q = math.min(n * maxEpochs, remaining / left)
+      remaining -= q; left -= 1
+      (lang, n, q)
+    }
+  }
+
+  /**
    * Document fingerprinting: (a) a polynomial rolling hash over the full
    * character stream (base 257 mod 1e9+7 — Karp-Rabin style), and (b) a
    * min-shingle-hash (the 1-hash MinHash special case). Equal fingerprints

@@ -1190,6 +1190,49 @@ class ExtSpec extends SparkSpec {
       .collect().sameElements(rows))
   }
 
+  test("unimax: epoch cap binds on the largest language, small languages " +
+      "keep their fair share, surplus water-fills, total <= budget; " +
+      "planted-histogram fold matches the paper's worked shape") {
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+    val counts = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toSeq
+    val total = counts.map(_._2).sum
+    val budget = total * 80 / 100
+    val out = TextAnalysis.unimaxMixture(spark, sf).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    // per-lang selected count == quota; ranks dense from 1
+    byLang.foreach { case (l, rs) =>
+      val quota = rs.head.getAs[Long]("quota")
+      assert(rs.length == quota, s"lang $l")
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to quota.toInt))
+    }
+    // matches the independent fold exactly
+    val want = TextAnalysis.unimaxQuotas(counts, 80, 1)
+      .map(q => q._1 -> q._3).toMap
+    byLang.foreach { case (l, rs) => assert(rs.length == want(l)) }
+    assert(out.length <= budget)
+    // the allocator's two regimes are both live on this corpus: the
+    // dominant language is CAPPED below its size, and at least one
+    // small language is kept whole
+    val cm = counts.toMap
+    val capped = want.filter { case (l, q) => q < cm(l) }
+    val whole = want.filter { case (l, q) => q == cm(l) }
+    assert(capped.nonEmpty, "no language was capped")
+    assert(whole.nonEmpty, "no language was kept whole")
+    // planted histogram: epochs cap binds before fair share on tiny
+    // langs; leftover redistributes in ascending order (water-fill)
+    val fold = TextAnalysis.unimaxQuotas(
+      Seq("a" -> 10L, "b" -> 100L, "c" -> 1000L), 50, 1)
+    // budget 555: a kept whole (10 <= 185), b kept whole (100 <= 272),
+    // c gets the rest (445)
+    assert(fold == Seq(("a", 10L, 10L), ("b", 100L, 100L),
+      ("c", 1000L, 445L)))
+    // maxEpochs > 1 lets a small language repeat up to the cap
+    val fold2 = TextAnalysis.unimaxQuotas(
+      Seq("a" -> 10L, "b" -> 1000L), 100, 2)
+    assert(fold2.head == (("a", 10L, 20L))) // 2 epochs of a
+  }
+
   test("tfidf: k terms per doc, rank follows score") {
     val t = TextAnalysis.tfidfTopTerms(spark, sf, k = 3)
     val perDoc = t.groupBy(col("doc_id")).count()

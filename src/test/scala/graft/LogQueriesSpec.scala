@@ -456,6 +456,28 @@ class LogQueriesSpec extends SparkSpec {
     assert(pts.exists(_._4 == 0L) && pts.exists(_._4 == 63L))
   }
 
+  test("ip_prefix: /16 buckets replay from an independent md5 " +
+      "derivation; top-20 ordering and per-bucket counts exact") {
+    def ip32(userId: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ip:$userId".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val events = graft.ingest.Tables.load(spark, sf, "events")
+      .select($"user_id").as[Long].collect()
+    val expected = events
+      .map { u => val ip = ip32(u)
+        (s"${ip >> 24}.${(ip >> 16) % 256}.0.0/16", u, ip) }
+    val hist = expected.groupBy(_._1).map { case (p, rs) =>
+      (p, rs.length.toLong, rs.map(_._2).distinct.length.toLong,
+        rs.map(_._3).min, rs.map(_._3).max) }
+      .toSeq.sortBy { case (p, n, _, _, _) => (-n, p) }.take(20)
+    val got = SparkEntry.queries("kq108_ip_prefix")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == hist)
+  }
+
   test("seasonal anomaly: the integer z^2 cross-multiplication replays " +
       "driver-side and both verdicts are populated") {
     val out = SparkEntry.queries("kq62_anomaly")(spark, sf)
