@@ -134,6 +134,10 @@ object ExtQueries {
     // exact integer wedge/closure arithmetic.
     "x104_triangles" -> ((s: SparkSession, d: String) =>
       Similarity.triangleCensus(s, d)),
+    // x133: label-propagation communities — 4 synchronous rounds of
+    // modal-neighbor-label adoption, smallest-label ties; O(E)/round.
+    "x133_label_prop" -> ((s: SparkSession, d: String) =>
+      Similarity.labelProp(s, d)),
     // x105: Adamic–Adar link prediction — hub-generated candidate
     // pairs, 1/ln(deg) contributions frozen to exact integers.
     "x105_adamic_adar" -> ((s: SparkSession, d: String) =>
@@ -748,6 +752,51 @@ object ExtQueries {
        |${kmStepSql(1)},
        |${kmAsgSql("asg", "cent2")}""".stripMargin
 
+  /** The cluster-scoped kNN graph replay (sc -> nodes -> knn0 directed
+    * edges) shared by the x95 pagerank and x133 label-prop oracles. */
+  private lazy val knnGraphCtes: String =
+    s"""sc AS MATERIALIZED (SELECT vec_id, emb, bucket FROM asg),
+       |nodes AS MATERIALIZED (SELECT vec_id, bucket FROM sc),
+       |knn0 AS (SELECT src, dst FROM (
+       |    SELECT x.vec_id AS src, y.vec_id AS dst, row_number() OVER (
+       |        PARTITION BY x.vec_id
+       |        ORDER BY round(list_cosine_similarity(x.emb, y.emb), 6) DESC,
+       |                 y.vec_id) AS rn
+       |    FROM sc x JOIN sc y
+       |      ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+       |  WHERE rn <= 4)""".stripMargin
+
+  /** x133's oracle: the x95 graph replay, undirected + symmetrized, then
+    * 4 generated MATERIALIZED synchronous LPA rounds — per round each
+    * node adopts its neighbors' modal label (count DESC, label ASC ties;
+    * isolated nodes keep their own). */
+  private lazy val labelPropSql: String = {
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { t =>
+      s"""lab$t AS MATERIALIZED (SELECT n.vec_id,
+         |    COALESCE(b.new_label, l.label) AS label
+         |  FROM nodes n
+         |  JOIN lab${t - 1} l USING (vec_id)
+         |  LEFT JOIN (SELECT u AS vec_id, label AS new_label FROM (
+         |      SELECT a.u, p.label, row_number() OVER (PARTITION BY a.u
+         |          ORDER BY count(*) DESC, p.label) AS rn
+         |      FROM adj a JOIN lab${t - 1} p ON p.vec_id = a.v
+         |      GROUP BY a.u, p.label) WHERE rn = 1) b USING (vec_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $kmeansCtes,
+       |$knnGraphCtes,
+       |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+       |    GREATEST(src, dst) AS b FROM knn0),
+       |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b AS u, a AS v FROM und),
+       |lab0 AS MATERIALIZED (SELECT vec_id, vec_id AS label FROM nodes),
+       |$roundCtes
+       |SELECT n.vec_id, n.bucket, CAST(l.label AS BIGINT) AS label
+       |FROM nodes n JOIN lab$rounds l USING (vec_id)
+       |ORDER BY n.vec_id""".stripMargin
+  }
+
   /** x95's oracle: shared k-means replay -> cluster-scoped kNN edges ->
     * 6 generated MATERIALIZED integer pagerank rounds (each pr_t and the
     * edge table are multiply-referenced; DuckDB would otherwise inline
@@ -764,16 +813,7 @@ object ExtQueries {
          |    GROUP BY 1) i USING (vec_id))""".stripMargin
     }.mkString(",\n")
     s"""WITH $kmeansCtes,
-       |sc AS MATERIALIZED (SELECT vec_id, emb, bucket FROM asg),
-       |nodes AS MATERIALIZED (SELECT vec_id, bucket FROM sc),
-       |knn0 AS (SELECT src, dst FROM (
-       |    SELECT x.vec_id AS src, y.vec_id AS dst, row_number() OVER (
-       |        PARTITION BY x.vec_id
-       |        ORDER BY round(list_cosine_similarity(x.emb, y.emb), 6) DESC,
-       |                 y.vec_id) AS rn
-       |    FROM sc x JOIN sc y
-       |      ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
-       |  WHERE rn <= 4),
+       |$knnGraphCtes,
        |knn AS MATERIALIZED (SELECT k.src, k.dst, o.outdeg
        |  FROM knn0 k JOIN (SELECT src, count(*) AS outdeg
        |                    FROM knn0 GROUP BY 1) o USING (src)),
@@ -1806,6 +1846,7 @@ object ExtQueries {
     // every pr_t are multiply-referenced — the x75 inlining lesson);
     // all-integer nano-unit arithmetic, `//` == `div` on positives.
     "x95_pagerank" -> pageRankSql,
+    "x133_label_prop" -> labelPropSql,
 
     "x96_cms_topk" -> Sketches.cmsOracle,
 

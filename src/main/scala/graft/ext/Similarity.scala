@@ -413,6 +413,54 @@ object Similarity {
   }
 
   /**
+   * x133 — LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007) over
+   * the cluster-scoped kNN similarity graph: the near-linear community
+   * detector that complements the family's structural metrics (x21/x26
+   * find connected components — the coarsest communities; x95 ranks
+   * nodes; x104/x120 measure density). SYNCHRONOUS variant, made fully
+   * deterministic: labels start as vec_id; each round every node adopts
+   * the label MOST FREQUENT among its undirected neighbors, ties broken
+   * toward the SMALLEST label (the canonical determinization — the
+   * random tie-break of the paper trades stability for speed of
+   * convergence, which an oracle-checked pipeline cannot accept);
+   * isolated nodes keep their own label. A FIXED round count is the
+   * contract (synchronous LPA can oscillate on bipartite-ish
+   * structures, so "until stable" is not well-defined): 4 rounds, the
+   * x95 iteration-shape precedent.
+   *
+   * Scale: each round is ONE adjacency join + ONE (node, label) count
+   * aggregation + ONE bounded top-1 window — O(E) per round like
+   * x21/x95, lineage cut per round with localCheckpoint. No per-node
+   * adjacency materialization, no driver state (the label frame stays
+   * distributed end to end).
+   */
+  def labelProp(spark: SparkSession, dir: String, nCentroids: Int = 8,
+      iterations: Int = 2, k: Int = 4, rounds: Int = 4): DataFrame = {
+    val (und, nodes) = undirectedKnn(spark, dir, nCentroids, iterations, k)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var lab = nodes.select(col("vec_id"), col("vec_id").as("label"))
+    for (_ <- 1 to rounds) {
+      val wTop = Window.partitionBy(col("u"))
+        .orderBy(col("c").desc, col("label"))
+      val best = adj
+        .join(lab.withColumnRenamed("vec_id", "v"), "v")
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") === 1)
+        .select(col("u").as("vec_id"), col("label").as("new_label"))
+      lab = lab.join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    nodes.join(lab, "vec_id")
+      .select(col("vec_id"), col("bucket"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /**
    * x104 — TRIANGLE CENSUS over the cluster-scoped kNN similarity
    * graph: per cluster, the node/edge counts, open-wedge count
    * (Σ deg·(deg−1)/2), triangle count, and the global clustering

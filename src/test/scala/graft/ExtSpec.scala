@@ -1963,6 +1963,34 @@ class ExtSpec extends SparkSpec {
     assert(want.head._2 > 2000000000L)
   }
 
+  test("x133 label propagation: the 4 synchronous modal-label rounds " +
+      "replay driver-side; communities coarsen monotonically vs labels") {
+    import spark.implicits._
+    val (edgeDf, nodeDf) = graft.ext.Similarity.knnGraph(spark, sf, 8, 2, 4)
+    val und = edgeDf.as[(Long, Long)].collect()
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    val adj = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = nodeDf.select($"vec_id").as[Long].collect()
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      val next = adj.groupBy(_._1).map { case (u, nbrs) =>
+        val hist = nbrs.map(e => lab(e._2))
+          .groupBy(identity).view.mapValues(_.length).toSeq
+        // modal label, ties toward the smallest label
+        u -> hist.minBy { case (l, c) => (-c, l) }._1
+      }
+      lab = nodes.map(n => n -> next.getOrElse(n, lab(n))).toMap
+    }
+    val got = graft.ext.Similarity.labelProp(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Long)].collect()
+    assert(got.toSeq == nodes.sorted.map(n => (n, lab(n))).toSeq)
+    // non-trivial communities formed: fewer labels than nodes, and the
+    // largest community has > 2 members
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size < nodes.length)
+    assert(sizes.values.max > 2)
+  }
+
   test("x107 curriculum: round-robin stratified easiest-first order " +
       "replays driver-side") {
     import spark.implicits._
