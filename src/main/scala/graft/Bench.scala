@@ -138,7 +138,8 @@ object Bench {
     "x7_langid", "x9_tokens", "x11_media_meta", "x14_media_frames",
     "x16_anonymize", "x17_mixture", "x18_langid_ngram",
     "kq106_percolate_stream", "x131_ivfpq_serve", "kq107_geotile_grid",
-    "kq108_ip_prefix", "x132_unimax_mixture", "x133_label_prop")
+    "kq108_ip_prefix", "x132_unimax_mixture", "x133_label_prop",
+    "kq109_stream_geofence")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -598,6 +598,13 @@ object SparkEntry {
       graft.streaming.StreamPipeline.patternAlerts(s,
         graft.ingest.Tables.load(s, dir, "events"))),
 
+    // ---- streaming geofence (Kibana Maps alerting): ENTER/EXIT on ------
+    // ---- fence-side TRANSITIONS of each user's movement track — --------
+    // ---- per-user ValueState carries the last fix; bbox test is two ----
+    // ---- integer range predicates in the scan ---------------------------
+    "kq109_stream_geofence" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.geofenceAlerts(s, dir)),
+
     // ---- stream-static enrichment: the event stream left-joined to a ---
     // ---- broadcast static dim — stateless (no watermark/state store), --
     // ---- dim re-resolved per micro-batch (slowly-changing-dim story) ---
@@ -2624,6 +2631,20 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, us AS at_us, n_window FROM c WHERE n_window >= 3
         |ORDER BY user_id, at_us""".stripMargin,
+
+    // kq109: alerts fire ON ARRIVAL (no watermark tail rule); strict
+    // event-time slices compose the per-batch folds into exactly the
+    // batch lag() transition rule, first sighting vs OUTSIDE.
+    "kq109_stream_geofence" ->
+      s"""WITH e AS (${graft.query.Geo.eventFenceSql}),
+         |r AS (SELECT user_id, event_id, us, inside,
+         |        lag(inside, 1, FALSE) OVER (PARTITION BY user_id
+         |          ORDER BY us, event_id) AS prev
+         |      FROM e)
+         |SELECT user_id, us AS at_us, event_id,
+         |  CASE WHEN inside THEN 'ENTER' ELSE 'EXIT' END AS kind
+         |FROM r WHERE inside <> prev
+         |ORDER BY user_id, at_us, event_id""".stripMargin,
 
     // kq50: a stateless stream-static join replays as the plain batch
     // left join — no watermark emission rule applies (nothing in state).

@@ -211,6 +211,28 @@ object Geo {
   private val QLat = 48856600L
   private val QLon = 2352200L
 
+  /** Per-event derived movement point + the kq60 viewport as an
+    * inside-fence flag (Spark side of the kq109 geofence input; events
+    * use the EVENT-id salt — a movement track, as kq99). */
+  private[graft] def eventFenceFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("lat_u", expr(latSql("event_id", duck = false)))
+      .withColumn("lon_u", expr(lonSql("event_id", duck = false)))
+      .withColumn("inside",
+        col("lat_u").between(LatLo, LatHi) &&
+          col("lon_u").between(LonLo, LonHi))
+
+  /** DuckDB replay of [[eventFenceFrame]] (user_id, event_id, us,
+    * inside) — the kq109 oracle's base CTE body. */
+  private[graft] def eventFenceSql: String =
+    s"""SELECT user_id, event_id, epoch_us(ts) AS us,
+       |  (${latSql("event_id", duck = true)} BETWEEN $LatLo AND $LatHi)
+       |  AND (${lonSql("event_id", duck = true)}
+       |       BETWEEN $LonLo AND $LonHi) AS inside
+       |FROM events""".stripMargin
+
   /** kq60 — geo_bounding_box + geo_distance sort: the 10 customers
     * nearest the query point inside the viewport, ranked by the exact
     * integer squared-equirectangular proxy. */

@@ -1177,6 +1177,143 @@ object StreamPipeline {
     }
   }
 
+  /** Geofence input row: per-event derived point reduced to the
+    * inside-fence flag. */
+  case class GeoEvt(user_id: Long, ts: java.sql.Timestamp, us: Long,
+      event_id: Long, inside: Boolean)
+  /** The last observed (event-time, id, side) per user — the
+    * [[GeofenceProcessor]]'s whole state. */
+  case class LastPos(us: Long, event_id: Long, inside: Boolean)
+  /** Emitted on a side TRANSITION only: ENTER or EXIT. */
+  case class FenceAlert(user_id: Long, at_us: Long, event_id: Long,
+      kind: String)
+
+  /**
+   * [[StatefulProcessor]] behind [[geofenceAlerts]] (kq109): one
+   * ValueState[LastPos] per user. Each batch's rows are folded in
+   * (us, event_id) order from the carried last position (first sighting
+   * compares against OUTSIDE — the fleet-tracking convention that a
+   * first fix inside the fence is an ENTER); a row emits iff its side
+   * differs from the previous one. Cross-batch order is the fixture
+   * replay's strict event-time slicing (the kq56/kq106 discipline), so
+   * the fold composes to exactly the batch lag() transition rule.
+   * State is ONE 3-field row per user — the operator's product (the
+   * fleet's current side), not a window buffer; at 100 TB it is bounded
+   * by the key domain, the kq23 running-stats posture.
+   */
+  class GeofenceProcessor
+      extends StatefulProcessor[Long, GeoEvt, FenceAlert] {
+    @transient private var st: ValueState[LastPos] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LastPos]("last",
+        Encoders.product[LastPos], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[GeoEvt],
+        timerValues: TimerValues): Iterator[FenceAlert] = {
+      var last = Option(st.get()).getOrElse(
+        LastPos(Long.MinValue, Long.MinValue, inside = false))
+      val out = scala.collection.mutable.ArrayBuffer.empty[FenceAlert]
+      for (r <- rows.toArray.sortBy(e => (e.us, e.event_id))) {
+        if (r.inside != last.inside)
+          out += FenceAlert(key, r.us, r.event_id,
+            if (r.inside) "ENTER" else "EXIT")
+        last = LastPos(r.us, r.event_id, r.inside)
+      }
+      st.update(last)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FenceAlert] =
+      Iterator.empty
+  }
+
+  /**
+   * kq109 — STREAMING GEOFENCE (Kibana Maps alerting / ES geo query +
+   * Watcher): ENTER/EXIT alerts when a user's movement track (kq99's
+   * per-event derived points) crosses the kq60 viewport fence. A
+   * stateless bbox filter can say "is inside"; the ALERT is the
+   * TRANSITION, which needs the previous fix — per-user ValueState (see
+   * [[GeofenceProcessor]]). The fence test itself is two integer range
+   * predicates evaluated map-side in the scan before any state.
+   *
+   * Same four-slice AvailableNow replay as kq56, so state genuinely
+   * crosses micro-batches; because slices are strict event-time order,
+   * the emission equals the batch `lag(inside) <> inside` rule
+   * row-for-row — the DuckDB oracle, no watermark tail rule (alerts
+   * fire on arrival).
+   */
+  def geofenceAlerts(spark: org.apache.spark.sql.SparkSession,
+      dir: String, delay: String = "1 hour"): DataFrame =
+    withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("kq109-geo").toString
+    val ev = graft.query.Geo.eventFenceFrame(spark, dir)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("inside"))
+    val Array(mn, mx) = ev.agg(min(col("us")), max(col("us")))
+      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
+    val step = math.max((mx - mn) / 4 + 1, 1L)
+    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
+    for (i <- 0 until 4) {
+      val slice = ev.where(col("us") >= mn + i * step &&
+        col("us") < mn + (i + 1) * step)
+      val tmp = s"$work/slice$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val out = java.nio.file.Files.createTempDirectory("kq109-out").toFile
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .withWatermark("ts", delay)
+        .as[GeoEvt]
+        .groupByKey(_.user_id)
+        .transformWithState(new GeofenceProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("at_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType)))
+      spark.read.schema(schema).parquet(out.toString)
+        .orderBy(col("user_id"), col("at_us"), col("event_id"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
   /**
    * kq49 — INACTIVITY WATCH via transformWithState EVENT-TIME TIMERS:
    * "alert when a user goes silent for `horizon`" — the ES Watcher /

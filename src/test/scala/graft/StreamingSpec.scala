@@ -548,6 +548,41 @@ class StreamingSpec extends SparkSpec {
     assert(spanning, "no alert window spans a batch boundary")
   }
 
+  test("geofence (kq109): streamed ENTER/EXIT equal the batch lag rule; " +
+      "some transition's previous fix sits in an EARLIER micro-batch") {
+    val got = graft.streaming.StreamPipeline.geofenceAlerts(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // batch reference: per-user (us, event_id)-ordered side transitions,
+    // first sighting vs OUTSIDE
+    val fixes = graft.query.Geo.eventFenceFrame(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("inside"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byUser = fixes.groupBy(_._1)
+    val ref = byUser.toSeq.flatMap { case (u, fs) =>
+      val ordered = fs.sortBy(f => (f._2, f._3))
+      ordered.zip(false +: ordered.map(_._4).init).collect {
+        case ((_, us, id, in), prev) if in != prev =>
+          (u, us, id, if (in) "ENTER" else "EXIT")
+      }
+    }.sortBy(a => (a._1, a._2, a._3))
+    assert(got == ref)
+    assert(got.exists(_._4 == "ENTER") && got.exists(_._4 == "EXIT"))
+    // cross-batch state: some transition's immediately-previous fix
+    // falls in an earlier harness slice
+    val mn = fixes.map(_._2).min; val mx = fixes.map(_._2).max
+    val step = math.max((mx - mn) / 4 + 1, 1L)
+    def slice(us: Long): Long = (us - mn) / step
+    val spanning = got.exists { case (u, us, id, _) =>
+      val ordered = byUser(u).sortBy(f => (f._2, f._3))
+      val i = ordered.indexWhere(f => f._2 == us && f._3 == id)
+      i > 0 && slice(ordered(i - 1)._2) < slice(us)
+    }
+    assert(spanning, "no transition crossed a micro-batch boundary")
+  }
+
   test("chained stateful ops (dedup -> window): planted replays collapse " +
       "before the window counts them; tail rule is kq44's") {
     val env = Pipeline.envelopeFlat(spark, sf)
