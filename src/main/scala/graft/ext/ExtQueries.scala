@@ -439,6 +439,10 @@ object ExtQueries {
     // the language histogram (ascending), md5-rank selection per lang.
     "x132_unimax_mixture" -> ((s: SparkSession, d: String) =>
       TextAnalysis.unimaxMixture(s, d)),
+    // x134: Poisson-bootstrap CI — all B resamples in ONE corpus pass,
+    // frozen integer CDF thresholds, order-statistic interval.
+    "x134_bootstrap_ci" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bootstrapCi(s, d)),
     "x38_temperature_mixture" -> ((s: SparkSession, d: String) =>
       TextAnalysis.temperatureMixture(s, d)),
     "x39_span_excise" -> ((s: SparkSession, d: String) =>
@@ -2290,6 +2294,44 @@ object ExtQueries {
         |SELECT r.doc_id, r.lang, r.rk, a.quota
         |FROM r JOIN alloc a ON a.lang = r.lang
         |WHERE r.rk <= a.quota ORDER BY r.lang, r.rk""".stripMargin,
+
+    // x134: the Poisson-bootstrap replay — identical frozen thresholds
+    // (TextAnalysis.bootWSql interpolates the same literals), identical
+    // order-statistic ranks; sum(BIGINT)->HUGEINT cast back.
+    "x134_bootstrap_ci" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+         |  FROM documents),
+         |x AS (SELECT b, score,
+         |    ('0x' || substr(md5('boot:' || b || ':' || doc_id), 1, 8))
+         |      ::BIGINT AS u32
+         |  FROM d, range(200) t(b)),
+         |r AS (SELECT b, CAST(sum(${TextAnalysis.bootWSql}) AS BIGINT)
+         |        AS sw,
+         |      CAST(sum(${TextAnalysis.bootWSql} * score) AS BIGINT)
+         |        AS sws
+         |  FROM x GROUP BY 1),
+         |m AS (SELECT b, (sws * 1000000) // sw AS rs_mean
+         |      FROM r WHERE sw > 0),
+         |rk AS (SELECT b, rs_mean, CAST(row_number() OVER (
+         |        ORDER BY rs_mean, b) AS BIGINT) AS rn FROM m),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_resamples FROM m),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST((sum(score) * 1000000) // count(*) AS BIGINT)
+         |      AS mean_micro
+         |  FROM d)
+         |SELECT f.n_docs, nb.n_resamples, f.mean_micro,
+         |  CAST(max(CASE WHEN rk.rn =
+         |    (25 * (nb.n_resamples - 1)) // 1000 + 1
+         |    THEN rk.rs_mean END) AS BIGINT) AS lo_micro,
+         |  CAST(max(CASE WHEN rk.rn =
+         |    (500 * (nb.n_resamples - 1)) // 1000 + 1
+         |    THEN rk.rs_mean END) AS BIGINT) AS mid_micro,
+         |  CAST(max(CASE WHEN rk.rn =
+         |    (975 * (nb.n_resamples - 1)) // 1000 + 1
+         |    THEN rk.rs_mean END) AS BIGINT) AS hi_micro
+         |FROM rk, nb, f
+         |GROUP BY f.n_docs, nb.n_resamples, f.mean_micro""".stripMargin,
 
     // x37: DECIMAL-exact element-wise centroid means (the kmStepSql
     // contract) + list_cosine_similarity on DOUBLE[]

@@ -1133,6 +1133,80 @@ object TextAnalysis {
     }
   }
 
+  /** Frozen Poisson(1) inverse-CDF thresholds for [[bootstrapCi]]:
+    * T_k = floor(P(W <= k) · 2^32) for k = 0..6 (tail mass beyond 7
+    * copies < 1e-4 maps to multiplicity 7). Computed ONCE here; both
+    * engines receive the identical integer literals (the kq107
+    * driver-literal discipline), so every multiplicity is an exact
+    * integer comparison. */
+  private[graft] val BootCdf32: Seq[Long] = {
+    val probs = (0 to 6).map { k =>
+      math.exp(-1.0) / (1 to k).map(_.toDouble).product
+    }
+    probs.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
+  /** Engine-shared multiplicity fragment: w = #{k : u32 >= T_k}. */
+  private[ext] def bootWSql: String =
+    BootCdf32.map(t => s"(CASE WHEN u32 >= $t THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /**
+   * x134 — POISSON-BOOTSTRAP CONFIDENCE INTERVAL (Chamandy et al. 2012,
+   * "Estimating uncertainty for massive data streams"): the error bar a
+   * dataset card (x85) should print next to any corpus mean. The
+   * classical bootstrap materializes B resamples of the corpus —
+   * impossible at 100 TB; the Poisson approximation draws each
+   * document's per-resample multiplicity w ~ Poisson(1) independently,
+   * so ALL B resamples compute in ONE corpus pass: explode B map-side,
+   * one (resample)-keyed partial aggregation into B groups, no
+   * resampling shuffle, no second read.
+   *
+   * Determinism end to end: multiplicities are the pinned md5-32 value
+   * against the frozen [[BootCdf32]] thresholds; each resample's mean
+   * (of the whitespace token count) is exact integer micro-units by
+   * positive floor division; the CI is ORDER STATISTICS of the B means
+   * — ranks floor(q·(B−1)) + 1 for q = 0.025 / 0.5 / 0.975 (lower
+   * order statistic; no interpolation, no doubles). A theoretically
+   * possible empty resample (P = e^-N) is excluded identically on both
+   * sides before ranking.
+   */
+  def bootstrapCi(spark: SparkSession, dir: String,
+      b: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("score"))
+    val res = docs
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("u32", expr("CAST(conv(substring(md5(concat('boot:', " +
+        "CAST(b AS STRING), ':', CAST(doc_id AS STRING))), 1, 8), 16, 10)" +
+        " AS BIGINT)"))
+      .withColumn("w", expr(bootWSql))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("sw"),
+        sum(col("w") * col("score")).as("sws"))
+      .where(col("sw") > 0)
+      .select(col("b"), expr("(sws * 1000000) div sw").as("mean_micro"))
+    val ranked = res
+      .select(col("b"), col("mean_micro").as("rs_mean"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("rs_mean"), col("b"))))
+    val nb = res.agg(count(lit(1)).as("n_resamples"))
+    val full = docs.agg(count(lit(1)).as("n_docs"),
+      expr("(sum(score) * 1000000) div count(1)").as("mean_micro"))
+    ranked.crossJoin(broadcast(nb)).crossJoin(broadcast(full))
+      .groupBy(col("n_docs"), col("n_resamples"), col("mean_micro"))
+      .agg(
+        max(when(col("rn") === expr("(25 * (n_resamples - 1)) div 1000 + 1"),
+          col("rs_mean"))).as("lo_micro"),
+        max(when(col("rn") === expr("(500 * (n_resamples - 1)) div 1000 + 1"),
+          col("rs_mean"))).as("mid_micro"),
+        max(when(col("rn") === expr("(975 * (n_resamples - 1)) div 1000 + 1"),
+          col("rs_mean"))).as("hi_micro"))
+  }
+
   /**
    * Document fingerprinting: (a) a polynomial rolling hash over the full
    * character stream (base 257 mod 1e9+7 — Karp-Rabin style), and (b) a

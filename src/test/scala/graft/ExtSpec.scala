@@ -1233,6 +1233,43 @@ class ExtSpec extends SparkSpec {
     assert(fold2.head == (("a", 10L, 20L))) // 2 epochs of a
   }
 
+  test("x134 poisson bootstrap: multiplicities, per-resample means and " +
+      "the order-statistic CI replay driver-side; thresholds sane") {
+    import spark.implicits._
+    val cdf = graft.ext.TextAnalysis.BootCdf32
+    assert(cdf == cdf.sorted && cdf.distinct == cdf)
+    assert(cdf.head == math.floor(math.exp(-1.0) * 4294967296.0).toLong)
+    assert(cdf.last < 4294967296L) // tail mass -> multiplicity 7 is live
+    def u32(b: Int, docId: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot:$b:$docId".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(x => f"$x%02x").mkString, 16)
+    }
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect()
+    val means = (0 until 200).flatMap { b =>
+      var sw = 0L; var sws = 0L
+      for ((id, sc) <- docs) {
+        val u = u32(b, id)
+        val w = cdf.count(u >= _)
+        sw += w; sws += w * sc
+      }
+      if (sw > 0) Some((b.toLong, sws * 1000000L / sw)) else None
+    }
+    val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val nb = sorted.length
+    def at(q: Int) = sorted((q * (nb - 1)) / 1000)
+    val fullMean = docs.map(_._2).sum * 1000000L / docs.length
+    val got = graft.ext.TextAnalysis.bootstrapCi(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((docs.length.toLong, nb.toLong, fullMean,
+      at(25), at(500), at(975))))
+    assert(got._4 <= got._5 && got._5 <= got._6)
+    // the interval is non-degenerate on this corpus
+    assert(got._4 < got._6)
+  }
+
   test("tfidf: k terms per doc, rank follows score") {
     val t = TextAnalysis.tfidfTopTerms(spark, sf, k = 3)
     val perDoc = t.groupBy(col("doc_id")).count()
