@@ -443,6 +443,10 @@ object ExtQueries {
     // frozen integer CDF thresholds, order-statistic interval.
     "x134_bootstrap_ci" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bootstrapCi(s, d)),
+    // x135: Cohen's kappa between the heuristic gate and the classifier
+    // — exact integer confusion counts, sign-split truncating division.
+    "x135_filter_agreement" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.filterAgreement(s, d)),
     "x38_temperature_mixture" -> ((s: SparkSession, d: String) =>
       TextAnalysis.temperatureMixture(s, d)),
     "x39_span_excise" -> ((s: SparkSession, d: String) =>
@@ -2332,6 +2336,41 @@ object ExtQueries {
          |    THEN rk.rs_mean END) AS BIGINT) AS hi_micro
          |FROM rk, nb, f
          |GROUP BY f.n_docs, nb.n_resamples, f.mean_micro""".stripMargin,
+
+    // x135: identical integer kappa form; `//` on a POSITIVE numerator
+    // via the same sign-split CASE; len()/list_sum() cast to BIGINT.
+    "x135_filter_agreement" ->
+      """WITH f AS (SELECT
+        |    (len(string_split(text, ' ')) >= 20 AND
+        |     len(list_distinct(string_split(text, ' '))) * 2 >=
+        |       len(string_split(text, ' '))) AS a,
+        |    (CAST(list_sum(list_transform(string_split(text, ' '),
+        |       t -> (('0x' || substr(md5(t), 1, 8))::BIGINT % 1024)
+        |            * 131 % 997 - 498)) AS BIGINT) > 0) AS b
+        |  FROM documents),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
+        |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_pos,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos_agree
+        |  FROM f)
+        |SELECT n, a_pos, b_pos, n_agree, pos_agree,
+        |  CAST(CASE
+        |    WHEN (n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos))) = 0
+        |      THEN 0
+        |    WHEN (n * n_agree - (a_pos * b_pos + (n - a_pos) * (n - b_pos)))
+        |         * 1000000 >= 0
+        |      THEN (n * n_agree
+        |            - (a_pos * b_pos + (n - a_pos) * (n - b_pos))) * 1000000
+        |           // (n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos)))
+        |    ELSE -((-((n * n_agree
+        |            - (a_pos * b_pos + (n - a_pos) * (n - b_pos)))
+        |              * 1000000))
+        |           // (n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos))))
+        |  END AS BIGINT) AS kappa_ppm
+        |FROM c""".stripMargin,
 
     // x37: DECIMAL-exact element-wise centroid means (the kmStepSql
     // contract) + list_cosine_similarity on DOUBLE[]

@@ -1133,6 +1133,45 @@ object TextAnalysis {
     }
   }
 
+  /**
+   * x135 — FILTER-AGREEMENT AUDIT (Cohen's κ): when a pipeline runs two
+   * keep/drop filters — here the x8-style heuristic gate (enough tokens
+   * AND type/token ratio ≥ 1/2, both exact integer comparisons) and the
+   * x70 hashed-linear classifier — raw percent agreement is inflated by
+   * class imbalance; κ subtracts chance agreement and is the standard
+   * figure an annotation/filter-calibration report leads with. Computed
+   * EXACTLY: the 2×2 confusion counts come from ONE map-only corpus
+   * pass folded into a single aggregate row, and κ = (pₒ − pₑ)/(1 − pₑ)
+   * clears denominators to the integer form
+   * (n·n_agree − Σ) · 10⁶ / (n² − Σ) with Σ = a₊b₊ + a₋b₋ — one
+   * sign-split truncating division (κ can be negative; Spark `div` and
+   * DuckDB `//` differ on negatives, the kq82 rule), zero doubles.
+   * Degenerate case (a constant filter ⇒ denominator 0) reports 0 by
+   * convention, guarded identically in both engines.
+   */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val flags = docs.select(
+      (size(toks).cast("long") >= 20 &&
+        size(array_distinct(toks)).cast("long") * 2 >=
+          size(toks).cast("long")).as("a"),
+      (graft.functions.HashedLinearScore.hashedLinearScore(col("text"))
+        > 0).as("b"))
+    val sigma = "(a_pos * b_pos + (n - a_pos) * (n - b_pos))"
+    val num = s"(n * n_agree - $sigma) * 1000000"
+    val den = s"(n * n - $sigma)"
+    flags.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("a_pos"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("b_pos"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("pos_agree"))
+      .withColumn("kappa_ppm", expr(
+        s"CASE WHEN $den = 0 THEN 0L WHEN $num >= 0 THEN $num div $den " +
+          s"ELSE -((-($num)) div $den) END"))
+  }
+
   /** Frozen Poisson(1) inverse-CDF thresholds for [[bootstrapCi]]:
     * T_k = floor(P(W <= k) · 2^32) for k = 0..6 (tail mass beyond 7
     * copies < 1e-4 maps to multiplicity 7). Computed ONCE here; both

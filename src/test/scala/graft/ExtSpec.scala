@@ -1233,6 +1233,56 @@ class ExtSpec extends SparkSpec {
     assert(fold2.head == (("a", 10L, 20L))) // 2 epochs of a
   }
 
+  test("x135 filter agreement: confusion counts and the integer kappa " +
+      "replay driver-side; both filters non-constant; sign-split " +
+      "division matches the double formula on planted negative kappa") {
+    import spark.implicits._
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"text").as[String].collect()
+    def w(t: String): Long =
+      (java.lang.Long.parseLong(java.security.MessageDigest
+        .getInstance("MD5").digest(t.getBytes("UTF-8")).take(4)
+        .map(x => f"$x%02x").mkString, 16) % 1024) * 131 % 997 - 498
+    val flags = docs.map { t =>
+      val toks = t.split(" ", -1)
+      val a = toks.length >= 20 && toks.distinct.length * 2 >= toks.length
+      val b = toks.map(w).sum > 0
+      (a, b)
+    }
+    val n = flags.length.toLong
+    val aPos = flags.count(_._1).toLong
+    val bPos = flags.count(_._2).toLong
+    val agree = flags.count(f => f._1 == f._2).toLong
+    val posAgree = flags.count(f => f._1 && f._2).toLong
+    def kappaPpm(n: Long, ap: Long, bp: Long, ag: Long): Long = {
+      val sigma = ap * bp + (n - ap) * (n - bp)
+      val num = (n * ag - sigma) * 1000000L
+      val den = n * n - sigma
+      if (den == 0) 0L else if (num >= 0) num / den else -((-num) / den)
+    }
+    val got = graft.ext.TextAnalysis.filterAgreement(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((n, aPos, bPos, agree, posAgree,
+      kappaPpm(n, aPos, bPos, agree))))
+    // both filters are genuinely non-constant on this corpus
+    assert(aPos > 0 && aPos < n && bPos > 0 && bPos < n)
+    assert(got._6 > -1000000L && got._6 < 1000000L)
+    // the sign-split integer form tracks the double formula, including
+    // a planted NEGATIVE-kappa confusion table (systematic disagreement)
+    for ((nn, ap, bp, ag) <- Seq((100L, 50L, 50L, 10L), (10L, 9L, 1L, 0L),
+        (100L, 30L, 70L, 55L), (7L, 7L, 7L, 7L))) {
+      val sigma = ap * bp + (nn - ap) * (nn - bp)
+      val den = nn * nn - sigma
+      if (den != 0) {
+        val exact = kappaPpm(nn, ap, bp, ag)
+        val dbl = ((nn.toDouble * ag - sigma) * 1e6) / den
+        assert(math.abs(exact - dbl) <= 1.0, s"($nn,$ap,$bp,$ag)")
+        if ((nn, ap, bp, ag) == ((100L, 50L, 50L, 10L)))
+          assert(exact < 0, "planted table must yield negative kappa")
+      } else assert(kappaPpm(nn, ap, bp, ag) == 0L)
+    }
+  }
+
   test("x134 poisson bootstrap: multiplicities, per-resample means and " +
       "the order-statistic CI replay driver-side; thresholds sane") {
     import spark.implicits._
