@@ -110,5 +110,21 @@ doc = pd.DataFrame({
 doc["n_chars"] = doc["text"].str.len().astype(np.int64)
 doc.to_parquet(f"{OUT}/documents.parquet", index=False)
 
+# customer: 15k rows (10x sf0.1) for the GEO family (kq59 geohash grid,
+# kq107 geotile grid, kq82 centroid/bounds, kq60 nearest-k) whose points
+# derive from c_custkey — schema-compatible with the driver's table.
+N_CUST = 15_000
+cust = pd.DataFrame({
+    "c_custkey": np.arange(N_CUST, dtype=np.int64),
+    "c_name": [f"Customer#{k:09d}" for k in range(N_CUST)],
+    "c_nationkey": rng.integers(0, 25, N_CUST).astype(np.int32),
+    "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, N_CUST), 2),
+    "c_mktsegment": rng.choice(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        N_CUST),
+})
+cust.to_parquet(f"{OUT}/customer.parquet", index=False)
+
 print(json.dumps({"out": OUT, "events": N_EV, "embeddings": N_EMB,
-                  "lineitem": N_LI, "documents": N_DOC}))
+                  "lineitem": N_LI, "documents": N_DOC,
+                  "customer": N_CUST}))
