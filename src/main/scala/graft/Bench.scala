@@ -139,7 +139,8 @@ object Bench {
     "x16_anonymize", "x17_mixture", "x18_langid_ngram",
     "kq106_percolate_stream", "x131_ivfpq_serve", "kq107_geotile_grid",
     "kq108_ip_prefix", "x132_unimax_mixture", "x133_label_prop",
-    "kq109_stream_geofence", "x134_bootstrap_ci", "x135_filter_agreement")
+    "kq109_stream_geofence", "x134_bootstrap_ci", "x135_filter_agreement",
+    "x136_unigram_drift")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

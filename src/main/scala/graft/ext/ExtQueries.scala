@@ -447,6 +447,10 @@ object ExtQueries {
     // — exact integer confusion counts, sign-split truncating division.
     "x135_filter_agreement" -> ((s: SparkSession, d: String) =>
       TextAnalysis.filterAgreement(s, d)),
+    // x136: unigram KL drift between snapshots — 9dp-ln nano-nat exact
+    // integers over the union vocab, one vocab-sized join.
+    "x136_unigram_drift" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.unigramDrift(s, d)),
     "x38_temperature_mixture" -> ((s: SparkSession, d: String) =>
       TextAnalysis.temperatureMixture(s, d)),
     "x39_span_excise" -> ((s: SparkSession, d: String) =>
@@ -2371,6 +2375,42 @@ object ExtQueries {
         |           // (n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos))))
         |  END AS BIGINT) AS kappa_ppm
         |FROM c""".stripMargin,
+
+    // x136: x72's derived snapshot-B + the x56 ln9 nano-nat recipe over
+    // the union vocab; sum(BIGINT)->HUGEINT cast back.
+    "x136_unigram_drift" -> {
+      def ln9(x: String) =
+        s"CAST(CAST(round(ln($x), 9) AS DECIMAL(20,9)) * 1000000000" +
+          " AS BIGINT)"
+      s"""WITH a AS (SELECT text FROM documents),
+         |b AS (SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+         |             ELSE text END AS text
+         |      FROM documents WHERE doc_id % 13 <> 0
+         |      UNION ALL
+         |      SELECT 'new ' || text FROM documents WHERE doc_id % 11 = 0),
+         |ca AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM
+         |        (SELECT unnest(string_split(text, ' ')) AS t FROM a)
+         |       GROUP BY 1),
+         |cb AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM
+         |        (SELECT unnest(string_split(text, ' ')) AS t FROM b)
+         |       GROUP BY 1),
+         |j AS (SELECT COALESCE(ca.c, 0) AS c, COALESCE(cb.d, 0) AS d
+         |      FROM ca FULL OUTER JOIN cb USING (t)),
+         |s AS (SELECT CAST(sum(c) AS BIGINT) AS n_a,
+         |        CAST(sum(d) AS BIGINT) AS n_b,
+         |        CAST(count(*) AS BIGINT) AS v,
+         |        CAST(sum((c + 1) * (${ln9("c + 1")} - ${ln9("d + 1")}))
+         |             AS BIGINT) AS t_ab,
+         |        CAST(sum((d + 1) * (${ln9("d + 1")} - ${ln9("c + 1")}))
+         |             AS BIGINT) AS t_ba
+         |      FROM j)
+         |SELECT n_a AS n_tokens_a, n_b AS n_tokens_b, v AS vocab,
+         |  CAST(t_ab + (n_a + v) * (${ln9("n_b + v")} - ${ln9("n_a + v")})
+         |       AS BIGINT) AS kl_ab_scaled_nano,
+         |  CAST(t_ba + (n_b + v) * (${ln9("n_a + v")} - ${ln9("n_b + v")})
+         |       AS BIGINT) AS kl_ba_scaled_nano
+         |FROM s""".stripMargin
+    },
 
     // x37: DECIMAL-exact element-wise centroid means (the kmStepSql
     // contract) + list_cosine_similarity on DOUBLE[]

@@ -2066,16 +2066,22 @@ object TextAnalysis {
    * same release; a production run points `b` at the next snapshot's
    * parquet instead — the diff plan is unchanged.
    */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"))
-    val b = a.where(col("doc_id") % 13 =!= 0)
+  /** The derived "next release" snapshot shared by x72 (diff) and x136
+    * (distribution drift): remove doc_id % 13, " v2"-edit surviving
+    * % 7, add "new "-prefixed +1e6 copies of % 11. */
+  private[graft] def snapshotB(a: DataFrame): DataFrame =
+    a.where(col("doc_id") % 13 =!= 0)
       .withColumn("text",
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")))
       .unionByName(a.where(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
           concat(lit("new "), col("text")).as("text")))
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val b = snapshotB(a)
     val aH = a.select(col("doc_id"), col("source").as("a_source"),
       md5(col("text")).as("old_md5"))
     val bH = b.select(col("doc_id"), col("source").as("b_source"),
@@ -2090,6 +2096,58 @@ object TextAnalysis {
         col("old_md5"), col("new_md5"))
       .where(col("status") =!= "unchanged")
       .orderBy(col("doc_id"))
+  }
+
+  /**
+   * x136 — UNIGRAM DISTRIBUTION DRIFT between two corpus snapshots:
+   * the smoothed KL divergence (both directions) of the whitespace
+   * unigram distributions — the standard distribution-shift monitor a
+   * dataset registry tracks between releases (x72 reports WHICH docs
+   * changed; this reports how much the TOKEN MIX moved, which is what
+   * actually perturbs a tokenizer or mixture downstream). Add-1
+   * smoothing over the union vocabulary keeps every log finite.
+   *
+   * Exact-integer discipline (the x56 recipe): with p = (c+1)/(N+V),
+   * q = (d+1)/(M+V), the scaled divergence KL(A‖B)·(N+V)·1e9 expands to
+   *   Σ (c+1)·[ln9(c+1) − ln9(d+1)]  +  (N+V)·[ln9(M+V) − ln9(N+V)]
+   * where ln9(x) is the 9dp-rounded natural log frozen to integer
+   * nano-nats — ln of identical integer arguments is bit-exact across
+   * engines (x22/x24/x56 precedents), every product and sum is exact
+   * int64, so the hash has zero tie surface.
+   *
+   * Scale shape: two token-keyed map-side-combinable counts, one
+   * vocab-sized full-outer join, one aggregate row — no doc-level
+   * state, no driver work beyond the 1-row result.
+   */
+  def unigramDrift(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val b = snapshotB(a)
+    def ln9(x: Column): Column =
+      (round(log(x.cast("double")), 9).cast("decimal(20,9)")
+        * 1000000000L).cast("long")
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as(as))
+    val j = counts(a, "c").join(counts(b, "d"), Seq("t"), "full_outer")
+      .na.fill(0L, Seq("c", "d"))
+    j.agg(
+        sum(col("c")).as("n_tokens_a"),
+        sum(col("d")).as("n_tokens_b"),
+        count(lit(1)).as("vocab"),
+        sum((col("c") + 1) * (ln9(col("c") + 1) - ln9(col("d") + 1)))
+          .as("t_ab"),
+        sum((col("d") + 1) * (ln9(col("d") + 1) - ln9(col("c") + 1)))
+          .as("t_ba"))
+      .select(col("n_tokens_a"), col("n_tokens_b"), col("vocab"),
+        (col("t_ab") + (col("n_tokens_a") + col("vocab")) *
+          (ln9(col("n_tokens_b") + col("vocab")) -
+            ln9(col("n_tokens_a") + col("vocab"))))
+          .as("kl_ab_scaled_nano"),
+        (col("t_ba") + (col("n_tokens_b") + col("vocab")) *
+          (ln9(col("n_tokens_a") + col("vocab")) -
+            ln9(col("n_tokens_b") + col("vocab"))))
+          .as("kl_ba_scaled_nano"))
   }
 
   /**

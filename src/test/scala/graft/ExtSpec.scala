@@ -1233,6 +1233,41 @@ class ExtSpec extends SparkSpec {
     assert(fold2.head == (("a", 10L, 20L))) // 2 epochs of a
   }
 
+  test("x136 unigram drift: counts, ln9 nano-nats and both scaled KL " +
+      "divergences replay driver-side; drift is positive and sane") {
+    import spark.implicits._
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val aToks = docs.flatMap(_._2.split(" ", -1))
+    val bToks = docs.filter(_._1 % 13 != 0)
+      .map { case (id, t) => if (id % 7 == 0) t + " v2" else t }
+      .flatMap(_.split(" ", -1)) ++
+      docs.filter(_._1 % 11 == 0).flatMap(d => ("new " + d._2).split(" ", -1))
+    val ca = aToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cb = bToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val vocab = (ca.keySet ++ cb.keySet).toSeq
+    def ln9(x: Long): Long =
+      (new java.math.BigDecimal(java.lang.Double.toString(
+          math.log(x.toDouble)))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .movePointRight(9)).longValueExact()
+    val nA = aToks.length.toLong; val nB = bToks.length.toLong
+    val v = vocab.length.toLong
+    def kl(x: Map[String, Long], y: Map[String, Long],
+        nx: Long, ny: Long): Long =
+      vocab.map { t =>
+        val c = x.getOrElse(t, 0L); val d = y.getOrElse(t, 0L)
+        (c + 1) * (ln9(c + 1) - ln9(d + 1))
+      }.sum + (nx + v) * (ln9(ny + v) - ln9(nx + v))
+    val got = graft.ext.TextAnalysis.unigramDrift(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((nA, nB, v, kl(ca, cb, nA, nB), kl(cb, ca, nB, nA))))
+    // the derived release genuinely moved the distribution, and the
+    // scaled figure corresponds to a sane KL in nats
+    assert(got._4 > 0L && got._5 > 0L)
+    assert(got._4.toDouble / ((nA + v) * 1e9) < 1.0)
+  }
+
   test("x135 filter agreement: confusion counts and the integer kappa " +
       "replay driver-side; both filters non-constant; sign-split " +
       "division matches the double formula on planted negative kappa") {
