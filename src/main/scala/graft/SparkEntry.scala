@@ -605,6 +605,12 @@ object SparkEntry {
     "kq109_stream_geofence" -> ((s, dir) =>
       graft.streaming.StreamPipeline.geofenceAlerts(s, dir)),
 
+    // ---- streaming POLYGON geofence (ES geo_shape + Watcher): kq109's --
+    // ---- ENTER/EXIT ValueState machine with the concave-polygon fence --
+    // ---- (even-odd integer ray casting) evaluated map-side in the scan -
+    "kq111_polygon_fence" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.polygonFenceAlerts(s, dir)),
+
     // ---- stream-static enrichment: the event stream left-joined to a ---
     // ---- broadcast static dim — stateless (no watermark/state store), --
     // ---- dim re-resolved per micro-batch (slowly-changing-dim story) ---
@@ -1563,6 +1569,10 @@ object SparkEntry {
     // kq107: geotile_grid — slippy z/x/y tiles; Mercator y-boundaries are
     // driver-computed literals shared by both engines (trig-free rows)
     "kq107_geotile_grid" -> ((s, dir) => graft.query.Geo.geotileGrid(s, dir)),
+    // kq110: geo_shape polygon filter — even-odd ray casting over the
+    // frozen CONCAVE polygon, exact BIGINT cross-products (edge-sign
+    // folded at generation time), map-only predicate in the scan
+    "kq110_geo_polygon" -> ((s, dir) => graft.query.Geo.geoPolygon(s, dir)),
 
     // ---- ES top_metrics: the metric VALUE AT the latest sort tuple ----
     // ---- per bucket (not an aggregate of it) — "what was the last -----
@@ -2646,6 +2656,19 @@ object SparkEntry {
          |FROM r WHERE inside <> prev
          |ORDER BY user_id, at_us, event_id""".stripMargin,
 
+    // kq111: kq109's transition oracle verbatim, fence swapped to the
+    // polygon-inside flag (the identical generated even-odd fragment).
+    "kq111_polygon_fence" ->
+      s"""WITH e AS (${graft.query.Geo.eventPolygonSql}),
+         |r AS (SELECT user_id, event_id, us, inside,
+         |        lag(inside, 1, FALSE) OVER (PARTITION BY user_id
+         |          ORDER BY us, event_id) AS prev
+         |      FROM e)
+         |SELECT user_id, us AS at_us, event_id,
+         |  CASE WHEN inside THEN 'ENTER' ELSE 'EXIT' END AS kind
+         |FROM r WHERE inside <> prev
+         |ORDER BY user_id, at_us, event_id""".stripMargin,
+
     // kq50: a stateless stream-static join replays as the plain batch
     // left join — no watermark emission rule applies (nothing in state).
     "kq50_stream_enrich" ->
@@ -3372,6 +3395,10 @@ object SparkEntry {
     "kq60_geo_distance" -> graft.query.Geo.geoDistanceOracle,
 
     "kq107_geotile_grid" -> graft.query.Geo.geotileGridOracle,
+
+    // kq110: the identical generated even-odd fragment (pure integer
+    // comparisons + cross-products) runs verbatim in both engines.
+    "kq110_geo_polygon" -> graft.query.Geo.geoPolygonOracle,
 
     "kq108_ip_prefix" ->
       """WITH ips AS (

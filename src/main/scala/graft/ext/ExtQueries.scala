@@ -2343,6 +2343,9 @@ object ExtQueries {
 
     // x135: identical integer kappa form; `//` on a POSITIVE numerator
     // via the same sign-split CASE; len()/list_sum() cast to BIGINT.
+    // Products compute in HUGEINT (mirroring Spark's DECIMAL(38,0)):
+    // the cleared numerator is Theta(n^2 * 1e6) and overflows BIGINT
+    // past ~3e6 docs — DuckDB BIGINT*BIGINT throws, it never promotes.
     "x135_filter_agreement" ->
       """WITH f AS (SELECT
         |    (len(string_split(text, ' ')) >= 20 AND
@@ -2362,19 +2365,15 @@ object ExtQueries {
         |  FROM f)
         |SELECT n, a_pos, b_pos, n_agree, pos_agree,
         |  CAST(CASE
-        |    WHEN (n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos))) = 0
-        |      THEN 0
-        |    WHEN (n * n_agree - (a_pos * b_pos + (n - a_pos) * (n - b_pos)))
-        |         * 1000000 >= 0
-        |      THEN (n * n_agree
-        |            - (a_pos * b_pos + (n - a_pos) * (n - b_pos))) * 1000000
-        |           // (n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos)))
-        |    ELSE -((-((n * n_agree
-        |            - (a_pos * b_pos + (n - a_pos) * (n - b_pos)))
-        |              * 1000000))
-        |           // (n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos))))
+        |    WHEN (nh * n - sg) = 0 THEN 0
+        |    WHEN (nh * n_agree - sg) * 1000000 >= 0
+        |      THEN (nh * n_agree - sg) * 1000000 // (nh * n - sg)
+        |    ELSE -((-((nh * n_agree - sg) * 1000000)) // (nh * n - sg))
         |  END AS BIGINT) AS kappa_ppm
-        |FROM c""".stripMargin,
+        |FROM (SELECT *, CAST(n AS HUGEINT) AS nh,
+        |        (CAST(a_pos AS HUGEINT) * b_pos
+        |         + (CAST(n AS HUGEINT) - a_pos) * (n - b_pos)) AS sg
+        |      FROM c)""".stripMargin,
 
     // x136: x72's derived snapshot-B + the x56 ln9 nano-nat recipe over
     // the union vocab; sum(BIGINT)->HUGEINT cast back.

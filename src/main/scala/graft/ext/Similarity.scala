@@ -1302,6 +1302,14 @@ object Similarity {
     (idxTable, cbPath)
   }
 
+  /** A persisted index artifact counts only when its parquet COMMITTED
+    * (`_SUCCESS` present): a pre-round-14 build that never wrote the
+    * centroids, or a crash mid-write, must trigger a rebuild instead of
+    * a raw path-does-not-exist failure downstream (the stored table and
+    * the side parquets are one atomic artifact set or nothing). */
+  private def parquetCommitted(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
+
   /**
    * x102 — the PROBE-ONLY side of x97's IVF+PQ (the x62/x63 lifecycle
    * split applied to the compressed index): the expensive part — BOTH
@@ -1321,7 +1329,10 @@ object Similarity {
     val idxTable = s"graft_ivfpq_index_$suffix"
     val cbPath =
       s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_cb_$suffix"
-    if (!spark.catalog.tableExists(idxTable))
+    val ctPath =
+      s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_ct_$suffix"
+    if (!spark.catalog.tableExists(idxTable) ||
+        !parquetCommitted(cbPath) || !parquetCommitted(ctPath))
       buildIvfPqIndex(spark, dir, nCentroids, iterations, subspaces, k)
     val subDim = 64 / subspaces
     val books = loadCodebooks(spark, cbPath, subspaces, k)
@@ -1380,7 +1391,8 @@ object Similarity {
       s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_cb_$suffix"
     val ctPath =
       s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_ct_$suffix"
-    if (!spark.catalog.tableExists(idxTable))
+    if (!spark.catalog.tableExists(idxTable) ||
+        !parquetCommitted(cbPath) || !parquetCommitted(ctPath))
       buildIvfPqIndex(spark, dir, nCentroids, iterations, subspaces, k)
     val subDim = 64 / subspaces
     val books = loadCodebooks(spark, cbPath, subspaces, k)

@@ -1147,7 +1147,11 @@ object TextAnalysis {
    * sign-split truncating division (κ can be negative; Spark `div` and
    * DuckDB `//` differ on negatives, the kq82 rule), zero doubles.
    * Degenerate case (a constant filter ⇒ denominator 0) reports 0 by
-   * convention, guarded identically in both engines.
+   * convention, guarded identically in both engines. The cleared
+   * numerator is Θ(n²·10⁶), which exceeds int64 past n ≈ 3·10⁶ docs —
+   * so the products compute in DECIMAL(38,0) (Spark) / HUGEINT
+   * (DuckDB): exact to 10³⁸, i.e. any corpus below ~10¹⁶ documents,
+   * with `div`/`//` truncating identically on both widened types.
    */
   def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
@@ -1158,9 +1162,11 @@ object TextAnalysis {
           size(toks).cast("long")).as("a"),
       (graft.functions.HashedLinearScore.hashedLinearScore(col("text"))
         > 0).as("b"))
-    val sigma = "(a_pos * b_pos + (n - a_pos) * (n - b_pos))"
-    val num = s"(n * n_agree - $sigma) * 1000000"
-    val den = s"(n * n - $sigma)"
+    val nD = "CAST(n AS DECIMAL(38,0))"
+    val sigma = s"(CAST(a_pos AS DECIMAL(38,0)) * b_pos + " +
+      s"($nD - a_pos) * (n - b_pos))"
+    val num = s"(($nD * n_agree - $sigma) * 1000000)"
+    val den = s"($nD * n - $sigma)"
     flags.agg(
         count(lit(1)).as("n"),
         sum(when(col("a"), 1L).otherwise(0L)).as("a_pos"),

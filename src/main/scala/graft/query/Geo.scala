@@ -233,6 +233,90 @@ object Geo {
        |       BETWEEN $LonLo AND $LonHi) AS inside
        |FROM events""".stripMargin
 
+  // ---- kq110/kq111: ES `geo_shape` — polygon filter, exact integer ----
+
+  /** The frozen fence polygon, (lon_u, lat_u) micro-degree vertices in
+    * ring order — deliberately CONCAVE (the notch at (7e6, 48e6) pulls
+    * the top edge inward) so the even-odd rule is genuinely exercised:
+    * a point can sit inside the bounding box yet outside the shape.
+    * Kibana Maps' draw-a-polygon filter (ES `geo_shape` intersects)
+    * plays this role over the discover surface
+    * (reference capability: `attachments/discover.png`). */
+  private[graft] val Polygon: Seq[(Long, Long)] = Seq(
+    (-10000000L, 35000000L), // SW
+    (25000000L, 35000000L),  // SE
+    (25000000L, 60000000L),  // NE
+    (7000000L, 48000000L),   // concave notch
+    (-10000000L, 60000000L)) // NW
+
+  /** Even-odd ray casting as ONE engine-shared SQL fragment over
+    * `lat_u`/`lon_u`: for each non-horizontal edge, the ray east from
+    * the point crosses iff the edge straddles the point's latitude
+    * half-open (`(y1 > lat) <> (y2 > lat)` — each vertex belongs to
+    * exactly one of its two edges, so a ray through a vertex never
+    * double-counts) and the point is strictly west of the edge's
+    * crossing. The west test clears the division by dy with the sign
+    * FOLDED AT GENERATION TIME (vertices are driver literals, so the
+    * inequality direction is baked per edge): exact BIGINT
+    * cross-products, no doubles, no libm — the kq107 literal
+    * discipline. |coord diff| ≤ 3.6e8 and |dy| ≤ 2.5e7 keep every
+    * product < 1e16, far inside int64 on both engines. */
+  private[graft] def polygonInsideSql: String = {
+    val edges = Polygon.zip(Polygon.tail :+ Polygon.head)
+    val terms = edges.flatMap { case ((x1, y1), (x2, y2)) =>
+      if (y1 == y2) None // horizontal edge: never a half-open crossing
+      else {
+        val dy = y2 - y1
+        val dx = x2 - x1
+        val cmp = if (dy > 0) "<" else ">"
+        Some(s"(CASE WHEN (($y1 > lat_u) <> ($y2 > lat_u)) AND " +
+          s"(lon_u - ($x1)) * ($dy) $cmp (lat_u - ($y1)) * ($dx) " +
+          "THEN 1 ELSE 0 END)")
+      }
+    }
+    terms.mkString("((", " + ", ") % 2 = 1)")
+  }
+
+  /** kq110 — ES `geo_shape` polygon filter: the customers whose derived
+    * point falls inside [[Polygon]] by the even-odd rule. The predicate
+    * is a per-row integer expression — map-only, pushes past nothing
+    * because it needs nothing: at 100 TB it is one codegen'd scan with
+    * the same cost as the kq60 bbox, for an arbitrary polygon. Output
+    * is every inside customer (ordered), plus the flag's two inputs so
+    * the oracle pins the derived points too. */
+  def geoPolygon(spark: SparkSession, dir: String): DataFrame =
+    geoPoints(spark, dir)
+      .where(expr(polygonInsideSql))
+      .select(col("c_custkey"), col("lat_u"), col("lon_u"))
+      .orderBy(col("c_custkey"))
+
+  def geoPolygonOracle: String =
+    s"""WITH $geoCte
+       |SELECT c_custkey, lat_u, lon_u FROM geo
+       |WHERE $polygonInsideSql
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Per-event derived movement point + the polygon-inside flag: the
+    * kq111 streaming fence input (events use the EVENT-id salt, a
+    * movement track — same frame shape as [[eventFenceFrame]], fence
+    * swapped from the kq60 bbox to [[Polygon]]). */
+  private[graft] def eventPolygonFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("lat_u", expr(latSql("event_id", duck = false)))
+      .withColumn("lon_u", expr(lonSql("event_id", duck = false)))
+      .withColumn("inside", expr(polygonInsideSql))
+
+  /** DuckDB replay of [[eventPolygonFrame]] (user_id, event_id, us,
+    * inside) — the kq111 oracle's base CTE body. */
+  private[graft] def eventPolygonSql: String =
+    s"""SELECT user_id, event_id, us, $polygonInsideSql AS inside
+       |FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+       |        ${latSql("event_id", duck = true)} AS lat_u,
+       |        ${lonSql("event_id", duck = true)} AS lon_u
+       |      FROM events)""".stripMargin
+
   /** kq60 — geo_bounding_box + geo_distance sort: the 10 customers
     * nearest the query point inside the viewport, ranked by the exact
     * integer squared-equirectangular proxy. */

@@ -87,12 +87,19 @@ object ChangelogSink {
       * generation-match preconditions provide. Under POSIX or plain
       * copy-then-delete connectors a visible destination can be a
       * PARTIAL copy: use [[renameOrThrow]] there. A failure with no
-      * destination (transient fault) still throws. */
+      * destination (transient fault) still throws. The finishing delete
+      * must itself succeed loudly: a false return with the source still
+      * visible would leave BOTH copies live (duplicate rows), so it
+      * throws like [[renameOrThrow]] instead of proceeding. */
     def renameOrFinish(fs: org.apache.hadoop.fs.FileSystem, src: Path,
         dst: Path, what: String, op: String): Unit =
       if (!fs.rename(src, dst)) {
-        if (fs.exists(dst)) fs.delete(src, false)
-        else throw new IllegalStateException(
+        if (fs.exists(dst)) {
+          if (!fs.delete(src, false) && fs.exists(src))
+            throw new IllegalStateException(
+              s"$op: $what finish-delete failed, source still visible " +
+                s"beside landed destination: $src -> $dst")
+        } else throw new IllegalStateException(
           s"$op: $what rename failed with no destination: $src -> $dst")
       }
   }

@@ -1246,11 +1246,32 @@ object StreamPipeline {
    */
   def geofenceAlerts(spark: org.apache.spark.sql.SparkSession,
       dir: String, delay: String = "1 hour"): DataFrame =
+    fenceAlertsImpl(spark, graft.query.Geo.eventFenceFrame(spark, dir),
+      delay)
+
+  /**
+   * kq111 — STREAMING POLYGON GEOFENCE (ES `geo_shape` + Watcher): the
+   * kq109 ENTER/EXIT machine with the fence swapped from the kq60
+   * bounding box to the frozen CONCAVE polygon
+   * ([[graft.query.Geo.Polygon]], even-odd ray casting in exact BIGINT
+   * cross-products). Everything else — the per-user ValueState
+   * transition rule, the four-slice replay, the batch lag() oracle —
+   * is shared with kq109 via [[fenceAlertsImpl]]: the fence predicate
+   * is still a map-side integer expression evaluated in the scan
+   * before any state, so the 100 TB posture is unchanged.
+   */
+  def polygonFenceAlerts(spark: org.apache.spark.sql.SparkSession,
+      dir: String, delay: String = "1 hour"): DataFrame =
+    fenceAlertsImpl(spark, graft.query.Geo.eventPolygonFrame(spark, dir),
+      delay)
+
+  private def fenceAlertsImpl(spark: org.apache.spark.sql.SparkSession,
+      fenceFrame: DataFrame, delay: String): DataFrame =
     withStreamingPartitions(spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("kq109-geo").toString
-    val ev = graft.query.Geo.eventFenceFrame(spark, dir)
+    val ev = fenceFrame
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("inside"))
     val Array(mn, mx) = ev.agg(min(col("us")), max(col("us")))
@@ -1775,14 +1796,21 @@ object StreamPipeline {
    *
    * At 100 TB/day: percolation cost is one scan regardless of registry
    * size, the throttle state is O(#stored queries), and the per-batch
-   * sort is per-query matches only — alerts, not the corpus.
-   * `onBatch` is a test hook: (batchId, nMatches) per micro-batch.
+   * sort is per-query matches only — alerts, not the corpus. The
+   * tail sync too is BATCH-BOUNDED: it aggregates the current batch's
+   * persisted emissions and max-merges into the carried tails, never
+   * re-reading the ever-growing alert history (which would make total
+   * work quadratic in alerts over the stream's lifetime).
+   * `onBatch` is a test hook: (batchId, nMatches) per micro-batch;
+   * `onSync` reports (batchId, rows the tail sync aggregated) so specs
+   * can pin that the sync input is the batch's emissions, not history.
    */
   def percolateStream(spark: org.apache.spark.sql.SparkSession,
       envFlat: DataFrame,
       stored: Seq[(Int, org.apache.spark.sql.Column)],
       periodUs: Long = 21600000000L,
-      onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame =
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      onSync: (Long, Long) => Unit = (_, _) => ()): DataFrame =
     withStreamingPartitions(spark, 8) {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
@@ -1841,18 +1869,22 @@ object StreamPipeline {
               }
             }
             .toDF("query_id", "emitted_us")
+            .persist()
           em.coalesce(1).write.mode("append").parquet(outDir.toString)
-          // bounded driver sync: one chain-tail row per stored query
-          val written = spark.read.schema(
-              "query_id INT, emitted_us BIGINT")
-            .parquet(outDir.toString) // re-read: em would recompute
+          // bounded driver sync: one chain-tail row per stored query,
+          // computed from THIS batch's emissions only (the persisted
+          // `em`, materialized once by the write above) and max-merged
+          // into the carried tails — NEVER by re-reading the alert
+          // history, whose size grows with stream lifetime
           onBatch(batchId, batch.count())
-          written.groupBy(col("query_id"))
+          val tails = em.groupBy(col("query_id"))
             .agg(max(col("emitted_us")).as("mx"))
             .as[(Int, Long)].collect()
-            .foreach { case (k, v) =>
-              lastUs(k) = math.max(lastUs.getOrElse(k, Long.MinValue), v)
-            }
+          onSync(batchId, em.count())
+          em.unpersist()
+          tails.foreach { case (k, v) =>
+            lastUs(k) = math.max(lastUs.getOrElse(k, Long.MinValue), v)
+          }
           ()
         }
         .trigger(Trigger.AvailableNow())

@@ -65,6 +65,17 @@ class ObjectStoreFs extends RawLocalFileSystem {
     org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst,
       true /* delete source */, getConf)
   }
+  /** A delete that fails SILENTLY (returns false, file stays — the
+    * HDFS-contract failure mode) for one named file: exercises
+    * CommitOps.renameOrFinish's loud-failure path. */
+  override def delete(p: HPath, recursive: Boolean): Boolean =
+    if (ObjectStoreFs.failDeleteOf != null &&
+        p.getName == ObjectStoreFs.failDeleteOf) false
+    else super.delete(p, recursive)
+}
+
+object ObjectStoreFs {
+  @volatile var failDeleteOf: String = null
 }
 
 object FlakyRenameFs {
@@ -727,6 +738,31 @@ class ChangelogSinkSpec extends SparkSpec {
     val afterM = ChangelogSink.read(spark, dirM).drop("date").collect().toSeq
     assert(afterM.size == afterM.toSet.size && afterM.toSet == contentM)
     assert(!stagingM.exists())
+
+    // finish-delete failing SILENTLY (false, source stays visible) must
+    // THROW, not proceed to land staged files beside the live original
+    // (that would double the original's rows); the state is repairable —
+    // once deletes work again, recovery converges exactly-once
+    val (dirF, contentF) = mkTable("faildel")
+    val (stagingF, _) = mkStaging(dirF, 1)
+    val origF = origFiles(dirF).head
+    java.nio.file.Files.copy(origF.toPath,
+      new java.io.File(origF.getParent,
+        s".compacting-${origF.getName}").toPath)
+    ObjectStoreFs.failDeleteOf = origF.getName
+    try {
+      val eF = intercept[IllegalStateException](
+        ChangelogSink.recoverStaging(spark, "objstore:" + dirF,
+          conditionalPut = true))
+      assert(eF.getMessage.contains("finish-delete failed"), eF.getMessage)
+      assert(origF.exists(), "failed finish must leave the original alone")
+      assert(stagingF.exists(), "staged files must NOT land after refusal")
+    } finally ObjectStoreFs.failDeleteOf = null
+    assert(ChangelogSink.recoverStaging(spark, "objstore:" + dirF,
+      conditionalPut = true) == ((1, 0)))
+    val afterF = ChangelogSink.read(spark, dirF).drop("date").collect().toSeq
+    assert(afterF.size == afterF.toSet.size && afterF.toSet == contentF)
+    assert(!stagingF.exists())
   }
 
   test("recoverStaging: HARD crash mid-swap (process kill, no rollback) " +

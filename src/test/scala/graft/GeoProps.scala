@@ -53,4 +53,101 @@ object GeoProps extends Properties("geotile") {
           ty >= 0 && ty <= 63
       }
     }
+
+  // ---- kq110/kq111: polygon even-odd ray casting ----
+
+  private val vs = graft.query.Geo.Polygon
+  private val edges = vs.zip(vs.tail :+ vs.head)
+
+  /** Exact-integer replay of the generated SQL rule (BigInt products,
+    * half-open straddle, generation-time sign fold). */
+  private def insideExact(lon: Long, lat: Long): Boolean =
+    edges.count { case ((x1, y1), (x2, y2)) =>
+      y1 != y2 && ((y1 > lat) != (y2 > lat)) && {
+        val lhs = BigInt(lon - x1) * BigInt(y2 - y1)
+        val rhs = BigInt(lat - y1) * BigInt(x2 - x1)
+        if (y2 > y1) lhs < rhs else lhs > rhs
+      }
+    } % 2 == 1
+
+  /** Textbook PNPOLY (Franklin) in doubles — the division form. */
+  private def pnpoly(px: Double, py: Double): Boolean = {
+    var inside = false
+    var j = vs.length - 1
+    for (i <- vs.indices) {
+      val (xi, yi) = (vs(i)._1.toDouble, vs(i)._2.toDouble)
+      val (xj, yj) = (vs(j)._1.toDouble, vs(j)._2.toDouble)
+      if (((yi > py) != (yj > py)) &&
+          px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+      j = i
+    }
+    inside
+  }
+
+  /** True when every straddling edge's crossing is comfortably away
+    * from the point (> 0.04 micro-degrees), so the double division in
+    * [[pnpoly]] cannot flip the comparison (its error is ~3e-8 µdeg). */
+  private def offKnifeEdge(lon: Long, lat: Long): Boolean =
+    edges.forall { case ((x1, y1), (x2, y2)) =>
+      y1 == y2 || ((y1 > lat) == (y2 > lat)) || {
+        val diff = BigInt(lon - x1) * BigInt(y2 - y1) -
+          BigInt(lat - y1) * BigInt(x2 - x1)
+        diff.abs > 1000000
+      }
+    }
+
+  private val vertexLats = vs.map(_._2)
+  private val vertexLons = vs.map(_._1)
+  private val polyLatGen: Gen[Long] = Gen.frequency(
+    6 -> Gen.choose(30000000L, 65000000L), // dense around the shape
+    2 -> Gen.choose(-90000000L, 90000000L),
+    2 -> Gen.oneOf(vertexLats))
+  private val polyLonGen: Gen[Long] = Gen.frequency(
+    6 -> Gen.choose(-15000000L, 30000000L),
+    2 -> Gen.choose(-180000000L, 180000000L),
+    2 -> Gen.oneOf(vertexLons))
+
+  property("polygon inside == exact-integer replay everywhere, == " +
+      "textbook double PNPOLY off knife edges") =
+    Prop.forAll(Gen.listOfN(60, Gen.zip(polyLatGen, polyLonGen))) { pts =>
+      import spark.implicits._
+      val got = pts.toDF("lat_u", "lon_u")
+        .withColumn("inside",
+          org.apache.spark.sql.functions.expr(
+            graft.query.Geo.polygonInsideSql))
+        .select($"lat_u", $"lon_u", $"inside")
+        .as[(Long, Long, Boolean)].collect()
+      got.forall { case (la, lo, in) =>
+        in == insideExact(lo, la) &&
+          (!offKnifeEdge(lo, la) || in == pnpoly(lo.toDouble, la.toDouble))
+      }
+    }
+
+  property("polygon knife edges pinned: vertices, horizontal / vertical " +
+      "edges, and the concave notch classify by the half-open rule") = {
+    import spark.implicits._
+    // (lon_u, lat_u, expected) — hand-derived from the even-odd rule:
+    // west/south boundaries inclusive, east boundary exclusive, the SE
+    // corner outside, the notch vertex inside, the cavity above it out
+    val pins: Seq[(Long, Long, Boolean)] = Seq(
+      (-10000000L, 35000000L, true),  // SW vertex: in (south+west incl.)
+      (25000000L, 35000000L, false),  // SE vertex: out (east excl.)
+      (0L, 35000000L, true),          // bottom horizontal edge: in
+      (25000000L, 50000000L, false),  // right vertical edge: out
+      (-10000000L, 50000000L, true),  // left vertical edge: in
+      (7000000L, 48000000L, true),    // concave notch vertex: in
+      (7000000L, 55000000L, false),   // cavity above the notch: out
+      (7000000L, 40000000L, true),    // interior below the notch: in
+      (25000000L, 60000000L, false),  // NE vertex: out
+      (-10000000L, 60000000L, false)) // NW vertex: out (top excl.)
+    val got = pins.map(p => (p._2, p._1)).toDF("lat_u", "lon_u")
+      .withColumn("inside", org.apache.spark.sql.functions.expr(
+        graft.query.Geo.polygonInsideSql))
+      .select($"lon_u", $"lat_u", $"inside")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    Prop(pins.forall { case (lo, la, want) =>
+      insideExact(lo, la) == want &&
+        got.contains((lo, la, want))
+    }) :| s"got: $got"
+  }
 }

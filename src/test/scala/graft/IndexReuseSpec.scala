@@ -109,6 +109,30 @@ class IndexReuseSpec extends SparkSpec {
     assert(plan.contains("graft_ivfpq_index_"), plan)
   }
 
+  test("IVF+PQ missing persisted artifact (stale pre-centroid index or a " +
+      "partial ct write) triggers a rebuild, not a raw path failure") {
+    val before = Similarity.ivfPqServe(spark, sf).collect().toSeq
+    // THIS corpus dir's centroids only (the cache also holds other SFs'
+    // artifacts; serving sf rebuilds just sf's suffix)
+    val suffix = sf.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_|_$", "")
+    val cts = Seq(new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_ct_$suffix"))
+    assert(cts.forall(_.exists()),
+      "expected a persisted centroids dir after serve")
+    // simulate the pre-round-14 / crashed-write states: centroids gone
+    cts.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    val rebuilt = Similarity.ivfPqServe(spark, sf).collect().toSeq
+    assert(rebuilt == before)
+    cts.foreach(ct => assert(new java.io.File(ct, "_SUCCESS").exists(),
+      s"rebuild must re-persist committed centroids at $ct"))
+    // an UNCOMMITTED dir (no _SUCCESS) counts as missing too
+    cts.foreach(ct => new java.io.File(ct, "_SUCCESS").delete())
+    val again = Similarity.ivfPqServe(spark, sf).collect().toSeq
+    assert(again == before)
+    cts.foreach(ct => assert(new java.io.File(ct, "_SUCCESS").exists()))
+  }
+
   private def emb2df(rows: Array[(Long, Seq[Double])]) = {
     import spark.implicits._
     rows.toSeq.map { case (id, v) => (id, v.map(_.toFloat)) }

@@ -675,15 +675,24 @@ class StreamingSpec extends SparkSpec {
         expr(s"timestamp_micros(s * 1000000 + ${base}L)").as("timestamp"),
         col("event_type"), col("value"), lit("{}").as("value_json"))
     val batches = scala.collection.mutable.Buffer[(Long, Long)]()
+    val syncs = scala.collection.mutable.Buffer[(Long, Long)]()
     val got = StreamPipeline.percolateStream(spark, env,
         Seq(1 -> (col("event_type") === "a"), 2 -> (col("value") >= 5)),
         periodUs = 10000000L,
-        onBatch = (id, n) => batches.synchronized { batches += ((id, n)) })
+        onBatch = (id, n) => batches.synchronized { batches += ((id, n)) },
+        onSync = (id, n) => syncs.synchronized { syncs += ((id, n)) })
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     // four micro-batches, each with exactly its slice's match count
     assert(batches.sortBy(_._1).toSeq == Seq((0L, 2L), (1L, 3L),
       (2L, 2L), (3L, 1L)), s"per-batch match sets: $batches")
     assert(got == Seq((1, us(0)), (1, us(10)), (1, us(21)), (1, us(39)),
       (2, us(12)), (2, us(25))))
+    // the chain-tail sync is BATCH-BOUNDED: each batch's sync aggregates
+    // exactly that batch's EMITTED rows (1,2,2,1 here — NOT the
+    // cumulative history 1,3,5,6 a full outDir re-read would show), and
+    // the per-batch sync inputs sum to the total alert count
+    assert(syncs.sortBy(_._1).toSeq == Seq((0L, 1L), (1L, 2L),
+      (2L, 2L), (3L, 1L)), s"per-batch tail-sync inputs: $syncs")
+    assert(syncs.map(_._2).sum == got.size.toLong)
   }
 }
