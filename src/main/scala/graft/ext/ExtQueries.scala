@@ -385,6 +385,11 @@ object ExtQueries {
     // safe two-phase rank (no window ever sorts a whole domain).
     "x128_domain_cap" -> ((s: SparkSession, d: String) =>
       UrlOps.domainCap(s, d)),
+    // x139: opt-out/compliance filter — broadcast registry of opted-out
+    // REGISTERED domains anti-gates the corpus map-side; exact
+    // per-source drop accounting for the dataset card.
+    "x139_optout_filter" -> ((s: SparkSession, d: String) =>
+      UrlOps.optOutFilter(s, d)),
     // x129: 60-bit shingle-fingerprint near-dup pairs (Manku's
     // production design) — x19's scale path: wide signature + shingle
     // features keep the output near-dup-sized (the sf1 probe measured
@@ -3173,91 +3178,40 @@ object ExtQueries {
         |GROUP BY e.doc_id
         |ORDER BY e.doc_id""".stripMargin,
 
-    // x128: identical synthetic-URL recipe and canonicalization chain
-    // (split_part = substring_index on always-present separators,
-    // starts_with = Spark startswith); the hostport cut takes the FIRST
-    // of '/' or '?' on BOTH sides (doc_id % 11 plants a no-path URL with
-    // a query); the registered-domain CASE chain is GENERATED from
-    // UrlOps.publicSuffixes so the two engines share one suffix table,
-    // and its last-2-labels fallback clamps to the whole host for
-    // single-label hosts (doc_id % 13 plants 'Intranet') exactly like
-    // the Spark side's size-guard; row_number is BIGINT in DuckDB and
-    // the Spark side casts to match.
+    // x128: the synthetic-URL + canonicalization + registered-domain
+    // chain is GENERATED (UrlOps.urlDomainCteDuck) from the same Scala
+    // recipe and suffix table as the entry — the engines cannot drift;
+    // row_number is BIGINT in DuckDB and the Spark side casts to match.
+    // NOTE the concatenation: the generated chain contains `||` at line
+    // starts, which an OUTER stripMargin would eat one pipe of.
     "x128_domain_cap" ->
-      s"""WITH d AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
-        |    || '://' ||
-        |    CASE WHEN doc_id % 13 = 0 THEN 'Intranet'
-        |      ELSE CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
-        |           WHEN doc_id % 3 = 1 THEN 'cdn.Assets.' ELSE '' END
-        |      || source || '-' || CAST(doc_id % 3 AS VARCHAR) ||
-        |      CASE WHEN doc_id % 5 = 0 THEN '.COM'
-        |           WHEN doc_id % 5 = 1 THEN '.CO.UK'
-        |           WHEN doc_id % 5 = 2 THEN '.GitHub.IO'
-        |           WHEN doc_id % 5 = 3 THEN '.COM.AU'
-        |           ELSE '.ORG' END END ||
-        |    CASE WHEN doc_id % 2 = 0 THEN ':80'
-        |         WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
-        |    CASE WHEN doc_id % 11 = 0 THEN ''
-        |      ELSE '/Docs/' || CAST(doc_id AS VARCHAR) ||
-        |        CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '' END END ||
-        |    CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&id=' ||
-        |      CAST(doc_id AS VARCHAR) || '&ref=x&utm_campaign=z'
-        |      ELSE '' END ||
-        |    CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END
-        |      AS url
-        |  FROM documents),
-        |q AS (SELECT doc_id,
-        |    lower(split_part(split_part(url, '#', 1), '://', 1))
-        |      AS scheme,
-        |    split_part(split_part(url, '#', 1), '://', 2) AS rest
-        |  FROM d),
-        |r AS (SELECT doc_id, scheme,
-        |    split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
-        |    substr(rest, length(split_part(split_part(rest, '/', 1),
-        |      '?', 1)) + 1) AS pathq
-        |  FROM q),
-        |s AS (SELECT doc_id, scheme, pathq,
-        |    CASE WHEN starts_with(lower(split_part(hostport, ':', 1)),
-        |        'www.')
-        |      THEN substr(lower(split_part(hostport, ':', 1)), 5)
-        |      ELSE lower(split_part(hostport, ':', 1)) END AS host,
-        |    CASE WHEN contains(hostport, ':')
-        |      THEN split_part(hostport, ':', 2) ELSE '' END AS port
-        |  FROM r),
-        |t AS (SELECT doc_id, scheme, host,
-        |    CASE WHEN port <> '' AND NOT
-        |        ((scheme = 'http' AND port = '80') OR
-        |         (scheme = 'https' AND port = '443'))
-        |      THEN ':' || port ELSE '' END AS portpart,
-        |    CASE WHEN regexp_replace(split_part(pathq, '?', 1),
-        |        '/+$$', '') = '' THEN '/'
-        |      ELSE regexp_replace(split_part(pathq, '?', 1), '/+$$', '')
-        |      END AS path,
-        |    array_to_string(list_filter(string_split(
-        |      CASE WHEN contains(pathq, '?')
-        |        THEN split_part(pathq, '?', 2) ELSE '' END, '&'),
-        |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref=')
-        |        OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
-        |        OR x = '')), '&') AS q2
-        |  FROM s),
-        |u AS (SELECT doc_id,
-        |    scheme || '://' || host || portpart || path ||
-        |      CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END
-        |      AS url_canonical,
-        |    host, string_split(host, '.') AS labels
-        |  FROM t),
-        |v AS (SELECT doc_id, url_canonical,
-        |    ${UrlOps.registeredDomainSqlDuck("host", "labels")} AS domain
-        |  FROM u)
-        |SELECT doc_id, url_canonical, domain, n_docs_domain, domain_rank
+      (s"WITH ${UrlOps.urlDomainCteDuck}\n" +
+        """SELECT doc_id, url_canonical, domain, n_docs_domain, domain_rank
         |FROM (SELECT doc_id, url_canonical, domain,
         |        count(*) OVER (PARTITION BY domain) AS n_docs_domain,
         |        row_number() OVER (PARTITION BY domain
         |          ORDER BY md5(url_canonical), doc_id) AS domain_rank
         |      FROM v)
         |WHERE domain_rank <= 5
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+
+    // x139: the same generated chain; the opt-out registry is the
+    // pinned md5 rule over the distinct domain universe; count/sum
+    // CASTs align HUGEINT to Spark's BIGINT.
+    "x139_optout_filter" ->
+      (s"WITH ${UrlOps.urlDomainCteDuck},\n" +
+        s"""o AS (SELECT DISTINCT domain FROM v
+        |      WHERE ${UrlOps.optOutRuleDuck})
+        |SELECT v.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN o.domain IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN o.domain IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_kept,
+        |  CAST(count(DISTINCT CASE WHEN o.domain IS NOT NULL
+        |       THEN v.domain END) AS BIGINT) AS n_optout_domains
+        |FROM v LEFT JOIN o ON v.domain = o.domain
+        |GROUP BY v.source
+        |ORDER BY v.source""".stripMargin),
 
     // x118: DuckDB emb[1:L] is 1-based inclusive (= Spark slice(emb,1,L));
     // the DOUBLE[] casts keep list_cosine_similarity in double math,

@@ -249,4 +249,138 @@ object UrlOps {
     capDomains(docs, maxPerDomain, saltBuckets)
       .orderBy(col("doc_id"))
   }
+
+  /** The fixture documents with canonical URL + registered domain
+    * attached — the shared input frame of x128 and x139. */
+  private def docsWithDomain(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("url_canonical", canonicalizeUrl(syntheticUrl))
+      .withColumn("domain", registeredDomain(col("url_canonical")))
+
+  /** Deterministic membership rule standing in for the external opt-out
+    * registry (engine-shared md5 closed form): ~1/4 of domains. */
+  private val optOutRuleSpark =
+    "CAST(conv(substring(md5(concat('optout:', domain)), 1, 8), 16, 10)" +
+      " AS BIGINT) % 4 = 0"
+  private[ext] val optOutRuleDuck =
+    "('0x' || substr(md5('optout:' || domain), 1, 8))::BIGINT % 4 = 0"
+
+  /**
+   * x139 — OPT-OUT / COMPLIANCE FILTER (the robots-opt-out stage of
+   * RefinedWeb/CommonCrawl curation, and the crawl-side face of the
+   * kq57/kq104 right-to-erasure family): drop every document whose
+   * REGISTERED DOMAIN (the x128 public-suffix-aware rule — an opt-out
+   * by `example.co.uk` must catch `cdn.assets.example.co.uk`) appears
+   * in an opt-out registry, and account for the drops EXACTLY per
+   * source — the dataset-card line item (x85) a compliance review
+   * reads first.
+   *
+   * The registry is a tiny external table in production; here it
+   * derives deterministically from the corpus's own domain universe by
+   * a pinned md5 rule (~25% of domains), built as one bounded
+   * distinct-aggregate. The enforcement join BROADCASTS the registry —
+   * at 100 TB the corpus side stays map-only (scan → hash-probe →
+   * partial agg): no shuffle of the documents, the same plan shape as
+   * x31's decontamination probe. The structural `.limit` bounds the
+   * broadcast side in the plan itself (registries are thousands of
+   * domains, never corpus-scale). Output: per-source (n_docs,
+   * n_dropped, n_kept, n_optout_domains) — all exact integers; the
+   * kept corpus is the `opted_out IS NULL` leg of the same join.
+   */
+  def optOutFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithDomain(spark, dir)
+    val optOut = docs.select(col("domain")).distinct()
+      .where(expr(optOutRuleSpark))
+      .limit(100000) // registry-sized: plan-visible broadcast bound
+      .withColumn("opted_out", lit(1L))
+    docs.join(broadcast(optOut), Seq("domain"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("opted_out").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("opted_out").isNull, 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(when(col("opted_out").isNotNull, col("domain")))
+          .as("n_optout_domains"))
+      .orderBy(col("source"))
+  }
+
+  /** The synthetic-URL + canonicalization + registered-domain chain as
+    * DuckDB CTEs (`d` .. `v`), generated HERE so the x128 and x139
+    * oracles share one text with the Scala side's suffix table
+    * ([[registeredDomainSqlDuck]]) — the engines cannot drift. Carries
+    * (doc_id, source) through every stage; `v` exposes
+    * (doc_id, source, url_canonical, domain). split_part matches
+    * substring_index on always-present separators; the hostport cut
+    * takes the FIRST of '/' or '?' on both sides (doc_id % 11 plants a
+    * no-path URL with a query); the last-2-labels fallback clamps to
+    * the whole host for single-label hosts (doc_id % 13 plants
+    * 'Intranet') exactly like the Spark size-guard. */
+  def urlDomainCteDuck: String =
+    s"""d AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+       |    || '://' ||
+       |    CASE WHEN doc_id % 13 = 0 THEN 'Intranet'
+       |      ELSE CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+       |           WHEN doc_id % 3 = 1 THEN 'cdn.Assets.' ELSE '' END
+       |      || source || '-' || CAST(doc_id % 3 AS VARCHAR) ||
+       |      CASE WHEN doc_id % 5 = 0 THEN '.COM'
+       |           WHEN doc_id % 5 = 1 THEN '.CO.UK'
+       |           WHEN doc_id % 5 = 2 THEN '.GitHub.IO'
+       |           WHEN doc_id % 5 = 3 THEN '.COM.AU'
+       |           ELSE '.ORG' END END ||
+       |    CASE WHEN doc_id % 2 = 0 THEN ':80'
+       |         WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ''
+       |      ELSE '/Docs/' || CAST(doc_id AS VARCHAR) ||
+       |        CASE WHEN doc_id % 4 = 0 THEN '//' ELSE '' END END ||
+       |    CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&id=' ||
+       |      CAST(doc_id AS VARCHAR) || '&ref=x&utm_campaign=z'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END
+       |      AS url
+       |  FROM documents),
+       |q AS (SELECT doc_id, source,
+       |    lower(split_part(split_part(url, '#', 1), '://', 1))
+       |      AS scheme,
+       |    split_part(split_part(url, '#', 1), '://', 2) AS rest
+       |  FROM d),
+       |r AS (SELECT doc_id, source, scheme,
+       |    split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
+       |    substr(rest, length(split_part(split_part(rest, '/', 1),
+       |      '?', 1)) + 1) AS pathq
+       |  FROM q),
+       |s AS (SELECT doc_id, source, scheme, pathq,
+       |    CASE WHEN starts_with(lower(split_part(hostport, ':', 1)),
+       |        'www.')
+       |      THEN substr(lower(split_part(hostport, ':', 1)), 5)
+       |      ELSE lower(split_part(hostport, ':', 1)) END AS host,
+       |    CASE WHEN contains(hostport, ':')
+       |      THEN split_part(hostport, ':', 2) ELSE '' END AS port
+       |  FROM r),
+       |t AS (SELECT doc_id, source, host,
+       |    CASE WHEN port <> '' AND NOT
+       |        ((scheme = 'http' AND port = '80') OR
+       |         (scheme = 'https' AND port = '443'))
+       |      THEN ':' || port ELSE '' END AS portpart,
+       |    CASE WHEN regexp_replace(split_part(pathq, '?', 1),
+       |        '/+$$', '') = '' THEN '/'
+       |      ELSE regexp_replace(split_part(pathq, '?', 1), '/+$$', '')
+       |      END AS path, scheme,
+       |    array_to_string(list_filter(string_split(
+       |      CASE WHEN contains(pathq, '?')
+       |        THEN split_part(pathq, '?', 2) ELSE '' END, '&'),
+       |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref=')
+       |        OR starts_with(x, 'fbclid=') OR starts_with(x, 'gclid=')
+       |        OR x = '')), '&') AS q2
+       |  FROM s),
+       |u AS (SELECT doc_id, source,
+       |    scheme || '://' || host || portpart || path ||
+       |      CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END
+       |      AS url_canonical,
+       |    host, string_split(host, '.') AS labels
+       |  FROM t),
+       |v AS (SELECT doc_id, source, url_canonical,
+       |    ${registeredDomainSqlDuck("host", "labels")} AS domain
+       |  FROM u)""".stripMargin
 }
