@@ -311,35 +311,18 @@ object Bpe {
       .orderBy(col("word"))
   }
 
-  /** x99's oracle: the vocabulary derivation replayed in SQL, then the
-    * Viterbi DP as a GENERATED chain of MATERIALIZED prefix CTEs (dp_j
-    * from dp_{j-1..j-4}; ties -> longer piece via `k DESC`), finals
-    * unioned per word length. */
-  private[ext] def unigramOracle: String = {
-    val scaled9 = (c: String) =>
-      s"CAST(CAST(round(ln(CAST($c AS DOUBLE)), 9) AS DECIMAL(20,9)) " +
-        "* 1000000000 AS BIGINT)"
-    val dps = (1 to UniMaxWord).map { j =>
-      val legs = (1 to math.min(UniMaxPiece, j)).map { k =>
-        s"""SELECT d.word, d.n_occ, $k AS k,
-           |      d.score + w.w_nano AS score,
-           |      CASE WHEN d.path = '' THEN w.piece
-           |           ELSE d.path || '|' || w.piece END AS path
-           |    FROM dp${j - k} d
-           |    JOIN w ON w.piece = substr(d.word, ${j - k + 1}, $k)
-           |    WHERE length(d.word) >= $j""".stripMargin
-      }.mkString("\n    UNION ALL\n    ")
-      s"""dp$j AS MATERIALIZED (
-         |  SELECT word, n_occ, score, path FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY word
-         |        ORDER BY score DESC, k DESC) AS rn FROM (
-         |    $legs))
-         |  WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    val finals = (1 to UniMaxWord).map(j =>
-      s"SELECT word, n_occ, score, path FROM dp$j WHERE length(word) = $j")
-      .mkString("\n  UNION ALL ")
-    s"""WITH types AS (
+  /** The x56 nano-nat schedule as DuckDB SQL (each ln rounded to 9dp
+    * THEN scaled — shared by the x99 and x137 oracles). */
+  private def s9Sql(c: String): String =
+    s"CAST(CAST(round(ln(CAST($c AS DOUBLE)), 9) AS DECIMAL(20,9)) " +
+      "* 1000000000 AS BIGINT)"
+
+  /** The shared INITIAL-vocabulary CTEs of x99/x137: word types,
+    * substring candidates, frequencies, the alphabet (`alpha`), the
+    * initial multi-piece set (`mv0`), initial vocab/total/weights
+    * (`vocab0`/`tot0`/`w0`). */
+  private def baseVocabCtes: String =
+    s"""types AS MATERIALIZED (
        |  SELECT t AS word, CAST(count(*) AS BIGINT) AS n_occ
        |  FROM (SELECT unnest(string_split(text, ' ')) AS t
        |        FROM documents)
@@ -351,25 +334,221 @@ object Bpe {
        |  WHERE l <= length(word) AND p + l - 1 <= length(word)),
        |f AS (SELECT piece, CAST(sum(n_occ) AS BIGINT) AS freq
        |      FROM cand GROUP BY 1),
-       |chosen AS (
-       |  SELECT piece, freq FROM f WHERE length(piece) = 1
-       |  UNION ALL
+       |alpha AS MATERIALIZED (SELECT piece FROM f WHERE length(piece) = 1),
+       |mv0 AS MATERIALIZED (
        |  SELECT piece, freq FROM (
        |    SELECT piece, freq FROM f WHERE length(piece) >= 2
        |    ORDER BY freq DESC, piece LIMIT $UniTopPieces)),
-       |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM chosen),
-       |w AS MATERIALIZED (SELECT piece,
-       |    ${scaled9("freq")} - ${scaled9("total")} AS w_nano
-       |  FROM chosen, tot),
-       |dp0 AS (SELECT word, n_occ, CAST(0 AS BIGINT) AS score,
+       |vocab0 AS (
+       |  SELECT piece, freq FROM f WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM mv0),
+       |tot0 AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM vocab0),
+       |w0 AS MATERIALIZED (SELECT piece,
+       |    ${s9Sql("freq")} - ${s9Sql("total")} AS w_nano
+       |  FROM vocab0, tot0)""".stripMargin
+
+  /** A full Viterbi DP chain over `types` under weight CTE `wCte`, as
+    * generated MATERIALIZED prefix CTEs `${p}0..${p}12` (dp_j from
+    * dp_{j-1..j-4}; ties -> longer piece via `k DESC`) + the per-length
+    * finals union `fin_$p` (word, n_occ, score, path). */
+  private def dpChainSql(p: String, wCte: String): String = {
+    val dps = (1 to UniMaxWord).map { j =>
+      val legs = (1 to math.min(UniMaxPiece, j)).map { k =>
+        s"""SELECT d.word, d.n_occ, $k AS k,
+           |      d.score + w.w_nano AS score,
+           |      CASE WHEN d.path = '' THEN w.piece
+           |           ELSE d.path || '|' || w.piece END AS path
+           |    FROM $p${j - k} d
+           |    JOIN $wCte w ON w.piece = substr(d.word, ${j - k + 1}, $k)
+           |    WHERE length(d.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      s"""$p$j AS MATERIALIZED (
+         |  SELECT word, n_occ, score, path FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word
+         |        ORDER BY score DESC, k DESC) AS rn FROM (
+         |    $legs))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to UniMaxWord).map(j =>
+      s"SELECT word, n_occ, score, path FROM $p$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL ")
+    s"""${p}0 AS (SELECT word, n_occ, CAST(0 AS BIGINT) AS score,
        |        '' AS path FROM types),
        |$dps,
-       |fin AS (
-       |  $finals)
-       |SELECT word, n_occ, path AS pieces,
-       |  CAST(length(path) - length(replace(path, '|', '')) + 1 AS INT)
-       |    AS n_pieces,
-       |  CAST(score AS BIGINT) AS score_nano
-       |FROM fin ORDER BY word""".stripMargin
+       |fin_$p AS (
+       |  $finals)""".stripMargin
+  }
+
+  /** x99's oracle: the vocabulary derivation replayed in SQL, then the
+    * Viterbi DP as [[dpChainSql]]'s generated chain. */
+  private[ext] def unigramOracle: String =
+    s"WITH $baseVocabCtes,\n${dpChainSql("dp", "w0")}\n" +
+      """SELECT word, n_occ, path AS pieces,
+        |  CAST(length(path) - length(replace(path, '|', '')) + 1 AS INT)
+        |    AS n_pieces,
+        |  CAST(score AS BIGINT) AS score_nano
+        |FROM fin_dp ORDER BY word""".stripMargin
+
+  /** Driver-side x56 nano-nat schedule — Double.toString-based HALF_UP
+    * like Spark's round(ln(x), 9) and DuckDB's, so the three agree. */
+  private def s9l(x: Long): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(math.log(x.toDouble)))
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+      .movePointRight(9).longValueExact()
+
+  /**
+   * x137 — UNIGRAM-LM EM TRAINING (Kudo 2018 §3.2's iterative
+   * re-estimation + pruning, completing the tokenizer family: x75/x76
+   * TRAIN+apply BPE, x99 only APPLIES frequency-seeded unigram weights).
+   * K rounds of the hard-EM (Viterbi) variant — the E-step assigns each
+   * word TYPE its single max-likelihood segmentation instead of
+   * soft forward-backward expectations, which keeps every quantity an
+   * exact integer across engines (soft EM's fractional expected counts
+   * have no cross-engine-stable representation):
+   *
+   *  - E-step: Viterbi-segment every word type under the current
+   *    nano-nat weights (the x99 native DP, ties -> longer last piece);
+   *    piece count = Σ n_occ over its occurrences in the chosen paths.
+   *  - M-step: re-estimate w = s9(count) − s9(total) (each ln rounded
+   *    to 9dp then scaled — the x56 schedule, zero float surface in
+   *    any comparison).
+   *  - Prune: drop the bottom 25% of USED multi-char pieces by
+   *    (count DESC, piece) rank — m − m div 4 survive; unused multis
+   *    (count 0) drop outright; the alphabet always survives with a
+   *    count floor of 1 (Kudo's character-coverage invariant).
+   *
+   * Scale shape: the corpus is touched ONCE (the word-type aggregate —
+   * x75's lesson); every EM round runs on the vocab-bounded TYPE table
+   * with the vocabulary inlined into the native expression, and the
+   * per-round sync is the collected piece-count table (~40 rows — the
+   * k×dim centroid-sync pattern, x78's Lloyd shape). Rounds 1..K−1
+   * sync on the driver; round K's count/prune/re-weight stays a
+   * DataFrame so the output plan is the distributed computation.
+   *
+   * Oracle: the identical K rounds as generated MATERIALIZED-CTE
+   * chains — one [[dpChainSql]] Viterbi DP per round against that
+   * round's weight CTE (the x75 MATERIALIZED lesson; DuckDB would
+   * otherwise re-inline each chain exponentially).
+   */
+  def unigramEm(spark: SparkSession, dir: String,
+      rounds: Int = UniEmRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint()
+    val cand = types.select(col("word"), col("n_occ"),
+      explode(expr(
+        s"""flatten(transform(sequence(1, $UniMaxPiece), l ->
+           |  IF(l <= length(word),
+           |     transform(sequence(1, length(word) - l + 1),
+           |               p -> substring(word, p, l)),
+           |     CAST(array() AS ARRAY<STRING>))))""".stripMargin))
+        .as("piece"))
+    val freq = cand.groupBy(col("piece")).agg(sum(col("n_occ")).as("freq"))
+    val singles0 = freq.where(length(col("piece")) === 1)
+    val multi0 = freq.where(length(col("piece")) >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(UniTopPieces)
+    val alphabet: Seq[String] = singles0.select(col("piece"))
+      .orderBy(col("piece")).collect().map(_.getString(0)).toSeq
+    var multiSet: Set[String] =
+      multi0.collect().map(_.getString(0)).toSet
+    var vocab: Seq[(String, Long)] = singles0.unionByName(multi0)
+      .orderBy(col("piece")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    def wts(v: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val total = s9l(v.map(_._2).sum)
+      v.map { case (p, f) => p -> (s9l(f) - total) }
+    }
+    def cntFrame(vw: Seq[(String, Long)]): DataFrame =
+      types
+        .withColumn("seg",
+          graft.functions.UnigramViterbi.viterbi(col("word"), vw))
+        .select(explode(split(col("seg.pieces"), "[|]")).as("piece"),
+          col("n_occ"))
+        .groupBy(col("piece")).agg(sum(col("n_occ")).as("cnt"))
+    for (_ <- 1 until rounds) {
+      val cnt = cntFrame(wts(vocab)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val singles = alphabet.map(c => c -> math.max(cnt.getOrElse(c, 0L), 1L))
+      val elig = multiSet.toSeq
+        .flatMap(p => cnt.get(p).filter(_ >= 1L).map(p -> _))
+        .sortBy { case (p, c) => (-c, p) }
+      val kept = elig.take(elig.size - elig.size / 4)
+      multiSet = kept.map(_._1).toSet
+      vocab = (singles ++ kept).sortBy(_._1)
+    }
+    // final round distributed: count, floor/prune, re-weight as a plan
+    import spark.implicits._
+    val cnts = cntFrame(wts(vocab))
+    val singlesF = singles0.select(col("piece"))
+      .join(cnts, Seq("piece"), "left")
+      .select(col("piece"),
+        greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("freq"))
+    val eligF = cnts
+      .join(broadcast(multiSet.toSeq.sorted.toDF("piece")), Seq("piece"))
+      .where(col("cnt") >= 1L)
+      .select(col("piece"), col("cnt").as("freq"))
+    val keptF = eligF
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("freq").desc, col("piece")))
+          .cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .where(col("rn") <= col("m") - expr("m div 4"))
+      .select(col("piece"), col("freq"))
+    val vocabF = singlesF.unionByName(keptF)
+    val totalF = vocabF.agg(sum(col("freq")).as("total"))
+    def scaled9(c: String): String =
+      s"CAST(CAST(round(ln(CAST($c AS DOUBLE)), 9) AS DECIMAL(20,9)) " +
+        "* 1000000000 AS BIGINT)"
+    vocabF.crossJoin(broadcast(totalF))
+      .select(col("piece"), col("freq"),
+        (expr(scaled9("freq")) - expr(scaled9("total"))).as("w_nano"))
+      .orderBy(col("piece"))
+  }
+
+  /** EM rounds for x137 (K Viterbi DP chains in the oracle — keep
+    * bounded). */
+  private[ext] val UniEmRounds = 3
+
+  /** x137's oracle: [[baseVocabCtes]] then [[UniEmRounds]] generated
+    * rounds — each a [[dpChainSql]] Viterbi chain under the previous
+    * round's weights, the piece-count aggregate, the alphabet floor,
+    * the (count DESC, piece) prune to m − m//4 multis, and the
+    * re-weight — finishing with the final vocabulary. */
+  private[ext] def unigramEmOracle(rounds: Int = UniEmRounds): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val dp = dpChainSql(s"r${r}dp", s"w${r - 1}")
+      s"""$dp,
+         |cnt$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(path, '|')) AS piece, n_occ
+         |        FROM fin_r${r}dp)
+         |  GROUP BY 1),
+         |single$r AS (SELECT a.piece,
+         |    greatest(COALESCE(c.cnt, 0), 1) AS freq
+         |  FROM alpha a LEFT JOIN cnt$r c ON a.piece = c.piece),
+         |mv$r AS MATERIALIZED (SELECT piece, freq FROM (
+         |    SELECT piece, freq,
+         |      row_number() OVER (ORDER BY freq DESC, piece) AS rn,
+         |      count(*) OVER () AS m
+         |    FROM (SELECT v.piece, c.cnt AS freq
+         |          FROM mv${r - 1} v JOIN cnt$r c ON v.piece = c.piece
+         |          WHERE c.cnt >= 1))
+         |  WHERE rn <= m - m // 4),
+         |vocab$r AS (SELECT piece, freq FROM single$r
+         |  UNION ALL SELECT piece, freq FROM mv$r),
+         |tot$r AS (SELECT CAST(sum(freq) AS BIGINT) AS total
+         |          FROM vocab$r),
+         |w$r AS MATERIALIZED (SELECT piece,
+         |    ${s9Sql("freq")} - ${s9Sql("total")} AS w_nano
+         |  FROM vocab$r, tot$r)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $baseVocabCtes,\n$roundCtes\n" +
+      s"""SELECT v.piece, CAST(v.freq AS BIGINT) AS freq, w.w_nano
+         |FROM vocab$rounds v JOIN w$rounds w ON v.piece = w.piece
+         |ORDER BY v.piece""".stripMargin
   }
 }

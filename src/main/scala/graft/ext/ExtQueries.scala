@@ -146,6 +146,11 @@ object ExtQueries {
     // integer nano-nat piece weights, native max-likelihood DP.
     "x99_unigram_tokenize" -> ((s: SparkSession, d: String) =>
       Bpe.unigramTokenize(s, d)),
+    // x137: unigram-LM EM training (Kudo 2018) — K hard-EM rounds on
+    // the word-type table: Viterbi E-step, nano-nat M-step, bottom-25%
+    // multi-piece prune with the alphabet coverage floor.
+    "x137_unigram_em" -> ((s: SparkSession, d: String) =>
+      Bpe.unigramEm(s, d)),
     // x100: token-budget epoch allocation (the pretraining data-recipe
     // sheet) — temperature weights frozen to micro ints, exact permille
     // epochs with a 3.0-epoch repeat cap.
@@ -1898,6 +1903,10 @@ object ExtQueries {
     "x108_ddsketch" -> Sketches.ddSketchOracle,
 
     "x99_unigram_tokenize" -> Bpe.unigramOracle,
+
+    // x137: the K EM rounds replayed as generated MATERIALIZED Viterbi
+    // DP chains, one per round against that round's weight CTE.
+    "x137_unigram_em" -> Bpe.unigramEmOracle(),
 
     // x101: both field legs are the pinned x22 BM25 oracle over derived
     // field relations; best_fields fuses by greatest + doc_id tiebreak

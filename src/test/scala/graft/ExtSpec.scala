@@ -7,6 +7,52 @@ import graft.ext._
 class ExtSpec extends SparkSpec {
   import spark.implicits._
 
+  test("unigram EM (x137): one round replayed driver-side — reference " +
+      "Viterbi counts, alphabet floor, bottom-quarter prune, nano-nat " +
+      "re-weights — equals the entry at rounds = 1") {
+    def s9(x: Long): Long =
+      new java.math.BigDecimal(
+          java.lang.Double.toString(math.log(x.toDouble)))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .movePointRight(9).longValueExact()
+    val types = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSeq
+    // initial vocabulary: every char + top-16 multi substrings by
+    // occurrence-weighted frequency (freq DESC, piece ASC)
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, n) <- types; l <- 1 to 4; p <- 0 to w.length - l)
+      freq.updateWith(w.substring(p, p + l))(c => Some(c.getOrElse(0L) + n))
+    val singles0 = freq.filter(_._1.length == 1).toSeq
+    val multi0 = freq.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(16)
+    val vocab0 = singles0 ++ multi0
+    val t0 = s9(vocab0.map(_._2).sum)
+    val w0 = vocab0.map { case (p, f) => p -> (s9(f) - t0) }
+    // E-step: reference Viterbi per type; piece counts weighted by n_occ
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, n) <- types;
+         piece <- UnigramProps.reference(w, w0)._1.split("\\|", -1))
+      cnt.updateWith(piece)(c => Some(c.getOrElse(0L) + n))
+    // M-step + prune: alphabet floored at 1; used multis keep m - m/4
+    val singles1 = singles0.map { case (c, _) =>
+      c -> math.max(cnt.getOrElse(c, 0L), 1L) }
+    val elig = multi0.flatMap { case (p, _) =>
+      cnt.get(p).filter(_ >= 1L).map(p -> _) }
+      .sortBy { case (p, c) => (-c, p) }
+    val kept = elig.take(elig.size - elig.size / 4)
+    val vocab1 = (singles1 ++ kept).sortBy(_._1)
+    val t1 = s9(vocab1.map(_._2).sum)
+    val want = vocab1.map { case (p, f) => (p, f, s9(f) - t1) }
+    val got = Bpe.unigramEm(spark, sf, rounds = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(kept.size < multi0.size, "the prune must genuinely drop " +
+      "pieces or the round is vacuous")
+  }
+
   test("exact dedup: every doc annotated, canonical is group min") {
     val d = Dedup.exactDedup(spark, sf)
     assert(d.count() == 500)

@@ -36,8 +36,9 @@ object UnigramProps extends Properties("unigramViterbi") {
   }
 
   /** Exhaustive reference: enumerate best segmentation by DP with an
-    * explicit (score, lastPieceLen) argmax evaluated RIGHT-TO-LEFT. */
-  private def reference(word: String, vocab: Seq[(String, Long)])
+    * explicit (score, lastPieceLen) argmax evaluated RIGHT-TO-LEFT.
+    * Shared with ExtSpec's x137 one-round EM replay. */
+  private[graft] def reference(word: String, vocab: Seq[(String, Long)])
       : (String, Int, Long) = {
     val m = vocab.toMap
     val n = word.length
