@@ -410,6 +410,11 @@ object ExtQueries {
     // prefix dims vs the full-dim truth set, exact integer ppm.
     "x118_matryoshka" -> ((s: SparkSession, d: String) =>
       Similarity.matryoshkaRecall(s, d)),
+    // x138: margin-based bitext mining (Artetxe & Schwenk 2019) —
+    // distance margin in scaled integer units over frozen 6dp cosines,
+    // forward-backward mutual-best consistency filter.
+    "x138_bitext_mine" -> ((s: SparkSession, d: String) =>
+      Similarity.bitextMine(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -3225,6 +3230,9 @@ object ExtQueries {
     // x118: DuckDB emb[1:L] is 1-based inclusive (= Spark slice(emb,1,L));
     // the DOUBLE[] casts keep list_cosine_similarity in double math,
     // bit-identical to the native cosine on the float prefix.
+    // x138: identical margin pipeline over DOUBLE[] casts.
+    "x138_bitext_mine" -> Similarity.bitextMineOracle(),
+
     "x118_matryoshka" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 10),

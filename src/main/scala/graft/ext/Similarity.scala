@@ -1421,6 +1421,112 @@ object Similarity {
   }
 
   /**
+   * x138 — MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019): the
+   * multilingual-pipeline stage that pairs parallel sentences across
+   * two corpora by embedding similarity. Raw cosine is miscalibrated —
+   * some sentences are "hubs" that score high against everything — so
+   * each candidate pair is scored by the MARGIN between its similarity
+   * and the mean similarity of each side's k nearest neighbors (the
+   * paper's 'distance' margin, §3.1), and a pair is mined only when it
+   * is the mutual best: x's best-margin candidate is y AND y's is x
+   * (the forward∩backward consistency of §3.2).
+   *
+   * Sides here are the even (X) / odd (Y) halves of `embeddings` — the
+   * x72 derived-fixture discipline. Exactness end to end: each cosine
+   * freezes to 6dp integer micro-units ONCE; the margin clears the
+   * /2k division by scaling — margin_scaled = 2k·sim − (Σkx + Σky),
+   * pure BIGINT (the x101 lesson: rounded legs combine in scaled
+   * integer units, a derived double is never re-rounded). Both argmax
+   * selections break ties by candidate id.
+   *
+   * Scale: the exact all-pairs scoring leg is the fixture-size truth
+   * contract (the x86 pattern); at 100 TB both kNN legs swap verbatim
+   * for the bucketed ANN probe (x6/x102 — the paper itself mines with
+   * FAISS indexes), and everything downstream of the sims frame is
+   * per-id bounded windows + one k-row-sum join per side.
+   */
+  def bitextMine(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val xs = emb.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+    val ys = emb.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+    val simMicro = (round(cosine(col("xv"), col("yv")), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(10, 6)) * lit(1000000))
+      .cast("long")
+    val sims = xs.crossJoin(ys)
+      .select(col("x_id"), col("y_id"), simMicro.as("sim_micro"))
+    val wX = Window.partitionBy(col("x_id"))
+      .orderBy(col("sim_micro").desc, col("y_id"))
+    val wY = Window.partitionBy(col("y_id"))
+      .orderBy(col("sim_micro").desc, col("x_id"))
+    val ranked = sims
+      .withColumn("rx", row_number().over(wX))
+      .withColumn("ry", row_number().over(wY))
+    val kxSum = ranked.where(col("rx") <= k).groupBy(col("x_id"))
+      .agg(sum(col("sim_micro")).as("kx_sum"))
+    val kySum = ranked.where(col("ry") <= k).groupBy(col("y_id"))
+      .agg(sum(col("sim_micro")).as("ky_sum"))
+    val cand = ranked.where(col("rx") <= k || col("ry") <= k)
+      .join(kxSum, "x_id").join(kySum, "y_id")
+      .withColumn("margin_scaled",
+        lit(2L * k) * col("sim_micro") - (col("kx_sum") + col("ky_sum")))
+    val fwd = cand.where(col("rx") <= k)
+      .withColumn("rf", row_number().over(Window.partitionBy(col("x_id"))
+        .orderBy(col("margin_scaled").desc, col("y_id"))))
+      .where(col("rf") === 1)
+      .select(col("x_id"), col("y_id"), col("sim_micro"),
+        col("margin_scaled"))
+    val bwd = cand.where(col("ry") <= k)
+      .withColumn("rb", row_number().over(Window.partitionBy(col("y_id"))
+        .orderBy(col("margin_scaled").desc, col("x_id"))))
+      .where(col("rb") === 1)
+      .select(col("x_id"), col("y_id"))
+    fwd.join(bwd, Seq("x_id", "y_id"))
+      .select(col("x_id"), col("y_id"), col("sim_micro"),
+        col("margin_scaled"))
+      .orderBy(col("x_id"))
+  }
+
+  /** x138's oracle: the identical pipeline over DOUBLE[] casts. */
+  private[ext] def bitextMineOracle(k: Int = 4): String =
+    s"""WITH xs AS (SELECT vec_id AS x_id,
+       |    CAST(embedding AS DOUBLE[]) AS xv
+       |  FROM embeddings WHERE vec_id % 2 = 0),
+       |ys AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS yv
+       |  FROM embeddings WHERE vec_id % 2 = 1),
+       |s AS MATERIALIZED (SELECT x_id, y_id,
+       |    CAST(CAST(round(list_cosine_similarity(xv, yv), 6)
+       |         AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micro
+       |  FROM xs, ys),
+       |r AS MATERIALIZED (SELECT *,
+       |    row_number() OVER (PARTITION BY x_id
+       |      ORDER BY sim_micro DESC, y_id) AS rx,
+       |    row_number() OVER (PARTITION BY y_id
+       |      ORDER BY sim_micro DESC, x_id) AS ry
+       |  FROM s),
+       |kx AS (SELECT x_id, CAST(sum(sim_micro) AS BIGINT) AS kx_sum
+       |  FROM r WHERE rx <= $k GROUP BY 1),
+       |ky AS (SELECT y_id, CAST(sum(sim_micro) AS BIGINT) AS ky_sum
+       |  FROM r WHERE ry <= $k GROUP BY 1),
+       |c AS MATERIALIZED (SELECT r.x_id, r.y_id, r.sim_micro, r.rx, r.ry,
+       |    ${2 * k} * r.sim_micro - (kx.kx_sum + ky.ky_sum)
+       |      AS margin_scaled
+       |  FROM r JOIN kx ON r.x_id = kx.x_id JOIN ky ON r.y_id = ky.y_id
+       |  WHERE r.rx <= $k OR r.ry <= $k),
+       |f AS (SELECT x_id, y_id, sim_micro, margin_scaled FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY x_id
+       |      ORDER BY margin_scaled DESC, y_id) AS rf
+       |    FROM c WHERE rx <= $k) WHERE rf = 1),
+       |b AS (SELECT x_id, y_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY y_id
+       |      ORDER BY margin_scaled DESC, x_id) AS rb
+       |    FROM c WHERE ry <= $k) WHERE rb = 1)
+       |SELECT f.x_id, f.y_id, f.sim_micro, f.margin_scaled
+       |FROM f JOIN b ON f.x_id = b.x_id AND f.y_id = b.y_id
+       |ORDER BY f.x_id""".stripMargin
+
+  /**
    * x83 — ANN QUALITY EVAL: recall@k of the IVF probe ([[annIvf]])
    * against the exact brute-force kNN ([[knnBrute]]), as a first-class
    * entry. At 100 TB nobody can eyeball whether bucket pruning loses

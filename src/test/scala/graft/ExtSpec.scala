@@ -53,6 +53,59 @@ class ExtSpec extends SparkSpec {
       "pieces or the round is vacuous")
   }
 
+  test("bitext mining (x138): mined pairs equal a full driver-side " +
+      "replay — frozen micro-unit cosines, scaled-integer distance " +
+      "margins, forward-backward mutual best — and consistency " +
+      "genuinely prunes one-directional bests") {
+    val k = 4
+    val emb = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def cosMicro(a: Seq[Float], b: Seq[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val c = dot / math.sqrt(na) / math.sqrt(nb)
+      new java.math.BigDecimal(java.lang.Double.toString(c))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    }
+    val xs = emb.filter(_._1 % 2 == 0)
+    val ys = emb.filter(_._1 % 2 == 1)
+    val sim = (for ((xi, xv) <- xs; (yi, yv) <- ys)
+      yield (xi, yi) -> cosMicro(xv, yv)).toMap
+    def topk(ids: Seq[Long], of: Long => Seq[(Long, Long)]) =
+      ids.map(i => i -> of(i).sortBy { case (j, s) => (-s, j) }.take(k))
+        .toMap
+    val nnX = topk(xs.map(_._1), x => ys.map(y =>
+      y._1 -> sim((x, y._1))))
+    val nnY = topk(ys.map(_._1), y => xs.map(x =>
+      x._1 -> sim((x._1, y))))
+    val kxSum = nnX.map { case (x, nn) => x -> nn.map(_._2).sum }
+    val kySum = nnY.map { case (y, nn) => y -> nn.map(_._2).sum }
+    def margin(x: Long, y: Long): Long =
+      2L * k * sim((x, y)) - (kxSum(x) + kySum(y))
+    val fwd = nnX.map { case (x, nn) =>
+      x -> nn.map(_._1).sortBy(y => (-margin(x, y), y)).head }
+    val bwd = nnY.map { case (y, nn) =>
+      y -> nn.map(_._1).sortBy(x => (-margin(x, y), x)).head }
+    val want = fwd.toSeq
+      .filter { case (x, y) => bwd(y) == x }
+      .map { case (x, y) => (x, y, sim((x, y)), margin(x, y)) }
+      .sortBy(_._1)
+    val got = Similarity.bitextMine(spark, sf, k)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the consistency filter must genuinely prune: some forward best is
+    // not reciprocated (otherwise the mutual-best intersection is
+    // vacuously the forward map and the filter is untested)
+    assert(want.size < fwd.size,
+      s"every forward best was mutual (${fwd.size}) — vacuous filter")
+  }
+
   test("exact dedup: every doc annotated, canonical is group min") {
     val d = Dedup.exactDedup(spark, sf)
     assert(d.count() == 500)
