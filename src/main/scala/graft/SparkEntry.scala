@@ -1474,15 +1474,17 @@ object SparkEntry {
     // ---- across batches (state = ONE chain-tail timestamp per stored --
     // ---- query). Streamed == the batch match-then-chain, which is the -
     // ---- oracle. -------------------------------------------------------
-    "kq106_percolate_stream" -> ((s, dir) => {
-      val stored: Seq[(Int, org.apache.spark.sql.Column)] = Seq(
-        1 -> LogQueries.kql("event_type:click AND value >= 50"),
-        2 -> LogQueries.kql("event_type:p*"),
-        3 -> LogQueries.kql("\"TOMBSTONE\""),
-        4 -> LogQueries.kql("value < 10 OR event_type:signup"))
+    "kq106_percolate_stream" -> ((s, dir) =>
       graft.streaming.StreamPipeline.percolateStream(s,
-        Pipeline.envelopeFlat(s, dir), stored)
-    }),
+        Pipeline.envelopeFlat(s, dir),
+        graft.streaming.StreamPipeline.storedQueries)),
+
+    // ---- the COMPOSED streaming pipeline (x60's batch chain as ONE ----
+    // ---- continuous query): records → SMT enrichment → x70 quality ----
+    // ---- gate → kq106 percolation → throttle + kq53 exactly-once ------
+    // ---- batchId-keyed sink; a replayed commit is provably a no-op ----
+    "kq112_stream_pipeline" -> ((s, dir) =>
+      graft.streaming.StreamPipeline.composedPipeline(s, dir)),
 
     // ---- seasonal anomaly flags on the hourly histogram: per ----------
     // ---- hour-of-day profile, |z| > 3 decided by EXACT INTEGER --------
@@ -3323,6 +3325,46 @@ object SparkEntry {
         |                      t -> t <> ''), 'tombstone')
         |  UNION ALL
         |  SELECT 4, epoch_us("timestamp") FROM env
+        |  WHERE "value" < 10 OR event_type = 'signup'),
+        |em AS (
+        |  SELECT query_id, min(us) AS us FROM m GROUP BY query_id
+        |  UNION ALL
+        |  SELECT n.query_id, n.us FROM em
+        |  JOIN LATERAL (SELECT e.query_id, min(e.us) AS us FROM m e
+        |                WHERE e.query_id = em.query_id
+        |                  AND e.us >= em.us + 21600000000
+        |                GROUP BY e.query_id) n ON true)
+        |SELECT CAST(query_id AS INT) AS query_id, us AS emitted_us
+        |FROM em
+        |ORDER BY query_id, emitted_us""".stripMargin),
+
+    // kq112: the streamed composed pipeline == the batch replay of the
+    // same chain — envelope, x70's hashed-linear gate on the JSON text
+    // (the identical per-token md5 closed form), kq106's match legs
+    // over the GATED rows, kq97's recursive greedy chain. The
+    // exactly-once sink's replayed commit is proven by this equality:
+    // a duplicated batch partition would break it.
+    "kq112_stream_pipeline" ->
+      (envSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, g AS MATERIALIZED (
+        |  SELECT * FROM env
+        |  WHERE CAST(list_sum(list_transform(string_split(value_json, ' '),
+        |    t -> (('0x' || substr(md5(t), 1, 8))::BIGINT % 1024)
+        |         * 131 % 997 - 498)) AS BIGINT) > 0),
+        |m AS MATERIALIZED (
+        |  SELECT 1 AS query_id, epoch_us("timestamp") AS us FROM g
+        |  WHERE event_type = 'click' AND "value" >= 50
+        |  UNION ALL
+        |  SELECT 2, epoch_us("timestamp") FROM g
+        |  WHERE event_type LIKE 'p%'
+        |  UNION ALL
+        |  SELECT 3, epoch_us("timestamp") FROM g
+        |  WHERE list_contains(
+        |          list_filter(regexp_split_to_array(lower(value_json),
+        |                                            '[^a-z0-9]+'),
+        |                      t -> t <> ''), 'tombstone')
+        |  UNION ALL
+        |  SELECT 4, epoch_us("timestamp") FROM g
         |  WHERE "value" < 10 OR event_type = 'signup'),
         |em AS (
         |  SELECT query_id, min(us) AS us FROM m GROUP BY query_id

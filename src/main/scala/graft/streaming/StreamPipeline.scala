@@ -1805,6 +1805,37 @@ object StreamPipeline {
    * `onSync` reports (batchId, rows the tail sync aggregated) so specs
    * can pin that the sync input is the batch's emissions, not history.
    */
+  /** The stored-query registry (ES Watcher shape) shared by kq106 and
+    * the composed kq112 pipeline — four KQL predicates covering the
+    * field/range, wildcard, analyzed-free-text and boolean forms. */
+  def storedQueries: Seq[(Int, org.apache.spark.sql.Column)] = Seq(
+    1 -> graft.query.LogQueries.kql("event_type:click AND value >= 50"),
+    2 -> graft.query.LogQueries.kql("event_type:p*"),
+    3 -> graft.query.LogQueries.kql("\"TOMBSTONE\""),
+    4 -> graft.query.LogQueries.kql("value < 10 OR event_type:signup"))
+
+  /** The greedy per-query alert-throttle chain over ONE micro-batch of
+    * (query_id, us) matches, seeded from the carried tails and run
+    * DISTRIBUTED per query (flatMapSortedGroups) — shared by kq106 and
+    * kq112. */
+  private def chainEmissions(batch: Dataset[org.apache.spark.sql.Row],
+      seed: Map[Int, Long], periodUs: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.as[(Int, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("us")) { (qid, it) =>
+        var last = seed.getOrElse(qid, Long.MinValue)
+        it.flatMap { case (_, us) =>
+          if (last == Long.MinValue || us >= last + periodUs) {
+            last = us
+            Some((qid, us))
+          } else None
+        }
+      }
+      .toDF("query_id", "emitted_us")
+  }
+
   def percolateStream(spark: org.apache.spark.sql.SparkSession,
       envFlat: DataFrame,
       stored: Seq[(Int, org.apache.spark.sql.Column)],
@@ -1857,19 +1888,7 @@ object StreamPipeline {
           // seed each query's chain from the carried tail; the chain
           // itself runs distributed, per query
           val seed = lastUs.toMap
-          val em = batch.as[(Int, Long)]
-            .groupByKey(_._1)
-            .flatMapSortedGroups(col("us")) { (qid, it) =>
-              var last = seed.getOrElse(qid, Long.MinValue)
-              it.flatMap { case (_, us) =>
-                if (last == Long.MinValue || us >= last + periodUs) {
-                  last = us
-                  Some((qid, us))
-                } else None
-              }
-            }
-            .toDF("query_id", "emitted_us")
-            .persist()
+          val em = chainEmissions(batch, seed, periodUs).persist()
           em.coalesce(1).write.mode("append").parquet(outDir.toString)
           // bounded driver sync: one chain-tail row per stored query,
           // computed from THIS batch's emissions only (the persisted
@@ -1894,6 +1913,126 @@ object StreamPipeline {
       spark.read.schema("query_id INT, emitted_us BIGINT")
         .parquet(outDir.toString)
         .orderBy(col("query_id"), col("emitted_us"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /**
+   * kq112 — the COMPOSED STREAMING PIPELINE: x60 proves the batch
+   * curation chain composes into ONE Catalyst plan; this is the
+   * streaming analogue as ONE continuous query, end to end:
+   *
+   *   raw records (the Kafka-source column contract, replayed as four
+   *   strict event-time slices) → converter + 7-stage SMT enrichment
+   *   (kq7/kq10's chain on the unbounded frame) → quality gate (x70's
+   *   native hashed-linear score over the JSON text, map-side) →
+   *   percolation against the kq106 stored-query registry (map-only
+   *   verdict array) → alert throttle + EXACTLY-ONCE sink (kq53's
+   *   batchId-keyed dynamic-partition overwrite).
+   *
+   * Everything upstream of the sink is stateless Column logic, so the
+   * whole chain plans as ONE streaming micro-batch plan — no
+   * intermediate materialization, one scan per trigger (`onBatch`
+   * exposes each micro-batch's executed plan so the spec pins exactly
+   * that). The only cross-batch state is the kq106 chain tail
+   * (O(#stored queries), batch-bounded sync); on driver restart it
+   * rebuilds from the alerts table itself (the kq101 pattern — one
+   * bounded read, max per query).
+   *
+   * Exactly-once: each batch's alerts land as a `batch_id=<id>`
+   * partition via dynamic overwrite. The simulated at-least-once retry
+   * re-runs batch 1's ENTIRE compute+commit from the SAME carried seed
+   * (tails merge only after commit, exactly what a recovered task
+   * sees), so the rewrite is byte-identical — the streamed result must
+   * equal the batch gate→match→chain replay, which is the oracle.
+   */
+  def composedPipeline(spark: org.apache.spark.sql.SparkSession,
+      dir: String, periodUs: Long = 21600000000L,
+      onBatch: (Long, Long) => Unit = (_, _) => (),
+      onPlan: String => Unit = _ => ()): DataFrame =
+    withStreamingPartitions(spark, 8) {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("kq112-pipe").toString
+    val raw = graft.ingest.Sources.eventsAsRecords(spark, dir)
+    val Array(mn, mx) = raw.agg(min(unix_micros(col("timestamp"))),
+        max(unix_micros(col("timestamp"))))
+      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
+    val step = math.max((mx - mn) / 4 + 1, 1L)
+    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
+    for (i <- 0 until 4) {
+      val slice = raw.where(
+        unix_micros(col("timestamp")) >= mn + i * step &&
+        unix_micros(col("timestamp")) < mn + (i + 1) * step)
+      val tmp = s"$work/slice$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val vj = graft.Pipeline.ValueJsonField
+    val flat = graft.transform.Transforms.enrich(vj)(stream)
+      .select(col("uid"), col("key"), col("topic"), col("partition"),
+        col("offset"), col("timestamp"),
+        col("message.event_type").as("event_type"),
+        col("message.value").as("value"),
+        col(s"message.$vj").as(vj))
+    val gated = flat.where(graft.functions.HashedLinearScore
+      .hashedLinearScore(col(vj)) > 0)
+    val verdicts = array(storedQueries.map { case (id, p) =>
+      struct(lit(id).as("query_id"), p.as("hit")) }: _*)
+    val matches = gated
+      .select(unix_micros(col("timestamp")).as("us"),
+        explode(verdicts).as("m"))
+      .where(col("m.hit"))
+      .select(col("m.query_id").as("query_id"), col("us"))
+    val lastUs = scala.collection.mutable.Map[Int, Long]()
+    val table = s"$work/alerts"
+    try {
+      val q = matches.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val seed = lastUs.toMap
+          def commit(): Array[(Int, Long)] = {
+            val em = chainEmissions(batch, seed, periodUs).persist()
+            em.withColumn("batch_id", lit(batchId))
+              .coalesce(1)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(table)
+            val tails = em.groupBy(col("query_id"))
+              .agg(max(col("emitted_us")).as("mx"))
+              .as[(Int, Long)].collect()
+            em.unpersist()
+            tails
+          }
+          val tails = commit()
+          // simulated at-least-once retry: batch 1's full compute +
+          // commit re-runs from the SAME seed (tails merge only after)
+          // — the dynamic overwrite must be byte-identical
+          if (batchId == 1L) commit()
+          onBatch(batchId, tails.length.toLong)
+          tails.foreach { case (k, v) =>
+            lastUs(k) = math.max(lastUs.getOrElse(k, Long.MinValue), v)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$work/ckpt")
+        .start()
+      q.awaitTermination()
+      onPlan(org.apache.spark.sql.GraftColumnBridge.lastStreamingPlan(q))
+      spark.read.parquet(table)
+        .select(col("query_id"), col("emitted_us"))
+        .orderBy(col("query_id"), col("emitted_us"))
+        .localCheckpoint() // materialize before the temp dir is deleted
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }

@@ -14,4 +14,18 @@ object GraftColumnBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Executed physical plan of a streaming query's LAST micro-batch —
+    * the real fused plan (a `foreachBatch` body only ever sees its
+    * batch as an already-computed ExistingRDD). Used by specs to pin
+    * that a composed streaming pipeline plans as ONE query. */
+  def lastStreamingPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q match {
+      case w: execution.streaming.runtime.StreamingQueryWrapper =>
+        w.streamingQuery.lastExecution.executedPlan.toString
+      case other =>
+        throw new IllegalArgumentException(
+          s"not a wrapped streaming query: ${other.getClass}")
+    }
 }

@@ -695,4 +695,50 @@ class StreamingSpec extends SparkSpec {
       (2L, 2L), (3L, 1L)), s"per-batch tail-sync inputs: $syncs")
     assert(syncs.map(_._2).sum == got.size.toLong)
   }
+
+  test("composed streaming pipeline (kq112): streamed alerts equal the " +
+      "batch gate->match->chain replay, and every micro-batch plans as " +
+      "ONE query — a single source scan with the quality gate and the " +
+      "percolation verdicts fused into it, no intermediate " +
+      "materialization") {
+    import graft.streaming.StreamPipeline
+    val batches = scala.collection.mutable.Buffer[(Long, Long)]()
+    var plan: String = ""
+    val got = StreamPipeline.composedPipeline(spark, sf,
+        onBatch = (id, n) => batches.synchronized { batches += ((id, n)) },
+        onPlan = p => plan = p)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // independent batch replay of the same chain
+    val gatedEnv = Pipeline.envelopeFlat(spark, sf)
+      .where(graft.functions.HashedLinearScore
+        .hashedLinearScore(col("value_json")) > 0)
+    val want = StreamPipeline.storedQueries.flatMap { case (id, p) =>
+      val ms = gatedEnv.where(p)
+        .select(unix_micros(col("timestamp")))
+        .as[Long].collect().sorted
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var last = Long.MinValue
+      for (us <- ms) if (last == Long.MinValue ||
+          us >= last + 21600000000L) { kept += us; last = us }
+      kept.map(us => (id, us))
+    }.sorted
+    assert(got == want)
+    assert(got.nonEmpty)
+    // four micro-batches ran (the throttle chain genuinely crossed
+    // batch boundaries), and the micro-batch executes as ONE fused
+    // plan: exactly one file-source scan with the native gate
+    // expression and the verdict explode in the SAME plan — nothing
+    // was materialized between the pipeline's stages
+    assert(batches.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+      s"batches: ${batches.map(_._1)}")
+    val scans = "FileScan".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"expected ONE scan in the micro-batch plan, got $scans:\n" +
+        plan.take(3000))
+    val low = plan.toLowerCase
+    assert(low.contains("hashed_linear_score"),
+      s"micro-batch plan lacks the fused quality gate:\n${plan.take(3000)}")
+    assert(low.contains("explode") || low.contains("generate"),
+      s"micro-batch plan lacks the fused percolation:\n${plan.take(3000)}")
+  }
 }
