@@ -1440,17 +1440,22 @@ object Similarity {
    * selections break ties by candidate id.
    *
    * Scale: the exact all-pairs scoring leg is the fixture-size truth
-   * contract (the x86 pattern); at 100 TB both kNN legs swap verbatim
-   * for the bucketed ANN probe (x6/x102 — the paper itself mines with
-   * FAISS indexes), and everything downstream of the sims frame is
+   * contract (the x86 pattern), bounded STRUCTURALLY by [[MineCap]] per
+   * side (row-identical at every fixture/probe SF and plan-visible to
+   * PlanGuard — a truth leg must never broadcast an unbounded table);
+   * at 100 TB both kNN legs swap verbatim for the bucketed ANN probe
+   * (x6/x102 — the paper itself mines with FAISS indexes), and
+   * everything downstream of the ONCE-materialized ranked frame is
    * per-id bounded windows + one k-row-sum join per side.
    */
   def bitextMine(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val xs = emb.where(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+      .limit(MineCap)
     val ys = emb.where(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+      .limit(MineCap)
     val simMicro = (round(cosine(col("xv"), col("yv")), 6)
       .cast(org.apache.spark.sql.types.DecimalType(10, 6)) * lit(1000000))
       .cast("long")
@@ -1460,9 +1465,12 @@ object Similarity {
       .orderBy(col("sim_micro").desc, col("y_id"))
     val wY = Window.partitionBy(col("y_id"))
       .orderBy(col("sim_micro").desc, col("x_id"))
+    // materialized ONCE: four downstream consumers (both k-sums, both
+    // argmax legs) would otherwise each recompute the quadratic leg
     val ranked = sims
       .withColumn("rx", row_number().over(wX))
       .withColumn("ry", row_number().over(wY))
+      .localCheckpoint()
     val kxSum = ranked.where(col("rx") <= k).groupBy(col("x_id"))
       .agg(sum(col("sim_micro")).as("kx_sum"))
     val kySum = ranked.where(col("ry") <= k).groupBy(col("y_id"))
@@ -1487,6 +1495,11 @@ object Similarity {
         col("margin_scaled"))
       .orderBy(col("x_id"))
   }
+
+  /** x138's per-side truth-leg bound: the exact all-pairs leg runs only
+    * below this (fixture/probe scale by construction); larger corpora
+    * mine via the ANN legs. Plan-visible (GlobalLimit) to PlanGuard. */
+  private val MineCap = 100000
 
   /** x138's oracle: the identical pipeline over DOUBLE[] casts. */
   private[ext] def bitextMineOracle(k: Int = 4): String =
