@@ -290,6 +290,8 @@ object UrlOps {
    */
   def optOutFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsWithDomain(spark, dir)
+      .select(col("doc_id"), col("source"), col("domain"))
+      .localCheckpoint()
     val optOut = docs.select(col("domain")).distinct()
       .where(expr(optOutRuleSpark))
       .limit(100000) // registry-sized: plan-visible broadcast bound
