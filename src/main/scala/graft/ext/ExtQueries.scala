@@ -3215,7 +3215,8 @@ object ExtQueries {
     "x139_optout_filter" ->
       (s"WITH ${UrlOps.urlDomainCteDuck},\n" +
         s"""o AS (SELECT DISTINCT domain FROM v
-        |      WHERE ${UrlOps.optOutRuleDuck})
+        |      WHERE ${UrlOps.optOutRuleDuck}
+        |      ORDER BY domain LIMIT 100000)
         |SELECT v.source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN o.domain IS NOT NULL THEN 1 ELSE 0 END)
         |       AS BIGINT) AS n_dropped,

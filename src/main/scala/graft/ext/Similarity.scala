@@ -1450,10 +1450,18 @@ object Similarity {
    */
   def bitextMine(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val xs = emb.where(col("vec_id") % 2 === 0)
+    // the id predicate makes the capped subset DETERMINISTIC above
+    // MineCap (even/odd ids below 2·MineCap are exactly ≤ MineCap rows
+    // per side, the same rows every run — a bare limit would keep an
+    // arbitrary subset, round-15 ADVICE) and the oracle mirrors it; the
+    // limit stays as the plan-visible GlobalLimit bound PlanGuard and
+    // PlansSpec pin.
+    val xs = emb.where(col("vec_id") % 2 === 0 &&
+        col("vec_id") < lit(2L * MineCap))
       .select(col("vec_id").as("x_id"), col("embedding").as("xv"))
       .limit(MineCap)
-    val ys = emb.where(col("vec_id") % 2 === 1)
+    val ys = emb.where(col("vec_id") % 2 === 1 &&
+        col("vec_id") < lit(2L * MineCap))
       .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
       .limit(MineCap)
     val simMicro = (round(cosine(col("xv"), col("yv")), 6)
@@ -1505,9 +1513,9 @@ object Similarity {
   private[ext] def bitextMineOracle(k: Int = 4): String =
     s"""WITH xs AS (SELECT vec_id AS x_id,
        |    CAST(embedding AS DOUBLE[]) AS xv
-       |  FROM embeddings WHERE vec_id % 2 = 0),
+       |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < ${2L * MineCap}),
        |ys AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS yv
-       |  FROM embeddings WHERE vec_id % 2 = 1),
+       |  FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < ${2L * MineCap}),
        |s AS MATERIALIZED (SELECT x_id, y_id,
        |    CAST(CAST(round(list_cosine_similarity(xv, yv), 6)
        |         AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micro

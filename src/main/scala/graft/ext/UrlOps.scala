@@ -292,9 +292,14 @@ object UrlOps {
     val docs = docsWithDomain(spark, dir)
       .select(col("doc_id"), col("source"), col("domain"))
       .localCheckpoint()
+    // registry-sized, plan-visible broadcast bound (TakeOrdered): the
+    // ORDER BY makes the kept subset DETERMINISTIC should the opted-out
+    // domain universe ever exceed the cap — a bare limit would keep an
+    // arbitrary per-run subset and silently pass opted-out documents
+    // (round-15 ADVICE); the oracle mirrors the same ordered cap.
     val optOut = docs.select(col("domain")).distinct()
       .where(expr(optOutRuleSpark))
-      .limit(100000) // registry-sized: plan-visible broadcast bound
+      .orderBy(col("domain")).limit(100000)
       .withColumn("opted_out", lit(1L))
     docs.join(broadcast(optOut), Seq("domain"), "left")
       .groupBy(col("source"))
