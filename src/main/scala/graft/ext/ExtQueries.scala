@@ -415,6 +415,17 @@ object ExtQueries {
     // forward-backward mutual-best consistency filter.
     "x138_bitext_mine" -> ((s: SparkSession, d: String) =>
       Similarity.bitextMine(s, d)),
+    // x140: the ANN-legged bitext miner — both kNN legs are the
+    // bucketed IVF probe (one bucket equi-join replaces the capped
+    // crossJoin; the FAISS-indexed mining of the paper), margin +
+    // mutual-best reused verbatim downstream.
+    "x140_bitext_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.bitextMineAnn(s, d)),
+    // x141: filtered kNN (ES 8 knn + filter, PRE-filter semantics) —
+    // the label predicate constrains candidates before/within the
+    // bucket probe and reaches the parquet scan as a pushed filter.
+    "x141_filtered_knn" -> ((s: SparkSession, d: String) =>
+      Similarity.filteredKnn(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -3233,6 +3244,62 @@ object ExtQueries {
     // bit-identical to the native cosine on the float prefix.
     // x138: identical margin pipeline over DOUBLE[] casts.
     "x138_bitext_mine" -> Similarity.bitextMineOracle(),
+
+    // x140: the shared k-means replay buckets both sides; every vector
+    // probes its TOP-2 buckets (x23's multi-probe construction) and a
+    // pair is scored when either side retrieves the other — union,
+    // dedup, score once (every fixture SF sits at the 8-centroid floor
+    // of the N/250 rule, so the static replay is exact); the
+    // margin/mutual-best chain is the SAME generated text as x138's
+    // (bitextChainSql) — the legs cannot drift.
+    "x140_bitext_ann" ->
+      (s"WITH $kmeansCtes,\n" +
+        """csims AS (SELECT e.vec_id, c.centroid_id,
+        |    round(list_cosine_similarity(e.emb, c.cv), 6) AS csim
+        |  FROM e, cent2 c),
+        |probes AS MATERIALIZED (SELECT vec_id, centroid_id AS pbucket
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, centroid_id) AS prn FROM csims)
+        |  WHERE prn <= 2),
+        |xs AS (SELECT vec_id AS x_id, emb AS xv, bucket
+        |  FROM asg WHERE vec_id % 2 = 0),
+        |ys AS (SELECT vec_id AS y_id, emb AS yv, bucket
+        |  FROM asg WHERE vec_id % 2 = 1),
+        |cp AS MATERIALIZED (
+        |  SELECT p.vec_id AS x_id, y.y_id
+        |  FROM probes p JOIN ys y ON p.pbucket = y.bucket
+        |  WHERE p.vec_id % 2 = 0
+        |  UNION
+        |  SELECT x.x_id, p.vec_id AS y_id
+        |  FROM probes p JOIN xs x ON p.pbucket = x.bucket
+        |  WHERE p.vec_id % 2 = 1),
+        |s AS MATERIALIZED (SELECT cp.x_id, cp.y_id,
+        |    CAST(CAST(round(list_cosine_similarity(xs.xv, ys.yv), 6)
+        |         AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micro
+        |  FROM cp JOIN xs ON cp.x_id = xs.x_id
+        |  JOIN ys ON cp.y_id = ys.y_id),
+        |""".stripMargin + Similarity.bitextChainSql()),
+
+    // x141: the x6 replay with the label predicate applied to the
+    // candidate side BEFORE the probe (pre-filter semantics); label
+    // joins back from the raw table since the k-means CTEs carry only
+    // (vec_id, emb).
+    "x141_filtered_knn" ->
+      s"""WITH $kmeansCtes,
+         |cand AS (SELECT a.vec_id, a.emb, a.bucket, e2.label
+         |  FROM asg a JOIN embeddings e2 USING (vec_id)
+         |  WHERE e2.label IN (2, 5)),
+         |q AS (SELECT vec_id AS query_id, emb AS qv, bucket
+         |      FROM asg WHERE vec_id < 10),
+         |scored AS (SELECT query_id, a.bucket, a.vec_id AS cand_id,
+         |    a.label, round(list_cosine_similarity(qv, a.emb), 6) AS sim
+         |  FROM cand a JOIN q USING (bucket) WHERE a.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rn
+         |      FROM scored)
+         |SELECT query_id, bucket, cand_id, label, sim, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 3
+         |ORDER BY query_id, rn""".stripMargin,
 
     "x118_matryoshka" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

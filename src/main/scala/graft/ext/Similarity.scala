@@ -1015,6 +1015,52 @@ object Similarity {
   }
 
   /**
+   * x141 — FILTERED kNN (ES 8's `knn` query with a metadata `filter`,
+   * PRE-FILTER semantics): the metadata predicate constrains the
+   * candidate set BEFORE/within the bucket probe, so the search
+   * returns the top-k of the vectors that SATISFY the filter —
+   * post-filtering an unfiltered top-k instead loses recall whenever
+   * fewer than k of the unfiltered winners match (ES docs call this
+   * out explicitly; FilteredKnnSpec pins the recall gap on a planted
+   * selective filter). Plan shape: the label predicate sits directly
+   * on the candidate scan — it reaches the parquet reader as a pushed
+   * data filter (pinned in the spec), so at 100 TB the probe reads
+   * only pages that can match, THEN prunes to the query's bucket; the
+   * per-query cost is O(selectivity × N/C). Everything else is
+   * [[annIvf]] verbatim: shared k-means, zero-shuffle assignment,
+   * broadcast query probe, windowed top-k. Like ES's pre-filtered HNSW,
+   * a very selective filter can leave a bucket with < k matches — the
+   * entry returns what exists (deterministic; the oracle replays it).
+   */
+  def filteredKnn(spark: SparkSession, dir: String,
+      labels: Seq[Int] = Seq(2, 5), nCentroids: Int = 8,
+      nQueries: Int = 10, k: Int = 3, iterations: Int = 2): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = kmeansCentroids(emb, nCentroids, iterations)
+    val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
+      centroids)
+    val bucket = nc.getField("bucket").cast("long").as("bucket")
+    // PRE-filter: the predicate lands on the candidate scan itself
+    // (parquet-pushed), before any assignment or scoring work
+    val cands = emb.where(col("label").isin(labels: _*))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+        col("label"), bucket)
+    val queries = emb.where(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        bucket)
+    val scored = cands.join(broadcast(queries), "bucket")
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q"), col("c")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("bucket"), col("cand_id"),
+        col("label"), col("sim"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /**
    * x69 — HYBRID SEARCH via Reciprocal Rank Fusion (ES 8.x's `rrf`
    * retriever): the lexical BM25 ranking (x22's analyzed query) fused
    * with a dense-vector cosine ranking (query vector = embedding 0, the
@@ -1464,17 +1510,31 @@ object Similarity {
         col("vec_id") < lit(2L * MineCap))
       .select(col("vec_id").as("y_id"), col("embedding").as("yv"))
       .limit(MineCap)
-    val simMicro = (round(cosine(col("xv"), col("yv")), 6)
-      .cast(org.apache.spark.sql.types.DecimalType(10, 6)) * lit(1000000))
-      .cast("long")
     val sims = xs.crossJoin(ys)
-      .select(col("x_id"), col("y_id"), simMicro.as("sim_micro"))
+      .select(col("x_id"), col("y_id"), simMicroOf(col("xv"), col("yv")))
+    mineMutualBest(sims, k)
+  }
+
+  /** The frozen-6dp integer-micro cosine both bitext legs score with. */
+  private def simMicroOf(xv: Column, yv: Column): Column =
+    (round(cosine(xv, yv), 6)
+      .cast(org.apache.spark.sql.types.DecimalType(10, 6)) * lit(1000000))
+      .cast("long").as("sim_micro")
+
+  /** The margin + mutual-best stage shared by BOTH bitext-mining legs
+    * ([[bitextMine]]'s exact scores, [[bitextMineAnn]]'s probed scores):
+    * rank the scored (x_id, y_id, sim_micro) frame both ways, sum each
+    * side's top-k sims, clear the /2k margin to scaled BIGINT, keep the
+    * forward∩backward mutual bests. Everything downstream of the
+    * ONCE-materialized ranked frame is per-id bounded windows + one
+    * k-row-sum join per side — candidate-set-sized, never corpus². */
+  private def mineMutualBest(sims: DataFrame, k: Int): DataFrame = {
     val wX = Window.partitionBy(col("x_id"))
       .orderBy(col("sim_micro").desc, col("y_id"))
     val wY = Window.partitionBy(col("y_id"))
       .orderBy(col("sim_micro").desc, col("x_id"))
     // materialized ONCE: four downstream consumers (both k-sums, both
-    // argmax legs) would otherwise each recompute the quadratic leg
+    // argmax legs) would otherwise each recompute the scoring leg
     val ranked = sims
       .withColumn("rx", row_number().over(wX))
       .withColumn("ry", row_number().over(wY))
@@ -1504,6 +1564,86 @@ object Similarity {
       .orderBy(col("x_id"))
   }
 
+  /**
+   * x140 — ANN-LEGGED BITEXT MINING: [[bitextMine]]'s scale path made
+   * an executable entry. Both kNN legs swap for the bucketed IVF probe
+   * (the paper itself mines with FAISS indexes — Artetxe & Schwenk
+   * 2019 §5): vectors are assigned once to their nearest k-means
+   * centroid (the shared [[kmeansCentroids]] + zero-shuffle
+   * [[graft.functions.NearestCentroid]] pass from x6), and a pair is
+   * SCORED only when both sides share a bucket — one shuffled
+   * equi-join on the bucket id replaces the capped crossJoin, so the
+   * scored-pair count is Σ_b |X_b|·|Y_b| instead of |X|·|Y|. The
+   * margin and mutual-best stages are [[mineMutualBest]] VERBATIM over
+   * the probed candidate frame (the per-side top-k and margins are
+   * computed within the probe results, exactly how FAISS-legged mining
+   * scores its retrieved lists).
+   *
+   * Each side probes its `nProbe` nearest buckets (the FAISS `nprobe`
+   * recall knob, x23's construction): a pair is scored when y's bucket
+   * is among x's probes OR x's bucket is among y's — the union of the
+   * forward and backward retrieved lists, deduplicated BEFORE scoring
+   * so each pair's cosine runs once.
+   *
+   * Centroid count scales with the corpus — `max(8, N/250)`, the IVF
+   * C ≈ N/bucketTarget rule — so per-bucket work is bounded and total
+   * scoring stays LINEAR in N (the sf1 probe's contract; every fixture
+   * SF lands exactly at the floor of 8, which is what the static
+   * DuckDB oracle replays). At true corpus scale the Lloyd training
+   * pass runs on a sample (standard IVF practice); the assignment and
+   * probe passes here are already the at-scale shape. Recall loss vs
+   * the exact leg is pair-level, not correctness: ExtSpec pins the
+   * mined-pair agreement against [[bitextMine]] on the fixtures (the
+   * random near-orthogonal fixture vectors are the ADVERSARIAL case —
+   * real parallel sentences score high and co-bucket).
+   */
+  def bitextMineAnn(spark: SparkSession, dir: String, k: Int = 4,
+      bucketTarget: Int = 250, nProbe: Int = 2,
+      iterations: Int = 2): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nCentroids = math.max(8L, emb.count() / bucketTarget).toInt
+    val centroids = kmeansCentroids(emb, nCentroids, iterations)
+    val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
+      centroids)
+    val asg = emb.select(col("vec_id"), col("embedding"),
+      nc.getField("bucket").cast("long").as("bucket"))
+    // per-vector top-nProbe buckets (csim DESC, centroid_id ties) —
+    // rank 1 is the assignment bucket itself, so this strictly extends
+    // the single-probe candidate set
+    val wP = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = emb.select(col("vec_id"),
+        posexplode(graft.functions.NearestCentroid.sims(
+          col("embedding"), centroids)))
+      .withColumnRenamed("pos", "centroid_id")
+      .withColumnRenamed("col", "csim")
+      .withColumn("prn", row_number().over(wP))
+      .where(col("prn") <= nProbe)
+      .select(col("vec_id"), col("centroid_id").cast("long").as("pbucket"))
+    val xs = asg.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("embedding").as("xv"),
+        col("bucket"))
+    val ys = asg.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"),
+        col("bucket"))
+    val px = probes.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("x_id"), col("pbucket"))
+    val py = probes.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("y_id"), col("pbucket"))
+    val fwd = px.join(ys.select(col("y_id"), col("bucket")),
+        px("pbucket") === ys("bucket"))
+      .select(col("x_id"), col("y_id"))
+    val bwd = py.join(xs.select(col("x_id"), col("bucket")),
+        py("pbucket") === xs("bucket"))
+      .select(col("x_id"), col("y_id"))
+    val candPairs = fwd.union(bwd).distinct()
+    val sims = candPairs
+      .join(xs.select(col("x_id"), col("xv")), "x_id")
+      .join(ys.select(col("y_id"), col("yv")), "y_id")
+      .select(col("x_id"), col("y_id"), simMicroOf(col("xv"), col("yv")))
+    mineMutualBest(sims, k)
+  }
+
   /** x138's per-side truth-leg bound: the exact all-pairs leg runs only
     * below this (fixture/probe scale by construction); larger corpora
     * mine via the ANN legs. Plan-visible (GlobalLimit) to PlanGuard. */
@@ -1520,7 +1660,14 @@ object Similarity {
        |    CAST(CAST(round(list_cosine_similarity(xv, yv), 6)
        |         AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS sim_micro
        |  FROM xs, ys),
-       |r AS MATERIALIZED (SELECT *,
+       |""".stripMargin + bitextChainSql(k)
+
+  /** The margin + mutual-best CTE chain over a scored `s`
+    * (x_id, y_id, sim_micro) relation — [[mineMutualBest]] in SQL,
+    * shared by the x138 (exact `s`) and x140 (bucket-probed `s`)
+    * oracles so the two legs can never drift. */
+  private[ext] def bitextChainSql(k: Int = 4): String =
+    s"""r AS MATERIALIZED (SELECT *,
        |    row_number() OVER (PARTITION BY x_id
        |      ORDER BY sim_micro DESC, y_id) AS rx,
        |    row_number() OVER (PARTITION BY y_id

@@ -106,6 +106,76 @@ class ExtSpec extends SparkSpec {
       s"every forward best was mutual (${fwd.size}) — vacuous filter")
   }
 
+  test("ANN-legged bitext mining (x140): the multi-probe bucket legs " +
+      "agree with the exact truth leg on a majority of mined pairs, and " +
+      "the probe genuinely prunes (the legs differ at fixture scale)") {
+    val truth = Similarity.bitextMine(spark, sf)
+      .select(col("x_id"), col("y_id")).as[(Long, Long)].collect().toSet
+    val ann = Similarity.bitextMineAnn(spark, sf)
+      .select(col("x_id"), col("y_id")).as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty && ann.nonEmpty)
+    val overlap = truth.intersect(ann).size
+    // measured 61% (sf0.001) / 63% (sf0.01) on the ADVERSARIAL random
+    // near-orthogonal fixtures — real parallel sentences score high and
+    // co-bucket; the pinned floor is half the truth pairs
+    assert(overlap * 2 >= truth.size,
+      s"ANN-leg agreement $overlap of ${truth.size} truth pairs")
+    assert(ann != truth,
+      "bucket pruning changed no pair — the probe leg ran vacuously")
+  }
+
+  test("filtered kNN (x141): every hit satisfies the filter, the label " +
+      "predicate is PUSHED to the candidate parquet scan, and pre-filter " +
+      "recall vs exact filtered kNN beats post-filtering the unfiltered " +
+      "top-k (the ES recall argument, on a planted ~20% selectivity)") {
+    val labels = Set(2, 5); val k = 3
+    val df = Similarity.filteredKnn(spark, sf)
+    val got = df.select(col("query_id"), col("cand_id"), col("label"))
+      .as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => labels.contains(r._3)),
+      "a hit escaped the metadata filter")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("In(label, [2,5])"),
+      s"label predicate not pushed to the candidate scan:\n$scan")
+    // exact replay: per query, top-k by (round6 cosine DESC, cand_id)
+    val emb = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    def sim6(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      new java.math.BigDecimal(java.lang.Double.toString(
+          dot / math.sqrt(na) / math.sqrt(nb)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val queries = emb.filter(_._1 < 10)
+    def top(corpus: Seq[(Long, Seq[Float], Int)],
+        q: (Long, Seq[Float], Int)): Seq[(Long, Int)] =
+      corpus.filter(_._1 != q._1)
+        .map(c => (c._1, c._3, sim6(q._2, c._2)))
+        .sortBy(t => (-t._3, t._1)).take(k).map(t => (t._1, t._2))
+    val filtered = emb.filter(e => labels.contains(e._3))
+    val exactF = queries.map(q => q._1 -> top(filtered, q).map(_._1).toSet)
+      .toMap
+    val gotQ = got.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.map(_._2).toSet }
+    val den = exactF.valuesIterator.map(_.size).sum
+    val pre = queries.map(q =>
+      gotQ.getOrElse(q._1, Set.empty[Long]).intersect(exactF(q._1)).size).sum
+    // POST-filter comparison: exact unfiltered top-k, then filter
+    val post = queries.map { q =>
+      top(emb, q).filter(c => labels.contains(c._2)).map(_._1).toSet
+        .intersect(exactF(q._1)).size }.sum
+    // measured pre = 60% (sf0.001) / 73% (sf0.01), post = 20% at both
+    assert(pre * 2 >= den, s"pre-filter recall $pre/$den under the floor")
+    assert(pre > post,
+      s"pre-filter recall $pre must beat post-filter $post of $den")
+  }
+
   test("exact dedup: every doc annotated, canonical is group min") {
     val d = Dedup.exactDedup(spark, sf)
     assert(d.count() == 500)
