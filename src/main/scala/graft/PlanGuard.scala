@@ -75,8 +75,53 @@ object PlanGuard {
       case _ => None
     }
     structural ++ missedBroadcasts(df, physical) ++
-      unprunedPartitionedScans(physical)
+      unprunedPartitionedScans(physical) ++ duplicatedInterpreted(physical)
   }
+
+  /** Check 6: an EXPENSIVE interpreted expression subtree planned into
+    * two or more physical nodes of one query — the thrice-seen (x73 /
+    * x128 / x139) optimizer-duplication bug class. Higher-order
+    * functions never enter codegen, so a long derived chain re-planned
+    * per consumer multiplies a per-row interpreted loop by the branch
+    * count (x139 round 15: 53 s for 5000 fixture docs, clean janino
+    * stderr); the fix is always to materialize the small derived
+    * projection ONCE (localCheckpoint) before fanning out. Size-gated
+    * ([[MinInterpretedSize]] expression nodes) so a cheap reused lambda
+    * does not trip it; reference-deduplicated so a reused — genuinely
+    * computed-once — subquery or exchange subtree does not. */
+  private def duplicatedInterpreted(
+      physical: Seq[SparkPlan]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression,
+      HigherOrderFunction}
+    def exprSize(e: Expression): Int = 1 + e.children.map(exprSize).sum
+    // key on the canonicalized tree with exprIds STRIPPED: self-join
+    // deduplication re-aliases one branch's attributes, so the SAME
+    // duplicated chain carries different ids across the two join sides
+    // (the pre-fix x139 shape) — id-sensitive keys would miss it
+    def key(e: Expression): String =
+      e.canonicalized.toString.replaceAll("#\\d+", "#")
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    val perNode: Seq[Set[String]] = physical.filter(seen.add).map { p =>
+      p.expressions.flatMap(_.collect {
+        case h: HigherOrderFunction if exprSize(h) >= MinInterpretedSize =>
+          key(h)
+      }).toSet
+    }
+    perNode.flatten.groupBy(identity).collect {
+      case (k, hits) if hits.size >= 2 =>
+        s"interpreted higher-order subtree planned into ${hits.size} " +
+          s"plan nodes — materialize the derived column once: " +
+          k.take(160)
+    }.toSeq
+  }
+
+  /** Expression-node floor for check 6: below this an interpreted
+    * subtree duplicated across branches is noise, above it the per-row
+    * re-evaluation is the x139 defect. The x139 chain measured ~200
+    * nodes; the floor sits far under it and above every legitimate
+    * reused lambda in the query map (swept empty-allowlist). */
+  private val MinInterpretedSize = 20
 
   /** Check 5: a partitioned file scan with no partition filters, while a
     * filter elsewhere in the plan references its partition columns (by

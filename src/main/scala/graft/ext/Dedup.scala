@@ -238,12 +238,17 @@ object Dedup {
     val docs = Tables.load(spark, dir, "documents")
     val toks = split(col("text"), " ")
     val nsp = floor(size(toks) / lit(spanLen)).cast("int")
+    // materialized ONCE: the frequency aggregate and the join-back both
+    // consume the spanned frame — without this the interpreted span
+    // chain re-plans into both branches and the corpus is split+hashed
+    // twice (PlanGuard check 6, round 16)
     val spans = docs.select(col("doc_id"),
       explode(when(nsp >= 1,
         transform(sequence(lit(0), nsp - 1), i =>
           md5(concat_ws(" ", slice(toks, i * spanLen + 1, lit(spanLen)))
             .cast("binary"))))
         .otherwise(array().cast("array<string>"))).as("span_md5"))
+      .localCheckpoint()
     val spanDf = spans.groupBy(col("span_md5"))
       .agg(countDistinct(col("doc_id")).as("span_docs"))
     spans.join(spanDf, "span_md5")
@@ -1298,9 +1303,15 @@ object Dedup {
     * lines: array&lt;string&gt;) in. Split out so specs can plant
     * boilerplate corpora directly. */
   def lineDedupOn(lined: DataFrame, minDocs: Int): DataFrame = {
+    // materialized ONCE: the frequency aggregate and the reassembly
+    // join both consume this frame (the x73 diamond), and upstream
+    // `lined` may carry an interpreted line-generation chain (x127's
+    // fixture lining) that would otherwise re-plan into both branches
+    // — PlanGuard check 6 caught exactly that here (round 16)
     val exploded = lined
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
+      .localCheckpoint()
     val freq = exploded.groupBy(col("lh"))
       .agg(countDistinct(col("doc_id")).as("line_docs"))
     exploded.join(freq, "lh")

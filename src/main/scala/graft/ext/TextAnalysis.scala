@@ -1403,8 +1403,13 @@ object TextAnalysis {
         transform(sequence(lit(1), size(toks) - (n - 1)), i =>
           md5(concat_ws(" ", slice(toks, i, lit(n))).cast("binary"))))
         .otherwise(array().cast("array<string>"))).as("h"))
+    // the benchmark leg is MATERIALIZED once (benchmark-sized — the
+    // broadcast artifact): otherwise the interpreted span chain plans
+    // into both the test and train branches of the join (PlanGuard
+    // check 6), and a task retry would re-derive the registry
     val testSpans = spans.where(col("source") === testSource)
       .select(col("h")).distinct().withColumn("hit", lit(1))
+      .localCheckpoint()
     spans.where(col("source") =!= testSource)
       .join(broadcast(testSpans), Seq("h"), "left")
       .groupBy(col("doc_id"))
@@ -1483,8 +1488,12 @@ object TextAnalysis {
         expr(s"cast(conv(substring(h, 1, 8), 16, 10) as bigint) % $mBits"))
       .withColumn("p2",
         expr(s"cast(conv(substring(h, 9, 8), 16, 10) as bigint) % $mBits"))
+    // benchmark-sized, materialized once: feeds the bloom bit set AND
+    // the exact-verify join — un-materialized, the interpreted span
+    // chain re-plans into both legs (PlanGuard check 6)
     val test = spans.where(col("source") === testSource)
       .select(col("h")).distinct()
+      .localCheckpoint()
     val bloomBits = withPos(test)
       .select(explode(array(col("p1"), col("p2"))).as("p")).distinct()
     val probe = withPos(spans.where(col("source") =!= testSource)
@@ -1951,13 +1960,20 @@ object TextAnalysis {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
-    val c12 = bigrams.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val c2 = toks.groupBy(col("tok")).agg(count(lit(1)).as("c2"))
-    val n = toks.agg(count(lit(1)).as("n_total")) // 1-row scalar
+    // the per-doc postings are the ONE aggregate that touches the
+    // interpreted bigram chain; c12 and c1 derive from it by exact
+    // integer re-aggregation (sum of per-doc counts == corpus count),
+    // so the corpus is split+transformed ONCE instead of three times
+    // (PlanGuard check 6 caught the 3-way re-plan, round 16) — the
+    // standard materialize-the-postings index-build shape
     val perDoc = bigrams.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val c12 = perDoc.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("m")).as("c12"))
+    val c1 = perDoc.groupBy(col("w1")).agg(sum(col("m")).as("c1"))
+    val c2 = toks.groupBy(col("tok")).agg(count(lit(1)).as("c2"))
+    val n = toks.agg(count(lit(1)).as("n_total")) // 1-row scalar
     val p = lit(lambda) * (col("c12").cast("double") / col("c1")) +
       lit(1.0 - lambda) * (col("c2").cast("double") / col("n_total"))
     perDoc

@@ -86,6 +86,47 @@ class PlansSpec extends SparkSpec {
       "full scan falsely flagged")
   }
 
+  test("tripwire catches the duplicated-interpreted-subtree class (the " +
+      "pre-fix x139 shape: one HOF-derived column re-planned into both " +
+      "sides of a self-join), and a materialized fan-out passes") {
+    // a deliberately LONG interpreted chain (array filter + join over a
+    // derived split — the canonicalizeUrl shape, > 20 expression nodes)
+    val chain = array_join(filter(split(upper(concat($"source",
+        lit("?a=1&utm_x=2&b=3&utm_y=4&ref=z&c=5"), $"source", lit("#f"))),
+        "&"),
+      t => !t.startsWith("UTM_") && !t.startsWith("REF=") && t =!= ""),
+      "&")
+    val base = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source").withColumn("domain", chain)
+    // pre-fix x139: the registry leg derives `domain` from the same
+    // un-materialized frame the enforcement leg joins — the optimizer
+    // plans the chain into BOTH branches
+    val reg = base.select($"domain").distinct()
+      .where(length($"domain") % 4 === 0).limit(100)
+      .withColumn("opted_out", lit(1L))
+    // the aggregate CONSUMES the join output (coalesce over opted_out) —
+    // otherwise the optimizer eliminates the cardinality-preserving
+    // left join and there is no duplication left to catch
+    val joined = base.join(broadcast(reg), Seq("domain"), "left")
+      .groupBy($"source")
+      .agg(sum(coalesce($"opted_out", lit(0L))).as("n"))
+    assert(PlanGuard.violations(joined)
+      .exists(_.contains("interpreted higher-order subtree")),
+      "duplicated interpreted chain not caught; violations = " +
+        PlanGuard.violations(joined).mkString("; ") + "\nPLAN:\n" +
+        joined.queryExecution.executedPlan.toString)
+    // the FIX pattern: materialize the small derived projection once —
+    // both consumers read the checkpointed frame, no chain duplication
+    val mat = base.localCheckpoint()
+    val reg2 = mat.select($"domain").distinct()
+      .where(length($"domain") % 4 === 0).limit(100)
+    val fixed = mat.join(broadcast(reg2), Seq("domain"), "left")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    assert(!PlanGuard.violations(fixed)
+      .exists(_.contains("interpreted higher-order subtree")),
+      "materialized fan-out falsely flagged")
+  }
+
   /** Adjudicated exceptions: entry -> substrings of violations that are
     * deliberate. Keep justifications here, next to the waiver. */
   private val allow: Map[String, Seq[String]] = Map(
