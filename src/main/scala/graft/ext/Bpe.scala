@@ -513,12 +513,107 @@ object Bpe {
     * bounded). */
   private[ext] val UniEmRounds = 3
 
+  /**
+   * x142 — SUBWORD REGULARIZATION n-best segmentation (Kudo 2018 §4,
+   * the paper's deployment trick): training-time tokenization samples
+   * among each word's top-n segmentations under the TRAINED unigram
+   * model rather than always applying the 1-best Viterbi path —
+   * segmentation diversity is the regularizer. This entry materializes
+   * the deterministic n-best LIST per word TYPE under the x137-trained
+   * vocabulary (the sampled pick is a downstream md5-keyed choice, the
+   * x36/x79 pattern — the list is the reusable artifact).
+   *
+   * Pipeline: [[unigramEm]] trains exactly as x137 (same rounds, same
+   * vocabulary — the collected (piece, w_nano) table is the bounded
+   * training-artifact sync); the n-best DP is one map-side pass of the
+   * native [[graft.functions.UnigramNbest]] over the word-TYPE table
+   * (corpus touched once; text never re-segmented per occurrence).
+   * Order contract: (score_nano DESC, pieces ASC) — a total integer +
+   * ASCII order both engines share; rank is the 1-based position.
+   */
+  def unigramNbest(spark: SparkSession, dir: String, nBest: Int = 3,
+      rounds: Int = UniEmRounds): DataFrame = {
+    val vocab = unigramEm(spark, dir, rounds)
+      .select(col("piece"), col("w_nano"))
+      .orderBy(col("piece"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val types = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+    types
+      .select(col("word"), col("n_occ"),
+        posexplode(graft.functions.UnigramNbest.nbest(
+          col("word"), vocab, nBest)))
+      .select(col("word"), col("n_occ"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.pieces").as("pieces"),
+        col("col.n_pieces").as("n_pieces"),
+        col("col.score_nano").as("score_nano"))
+      .orderBy(col("word"), col("rank"))
+  }
+
+  /** x142's oracle: the FULL x137 training replay ([[emCtes]]) and then
+    * an n-best DP chain over the trained weights — like [[dpChainSql]]
+    * but keeping the top `nBest` partials per (word, position) under
+    * (score DESC, path ASC), the extension-invariant total order the
+    * native expression pins. */
+  private[ext] def unigramNbestOracle(nBest: Int = 3,
+      rounds: Int = UniEmRounds): String = {
+    val p = "nb"
+    val wCte = s"w$rounds"
+    val dps = (1 to UniMaxWord).map { j =>
+      val legs = (1 to math.min(UniMaxPiece, j)).map { k =>
+        s"""SELECT d.word, d.n_occ,
+           |      d.score + w.w_nano AS score,
+           |      CASE WHEN d.path = '' THEN w.piece
+           |           ELSE d.path || '|' || w.piece END AS path
+           |    FROM $p${j - k} d
+           |    JOIN $wCte w ON w.piece = substr(d.word, ${j - k + 1}, $k)
+           |    WHERE length(d.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      s"""$p$j AS MATERIALIZED (
+         |  SELECT word, n_occ, score, path FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word
+         |        ORDER BY score DESC, path) AS rn FROM (
+         |    $legs))
+         |  WHERE rn <= $nBest)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to UniMaxWord).map(j =>
+      s"SELECT word, n_occ, score, path FROM $p$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL ")
+    s"WITH ${emCtes(rounds)},\n" +
+      s"""${p}0 AS (SELECT word, n_occ, CAST(0 AS BIGINT) AS score,
+         |        '' AS path FROM types),
+         |$dps,
+         |fin AS (
+         |  $finals)
+         |SELECT word, n_occ, CAST(rank AS INT) AS rank, path AS pieces,
+         |  CAST(length(path) - length(replace(path, '|', '')) + 1 AS INT)
+         |    AS n_pieces,
+         |  CAST(score AS BIGINT) AS score_nano
+         |FROM (SELECT *, row_number() OVER (PARTITION BY word
+         |        ORDER BY score DESC, path) AS rank FROM fin)
+         |WHERE rank <= $nBest
+         |ORDER BY word, rank""".stripMargin
+  }
+
   /** x137's oracle: [[baseVocabCtes]] then [[UniEmRounds]] generated
     * rounds — each a [[dpChainSql]] Viterbi chain under the previous
     * round's weights, the piece-count aggregate, the alphabet floor,
     * the (count DESC, piece) prune to m − m//4 multis, and the
     * re-weight — finishing with the final vocabulary. */
   private[ext] def unigramEmOracle(rounds: Int = UniEmRounds): String = {
+    s"WITH ${emCtes(rounds)}\n" +
+      s"""SELECT v.piece, CAST(v.freq AS BIGINT) AS freq, w.w_nano
+         |FROM vocab$rounds v JOIN w$rounds w ON v.piece = w.piece
+         |ORDER BY v.piece""".stripMargin
+  }
+
+  /** The x137 training replay as CTE text (shared by the x137 and x142
+    * oracles): [[baseVocabCtes]] + `rounds` generated EM rounds, ending
+    * with `vocab$rounds` / `w$rounds`. */
+  private def emCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val dp = dpChainSql(s"r${r}dp", s"w${r - 1}")
       s"""$dp,
@@ -546,9 +641,6 @@ object Bpe {
          |    ${s9Sql("freq")} - ${s9Sql("total")} AS w_nano
          |  FROM vocab$r, tot$r)""".stripMargin
     }.mkString(",\n")
-    s"WITH $baseVocabCtes,\n$roundCtes\n" +
-      s"""SELECT v.piece, CAST(v.freq AS BIGINT) AS freq, w.w_nano
-         |FROM vocab$rounds v JOIN w$rounds w ON v.piece = w.piece
-         |ORDER BY v.piece""".stripMargin
+    s"$baseVocabCtes,\n$roundCtes"
   }
 }

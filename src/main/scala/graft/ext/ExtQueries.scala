@@ -426,6 +426,11 @@ object ExtQueries {
     // bucket probe and reaches the parquet scan as a pushed filter.
     "x141_filtered_knn" -> ((s: SparkSession, d: String) =>
       Similarity.filteredKnn(s, d)),
+    // x142: subword-regularization n-best segmentation (Kudo 2018 §4)
+    // — top-3 segmentations per word TYPE under the x137-trained
+    // unigram vocab, native n-best DP, (score DESC, path ASC) order.
+    "x142_unigram_nbest" -> ((s: SparkSession, d: String) =>
+      Bpe.unigramNbest(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -1923,6 +1928,11 @@ object ExtQueries {
     // x137: the K EM rounds replayed as generated MATERIALIZED Viterbi
     // DP chains, one per round against that round's weight CTE.
     "x137_unigram_em" -> Bpe.unigramEmOracle(),
+
+    // x142: the x137 training replay (shared emCtes) + an n-best DP
+    // chain over the trained weights, top-3 per (word, position) under
+    // the extension-invariant (score DESC, path ASC) total order.
+    "x142_unigram_nbest" -> Bpe.unigramNbestOracle(),
 
     // x101: both field legs are the pinned x22 BM25 oracle over derived
     // field relations; best_fields fuses by greatest + doc_id tiebreak

@@ -106,6 +106,37 @@ class ExtSpec extends SparkSpec {
       s"every forward best was mutual (${fwd.size}) — vacuous filter")
   }
 
+  test("n-best segmentation (x142): a word's n-best list replays " +
+      "driver-side by EXHAUSTIVE enumeration of its segmentations under " +
+      "the trained vocab — same scores, same (score DESC, path ASC) " +
+      "order — and the list genuinely holds alternatives") {
+    val vocab = Bpe.unigramEm(spark, sf)
+      .select(col("piece"), col("w_nano"))
+      .as[(String, Long)].collect().toMap
+    val got = Bpe.unigramNbest(spark, sf)
+      .select(col("word"), col("rank"), col("pieces"), col("score_nano"))
+      .as[(String, Int, String, Long)].collect()
+    // the word with the most returned alternatives (ties: lexicographic)
+    val word = got.groupBy(_._1).toSeq
+      .sortBy { case (w, rs) => (-rs.length, w) }.head._1
+    def segs(w: String): Seq[(Long, String)] =
+      if (w.isEmpty) Seq((0L, ""))
+      else (1 to math.min(4, w.length)).flatMap { k =>
+        val piece = w.substring(0, k)
+        vocab.get(piece).toSeq.flatMap(wt =>
+          segs(w.substring(k)).map { case (s, p) =>
+            (s + wt, if (p.isEmpty) piece else piece + "|" + p) })
+      }
+    val want = segs(word)
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .take(3)
+    val gotW = got.filter(_._1 == word).sortBy(_._2)
+      .map(r => (r._4, r._3)).toSeq
+    assert(gotW == want, s"n-best mismatch for '$word'")
+    assert(want.size >= 2,
+      s"'$word' admits one segmentation — the n-best list is vacuous")
+  }
+
   test("ANN-legged bitext mining (x140): the multi-probe bucket legs " +
       "agree with the exact truth leg on a majority of mined pairs, and " +
       "the probe genuinely prunes (the legs differ at fixture scale)") {
