@@ -143,7 +143,8 @@ object Bench {
     "x136_unigram_drift",
     "kq110_geo_polygon", "kq111_polygon_fence", "x139_optout_filter",
     "x137_unigram_em", "x138_bitext_mine", "kq112_stream_pipeline",
-    "x140_bitext_ann", "x141_filtered_knn", "x142_unigram_nbest")
+    "x140_bitext_ann", "x141_filtered_knn", "x142_unigram_nbest",
+    "x143_linear_fusion")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

@@ -431,6 +431,11 @@ object ExtQueries {
     // unigram vocab, native n-best DP, (score DESC, path ASC) order.
     "x142_unigram_nbest" -> ((s: SparkSession, d: String) =>
       Bpe.unigramNbest(s, d)),
+    // x143: ES 8.16 `linear` retriever — min-max-normalized weighted
+    // score fusion of the BM25 and dense legs, all-integer (micro
+    // freeze -> ppm floor division -> integer weights).
+    "x143_linear_fusion" -> ((s: SparkSession, d: String) =>
+      Similarity.linearFusion(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -1035,6 +1040,52 @@ object ExtQueries {
        |rr AS (SELECT *, CAST(row_number() OVER (
        |         ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fused)
        |SELECT doc_id, r_lex, r_vec, rrf, rank FROM rr WHERE rank <= 10
+       |ORDER BY rank""".stripMargin
+
+  /** x143's oracle: the pinned BM25 oracle as the lexical leg and the
+    * x69 cosine top-depth as the dense leg, each frozen to int64 micro
+    * units, min-max normalized by positive-numerator floor division to
+    * ppm, fused with integer weights 3/7 — every comparison integer. */
+  private lazy val linearFusionSql: String =
+    s"""WITH lexr AS (SELECT doc_id, score
+       |              FROM (${bm25OracleSql(Seq("spark", "query", "stream"),
+                               20).replace("\n", "\n               ")}) t),
+       |lex AS (SELECT doc_id,
+       |    CAST(CAST(score AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS s_lex
+       |  FROM lexr),
+       |v AS (SELECT e.vec_id AS doc_id,
+       |        round(${cosSql("q0.qv", "e.embedding")}, 6) AS sim
+       |      FROM (SELECT embedding AS qv FROM embeddings
+       |            WHERE vec_id = 0) q0,
+       |           embeddings e WHERE e.vec_id <> 0),
+       |vt AS (SELECT doc_id,
+       |    CAST(CAST(sim AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS s_vec
+       |  FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, doc_id)
+       |          AS rn FROM v)
+       |  WHERE rn <= 20),
+       |mml AS (SELECT min(s_lex) AS mn, max(s_lex) AS mx FROM lex),
+       |nl AS (SELECT doc_id, s_lex,
+       |    CASE WHEN mx = mn THEN CAST(1000000 AS BIGINT)
+       |         ELSE ((s_lex - mn) * 1000000) // (mx - mn) END
+       |      AS n_lex_ppm
+       |  FROM lex, mml),
+       |mmv AS (SELECT min(s_vec) AS mn, max(s_vec) AS mx FROM vt),
+       |nv AS (SELECT doc_id, s_vec,
+       |    CASE WHEN mx = mn THEN CAST(1000000 AS BIGINT)
+       |         ELSE ((s_vec - mn) * 1000000) // (mx - mn) END
+       |      AS n_vec_ppm
+       |  FROM vt, mmv),
+       |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    l.s_lex, v.s_vec, l.n_lex_ppm, v.n_vec_ppm,
+       |    3 * COALESCE(l.n_lex_ppm, 0) + 7 * COALESCE(v.n_vec_ppm, 0)
+       |      AS fused_scaled
+       |  FROM nl l FULL OUTER JOIN nv v ON l.doc_id = v.doc_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        ORDER BY fused_scaled DESC, doc_id) AS INT) AS rank
+       |      FROM fused)
+       |SELECT doc_id, s_lex, s_vec, n_lex_ppm, n_vec_ppm,
+       |  CAST(fused_scaled AS BIGINT) AS fused_scaled, rank
+       |FROM r WHERE rank <= 10
        |ORDER BY rank""".stripMargin
 
   /** Query terms of the x22 BM25 fixture query (shared with its oracle). */
@@ -1871,6 +1922,7 @@ object ExtQueries {
     "x63_ann_index_probe" -> annIvfStoredSql,
     "x68_ann_index_append" -> annIndexAppendSql,
     "x69_hybrid_rrf" -> hybridRrfSql,
+    "x143_linear_fusion" -> linearFusionSql,
     // x64: the segment-append oracle (see indexAppendSql).
     "x64_dedup_index_append" -> indexAppendSql,
 

@@ -1114,6 +1114,71 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /**
+   * x143 — WEIGHTED LINEAR retriever fusion (ES 8.16's `linear`
+   * retriever, the score-based sibling of x69's rank-only RRF): each
+   * leg's retrieved page is MIN-MAX normalized to [0, 1] over that
+   * page and the fused score is the weighted sum
+   * `w_lex·norm_lex + w_vec·norm_vec`; docs missing from a leg
+   * contribute 0 for it (retrieved-lists semantics, as x69).
+   *
+   * Exactness (the x101 rule): each leg's 6dp score freezes ONCE to
+   * int64 micro-units; min-max normalization is a POSITIVE-numerator
+   * floor division to exact ppm (s ≥ min by construction, so Spark
+   * `div` and DuckDB `//` agree); fusion combines ppm units with
+   * INTEGER weights (3/7 ≙ 0.3/0.7 scaled by 10). No derived double is
+   * re-rounded anywhere, so the (fused DESC, doc_id) order is total
+   * and engine-free. An all-equal page normalizes to 1e6 — every
+   * member IS the max (the minmax degenerate edge, mirrored in the
+   * oracle).
+   *
+   * Scale: both legs keep their pinned shapes (postings-pruned BM25
+   * aggregate; broadcast query × corpus scan with TakeOrdered
+   * top-depth — the corpus side swaps to the IVF probe unchanged);
+   * normalization is one 1-row min/max attach per leg and the fusion
+   * is a full-outer join of two ≤depth-row frames. Driver-free.
+   */
+  def linearFusion(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "query", "stream"),
+      depth: Int = 20, k: Int = 10, wLex: Int = 3,
+      wVec: Int = 7): DataFrame = {
+    def micro(c: Column): Column =
+      (c.cast("decimal(10,6)") * 1000000).cast("long")
+    val lex = graft.ext.TextAnalysis.bm25(
+        Tables.load(spark, dir, "documents"), "doc_id", "text", terms,
+        depth)
+      .select(col("doc_id"), micro(col("score")).as("s_lex"))
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q0 = emb.where(col("vec_id") === 0).limit(1)
+      .select(col("embedding").as("qv"))
+    val vec = emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 6))
+      .orderBy(col("sim").desc, col("vec_id")).limit(depth)
+      .select(col("vec_id").as("doc_id"), micro(col("sim")).as("s_vec"))
+    def normPpm(df: DataFrame, s: String, out: String): DataFrame = {
+      val mm = df.agg(min(col(s)).as("mn"), max(col(s)).as("mx"))
+      df.crossJoin(broadcast(mm))
+        .withColumn(out, when(col("mx") === col("mn"), lit(1000000L))
+          .otherwise(expr(s"(($s - mn) * 1000000L) div (mx - mn)")))
+        .drop("mn", "mx")
+    }
+    val nl = normPpm(lex, "s_lex", "n_lex_ppm")
+    val nv = normPpm(vec, "s_vec", "n_vec_ppm")
+    val fused = nl.join(nv, Seq("doc_id"), "full_outer")
+      .withColumn("fused_scaled",
+        lit(wLex.toLong) * coalesce(col("n_lex_ppm"), lit(0L)) +
+          lit(wVec.toLong) * coalesce(col("n_vec_ppm"), lit(0L)))
+    fused.orderBy(col("fused_scaled").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("fused_scaled") - col("fused_scaled"))
+          .orderBy(col("fused_scaled").desc, col("doc_id"))))
+      .select(col("doc_id"), col("s_lex"), col("s_vec"),
+        col("n_lex_ppm"), col("n_vec_ppm"), col("fused_scaled"),
+        col("rank"))
+      .orderBy(col("rank"))
+  }
+
   /** Squared-L2 distance between a slice of `emb` (positions
     * `off until off + cv.length`) and the LITERAL centroid `cv`, as a
     * fixed left-to-right codegen'd sum — the oracle's `list_reduce`
