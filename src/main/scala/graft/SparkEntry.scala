@@ -1575,6 +1575,11 @@ object SparkEntry {
     // frozen CONCAVE polygon, exact BIGINT cross-products (edge-sign
     // folded at generation time), map-only predicate in the scan
     "kq110_geo_polygon" -> ((s, dir) => graft.query.Geo.geoPolygon(s, dir)),
+    // kq113: geo_shape MULTIPOLYGON with a hole ring + a disjoint second
+    // outer — even-odd over the union of rings (hole support is free:
+    // inside-the-hole crosses two rings, even total -> outside)
+    "kq113_geo_multipolygon" ->
+      ((s, dir) => graft.query.Geo.geoMultiPolygon(s, dir)),
 
     // ---- ES top_metrics: the metric VALUE AT the latest sort tuple ----
     // ---- per bucket (not an aggregate of it) — "what was the last -----
@@ -3441,6 +3446,7 @@ object SparkEntry {
     // kq110: the identical generated even-odd fragment (pure integer
     // comparisons + cross-products) runs verbatim in both engines.
     "kq110_geo_polygon" -> graft.query.Geo.geoPolygonOracle,
+    "kq113_geo_multipolygon" -> graft.query.Geo.geoMultiPolygonOracle,
 
     "kq108_ip_prefix" ->
       """WITH ips AS (

@@ -261,9 +261,15 @@ object Geo {
     * cross-products, no doubles, no libm — the kq107 literal
     * discipline. |coord diff| ≤ 3.6e8 and |dy| ≤ 2.5e7 keep every
     * product < 1e16, far inside int64 on both engines. */
-  private[graft] def polygonInsideSql: String = {
-    val edges = Polygon.zip(Polygon.tail :+ Polygon.head)
-    val terms = edges.flatMap { case ((x1, y1), (x2, y2)) =>
+  private[graft] def polygonInsideSql: String =
+    ringTerms(Polygon).mkString("((", " + ", ") % 2 = 1)")
+
+  /** One ring's crossing-count terms (the generated fragment shared by
+    * the single-ring [[polygonInsideSql]] and the multi-ring
+    * [[multiPolygonInsideSql]]). */
+  private def ringTerms(ring: Seq[(Long, Long)]): Seq[String] = {
+    val edges = ring.zip(ring.tail :+ ring.head)
+    edges.flatMap { case ((x1, y1), (x2, y2)) =>
       if (y1 == y2) None // horizontal edge: never a half-open crossing
       else {
         val dy = y2 - y1
@@ -274,8 +280,50 @@ object Geo {
           "THEN 1 ELSE 0 END)")
       }
     }
-    terms.mkString("((", " + ", ") % 2 = 1)")
   }
+
+  /** The frozen MULTIPOLYGON-with-hole (GeoJSON `MultiPolygon`
+    * semantics, ES `geo_shape`): ring 1 is [[Polygon]] (the kq110
+    * concave outer), ring 2 a HOLE fully inside it (below the notch),
+    * ring 3 a disjoint second outer east of ring 1. The even-odd rule
+    * needs NO ring-role bookkeeping — crossings over the union of all
+    * rings are odd exactly inside (outer₁ \\ hole) ∪ outer₂: a point in
+    * the hole crosses both ring 1 and ring 2 an odd number of times
+    * (even total → outside), a point in outer₂ crosses only ring 3 —
+    * which is why hole support is free once the ray caster sums rings. */
+  private[graft] val MultiPolygon: Seq[Seq[(Long, Long)]] = Seq(
+    Polygon,
+    Seq( // hole inside Polygon, fully below the concave notch
+      (-5000000L, 40000000L), (5000000L, 40000000L),
+      (5000000L, 45000000L), (-5000000L, 45000000L)),
+    Seq( // disjoint second outer: a triangle east of Polygon
+      (30000000L, 20000000L), (38000000L, 20000000L),
+      (34000000L, 30000000L)))
+
+  /** Even-odd over the UNION of [[MultiPolygon]]'s rings — the same
+    * generation-time sign-folded integer rule as [[polygonInsideSql]],
+    * one summed crossing count. */
+  private[graft] def multiPolygonInsideSql: String =
+    MultiPolygon.flatMap(ringTerms).mkString("((", " + ", ") % 2 = 1)")
+
+  /** kq113 — ES `geo_shape` MULTIPOLYGON-with-hole filter: customers
+    * whose derived point falls inside [[MultiPolygon]] (outer₁ minus
+    * its hole, plus the disjoint outer₂) by the even-odd rule over the
+    * union of rings. Same plan shape as kq110: one per-row integer
+    * predicate, map-only, codegen'd — hole rings and extra polygons
+    * only lengthen the crossing sum, they add no join, no shuffle, no
+    * doubles. */
+  def geoMultiPolygon(spark: SparkSession, dir: String): DataFrame =
+    geoPoints(spark, dir)
+      .where(expr(multiPolygonInsideSql))
+      .select(col("c_custkey"), col("lat_u"), col("lon_u"))
+      .orderBy(col("c_custkey"))
+
+  def geoMultiPolygonOracle: String =
+    s"""WITH $geoCte
+       |SELECT c_custkey, lat_u, lon_u FROM geo
+       |WHERE $multiPolygonInsideSql
+       |ORDER BY c_custkey""".stripMargin
 
   /** kq110 — ES `geo_shape` polygon filter: the customers whose derived
     * point falls inside [[Polygon]] by the even-odd rule. The predicate

@@ -123,6 +123,88 @@ object GeoProps extends Properties("geotile") {
       }
     }
 
+  // ---- kq113: multipolygon-with-hole even-odd over the ring union ----
+
+  private val rings = graft.query.Geo.MultiPolygon
+
+  /** Exact-integer replay of the multi-ring rule: crossings summed over
+    * the UNION of rings, odd == inside. */
+  private def insideExactMulti(lon: Long, lat: Long): Boolean =
+    rings.map { r =>
+      r.zip(r.tail :+ r.head).count { case ((x1, y1), (x2, y2)) =>
+        y1 != y2 && ((y1 > lat) != (y2 > lat)) && {
+          val lhs = BigInt(lon - x1) * BigInt(y2 - y1)
+          val rhs = BigInt(lat - y1) * BigInt(x2 - x1)
+          if (y2 > y1) lhs < rhs else lhs > rhs
+        }
+      }
+    }.sum % 2 == 1
+
+  private val multiLatGen: Gen[Long] = Gen.frequency(
+    4 -> Gen.choose(30000000L, 65000000L), // around outer 1
+    2 -> Gen.choose(38000000L, 47000000L), // around the hole
+    2 -> Gen.choose(15000000L, 35000000L), // around the triangle
+    1 -> Gen.choose(-90000000L, 90000000L),
+    1 -> Gen.oneOf(rings.flatMap(_.map(_._2))))
+  private val multiLonGen: Gen[Long] = Gen.frequency(
+    4 -> Gen.choose(-15000000L, 30000000L),
+    2 -> Gen.choose(-7000000L, 7000000L),
+    2 -> Gen.choose(28000000L, 40000000L),
+    1 -> Gen.choose(-180000000L, 180000000L),
+    1 -> Gen.oneOf(rings.flatMap(_.map(_._1))))
+
+  property("multipolygon inside == exact-integer replay everywhere, " +
+      "and the shape == (outer1 XOR hole) OR outer2 by ring algebra") =
+    Prop.forAll(Gen.listOfN(60,
+        Gen.zip(multiLatGen, multiLonGen))) { pts =>
+      import spark.implicits._
+      val got = pts.toDF("lat_u", "lon_u")
+        .withColumn("inside",
+          org.apache.spark.sql.functions.expr(
+            graft.query.Geo.multiPolygonInsideSql))
+        .select($"lat_u", $"lon_u", $"inside")
+        .as[(Long, Long, Boolean)].collect()
+      def ringOdd(r: Seq[(Long, Long)], lon: Long, lat: Long): Boolean =
+        r.zip(r.tail :+ r.head).count { case ((x1, y1), (x2, y2)) =>
+          y1 != y2 && ((y1 > lat) != (y2 > lat)) && {
+            val lhs = BigInt(lon - x1) * BigInt(y2 - y1)
+            val rhs = BigInt(lat - y1) * BigInt(x2 - x1)
+            if (y2 > y1) lhs < rhs else lhs > rhs
+          }
+        } % 2 == 1
+      got.forall { case (la, lo, in) =>
+        in == insideExactMulti(lo, la) &&
+          in == ((ringOdd(rings(0), lo, la) ^ ringOdd(rings(1), lo, la))
+            ^ ringOdd(rings(2), lo, la))
+      }
+    }
+
+  property("multipolygon knife edges pinned: the hole carves its west / " +
+      "south edges out and leaves its east / north edges in; the second " +
+      "outer classifies like a polygon; between-shapes is out") = {
+    import spark.implicits._
+    // (lon_u, lat_u, expected) — hand-derived from the half-open rule
+    val pins: Seq[(Long, Long, Boolean)] = Seq(
+      (0L, 42000000L, false),        // hole interior: carved out
+      (-5000000L, 42000000L, false), // hole WEST edge: in hole -> out
+      (5000000L, 42000000L, true),   // hole EAST edge: in shape
+      (0L, 40000000L, false),        // hole SOUTH edge: in hole -> out
+      (0L, 45000000L, true),         // hole NORTH edge: in shape
+      (0L, 47000000L, true),         // between hole top and the notch
+      (30000000L, 20000000L, true),  // triangle SW vertex: in
+      (34000000L, 23000000L, true),  // triangle interior: in
+      (34000000L, 30000000L, false), // triangle apex: out (top excl.)
+      (27000000L, 40000000L, false)) // between the two outers: out
+    val got = pins.map(p => (p._2, p._1)).toDF("lat_u", "lon_u")
+      .withColumn("inside", org.apache.spark.sql.functions.expr(
+        graft.query.Geo.multiPolygonInsideSql))
+      .select($"lon_u", $"lat_u", $"inside")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    Prop(pins.forall { case (lo, la, want) =>
+      insideExactMulti(lo, la) == want && got.contains((lo, la, want))
+    }) :| s"got: $got"
+  }
+
   property("polygon knife edges pinned: vertices, horizontal / vertical " +
       "edges, and the concave notch classify by the half-open rule") = {
     import spark.implicits._
