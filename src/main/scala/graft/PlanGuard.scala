@@ -97,9 +97,16 @@ object PlanGuard {
     // key on the canonicalized tree with exprIds STRIPPED: self-join
     // deduplication re-aliases one branch's attributes, so the SAME
     // duplicated chain carries different ids across the two join sides
-    // (the pre-fix x139 shape) — id-sensitive keys would miss it
-    def key(e: Expression): String =
-      e.canonicalized.toString.replaceAll("#\\d+", "#")
+    // (the pre-fix x139 shape) — id-sensitive keys would miss it.
+    // .sql (not .toString): toString prints array/struct LITERALS by
+    // object identity (UnsafeArrayData@…), so two copies of one chain
+    // only matched when the optimizer happened to share the literal
+    // instance — the x137 flag flickered across runs on exactly this.
+    def key(e: Expression): String = {
+      val c = e.canonicalized
+      (try c.sql catch { case _: Throwable => c.toString })
+        .replaceAll("#\\d+", "#")
+    }
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     val perNode: Seq[Set[String]] = physical.filter(seen.add).map { p =>

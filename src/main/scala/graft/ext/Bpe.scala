@@ -287,7 +287,11 @@ object Bpe {
            |               p -> substring(word, p, l)),
            |     CAST(array() AS ARRAY<STRING>))))""".stripMargin))
         .as("piece"))
+    // vocab-bounded and consumed by BOTH the singles and multis branch
+    // — materialized once so the interpreted substring-explosion chain
+    // is not re-planned per branch (PlanGuard check 6, round 16)
     val freq = cand.groupBy(col("piece")).agg(sum(col("n_occ")).as("freq"))
+      .localCheckpoint()
     val multi = freq.where(length(col("piece")) >= 2)
       .orderBy(col("freq").desc, col("piece")).limit(UniTopPieces)
     val chosen = freq.where(length(col("piece")) === 1)
@@ -447,7 +451,9 @@ object Bpe {
            |               p -> substring(word, p, l)),
            |     CAST(array() AS ARRAY<STRING>))))""".stripMargin))
         .as("piece"))
+    // same freq-diamond as x99: materialized once (vocab-bounded)
     val freq = cand.groupBy(col("piece")).agg(sum(col("n_occ")).as("freq"))
+      .localCheckpoint()
     val singles0 = freq.where(length(col("piece")) === 1)
     val multi0 = freq.where(length(col("piece")) >= 2)
       .orderBy(col("freq").desc, col("piece")).limit(UniTopPieces)
