@@ -144,7 +144,8 @@ object Bench {
     "kq110_geo_polygon", "kq111_polygon_fence", "x139_optout_filter",
     "x137_unigram_em", "x138_bitext_mine", "kq112_stream_pipeline",
     "x140_bitext_ann", "x141_filtered_knn", "x142_unigram_nbest",
-    "x143_linear_fusion", "kq113_geo_multipolygon")
+    "x143_linear_fusion", "kq113_geo_multipolygon",
+    "x144_retriever_tree")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

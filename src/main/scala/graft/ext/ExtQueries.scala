@@ -436,6 +436,11 @@ object ExtQueries {
     // freeze -> ppm floor division -> integer weights).
     "x143_linear_fusion" -> ((s: SparkSession, d: String) =>
       Similarity.linearFusion(s, d)),
+    // x144: composed retriever TREE (ES 8.14+ nestable retrievers) —
+    // rrf over [the x143 linear node, a label-filtered dense knn leg];
+    // ranks-only at the rrf boundary, so the legs compose arbitrarily.
+    "x144_retriever_tree" -> ((s: SparkSession, d: String) =>
+      Similarity.retrieverTree(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -1086,6 +1091,34 @@ object ExtQueries {
        |SELECT doc_id, s_lex, s_vec, n_lex_ppm, n_vec_ppm,
        |  CAST(fused_scaled AS BIGINT) AS fused_scaled, rank
        |FROM r WHERE rank <= 10
+       |ORDER BY rank""".stripMargin
+
+  /** x144's oracle: the WHOLE x143 oracle nested as the `linear` leg
+    * (the retriever-tree composition is literal — a retriever's oracle
+    * is a subquery of its parent's), the label-filtered dense top-20 as
+    * the `knn(filter)` leg, fused by rank-only RRF exactly as x69. */
+  private lazy val retrieverTreeSql: String =
+    s"""WITH lin AS (SELECT doc_id, rank AS r_lin
+       |             FROM (${linearFusionSql
+                              .replace("\n", "\n               ")}) t),
+       |fv AS (SELECT e.vec_id AS doc_id,
+       |        round(${cosSql("q0.qv", "e.embedding")}, 6) AS sim
+       |      FROM (SELECT embedding AS qv FROM embeddings
+       |            WHERE vec_id = 0) q0,
+       |           embeddings e
+       |      WHERE e.vec_id <> 0 AND e.label IN (2, 5)),
+       |fr AS (SELECT doc_id, CAST(row_number() OVER (
+       |         ORDER BY sim DESC, doc_id) AS INT) AS r_fknn FROM fv),
+       |fk AS (SELECT doc_id, r_fknn FROM fr WHERE r_fknn <= 20),
+       |fused AS (SELECT COALESCE(l.doc_id, fk.doc_id) AS doc_id,
+       |    l.r_lin, fk.r_fknn,
+       |    round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lin), 0)
+       |        + COALESCE(CAST(1 AS DOUBLE) / (60 + fk.r_fknn), 0), 6)
+       |      AS rrf
+       |  FROM lin l FULL OUTER JOIN fk ON l.doc_id = fk.doc_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fused)
+       |SELECT doc_id, r_lin, r_fknn, rrf, rank FROM r WHERE rank <= 10
        |ORDER BY rank""".stripMargin
 
   /** Query terms of the x22 BM25 fixture query (shared with its oracle). */
@@ -1923,6 +1956,7 @@ object ExtQueries {
     "x68_ann_index_append" -> annIndexAppendSql,
     "x69_hybrid_rrf" -> hybridRrfSql,
     "x143_linear_fusion" -> linearFusionSql,
+    "x144_retriever_tree" -> retrieverTreeSql,
     // x64: the segment-append oracle (see indexAppendSql).
     "x64_dedup_index_append" -> indexAppendSql,
 

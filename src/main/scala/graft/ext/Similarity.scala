@@ -1115,6 +1115,57 @@ object Similarity {
   }
 
   /**
+   * x144 — COMPOSED RETRIEVER TREE (ES 8.14+'s nestable `retriever`
+   * algebra): retrievers are closed under composition — an `rrf` node
+   * can fuse a `linear` node that itself fuses `standard` (BM25) and
+   * `knn` legs, next to a filtered `knn` leg. This entry is exactly
+   * that tree:
+   *
+   *   rrf( linear(bm25, dense)   — [[linearFusion]]'s top-10 page,
+   *        knn(filter: label)  ) — the label-filtered dense top-20
+   *                                for the same query vector
+   *
+   * The rrf node consumes RANKS only (which is why arbitrary
+   * retrievers compose under it — x69's insight); the nested linear
+   * node keeps its all-integer normalized-score contract; the filtered
+   * leg keeps x141's pre-filter semantics (predicate on the candidate
+   * scan, here the exact form — the IVF-probed form composes
+   * identically because only ranks cross the node boundary). Each RRF
+   * term is ONE double division with the x69 non-tie argument
+   * (denominators 61–80). Scale: every leg keeps its own pinned shape;
+   * the tree itself is a full-outer join of two ≤depth-row pages.
+   */
+  def retrieverTree(spark: SparkSession, dir: String,
+      labels: Seq[Int] = Seq(2, 5), depth: Int = 20, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val lin = linearFusion(spark, dir)
+      .select(col("doc_id"), col("rank").as("r_lin"))
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q0 = emb.where(col("vec_id") === 0).limit(1)
+      .select(col("embedding").as("qv"))
+    val fTop = emb.where(col("vec_id") =!= 0 &&
+        col("label").isin(labels: _*))
+      .crossJoin(broadcast(q0))
+      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 6))
+      .orderBy(col("sim").desc, col("vec_id")).limit(depth)
+    val fknn = fTop.withColumn("r_fknn", row_number().over(
+        Window.partitionBy(col("sim") - col("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("r_fknn"))
+    val fused = lin.join(fknn, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lin")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_fknn")), lit(0.0)), 6))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("rrf") - col("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lin"), col("r_fknn"), col("rrf"),
+        col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /**
    * x143 — WEIGHTED LINEAR retriever fusion (ES 8.16's `linear`
    * retriever, the score-based sibling of x69's rank-only RRF): each
    * leg's retrieved page is MIN-MAX normalized to [0, 1] over that

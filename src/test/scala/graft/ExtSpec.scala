@@ -249,6 +249,43 @@ class ExtSpec extends SparkSpec {
       "a whole leg is absent from the fused page — a weight is vacuous")
   }
 
+  test("retriever tree (x144): the rrf node replays driver-side from " +
+      "the entry's own leg ranks, the nested linear leg's ranks equal " +
+      "x143's page, and the filtered leg's members all satisfy the " +
+      "label filter") {
+    val rows = Similarity.retrieverTree(spark, sf)
+      .select(col("doc_id"), col("r_lin"), col("r_fknn"), col("rrf"),
+        col("rank"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    def term(r: Option[Int]): Double =
+      r.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+    rows.foreach { case (_, rl, rf, rrf, _) =>
+      val want = BigDecimal(term(rl) + term(rf))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == want, s"rrf $rrf != $want for ranks ($rl, $rf)")
+    }
+    val ranked = rows.sortBy(r => (-r._4, r._1)).zipWithIndex
+    ranked.foreach { case (r, i) => assert(r._5 == i + 1) }
+    // the nested linear node's ranks are EXACTLY x143's page
+    val linPage = Similarity.linearFusion(spark, sf)
+      .select(col("doc_id"), col("rank")).as[(Long, Int)].collect().toMap
+    rows.foreach { case (d, rl, _, _, _) =>
+      rl.foreach(v => assert(linPage.get(d).contains(v),
+        s"nested linear rank $v for doc $d != x143's ${linPage.get(d)}")) }
+    // the filtered leg genuinely filters: its members carry label 2/5
+    val labels = graft.ingest.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    rows.foreach { case (d, _, rf, _, _) =>
+      rf.foreach(_ => assert(Set(2, 5).contains(labels(d)),
+        s"filtered-leg doc $d has label ${labels(d)}")) }
+    assert(rows.exists(_._2.nonEmpty) && rows.exists(_._3.nonEmpty),
+      "a whole leg is absent from the fused page")
+  }
+
   test("exact dedup: every doc annotated, canonical is group min") {
     val d = Dedup.exactDedup(spark, sf)
     assert(d.count() == 500)
