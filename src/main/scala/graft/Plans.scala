@@ -134,7 +134,13 @@ object Plans {
     "kq100_tiered_rollup" -> "tiered rollup: the cold tier reads the materialized rollup (localCheckpoint scan), the hot tier aggregates only the boundary-aligned final week; the union is two small agg legs, never a second raw pass for the cold range",
     "x125_audio_segments" -> "audio VAD: per-partition WAV decode emits only (media, window) energy rows; the island merge windows over media_id — payload bytes never shuffle",
     "q55_asof_tolerance" -> "as-of with tolerance: identical single user_id shuffle + window as q22; the staleness gate is a post-window CASE, zero extra exchanges",
-    "q57_not_in_trap" -> "NOT IN null audit: Catalyst plans the three-valued form as a null-aware anti join (ExistenceJoin/NAAJ), the clean form as a plain anti join — both single-shuffle, no BNLJ")
+    "q57_not_in_trap" -> "NOT IN null audit: Catalyst plans the three-valued form as a null-aware anti join (ExistenceJoin/NAAJ), the clean form as a plain anti join — both single-shuffle, no BNLJ",
+    "x140_bitext_ann" -> "ANN-legged bitext mining: both kNN legs are multi-probe bucket equi-joins (no crossJoin anywhere); the forward/backward candidate union dedups BEFORE the one scoring join; margin/mutual-best run on the once-materialized ranked frame",
+    "x141_filtered_knn" -> "filtered kNN: the label predicate sits in the candidate scan's PushedFilters (pre-filter semantics), THEN the broadcast bucket probe prunes — per-query cost O(selectivity x N/C)",
+    "x142_unigram_nbest" -> "n-best segmentation: training syncs the vocab-bounded artifact; the output plan is ONE map-side native n-best DP over the word-TYPE table + posexplode of the <=3-row lists",
+    "x143_linear_fusion" -> "linear retriever: postings-pruned BM25 leg + broadcast-query dense TakeOrdered leg, each min-max-normalized by a 1-row broadcast scalar attach; fusion is a full-outer join of two <=20-row pages",
+    "x144_retriever_tree" -> "retriever tree: the nested linear node's whole plan feeds the rrf join as one <=10-row leg; the filtered dense leg is a pushed-filter scan + TakeOrdered — composition adds one tiny full-outer join, no corpus re-read",
+    "kq113_geo_multipolygon" -> "multipolygon geo_shape: the ring-union even-odd crossing sum is ONE codegen'd integer predicate in the scan stage — hole + second outer lengthen the sum, no join, no doubles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
