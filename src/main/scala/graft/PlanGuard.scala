@@ -102,10 +102,23 @@ object PlanGuard {
     // object identity (UnsafeArrayData@…), so two copies of one chain
     // only matched when the optimizer happened to share the literal
     // instance — the x137 flag flickered across runs on exactly this.
+    // The PRE-canonicalization leaf attribute NAMES are kept in the key
+    // (sorted; canonicalization normalizes them away with the ids):
+    // re-aliasing preserves names, so the x139 shape still matches, but
+    // two structurally identical chains applied to DIFFERENT input
+    // columns (legitimate multi-field work) no longer collapse to one
+    // key and get falsely flagged (round-16 ADVICE).
     def key(e: Expression): String = {
+      import scala.util.control.NonFatal
       val c = e.canonicalized
-      (try c.sql catch { case _: Throwable => c.toString })
-        .replaceAll("#\\d+", "#")
+      val leaves = e.references.map(_.name).toSeq.sorted.mkString(",")
+      // NonFatal, not Throwable (round-16 ADVICE): an OOM must propagate.
+      // StackOverflowError is special-cased — .sql recurses and a deep
+      // generated chain overflowing must not kill the sweep.
+      val body = (try c.sql catch {
+        case NonFatal(_) | (_: StackOverflowError) => c.toString
+      }).replaceAll("#\\d+", "#")
+      s"[$leaves] $body"
     }
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())

@@ -135,7 +135,7 @@ object Plans {
     "x125_audio_segments" -> "audio VAD: per-partition WAV decode emits only (media, window) energy rows; the island merge windows over media_id — payload bytes never shuffle",
     "q55_asof_tolerance" -> "as-of with tolerance: identical single user_id shuffle + window as q22; the staleness gate is a post-window CASE, zero extra exchanges",
     "q57_not_in_trap" -> "NOT IN null audit: Catalyst plans the three-valued form as a null-aware anti join (ExistenceJoin/NAAJ), the clean form as a plain anti join — both single-shuffle, no BNLJ",
-    "x140_bitext_ann" -> "ANN-legged bitext mining: both kNN legs are multi-probe bucket equi-joins (no crossJoin anywhere); the forward/backward candidate union dedups BEFORE the one scoring join; margin/mutual-best run on the once-materialized ranked frame",
+    "x140_bitext_ann" -> "ANN-legged bitext mining: both kNN legs are multi-probe bucket equi-joins (no crossJoin anywhere); probe ranking is the native top_probes expression (nProbe buckets straight from the per-row centroid loop — no N×C explode, no window shuffle) and C ∝ √N (max(8, ceil(√N/6)), the FAISS coarse-quantizer scaling — assignment is N·√N/6 interpreted-loop cosines, not N²/250); the forward/backward candidate union dedups BEFORE the one scoring join; margin/mutual-best run on the once-materialized ranked frame",
     "x141_filtered_knn" -> "filtered kNN: the label predicate sits in the candidate scan's PushedFilters (pre-filter semantics), THEN the broadcast bucket probe prunes — per-query cost O(selectivity x N/C)",
     "x142_unigram_nbest" -> "n-best segmentation: training syncs the vocab-bounded artifact; the output plan is ONE map-side native n-best DP over the word-TYPE table + posexplode of the <=3-row lists",
     "x143_linear_fusion" -> "linear retriever: postings-pruned BM25 leg + broadcast-query dense TakeOrdered leg, each min-max-normalized by a 1-row broadcast scalar attach; fusion is a full-outer join of two <=20-row pages",

@@ -238,17 +238,22 @@ object Dedup {
     val docs = Tables.load(spark, dir, "documents")
     val toks = split(col("text"), " ")
     val nsp = floor(size(toks) / lit(spanLen)).cast("int")
-    // materialized ONCE: the frequency aggregate and the join-back both
+    // planned ONCE: the frequency aggregate and the join-back both
     // consume the spanned frame — without this the interpreted span
     // chain re-plans into both branches and the corpus is split+hashed
-    // twice (PlanGuard check 6, round 16)
+    // twice (PlanGuard check 6, round 16). persist(DISK_ONLY), NOT
+    // localCheckpoint (round-16 ADVICE): this frame is CORPUS-sized, and
+    // localCheckpoint is unreplicated with truncated lineage — one lost
+    // executor kills the job at 100 TB. A persisted frame keeps its
+    // lineage (lost blocks recompute) and still plans both consumers as
+    // one shared in-memory-relation scan, so check 6 stays satisfied.
     val spans = docs.select(col("doc_id"),
       explode(when(nsp >= 1,
         transform(sequence(lit(0), nsp - 1), i =>
           md5(concat_ws(" ", slice(toks, i * spanLen + 1, lit(spanLen)))
             .cast("binary"))))
         .otherwise(array().cast("array<string>"))).as("span_md5"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val spanDf = spans.groupBy(col("span_md5"))
       .agg(countDistinct(col("doc_id")).as("span_docs"))
     spans.join(spanDf, "span_md5")
@@ -1303,15 +1308,19 @@ object Dedup {
     * lines: array&lt;string&gt;) in. Split out so specs can plant
     * boilerplate corpora directly. */
   def lineDedupOn(lined: DataFrame, minDocs: Int): DataFrame = {
-    // materialized ONCE: the frequency aggregate and the reassembly
+    // planned ONCE: the frequency aggregate and the reassembly
     // join both consume this frame (the x73 diamond), and upstream
     // `lined` may carry an interpreted line-generation chain (x127's
     // fixture lining) that would otherwise re-plan into both branches
-    // — PlanGuard check 6 caught exactly that here (round 16)
+    // — PlanGuard check 6 caught exactly that here (round 16).
+    // persist(DISK_ONLY), NOT localCheckpoint (round-16 ADVICE): the
+    // exploded frame is CORPUS-sized; persist keeps lineage (an executor
+    // loss recomputes, instead of failing the job) while both consumers
+    // still share one in-memory-relation scan — check 6 stays satisfied.
     val exploded = lined
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val freq = exploded.groupBy(col("lh"))
       .agg(countDistinct(col("doc_id")).as("line_docs"))
     exploded.join(freq, "lh")

@@ -805,6 +805,26 @@ object ExtQueries {
        |${kmStepSql(1)},
        |${kmAsgSql("asg", "cent2")}""".stripMargin
 
+  /** The DYNAMIC-C k-means chain for x140: identical to [[kmeansCtes]]
+    * except the centroid count is derived IN SQL from the same
+    * C = max(8, ceil(√N / 6)) rule as
+    * `Similarity.annCentroidCount` — sqrt/ceil are exactly-rounded
+    * IEEE double ops, so the two engines compute the identical C and
+    * the entry/oracle pair cannot drift when a fixture outgrows the
+    * floor (round-16 ADVICE; every committed fixture still floors at
+    * 8). */
+  private lazy val kmeansCtesDyn: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |kp AS (SELECT GREATEST(8, CAST(ceil(sqrt(count(*)) / 6)
+       |                              AS BIGINT)) AS k
+       |       FROM e),
+       |cent0 AS (SELECT vec_id AS centroid_id, emb AS cv
+       |          FROM e WHERE vec_id < (SELECT k FROM kp)),
+       |${kmStepSql(0)},
+       |${kmStepSql(1)},
+       |${kmAsgSql("asg", "cent2")}""".stripMargin
+
   /** The cluster-scoped kNN graph replay (sc -> nodes -> knn0 directed
     * edges) shared by the x95 pagerank and x133 label-prop oracles. */
   private lazy val knnGraphCtes: String =
@@ -3341,15 +3361,16 @@ object ExtQueries {
     // x138: identical margin pipeline over DOUBLE[] casts.
     "x138_bitext_mine" -> Similarity.bitextMineOracle(),
 
-    // x140: the shared k-means replay buckets both sides; every vector
-    // probes its TOP-2 buckets (x23's multi-probe construction) and a
-    // pair is scored when either side retrieves the other — union,
-    // dedup, score once (every fixture SF sits at the 8-centroid floor
-    // of the N/250 rule, so the static replay is exact); the
-    // margin/mutual-best chain is the SAME generated text as x138's
-    // (bitextChainSql) — the legs cannot drift.
+    // x140: the DYNAMIC-C k-means replay (C from the same √N/6 rule as
+    // the entry — the engines cannot drift) buckets both sides; every
+    // vector probes its TOP-2 buckets and a pair is scored when either
+    // side retrieves the other — union, dedup, score once. The oracle
+    // ranks all C csims through a window (fine at oracle scale); the
+    // entry's native TopProbes returns the same top-2 list with no N×C
+    // explode. The margin/mutual-best chain is the SAME generated text
+    // as x138's (bitextChainSql) — the legs cannot drift.
     "x140_bitext_ann" ->
-      (s"WITH $kmeansCtes,\n" +
+      (s"WITH $kmeansCtesDyn,\n" +
         """csims AS (SELECT e.vec_id, c.centroid_id,
         |    round(list_cosine_similarity(e.emb, c.cv), 6) AS csim
         |  FROM e, cent2 c),

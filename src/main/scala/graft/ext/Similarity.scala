@@ -1701,41 +1701,73 @@ object Similarity {
    * forward and backward retrieved lists, deduplicated BEFORE scoring
    * so each pair's cosine runs once.
    *
-   * Centroid count scales with the corpus — `max(8, N/250)`, the IVF
-   * C ≈ N/bucketTarget rule — so per-bucket work is bounded and total
-   * scoring stays LINEAR in N (the sf1 probe's contract; every fixture
-   * SF lands exactly at the floor of 8, which is what the static
-   * DuckDB oracle replays). At true corpus scale the Lloyd training
-   * pass runs on a sample (standard IVF practice); the assignment and
-   * probe passes here are already the at-scale shape. Recall loss vs
-   * the exact leg is pair-level, not correctness: ExtSpec pins the
-   * mined-pair agreement against [[bitextMine]] on the fixtures (the
-   * random near-orthogonal fixture vectors are the ADVERSARIAL case —
-   * real parallel sentences score high and co-bucket).
+   * Centroid count scales as C ∝ √N — `max(8, ceil(√N / 6))`, the
+   * FAISS coarse-quantizer guidance (c·√N centroids; FAISS's own docs
+   * recommend 4√N–16√N — the smaller constant here keeps the
+   * driver-held C×D centroid artifact minimal while buckets stay
+   * O(√N)) — so per-probe scoring work is Σ_b |X_b|·|Y_b| ≈ N·√N·const
+   * and the assignment pass is N·C = N·√N/6 cosines: SUBLINEAR per
+   * row, vs the round-16 N/250 rule whose N×C assignment term was
+   * N²/250 with a corpus-LINEAR driver artifact (the round-16 `weak`
+   * flag). Every fixture SF still lands exactly at the floor of 8;
+   * the DuckDB oracle derives C from the SAME rule inside SQL
+   * (`greatest(8, ceil(sqrt(count(*)) / 6))`), so entry and oracle
+   * cannot drift however large a fixture grows (round-16 ADVICE —
+   * sqrt/ceil are exactly-rounded IEEE ops, bit-identical across
+   * engines). At true corpus scale the Lloyd training pass runs on a
+   * sample (standard IVF practice); the assignment and probe passes
+   * here are already the at-scale shape.
+   *
+   * Probe ranking is the native [[graft.functions.TopProbes]]
+   * expression — the n best buckets returned DIRECTLY from the per-row
+   * centroid loop. The round-16 shape posexploded ALL C sims per
+   * vector and ranked them through a partitioned window: an N×C-row
+   * shuffle, invisible at the fixture C-floor and ruinous at C ∝ √N.
+   * The scored-candidate stage now contains NO window at all (pinned
+   * by ExtSpec): explode of the nProbe-length array, two bucket
+   * equi-joins, a union-dedup, one cosine per candidate pair.
+   *
+   * Recall loss vs the exact leg is pair-level, not correctness:
+   * ExtSpec pins the mined-pair agreement against [[bitextMine]] on
+   * the fixtures (the random near-orthogonal fixture vectors are the
+   * ADVERSARIAL case — real parallel sentences score high and
+   * co-bucket). `forceCentroids` overrides the C rule for scaling
+   * probes (BENCH_CURVE measures the assignment term at a C above the
+   * fixture floor); 0 = derive from N.
    */
   def bitextMineAnn(spark: SparkSession, dir: String, k: Int = 4,
-      bucketTarget: Int = 250, nProbe: Int = 2,
-      iterations: Int = 2): DataFrame = {
+      nProbe: Int = 2, iterations: Int = 2,
+      forceCentroids: Int = 0): DataFrame =
+    mineMutualBest(
+      bitextAnnScored(spark, dir, nProbe, iterations, forceCentroids), k)
+
+  /** The C ∝ √N centroid-count rule shared (textually) with the x140
+    * oracle's `greatest(8, ceil(sqrt(count(*)) / 6))`. */
+  private[graft] def annCentroidCount(n: Long): Int =
+    math.max(8L, math.ceil(math.sqrt(n.toDouble) / 6.0).toLong).toInt
+
+  /** [[bitextMineAnn]]'s candidate-generation + scoring stage, split out
+    * so ExtSpec can pin its plan shape in isolation (no WindowExec
+    * anywhere — the mutual-best stage downstream is window-based but
+    * candidate-bounded and behind a lineage cut). */
+  private[graft] def bitextAnnScored(spark: SparkSession, dir: String,
+      nProbe: Int = 2, iterations: Int = 2,
+      forceCentroids: Int = 0): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val nCentroids = math.max(8L, emb.count() / bucketTarget).toInt
+    val nCentroids =
+      if (forceCentroids > 0) forceCentroids
+      else annCentroidCount(emb.count())
     val centroids = kmeansCentroids(emb, nCentroids, iterations)
-    val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
-      centroids)
+    val tp = graft.functions.NearestCentroid.topProbes(col("embedding"),
+      centroids, nProbe)
+    // assignment bucket = probe rank 1 (TopProbes' first element IS
+    // NearestCentroid's argmax), so one expression serves both frames
     val asg = emb.select(col("vec_id"), col("embedding"),
-      nc.getField("bucket").cast("long").as("bucket"))
-    // per-vector top-nProbe buckets (csim DESC, centroid_id ties) —
-    // rank 1 is the assignment bucket itself, so this strictly extends
-    // the single-probe candidate set
-    val wP = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("centroid_id"))
-    val probes = emb.select(col("vec_id"),
-        posexplode(graft.functions.NearestCentroid.sims(
-          col("embedding"), centroids)))
-      .withColumnRenamed("pos", "centroid_id")
-      .withColumnRenamed("col", "csim")
-      .withColumn("prn", row_number().over(wP))
-      .where(col("prn") <= nProbe)
-      .select(col("vec_id"), col("centroid_id").cast("long").as("pbucket"))
+      element_at(tp, 1).cast("long").as("bucket"))
+    // per-vector top-nProbe buckets, map-only: N×nProbe rows, no
+    // explode of all C sims, no window shuffle
+    val probes = emb.select(col("vec_id"), explode(tp).as("pb"))
+      .select(col("vec_id"), col("pb").cast("long").as("pbucket"))
     val xs = asg.where(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("x_id"), col("embedding").as("xv"),
         col("bucket"))
@@ -1753,11 +1785,10 @@ object Similarity {
         py("pbucket") === xs("bucket"))
       .select(col("x_id"), col("y_id"))
     val candPairs = fwd.union(bwd).distinct()
-    val sims = candPairs
+    candPairs
       .join(xs.select(col("x_id"), col("xv")), "x_id")
       .join(ys.select(col("y_id"), col("yv")), "y_id")
       .select(col("x_id"), col("y_id"), simMicroOf(col("xv"), col("yv")))
-    mineMutualBest(sims, k)
   }
 
   /** x138's per-side truth-leg bound: the exact all-pairs leg runs only

@@ -92,6 +92,83 @@ object NearestCentroid {
   def sims(vec: Column, centroids: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(
       CentroidSims(GraftColumnBridge.expression(vec), centroids))
+
+  /** Public Column API: the `n` best bucket ids directly
+    * (`array<int>`, rank order) — see [[TopProbes]]. */
+  def topProbes(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    GraftColumnBridge.column(
+      TopProbes(GraftColumnBridge.expression(vec), centroids, n))
+}
+
+/**
+ * Top-`n` probe buckets as ONE map-side expression: the `n` best
+ * centroid ids under (6-dp cosine DESC, centroid_id ASC) — identical
+ * ordering to `row_number() OVER (PARTITION BY vec_id ORDER BY csim
+ * DESC, centroid_id) <= n` over [[CentroidSims]], but WITHOUT ever
+ * materializing the N×C (vector, centroid) rows or shuffling them
+ * through a partitioned window sort (the round-16 verdict's x140 scale
+ * boundary: at C ∝ √N that explode+window is an N×√N-row shuffle).
+ * Element 1 is the assignment bucket itself ([[NearestCentroid]]'s
+ * argmax), so the result strictly extends the single-probe set. Same
+ * cosine math and HALF_UP 6-dp rounding as the siblings, so the DuckDB
+ * oracle's all-C window replay reproduces every probe list.
+ * `n` is tiny (the FAISS `nprobe` knob, 2 here): the running top-n is a
+ * fixed-size insertion pass inside the per-row centroid loop.
+ */
+case class TopProbes(child: Expression, centroids: Seq[Seq[Double]],
+    n: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val centroidNorms: Array[Double] =
+    matrix.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val len = vec.numElements()
+    val keep = math.min(n, matrix.length)
+    val topId = new Array[Int](keep)
+    val topSim = new Array[Double](keep)
+    var filled = 0
+    var c = 0
+    while (c < matrix.length) {
+      val cent = matrix(c)
+      var dot = 0.0; var na = 0.0
+      var i = 0
+      while (i < len) {
+        val v = vec.getFloat(i).toDouble
+        dot += v * cent(i); na += v * v
+        i += 1
+      }
+      val sim = new JBigDecimal(
+        java.lang.Double.toString(dot / math.sqrt(na) / centroidNorms(c)))
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()
+      // ascending-id iteration + STRICT > keeps the lower id on ties,
+      // exactly row_number()'s (csim DESC, centroid_id) order
+      var pos = filled
+      while (pos > 0 && sim > topSim(pos - 1)) pos -= 1
+      if (pos < keep) {
+        val last = math.min(filled, keep - 1)
+        var j = last
+        while (j > pos) { topId(j) = topId(j - 1); topSim(j) = topSim(j - 1); j -= 1 }
+        topId(pos) = c; topSim(pos) = sim
+        if (filled < keep) filled += 1
+      }
+      c += 1
+    }
+    if (filled == 0) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topId, filled))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+
+  override def prettyName: String = "top_probes"
 }
 
 /** All-centroid cosine vector: same math/rounding as [[NearestCentroid]],

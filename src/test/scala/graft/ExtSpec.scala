@@ -155,6 +155,31 @@ class ExtSpec extends SparkSpec {
       "bucket pruning changed no pair — the probe leg ran vacuously")
   }
 
+  test("x140 probe stage plans with NO window and no N×C explode: the " +
+      "native top_probes expression returns the nProbe bucket list " +
+      "directly (round-16 verdict — the posexplode(centroid_sims) + " +
+      "partitioned-window ranking materialized N×C rows through a " +
+      "shuffle, ruinous at C ∝ √N)") {
+    val scored = Similarity.bitextAnnScored(spark, sf)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("top_probes"),
+      s"probe ranking is not the native top_probes expression:\n$plan")
+    assert(!plan.contains("centroid_sims"),
+      "the all-C centroid_sims vector is back in the probe stage")
+    val windows = scored.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(windows.isEmpty,
+      s"candidate/scoring stage must be window-free, found: $windows")
+    // the C ∝ √N rule floors at 8 on every committed fixture and is
+    // sublinear above it (the oracle derives the same rule in SQL)
+    assert(Similarity.annCentroidCount(500) === 8)
+    assert(Similarity.annCentroidCount(2000) === 8)
+    assert(Similarity.annCentroidCount(8000) === 15)
+    assert(Similarity.annCentroidCount(1000000000L) === 5271)
+  }
+
   test("filtered kNN (x141): every hit satisfies the filter, the label " +
       "predicate is PUSHED to the candidate parquet scan, and pre-filter " +
       "recall vs exact filtered kNN beats post-filtering the unfiltered " +
