@@ -145,7 +145,8 @@ object Bench {
     "x137_unigram_em", "x138_bitext_mine", "kq112_stream_pipeline",
     "x140_bitext_ann", "x141_filtered_knn", "x142_unigram_nbest",
     "x143_linear_fusion", "kq113_geo_multipolygon",
-    "x144_retriever_tree")
+    "x144_retriever_tree",
+    "x145_unigram_sample", "x146_rescorer", "x147_fertility")
 
   /** Iterative connected-components queries: the most expensive family,
     * sampled 5x (3 passes + 2 extra rides shuffled inside the first two

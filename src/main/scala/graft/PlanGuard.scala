@@ -75,8 +75,78 @@ object PlanGuard {
       case _ => None
     }
     structural ++ missedBroadcasts(df, physical) ++
-      unprunedPartitionedScans(physical) ++ duplicatedInterpreted(physical)
+      unprunedPartitionedScans(physical) ++ duplicatedInterpreted(physical) ++
+      oversizedLiteralPayloads(physical)
   }
+
+  /** Check 7: BAKED-ARTIFACT ceiling (round-16 verdict item 5). A
+    * driver-held artifact folded into an expression as literal data —
+    * a centroid matrix, a PQ codebook, an inlined vocabulary — ships
+    * with EVERY task binary and serializes per stage; the class is
+    * fine at k×dim sync sizes (the x6/x78 pattern) and ruinous when
+    * the artifact grows with the corpus (the pre-fix x140 shape: a
+    * C = N/250 centroid matrix made the task binary LINEAR in N).
+    * This check sums the non-child literal payload of every expression
+    * tree per physical node — `Literal` values AND the constructor
+    * payloads of custom expressions (Seq/Array/String fields; child
+    * Expressions are walked as their own nodes) — and flags any node
+    * above [[MaxLiteralPayload]]. The fix is structural: keep the big
+    * side's work as `element_at` lookups against a BROADCAST frame (a
+    * real broadcast variable is shipped once per executor, not per
+    * task binary) or shrink the artifact (C ∝ √N, two-level
+    * quantizers, sampled training). */
+  private def oversizedLiteralPayloads(
+      physical: Seq[SparkPlan]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression,
+      UnsafeArrayData, UnsafeRow}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def bytesOf(x: Any, depth: Int): Long = x match {
+      case null => 0L
+      case _ if depth > 8 => 0L
+      case _: Expression => 0L // counted at its own tree node
+      case _: org.apache.spark.sql.types.DataType => 0L
+      case s: String => 2L * s.length
+      case u: org.apache.spark.unsafe.types.UTF8String => u.numBytes.toLong
+      case u: UnsafeArrayData => u.getSizeInBytes.toLong
+      case u: UnsafeRow => u.getSizeInBytes.toLong
+      case g: GenericArrayData => bytesOf(g.array, depth + 1)
+      case _: java.lang.Boolean | _: java.lang.Byte => 1L
+      case _: java.lang.Short | _: java.lang.Character => 2L
+      case _: java.lang.Integer | _: java.lang.Float => 4L
+      case _: java.lang.Long | _: java.lang.Double => 8L
+      case _: java.math.BigDecimal | _: BigDecimal |
+           _: org.apache.spark.sql.types.Decimal => 16L
+      case a: Array[_] => a.foldLeft(0L)(_ + bytesOf(_, depth + 1))
+      case s: Iterable[_] => s.foldLeft(0L)(_ + bytesOf(_, depth + 1))
+      case p: Product =>
+        p.productIterator.foldLeft(0L)(_ + bytesOf(_, depth + 1))
+      case _ => 0L
+    }
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    physical.filter(seen.add).flatMap { p =>
+      val payload = p.expressions.foldLeft(0L) { (acc, root) =>
+        var s = acc
+        root.foreach { e =>
+          s += e.productIterator.foldLeft(0L)(_ + bytesOf(_, 0))
+        }
+        s
+      }
+      if (payload <= MaxLiteralPayload) None
+      else Some(f"driver-baked literal payload ${payload / 1024}%d KiB " +
+        "in one plan node (ceiling " +
+        f"${MaxLiteralPayload / 1024}%d KiB) — ship the artifact as a " +
+        s"broadcast LUT join or shrink it: ${oneLine(p)}")
+    }
+  }
+
+  /** Per-node literal-payload ceiling for check 7: 1 MiB. Every
+    * legitimate baked artifact in the query map is k×dim sync-sized
+    * (DSIR's 2048 weights = 16 KiB, PQ codebooks ≤ 32 KiB, fixture
+    * vocabularies ≪ 100 KiB); anything above a mebibyte per node is an
+    * artifact that should ride a broadcast variable — or one that
+    * grows with the corpus and needs a structural fix. */
+  private val MaxLiteralPayload: Long = 1L << 20
 
   /** Check 6: an EXPENSIVE interpreted expression subtree planned into
     * two or more physical nodes of one query — the thrice-seen (x73 /

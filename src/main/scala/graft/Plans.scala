@@ -140,6 +140,9 @@ object Plans {
     "x142_unigram_nbest" -> "n-best segmentation: training syncs the vocab-bounded artifact; the output plan is ONE map-side native n-best DP over the word-TYPE table + posexplode of the <=3-row lists",
     "x143_linear_fusion" -> "linear retriever: postings-pruned BM25 leg + broadcast-query dense TakeOrdered leg, each min-max-normalized by a 1-row broadcast scalar attach; fusion is a full-outer join of two <=20-row pages",
     "x144_retriever_tree" -> "retriever tree: the nested linear node's whole plan feeds the rrf join as one <=10-row leg; the filtered dense leg is a pushed-filter scan + TakeOrdered — composition adds one tiny full-outer join, no corpus re-read",
+    "x145_unigram_sample" -> "sampled segmentation: the type-bounded n-best page materializes once; each occurrence's Gumbel draw is an IN-ROW argmax over the <=3-entry struct list riding along from the same row (no (word,occ) shuffle, no window) — the only shuffle is the (word,rank) draw-count aggregate, partial-combined map-side to type-bounded traffic",
+    "x146_rescorer" -> "rescorer retriever: the first-stage x144 page (<=10 rows) materializes once; rescoring joins exactly the window rows against embeddings by id (index lookup at scale) + one <=window-row sort — the exact scorer runs on a page, never the corpus",
+    "x147_fertility" -> "tokenizer fertility: two map-side corpus passes (per-doc lang agg; (lang,word) types), the native Viterbi DP on the type table only, final aggregate <=|langs| rows — all ratios exact floor-divided micro-units",
     "kq113_geo_multipolygon" -> "multipolygon geo_shape: the ring-union even-odd crossing sum is ONE codegen'd integer predicate in the scan stage — hole + second outer lengthen the sum, no join, no doubles")
 
   def main(args: Array[String]): Unit = {

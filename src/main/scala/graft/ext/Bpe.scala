@@ -604,6 +604,210 @@ object Bpe {
          |ORDER BY word, rank""".stripMargin
   }
 
+  /**
+   * x145 — SAMPLED SEGMENTATION (Kudo 2018 §4's deployment trick, the
+   * α-sampling HALF of subword regularization — x142 ships the n-best
+   * list, this entry ships the training-time DRAW): each word
+   * OCCURRENCE samples one segmentation from the word's n-best list
+   * with P(seg_i) ∝ P(seg_i | word)^α, α = 1/5 — realized as a
+   * deterministic Gumbel-argmax (the x36/x79 A-ES pattern):
+   * `argmax_r (score_nano_r + 5·g_r)` ≡ `argmax_r (score_nano_r/5 +
+   * g_r)`, i.e. sampling ∝ exp(score/5), with
+   * `g = round9(−ln(−ln(u)))·1e9` and `u` the pinned md5-32 uniform of
+   * `'useg:' || word || ':' || occ || ':' || rank` — fully
+   * reproducible on any partitioning and replayable by the oracle
+   * (`ln` agrees bit-for-bit across engines, the x22/x24/x36
+   * precedent). All sort keys are int64: the ONLY tie surface is an
+   * exact integer collision, broken toward the lower rank on both
+   * engines.
+   *
+   * Scale shape: the n-best page is TYPE-bounded and materialized once
+   * (two consumers — the draw and the segmentation join-back; the x73
+   * pattern). The occurrence frame is token-scale but MAP-ONLY: each
+   * occurrence's drawn rank is one in-row argmax over the ≤ nBest
+   * struct list (no (word, occ) shuffle, no window — the per-type
+   * n-best list rides along from the same row), and the only shuffle
+   * is the (word, rank) draw-count aggregate, which partial-aggregates
+   * map-side down to type-bounded traffic. Output: one row per DRAWN
+   * (word, rank) with its draw count — type-bounded, the reusable
+   * training artifact.
+   */
+  def unigramSample(spark: SparkSession, dir: String, nBest: Int = 3,
+      rounds: Int = UniEmRounds): DataFrame = {
+    val vocab = unigramEm(spark, dir, rounds)
+      .select(col("piece"), col("w_nano"))
+      .orderBy(col("piece"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val types = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+    // type-bounded n-best page, materialized once (the x73 pattern):
+    // consumed by the occurrence draw AND the segmentation join-back
+    val nbl = types.select(col("word"), col("n_occ"),
+        graft.functions.UnigramNbest.nbest(col("word"), vocab, nBest)
+          .as("nb"))
+      .localCheckpoint()
+    val occ = nbl.select(col("word"), col("nb"),
+      explode(expr("sequence(1L, n_occ)")).as("occ"))
+    // drawn rank per occurrence: in-row Gumbel-argmax over the nb list
+    // — struct max is (key DESC, -rank DESC) = (key DESC, rank ASC).
+    // coalesce(…, 0): the expression is never null in practice (the
+    // n-best list is non-empty — the alphabet always segments), but a
+    // NULLABLE join key makes the optimizer infer an isnotnull filter
+    // below the aggregate and DUPLICATE this whole interpreted chain
+    // into it (PlanGuard check 6 caught exactly that); the non-null
+    // coalesce folds the inferred filter away.
+    val drawn = occ.select(col("word"), expr(
+      """coalesce(-(array_max(transform(sequence(1, size(nb)), r -> struct(
+        |  element_at(nb, r).score_nano + 5L * CAST(CAST(round(
+        |    -ln(-ln((CAST(conv(substring(md5(concat('useg:', word, ':',
+        |        CAST(occ AS STRING), ':', CAST(r AS STRING))), 1, 8),
+        |        16, 10) AS DOUBLE) + 0.5d) / 4294967296.0d)), 9)
+        |    AS DECIMAL(20,9)) * 1000000000 AS BIGINT) AS key_nano,
+        |  -r AS nr))).nr), 0)""".stripMargin).cast("int").as("rank"))
+    val counts = drawn.groupBy(col("word"), col("rank"))
+      .agg(count(lit(1)).as("n_draws"))
+    val page = nbl.select(col("word"), col("n_occ"), posexplode(col("nb")))
+      .select(col("word"), col("n_occ"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.pieces").as("pieces"),
+        col("col.n_pieces").as("n_pieces"),
+        col("col.score_nano").as("score_nano"))
+    page.join(counts, Seq("word", "rank"))
+      .orderBy(col("word"), col("rank"))
+  }
+
+  /** x145's oracle: the WHOLE x142 n-best oracle nested as a subquery
+    * (the x144 composition pattern), the occurrence fan-out via
+    * generate_series, the identical md5-Gumbel key (SKILL's pinned
+    * md5-hex→int fold = Spark's `conv(substring(md5(x),1,8),16,10)`),
+    * the (key DESC, rank) argmax draw, and the (word, rank) draw-count
+    * re-aggregation. */
+  private[ext] def unigramSampleOracle(nBest: Int = 3,
+      rounds: Int = UniEmRounds): String = {
+    val gumbel =
+      "CAST(CAST(round(-ln(-ln((list_reduce(list_transform(string_split(" +
+        "substr(md5('useg:' || o.word || ':' || CAST(o.occ AS VARCHAR) " +
+        "|| ':' || CAST(n.rank AS VARCHAR)), 1, 8), ''), " +
+        "c -> instr('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b) " +
+        "+ 0.5) / 4294967296.0)), 9) AS DECIMAL(20,9)) " +
+        "* 1000000000 AS BIGINT)"
+    s"WITH nbr AS MATERIALIZED (SELECT * FROM (\n" +
+      unigramNbestOracle(nBest, rounds).replace("\n", "\n  ") +
+      s"""
+         |) t),
+         |occs AS (SELECT word, n_occ,
+         |    unnest(generate_series(1, CAST(n_occ AS BIGINT))) AS occ
+         |  FROM (SELECT DISTINCT word, n_occ FROM nbr)),
+         |keys AS (SELECT o.word, o.occ, n.rank,
+         |    n.score_nano + 5 * $gumbel AS key_nano
+         |  FROM occs o JOIN nbr n USING (word)),
+         |drawn AS (SELECT word, occ, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY word, occ
+         |        ORDER BY key_nano DESC, rank) AS rn FROM keys)
+         |  WHERE rn = 1),
+         |dc AS (SELECT word, rank, CAST(count(*) AS BIGINT) AS n_draws
+         |       FROM drawn GROUP BY 1, 2)
+         |SELECT n.word, n.n_occ, n.rank, n.pieces, n.n_pieces,
+         |  n.score_nano, d.n_draws
+         |FROM nbr n JOIN dc d USING (word, rank)
+         |ORDER BY n.word, n.rank""".stripMargin
+  }
+
+  /**
+   * x147 — TOKENIZER FERTILITY EVAL: pieces-per-word (fertility) and
+   * chars-per-piece (compression) per LANGUAGE bucket over the
+   * x137-trained unigram vocabulary — the standard multilingual
+   * tokenizer health metric (a language whose fertility is 2× pays 2×
+   * the sequence length for the same text; UniMax-style mixture tuning
+   * consumes exactly this table). Language is x7's langid rule
+   * (en-stopword vs data-jargon hits, `en_hits >= data_hits` — the
+   * SAME lists, so the bucket assignment is pinned to the existing
+   * entry); segmentation is the x137 final vocabulary applied by the
+   * native Viterbi DP to the (lang, word) TYPE table.
+   *
+   * All outputs are EXACT INTEGERS (the x12/x65 recipe): occurrence /
+   * char / piece totals per language, and the two ratios as
+   * floor-divided micro-units (positive numerators — Spark `div` and
+   * DuckDB `//` agree). Scale shape: corpus touched twice map-side
+   * (once for the per-doc lang aggregate, once for the (lang, word)
+   * types), the Viterbi DP runs on the type table only, and the final
+   * aggregate is ≤ |langs| rows. Words longer than [[UniMaxWord]] are
+   * out of the DP's contract on both engines (none exist in any
+   * fixture — the x99 precedent) and excluded explicitly.
+   */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+      rounds: Int = UniEmRounds): DataFrame = {
+    val vocab = unigramEm(spark, dir, rounds)
+      .select(col("piece"), col("w_nano"))
+      .orderBy(col("piece"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val lang = toks.groupBy(col("doc_id")).agg(
+        sum(when(col("word").isin(TextAnalysis.stopwords: _*), 1L)
+          .otherwise(0L)).as("en_hits"),
+        sum(when(col("word").isin(TextAnalysis.dataWords: _*), 1L)
+          .otherwise(0L)).as("data_hits"))
+      .select(col("doc_id"),
+        when(col("en_hits") >= col("data_hits"), lit("en"))
+          .otherwise(lit("data")).as("lang"))
+    val lw = toks
+      .where(length(col("word")) > 0 &&
+        length(col("word")) <= UniMaxWord)
+      .join(lang, "doc_id")
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n_occ"))
+    val seg = lw.withColumn("n_pieces",
+      graft.functions.UnigramViterbi.viterbi(col("word"), vocab)
+        .getField("n_pieces").cast("long"))
+    seg.groupBy(col("lang")).agg(
+        sum(col("n_occ")).as("n_words"),
+        sum(col("n_occ") * length(col("word"))).as("total_chars"),
+        sum(col("n_occ") * col("n_pieces")).as("total_pieces"))
+      .select(col("lang"), col("n_words"), col("total_chars"),
+        col("total_pieces"),
+        expr("total_pieces * 1000000L div n_words").as("fertility_micro"),
+        expr("total_chars * 1000000L div total_pieces")
+          .as("chars_per_piece_micro"))
+      .orderBy(col("lang"))
+  }
+
+  /** x147's oracle: the x137 training replay, one Viterbi DP chain
+    * under the trained weights for per-word piece counts, the x7 lang
+    * rule per doc, and exact-integer re-aggregation per language. */
+  private[ext] def fertilityOracle(rounds: Int = UniEmRounds): String =
+    s"WITH ${emCtes(rounds)},\n${dpChainSql("fd", s"w$rounds")},\n" +
+      s"""seg AS (SELECT word,
+         |    CAST(length(path) - length(replace(path, '|', '')) + 1
+         |         AS BIGINT) AS n_pieces
+         |  FROM fin_fd),
+         |toksf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |          FROM documents),
+         |lang AS (SELECT doc_id, CASE WHEN en_hits >= data_hits THEN 'en'
+         |                             ELSE 'data' END AS lang
+         |  FROM (SELECT doc_id,
+         |          sum(CASE WHEN word IN ('the','a','of','and','to','in',
+         |              'is') THEN 1 ELSE 0 END) AS en_hits,
+         |          sum(CASE WHEN word IN ('spark','table','query','join',
+         |              'batch','stream','vector','column') THEN 1 ELSE 0
+         |              END) AS data_hits
+         |        FROM toksf GROUP BY 1)),
+         |lw AS (SELECT l.lang, t.word, count(*) AS n_occ
+         |       FROM toksf t JOIN lang l USING (doc_id)
+         |       WHERE t.word <> '' AND length(t.word) <= $UniMaxWord
+         |       GROUP BY 1, 2)
+         |SELECT w.lang, CAST(sum(w.n_occ) AS BIGINT) AS n_words,
+         |  CAST(sum(w.n_occ * length(w.word)) AS BIGINT) AS total_chars,
+         |  CAST(sum(w.n_occ * s.n_pieces) AS BIGINT) AS total_pieces,
+         |  CAST(sum(w.n_occ * s.n_pieces) AS BIGINT) * 1000000
+         |    // CAST(sum(w.n_occ) AS BIGINT) AS fertility_micro,
+         |  CAST(sum(w.n_occ * length(w.word)) AS BIGINT) * 1000000
+         |    // CAST(sum(w.n_occ * s.n_pieces) AS BIGINT)
+         |    AS chars_per_piece_micro
+         |FROM lw w JOIN seg s USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** x137's oracle: [[baseVocabCtes]] then [[UniEmRounds]] generated
     * rounds — each a [[dpChainSql]] Viterbi chain under the previous
     * round's weights, the piece-count aggregate, the alphabet floor,

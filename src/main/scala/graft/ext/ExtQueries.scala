@@ -441,6 +441,20 @@ object ExtQueries {
     // ranks-only at the rrf boundary, so the legs compose arbitrarily.
     "x144_retriever_tree" -> ((s: SparkSession, d: String) =>
       Similarity.retrieverTree(s, d)),
+    // x145: sampled segmentation (Kudo 2018 §4's α-sampling) — each
+    // word occurrence draws from its n-best list via deterministic
+    // md5-Gumbel argmax at α = 1/5 (score + 5·gumbel in nano units).
+    "x145_unigram_sample" -> ((s: SparkSession, d: String) =>
+      Bpe.unigramSample(s, d)),
+    // x146: ES 8.15+ `rescorer` retriever — exact-cosine re-score over
+    // the top-5 window of the x144 tree, tail ranks untouched.
+    "x146_rescorer" -> ((s: SparkSession, d: String) =>
+      Similarity.rescorerRetriever(s, d)),
+    // x147: tokenizer fertility eval — pieces-per-word and
+    // chars-per-piece per langid bucket over the x137-trained vocab,
+    // exact integer micro-units.
+    "x147_fertility" -> ((s: SparkSession, d: String) =>
+      Bpe.tokenizerFertility(s, d)),
     "x32_dedup_containment" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
     "x33_ngram_novelty" -> ((s: SparkSession, d: String) =>
@@ -1139,6 +1153,40 @@ object ExtQueries {
        |r AS (SELECT *, CAST(row_number() OVER (
        |        ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fused)
        |SELECT doc_id, r_lin, r_fknn, rrf, rank FROM r WHERE rank <= 10
+       |ORDER BY rank""".stripMargin
+
+  /** x146's oracle: the WHOLE x144 oracle nested as the first stage
+    * (retrievers nest — the x144 composition pattern), the top-5 window
+    * left-joined to embeddings for the exact rescore (COALESCE 0 for a
+    * page id with no vector), integer-weight combination (1·rrf_micro +
+    * 1·resc_micro), within-window re-rank, untouched tail. */
+  private lazy val rescorerSql: String =
+    s"""WITH rt AS (SELECT doc_id, rrf, rank
+       |            FROM (${retrieverTreeSql
+                            .replace("\n", "\n             ")}) t),
+       |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |w AS (SELECT r.doc_id, r.rank AS first_rank,
+       |    COALESCE(CAST(CAST(round(${cosSql("q0.qv", "e.embedding")}, 6)
+       |          AS DECIMAL(10,6)) * 1000000 AS BIGINT), 0) AS resc_micro,
+       |    CAST(CAST(r.rrf AS DECIMAL(10,6)) * 1000000 AS BIGINT)
+       |      AS rrf_micro
+       |  FROM rt r
+       |  LEFT JOIN embeddings e ON r.doc_id = e.vec_id
+       |  CROSS JOIN q0
+       |  WHERE r.rank <= 5),
+       |c AS (SELECT doc_id, first_rank, resc_micro,
+       |    1 * rrf_micro + 1 * resc_micro AS combined_scaled
+       |  FROM w),
+       |rw AS (SELECT doc_id, first_rank, resc_micro, combined_scaled,
+       |    CAST(row_number() OVER (ORDER BY combined_scaled DESC, doc_id)
+       |         AS INT) AS rank
+       |  FROM c)
+       |SELECT doc_id, first_rank, resc_micro, combined_scaled, rank
+       |FROM rw
+       |UNION ALL
+       |SELECT doc_id, rank AS first_rank, CAST(NULL AS BIGINT),
+       |  CAST(NULL AS BIGINT), rank
+       |FROM rt WHERE rank > 5
        |ORDER BY rank""".stripMargin
 
   /** Query terms of the x22 BM25 fixture query (shared with its oracle). */
@@ -2039,6 +2087,20 @@ object ExtQueries {
     // chain over the trained weights, top-3 per (word, position) under
     // the extension-invariant (score DESC, path ASC) total order.
     "x142_unigram_nbest" -> Bpe.unigramNbestOracle(),
+    // x145: the x142 oracle nested whole as the n-best stage, then the
+    // generate_series occurrence fan-out, the identical md5-Gumbel key
+    // and the (key DESC, rank) argmax draw, re-aggregated per (word,
+    // rank).
+    "x145_unigram_sample" -> Bpe.unigramSampleOracle(),
+    // x146: the x144 oracle nested whole as the first stage; exact
+    // rescore over the top-5 window, COALESCE 0 for vectorless ids,
+    // tail ranks pass through with NULL rescore columns.
+    "x146_rescorer" -> rescorerSql,
+    // x147: x137 training replay + one Viterbi chain under the trained
+    // weights for per-word piece counts, the x7 lang rule per doc, and
+    // exact-integer per-language re-aggregation (floor-divided micro
+    // ratios, positive numerators).
+    "x147_fertility" -> Bpe.fertilityOracle(),
 
     // x101: both field legs are the pinned x22 BM25 oracle over derived
     // field relations; best_fields fuses by greatest + doc_id tiebreak

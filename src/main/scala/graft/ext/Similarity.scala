@@ -1166,6 +1166,73 @@ object Similarity {
   }
 
   /**
+   * x146 — RESCORER retriever node (ES 8.15+'s `rescorer`, the last
+   * node type of the retriever algebra x144 composes): a second-stage
+   * EXACT re-score over a BOUNDED WINDOW of the first-stage page.
+   * The first stage is the whole x144 tree ([[retrieverTree]]
+   * verbatim — retrievers nest, so a rescorer's child is any
+   * retriever); its top-`window` docs are re-scored by the exact
+   * full-vector cosine against the query vector and REORDERED WITHIN
+   * the window by `queryWeight·rrf + rescoreWeight·rescore` (ES's
+   * query_weight/rescore_query_weight combination, both 1 by
+   * default); ranks beyond the window keep their first-stage order
+   * untouched — rescoring can only permute INSIDE the window (pinned
+   * in ExtSpec: the window doc set and the tail ranks are invariant).
+   *
+   * Exactness (the x101 rule): the first-stage rrf and the rescore
+   * cosine each freeze ONCE to int64 micro-units and combine with
+   * INTEGER weights — no derived double is re-rounded, the
+   * (combined DESC, doc_id) order is total and engine-free. A
+   * first-stage doc with no embedding row (a BM25-only doc id beyond
+   * the embeddings table, real at sf0.1 where docs > vectors)
+   * rescores as 0 — it sinks deterministically within the window,
+   * mirrored by the oracle's COALESCE.
+   *
+   * Scale: the first stage keeps its own pinned shapes; rescoring
+   * touches exactly `window` rows — one broadcast-able page joined
+   * against the embeddings table by id (index lookup at scale) plus
+   * one ≤window-row sort. This is the entire point of the ES
+   * rescorer: the expensive exact scorer runs on a page, never the
+   * corpus.
+   */
+  def rescorerRetriever(spark: SparkSession, dir: String,
+      window: Int = 5, queryWeight: Int = 1,
+      rescoreWeight: Int = 1): DataFrame = {
+    // the ≤k-row first-stage page, materialized once (two consumers:
+    // the rescored window and the untouched tail)
+    val base = retrieverTree(spark, dir)
+      .select(col("doc_id"), col("rrf"), col("rank"))
+      .localCheckpoint()
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q0 = emb.where(col("vec_id") === 0).limit(1)
+      .select(col("embedding").as("qv"))
+    val win = base.where(col("rank") <= window)
+      .join(emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("cv")), Seq("doc_id"), "left")
+      .crossJoin(broadcast(q0))
+      .withColumn("resc_micro",
+        coalesce(simMicroOf(col("qv"), col("cv")), lit(0L)))
+      .withColumn("combined_scaled",
+        lit(queryWeight.toLong) *
+          (col("rrf").cast(org.apache.spark.sql.types.DecimalType(10, 6))
+            * lit(1000000)).cast("long") +
+          lit(rescoreWeight.toLong) * col("resc_micro"))
+    val rescored = win
+      .withColumn("new_rank", row_number().over(
+        Window.partitionBy(col("combined_scaled") - col("combined_scaled"))
+          .orderBy(col("combined_scaled").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank").as("first_rank"),
+        col("resc_micro"), col("combined_scaled"),
+        col("new_rank").cast("int").as("rank"))
+    val tail = base.where(col("rank") > window)
+      .select(col("doc_id"), col("rank").as("first_rank"),
+        lit(null).cast("long").as("resc_micro"),
+        lit(null).cast("long").as("combined_scaled"),
+        col("rank"))
+    rescored.unionByName(tail).orderBy(col("rank"))
+  }
+
+  /**
    * x143 — WEIGHTED LINEAR retriever fusion (ES 8.16's `linear`
    * retriever, the score-based sibling of x69's rank-only RRF): each
    * leg's retrieved page is MIN-MAX normalized to [0, 1] over that

@@ -33,8 +33,8 @@ object TextAnalysis {
 
   private def mdShard(n: Int): Column = mdShardOf(col("doc_id"), n)
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
-  private val dataWords = Seq("spark", "table", "query", "join", "batch",
+  private[ext] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[ext] val dataWords = Seq("spark", "table", "query", "join", "batch",
     "stream", "vector", "column")
 
   /**

@@ -180,6 +180,84 @@ class ExtSpec extends SparkSpec {
     assert(Similarity.annCentroidCount(1000000000L) === 5271)
   }
 
+  test("sampled segmentation (x145): draw counts sum to n_occ, one " +
+      "multi-rank word's Gumbel draws replay driver-side exactly, and " +
+      "sampling is genuinely diverse (some word drew >= 2 distinct " +
+      "segmentations)") {
+    val out = Bpe.unigramSample(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byWord = out.groupBy(_.getAs[String]("word"))
+    assert(byWord.exists(_._2.length >= 2),
+      "no word drew two distinct segmentations — sampling is degenerate")
+    byWord.foreach { case (w, rows) =>
+      assert(rows.map(_.getAs[Long]("n_draws")).sum ===
+          rows.head.getAs[Long]("n_occ"),
+        s"draw counts for '$w' do not sum to its n_occ")
+    }
+    // driver-side replay: recompute every occurrence's Gumbel-argmax
+    // for one multi-rank word from the FULL n-best list (x142's entry)
+    val (word, drawnRows) = byWord.find(_._2.length >= 2).get
+    val nb = Bpe.unigramNbest(spark, sf).collect()
+      .filter(_.getAs[String]("word") == word)
+      .map(r => r.getAs[Int]("rank") -> r.getAs[Long]("score_nano"))
+      .sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(occ: Long): Int = nb.map { case (r, s) =>
+      val hex = md.digest(s"useg:$word:$occ:$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        4294967296.0
+      val g = new java.math.BigDecimal(
+          java.lang.Double.toString(-math.log(-math.log(u))))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .movePointRight(9).longValueExact()
+      (s + 5L * g, -r)
+    }.max._2 * -1
+    val nOcc = drawnRows.head.getAs[Long]("n_occ")
+    val replayed = (1L to nOcc).map(draw)
+      .groupBy(identity).map { case (r, os) => r -> os.size.toLong }
+    val entryCounts = drawnRows
+      .map(r => r.getAs[Int]("rank") -> r.getAs[Long]("n_draws")).toMap
+    assert(replayed === entryCounts,
+      s"replayed draws $replayed != entry $entryCounts for '$word'")
+  }
+
+  test("rescorer retriever (x146): rescoring permutes only WITHIN the " +
+      "window — the window doc set and every tail (doc, rank) pair are " +
+      "unchanged from the first-stage x144 page") {
+    val window = 5
+    val base = Similarity.retrieverTree(spark, sf)
+      .select(col("doc_id"), col("rank")).as[(Long, Int)].collect()
+    val out = Similarity.rescorerRetriever(spark, sf)
+      .select(col("doc_id"), col("first_rank"), col("rank"))
+      .as[(Long, Int, Int)].collect()
+    assert(out.length === base.length)
+    val baseWin = base.filter(_._2 <= window).map(_._1).toSet
+    val outWin = out.filter(_._3 <= window).map(_._1).toSet
+    assert(outWin === baseWin, "rescoring changed the window doc set")
+    val baseTail = base.filter(_._2 > window).toSet
+    val outTail = out.filter(_._3 > window).map(t => (t._1, t._3)).toSet
+    assert(outTail === baseTail, "a tail rank moved")
+    assert(out.filter(_._3 <= window).forall(t => t._2 <= window),
+      "a tail doc entered the window")
+  }
+
+  test("tokenizer fertility (x147): both language buckets present, " +
+      "totals consistent (chars >= pieces >= words), micro ratios " +
+      "replay as exact floor divisions") {
+    val rows = Bpe.tokenizerFertility(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq === Seq("data", "en"))
+    rows.foreach { r =>
+      val (nw, tc, tp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tc >= tp && tp >= nw && nw > 0,
+        s"inconsistent totals for ${r.getString(0)}: $nw/$tc/$tp")
+      assert(r.getLong(4) === tp * 1000000L / nw)
+      assert(r.getLong(5) === tc * 1000000L / tp)
+      assert(r.getLong(4) >= 1000000L,
+        "fertility below one piece per word")
+    }
+  }
+
   test("filtered kNN (x141): every hit satisfies the filter, the label " +
       "predicate is PUSHED to the candidate parquet scan, and pre-filter " +
       "recall vs exact filtered kNN beats post-filtering the unfiltered " +

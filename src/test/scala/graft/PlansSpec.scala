@@ -127,6 +127,41 @@ class PlansSpec extends SparkSpec {
       "materialized fan-out falsely flagged")
   }
 
+  test("tripwire catches the baked-artifact class (check 7): a plan " +
+      "node carrying an oversized driver-held literal matrix is " +
+      "flagged; the k×dim sync-sized artifacts pass") {
+    val docs = Tables.load(spark, sf, "documents").select($"doc_id")
+    // planted: a ~1.6 MiB literal matrix folded into one projection —
+    // the pre-fix x140 shape (a corpus-linear centroid matrix baked
+    // into the task binary)
+    val big = Array.fill(200000)(1.0d).toSeq
+    val planted = docs.withColumn("s",
+      element_at(typedLit(big), ($"doc_id" % 1000 + 1).cast("int")))
+    assert(PlanGuard.violations(planted)
+      .exists(_.contains("driver-baked literal payload")),
+      "oversized baked literal not caught")
+    // control: a centroid-sync-sized artifact (8x64 doubles = 4 KiB)
+    // passes
+    val small = Array.fill(512)(1.0d).toSeq
+    val ok = docs.withColumn("s",
+      element_at(typedLit(small), ($"doc_id" % 512 + 1).cast("int")))
+    assert(!PlanGuard.violations(ok)
+      .exists(_.contains("driver-baked")),
+      "sync-sized artifact falsely flagged")
+    // control: the same big artifact as a BROADCAST side built from
+    // DATA (the fix pattern — a broadcast relation ships once per
+    // executor, and rows are payload, not plan-node literals)
+    val lut = Seq(Tuple1(big)).toDF("lut")
+    val fixed = docs.crossJoin(broadcast(lut))
+      .select($"doc_id",
+        element_at($"lut", ($"doc_id" % 1000 + 1).cast("int")).as("s"))
+      .agg(sum($"s"))
+    assert(!PlanGuard.violations(fixed)
+      .exists(_.contains("driver-baked")),
+      "broadcast LUT falsely flagged: " +
+        PlanGuard.violations(fixed).mkString("; "))
+  }
+
   /** Adjudicated exceptions: entry -> substrings of violations that are
     * deliberate. Keep justifications here, next to the waiver. */
   private val allow: Map[String, Seq[String]] = Map(
