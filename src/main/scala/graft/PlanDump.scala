@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Dumps `.explain("formatted")` for named entries to per-entry files —
+  * the optimization-round before/after plan artifact
+  * (`plans/r17/<entry>_{before,after}.txt`). Run:
+  * `runMain graft.PlanDump <sfDir> <outDir> <suffix> <e1,e2,...>`. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, suffix, names) = args.take(4)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+      val txt =
+        try SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.explainString(FormattedMode)
+        catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      Files.write(Paths.get(outDir, s"${n}_$suffix.txt"),
+        txt.getBytes("UTF-8"))
+      println(s"[plandump] $n -> $outDir/${n}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

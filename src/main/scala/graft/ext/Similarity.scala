@@ -1297,26 +1297,6 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
-  /** Squared-L2 distance between a slice of `emb` (positions
-    * `off until off + cv.length`) and the LITERAL centroid `cv`, as a
-    * fixed left-to-right codegen'd sum — the oracle's `list_reduce`
-    * fold adds in the same association, so the doubles are
-    * bit-identical across engines (the cosine-fold precedent). */
-  private def subDist(emb: Column, cv: Seq[Double], off: Int): Column =
-    cv.indices.map { i =>
-      val d = emb.getItem(off + i).cast("double") - lit(cv(i))
-      d * d
-    }.reduce(_ + _)
-
-  /** First-index argmin over k 6dp-rounded distance columns — the
-    * lowest-c tiebreak, identical to `row_number() ORDER BY dist, c`. */
-  private def argminC(d: Seq[Column]): Column = {
-    val m = least(d: _*)
-    d.zipWithIndex.tail.foldLeft(when(d.head === m, 0)) {
-      case (acc, (dc, c)) => acc.when(dc === m, c)
-    }
-  }
-
   /**
    * Per-subspace PQ codebooks: `result(s)(c)` is centroid `c` of
    * subspace `s` after `iterations` Lloyd steps with EUCLIDEAN
@@ -1335,15 +1315,16 @@ object Similarity {
     var books: Seq[Seq[Seq[Double]]] = (0 until subspaces).map(s =>
       init.toSeq.map(_.slice(s * subDim, (s + 1) * subDim)))
     for (_ <- 0 until iterations) {
-      val bucketCols = (0 until subspaces).map { s =>
-        val d = (0 until k).map(c =>
-          round(subDist(col("embedding"), books(s)(c), s * subDim), 6))
-        argminC(d).as(s"b$s")
-      }
+      // one fused native assignment loop per row (codes(s) == the old
+      // argminC-over-rounded-subDist fold, bit-for-bit) — the literal
+      // S×k fold trees recompiled in janino every iteration because the
+      // codebook literals were inlined in the generated source
       val sSub = (col("pos") / lit(subDim)).cast("int")
-      val stats = emb.select(Seq(col("embedding")) ++ bucketCols: _*)
-        .select(array((0 until subspaces).map(s => col(s"b$s")): _*)
-            .as("bs"),
+      val stats = emb.select(
+          graft.functions.PqAssign.assign(col("embedding"), books)
+            .getField("codes").as("bs"),
+          col("embedding"))
+        .select(col("bs"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(sSub.as("s_sub"),
           element_at(col("bs"), sSub + 1).as("c"),
@@ -1385,21 +1366,17 @@ object Similarity {
     val dim = 64
     val subDim = dim / subspaces
     val books = pqCodebooks(emb, subspaces, k, subDim, iterations)
-    val codeCols = (0 until subspaces).map { s =>
-      val dR = (0 until k).map(c =>
-        round(subDist(col("embedding"), books(s)(c), s * subDim), 6))
-      argminC(dR).cast("long").as(s"c$s")
-    }
-    val errCols = (0 until subspaces).map { s =>
-      val dF = (0 until k).map(c =>
-        subDist(col("embedding"), books(s)(c), s * subDim))
-      least(dF: _*).as(s"e$s")
-    }
-    emb.select(Seq(col("vec_id")) ++ codeCols ++ errCols: _*)
-      .withColumn("err", round((0 until subspaces)
-        .map(s => col(s"e$s")).reduce(_ + _), 6))
+    // one fused native loop per row for codes AND reconstruction errors
+    // (codes == the old argminC-over-rounded-subDist, errs == the old
+    // unrounded `least` legs, bit-for-bit — see PqAssign's contract)
+    emb.select(col("vec_id"),
+        graft.functions.PqAssign.assign(col("embedding"), books).as("pa"))
       .select(Seq(col("vec_id")) ++
-        (0 until subspaces).map(s => col(s"c$s")) :+ col("err"): _*)
+        (0 until subspaces).map(s =>
+          element_at(col("pa.codes"), s + 1).cast("long").as(s"c$s")) :+
+        round((0 until subspaces)
+          .map(s => element_at(col("pa.errs"), s + 1)).reduce(_ + _), 6)
+          .as("err"): _*)
       .orderBy(col("vec_id"))
   }
 
@@ -1443,13 +1420,11 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val subspaces = books.length
     val k = books.head.length
-    // cell (s, c) lives at 1-based index s*k + c + 1
-    val lutCells = (0 until subspaces).flatMap { s =>
-      (0 until k).map(c =>
-        (round(subDist(col("q"), books(s)(c), s * subDim), 6)
-          .cast("decimal(12,6)") * 1000000).cast("long"))
-    }
-    val qWithLut = queries.withColumn("lut", array(lutCells: _*))
+    // cell (s, c) lives at 1-based index s*k + c + 1; the whole LUT is
+    // ONE fused native loop per query row (same 6dp-freeze micro-units
+    // as the literal-fold cells it replaces — PqLutMicro's contract)
+    val qWithLut = queries.withColumn("lut",
+      graft.functions.PqAssign.lutMicro(col("q"), books))
     val adc = (0 until subspaces).map(s =>
         element_at(col("lut"), (col(s"c$s").cast("int") + lit(s * k + 1))))
       .reduce(_ + _)
@@ -1475,13 +1450,13 @@ object Similarity {
     val books = pqCodebooks(emb, subspaces, k, subDim, iterations)
     val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
       centroids)
-    val codeCols = (0 until subspaces).map { s =>
-      val dR = (0 until k).map(c =>
-        round(subDist(col("embedding"), books(s)(c), s * subDim), 6))
-      argminC(dR).cast("long").as(s"c$s")
-    }
-    val cands = emb.select(Seq(col("vec_id").as("cand_id"),
-      nc.getField("bucket").cast("long").as("bucket")) ++ codeCols: _*)
+    val cands = emb.select(col("vec_id").as("cand_id"),
+        nc.getField("bucket").cast("long").as("bucket"),
+        graft.functions.PqAssign.assign(col("embedding"), books)
+          .getField("codes").as("cs"))
+      .select(Seq(col("cand_id"), col("bucket")) ++
+        (0 until subspaces).map(s =>
+          element_at(col("cs"), s + 1).cast("long").as(s"c$s")): _*)
     val queries = emb.where(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
         nc.getField("bucket").cast("long").as("bucket"))
@@ -1508,14 +1483,14 @@ object Similarity {
     val books = pqCodebooks(emb, subspaces, k, subDim, iterations)
     val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
       centroids)
-    val codeCols = (0 until subspaces).map { s =>
-      val dR = (0 until k).map(c =>
-        round(subDist(col("embedding"), books(s)(c), s * subDim), 6))
-      argminC(dR).cast("long").as(s"c$s")
-    }
     graft.sink.BucketedTables.writeBucketed(
-      emb.select(Seq(col("vec_id"), col("embedding"),
-        nc.getField("bucket").cast("long").as("bucket")) ++ codeCols: _*),
+      emb.select(col("vec_id"), col("embedding"),
+          nc.getField("bucket").cast("long").as("bucket"),
+          graft.functions.PqAssign.assign(col("embedding"), books)
+            .getField("codes").as("cs"))
+        .select(Seq(col("vec_id"), col("embedding"), col("bucket")) ++
+          (0 until subspaces).map(s =>
+            element_at(col("cs"), s + 1).cast("long").as(s"c$s")): _*),
       idxTable, "bucket", 8,
       path = Some(s"${sys.props("java.io.tmpdir")}/graft_index/$idxTable"))
     import spark.implicits._
