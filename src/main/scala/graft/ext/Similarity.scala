@@ -1441,13 +1441,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Runs the two INDEPENDENT quantizer trainings (coarse cosine
+    * k-means and per-subspace PQ Lloyd) as concurrent driver threads:
+    * actions are only sequential because the driver calls them
+    * sequentially, so each trainer's per-iteration jobs back-fill the
+    * other's stage tails (each training's own iterations stay
+    * sequential; the trainings share no state, so determinism is
+    * untouched — job descriptions are thread-local). */
+  private def trainCoarseAndPq(emb: DataFrame, nCentroids: Int,
+      subspaces: Int, k: Int, subDim: Int, iterations: Int)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fc = pool.submit(
+        new java.util.concurrent.Callable[Seq[Seq[Double]]] {
+          def call() = kmeansCentroids(emb, nCentroids, iterations) })
+      val fb = pool.submit(
+        new java.util.concurrent.Callable[Seq[Seq[Seq[Double]]]] {
+          def call() = pqCodebooks(emb, subspaces, k, subDim, iterations) })
+      (fc.get(), fb.get())
+    } finally pool.shutdown()
+  }
+
   def ivfPqSearch(spark: SparkSession, dir: String, nCentroids: Int = 8,
       iterations: Int = 2, subspaces: Int = 4, k: Int = 4,
       nQueries: Int = 10, topK: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val subDim = 64 / subspaces
-    val centroids = kmeansCentroids(emb, nCentroids, iterations)
-    val books = pqCodebooks(emb, subspaces, k, subDim, iterations)
+    val (centroids, books) =
+      trainCoarseAndPq(emb, nCentroids, subspaces, k, subDim, iterations)
     val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
       centroids)
     val cands = emb.select(col("vec_id").as("cand_id"),
@@ -1479,8 +1501,8 @@ object Similarity {
       s"${sys.props("java.io.tmpdir")}/graft_index/graft_ivfpq_ct_$suffix"
     val emb = Tables.load(spark, dir, "embeddings")
     val subDim = 64 / subspaces
-    val centroids = kmeansCentroids(emb, nCentroids, iterations)
-    val books = pqCodebooks(emb, subspaces, k, subDim, iterations)
+    val (centroids, books) =
+      trainCoarseAndPq(emb, nCentroids, subspaces, k, subDim, iterations)
     val nc = graft.functions.NearestCentroid.nearest(col("embedding"),
       centroids)
     graft.sink.BucketedTables.writeBucketed(
