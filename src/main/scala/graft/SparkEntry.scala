@@ -1363,10 +1363,19 @@ object SparkEntry {
     // ---- serving column). The serving path is kq102, whose plan -------
     // ---- never touches the 24x-expanded distinct-pairs join. ----------
     "kq65_sliding_uniques" -> ((s, dir) => {
+      // ONE envelope pass: the distinct (bucket, key) pairs feed all
+      // three legs (register max is duplicate-insensitive — h depends
+      // only on key — so regs-from-pairs == regs-from-raw-rows; the
+      // exact leg's countDistinct was already pair-valued). Previously
+      // the envelope chain was derived three times (regs, buckets,
+      // exact). pairs is corpus-reduced but not tiny, so DISK_ONLY per
+      // the SKILL materialization rule, not localCheckpoint.
       val env = Pipeline.envelopeFlat(s, dir)
         .select(date_trunc("hour", col("timestamp")).as("bucket"),
           col("key"))
-      val regs = env
+      val pairs = env.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val regs = pairs
         .withColumn("h",
           conv(substring(md5(concat(lit("uu:"), col("key"))), 1, 8), 16, 10)
             .cast("long"))
@@ -1375,8 +1384,7 @@ object SparkEntry {
           "CASE WHEN h div 64 = 0 THEN 27 " +
             "ELSE 27 - length(bin(h div 64)) END"))
         .groupBy(col("bucket"), col("j")).agg(max(col("rho")).as("m"))
-        .localCheckpoint()
-      val buckets = env.select(col("bucket")).distinct()
+      val buckets = pairs.select(col("bucket")).distinct()
         .withColumnRenamed("bucket", "b").localCheckpoint()
       val merged = broadcast(buckets).join(regs,
           col("bucket").between(col("b") - expr("INTERVAL 23 HOURS"),
@@ -1389,7 +1397,6 @@ object SparkEntry {
           (col("s_present") + (lit(64) - col("n_present"))
             * lit(134217728L)).cast("long").as("s_scaled"),
           (lit(64) - col("n_present")).cast("long").as("v_zero"))
-      val pairs = env.distinct()
       val exact = broadcast(buckets).join(pairs,
           col("bucket").between(col("b") - expr("INTERVAL 23 HOURS"),
             col("b")))
