@@ -313,20 +313,36 @@ object RelQueries {
     * DuckDB side recomputes the exact values and asserts TRUE — if
     * Spark's sketches ever left their error envelope the hash would
     * mismatch. */
-  def q20Sketch(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        (abs(approx_count_distinct(col("l_partkey")) -
-            countDistinct(col("l_partkey"))).cast("double") <=
-          countDistinct(col("l_partkey")).cast("double") * 0.15)
+  def q20Sketch(spark: SparkSession, dir: String): DataFrame = {
+    // Exact and sketch legs aggregate SEPARATELY and join on the 3-row
+    // group key: mixing countDistinct with the sketch buffers in one
+    // Aggregate made the planner route approx_count_distinct's HLL and
+    // percentile_approx's QuantileSummaries buffers through the
+    // distinct-aggregate Expand (every row duplicated through the
+    // shuffle, sketch buffers merged over the expanded rows — measured
+    // 4.4 s vs 2.0 s split at sf0.1). Split, the sketch leg partial-
+    // aggregates map-side (sketches merge; shuffles KBs, the point of
+    // sketches at 100 TB) and only the exact leg pays the distinct
+    // Expand. Values and output schema are unchanged.
+    val li = Tables.load(spark, dir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_quantity, 0.5)").as("med"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+          .as("apx_med"))
+    exact.join(approx, "l_returnflag")
+      .select(col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("apx_parts") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.15)
           .as("hll_within_15pct"),
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-        (abs(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)) -
-            expr("percentile(l_quantity, 0.5)")) <= 2.0)
+        round(col("med"), 6).as("median_qty"),
+        (abs(col("apx_med") - col("med")) <= 2.0)
           .as("approx_median_within_2"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Robust statistics with cross-engine exactness: exact interpolated
     * percentiles (both engines sort — order-independent), and
@@ -1179,27 +1195,33 @@ object RelQueries {
    * the disc form is deliberately absent). One hash aggregate + a
    * per-group sort inside the percentile buffer; at scale this is the
    * classic single-shuffle ordered-set plan.
+   *
+   * Round 17: the three `percentile_cont(q) WITHIN GROUP` clauses (which
+   * each parse to an independent `Percentile` aggregate — three value
+   * buffers built, serialized between partial and merge, and sorted per
+   * group) are folded into ONE `percentile(cents, array(0.25,0.5,0.75))`
+   * sharing a single buffer and a single per-group sort. Same
+   * `Percentile` expression, same interpolation, bit-identical values
+   * (oracle-verified at three SFs); 4.5 s → 1.8 s at sf0.1.
    */
   def q51OrderedSet(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "lineitem")
       .createOrReplaceTempView("q51_lineitem")
     spark.sql(
-      """SELECT l_returnflag,
-        |  count(*) AS n,
-        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |    AS p25_cents,
-        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |    AS p50_cents,
-        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |    AS p75_cents,
-        |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |    FILTER (WHERE l_quantity > 25) AS heavy_cents
-        |FROM q51_lineitem
-        |GROUP BY l_returnflag
+      """SELECT l_returnflag, n,
+        |  ps[0] AS p25_cents, ps[1] AS p50_cents, ps[2] AS p75_cents,
+        |  n_heavy, heavy_cents
+        |FROM (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    percentile(
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+        |      array(0.25D, 0.5D, 0.75D)) AS ps,
+        |    count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      FILTER (WHERE l_quantity > 25) AS heavy_cents
+        |  FROM q51_lineitem
+        |  GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin)
   }
 
