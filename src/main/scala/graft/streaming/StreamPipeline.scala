@@ -41,6 +41,42 @@ object StreamPipeline {
         dst.setLastModified(mtime)
       }
 
+  /** Writes the four time-ordered replay slices of `ev` into
+    * `$work/in/batch-0i.parquet` (strictly increasing mtimes — the
+    * file-source batch order) in ONE job: slice id = `(us − mn) div
+    * step` as a partition column, hash-repartitioned so each slice
+    * lands in one task → one part file per slice. Replaces the
+    * previous per-harness min/max pass + FOUR filtered coalesce(1)
+    * writes — five derivations of the upstream frame (for kq105/kq112
+    * that is the envelope/enrich chain) — with two: the min/max agg
+    * (column-pruned to the timestamp) and the partitioned write. Slice
+    * CONTENTS are identical (same deterministic ranges); only
+    * intra-file row order may differ, which no replay consumer
+    * observes (per-batch row sets feed order-insensitive state
+    * updates, and emission order is governed by batch boundaries and
+    * watermarks, both unchanged). */
+  private def writeSlices(spark: org.apache.spark.sql.SparkSession,
+      ev: DataFrame, us: org.apache.spark.sql.Column,
+      work: String): java.io.File = {
+    import spark.implicits._
+    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
+    val withUs = ev.withColumn("_us", us.cast("long"))
+    val Array(mn, mx) = withUs.agg(min(col("_us")), max(col("_us")))
+      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
+    val step = math.max((mx - mn) / 4 + 1, 1L)
+    val tmp = s"$work/slices"
+    withUs
+      .withColumn("_slice", expr(s"CAST((_us - ${mn}L) div ${step}L AS INT)"))
+      .drop("_us")
+      .repartition(4, col("_slice"))
+      .write.mode("overwrite").partitionBy("_slice").parquet(tmp)
+    for (i <- 0 until 4)
+      moveSlicePart(s"$tmp/_slice=$i",
+        new java.io.File(inDir, f"batch-$i%02d.parquet"),
+        1700000000000L + i * 60000L)
+    inDir
+  }
+
   /** Enrich a STREAMING record frame (same chain as batch — stateless). */
   def ingest(records: DataFrame, valueJsonField: String): DataFrame =
     Transforms.enrich(valueJsonField)(records)
@@ -209,7 +245,8 @@ object StreamPipeline {
    * flagship stateful API gets a CORRECTNESS row, not just spec evidence.
    */
   def keyStatsBatch(spark: org.apache.spark.sql.SparkSession,
-      env: DataFrame, valueJsonField: String): DataFrame = {
+      env: DataFrame, valueJsonField: String): DataFrame =
+      withStreamingPartitions(spark, 8) {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger
     val work = java.nio.file.Files.createTempDirectory("kq23-tws").toString
@@ -312,7 +349,7 @@ object StreamPipeline {
    * is (live keys × observed types).
    */
   def mapStateCountsBatch(spark: org.apache.spark.sql.SparkSession,
-      env: DataFrame): DataFrame = {
+      env: DataFrame): DataFrame = withStreamingPartitions(spark, 8) {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
@@ -1133,18 +1170,7 @@ object StreamPipeline {
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
     // four time-ordered slices with strictly increasing mtimes → the
     // file source feeds them as four consecutive micro-batches
-    val Array(mn, mx) = ev.agg(min(col("us")), max(col("us")))
-      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
-    val step = math.max((mx - mn) / 4 + 1, 1L)
-    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
-    for (i <- 0 until 4) {
-      val slice = ev.where(col("us") >= mn + i * step &&
-        col("us") < mn + (i + 1) * step)
-      val tmp = s"$work/slice$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      moveSlicePart(tmp, new java.io.File(inDir, f"batch-$i%02d.parquet"),
-        1700000000000L + i * 60000L)
-    }
+    val inDir = writeSlices(spark, ev, col("us"), work)
     val out = java.nio.file.Files.createTempDirectory("kq56-out").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
     val prev = spark.conf.getOption(
@@ -1286,18 +1312,7 @@ object StreamPipeline {
     val ev = fenceFrame
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("inside"))
-    val Array(mn, mx) = ev.agg(min(col("us")), max(col("us")))
-      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
-    val step = math.max((mx - mn) / 4 + 1, 1L)
-    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
-    for (i <- 0 until 4) {
-      val slice = ev.where(col("us") >= mn + i * step &&
-        col("us") < mn + (i + 1) * step)
-      val tmp = s"$work/slice$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      moveSlicePart(tmp, new java.io.File(inDir, f"batch-$i%02d.parquet"),
-        1700000000000L + i * 60000L)
-    }
+    val inDir = writeSlices(spark, ev, col("us"), work)
     val out = java.nio.file.Files.createTempDirectory("kq109-out").toFile
     org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
     val prev = spark.conf.getOption(
@@ -1860,20 +1875,7 @@ object StreamPipeline {
       col("event_type"), col("value"), col("value_json"))
     // four STRICT time slices -> four consecutive micro-batches; a tie
     // timestamp always lands in exactly one slice
-    val Array(mn, mx) = ev.agg(min(unix_micros(col("timestamp"))),
-        max(unix_micros(col("timestamp"))))
-      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
-    val step = math.max((mx - mn) / 4 + 1, 1L)
-    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
-    for (i <- 0 until 4) {
-      val slice = ev.where(
-        unix_micros(col("timestamp")) >= mn + i * step &&
-        unix_micros(col("timestamp")) < mn + (i + 1) * step)
-      val tmp = s"$work/slice$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      moveSlicePart(tmp, new java.io.File(inDir, f"batch-$i%02d.parquet"),
-        1700000000000L + i * 60000L)
-    }
+    val inDir = writeSlices(spark, ev, unix_micros(col("timestamp")), work)
     val verdicts = array(stored.map { case (id, p) =>
       struct(lit(id).as("query_id"), p.as("hit")) }: _*)
     val lastUs = scala.collection.mutable.Map[Int, Long]()
@@ -1963,20 +1965,7 @@ object StreamPipeline {
     val work = java.nio.file.Files
       .createTempDirectory("kq112-pipe").toString
     val raw = graft.ingest.Sources.eventsAsRecords(spark, dir)
-    val Array(mn, mx) = raw.agg(min(unix_micros(col("timestamp"))),
-        max(unix_micros(col("timestamp"))))
-      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
-    val step = math.max((mx - mn) / 4 + 1, 1L)
-    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
-    for (i <- 0 until 4) {
-      val slice = raw.where(
-        unix_micros(col("timestamp")) >= mn + i * step &&
-        unix_micros(col("timestamp")) < mn + (i + 1) * step)
-      val tmp = s"$work/slice$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      moveSlicePart(tmp, new java.io.File(inDir, f"batch-$i%02d.parquet"),
-        1700000000000L + i * 60000L)
-    }
+    val inDir = writeSlices(spark, raw, unix_micros(col("timestamp")), work)
     val stream = spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val vj = graft.Pipeline.ValueJsonField
@@ -2067,19 +2056,7 @@ object StreamPipeline {
         expr("CAST(CASE WHEN h div 64 = 0 THEN 27 " +
           "ELSE 27 - length(bin(h div 64)) END AS INT)").as("rho"))
     // four time-ordered slices -> four consecutive micro-batches
-    val Array(mn, mx) = ev.agg(min(unix_micros(col("ts"))),
-        max(unix_micros(col("ts"))))
-      .as[(Long, Long)].collect().map(t => Array(t._1, t._2)).head
-    val step = math.max((mx - mn) / 4 + 1, 1L)
-    val inDir = new java.io.File(s"$work/in"); inDir.mkdirs()
-    for (i <- 0 until 4) {
-      val slice = ev.where(unix_micros(col("ts")) >= mn + i * step &&
-        unix_micros(col("ts")) < mn + (i + 1) * step)
-      val tmp = s"$work/slice$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      moveSlicePart(tmp, new java.io.File(inDir, f"batch-$i%02d.parquet"),
-        1700000000000L + i * 60000L)
-    }
+    val inDir = writeSlices(spark, ev, unix_micros(col("ts")), work)
     val sinkName = s"kq105_uniq_${System.nanoTime()}"
     val prev = spark.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
