@@ -457,13 +457,18 @@ object Bpe {
     val singles0 = freq.where(length(col("piece")) === 1)
     val multi0 = freq.where(length(col("piece")) >= 2)
       .orderBy(col("freq").desc, col("piece")).limit(UniTopPieces)
-    val alphabet: Seq[String] = singles0.select(col("piece"))
-      .orderBy(col("piece")).collect().map(_.getString(0)).toSeq
-    var multiSet: Set[String] =
-      multi0.collect().map(_.getString(0)).toSet
+    // ONE driver sync for the seed vocabulary: alphabet and the multi
+    // set are projections of the same collected rows (previously three
+    // separate collect jobs over the checkpointed freq table)
     var vocab: Seq[(String, Long)] = singles0.unionByName(multi0)
       .orderBy(col("piece")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // code-point length, matching SQL length() (not UTF-16 units)
+    def cpLen(p: String): Int = p.codePointCount(0, p.length)
+    val alphabet: Seq[String] =
+      vocab.collect { case (p, _) if cpLen(p) == 1 => p }
+    var multiSet: Set[String] =
+      vocab.collect { case (p, _) if cpLen(p) >= 2 => p }.toSet
     def wts(v: Seq[(String, Long)]): Seq[(String, Long)] = {
       val total = s9l(v.map(_._2).sum)
       v.map { case (p, f) => p -> (s9l(f) - total) }
@@ -650,22 +655,20 @@ object Bpe {
       .localCheckpoint()
     val occ = nbl.select(col("word"), col("nb"),
       explode(expr("sequence(1L, n_occ)")).as("occ"))
-    // drawn rank per occurrence: in-row Gumbel-argmax over the nb list
-    // — struct max is (key DESC, -rank DESC) = (key DESC, rank ASC).
+    // drawn rank per occurrence: ONE fused native Gumbel-argmax over
+    // the nb list ([[graft.functions.GumbelPick]] — bit-identical to
+    // the interpreted array_max(transform(...md5...ln...)) chain it
+    // replaces, which re-ran the HOF ladder per occurrence row).
     // coalesce(…, 0): the expression is never null in practice (the
     // n-best list is non-empty — the alphabet always segments), but a
     // NULLABLE join key makes the optimizer infer an isnotnull filter
-    // below the aggregate and DUPLICATE this whole interpreted chain
-    // into it (PlanGuard check 6 caught exactly that); the non-null
-    // coalesce folds the inferred filter away.
-    val drawn = occ.select(col("word"), expr(
-      """coalesce(-(array_max(transform(sequence(1, size(nb)), r -> struct(
-        |  element_at(nb, r).score_nano + 5L * CAST(CAST(round(
-        |    -ln(-ln((CAST(conv(substring(md5(concat('useg:', word, ':',
-        |        CAST(occ AS STRING), ':', CAST(r AS STRING))), 1, 8),
-        |        16, 10) AS DOUBLE) + 0.5d) / 4294967296.0d)), 9)
-        |    AS DECIMAL(20,9)) * 1000000000 AS BIGINT) AS key_nano,
-        |  -r AS nr))).nr), 0)""".stripMargin).cast("int").as("rank"))
+    // below the aggregate and DUPLICATE the draw into it (PlanGuard
+    // check 6 caught exactly that); the non-null coalesce folds the
+    // inferred filter away.
+    val drawn = occ.select(col("word"),
+      coalesce(graft.functions.GumbelPick.pick(
+          col("word"), col("occ"), col("nb"), 5L), lit(0))
+        .cast("int").as("rank"))
     val counts = drawn.groupBy(col("word"), col("rank"))
       .agg(count(lit(1)).as("n_draws"))
     val page = nbl.select(col("word"), col("n_occ"), posexplode(col("nb")))
