@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe main — current use: is q51's cost the THREE separate
-  * percentile_cont buffers (vs one shared array-percentile buffer), and
-  * where does q20_sketch's time go? */
+/** Scratch probe main — current use: is kmeansCentroids' per-iteration
+  * posexplode+groupBy(bucket,pos) aggregation beatable by 64 per-dim
+  * decimal-sum columns grouped by bucket alone (same exact sums)? */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -27,38 +27,41 @@ object Probe {
       println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-
     SparkEntry.queries("q2_topk")(spark, dir)
       .write.format("noop").mode("overwrite").save()
-    graft.ingest.Tables.load(spark, dir, "lineitem")
-      .createOrReplaceTempView("li")
 
-    for (r <- 1 to 2) {
-      timed(s"r$r q51 as-is")(
-        noop(SparkEntry.queries("q51_ordered_set")(spark, dir)))
-      timed(s"r$r q51 one-array-percentile")(noop(spark.sql(
-        """SELECT l_returnflag, n,
-          |  ps[0] AS p25_cents, ps[1] AS p50_cents, ps[2] AS p75_cents,
-          |  n_heavy, heavy_cents FROM (
-          |SELECT l_returnflag, count(*) AS n,
-          |  percentile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
-          |    array(0.25D, 0.5D, 0.75D)) AS ps,
-          |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
-          |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-          |    FILTER (WHERE l_quantity > 25) AS heavy_cents
-          |FROM li GROUP BY l_returnflag) ORDER BY l_returnflag""".stripMargin)))
-      timed(s"r$r q20 as-is")(
-        noop(SparkEntry.queries("q20_sketch")(spark, dir)))
-      timed(s"r$r q20 exact-only")(noop(spark.sql(
-        """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
-          |  percentile(l_quantity, 0.5D) AS m
-          |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
-      timed(s"r$r q20 approx-only")(noop(spark.sql(
-        """SELECT l_returnflag, approx_count_distinct(l_partkey) AS a,
-          |  approx_percentile(l_quantity, 0.5D, 1000) AS m
-          |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
+    val emb = graft.ingest.Tables.load(spark, dir, "embeddings")
+    val seeds = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val nc = graft.functions.NearestCentroid
+      .nearest(col("embedding"), seeds).getField("bucket")
+
+    for (r <- 1 to 3) {
+      val a = timed(s"r$r explode form")(
+        emb.select(nc.as("bucket"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("bucket"), col("pos"))
+          .agg(sum(col("v").cast("double").cast("decimal(38,15)")).as("s"),
+            count(lit(1)).as("c"))
+          .select(col("bucket"), col("pos"),
+            (col("s").cast("double") / col("c")).as("m"))
+          .collect())
+      val b = timed(s"r$r 64-col form")(
+        emb.select(Seq(nc.as("bucket")) ++ (0 until 64).map(i =>
+            col("embedding").getItem(i).cast("double")
+              .cast("decimal(38,15)").as(s"v$i")): _*)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("c"),
+            (0 until 64).map(i => sum(col(s"v$i")).as(s"s$i")): _*)
+          .collect())
+      val ma = a.map(r0 => (r0.getInt(0), r0.getInt(1)) -> r0.getDouble(2)).toMap
+      val mb = b.flatMap { r0 =>
+        val bkt = r0.getInt(0); val c = r0.getLong(1)
+        (0 until 64).map(i => (bkt, i) ->
+          r0.getDecimal(2 + i).doubleValue() / c)
+      }.toMap
+      println(s"[probe] r$r equal: ${ma == mb} (${ma.size} cells)")
     }
     spark.stop()
   }

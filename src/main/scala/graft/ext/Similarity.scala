@@ -186,27 +186,35 @@ object Similarity {
    *  - empty clusters keep their previous centroid.
    * Only the k×dim means cross the driver between iterations (the same
    * sync pattern as Spark ML's own KMeans); each iteration is one
-   * map-only assignment pass + one (bucket, dim)-keyed aggregation.
+   * map-only assignment pass + one bucket-keyed aggregation carrying a
+   * decimal-sum column per dimension (row-count-preserving — no
+   * posexplode row expansion ahead of the partial aggregate).
    */
   private[graft] def kmeansCentroids(emb: DataFrame, k: Int,
       iterations: Int): Seq[Seq[Double]] = {
     var centroids: Seq[Seq[Double]] = emb.where(col("vec_id") < k)
       .orderBy(col("vec_id")).select(col("embedding"))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iterations) {
       val bucket = graft.functions.NearestCentroid
         .nearest(col("embedding"), centroids).getField("bucket")
-      val stats = emb.select(bucket.as("bucket"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("bucket"), col("pos"))
-        .agg(sum(col("v").cast("double").cast("decimal(38,15)")).as("s"),
-          count(lit(1)).as("c"))
-        .select(col("bucket"), col("pos"),
-          (col("s").cast("double") / col("c")).as("m"))
+      // one per-dim decimal-sum column per dimension, grouped by bucket
+      // alone: the same exact DECIMAL(38,15) per-(bucket, dim) sums and
+      // the same double division as the previous posexplode +
+      // groupBy(bucket, pos) form (probed bit-equal), WITHOUT the 64×
+      // row expansion feeding the partial aggregate
+      val sums = (0 until dim).map(i =>
+        sum(col("embedding").getItem(i).cast("double")
+          .cast("decimal(38,15)")).as(s"s$i"))
+      val stats = emb.select(bucket.as("bucket"), col("embedding"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("c"), sums: _*)
+        .select(Seq(col("bucket")) ++ (0 until dim).map(i =>
+          (col(s"s$i").cast("double") / col("c")).as(s"m$i")): _*)
         .collect()
-      val means = stats.groupBy(_.getInt(0)).map { case (b, rows) =>
-        b -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-      }
+      val means = stats.map(r =>
+        r.getInt(0) -> (0 until dim).map(i => r.getDouble(1 + i))).toMap
       centroids = centroids.indices.map(b => means.getOrElse(b, centroids(b)))
     }
     centroids
