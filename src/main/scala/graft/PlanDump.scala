@@ -11,6 +11,11 @@ import org.apache.spark.sql.execution.FormattedMode
   * `runMain graft.PlanDump <sfDir> <outDir> <suffix> <e1,e2,...>`. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: graft.PlanDump <sfDir> <outDir> <suffix> <e1,e2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, names) = args.take(4)
     val spark = SparkSession.builder()
       .master("local[8]")

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe main — current use: is kmeansCentroids' per-iteration
-  * posexplode+groupBy(bucket,pos) aggregation beatable by 64 per-dim
-  * decimal-sum columns grouped by bucket alone (same exact sums)? */
+/** Scratch probe main — current use: decompose x86_dedup_eval (the #1
+  * round-18 cost center) into its legs: the eager collision check, the
+  * truth leg (ngram Jaccard at t=0.5 over the augmented corpus), the
+  * pred leg (minhash pairs), and the full-outer comparison. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -27,42 +28,37 @@ object Probe {
       println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     SparkEntry.queries("q2_topk")(spark, dir)
       .write.format("noop").mode("overwrite").save()
 
-    val emb = graft.ingest.Tables.load(spark, dir, "embeddings")
-    val seeds = emb.where(col("vec_id") < 8).orderBy(col("vec_id"))
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-    val nc = graft.functions.NearestCentroid
-      .nearest(col("embedding"), seeds).getField("bucket")
+    val docs = graft.ingest.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val derived = docs.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, " +
+          "CAST(greatest((2 * size(split(text, ' '))) div 3, 3) AS INT))" +
+          ", ' ')").as("text"))
+    val corpus = docs.unionByName(derived)
 
     for (r <- 1 to 3) {
-      val a = timed(s"r$r explode form")(
-        emb.select(nc.as("bucket"),
-            posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("bucket"), col("pos"))
-          .agg(sum(col("v").cast("double").cast("decimal(38,15)")).as("s"),
-            count(lit(1)).as("c"))
-          .select(col("bucket"), col("pos"),
-            (col("s").cast("double") / col("c")).as("m"))
-          .collect())
-      val b = timed(s"r$r 64-col form")(
-        emb.select(Seq(nc.as("bucket")) ++ (0 until 64).map(i =>
-            col("embedding").getItem(i).cast("double")
-              .cast("decimal(38,15)").as(s"v$i")): _*)
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("c"),
-            (0 until 64).map(i => sum(col(s"v$i")).as(s"s$i")): _*)
-          .collect())
-      val ma = a.map(r0 => (r0.getInt(0), r0.getInt(1)) -> r0.getDouble(2)).toMap
-      val mb = b.flatMap { r0 =>
-        val bkt = r0.getInt(0); val c = r0.getLong(1)
-        (0 until 64).map(i => (bkt, i) ->
-          r0.getDecimal(2 + i).doubleValue() / c)
-      }.toMap
-      println(s"[probe] r$r equal: ${ma == mb} (${ma.size} cells)")
+      timed(s"r$r full x86")(
+        noop(SparkEntry.queries("x86_dedup_eval")(spark, dir)))
+      timed(s"r$r truth leg (ngram t=0.5, augmented corpus)")(
+        noop(graft.ext.Dedup.ngramJaccardPairsOf(corpus, 0.5)))
+      timed(s"r$r pred leg (minhash 12x3)") {
+        // minhashPairsOf is private[ext]; x3 entry over base docs is the
+        // closest public probe of the same shape — time the real leg via
+        // x86 minus truth instead; here: the base-corpus x3 entry
+        noop(SparkEntry.queries("x3_dedup_minhash")(spark, dir))
+      }
     }
+    // candidate volume of the truth leg at t=0.5
+    val n = timed("truth-leg row count")(
+      graft.ext.Dedup.ngramJaccardPairsOf(corpus, 0.5).count())
+    println(s"[probe] truth pairs: $n")
     spark.stop()
   }
 }

@@ -68,18 +68,66 @@ object Dedup {
     * pipeline composes with its own corpus (also what the skewed-corpus
     * stress spec drives). */
   def ngramJaccardPairsOf(docs: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    ngramJaccardPairsOf(docs, threshold, forceStringVerify = false)
+
+  /**
+   * GLOBAL INJECTIVITY check: true iff two DISTINCT shingle strings
+   * anywhere in the corpus share an xxhash64 value — the one case where a
+   * hashed-array `array_intersect` could silently differ from the exact
+   * string-set intersection (a cross-doc collision overcounts the
+   * intersection; a within-doc collision shrinks a set). One eager
+   * vocabulary-scale aggregation (min≠max of the strings per hash key
+   * witnesses any collision; the map-side partial reduces the exchange to
+   * distinct-shingle rows). Strings appear in THIS probe and nowhere else
+   * in the pair queries — every exchange of the returned plan moves
+   * 8-byte hashes. Expected-never at 2⁻⁶⁴ per pair of distinct shingles;
+   * when it fires, verification falls back to the exact string arrays, so
+   * the result is ALWAYS the exact string-set answer.
+   */
+  private def shinglesCollide(docs: DataFrame): Boolean = {
+    val agg = docs.select(explode(
+        graft.functions.WordShingles.shingles(col("text"), 3)).as("s"))
+      .select(xxhash64(col("s")).as("sh"), col("s"))
+      .groupBy(col("sh"))
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    !agg.where(col("mn") =!= col("mx")).isEmpty
+  }
+
+  /** The verification-side shingle sets: hashed arrays (8 B/shingle
+    * through the candidate-attach joins) when the corpus-wide hash is
+    * injective, the exact string arrays when a collision was detected
+    * (or forced by a spec). Array LENGTH is the string-set size in both
+    * forms ([[graft.functions.WordShingleHashes]] dedups by string), so
+    * sizes, intersections and the rounded scores are bit-identical when
+    * no collision exists — proven by the forced-fallback equality spec
+    * and the DuckDB oracle (which always runs the naive string form). */
+  private def verifyShingles(docs: DataFrame,
+      useStrings: Boolean): DataFrame =
+    if (useStrings)
+      docs.select(col("doc_id"),
+        graft.functions.WordShingles.shingles(col("text"), 3)
+          .as("shingles"))
+    else
+      docs.select(col("doc_id"),
+        graft.functions.WordShingles.shingleHashes(col("text"), 3)
+          .as("shingles"))
+
+  private[graft] def ngramJaccardPairsOf(docs: DataFrame, threshold: Double,
+      forceStringVerify: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docSh = docs.select(col("doc_id"),
-      graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
     // per-doc set size rides along the explode (no second aggregation);
     // shingles travel as xxhash64 keys — 8 bytes through every shuffle
-    // instead of the ~35-byte string. A cross-shingle hash collision can
-    // only ADD a candidate (verification below is exact), never lose one.
+    // instead of the ~35-byte string, now INCLUDING the verification
+    // arrays (hashed natively inside the shingling pass). A cross-shingle
+    // hash collision can only ADD a candidate, and the
+    // collision-CHECKED verification below stays exact either way.
+    val docSh = docs.select(col("doc_id"),
+      graft.functions.WordShingles.shingleHashes(col("text"), 3)
+        .as("shingles"))
     val exploded = docSh.select(col("doc_id"),
       size(col("shingles")).as("n"),
-      explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
+      explode(col("shingles")).as("sh"))
 
     // Bayardo prefix filter. Global document frequency of every shingle
     // (one agg on the hashed shingle key), then each doc's shingles ranked
@@ -99,6 +147,7 @@ object Dedup {
     // carrying the shingle string through the window shuffle just to
     // break that tie would ~4× the shuffled bytes
     val dfTbl = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val collided = shinglesCollide(docs)
     val wPrefix = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("sh"))
     val prefix = exploded.join(dfTbl, "sh")
@@ -115,9 +164,11 @@ object Dedup {
 
     // exact per-candidate verification on the full shingle sets — results
     // are identical to the naive all-pairs shingle join (the DuckDB oracle
-    // runs the naive form)
-    val sA = docSh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
-    val sB = docSh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
+    // runs the naive form); hashed arrays unless the corpus broke
+    // injectivity (see shingleDfWithCollisionCheck)
+    val vSh = verifyShingles(docs, collided || forceStringVerify)
+    val sA = vSh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+    val sB = vSh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
     candidates.join(sA, "d1").join(sB, "d2")
       .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", round(col("shared") /
@@ -153,19 +204,24 @@ object Dedup {
 
   /** [[containmentPairs]] over any `(doc_id, text)` frame. */
   def containmentPairsOf(docs: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    containmentPairsOf(docs, threshold, forceStringVerify = false)
+
+  private[graft] def containmentPairsOf(docs: DataFrame, threshold: Double,
+      forceStringVerify: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docSh = docs.select(col("doc_id"),
-      graft.functions.WordShingles.shingles(col("text"), 3).as("shingles"))
+      graft.functions.WordShingles.shingleHashes(col("text"), 3)
+        .as("shingles"))
     val exploded = docSh.select(col("doc_id"),
-      size(col("shingles")).as("n"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
+      size(col("shingles")).as("n"), explode(col("shingles")).as("sh"))
     // ordering on (df, sh) alone is output-deterministic: two same-doc
     // rows tying on both carry the SAME join key, so whichever side of
     // the prefix cutoff each lands on, the candidate set is identical —
     // carrying the shingle string through the window shuffle just to
     // break that tie would ~4× the shuffled bytes
     val dfTbl = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val collided = shinglesCollide(docs)
     val wPrefix = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("sh"))
     // ceil epsilon: see ngramJaccardPairs (an exact-integral t·n must not
@@ -180,8 +236,11 @@ object Dedup {
       .select(least(col("pd"), col("fd")).as("d1"),
         greatest(col("pd"), col("fd")).as("d2"))
       .distinct()
-    val sA = docSh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
-    val sB = docSh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
+    // exact verification on hashed sets unless injectivity broke — see
+    // shingleDfWithCollisionCheck / verifyShingles
+    val vSh = verifyShingles(docs, collided || forceStringVerify)
+    val sA = vSh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+    val sB = vSh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
     candidates.join(sA, "d1").join(sB, "d2")
       .withColumn("shared", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("containment", round(col("shared")

@@ -207,14 +207,23 @@ object Similarity {
       val sums = (0 until dim).map(i =>
         sum(col("embedding").getItem(i).cast("double")
           .cast("decimal(38,15)")).as(s"s$i"))
+      // contract guard: the per-dim getItem(i)/count(*) division is only
+      // the per-(bucket, dim) mean while every embedding is exactly
+      // `dim` wide — sum() skipping a short row's null would otherwise
+      // skew means SILENTLY. One cheap long column on the existing agg.
+      val badCol = sum(when(size(col("embedding")) =!= dim, 1L)
+        .otherwise(0L)).as("n_bad")
       val stats = emb.select(bucket.as("bucket"), col("embedding"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("c"), sums: _*)
-        .select(Seq(col("bucket")) ++ (0 until dim).map(i =>
+        .agg(count(lit(1)).as("c"), sums :+ badCol: _*)
+        .select(Seq(col("bucket"), col("n_bad")) ++ (0 until dim).map(i =>
           (col(s"s$i").cast("double") / col("c")).as(s"m$i")): _*)
         .collect()
+      val nBad = stats.map(_.getLong(1)).sum
+      if (nBad > 0) throw new IllegalArgumentException(
+        s"kmeansCentroids: $nBad embeddings are not exactly $dim-wide")
       val means = stats.map(r =>
-        r.getInt(0) -> (0 until dim).map(i => r.getDouble(1 + i))).toMap
+        r.getInt(0) -> (0 until dim).map(i => r.getDouble(2 + i))).toMap
       centroids = centroids.indices.map(b => means.getOrElse(b, centroids(b)))
     }
     centroids
@@ -1459,7 +1468,15 @@ object Similarity {
   private def trainCoarseAndPq(emb: DataFrame, nCentroids: Int,
       subspaces: Int, k: Int, subDim: Int, iterations: Int)
       : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // daemon threads: a failure path that never reaches shutdownNow must
+    // not pin the JVM on two live pool threads
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable) = {
+          val t = new Thread(r, "graft-train")
+          t.setDaemon(true); t
+        }
+      })
     try {
       val fc = pool.submit(
         new java.util.concurrent.Callable[Seq[Seq[Double]]] {
@@ -1467,7 +1484,14 @@ object Similarity {
       val fb = pool.submit(
         new java.util.concurrent.Callable[Seq[Seq[Seq[Double]]]] {
           def call() = pqCodebooks(emb, subspaces, k, subDim, iterations) })
-      (fc.get(), fb.get())
+      try (fc.get(), fb.get())
+      catch {
+        // surface the training's own exception, not the pool wrapper,
+        // and stop the sibling training's remaining jobs
+        case e: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow()
+          throw Option(e.getCause).getOrElse(e)
+      }
     } finally pool.shutdown()
   }
 

@@ -37,6 +37,33 @@ case class GumbelPick(first: Expression, second: Expression,
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
+  /** The struct ordinal of `score_nano`, resolved from the child's type
+    * (never a hardcoded position: a reordered n-best struct must fail
+    * analysis, not silently read the wrong long). */
+  @transient private lazy val scoreOrdinal: Int = third.dataType match {
+    case ArrayType(st: StructType, _) => st.fieldIndex("score_nano")
+    case other => throw new IllegalStateException(
+      s"gumbel_pick: unexpected input type $other")
+  }
+  @transient private lazy val nbFields: Int = third.dataType match {
+    case ArrayType(st: StructType, _) => st.size
+    case _ => 3
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, LongType, ArrayType(st: StructType, _))
+          if st.fieldNames.contains("score_nano") &&
+            st("score_nano").dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "gumbel_pick expects (string, bigint, array<struct with a " +
+          s"score_nano: bigint field>), got $other")
+    }
+  }
+
   @transient private lazy val md5 =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
@@ -53,7 +80,7 @@ case class GumbelPick(first: Expression, second: Expression,
     var bestKey = Long.MinValue
     var r = 1
     while (r <= n) {
-      val scoreNano = list.getStruct(r - 1, 3).getLong(2)
+      val scoreNano = list.getStruct(r - 1, nbFields).getLong(scoreOrdinal)
       val d = md5.get()
       d.reset()
       d.update(s"useg:$w:$o:$r".getBytes("UTF-8"))

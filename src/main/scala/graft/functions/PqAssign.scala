@@ -60,7 +60,12 @@ case class PqAssign(child: Expression, books: Seq[Seq[Seq[Double]]])
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val s = matrix.length
-    if (vec.numElements() != s * subDim) return null
+    // a width mismatch is a BUG under the fixed-width embedding contract,
+    // never data: a null here would flow into element_at(...).cast codes
+    // and silently drop candidates downstream (round-17 ADVICE)
+    if (vec.numElements() != s * subDim) throw new IllegalArgumentException(
+      s"pq_assign: embedding has ${vec.numElements()} elements, " +
+        s"codebook expects ${s * subDim}")
     val codes = new Array[Int](s)
     val errs = new Array[Any](s)
     var sub = 0
@@ -151,7 +156,10 @@ case class PqLutMicro(child: Expression, books: Seq[Seq[Seq[Double]]])
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val s = matrix.length
-    if (vec.numElements() != s * subDim) return null
+    // width mismatch = bug, not data — see PqAssign (round-17 ADVICE)
+    if (vec.numElements() != s * subDim) throw new IllegalArgumentException(
+      s"pq_lut_micro: query has ${vec.numElements()} elements, " +
+        s"codebook expects ${s * subDim}")
     val k = matrix(0).length
     val out = new Array[Any](s * k)
     var sub = 0

@@ -671,6 +671,29 @@ class ExtSpec extends SparkSpec {
     assert(p.where(col("jaccard") < 0.1 || col("jaccard") > 1.0).count() == 0)
   }
 
+  test("WordShingleHashes == xxhash64 over WordShingles, element-wise, " +
+      "and the string-verify fallback is row-identical to the hashed path") {
+    // bit-compat of the fused native hash with the builtin the candidate
+    // side uses: any drift would silently de-align prefix keys from
+    // verification arrays
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+    val ref = docs.select(
+      graft.functions.WordShingles.shingleHashes(col("text"), 3).as("h"),
+      transform(graft.functions.WordShingles.shingles(col("text"), 3),
+        s => xxhash64(s)).as("ref"))
+    assert(ref.where(not(col("h") === col("ref"))).count() == 0)
+
+    // forced string verification (the collision fallback path) must be
+    // row-identical to the default hashed verification on both predicates
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val jH = Dedup.ngramJaccardPairsOf(corpus, 0.5)
+    val jS = Dedup.ngramJaccardPairsOf(corpus, 0.5, forceStringVerify = true)
+    assert(jH.except(jS).count() == 0 && jS.except(jH).count() == 0)
+    val cH = Dedup.containmentPairsOf(corpus, 0.5)
+    val cS = Dedup.containmentPairsOf(corpus, 0.5, forceStringVerify = true)
+    assert(cH.except(cS).count() == 0 && cS.except(cH).count() == 0)
+  }
+
   test("minhash LSH: estimates bounded, identical docs always collide") {
     val p = Dedup.minhashLshPairs(spark, sf)
     assert(p.where(col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0).count() == 0)
