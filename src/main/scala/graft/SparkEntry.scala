@@ -1386,9 +1386,18 @@ object SparkEntry {
         .groupBy(col("bucket"), col("j")).agg(max(col("rho")).as("m"))
       val buckets = pairs.select(col("bucket")).distinct()
         .withColumnRenamed("bucket", "b").localCheckpoint()
-      val merged = broadcast(buckets).join(regs,
-          col("bucket").between(col("b") - expr("INTERVAL 23 HOURS"),
-            col("b")))
+      // trailing-24h merge as a 24-way explode + broadcast EQUI-join:
+      // `bucket BETWEEN b-23h AND b` planned as a BroadcastNestedLoopJoin
+      // — every register row interval-compared against EVERY bucket,
+      // O(rows x buckets). Each hour-aligned register row instead emits
+      // its 24 target buckets and hash-joins the bucket list: identical
+      // (b, row) pairs (bucket in [b-23h, b] <=> b in [bucket, bucket+23h]
+      // and b must exist in the list), O(rows x 24) and skew-free.
+      val merged = regs
+        .select(col("j"), col("m"), explode(expr(
+          "sequence(bucket, bucket + INTERVAL 23 HOURS, INTERVAL 1 HOUR)"))
+          .as("b"))
+        .join(broadcast(buckets), "b")
         .groupBy(col("b"), col("j")).agg(max(col("m")).as("m"))
         .groupBy(col("b"))
         .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))"))
@@ -1397,9 +1406,12 @@ object SparkEntry {
           (col("s_present") + (lit(64) - col("n_present"))
             * lit(134217728L)).cast("long").as("s_scaled"),
           (lit(64) - col("n_present")).cast("long").as("v_zero"))
-      val exact = broadcast(buckets).join(pairs,
-          col("bucket").between(col("b") - expr("INTERVAL 23 HOURS"),
-            col("b")))
+      // same explode + equi-join shape for the exact leg (see `merged`)
+      val exact = pairs
+        .select(col("key"), explode(expr(
+          "sequence(bucket, bucket + INTERVAL 23 HOURS, INTERVAL 1 HOUR)"))
+          .as("b"))
+        .join(broadcast(buckets), "b")
         .groupBy(col("b")).agg(countDistinct(col("key")).as("exact_uniques"))
       merged.join(exact, "b")
         .withColumn("e_raw",
@@ -1441,9 +1453,15 @@ object SparkEntry {
       // second events scan — serving reads events exactly once
       val buckets = regs.select(col("bucket")).distinct()
         .withColumnRenamed("bucket", "b")
-      val merged = broadcast(buckets).join(regs,
-          col("bucket").between(col("b") - expr("INTERVAL 23 HOURS"),
-            col("b")))
+      // 24-way explode + broadcast equi-join instead of the interval
+      // BroadcastNestedLoopJoin — identical (b, register) pairs, O(rows
+      // x 24) instead of O(rows x buckets); see kq65's merge for the
+      // equivalence argument
+      val merged = regs
+        .select(col("j"), col("m"), explode(expr(
+          "sequence(bucket, bucket + INTERVAL 23 HOURS, INTERVAL 1 HOUR)"))
+          .as("b"))
+        .join(broadcast(buckets), "b")
         .groupBy(col("b"), col("j")).agg(max(col("m")).as("m"))
         .groupBy(col("b"))
         .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))"))

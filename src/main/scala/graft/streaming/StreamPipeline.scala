@@ -2093,9 +2093,14 @@ object StreamPipeline {
       // table, trailing-24 h register-max, bias-corrected estimate
       val buckets = regs.select(col("bucket")).distinct()
         .withColumnRenamed("bucket", "b")
-      val merged = broadcast(buckets).join(regs,
-          col("bucket").between(col("b") - expr("INTERVAL 23 HOURS"),
-            col("b")))
+      // 24-way explode + broadcast equi-join instead of the interval
+      // BroadcastNestedLoopJoin (see kq65/kq102 — identical pairs,
+      // O(rows x 24) instead of O(rows x buckets))
+      val merged = regs
+        .select(col("j"), col("m"), explode(expr(
+          "sequence(bucket, bucket + INTERVAL 23 HOURS, INTERVAL 1 HOUR)"))
+          .as("b"))
+        .join(broadcast(buckets), "b")
         .groupBy(col("b"), col("j")).agg(max(col("m")).as("m"))
         .groupBy(col("b"))
         .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m AS INT))"))
