@@ -3,10 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe main — current use: decompose x86_dedup_eval (the #1
-  * round-18 cost center) into its legs: the eager collision check, the
-  * truth leg (ngram Jaccard at t=0.5 over the augmented corpus), the
-  * pred leg (minhash pairs), and the full-outer comparison. */
+/** Scratch probe main — current use: A/B the minhash signature stage,
+  * old explode + 12x min(md5) aggregate vs the fused MinHashSig native,
+  * and the two heaviest downstream consumers, in the same session. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -36,29 +35,31 @@ object Probe {
 
     val docs = graft.ingest.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val derived = docs.where(col("doc_id") % 3 === 0)
-      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
-        expr("array_join(slice(split(text, ' '), 1, " +
-          "CAST(greatest((2 * size(split(text, ' '))) div 3, 3) AS INT))" +
-          ", ' ')").as("text"))
-    val corpus = docs.unionByName(derived)
+    val numHashes = 12
+
+    def oldSig = {
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.WordShingles.shingles(col("text"), 3))
+          .as("tok"))
+      val sigCols = (0 until numHashes).map(k =>
+        min(graft.ext.Dedup.minhashOf(k, col("tok"))).as(s"mh$k"))
+      toks.groupBy(col("doc_id"))
+        .agg(sigCols.head, sigCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(k => col(s"mh$k")): _*).as("sig"))
+    }
+    def newSig = docs.select(col("doc_id"),
+      graft.functions.MinHashSig.sig(col("text"), numHashes, 3).as("sig"))
+      .where(col("sig").isNotNull)
 
     for (r <- 1 to 3) {
-      timed(s"r$r full x86")(
-        noop(SparkEntry.queries("x86_dedup_eval")(spark, dir)))
-      timed(s"r$r truth leg (ngram t=0.5, augmented corpus)")(
-        noop(graft.ext.Dedup.ngramJaccardPairsOf(corpus, 0.5)))
-      timed(s"r$r pred leg (minhash 12x3)") {
-        // minhashPairsOf is private[ext]; x3 entry over base docs is the
-        // closest public probe of the same shape — time the real leg via
-        // x86 minus truth instead; here: the base-corpus x3 entry
-        noop(SparkEntry.queries("x3_dedup_minhash")(spark, dir))
-      }
+      timed(s"r$r old explode+agg sig")(noop(oldSig))
+      timed(s"r$r new native sig")(noop(newSig))
+      timed(s"r$r x3 full (native)")(
+        noop(SparkEntry.queries("x3_dedup_minhash")(spark, dir)))
+      timed(s"r$r x21 full (native)")(
+        noop(SparkEntry.queries("x21_dup_clusters")(spark, dir)))
     }
-    // candidate volume of the truth leg at t=0.5
-    val n = timed("truth-leg row count")(
-      graft.ext.Dedup.ngramJaccardPairsOf(corpus, 0.5).count())
-    println(s"[probe] truth pairs: $n")
     spark.stop()
   }
 }

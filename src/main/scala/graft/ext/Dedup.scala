@@ -377,25 +377,25 @@ object Dedup {
   }
 
   /** k-th minhash of a shingle column: lexicographic min of the first 8 hex
-    * chars of md5(k:shingle). Engine-reproducible (md5 is md5 everywhere). */
-  private def minhashOf(k: Int, tok: Column): Column =
+    * chars of md5(k:shingle). Engine-reproducible (md5 is md5 everywhere).
+    * The production path is the fused [[graft.functions.MinHashSig]]
+    * native; this expression form is kept as the spec's reference
+    * implementation (ExtSpec pins the two bit-equal). */
+  private[graft] def minhashOf(k: Int, tok: Column): Column =
     substring(md5(concat(lit(s"$k:"), tok).cast("binary")), 1, 8)
 
   /** Minhash signature frame `(doc_id, sig: array<string>)` over any
     * `(doc_id, text)` frame — the shared shingle→signature step of
-    * [[minhashLshPairs]] and [[dedupIndexReuse]]: ONE aggregation emits
-    * the full signature as an array. */
-  private def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(graft.functions.WordShingles.shingles(col("text"), 3))
-        .as("tok"))
-    val sigCols = (0 until numHashes).map(k =>
-      min(minhashOf(k, col("tok"))).as(s"mh$k"))
-    toks.groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(k => col(s"mh$k")): _*).as("sig"))
-  }
+    * [[minhashLshPairs]] and [[dedupIndexReuse]], computed by the fused
+    * one-pass [[graft.functions.MinHashSig]] native: a shuffle-free scan
+    * projection instead of the previous corpus-scale
+    * explode → 12-md5-per-row → per-doc aggregate (bit-identical — the
+    * native's scaladoc carries the proof; the isNotNull filter drops
+    * exactly the <n-token docs the explode form never emitted). */
+  private def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.MinHashSig.sig(col("text"), numHashes, 3).as("sig"))
+      .where(col("sig").isNotNull)
 
   /** One row per (doc, band): the signature exploded to its xxhash64 band
     * keys (band index folded into the hash so bands never collide), with
@@ -667,15 +667,10 @@ object Dedup {
       .select((col("doc_id") + idOffset).as("doc_id"), col("text"))
     val all = base.withColumn("is_new", lit(false))
       .unionByName(newBatch.withColumn("is_new", lit(true)))
-    val toks = all.select(col("doc_id"), col("is_new"),
-      explode(graft.functions.WordShingles.shingles(col("text"), 3))
-        .as("tok"))
-    val sigCols = (0 until numHashes).map(k =>
-      min(minhashOf(k, col("tok"))).as(s"mh$k"))
-    val sig = toks.groupBy(col("doc_id"), col("is_new"))
-      .agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"), col("is_new"),
-        array((0 until numHashes).map(k => col(s"mh$k")): _*).as("sig"))
+    // fused one-pass native signature — see minhashSignatures
+    val sig = all.select(col("doc_id"), col("is_new"),
+      graft.functions.MinHashSig.sig(col("text"), numHashes, 3).as("sig"))
+      .where(col("sig").isNotNull)
     val bandKeys = array((0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(k => element_at(col("sig"), k + 1))

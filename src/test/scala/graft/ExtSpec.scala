@@ -694,6 +694,35 @@ class ExtSpec extends SparkSpec {
     assert(cH.except(cS).count() == 0 && cS.except(cH).count() == 0)
   }
 
+  test("MinHashSig native == explode + min(md5) expression reference, " +
+      "element-wise, and null exactly on shingle-less docs") {
+    val docs = graft.ingest.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      // plant a <3-token doc to pin the null contract
+      .unionByName(Seq((9999999L, "one two")).toDF("doc_id", "text"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.MinHashSig.sig(col("text"), 12, 3).as("sig"))
+    val refAgg = docs.select(col("doc_id"),
+      explode(graft.functions.WordShingles.shingles(col("text"), 3))
+        .as("tok"))
+      .groupBy(col("doc_id"))
+      .agg((0 until 12).map(k =>
+        min(Dedup.minhashOf(k, col("tok"))).as(s"mh$k")).head,
+        (0 until 12).map(k =>
+          min(Dedup.minhashOf(k, col("tok"))).as(s"mh$k")).tail: _*)
+      .select(col("doc_id"),
+        array((0 until 12).map(k => col(s"mh$k")): _*).as("ref"))
+    val joined = native.join(refAgg, Seq("doc_id"), "full")
+    assert(joined.where(col("sig").isNull && col("ref").isNotNull)
+      .count() == 0)
+    // the explode form drops shingle-less docs; the native emits null
+    assert(joined.where(col("ref").isNull)
+      .select(col("doc_id"), col("sig")).collect()
+      .forall(r => r.getLong(0) == 9999999L && r.isNullAt(1)))
+    assert(joined.where(col("ref").isNotNull &&
+      not(col("sig") === col("ref"))).count() == 0)
+  }
+
   test("minhash LSH: estimates bounded, identical docs always collide") {
     val p = Dedup.minhashLshPairs(spark, sf)
     assert(p.where(col("est_jaccard") < 0.5 || col("est_jaccard") > 1.0).count() == 0)
