@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe main — current use: A/B the minhash signature stage,
-  * old explode + 12x min(md5) aggregate vs the fused MinHashSig native,
-  * and the two heaviest downstream consumers, in the same session. */
+/** Scratch probe main — current use: does localCheckpointing the tiny
+  * (doc_id, sig) frame — so the band self-join's two branches read one
+  * materialized signature table instead of evaluating the shingle+md5
+  * pass twice — beat the current duplicated-subtree plan? */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -36,29 +37,46 @@ object Probe {
     val docs = graft.ingest.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val numHashes = 12
+    val rowsPerBand = 3
 
-    def oldSig = {
-      val toks = docs.select(col("doc_id"),
-        explode(graft.functions.WordShingles.shingles(col("text"), 3))
-          .as("tok"))
-      val sigCols = (0 until numHashes).map(k =>
-        min(graft.ext.Dedup.minhashOf(k, col("tok"))).as(s"mh$k"))
-      toks.groupBy(col("doc_id"))
-        .agg(sigCols.head, sigCols.tail: _*)
-        .select(col("doc_id"),
-          array((0 until numHashes).map(k => col(s"mh$k")): _*).as("sig"))
+    def pairsFrom(sig: org.apache.spark.sql.DataFrame) = {
+      val keys = array((0 until numHashes / rowsPerBand).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(k => element_at(col("sig"), k + 1))
+        xxhash64(lit(b) +: cols: _*)
+      }: _*)
+      val bands = sig.select(col("doc_id"), col("sig"),
+        explode(keys).as("bkey"))
+      val l = bands.as("l"); val r = bands.as("r")
+      val agree = (0 until numHashes).map(k =>
+        when(element_at(col("sig1"), k + 1) ===
+          element_at(col("sig2"), k + 1), 1).otherwise(0))
+        .reduce(_ + _)
+      l.join(r,
+          col("l.bkey") === col("r.bkey") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+        .agg(first(col("l.sig")).as("sig1"), first(col("r.sig")).as("sig2"))
+        .withColumn("est_jaccard",
+          round(agree.cast("double") / numHashes, 6))
+        .where(col("est_jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), col("est_jaccard"))
     }
-    def newSig = docs.select(col("doc_id"),
+    def sigFrame = docs.select(col("doc_id"),
       graft.functions.MinHashSig.sig(col("text"), numHashes, 3).as("sig"))
       .where(col("sig").isNotNull)
 
     for (r <- 1 to 3) {
-      timed(s"r$r old explode+agg sig")(noop(oldSig))
-      timed(s"r$r new native sig")(noop(newSig))
-      timed(s"r$r x3 full (native)")(
-        noop(SparkEntry.queries("x3_dedup_minhash")(spark, dir)))
-      timed(s"r$r x21 full (native)")(
-        noop(SparkEntry.queries("x21_dup_clusters")(spark, dir)))
+      timed(s"r$r pairs, duplicated sig subtree")(noop(pairsFrom(sigFrame)))
+      timed(s"r$r pairs, localCheckpointed sig")(
+        noop(pairsFrom(sigFrame.localCheckpoint())))
+      timed(s"r$r pairs, DISK_ONLY persisted sig") {
+        val sp = sigFrame.persist(
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        sp.count()
+        noop(pairsFrom(sp))
+        sp.unpersist(true)
+      }
     }
     spark.stop()
   }

@@ -667,10 +667,13 @@ object Dedup {
       .select((col("doc_id") + idOffset).as("doc_id"), col("text"))
     val all = base.withColumn("is_new", lit(false))
       .unionByName(newBatch.withColumn("is_new", lit(true)))
-    // fused one-pass native signature — see minhashSignatures
+    // fused one-pass native signature — see minhashSignatures; persisted
+    // so the new-vs-corpus band join's two sides share one signature pass
+    // (see minhashPairsOf)
     val sig = all.select(col("doc_id"), col("is_new"),
       graft.functions.MinHashSig.sig(col("text"), numHashes, 3).as("sig"))
       .where(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val bandKeys = array((0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(k => element_at(col("sig"), k + 1))
@@ -713,7 +716,7 @@ object Dedup {
   /** [[minhashLshPairs]] over any `(doc_id, text)` frame, UNSORTED — the
     * form a composed pipeline (x60) embeds mid-plan, where an interior
     * ORDER BY would only add a pointless exchange. */
-  private[ext] def minhashPairsOf(docs: DataFrame,
+  private[graft] def minhashPairsOf(docs: DataFrame,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
     // the signature is computed ONCE: one aggregation produces the full
     // 12-hash signature as an array; bands are EXPLODED from it (not
@@ -732,8 +735,15 @@ object Dedup {
     // (accepted: ~2⁻⁶⁴ per pair and further gated by the agreement test;
     // hash on both engines if exact parity ever matters more than key
     // width).
-    val bands = explodeBandKeys(minhashSignatures(docs, numHashes),
-      numHashes, rowsPerBand)
+    // the band SELF-join would otherwise plan the signature pass (scan +
+    // shingle + 12 md5 minima per doc) once per side — DISK_ONLY persist
+    // of the ~110 B/doc (doc_id, sig) frame makes both sides read one
+    // shared InMemoryRelation (the kq65/check-6 materialization rule;
+    // measured 2.3 -> 1.4 s warm at sf0.1, and one corpus scan instead
+    // of two at any scale)
+    val sig = minhashSignatures(docs, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val bands = explodeBandKeys(sig, numHashes, rowsPerBand)
     val l = bands.as("l"); val r = bands.as("r")
     // candidates deduped by the pair-key aggregation; the carried
     // signatures are functionally dependent on the doc ids, so first() is

@@ -1624,7 +1624,7 @@ object TextAnalysis {
 
   /** [[decontaminate]] over arbitrary `(doc_id, toks)` train/test frames,
     * UNSORTED — the form the composed pipeline (x60) embeds mid-plan. */
-  private[ext] def decontaminateOf(train: DataFrame, test: DataFrame,
+  private[graft] def decontaminateOf(train: DataFrame, test: DataFrame,
       n: Int): DataFrame = {
     def slidingSpans(frame: DataFrame) = frame
       .select(col("doc_id"),
