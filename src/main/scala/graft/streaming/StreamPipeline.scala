@@ -275,13 +275,16 @@ object StreamPipeline {
       // high-cardinality key space never funnels through the driver
       // heap. The read-back re-sorts because parquet file order is not
       // a contract.
-      val w = Window.partitionBy(col("topic"), col("key"))
-        .orderBy(col("n").desc)
+      // max_by aggregate, not a window: n strictly increases per key, so
+      // the fixpoint row is the unique n-max — a partial-aggregable
+      // groupBy (map-side combine, no per-partition sort; guide §2.3)
       val fixpoint = spark.table(sinkName)
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("topic"), col("key"), col("n"),
-          col("last_offset"), col("last_value"))
+        .groupBy(col("topic"), col("key"))
+        .agg(max_by(struct(col("n"), col("last_offset"),
+          col("last_value")), col("n")).as("top"))
+        .select(col("topic"), col("key"), col("top.n").as("n"),
+          col("top.last_offset").as("last_offset"),
+          col("top.last_value").as("last_value"))
       val out = java.nio.file.Files.createTempDirectory("kq23-out").toFile
       org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
       fixpoint.write.mode("overwrite").parquet(out.toString)
@@ -376,12 +379,11 @@ object StreamPipeline {
         .option("checkpointLocation", s"$work/ckpt")
         .start()
       q.awaitTermination()
-      val w = Window.partitionBy(col("key"), col("event_type"))
-        .orderBy(col("n").desc)
+      // plain max aggregate, not a window: per-(key, type) counts only
+      // grow, and n is the only carried column (see kq23's fixpoint)
       val fixpoint = spark.table(sinkName)
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("key"), col("event_type"), col("n"))
+        .groupBy(col("key"), col("event_type"))
+        .agg(max(col("n")).as("n"))
       val out = java.nio.file.Files.createTempDirectory("kq83-out").toFile
       org.apache.commons.io.FileUtils.forceDeleteOnExit(out)
       fixpoint.write.mode("overwrite").parquet(out.toString)
